@@ -1,0 +1,47 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Sinks (SURVEY.md section 2.1, S3-S5).
+  *
+  * The reference writes overwrite-mode Parquet (csv_to_parquet.py:79) with an
+  * output-file row cap on the fact table (final_fact_load.py:149), plus a
+  * BigQuery warehouse load (final_dim_load.py:211-215). The warehouse sink is
+  * modeled as a trait so the BigQuery connector (unreachable here: external
+  * service + connector jar) and the local Parquet stand-in are the same code
+  * path to callers.
+  */
+object Sinks {
+
+  /** S3/S4: overwrite Parquet, optional rows-per-file cap. At cluster scale
+    * the cap bounds file sizes under AQE-coalesced partitions so downstream
+    * scans parallelize; locally it just splits files.
+    */
+  def writeParquet(df: DataFrame, path: String, maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    val w2 = if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+    w2.parquet(path)
+  }
+
+  /** C5 write-then-readback: truncates lineage and returns post-write state
+    * (final_dim_load.py:208-210). `clearCache` first mirrors the reference's
+    * stale-FileIndex workaround (final_dim_load.py:455).
+    */
+  def writeAndReadBack(spark: SparkSession, df: DataFrame, path: String,
+      maxRecordsPerFile: Long = 0L): DataFrame = {
+    writeParquet(df, path, maxRecordsPerFile)
+    spark.catalog.clearCache()
+    spark.read.parquet(path)
+  }
+
+  /** S5 warehouse sink abstraction. */
+  trait WarehouseSink {
+    def save(df: DataFrame, table: String): Unit
+  }
+
+  /** Local warehouse: one Parquet directory per table (DuckDB-readable). */
+  final class ParquetWarehouse(root: String) extends WarehouseSink {
+    def save(df: DataFrame, table: String): Unit =
+      writeParquet(df, s"$root/$table")
+  }
+}

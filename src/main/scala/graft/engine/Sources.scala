@@ -1,0 +1,42 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source readers (SURVEY.md section 2.1, S1-S2).
+  *
+  * The reference ingests CSV header-aware, multi-line, RFC-4180 quote-escaped
+  * (csv_to_parquet.py:22-27) with every column landing as string, then asserts
+  * types via cast (Cleaning.castNormalize). `csv` reproduces that read; at
+  * scale prefer `csvWithSchema` — an explicit StructType skips the
+  * header-probe job AND lets the reader parse directly into typed columns
+  * (one less projection; malformed rows surface at scan time).
+  */
+object Sources {
+
+  val csvOptions: Map[String, String] = Map(
+    "header" -> "true",
+    "multiLine" -> "true",
+    "quote" -> "\"",
+    "escape" -> "\"")
+
+  /** Reference-faithful read: all columns StringType (no inferSchema). */
+  def csv(spark: SparkSession, path: String): DataFrame =
+    spark.read.options(csvOptions).csv(path)
+
+  /** Scale-preferred read: parse straight into the declared schema. */
+  def csvWithSchema(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.options(csvOptions).schema(schema).csv(path)
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Schema validation probe (final_dim_load.py:97-101): fail fast with the
+    * full missing-column list instead of a mid-job analysis error.
+    */
+  def requireColumns(df: DataFrame, required: Seq[String]): DataFrame = {
+    val missing = required.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"missing required columns: ${missing.mkString(", ")}")
+    df
+  }
+}

@@ -1,10 +1,18 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.Tables
 import graft.engine._
 
 /** Core relational operator queries (SURVEY.md section 2 coverage). */
 object CoreQueries {
+
+  /** Scratch space for queries that exercise write paths (CSV ingest, sink
+    * roundtrip). Keyed by the sf dir name so concurrent SFs don't collide.
+    */
+  private def scratch(dir: String, tag: String): String =
+    s"/tmp/graft_scratch/${new java.io.File(dir).getName}_$tag"
 
   val qs: Seq[Q] = Seq(
     Q(
@@ -24,6 +32,109 @@ object CoreQueries {
         WHERE l_shipdate <= TIMESTAMP '1999-06-01 00:00:00'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
-      """.stripMargin.trim))
+      """.stripMargin.trim)),
+
+    // S1 CSV scan + P2 cast-normalize: write nation out as header CSV, read
+    // it back with the reference's RFC-4180 options (all columns land as
+    // string), assert types via one cast projection, prove lossless ingest.
+    Q(
+      "q02_csv_ingest",
+      (s, dir) => {
+        val tmp = scratch(dir, "csv_nation")
+        Tables.nation(s, dir).write.mode("overwrite").option("header", "true").csv(tmp)
+        val raw = Sources.csv(s, tmp)
+        Cleaning.castNormalize(
+            Sources.requireColumns(raw, Seq("n_nationkey", "n_name", "n_regionkey")),
+            Map("n_nationkey" -> IntegerType, "n_regionkey" -> IntegerType))
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .orderBy("n_nationkey")
+      },
+      Some("""
+        SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+      """.trim)),
+
+    // 2.8 money cleaner + both boolean decoders. The dirty inputs are
+    // synthesized deterministically ("$99,010.00"-style strings, t/true/f/F/
+    // NULL flags) so the oracle can reproduce them byte-for-byte.
+    Q(
+      "q03_money_clean",
+      (s, dir) => {
+        val cents = (col("p_retailprice").cast("decimal(10,2)") * 100).cast("decimal(12,2)")
+        val ip = cents.cast("string")
+        val dirty = concat(
+          lit("$"),
+          when(length(ip) > 6,
+            concat(ip.substr(lit(1), length(ip) - 6), lit(","), ip.substr(length(ip) - 5, lit(6))))
+            .otherwise(ip))
+        val flagStr = element_at(
+          array(lit("t"), lit("true"), lit("f"), lit("F"), lit(null).cast("string")),
+          (col("p_size") % 5 + 1).cast("int"))
+        Tables.part(s, dir)
+          .select(
+            col("p_partkey"),
+            dirty.as("price_dirty"),
+            Cleaning.cleanPrice(dirty).as("price_clean"),
+            Cleaning.decodeBooleanStrict(flagStr).as("flag_strict"),
+            Cleaning.decodeBooleanLax(flagStr).as("flag_lax"))
+          .orderBy("p_partkey")
+      },
+      Some("""
+        WITH d AS (
+          SELECT p_partkey, p_size,
+                 CAST(CAST(p_retailprice AS DECIMAL(10,2)) * 100 AS DECIMAL(12,2)) AS cents
+          FROM part
+        ), d2 AS (
+          SELECT p_partkey, p_size,
+                 '$' || CASE WHEN length(CAST(cents AS VARCHAR)) > 6
+                        THEN substr(CAST(cents AS VARCHAR), 1, length(CAST(cents AS VARCHAR)) - 6)
+                             || ',' || substr(CAST(cents AS VARCHAR), length(CAST(cents AS VARCHAR)) - 5, 6)
+                        ELSE CAST(cents AS VARCHAR) END AS price_dirty,
+                 (['t','true','f','F',NULL])[p_size % 5 + 1] AS f
+          FROM d
+        )
+        SELECT p_partkey, price_dirty,
+               CAST(regexp_replace(price_dirty, '[$,]', '', 'g') AS DECIMAL(10,2)) AS price_clean,
+               lower(f) IN ('t','true') AS flag_strict,
+               CASE WHEN f = 't' THEN true WHEN f = 'f' THEN false ELSE true END AS flag_lax
+        FROM d2 ORDER BY p_partkey
+      """.trim)),
+
+    // P10 na.fill + P11 negative clamp over deterministically dirtied customer.
+    Q(
+      "q04_nafill_clamp",
+      (s, dir) => {
+        val dirty = Tables.customer(s, dir).select(
+          col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_filled"),
+          nullif(col("c_nationkey"), lit(3)).as("nat_filled"),
+          col("c_acctbal").as("bal_clamped"))
+        Cleaning.clampNegatives(
+            Cleaning.fillDefaults(dirty, stringCols = Seq("seg_filled"), numericCols = Seq("nat_filled")),
+            Seq("bal_clamped"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey,
+               COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'N/A') AS seg_filled,
+               COALESCE(NULLIF(c_nationkey, 3), 0) AS nat_filled,
+               CASE WHEN c_acctbal < 0 THEN 0 ELSE c_acctbal END AS bal_clamped
+        FROM customer ORDER BY c_custkey
+      """.trim)),
+
+    // S3/S4/C5: parquet sink with maxRecordsPerFile, then read-back (the
+    // reference's write-then-readback lineage truncation).
+    Q(
+      "q05_sink_roundtrip",
+      (s, dir) => {
+        val subset = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 7 === 0)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        Sinks.writeAndReadBack(s, subset, scratch(dir, "sink_orders"), maxRecordsPerFile = 5000L)
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey
+      """.trim))
   )
 }

@@ -1,0 +1,47 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+class SourcesSpec extends SparkSpec {
+
+  test("csv read honors header, multiLine, quote-escape (RFC-4180)") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    // embedded newline, escaped quote ("" -> "), comma inside quotes
+    Files.writeString(Paths.get(s"$dir/t.csv"),
+      "id,name,notes\n1,\"line one\nline two\",plain\n2,\"say \"\"hi\"\", ok\",\"a,b\"\n")
+    val df = Sources.csv(spark, dir)
+    assert(df.columns.toSeq == Seq("id", "name", "notes"))
+    assert(df.schema.forall(_.dataType == StringType), "no inferSchema: all strings")
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getString(1) == "line one\nline two")
+    assert(rows(1).getString(1) == "say \"hi\", ok")
+    assert(rows(1).getString(2) == "a,b")
+  }
+
+  test("csvWithSchema parses straight into declared types") {
+    val dir = Files.createTempDirectory("graft_csv2").toString
+    Files.writeString(Paths.get(s"$dir/t.csv"), "id,price\n1,12.50\n2,99.99\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("price", DoubleType)))
+    val df = Sources.csvWithSchema(spark, dir, schema)
+    assert(df.schema == schema)
+    assert(df.orderBy("id").collect().map(_.getDouble(1)).toSeq == Seq(12.5, 99.99))
+  }
+
+  test("requireColumns fails fast with the missing list") {
+    val df = spark.range(1).toDF("a")
+    val e = intercept[IllegalArgumentException](Sources.requireColumns(df, Seq("a", "b", "c")))
+    assert(e.getMessage.contains("b, c"))
+  }
+
+  test("writeAndReadBack roundtrips with maxRecordsPerFile splitting files") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/out"
+    val df = spark.range(100).toDF("id")
+    val back = Sinks.writeAndReadBack(spark, df, dir, maxRecordsPerFile = 10L)
+    assert(back.count() == 100)
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files >= 2, s"expected multiple files from maxRecordsPerFile, got $files")
+  }
+}
