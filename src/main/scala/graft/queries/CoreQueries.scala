@@ -135,6 +135,65 @@ object CoreQueries {
       Some("""
         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey
+      """.trim)),
+
+    // A3 distinct key set: shuffle carries only the projected keys.
+    Q(
+      "q06_distinct_pairs",
+      (s, dir) => Dedup.distinctKeys(Tables.orders(s, dir), Seq("o_custkey", "o_orderstatus"))
+        .orderBy("o_custkey", "o_orderstatus"),
+      Some("""
+        SELECT DISTINCT o_custkey, o_orderstatus FROM orders ORDER BY o_custkey, o_orderstatus
+      """.trim)),
+
+    // Deterministic keep-first dedup: one row per customer = earliest order.
+    Q(
+      "q07_dedup_keep_first",
+      (s, dir) => Dedup.keepFirstByKey(
+          Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+          keys = Seq("o_custkey"), order = Seq("o_orderdate", "o_orderkey"))
+        .orderBy("o_custkey"),
+      Some("""
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+        ORDER BY o_custkey
+      """.trim)),
+
+    // W1 surrogate keys, scale-safe two-phase form (range partition + local
+    // sort + zipWithIndex) — output provably equals the reference's
+    // unpartitioned row_number + offset.
+    Q(
+      "q08_surrogate_keys",
+      (s, dir) => Keys.surrogateKeysScalable(
+          Tables.customer(s, dir).select("c_custkey", "c_name"),
+          orderCol = "c_custkey", keyName = "customer_sk", offset = 1000L)
+        .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey, c_name,
+               row_number() OVER (ORDER BY c_custkey) + 1000 AS customer_sk
+        FROM customer ORDER BY c_custkey
+      """.trim)),
+
+    // S6 date spine + calendar attributes (dim_date analog, 731 rows).
+    Q(
+      "q09_date_dim",
+      (s, dir) => DateDim.build(s, "2019-01-01", "2020-12-31").orderBy("date_id"),
+      Some("""
+        WITH spine AS (
+          SELECT CAST(unnest(generate_series(DATE '2019-01-01', DATE '2020-12-31', INTERVAL 1 DAY)) AS DATE) AS date_id
+        )
+        SELECT date_id,
+               CAST(year(date_id) AS INTEGER) AS year,
+               CAST(quarter(date_id) AS INTEGER) AS quarter,
+               CAST(month(date_id) AS INTEGER) AS month,
+               CAST(weekofyear(date_id) AS INTEGER) AS week_of_year,
+               CAST(day(date_id) AS INTEGER) AS day_of_month,
+               CAST(dayofweek(date_id) + 1 AS INTEGER) AS day_of_week,
+               CASE dayofweek(date_id) WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday'
+                    WHEN 2 THEN 'Tuesday' WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday'
+                    WHEN 5 THEN 'Friday' ELSE 'Saturday' END AS day_name,
+               dayofweek(date_id) IN (0, 6) AS is_weekend
+        FROM spine ORDER BY date_id
       """.trim))
   )
 }

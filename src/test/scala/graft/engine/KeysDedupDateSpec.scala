@@ -1,0 +1,44 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KeysDedupDateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("surrogateKeysScalable output equals reference-faithful row_number form") {
+    // shuffled, non-contiguous keys across multiple partitions
+    val df = spark.range(0, 997).select((col("id") * 7919 % 10007).as("k")).repartition(8)
+    val faithful = Keys.surrogateKeys(df, "k", "sk", offset = 42L)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val scalable = Keys.surrogateKeysScalable(df, "k", "sk", offset = 42L, partitions = 5)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(faithful.toSeq == scalable.toSeq)
+    assert(scalable.map(_._2).toSeq == (43L until 43L + 997L))
+  }
+
+  test("date spine has reference cardinality: 2010..2030 = 7670 rows") {
+    assert(DateDim.dateSpine(spark, "2010-01-01", "2030-12-31").count() == 7670L)
+  }
+
+  test("calendar attributes: known date spot-check") {
+    val r = DateDim.build(spark, "2026-08-09", "2026-08-09").collect().head
+    // 2026-08-09 is a Sunday
+    assert(r.getAs[Int]("year") == 2026 && r.getAs[Int]("quarter") == 3)
+    assert(r.getAs[Int]("day_of_week") == 1 && r.getAs[String]("day_name") == "Sunday")
+    assert(r.getAs[Boolean]("is_weekend"))
+  }
+
+  test("keepFirstByKey is deterministic under duplicate keys") {
+    val df = Seq((1, "b", 2), (1, "a", 1), (2, "c", 9), (1, "a", 0)).toDF("k", "s", "o")
+    val got = Dedup.keepFirstByKey(df, Seq("k"), Seq("o", "s")).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == Seq((1, "a", 0), (2, "c", 9)))
+  }
+
+  test("dropAllDuplicates removes exact copies only") {
+    val df = Seq((1, "a"), (1, "a"), (1, "b")).toDF("k", "s")
+    assert(Dedup.dropAllDuplicates(df).count() == 2)
+    assert(Dedup.distinctKeys(df, Seq("k")).count() == 1)
+  }
+}

@@ -46,6 +46,9 @@ def main():
             continue
         g = got[gcols].sort_values(gcols, kind="mergesort").reset_index(drop=True)
         e = exp[ecols].sort_values(ecols, kind="mergesort").reset_index(drop=True)
+        for c in gcols:  # dtype drift (int32 vs int64 etc.) — warn, since the
+            if str(g[c].dtype) != str(e[c].dtype):  # driver may schema-check
+                print(f"WARN {name}: dtype of {c}: {g[c].dtype} vs oracle {e[c].dtype}")
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs oracle {len(e)}")
             failures += 1
