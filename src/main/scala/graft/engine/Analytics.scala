@@ -43,4 +43,43 @@ object Analytics {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
+
+  /** Section 2.6 top-k: global sort + limit. Catalyst plans this as
+    * TakeOrderedAndProject — per-partition heaps then a k-row merge on the
+    * driver, NOT a full sort; exactly what you want at 100 TB. Order columns
+    * must be a total order for determinism (callers add a key tiebreak).
+    */
+  def topK(df: DataFrame, k: Int, order: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** A1/A4 global aggregates as a single-row frame (the reference collects
+    * these as driver-side watermarks; as a query it is one partial+final agg).
+    */
+  def globalStats(orders: DataFrame): DataFrame =
+    orders.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("o_custkey")).as("n_customers"),
+      min(col("o_orderdate")).as("first_order"),
+      max(col("o_orderdate")).as("last_order"),
+      Exact.sumD(col("o_totalprice")).as("total_sales"))
+
+  /** Section 2.5 generalized: partitioned windows with ranking, offsets and
+    * a running frame, all over one shuffle on the partition key.
+    */
+  def customerOrderWindows(orders: DataFrame): DataFrame = {
+    val byTime = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+      row_number().over(byTime).as("order_seq"),
+      rank().over(byPrice).as("price_rank"),
+      dense_rank().over(byPrice).as("price_dense_rank"),
+      lag(col("o_totalprice"), 1).over(byTime).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(byTime).as("next_price"),
+      sum(col("o_totalprice").cast("decimal(18,2)"))
+        .over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("running_spend"))
+  }
 }

@@ -194,6 +194,143 @@ object CoreQueries {
                     WHEN 5 THEN 'Friday' ELSE 'Saturday' END AS day_name,
                dayofweek(date_id) IN (0, 6) AS is_weekend
         FROM spine ORDER BY date_id
+      """.trim)),
+
+    // J10/J11: full star-schema fact assembly — broadcast dims, one shuffle
+    // join, composite decimal-key dimension, banding, deterministic fact key.
+    Q(
+      "q10_star_fact",
+      (s, dir) => StarJoin.assembleStarFact(
+          Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
+          Tables.nation(s, dir), Tables.region(s, dir), Tables.part(s, dir),
+          Tables.supplier(s, dir))
+        .orderBy("fact_id"),
+      Some("""
+        WITH dim_dt AS (
+          SELECT disc, tax, CAST(row_number() OVER (ORDER BY disc, tax) AS INTEGER) AS disc_tax_id
+          FROM (SELECT DISTINCT CAST(l_discount AS DECIMAL(10,6)) AS disc,
+                       CAST(l_tax AS DECIMAL(10,6)) AS tax FROM lineitem)
+        )
+        SELECT l.l_orderkey * 100 + l.l_linenumber AS fact_id,
+               l.l_orderkey, l.l_linenumber,
+               p.p_brand, s.s_name, c.c_mktsegment,
+               n.n_name AS supp_nation, r.r_name AS supp_region,
+               d.disc_tax_id,
+               CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+               CASE WHEN l.l_quantity <= 7 THEN 'short' WHEN l.l_quantity <= 30 THEN 'medium' ELSE 'long' END AS qty_band,
+               l.l_returnflag = 'R' AS is_returned
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        JOIN dim_dt d ON CAST(l.l_discount AS DECIMAL(10,6)) = d.disc
+                     AND CAST(l.l_tax AS DECIMAL(10,6)) = d.tax
+        ORDER BY fact_id
+      """.trim)),
+
+    // J2 left_anti + left_semi as one tagged result.
+    Q(
+      "q11_anti_semi",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select(col("c_custkey"))
+        val o = Tables.orders(s, dir).withColumnRenamed("o_custkey", "c_custkey")
+        StarJoin.newKeys(c, o, "c_custkey").withColumn("tag", lit("no_orders"))
+          .unionByName(
+            StarJoin.existingKeys(c, o, "c_custkey").withColumn("tag", lit("has_orders")))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, 'no_orders' AS tag FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        UNION ALL
+        SELECT c_custkey, 'has_orders' AS tag FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+      """.trim)),
+
+    // U1 unionByName: reassemble column-permuted slices (the SCD2 output
+    // assembly shape, final_dim_load.py:166).
+    Q(
+      "q12_union_by_name",
+      (s, dir) => {
+        val n = Tables.nation(s, dir)
+        val a = n.filter(col("n_nationkey") < 8).select("n_nationkey", "n_name", "n_regionkey")
+        val b = n.filter(col("n_nationkey") >= 8 && col("n_nationkey") < 16)
+          .select(col("n_regionkey"), col("n_name"), col("n_nationkey"))
+        val c = n.filter(col("n_nationkey") >= 16)
+          .select(col("n_name"), col("n_nationkey"), col("n_regionkey"))
+        a.unionByName(b).unionByName(c).orderBy("n_nationkey")
+      },
+      Some("""
+        SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+      """.trim)),
+
+    // Section 2.7 set ops beyond the reference: intersect / except.
+    Q(
+      "q13_set_ops",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        val done = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        open.intersect(done).withColumn("tag", lit("both"))
+          .unionByName(open.except(done).withColumn("tag", lit("open_only")))
+          .orderBy("o_custkey", "tag")
+      },
+      Some("""
+        SELECT o_custkey, 'both' AS tag FROM (
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        UNION ALL
+        SELECT o_custkey, 'open_only' AS tag FROM (
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        ORDER BY o_custkey, tag
+      """.trim)),
+
+    // Section 2.5 generalized windows: ranking, offsets, running frame.
+    Q(
+      "q14_window_funcs",
+      (s, dir) => Analytics.customerOrderWindows(Tables.orders(s, dir))
+        .orderBy("o_custkey", "order_seq"),
+      Some("""
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(row_number() OVER w_time AS INTEGER) AS order_seq,
+               CAST(rank() OVER w_price AS INTEGER) AS price_rank,
+               CAST(dense_rank() OVER w_price AS INTEGER) AS price_dense_rank,
+               lag(o_totalprice, 1) OVER w_time AS prev_price,
+               lead(o_totalprice, 1) OVER w_time AS next_price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w_time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        FROM orders
+        WINDOW w_time AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_custkey, order_seq
+      """.trim)),
+
+    // Section 2.6 top-k: TakeOrderedAndProject, not a full sort.
+    Q(
+      "q15_topk",
+      (s, dir) => Analytics.topK(
+          Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+          15, Seq(col("o_totalprice").desc, col("o_orderkey"))),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+      """.trim)),
+
+    // A1/A4 global aggregates (watermark pattern) as a single-row result.
+    Q(
+      "q16_global_stats",
+      (s, dir) => Analytics.globalStats(Tables.orders(s, dir)),
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               MIN(o_orderdate) AS first_order,
+               MAX(o_orderdate) AS last_order,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS total_sales
+        FROM orders
       """.trim))
   )
 }
