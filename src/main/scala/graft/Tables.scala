@@ -23,7 +23,17 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "events")
+  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
+    * read as a timestamp. Read it as raw nanos (legacy conf) and convert with
+    * integer division — nanos-since-epoch (~1.7e18) exceeds double's 53-bit
+    * mantissa, so float math here would corrupt timestamps. Truncation to
+    * micros matches DuckDB's own ns->us narrowing.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 }

@@ -1,0 +1,116 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Slowly-changing-dimension Type-2 merge (SURVEY.md section 7 M5; reference
+  * behavior: final_dim_load.py:94-180 for dim_host, :329-451 for dim_listing).
+  *
+  * Semantics re-expressed Spark-first, preserved from the reference:
+  *  - change detection via md5 over the concatenation of the SCD columns with
+  *    nulls coalesced to the string "NULL" and NO separator between columns
+  *    (final_dim_load.py:115-123 — the documented collision quirk
+  *    `("ab","c") == ("a","bc")` is preserved deliberately for parity);
+  *  - one frozen run timestamp shared by every row the merge touches
+  *    (final_dim_load.py:28-29);
+  *  - open rows carry a far-future end sentinel (2099-12-31) and
+  *    `is_valid = true`;
+  *  - changed keys expire their current version (`end_dt = runTs`,
+  *    `is_valid = false`) and gain a fresh version; brand-new keys gain their
+  *    first version; surrogate keys continue from the existing maximum
+  *    (the reference's `agg(max)` watermark, final_dim_load.py:103-104).
+  *
+  * Scale notes (100 TB design point): the merge is three shuffles on the
+  * natural key (change-detect join, expire semi-join, keep anti-join) plus the
+  * key assignment. The changed-key set is usually tiny relative to the
+  * dimension, so AQE converts the semi/anti joins to broadcasts at runtime.
+  * Key assignment is pluggable: pass `Keys.surrogateKeys` for the reference's
+  * single-task window or `Keys.surrogateKeysScalable` (default) for the
+  * range-partitioned two-phase form with identical output.
+  */
+object Scd2 {
+
+  /** md5 fingerprint of the SCD columns, null-coalesced, unseparated —
+    * byte-identical to final_dim_load.py:115-123.
+    */
+  def rowHash(scdCols: Seq[String]): org.apache.spark.sql.Column =
+    md5(concat(scdCols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*))
+
+  /** Initial (bootstrap) load: every incoming row becomes version 1
+    * (final_dim_load.py:171-177).
+    */
+  def bootstrap(
+      incoming: DataFrame,
+      naturalKey: String,
+      skCol: String,
+      runTs: String,
+      sentinel: String = "2099-12-31 00:00:00",
+      keying: (DataFrame, String, String, Long) => DataFrame =
+        Keys.surrogateKeysScalable(_, _, _, _)): DataFrame =
+    keying(incoming, naturalKey, skCol, 0L)
+      .withColumn("start_dt", lit(runTs).cast(TimestampType))
+      .withColumn("end_dt", lit(sentinel).cast(TimestampType))
+      .withColumn("is_valid", lit(true))
+
+  /** Incremental SCD2 merge. `existing` must carry `skCol`, `start_dt`,
+    * `end_dt`, `is_valid`, the natural key and the SCD columns; `incoming`
+    * carries the natural key and the SCD columns. Returns the full new
+    * dimension state (history preserved) with `existing`'s column order.
+    */
+  def merge(
+      existing: DataFrame,
+      incoming: DataFrame,
+      naturalKey: String,
+      scdCols: Seq[String],
+      skCol: String,
+      runTs: String,
+      sentinel: String = "2099-12-31 00:00:00",
+      keying: (DataFrame, String, String, Long) => DataFrame =
+        Keys.surrogateKeysScalable(_, _, _, _)): DataFrame = {
+
+    val curr = existing.filter(col("is_valid"))
+
+    // Driver-side watermark, exactly the reference's agg(max).collect()
+    // round-trip (final_dim_load.py:103-104). One scalar — not a collect loop.
+    val maxRow = existing.agg(max(col(skCol)).cast("long")).head
+    val maxSk = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+
+    val currHashed = curr
+      .select(col(naturalKey), rowHash(scdCols).as("__curr_hash"))
+    val changed = incoming
+      .withColumn("__hash", rowHash(scdCols))
+      .join(currHashed, Seq(naturalKey))
+      .filter(col("__hash") =!= col("__curr_hash"))
+      .drop("__hash", "__curr_hash")
+    val brandNew = incoming
+      .join(curr.select(naturalKey), Seq(naturalKey), "left_anti")
+
+    // Changed keys drive both the expire and the keep branches; at scale the
+    // set is small, so AQE broadcasts these joins.
+    val changedKeys = changed.select(naturalKey).distinct()
+
+    val expired = curr
+      .join(changedKeys, Seq(naturalKey), "left_semi")
+      .withColumn("end_dt", lit(runTs).cast(TimestampType))
+      .withColumn("is_valid", lit(false))
+    val keptCurrent = curr.join(changedKeys, Seq(naturalKey), "left_anti")
+    val history = existing.filter(!col("is_valid"))
+
+    // One deterministic keying pass over (new versions ∪ brand-new keys),
+    // ordered by the natural key, continuing from the watermark. The
+    // reference chains two windows with a count() round-trip in between
+    // (final_dim_load.py:153+160); a single ordered window over the union is
+    // the same dense, collision-free id space without the extra job.
+    val fresh = keying(changed.unionByName(brandNew), naturalKey, skCol, maxSk)
+      .withColumn("start_dt", lit(runTs).cast(TimestampType))
+      .withColumn("end_dt", lit(sentinel).cast(TimestampType))
+      .withColumn("is_valid", lit(true))
+
+    val cols = existing.columns.map(col).toSeq
+    history.select(cols: _*)
+      .unionByName(keptCurrent.select(cols: _*))
+      .unionByName(expired.select(cols: _*))
+      .unionByName(fresh.select(cols: _*))
+  }
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.engine._
+
+/** Warehouse-pipeline queries: the SCD2 merge (the reference's core
+  * composite, final_dim_load.py:94-180), time-bucketed event analytics and
+  * multi-level aggregation. Every fixture is derived deterministically from
+  * the shared parquet tables so the DuckDB oracle can rebuild it exactly.
+  */
+object PipelineQueries {
+
+  private val Ts0 = "2020-01-01 00:00:00"
+  private val TsHist = "2019-01-01 00:00:00"
+  private val TsRun = "2021-07-01 00:00:00"
+  private val Sentinel = "2099-12-31 00:00:00"
+
+  val qs: Seq[Q] = Seq(
+
+    // M5 SCD2 merge end-to-end. The "existing" dimension is derived from
+    // customer: keys with c_custkey%4==1 are held out (they arrive as brand
+    // new), keys with c_custkey%5==0 get a perturbed balance (they arrive
+    // changed), keys with c_custkey%7==3 also carry a pre-expired history
+    // row. The merge must expire the changed versions at TsRun, key the new
+    // versions + brand-new keys past the watermark, and pass everything else
+    // through untouched.
+    Q(
+      "q17_scd2_merge",
+      (s, dir) => {
+        val base = Tables.customer(s, dir).select(
+          col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(12,2)").as("bal"))
+        val cur = Keys.surrogateKeys(
+            base.filter(col("c_custkey") % 4 =!= 1), "c_custkey", "customer_sk")
+          .withColumn("bal",
+            when(col("c_custkey") % 5 === 0, col("bal") + 100).otherwise(col("bal")))
+          .withColumn("start_dt", lit(Ts0).cast("timestamp"))
+          .withColumn("end_dt", lit(Sentinel).cast("timestamp"))
+          .withColumn("is_valid", lit(true))
+        val hist = Keys.surrogateKeys(
+            base.filter(col("c_custkey") % 4 =!= 1 && col("c_custkey") % 7 === 3),
+            "c_custkey", "customer_sk", offset = 100000L)
+          .withColumn("bal", col("bal") - 50)
+          .withColumn("start_dt", lit(TsHist).cast("timestamp"))
+          .withColumn("end_dt", lit(Ts0).cast("timestamp"))
+          .withColumn("is_valid", lit(false))
+        val existing = cur.unionByName(hist).select(
+          "customer_sk", "c_custkey", "c_name", "c_mktsegment", "bal",
+          "start_dt", "end_dt", "is_valid")
+        Scd2.merge(existing, base,
+            naturalKey = "c_custkey",
+            scdCols = Seq("c_name", "c_mktsegment", "bal"),
+            skCol = "customer_sk", runTs = TsRun, sentinel = Sentinel)
+          .withColumn("bal", col("bal").cast("decimal(16,2)"))
+          .orderBy("c_custkey", "start_dt")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT c_custkey, c_name, c_mktsegment,
+                 CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+          FROM customer
+        ), cur AS (
+          SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_sk,
+                 c_custkey, c_name, c_mktsegment,
+                 CASE WHEN c_custkey % 5 = 0 THEN bal + 100 ELSE bal END AS bal,
+                 TIMESTAMP '$Ts0' AS start_dt,
+                 TIMESTAMP '$Sentinel' AS end_dt,
+                 true AS is_valid
+          FROM base WHERE c_custkey % 4 <> 1
+        ), hist AS (
+          SELECT 100000 + CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_sk,
+                 c_custkey, c_name, c_mktsegment, bal - 50 AS bal,
+                 TIMESTAMP '$TsHist' AS start_dt,
+                 TIMESTAMP '$Ts0' AS end_dt,
+                 false AS is_valid
+          FROM base WHERE c_custkey % 4 <> 1 AND c_custkey % 7 = 3
+        ), maxsk AS (
+          SELECT max(customer_sk) AS m
+          FROM (SELECT customer_sk FROM cur UNION ALL SELECT customer_sk FROM hist)
+        ), fresh AS (
+          SELECT (SELECT m FROM maxsk)
+                   + CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_sk,
+                 c_custkey, c_name, c_mktsegment, bal,
+                 TIMESTAMP '$TsRun' AS start_dt,
+                 TIMESTAMP '$Sentinel' AS end_dt,
+                 true AS is_valid
+          FROM base WHERE c_custkey % 4 = 1 OR c_custkey % 5 = 0
+        )
+        SELECT customer_sk, c_custkey, c_name, c_mktsegment,
+               CAST(bal AS DECIMAL(16,2)) AS bal, start_dt, end_dt, is_valid
+        FROM (
+          SELECT * FROM hist
+          UNION ALL
+          SELECT * FROM cur WHERE c_custkey % 5 <> 0
+          UNION ALL
+          SELECT customer_sk, c_custkey, c_name, c_mktsegment, bal, start_dt,
+                 TIMESTAMP '$TsRun' AS end_dt, false AS is_valid
+          FROM cur WHERE c_custkey % 5 = 0
+          UNION ALL
+          SELECT * FROM fresh
+        )
+        ORDER BY c_custkey, start_dt
+      """.trim)),
+
+    // Section 2.10 stand-in: tumbling 1-hour window aggregation over events.
+    Q(
+      "q18_events_hourly",
+      (s, dir) => Events.hourlyRollup(Tables.events(s, dir))
+        .orderBy("bucket", "event_type"),
+      Some("""
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
+      """.trim)),
+
+    // Gap-based sessionization (30-minute idle gap) — lag + running sum.
+    Q(
+      "q19_events_sessions",
+      (s, dir) => Events.sessionize(Tables.events(s, dir), gapSeconds = 1800L)
+        .orderBy("user_id", "session_seq"),
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessioned AS (
+          SELECT user_id, ts, value,
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+          FROM flagged
+        )
+        SELECT user_id, session_seq,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+        FROM sessioned GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+      """.trim)),
+
+    // Multi-level aggregation: ROLLUP with grouping-id disambiguation
+    // (beyond the reference's agg surface; SURVEY.md section 2.4 gap).
+    Q(
+      "q20_rollup",
+      (s, dir) => Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          Exact.sumD(col("o_totalprice")).as("sales"),
+          grouping_id().cast("int").as("gid"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("sales"), col("gid"))
+        .orderBy("gid", "status", "priority"),
+      Some("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS sales,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY gid, status, priority
+      """.trim))
+  )
+}

