@@ -24,13 +24,16 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
   /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-    * read as a timestamp. Read it as raw nanos (legacy conf) and convert with
+    * read as a timestamp. Read it as raw nanos (legacy conf, set at session
+    * construction in Bench/Verify/specs — NOT mutated here, so co-running
+    * queries never see a reader flip the conf under them) and convert with
     * integer division — nanos-since-epoch (~1.7e18) exceeds double's 53-bit
     * mantissa, so float math here would corrupt timestamps. Truncation to
     * micros matches DuckDB's own ns->us narrowing.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session construction to read events")
     read(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

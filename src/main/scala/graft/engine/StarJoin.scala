@@ -73,11 +73,17 @@ object StarJoin {
     val ext = col("l_extendedprice").cast("decimal(18,2)")
     val ldisc = col("l_discount").cast("decimal(18,2)")
 
-    val stage1 = lineitem.join(broadcast(part), col("l_partkey") === col("p_partkey"), "inner")
+    // Broadcast hints ONLY on bounded dimensions (nation: 25 rows, region: 5,
+    // dimDiscTax: discount x tax grid). part/customer/supplier scale linearly
+    // with the data (150k x sf customers) — a forced broadcast of those OOMs
+    // at the 100 TB design point; AQE picks broadcast-vs-shuffle for them at
+    // runtime from actual sizes (the reference's own autoBroadcastJoinThreshold
+    // mechanism, final_fact_load.py:9).
+    val stage1 = lineitem.join(part, col("l_partkey") === col("p_partkey"), "inner")
     val stage2 = stage1.join(orders, col("l_orderkey") === col("o_orderkey"), "inner")
     val stage3 = stage2
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"), "inner")
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"), "inner")
+      .join(customer, col("o_custkey") === col("c_custkey"), "inner")
+      .join(supplier, col("l_suppkey") === col("s_suppkey"), "inner")
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"), "inner")
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"), "inner")
     val stage4 = stage3.join(broadcast(dimDiscTax),
