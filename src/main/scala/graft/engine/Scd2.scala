@@ -1,6 +1,8 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 
@@ -52,6 +54,36 @@ object Scd2 {
       .withColumn("start_dt", lit(runTs).cast(TimestampType))
       .withColumn("end_dt", lit(sentinel).cast(TimestampType))
       .withColumn("is_valid", lit(true))
+
+  /** Audit timestamp column (reference: `ta_insert_dt` via current_timestamp
+    * on every warehouse write, final_dim_load.py:157, :164, :177, :238).
+    * Parameterized with the frozen run timestamp instead of wall clock so the
+    * output stays deterministic and oracle-comparable.
+    */
+  def withAuditTs(df: DataFrame, runTs: String,
+      colName: String = "ta_insert_dt"): DataFrame =
+    df.withColumn(colName, lit(runTs).cast(TimestampType))
+
+  /** Bootstrap-vs-incremental dispatch (final_dim_load.py:168-180): try to
+    * read the existing dimension; a missing path means first run ->
+    * bootstrap, otherwise incremental merge. The reference does this with a
+    * catch on the read — re-expressed as an explicit Try.
+    */
+  def loadOrBootstrap(
+      spark: SparkSession,
+      dimPath: String,
+      incoming: DataFrame,
+      naturalKey: String,
+      scdCols: Seq[String],
+      skCol: String,
+      runTs: String,
+      sentinel: String = "2099-12-31 00:00:00"): DataFrame =
+    Try(spark.read.parquet(dimPath)) match {
+      case Success(existing) =>
+        merge(existing, incoming, naturalKey, scdCols, skCol, runTs, sentinel)
+      case Failure(_) =>
+        bootstrap(incoming, naturalKey, skCol, runTs, sentinel)
+    }
 
   /** Incremental SCD2 merge. `existing` must carry `skCol`, `start_dt`,
     * `end_dt`, `is_valid`, the natural key and the SCD columns; `incoming`

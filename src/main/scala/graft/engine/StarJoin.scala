@@ -79,8 +79,15 @@ object StarJoin {
     // at the 100 TB design point; AQE picks broadcast-vs-shuffle for them at
     // runtime from actual sizes (the reference's own autoBroadcastJoinThreshold
     // mechanism, final_fact_load.py:9).
-    val stage1 = lineitem.join(part, col("l_partkey") === col("p_partkey"), "inner")
-    val stage2 = stage1.join(orders, col("l_orderkey") === col("o_orderkey"), "inner")
+    // C4 hash pre-partitioning (final_fact_load.py:44): spread the fact by
+    // its join key up front, then put the l_orderkey equi-join FIRST so it
+    // reuses that partitioning (Catalyst sees HashPartitioning(l_orderkey)
+    // already satisfied and shuffles only the orders side). Skew is smoothed
+    // before the join instead of inside it; all joins are inner, so the
+    // reorder is semantics-free.
+    val li = lineitem.repartition(col("l_orderkey"))
+    val stage1 = li.join(orders, col("l_orderkey") === col("o_orderkey"), "inner")
+    val stage2 = stage1.join(part, col("l_partkey") === col("p_partkey"), "inner")
     val stage3 = stage2
       .join(customer, col("o_custkey") === col("c_custkey"), "inner")
       .join(supplier, col("l_suppkey") === col("s_suppkey"), "inner")

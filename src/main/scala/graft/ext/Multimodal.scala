@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns with
+  * typed metadata, plus decode / feature-extract / frame-sample operators.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked DETERMINISTIC STUB (`decodeStub`) — but everything Spark
+  * owns is real and tested: the schema (binary payload + flat metadata
+  * columns), the per-partition batched iteration shape (`mapPartitions` over
+  * an Iterator, exactly where a JNI/FFI codec would sit), the partitioning
+  * (payloads hash-spread by id so one executor never holds all the large
+  * blobs), and the expression-level metadata/frame ops (byte length, md5
+  * content id, deterministic frame sampling via binary substring) which stay
+  * in codegen and are DuckDB-oracle-checkable.
+  *
+  * At 100 TB: payloads dominate storage — read them from parquet binary
+  * columns with column pruning (never scan payload bytes for metadata-only
+  * queries; the metadata lives in separate columns on purpose), decode via
+  * mapPartitions batched kernels, and write features back columnar.
+  */
+object Multimodal {
+
+  /** Synthesize a deterministic media table from the documents table: the
+    * payload is the UTF-8 text bytes (a stand-in with realistic variable
+    * sizes); kind/width/height/sample_rate derive from the doc id.
+    */
+  def synthesize(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      ((col("doc_id") % 64 + 1) * lit(16)).cast("int").as("width"),
+      ((col("doc_id") % 48 + 1) * lit(16)).cast("int").as("height"),
+      (lit(8000) * (col("doc_id") % 3 + 1)).cast("int").as("sample_rate"))
+
+  /** Expression-level metadata extraction — codegen-friendly, no decode:
+    * payload byte length, 32-hex content id, aspect ratio, and `frames`
+    * evenly-spaced 8-byte "frame samples" hex-encoded (the frame-sampling
+    * access pattern without a codec).
+    */
+  def metaFeatures(media: DataFrame, frames: Int = 4): DataFrame = {
+    val n = length(col("payload"))
+    val frameCols = (0 until frames).map { f =>
+      hex(col("payload").substr((n * f / frames + 1).cast("int"), lit(8)))
+        .as(s"frame_$f")
+    }
+    media.select(
+      Seq(col("media_id"), col("kind"), col("width"), col("height"),
+        n.as("n_bytes"), md5(col("payload")).as("content_id"),
+        (col("width").cast("double") / col("height").cast("double")).as("aspect")
+      ) ++ frameCols: _*)
+  }
+
+  /** Feature schema produced by the decode kernel. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = true),
+    StructField("feat_mean", DoubleType, nullable = false),
+    StructField("feat_dim", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** STUB DECODER — deterministic fake standing in for an image/audio codec
+    * (none ships in this container). The Spark-side contract is the real
+    * deliverable: hash-repartition by media id (spread large payloads), then
+    * a per-partition batched kernel over an Iterator — swap the body for a
+    * JNI/FFI call and nothing else changes. The fake "features" are `dim`
+    * byte-window averages of the payload, normalized to [0,1] — deterministic
+    * so tests can assert exact values.
+    */
+  def decodeStub(media: DataFrame, dim: Int = 8, partitions: Int = 0): DataFrame = {
+    val spark = media.sparkSession
+    val n = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    val input = media.select("media_id", "kind", "payload").repartition(n, col("media_id"))
+    val rows = input.queryExecution.toRdd.mapPartitions { it =>
+      it.map { internal =>
+        val mediaId = internal.getLong(0)
+        val kind = if (internal.isNullAt(1)) null else internal.getUTF8String(1).toString
+        val bytes = internal.getBinary(2)
+        val feats = new Array[Float](dim)
+        val window = math.max(bytes.length / dim, 1)
+        var f = 0
+        while (f < dim) {
+          var sum = 0L; var cnt = 0
+          var i = f * window
+          while (i < math.min((f + 1) * window, bytes.length)) {
+            sum += (bytes(i) & 0xff); cnt += 1; i += 1
+          }
+          feats(f) = if (cnt == 0) 0f else (sum.toFloat / cnt / 255f)
+          f += 1
+        }
+        Row(mediaId, kind, feats.map(_.toDouble).sum / dim, dim, feats.toSeq)
+      }
+    }
+    spark.createDataFrame(rows, decodedSchema)
+  }
+}

@@ -1,0 +1,208 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for LLM training corpora: word-shingling, exact
+  * n-gram Jaccard, MinHash signatures with banded LSH candidate generation,
+  * and SimHash.
+  *
+  * Scale design (the 100 TB contract):
+  *  - Signature computation (shingles -> k min-hashes -> band buckets) is
+  *    pure map-side expression work — zero shuffles, linear scan.
+  *  - Candidate generation is a self-join on (band, bucket): only documents
+  *    that collide in at least one band ever meet. NEVER all-pairs. The join
+  *    key (band, bucket) is high-cardinality, so the shuffle is well spread;
+  *    a pathological bucket (all-identical docs) is bounded by band count and
+  *    survives via AQE skew splitting.
+  *  - Exact-Jaccard verification runs only on the candidate pairs (two hash
+  *    joins back to the per-doc shingle sets).
+  *  - `exactJaccardPairs` (inverted-index join on shared shingles) is the
+  *    small-corpus / oracle-friendly exact path; its shuffle grows with
+  *    sum(df^2) over shingle frequencies, so at 100 TB use minHashNearDupPairs
+  *    and keep this one for verification samples.
+  */
+object NearDup {
+
+  /** Distinct word n-gram shingles of a token array (empty when there are
+    * fewer than n tokens — Spark's sequence() would otherwise count DOWN).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+
+  /** Universal-hash family for MinHash: member s maps a base hash h to
+    * (A_s * h + s) mod P over the Mersenne prime P = 2^31 - 1. One md5 per
+    * shingle (the base hash, reduced mod P) feeds all k members as cheap
+    * 64-bit integer arithmetic — k times fewer md5 evaluations than
+    * seed-prefixed hashing, exactly reproducible in DuckDB (products stay
+    * under 2^62, no overflow in either engine).
+    */
+  val MinHashP: Long = 2147483647L
+  def minHashA(s: Int): Long = (s * 2654435761L) % (MinHashP - 1) + 1
+
+  /** k-element MinHash signature per document, computed as a hash aggregate:
+    * explode the shingles, md5 each once, then k `min()` aggregates of the
+    * k affine transforms — fully codegen'd (no higher-order lambdas in the
+    * hot path), map-side-partial, one shuffle on the doc id.
+    * Input must provide (idCol, `__shingles`); output: (idCol, `__sig`).
+    * Documents with zero shingles vanish (no rows to aggregate).
+    */
+  def minHashSignatureFrame(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val hashed = sh
+      .select(col(idCol), explode(col("__shingles")).as("__s"))
+      .select(col(idCol), pmod(TextHash.hash60(col("__s")), lit(MinHashP)).as("__h"))
+    val mins = (0 until k).map { s =>
+      min((lit(minHashA(s)) * col("__h") + lit(s.toLong)) % lit(MinHashP)).as(s"__m$s")
+    }
+    hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(s => col(s"__m$s")): _*).as("__sig"))
+  }
+
+  /** LSH banding: the signature is cut into `bands` bands of `rowsPerBand`
+    * values; each band becomes (band index, joined-signature-slice bucket
+    * string). Two documents are candidates iff they collide in >= 1 band.
+    */
+  def bandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), j =>
+      struct(
+        j.as("band"),
+        concat_ws("_",
+          transform(slice(sig, j * rowsPerBand + 1, lit(rowsPerBand)), v => v.cast("string"))
+        ).as("bucket")))
+
+  /** Exact Jaccard similarity of two (distinct-element) shingle arrays, as
+    * the IEEE-exact ratio |a∩b| / (|a|+|b|-|a∩b|).
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  }
+
+  /** Hash-spread CPU-heavy per-document map work across the cluster. A small
+    * parquet file arrives as ONE input split, so without this every md5 of a
+    * signature computation would run in a single task regardless of cluster
+    * size; one cheap shuffle of the raw rows buys full parallelism. The
+    * partition count is EXPLICIT on purpose: AQE's size-based coalescing
+    * would merge a byte-light/CPU-heavy shuffle back to one partition
+    * (coalescing is blind to expression cost), and explicit user
+    * repartitioning is exempt from it. (At 100 TB inputs are already many
+    * splits and this is a balance-preserving reshuffle by id.)
+    */
+  private def spread(docs: DataFrame, idCol: String): DataFrame =
+    docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
+
+  /** Per-document shingle frame: (idCol, __shingles). */
+  private def withShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    spread(docs, idCol).select(col(idCol),
+      shingles(TextAnalysis.tokens(col(textCol)), n).as("__shingles"))
+
+  /** Exact near-dup pairs via inverted-index join: explode shingles, join on
+    * the shingle, group to intersection counts, verify the Jaccard threshold.
+    * Only pairs sharing >= 1 shingle are ever materialized.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = withShingles(docs, idCol, textCol, n)
+    val sizes = sh.select(col(idCol), size(col("__shingles")).as("__n"))
+    val inv = sh.select(col(idCol), explode(col("__shingles")).as("__s"))
+    val inter = inv.as("a")
+      .join(inv.as("b"), col("a.__s") === col("b.__s") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("__inter").cast("double") /
+          (col("__na") + col("__nb") - col("__inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash + banded-LSH near-dup pairs, exact-verified: generate candidate
+    * pairs from band-bucket collisions, then keep those whose true shingle
+    * Jaccard clears the threshold. Output: (id_a, id_b, jaccard), id_a < id_b.
+    */
+  def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rowsPerBand = k / bands
+    val sh = withShingles(docs, idCol, textCol, n)
+      .filter(size(col("__shingles")) > 0)
+    val banded = minHashSignatureFrame(sh, idCol, k)
+      .select(col(idCol),
+        explode(bandBuckets(col("__sig"), bands, rowsPerBand)).as("__bb"))
+      .select(col(idCol), col("__bb.band").as("__band"), col("__bb.bucket").as("__bucket"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    candidates
+      .join(sh.select(col(idCol).as("id_a"), col("__shingles").as("__sa")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__shingles").as("__sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("__sa"), col("__sb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 60-bit SimHash signatures, one row per document: hash each distinct
+    * token once (explode — no repeated md5), then one hash-aggregate computes
+    * all 60 bit-vote sums map-side-partially; a final projection folds the
+    * sign pattern into the signature long. Near-dups land within a small
+    * Hamming distance; pair generation buckets on signature bit-slices (the
+    * same banding idea as MinHash). One shuffle on the doc id — scales like
+    * any hash aggregate. Documents with zero tokens are dropped (nothing to
+    * vote with), matching an LLM pipeline's empty-doc filter.
+    */
+  def simHashFrame(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 60): DataFrame = {
+    require(bits >= 1 && bits <= 60, "bits must be in [1,60] (hash60 width)")
+    val tokenHashes = spread(docs, idCol)
+      .select(col(idCol),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"))
+      .select(col(idCol), TextHash.hash60(col("__tok")).as("__h"))
+    val votes = (0 until bits).map { b =>
+      val mask = 1L << b
+      sum(when(col("__h").bitwiseAND(lit(mask)) === mask, 1L).otherwise(-1L))
+        .as(s"__v$b")
+    }
+    val sig = (0 until bits).map { b =>
+      val mask = 1L << b
+      when(col(s"__v$b") >= 0, lit(mask)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tokenHashes.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), sig.as("simhash"))
+  }
+
+  /** DuckDB SQL mirror of [[simHashFrame]] over a relation `docsRel` with
+    * columns (idCol, textCol) — generated programmatically so the 60 unrolled
+    * bit expressions stay in lockstep with the Spark plan.
+    */
+  def simHashOracleSql(docsRel: String, idCol: String, textCol: String,
+      bits: Int = 60): String = {
+    val voteCols = (0 until bits).map { b =>
+      val mask = 1L << b
+      s"SUM(CASE WHEN (__h & $mask) = $mask THEN 1 ELSE -1 END) AS __v$b"
+    }.mkString(",\n         ")
+    val sigExpr = (0 until bits).map { b =>
+      val mask = 1L << b
+      s"(CASE WHEN __v$b >= 0 THEN CAST($mask AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT $idCol, unnest(list_distinct(string_split(
+       |           regexp_replace(trim(lower($textCol)), '\\s+', ' ', 'g'), ' '))) AS __tok
+       |  FROM $docsRel
+       |), hashed AS (
+       |  SELECT $idCol, ${TextHash.duckHash60("__tok")} AS __h FROM toks
+       |), voted AS (
+       |  SELECT $idCol,
+       |         $voteCols
+       |  FROM hashed GROUP BY $idCol
+       |)
+       |SELECT $idCol, CAST($sigExpr AS BIGINT) AS simhash FROM voted""".stripMargin
+  }
+}

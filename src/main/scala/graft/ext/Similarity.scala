@@ -1,0 +1,129 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Scale design: the baseline is brute-force top-k — broadcast the (small)
+  * query set, compute query x corpus similarities map-side, take per-query
+  * top-k with one shuffle on the query id. The scale path is IVF-style cell
+  * restriction (`annTopKByCell`): vectors carry a coarse cell assignment
+  * (here the `label` column; at 100 TB a k-means assignment computed
+  * upstream), queries probe only their own cell, cutting the candidate set by
+  * the cell count while keeping the same per-pair math. Sign-LSH
+  * (`hyperplaneBuckets`) gives a data-independent alternative: deterministic
+  * pseudo-random hyperplanes derived from the shared 60-bit hash, so the
+  * DuckDB oracle reproduces bucket assignment bit-for-bit.
+  *
+  * All dot products run in double precision via higher-order functions
+  * (zip_with + aggregate) — sequential left-to-right accumulation, which the
+  * DuckDB oracle mirrors with an identically-ordered list fold.
+  */
+object Similarity {
+
+  /** Sequential-order double dot product of two float arrays — higher-order
+    * function formulation (interpreted). Kept as the portable reference
+    * implementation; the hot paths use [[nativeDot]], which is bit-identical.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Codegen'd dot product (graft.functions.FloatVectorDot): same sequential
+    * double accumulation compiled into whole-stage codegen. Requires
+    * GraftFunctions.ensureRegistered / the GraftExtensions session extension.
+    */
+  def nativeDot(a: Column, b: Column): Column =
+    call_function("graft_vec_dot", a, b)
+
+  /** L2 norm (double). */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity with pre-computed norms: dot / (normA * normB). */
+  def cosineWithNorms(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / (normA * normB)
+
+  private def withNorm(df: DataFrame, vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.withColumn("__norm", sqrt(nativeDot(col(vecCol), col(vecCol))))
+  }
+
+  /** Hash-spread the (streamed) corpus side: a small parquet corpus is one
+    * input split, and the per-pair dot products execute in the corpus side's
+    * partitions — without this the whole similarity search runs in a single
+    * task. Explicit partition count: AQE size-based coalescing would fold a
+    * byte-light/CPU-heavy shuffle back to one partition; explicit user
+    * repartitioning is exempt. No-op rebalance at real scale.
+    */
+  private def spread(df: DataFrame, idCol: String): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
+
+  /** Brute-force per-query top-k cosine neighbors.
+    *
+    * `queries` and `corpus` both carry (idCol, vecCol); self-pairs are
+    * excluded. The query side is broadcast (top-k search with a small probe
+    * set is the common shape); the corpus streams through map-side. Output:
+    * (query_id, neighbor_id, rank, cosine) — rank 1..k by similarity desc,
+    * neighbor id asc on ties.
+    */
+  def topKCosine(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = withNorm(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("__norm").as("__qn"))
+    val c = withNorm(spread(corpus, idCol), vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("__norm").as("__cn"))
+    rankTopK(
+      c.join(broadcast(q), col("query_id") =!= col("neighbor_id")), k)
+  }
+
+  /** IVF-style ANN: probe only the query's own cell. Same math, candidate
+    * set cut by the cell count; the join on the cell column shuffles both
+    * sides by cell (or broadcasts the query side under AQE).
+    */
+  def annTopKByCell(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, k: Int): DataFrame = {
+    val q = withNorm(queries, vecCol)
+      .select(col(cellCol).as("__cell"), col(idCol).as("query_id"),
+        col(vecCol).as("__qv"), col("__norm").as("__qn"))
+    val c = withNorm(spread(corpus, idCol), vecCol)
+      .select(col(cellCol).as("__ccell"), col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"), col("__norm").as("__cn"))
+    rankTopK(
+      c.join(broadcast(q),
+        col("__cell") === col("__ccell") && col("query_id") =!= col("neighbor_id")), k)
+  }
+
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(nativeDot(col("__qv"), col("__cv")), col("__qn"), col("__cn"))
+          .as("cosine"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+
+  /** Sign-LSH bucket id: `planes` pseudo-random hyperplanes whose component
+    * j of plane p is +1/-1 from the shared deterministic 60-bit hash of
+    * "p:j" (bit 0). The bucket is the sign pattern of the plane dot products
+    * packed into a long. Oracle-reproducible; at scale this is the
+    * data-independent candidate generator (group by bucket, pair within).
+    */
+  def hyperplaneBucket(vec: Column, planes: Int): Column = {
+    require(planes >= 1 && planes <= 60)
+    val bits = (0 until planes).map { p =>
+      // component sign for index j: hash60("p:j") bit0 -> ±1
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, j) =>
+          x.cast("double") *
+            when(TextHash.hash60(concat(lit(s"$p:"), j.cast("string")))
+              .bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.engine._
+import graft.ext._
+
+/** LLM-training-data-pipeline queries over documents/embeddings: text stats,
+  * fingerprinting/quality/language-ID, exact and approximate near-dup
+  * detection, similarity search, and multimodal-column plumbing. Every query
+  * has a bit-exact DuckDB oracle twin: the dedup/similarity pipelines use the
+  * shared 60-bit md5 hash (TextHash) and fixed-order IEEE double arithmetic
+  * so both engines reproduce each other's output exactly.
+  */
+object ExtQueries {
+
+  /** DuckDB fragment: normalized text (mirror of Cleaning.normalizeText). */
+  private val NormText = raw"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+  /** DuckDB fragment: whitespace tokens of the normalized text. */
+  private val Toks = s"string_split($NormText, ' ')"
+
+  /** DuckDB fragment: distinct word n-gram shingles of token list `w`. */
+  private def duckShingles(w: String, n: Int): String =
+    s"list_distinct([array_to_string($w[i:i+${n - 1}], ' ') FOR i IN generate_series(1, len($w) - ${n - 1})])"
+
+  /** DuckDB fragment: sequential double dot product of float lists a,b. */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN generate_series(1, len($a))])"
+
+  private val StopList = "'the','a','an','of','and','to','in','is','for','on','with'"
+
+  val qs: Seq[Q] = Seq(
+
+    // Text analysis: per-(lang, source) corpus statistics. Map-side token
+    // counting + one grouped aggregate.
+    Q(
+      "q21_text_stats",
+      (s, dir) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        Tables.documents(s, dir)
+          .select(col("lang"), col("source"), col("n_chars"),
+            size(toks).as("__nt"), TextAnalysis.bpeTokenCount(col("text")).as("__nb"))
+          .groupBy("lang", "source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(col("__nt")).as("sum_tokens"),
+            (sum(col("__nt")).cast("double") / count(lit(1))).as("avg_tokens"),
+            max(col("__nt")).as("max_tokens"),
+            sum(col("__nb")).as("sum_bpe_tokens"))
+          .orderBy("lang", "source")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT lang, source, n_chars,
+                 CAST(len($Toks) AS INTEGER) AS nt,
+                 CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS nb
+          FROM documents
+        )
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+               CAST(SUM(nt) AS DOUBLE) / COUNT(*) AS avg_tokens,
+               CAST(MAX(nt) AS INTEGER) AS max_tokens,
+               CAST(SUM(nb) AS BIGINT) AS sum_bpe_tokens
+        FROM t GROUP BY lang, source ORDER BY lang, source
+      """.trim)),
+
+    // Per-document fingerprints + quality + language-ID: the map-side
+    // feature-extraction pass of an LLM data pipeline.
+    Q(
+      "q22_doc_features",
+      (s, dir) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        // hash-spread with explicit partition count: the rolling fingerprint
+        // is ~85 md5s per doc, a small parquet input is one split, and AQE
+        // would coalesce a non-explicit repartition right back — see
+        // NearDup.spread
+        Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(
+            col("doc_id"),
+            TextAnalysis.fingerprint(col("text")).as("fp"),
+            TextAnalysis.rollingFingerprint(col("text")).as("roll_fp"),
+            size(toks).as("n_tokens"),
+            TextAnalysis.stopwordRatio(toks).as("stop_ratio"),
+            TextAnalysis.qualityScore(col("text")).as("quality"),
+            TextAnalysis.langId(col("text")).as("pred_lang"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val langCounts = TextAnalysis.LangProfiles.map { case (lang, words) =>
+          s"len(list_filter(w, t -> t IN (${words.map(x => s"'$x'").mkString(",")}))) AS c_$lang"
+        }.mkString(",\n                 ")
+        val langs = TextAnalysis.LangProfiles.map(_._1)
+        val langCase = langs.init.zipWithIndex.map { case (lang, i) =>
+          val later = langs.drop(i + 1).map(l => s"c_$lang >= c_$l").mkString(" AND ")
+          s"WHEN $later THEN '$lang'"
+        }.mkString(" ")
+        s"""
+        WITH base AS (
+          SELECT doc_id, $NormText AS norm, $Toks AS w FROM documents
+        ), feat AS (
+          SELECT doc_id, norm, w,
+                 ${duckShingles("w", 8)} AS sh8,
+                 CAST(len(w) AS INTEGER) AS n_tokens,
+                 len(list_filter(w, t -> t IN ($StopList))) AS n_stop,
+                 CAST(list_sum([length(t) FOR t IN w]) AS DOUBLE) AS sum_len,
+                 $langCounts
+          FROM base
+        )
+        SELECT doc_id, md5(norm) AS fp,
+               CASE WHEN len(sh8) = 0 THEN ${TextHash.duckHash60("norm")}
+                    ELSE list_min([${TextHash.duckHash60("x")} FOR x IN sh8]) END AS roll_fp,
+               n_tokens,
+               CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS stop_ratio,
+               0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (CASE WHEN n_tokens = 0 THEN 0.0
+                               ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END)
+                 + 0.2 * least((CASE WHEN n_tokens = 0 THEN 0.0
+                                     ELSE sum_len / CAST(n_tokens AS DOUBLE) END) / 8.0, 1.0)
+                 AS quality,
+               CASE $langCase ELSE '${langs.last}' END AS pred_lang
+        FROM feat ORDER BY doc_id
+      """.trim
+      }),
+
+    // Exact n-gram-Jaccard near-dup pairs via inverted-index join (the
+    // verification-grade path; MinHash below is the 100 TB path).
+    Q(
+      "q23_ngram_jaccard",
+      (s, dir) => NearDup.exactJaccardPairs(
+          Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, ${duckShingles(Toks, 3)} AS sh FROM documents
+        ), inv AS (
+          SELECT doc_id, unnest(sh) AS s FROM d
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), sizes AS (
+          SELECT doc_id, len(sh) AS n FROM d
+        )
+        SELECT id_a, id_b,
+               CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8
+        ORDER BY id_a, id_b
+      """.trim)),
+
+    // MinHash + banded LSH near-dup pairs, exact-verified on candidates —
+    // bucketed candidate generation, never all-pairs (the scale path).
+    Q(
+      "q24_minhash_lsh",
+      (s, dir) => NearDup.minHashNearDupPairs(
+          Tables.documents(s, dir), "doc_id", "text",
+          n = 3, k = 64, bands = 16, threshold = 0.8)
+        .orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, ${duckShingles(Toks, 3)} AS sh FROM documents
+        ), sigs AS (
+          SELECT doc_id, sh,
+                 [list_min([((s * 2654435761 % ${NearDup.MinHashP - 1} + 1)
+                             * (${TextHash.duckHash60("x")} % ${NearDup.MinHashP}) + s)
+                            % ${NearDup.MinHashP} FOR x IN sh])
+                  FOR s IN generate_series(0, 63)] AS sig
+          FROM d WHERE len(sh) > 0
+        ), banded AS (
+          SELECT doc_id, j AS band,
+                 array_to_string(list_transform(sig[CAST(j*4+1 AS BIGINT):CAST(j*4+4 AS BIGINT)],
+                   v -> CAST(v AS VARCHAR)), '_') AS bucket
+          FROM sigs CROSS JOIN range(0, 16) t(j)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 AS jaccard
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = id_a
+        JOIN sigs sb ON sb.doc_id = id_b
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) >= 0.8
+        ORDER BY id_a, id_b
+      """.trim)),
+
+    // SimHash signatures (60-bit): one shuffle, bit votes aggregated
+    // map-side-partially.
+    Q(
+      "q25_simhash",
+      (s, dir) => NearDup.simHashFrame(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(NearDup.simHashOracleSql("documents", "doc_id", "text")
+        + "\nORDER BY doc_id")),
+
+    // Brute-force top-k cosine: broadcast the probe set, stream the corpus.
+    Q(
+      "q26_cosine_topk",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.topKCosine(
+            e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 sqrt(${duckDot("embedding", "embedding")}) AS nrm
+          FROM embeddings
+        )
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                          c.vec_id) AS INTEGER) AS rank,
+               ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+        FROM e q CROSS JOIN e c
+        WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id
+        QUALIFY rank <= 5
+        ORDER BY query_id, rank
+      """.trim)),
+
+    // IVF-style ANN: every vector probes only its own cell (label = coarse
+    // cell assignment; at 100 TB a k-means cell id computed upstream).
+    Q(
+      "q27_cosine_ann_cell",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.annTopKByCell(e, e, "vec_id", "embedding", "label", k = 3)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 sqrt(${duckDot("embedding", "embedding")}) AS nrm
+          FROM embeddings
+        )
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                          c.vec_id) AS INTEGER) AS rank,
+               ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+        FROM e q JOIN e c ON q.label = c.label AND c.vec_id <> q.vec_id
+        QUALIFY rank <= 3
+        ORDER BY query_id, rank
+      """.trim)),
+
+    // Multimodal plumbing: binary payload + typed metadata, expression-level
+    // metadata extraction and deterministic frame sampling (no codec).
+    Q(
+      "q28_multimodal_meta",
+      (s, dir) => Multimodal.metaFeatures(
+          Multimodal.synthesize(Tables.documents(s, dir)))
+        .orderBy("media_id"),
+      Some("""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 text,
+                 encode(text) AS payload,
+                 (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+                 CAST((doc_id % 64 + 1) * 16 AS INTEGER) AS width,
+                 CAST((doc_id % 48 + 1) * 16 AS INTEGER) AS height
+          FROM documents
+        )
+        SELECT media_id, kind, width, height,
+               CAST(octet_length(payload) AS INTEGER) AS n_bytes,
+               md5(text) AS content_id,
+               CAST(width AS DOUBLE) / CAST(height AS DOUBLE) AS aspect,
+               -- text is pure ASCII (verified vs octet_length), so varchar
+               -- substring/hex equal Spark's byte-wise binary slice + hex
+               hex(substring(text, CAST(floor(octet_length(payload) * 0 / 4) + 1 AS INTEGER), 8)) AS frame_0,
+               hex(substring(text, CAST(floor(octet_length(payload) * 1 / 4) + 1 AS INTEGER), 8)) AS frame_1,
+               hex(substring(text, CAST(floor(octet_length(payload) * 2 / 4) + 1 AS INTEGER), 8)) AS frame_2,
+               hex(substring(text, CAST(floor(octet_length(payload) * 3 / 4) + 1 AS INTEGER), 8)) AS frame_3
+        FROM m ORDER BY media_id
+      """.trim)),
+
+    // A2 whole-row dropDuplicates as an oracle query: inject exact duplicate
+    // rows, dedup them away (single hash-aggregate shuffle).
+    Q(
+      "q29_exact_dedup",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
+        Dedup.dropAllDuplicates(d.unionAll(d.filter(col("doc_id") % 10 === 0)))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT DISTINCT doc_id, lang, source, n_chars FROM (
+          SELECT doc_id, lang, source, n_chars FROM documents
+          UNION ALL
+          SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 10 = 0
+        ) ORDER BY doc_id
+      """.trim))
+  )
+}

