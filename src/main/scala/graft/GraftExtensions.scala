@@ -14,5 +14,6 @@ import graft.functions.GraftFunctions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(GraftFunctions.vecDot)
+    extensions.injectFunction(GraftFunctions.hash60)
   }
 }

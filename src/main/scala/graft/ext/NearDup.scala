@@ -26,12 +26,25 @@ object NearDup {
 
   /** Distinct word n-gram shingles of a token array (empty when there are
     * fewer than n tokens — Spark's sequence() would otherwise count DOWN).
+    *
+    * Construction note: shingle i is built by zipping n SHIFTED SLICES of the
+    * token array and concatenating each zipped struct — NOT by slicing inside
+    * a `transform` lambda. A free non-attribute reference inside a
+    * higher-order lambda is re-evaluated per element, so the lambda form
+    * re-runs whatever expression produced `toks` once per shingle (quadratic
+    * per document — and optimizer rules like CollapseProject / broadcast
+    * planning can inline the tokenization there even if the caller
+    * materialized it). Here every reference to `toks` sits in argument
+    * position, evaluated once per row no matter how the plan is rewritten.
     */
-  def shingles(toks: Column, n: Int): Column =
+  def shingles(toks: Column, n: Int): Column = {
+    val m = size(toks) - (n - 1)
+    val parts = (0 until n).map(o => slice(toks, lit(o + 1), m))
+    val shingleOf = (s: Column) =>
+      concat_ws(" ", (0 until n).map(i => s.getField(i.toString)): _*)
     when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array_distinct(transform(arrays_zip(parts: _*), shingleOf)))
+  }
 
   /** Universal-hash family for MinHash: member s maps a base hash h to
     * (A_s * h + s) mod P over the Mersenne prime P = 2^31 - 1. One md5 per
@@ -94,10 +107,22 @@ object NearDup {
   private def spread(docs: DataFrame, idCol: String): DataFrame =
     docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
 
-  /** Per-document shingle frame: (idCol, __shingles). */
+  /** Per-document shingle frame: (idCol, __shingles).
+    *
+    * Tokens are materialized BELOW the spread exchange, shingles above it:
+    * the shingle lambda references the token array per element, and a free
+    * non-attribute reference inside a higher-order lambda is re-evaluated
+    * per element — a nested tokens expression would re-run regexp+split once
+    * per shingle (quadratic per document; observed ~1.5 ms/doc). Projections
+    * cannot collapse across the exchange, so above it the lambda sees a
+    * plain shuffled attribute (free per-element), and the one-per-row
+    * tokenization rides the scan stage where it is linear and cheap.
+    */
   private def withShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    spread(docs, idCol).select(col(idCol),
-      shingles(TextAnalysis.tokens(col(textCol)), n).as("__shingles"))
+    spread(
+      docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks")),
+      idCol)
+      .select(col(idCol), shingles(col("__toks"), n).as("__shingles"))
 
   /** Exact near-dup pairs via inverted-index join: explode shingles, join on
     * the shingle, group to intersection counts, verify the Jaccard threshold.
@@ -110,12 +135,19 @@ object NearDup {
     val sizes = sh.select(col(idCol), size(col("__shingles")).as("__n"))
     val inv = sh.select(col(idCol), explode(col("__shingles")).as("__s"))
     val inter = inv.as("a")
-      .join(inv.as("b"), col("a.__s") === col("b.__s") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .join(inv.as("b").hint("shuffle_hash"),
+        col("a.__s") === col("b.__s") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count(lit(1)).as("__inter"))
+    // SHUFFLE_HASH: the per-doc frames are doc-linear — never broadcastable
+    // at scale, and a broadcast build here would serially re-evaluate the
+    // whole tokenize+shingle pipeline in one thread (parquet stats make the
+    // doc side look tiny, so the planner would pick it as build side).
     inter
-      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")).hint("shuffle_hash"),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")).hint("shuffle_hash"),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("__inter").cast("double") /
           (col("__na") + col("__nb") - col("__inter")).cast("double")).as("jaccard"))
@@ -137,14 +169,18 @@ object NearDup {
         explode(bandBuckets(col("__sig"), bands, rowsPerBand)).as("__bb"))
       .select(col(idCol), col("__bb.band").as("__band"), col("__bb.bucket").as("__bucket"))
     val candidates = banded.as("a")
-      .join(banded.as("b"),
+      .join(banded.as("b").hint("shuffle_hash"),
         col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+    // SHUFFLE_HASH: same reasoning as exactJaccardPairs — keep the doc-linear
+    // shingle frame out of broadcast builds.
     candidates
-      .join(sh.select(col(idCol).as("id_a"), col("__shingles").as("__sa")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("__shingles").as("__sb")), Seq("id_b"))
+      .join(sh.select(col(idCol).as("id_a"), col("__shingles").as("__sa")).hint("shuffle_hash"),
+        Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__shingles").as("__sb")).hint("shuffle_hash"),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("__sa"), col("__sb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

@@ -41,9 +41,10 @@ object TextAnalysis {
     * 0.3 * stopword ratio      — natural-language-ness
     * 0.2 * min(avgTokenLen/8,1)— lexical richness
     * Fixed formula + evaluation order so DuckDB reproduces it bitwise.
+    * Takes the token ARRAY (materialize it once per row — see
+    * NearDup.withShingles on lambda re-evaluation).
     */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+  def qualityScore(toks: Column): Column = {
     val nTok = size(toks).cast("double")
     val avgLen = when(size(toks) === 0, lit(0.0))
       .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
@@ -67,8 +68,7 @@ object TextAnalysis {
     * profile order (alphabetical). Integer comparisons only — exactly
     * mirrorable as an unrolled CASE chain in SQL.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(toks: Column): Column = {
     val scores = LangProfiles.map { case (lang, words) =>
       lang -> size(filter(toks, t => t.isInCollection(words)))
     }
@@ -88,11 +88,11 @@ object TextAnalysis {
 
   /** Content-defined rolling fingerprint: 60-bit hash of each word 8-gram,
     * then the minimum — a cheap locality-insensitive document signature used
-    * for shard-local grouping before exact comparison.
+    * for shard-local grouping before exact comparison. Takes a materialized
+    * SHINGLE array column (word 8-grams); falls back to hashing the whole
+    * normalized text for short documents.
     */
-  def rollingFingerprint(text: Column, window: Int = 8): Column = {
-    val sh = NearDup.shingles(tokens(text), window)
-    when(size(sh) === 0, TextHash.hash60(Cleaning.normalizeText(text)))
-      .otherwise(array_min(transform(sh, x => TextHash.hash60(x))))
-  }
+  def rollingFingerprint(text: Column, shingles8: Column): Column =
+    when(size(shingles8) === 0, TextHash.hash60(Cleaning.normalizeText(text)))
+      .otherwise(array_min(transform(shingles8, x => TextHash.hash60(x))))
 }

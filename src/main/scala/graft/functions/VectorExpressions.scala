@@ -1,13 +1,16 @@
 package graft.functions
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the similarity-search hot loop.
   *
@@ -82,6 +85,51 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 60-bit md5-based hash: numerically identical to
+  * `conv(substring(md5(s), 1, 15), 16, 10)::long` (TextHash's portable
+  * composition and the DuckDB oracle's `CAST('0x'||substr(md5(s),1,15) AS
+  * BIGINT)`) but computed straight from the digest bytes — no hex string, no
+  * radix-conversion allocation. The portable interpreted chain costs ~40 us
+  * per value; dedup signatures evaluate it per shingle, so it IS the
+  * fingerprinting workload. First 15 hex digits = first 7.5 bytes:
+  * 7 whole bytes then the high nibble of byte 7.
+  */
+case class Hash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hash60"
+
+  override def nullSafeEval(input: Any): Any =
+    Hash60.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hash60.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash60 =
+    copy(child = newChild)
+}
+
+object Hash60 {
+  private val digests = ThreadLocal.withInitial[MessageDigest](
+    () => MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits of md5(bytes of s), big-endian — see class doc. */
+  def compute(s: UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+}
+
 object GraftFunctions {
 
   val vecDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -92,13 +140,25 @@ object GraftFunctions {
       FloatVectorDot(exprs.head, exprs(1))
     })
 
+  val hash60: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hash60"),
+    new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "graft_hash60 takes exactly 1 argument")
+      Hash60(exprs.head)
+    })
+
+  private val all = Seq(vecDot, hash60)
+
   /** Idempotently register the graft functions into an existing session (for
     * sessions not built with `spark.sql.extensions=graft.GraftExtensions`).
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(vecDot._1)) {
-      registry.registerFunction(vecDot._1, vecDot._2, vecDot._3)
+    all.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident)) {
+        registry.registerFunction(ident, info, builder)
+      }
     }
   }
 }

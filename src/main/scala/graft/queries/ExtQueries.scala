@@ -72,21 +72,25 @@ object ExtQueries {
     Q(
       "q22_doc_features",
       (s, dir) => {
-        val toks = TextAnalysis.tokens(col("text"))
-        // hash-spread with explicit partition count: the rolling fingerprint
-        // is ~85 md5s per doc, a small parquet input is one split, and AQE
-        // would coalesce a non-explicit repartition right back — see
-        // NearDup.spread
+        // hash-spread with explicit partition count (~85 md5s per doc, one
+        // input split, AQE would re-coalesce a non-explicit repartition);
+        // tokens materialized BELOW the exchange so the shingle/filter
+        // lambdas see a plain attribute and never re-tokenize per element
+        // (see NearDup.withShingles)
         Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.tokens(col("text")).as("__toks"))
           .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("doc_id"), col("text"), col("__toks"),
+            NearDup.shingles(col("__toks"), 8).as("__sh8"))
           .select(
             col("doc_id"),
             TextAnalysis.fingerprint(col("text")).as("fp"),
-            TextAnalysis.rollingFingerprint(col("text")).as("roll_fp"),
-            size(toks).as("n_tokens"),
-            TextAnalysis.stopwordRatio(toks).as("stop_ratio"),
-            TextAnalysis.qualityScore(col("text")).as("quality"),
-            TextAnalysis.langId(col("text")).as("pred_lang"))
+            TextAnalysis.rollingFingerprint(col("text"), col("__sh8")).as("roll_fp"),
+            size(col("__toks")).as("n_tokens"),
+            TextAnalysis.stopwordRatio(col("__toks")).as("stop_ratio"),
+            TextAnalysis.qualityScore(col("__toks")).as("quality"),
+            TextAnalysis.langId(col("__toks")).as("pred_lang"))
           .orderBy("doc_id")
       },
       Some {

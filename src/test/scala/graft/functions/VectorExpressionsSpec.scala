@@ -22,6 +22,25 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("graft_hash60 is bit-identical to the portable md5/conv composition") {
+    GraftFunctions.ensureRegistered(spark)
+    val docs = Tables.documents(spark, sf0001)
+    val diff = docs.select(
+        graft.ext.TextHash.hash60(col("text")).as("native"),
+        graft.ext.TextHash.hash60Portable(col("text")).as("portable"))
+      .filter(col("native") =!= col("portable") || col("native") < 0)
+      .count()
+    assert(diff === 0)
+    // and on tricky inputs: empty string, multi-byte UTF-8
+    val edge = Seq("", "héllo wörld", "你好", "a").toDF("s")
+      .select(
+        graft.ext.TextHash.hash60(col("s")).as("native"),
+        graft.ext.TextHash.hash60Portable(col("s")).as("portable"))
+      .filter(col("native") =!= col("portable"))
+      .count()
+    assert(edge === 0)
+  }
+
   test("graft_vec_dot null semantics match the HOF formulation") {
     GraftFunctions.ensureRegistered(spark)
     val df = Seq(
