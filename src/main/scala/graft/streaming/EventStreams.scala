@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming counterparts of the batch event analytics
+  * (graft.engine.Events): `readStream` -> watermarked transforms ->
+  * `writeStream`, per the build brief's streaming design principles. The
+  * reference has no streams (SURVEY.md section 2.10), so these extend the
+  * engine's surface the Spark-idiomatic way instead of porting anything.
+  *
+  * Scale notes: both operators keep state partitioned by their grouping key
+  * (window x type, or user) in the state store — no driver state, no global
+  * ordering. Watermarks bound state size: late events beyond the watermark
+  * are dropped instead of growing state forever, which is what makes the
+  * 100 TB/continuous-ingest deployment viable.
+  */
+object EventStreams {
+
+  /** One event row, as produced by `streamingEvents` / MemoryStream tests. */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** A closed (or flushed) user session emitted by `sessionizeStream`. */
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** File-based streaming source over the same parquet layout the batch
+    * engine reads — `spark.readStream` against a directory treats new files
+    * as stream arrivals (the standard bronze-landing-zone pattern).
+    */
+  def streamingEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-stream sources take a DIRECTORY; glob-filter to the events table
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Streaming tumbling-window rollup: the streaming twin of
+    * Events.hourlyRollup. The watermark lets Spark finalize and emit a
+    * window once event time passes its end + delay, and discard its state.
+    * (countDistinct is not supported in streaming aggregations —
+    * approx_count_distinct is the streaming-idiomatic stand-in.)
+    */
+  def hourlyRollupStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n_events"), col("approx_users"), col("sum_value"))
+
+  /** Gap-based streaming sessionization via flatMapGroupsWithState — the
+    * streaming twin of Events.sessionize. State per user holds the open
+    * session; an event within `gapSeconds` extends it, otherwise the closed
+    * session is emitted and a fresh one opens. Event-time timeout flushes
+    * idle sessions once the watermark passes the gap, bounding state.
+    */
+  def sessionizeStream(events: Dataset[Event], gapSeconds: Long = 1800L,
+      watermarkDelay: String = "2 hours"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def toSession(uid: Long, s: SessionState): Session =
+      Session(uid, new Timestamp(s.start / 1000), new Timestamp(s.end / 1000),
+        s.n, s.total)
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed: flush the idle open session
+            val out = state.getOption.map(toSession(uid, _))
+            state.remove()
+            out.iterator
+          } else {
+            val gapMicros = gapSeconds * 1000000L
+            // state ops must happen outside the iterator's laziness
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime * 1000L
+              cur match {
+                case Some(s) if t - s.end <= gapMicros =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1,
+                    s.total + e.value))
+                case Some(s) =>
+                  closed += toSession(uid, s)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end / 1000 + gapSeconds * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Standard sink wiring: append-mode parquet with checkpointing — the
+    * writeStream half of the contract. Returns the started query; callers
+    * own awaitTermination/stop.
+    */
+  def startParquetSink(df: DataFrame, outDir: String, checkpointDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+}
+
+/** Open-session state for EventStreams.sessionizeStream — top level because
+  * the state-store encoder's generated code instantiates it by name.
+  */
+case class SessionState(start: Long, end: Long, n: Long, total: Double)

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+import graft.streaming.EventStreams.{Event, Session}
+
+/** Drives the streaming operators end-to-end on MemoryStream micro-batches:
+  * watermark-finalized window emission and stateful session open/extend/
+  * close/flush transitions.
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("hourlyRollupStream finalizes a window once the watermark passes it") {
+    val in = MemoryStream[Event](spark)
+    val q = EventStreams.hourlyRollupStream(in.toDF(), watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("rollup").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1L, ts(0), 100L, "click", 1.0),
+        Event(2L, ts(10), 101L, "click", 2.0),
+        Event(3L, ts(20), 100L, "view", 5.0))
+      q.processAllAvailable()
+      // watermark still inside hour 10 -> nothing finalized yet
+      assert(spark.table("rollup").count() === 0)
+
+      // an event at 12:00 pushes the watermark past 10:59 + 30min
+      in.addData(Event(4L, ts(120), 102L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("rollup")
+        .select("bucket", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows === Set(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L, 3.0),
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionizeStream closes a session on gap and flushes idle state on watermark") {
+    val in = MemoryStream[Event](spark)
+    val q = EventStreams.sessionizeStream(in.toDS(), gapSeconds = 600L,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 7: two events 5 min apart (one session), then 20 min idle -> gap
+      in.addData(
+        Event(1L, ts(0), 7L, "click", 1.0),
+        Event(2L, ts(5), 7L, "click", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(3L, ts(25), 7L, "view", 4.0))
+      q.processAllAvailable()
+      // the gap event closes session 1 immediately (emitted inline)
+      val closed = spark.table("sessions").as[Session].collect()
+      assert(closed.map(s => (s.user_id, s.n_events, s.sum_value)).toSet ===
+        Set((7L, 2L, 3.0)))
+      assert(closed.head.session_start === ts(0))
+      assert(closed.head.session_end === ts(5))
+
+      // advance the watermark far past the open session -> timeout flush
+      in.addData(Event(9L, ts(240), 999L, "click", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(10L, ts(300), 999L, "click", 0.0))
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[Session].collect()
+      assert(all.exists(s => s.user_id == 7L && s.n_events == 1L && s.sum_value == 4.0),
+        s"expected the idle session flushed, got ${all.mkString(", ")}")
+    } finally q.stop()
+  }
+
+  test("streaming parquet source + sink round-trip (readStream -> writeStream)") {
+    val out = "/tmp/graft_scratch/stream_sink"
+    val ckpt = "/tmp/graft_scratch/stream_ckpt"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(out)); rm(new java.io.File(ckpt))
+    val src = EventStreams.streamingEvents(spark, sf0001)
+    assert(src.isStreaming)
+    val q = EventStreams.startParquetSink(
+      src.select("event_id", "ts", "user_id", "event_type", "value"), out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.read.parquet(out).count()
+    assert(n === graft.Tables.events(spark, sf0001).count())
+  }
+}
