@@ -34,6 +34,33 @@ object Sinks {
     spark.read.parquet(path)
   }
 
+  /** Hive-style partitioned Parquet write: partition values become
+    * directories, so a filter on the partition column prunes whole
+    * directories at planning time (PartitionFilters in the scan) — the
+    * reference writes unpartitioned directories (SURVEY.md section 4), but at
+    * 100 TB date/tenant partitioning is what makes selective scans feasible.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+    val w2 = if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+    w2.parquet(path)
+  }
+
+  /** Bucketed + sorted table write: rows are pre-shuffled into `numBuckets`
+    * by the bucket key at write time, so equi-joins (and aggregations)
+    * between co-bucketed tables skip the shuffle entirely — the write-side
+    * answer to repeated join keys at scale. Requires saveAsTable (bucketing
+    * metadata lives in the catalog).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val w2 = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    w2.format("parquet").saveAsTable(table)
+  }
+
   /** S5 warehouse sink abstraction. */
   trait WarehouseSink {
     def save(df: DataFrame, table: String): Unit

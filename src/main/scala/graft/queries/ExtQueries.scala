@@ -291,6 +291,30 @@ object ExtQueries {
         FROM m ORDER BY media_id
       """.trim)),
 
+    // Partitioned write + partition-pruned read-back: the filter on the
+    // partition column prunes whole directories (PartitionFilters), the scan
+    // never opens non-matching files. Oracle: same filter over the original.
+    Q(
+      "q32_partition_prune",
+      (s, dir) => {
+        val path = s"/tmp/graft_scratch/${new java.io.File(dir).getName}_part_orders"
+        Sinks.writePartitioned(
+          Tables.orders(s, dir).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"),
+          path, partitionCols = Seq("o_orderstatus"))
+        s.catalog.clearCache()
+        s.read.parquet(path)
+          .filter(col("o_orderstatus") === "F")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"), Exact.sumD(col("o_totalprice")).as("sales"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS sales
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """.trim)),
+
     // A2 whole-row dropDuplicates as an oracle query: inject exact duplicate
     // rows, dedup them away (single hash-aggregate shuffle).
     Q(

@@ -1,0 +1,92 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.Tables
+
+/** Physical-plan assertions: the scale contract is that filters reach the
+  * scan, projections prune the read schema, partition filters prune
+  * directories, and co-bucketed joins skip the shuffle. These specs pin the
+  * plans so a regression (a cast blocking pushdown, a lost bucket spec)
+  * fails loudly instead of silently costing IO at scale.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def formattedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("filter pushdown: shipdate predicate reaches the parquet scan") {
+    val df = Tables.lineitem(spark, sf0001)
+      .filter(col("l_shipdate") <= lit("1995-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_quantity")
+    val plan = formattedPlan(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"expected shipdate pushdown in:\n$plan")
+  }
+
+  test("column pruning: a two-column projection reads a two-column schema") {
+    val df = Tables.orders(spark, sf0001).select("o_custkey", "o_orderstatus").distinct()
+    val plan = formattedPlan(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_custkey") && readSchema.contains("o_orderstatus"))
+    assert(!readSchema.contains("o_totalprice") && !readSchema.contains("o_comment"),
+      s"scan reads more than projected:\n$readSchema")
+  }
+
+  test("partition pruning: partition-column filter becomes PartitionFilters") {
+    val path = "/tmp/graft_scratch/spec_part_orders"
+    Sinks.writePartitioned(
+      Tables.orders(spark, sf0001).select("o_orderkey", "o_orderstatus", "o_totalprice"),
+      path, Seq("o_orderstatus"))
+    val df = spark.read.parquet(path).filter(col("o_orderstatus") === "F")
+    val plan = formattedPlan(df)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("o_orderstatus") && (pf.contains("= F") || pf.contains("EqualTo")),
+      s"expected partition filter in:\n$plan")
+    // and the pruned count matches a plain filter
+    assert(df.count() ===
+      Tables.orders(spark, sf0001).filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("co-bucketed join runs without a shuffle exchange") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Sinks.writeBucketed(Tables.orders(spark, sf0001)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+        "spec_orders_b", Seq("o_orderkey"), numBuckets = 4, sortCols = Seq("o_orderkey"))
+      Sinks.writeBucketed(Tables.lineitem(spark, sf0001)
+        .select("l_orderkey", "l_quantity"),
+        "spec_lineitem_b", Seq("l_orderkey"), numBuckets = 4, sortCols = Seq("l_orderkey"))
+      val joined = spark.table("spec_orders_b")
+        .join(spark.table("spec_lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange hashpartitioning"),
+        s"co-bucketed join should not shuffle:\n$physical")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS spec_orders_b")
+      spark.sql("DROP TABLE IF EXISTS spec_lineitem_b")
+    }
+  }
+
+  test("star-fact plan broadcasts only bounded dims (scale-safe hints)") {
+    val df = StarJoin.assembleStarFact(
+      Tables.lineitem(spark, sf0001), Tables.orders(spark, sf0001),
+      Tables.customer(spark, sf0001), Tables.nation(spark, sf0001),
+      Tables.region(spark, sf0001), Tables.part(spark, sf0001),
+      Tables.supplier(spark, sf0001))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // explicit hints (ResolvedHint survives into the optimized plan as
+    // broadcast join markers) must not name the linear-scaling dims
+    val analyzed = df.queryExecution.analyzed.toString
+    val hintLines = analyzed.linesIterator.filter(_.contains("UnresolvedHint")).toSeq
+    assert(hintLines.isEmpty || !optimized.contains("broadcast(customer)"))
+    assert(df.columns.contains("fact_id"))
+  }
+}
