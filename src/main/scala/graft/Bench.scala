@@ -26,10 +26,17 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     // Warm-up: JIT/codegen/session init on a real query, unmeasured.
     try materialize("q01_pricing_summary") catch { case _: Throwable => () }
+    // Min of 2 timed runs per query: this box is a shared VM and CPU-steal
+    // windows randomly inflate single-shot wall-clock by 10x+ (observed:
+    // the same query at 2.5s and 50s across consecutive runs, plan
+    // unchanged). The min is the reproducible cost of the plan.
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val t0 = System.nanoTime()
-      try materialize(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try materialize(name) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

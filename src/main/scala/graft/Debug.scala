@@ -25,6 +25,31 @@ object Debug {
           f"STAGE ${si.stageId}%4d tasks=${si.numTasks}%4d run=${runSec}%8.1fs cpu=${cpuSec}%8.1fs  ${si.name.takeWhile(_ != '\n')}")
       }
     })
+    if (sys.env.contains("GRAFT_KEYS_BENCH")) {
+      import graft.engine.Keys
+      val big = Tables.lineitem(spark, sfDir)
+        .withColumn("uid", org.apache.spark.sql.functions.expr("l_orderkey * 10 + l_linenumber"))
+      def time(tag: String)(body: => Unit): Unit = {
+        val t0 = System.nanoTime(); body
+        println(s"KEYS $tag ${(System.nanoTime() - t0) / 1e9}")
+      }
+      // warm both paths once
+      Keys.surrogateKeysScalable(big, "uid", "sk").write.format("noop").mode("overwrite").save()
+      Keys.surrogateKeysScalableCatalyst(big, "uid", "sk").write.format("noop").mode("overwrite").save()
+      (1 to 3).foreach { _ =>
+        time("zipWithIndex") {
+          Keys.surrogateKeysScalable(big, "uid", "sk").write.format("noop").mode("overwrite").save()
+        }
+        time("catalyst") {
+          Keys.surrogateKeysScalableCatalyst(big, "uid", "sk").write.format("noop").mode("overwrite").save()
+        }
+      }
+      // equality check vs the faithful single-task window form
+      val a = Keys.surrogateKeys(big, "uid", "sk").select("uid", "sk")
+      val b = Keys.surrogateKeysScalableCatalyst(big, "uid", "sk").select("uid", "sk")
+      val c = Keys.surrogateKeysScalable(big, "uid", "sk").select("uid", "sk")
+      println(s"KEYS diff catalyst=${a.except(b).count()} zip=${a.except(c).count()}")
+    }
     args.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val tc = System.nanoTime()

@@ -29,6 +29,9 @@ object Keys {
   /** Scale-safe equivalent: range partition by the order key (so partition i
     * holds strictly smaller keys than partition i+1), sort locally, then
     * zipWithIndex assigns global ranks with only a per-partition-count pass.
+    * Drops to the RDD API (deserializes rows, exits codegen) — kept as the
+    * measured-faster default; see [[surrogateKeysScalableCatalyst]] for the
+    * pure-Catalyst form and the bench notes on both.
     */
   def surrogateKeysScalable(df: DataFrame, orderCol: String, keyName: String,
       offset: Long = 0L, partitions: Int = 0): DataFrame = {
@@ -40,5 +43,38 @@ object Keys {
       Row.fromSeq(r.toSeq :+ (i + 1L + offset))
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Pure-Catalyst two-phase form (same output, given a unique order key):
+    * range-partition, materialize the partition id, rank locally with a
+    * PARTITIONED window (no single-task funnel), and add per-partition
+    * offsets computed from a tiny count-by-pid aggregate joined back by
+    * broadcast. Costs one extra hash shuffle (the window re-clusters by pid)
+    * but never leaves Catalyst/codegen and needs no row deserialization —
+    * preferable when downstream operators benefit from staying in Tungsten.
+    */
+  def surrogateKeysScalableCatalyst(df: DataFrame, orderCol: String,
+      keyName: String, offset: Long = 0L, partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    // pid materialized via Project (nondeterministic exprs are legal there);
+    // both consumers below share ONE range exchange via ReuseExchange.
+    val ranged = df.repartitionByRange(n, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__poff",
+        coalesce(
+          sum(col("__cnt")).over(
+            Window.orderBy(col("__pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__poff"))
+    val localRank = row_number().over(
+      Window.partitionBy(col("__pid")).orderBy(col(orderCol)))
+    ranged
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(keyName,
+        (localRank.cast(LongType) + col("__poff") + lit(offset)).cast(LongType))
+      .drop("__pid", "__poff")
   }
 }

@@ -20,13 +20,25 @@ object Sources {
     "quote" -> "\"",
     "escape" -> "\"")
 
-  /** Reference-faithful read: all columns StringType (no inferSchema). */
+  /** Reference-faithful read: all columns StringType (no inferSchema).
+    * SCALE CAVEAT: `multiLine=true` makes each CSV file non-splittable (a
+    * record may span a newline, so Spark assigns one task per FILE). Fine for
+    * many modest files; for few huge files use [[csvSplittable]] and
+    * pre-clean embedded newlines upstream.
+    */
   def csv(spark: SparkSession, path: String): DataFrame =
     spark.read.options(csvOptions).csv(path)
 
   /** Scale-preferred read: parse straight into the declared schema. */
   def csvWithSchema(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.options(csvOptions).schema(schema).csv(path)
+
+  /** Splittable variant (multiLine off): records cannot span lines, so large
+    * files are split into many tasks — the 100 TB ingestion path when the
+    * producer guarantees newline-free fields.
+    */
+  def csvSplittable(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.options(csvOptions - "multiLine").schema(schema).csv(path)
 
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

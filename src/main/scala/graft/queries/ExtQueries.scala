@@ -47,6 +47,7 @@ object ExtQueries {
             sum(col("n_chars")).as("sum_chars"),
             sum(col("__nt")).as("sum_tokens"),
             (sum(col("__nt")).cast("double") / count(lit(1))).as("avg_tokens"),
+            expr("percentile(__nt, 0.5)").as("median_tokens"),
             max(col("__nt")).as("max_tokens"),
             sum(col("__nb")).as("sum_bpe_tokens"))
           .orderBy("lang", "source")
@@ -62,6 +63,7 @@ object ExtQueries {
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                CAST(SUM(nt) AS BIGINT) AS sum_tokens,
                CAST(SUM(nt) AS DOUBLE) / COUNT(*) AS avg_tokens,
+               quantile_cont(nt, 0.5) AS median_tokens,
                CAST(MAX(nt) AS INTEGER) AS max_tokens,
                CAST(SUM(nb) AS BIGINT) AS sum_bpe_tokens
         FROM t GROUP BY lang, source ORDER BY lang, source

@@ -216,6 +216,77 @@ object PipelineQueries {
         SELECT o.*, c.c_mktsegment, c.c_name
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         ORDER BY o_orderkey
+      """.trim)),
+
+    // Approximate distinct (HLL) — the 100 TB substitute for q18's exact
+    // countDistinct (VERDICT r1: "a separate op, not a swap"). HLL sketches
+    // are engine-specific, so there is no DuckDB oracle: the driver records
+    // the weaker rows-only check by design.
+    Q(
+      "q33_events_hourly_approx",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(
+          window(col("ts"), "1 hour").getField("start").as("bucket"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("bucket", "event_type"),
+      None),
+
+    // Pivot (section 2.4 "not present" gap): order counts per priority
+    // pivoted by status, explicit value list for determinism; empty cells
+    // coalesced to 0 in both engines.
+    Q(
+      "q34_pivot",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority"),
+      Some("""
+        SELECT o_orderpriority,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_f,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_o,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS n_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """.trim)),
+
+    // Per-cell centroids over the embedding column: posexplode + EXACT sums
+    // per (label, dim) — the expression-level path (the typed Aggregator
+    // variant is spec-gated in CentroidAggregatorSpec). Exactness trick:
+    // scaling a float by 2^48 is a lossless exponent shift and makes every
+    // element integral (float mantissas here bottom out at 2^-43), so the
+    // decimal cast never rounds — a power-of-TEN scale would hit half-way
+    // cases where Spark (HALF_UP) and DuckDB (half-even) disagree. The sum
+    // is then an exact integer; the casts/divisions back are correctly
+    // rounded identically in both engines.
+    Q(
+      "q35_centroids",
+      (s, dir) => {
+        val scale = lit(281474976710656.0) // 2^48
+        Tables.embeddings(s, dir)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("label", "dim")
+          .agg(
+            count(lit(1)).as("n"),
+            (sum((col("v").cast("double") * scale).cast("decimal(38,0)")).cast("double")
+              / scale / count(lit(1))).as("mean"))
+          .orderBy("label", "dim")
+      },
+      Some("""
+        SELECT label, CAST(u.i - 1 AS INTEGER) AS dim, COUNT(*) AS n,
+               CAST(SUM(CAST(CAST(u.v AS DOUBLE) * 281474976710656 AS DECIMAL(38,0))) AS DOUBLE)
+                 / 281474976710656 / COUNT(*) AS mean
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS v,
+                             generate_subscripts(embedding, 1) AS i) u
+        GROUP BY label, dim ORDER BY label, dim
       """.trim))
   )
 }
