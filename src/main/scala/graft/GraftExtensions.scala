@@ -15,5 +15,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(GraftFunctions.vecDot)
     extensions.injectFunction(GraftFunctions.hash60)
+    extensions.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -185,6 +185,22 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-dup DEDUP resolution: greedy keep-lowest-id — a document survives
+    * unless some lower-id document is near-duplicate-similar to it. This is
+    * the standard one-pass MinHash-dedup policy (no transitive closure: a
+    * doc is dropped iff it pairs directly with a lower survivor-or-not id,
+    * which keeps the decision embarrassingly parallel — full connected
+    * components would need iterative label propagation and is rarely worth
+    * it at 0.8+ thresholds where clusters are tight).
+    * Returns the surviving rows of `docs`.
+    */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val dropIds = minHashNearDupPairs(docs, idCol, textCol, n, k, bands, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** 60-bit SimHash signatures, one row per document: hash each distinct
     * token once (explode — no repeated md5), then one hash-aggregate computes
     * all 60 bit-vote sums map-side-partially; a final projection folds the

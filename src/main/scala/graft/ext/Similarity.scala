@@ -95,16 +95,54 @@ object Similarity {
         col("__cell") === col("__ccell") && col("query_id") =!= col("neighbor_id")), k)
   }
 
+  /** Per-query ranking via the custom heap-based TopKPerKey operator
+    * (graft.plans): same shuffle as the window-rank idiom but O(n log k)
+    * per partition with bounded memory instead of a full per-key sort.
+    * (cosine desc, neighbor_id) is a total order, so rows and ranks are
+    * identical to the window formulation — asserted in TopKPerKeySpec.
+    */
   private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
+    graft.plans.TopKPerKey.of(
+        pairs.select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(nativeDot(col("__qv"), col("__cv")), col("__qn"), col("__cn"))
+            .as("cosine")),
+        keyCols = Seq("query_id"),
+        order = Seq("cosine" -> false, "neighbor_id" -> true),
+        k = k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+
+  /** The window-function formulation of rankTopK — the fallback when keys
+    * are near-unique (heap memory degenerates) and the reference both
+    * implementations are verified against.
+    */
+  def rankTopKWindow(pairs: DataFrame, k: Int): DataFrame =
     pairs
-      .select(col("query_id"), col("neighbor_id"),
-        cosineWithNorms(nativeDot(col("__qv"), col("__cv")), col("__qn"), col("__cn"))
-          .as("cosine"))
       .withColumn("rank",
         row_number().over(Window.partitionBy("query_id")
           .orderBy(col("cosine").desc, col("neighbor_id"))).cast("int"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
+
+  /** Embedding near-duplicate pairs within a cell: all (a, b) with a < b in
+    * the same coarse cell whose cosine clears the threshold — the
+    * embedding-space analog of MinHash candidate generation (cell = IVF
+    * bucket; cross-cell near-dups are missed by construction, the standard
+    * ANN-dedup recall trade).
+    */
+  def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, threshold: Double): DataFrame = {
+    val c = withNorm(spread(corpus, idCol), vecCol)
+    val a = c.select(col(cellCol).as("__cell"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__norm").as("__na"))
+    val b = c.select(col(cellCol).as("__bcell"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__norm").as("__nb"))
+    a.join(b.hint("shuffle_hash"),
+        col("__cell") === col("__bcell") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineWithNorms(nativeDot(col("__va"), col("__vb")), col("__na"), col("__nb"))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 
   /** Sign-LSH bucket id: `planes` pseudo-random hyperplanes whose component
     * j of plane p is +1/-1 from the shared deterministic 60-bit hash of

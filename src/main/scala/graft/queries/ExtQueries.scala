@@ -30,6 +30,42 @@ object ExtQueries {
 
   private val StopList = "'the','a','an','of','and','to','in','is','for','on','with'"
 
+  /** DuckDB CTE chain mirroring NearDup.minHashNearDupPairs (k=64, b=16,
+    * r=4, n=3, threshold 0.8): shingles -> universal-hash MinHash signatures
+    * -> band buckets -> candidate pairs -> exact-Jaccard-verified `verified`
+    * relation (id_a, id_b, jaccard). Shared by q24 and q36.
+    */
+  private lazy val MinhashPairsCte: String = s"""
+        WITH d AS (
+          SELECT doc_id, ${duckShingles(Toks, 3)} AS sh FROM documents
+        ), sigs AS (
+          SELECT doc_id, sh,
+                 [list_min([((s * 2654435761 % ${NearDup.MinHashP - 1} + 1)
+                             * (${TextHash.duckHash60("x")} % ${NearDup.MinHashP}) + s)
+                            % ${NearDup.MinHashP} FOR x IN sh])
+                  FOR s IN generate_series(0, 63)] AS sig
+          FROM d WHERE len(sh) > 0
+        ), banded AS (
+          SELECT doc_id, j AS band,
+                 array_to_string(list_transform(sig[CAST(j*4+1 AS BIGINT):CAST(j*4+4 AS BIGINT)],
+                   v -> CAST(v AS VARCHAR)), '_') AS bucket
+          FROM sigs CROSS JOIN range(0, 16) t(j)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ), verified AS (
+          SELECT id_a, id_b,
+                 CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   AS jaccard
+          FROM cand
+          JOIN sigs sa ON sa.doc_id = id_a
+          JOIN sigs sb ON sb.doc_id = id_b
+          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                  / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) >= 0.8
+        )""".stripMargin.trim
+
   val qs: Seq[Q] = Seq(
 
     // Text analysis: per-(lang, source) corpus statistics. Map-side token
@@ -170,35 +206,25 @@ object ExtQueries {
           n = 3, k = 64, bands = 16, threshold = 0.8)
         .orderBy("id_a", "id_b"),
       Some(s"""
-        WITH d AS (
-          SELECT doc_id, ${duckShingles(Toks, 3)} AS sh FROM documents
-        ), sigs AS (
-          SELECT doc_id, sh,
-                 [list_min([((s * 2654435761 % ${NearDup.MinHashP - 1} + 1)
-                             * (${TextHash.duckHash60("x")} % ${NearDup.MinHashP}) + s)
-                            % ${NearDup.MinHashP} FOR x IN sh])
-                  FOR s IN generate_series(0, 63)] AS sig
-          FROM d WHERE len(sh) > 0
-        ), banded AS (
-          SELECT doc_id, j AS band,
-                 array_to_string(list_transform(sig[CAST(j*4+1 AS BIGINT):CAST(j*4+4 AS BIGINT)],
-                   v -> CAST(v AS VARCHAR)), '_') AS bucket
-          FROM sigs CROSS JOIN range(0, 16) t(j)
-        ), cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        )
-        SELECT id_a, id_b,
-               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                 / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                 AS jaccard
-        FROM cand
-        JOIN sigs sa ON sa.doc_id = id_a
-        JOIN sigs sb ON sb.doc_id = id_b
-        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) >= 0.8
-        ORDER BY id_a, id_b
+        $MinhashPairsCte
+        SELECT id_a, id_b, jaccard FROM verified ORDER BY id_a, id_b
+      """.trim)),
+
+    // Near-dup DEDUP resolution: greedy keep-lowest-id over the verified
+    // MinHash pairs — the operator a training-data pipeline actually ends
+    // with (survivor set, not just pairs).
+    Q(
+      "q36_neardup_dedup",
+      (s, dir) => NearDup.dropNearDuplicates(
+          Tables.documents(s, dir),
+          "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.8)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some(s"""
+        $MinhashPairsCte
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM verified)
+        ORDER BY doc_id
       """.trim)),
 
     // SimHash signatures (60-bit): one shuffle, bit votes aggregated
@@ -261,6 +287,27 @@ object ExtQueries {
         FROM e q JOIN e c ON q.label = c.label AND c.vec_id <> q.vec_id
         QUALIFY rank <= 3
         ORDER BY query_id, rank
+      """.trim)),
+
+    // Embedding-cosine near-dup pairs within IVF cells — the embedding-space
+    // dedup modality (threshold 0.4: the synthetic corpus has no planted
+    // vector dups; the operator and its pruning are what is exercised).
+    Q(
+      "q37_embedding_neardup",
+      (s, dir) => Similarity.embeddingNearDupPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label", threshold = 0.4)
+        .orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 sqrt(${duckDot("embedding", "embedding")}) AS nrm
+          FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+        ORDER BY id_a, id_b
       """.trim)),
 
     // Multimodal plumbing: binary payload + typed metadata, expression-level
