@@ -287,6 +287,34 @@ object PipelineQueries {
              LATERAL (SELECT unnest(embedding) AS v,
                              generate_subscripts(embedding, 1) AS i) u
         GROUP BY label, dim ORDER BY label, dim
+      """.trim)),
+
+    // JSON metadata extraction (events.props carries a JSON payload — the
+    // standard shape for pipeline metadata): both the path-extraction
+    // (get_json_object) and schema'd parse (from_json) forms, rolled up per
+    // event type.
+    Q(
+      "q38_json_props",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k_schema"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k_path")).as("sum_k"),
+          min(col("k_path")).as("min_k"),
+          max(col("k_path")).as("max_k"),
+          sum(when(col("k_path") === col("k_schema"), 1L).otherwise(0L)).as("n_agree"))
+        .orderBy("event_type"),
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+               CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+               CAST(COUNT(*) AS BIGINT) AS n_agree
+        FROM events GROUP BY event_type ORDER BY event_type
       """.trim))
   )
 }
