@@ -144,6 +144,44 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Exact per-cell centroids as (cell, centroid: array<double>): element
+    * means via power-of-two-scaled decimal sums (order-independent, DuckDB
+    * bit-reproducible — see q35), re-assembled dim-ordered.
+    */
+  def exactCentroids(corpus: DataFrame, vecCol: String, cellCol: String): DataFrame = {
+    val scale = lit(281474976710656.0) // 2^48: lossless exponent shift for floats
+    corpus
+      .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("cell", "dim")
+      .agg((sum((col("v").cast("double") * scale).cast("decimal(38,0)")).cast("double")
+        / scale / count(lit(1))).as("mean"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("__cm"))
+      .select(col("cell"),
+        transform(col("__cm"), s => s.getField("mean")).as("centroid"))
+  }
+
+  /** IVF assignment step: each vector goes to its nearest centroid by
+    * squared L2 (ties to the lowest cell id). Centroids broadcast; the
+    * argmin is the custom heap TopKPerKey with k=1 — one pass, no per-key
+    * sort. Composing exactCentroids + this is one Lloyd iteration; at scale
+    * you iterate to convergence and feed `annTopKByCell` the result.
+    */
+  def assignToNearestCentroid(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val dist2 = aggregate(
+      zip_with(col(vecCol), col("centroid"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, v) => acc + v)
+    val pairs = spread(corpus, idCol)
+      .crossJoin(broadcast(centroids))
+      .select(corpus.columns.filter(_ != vecCol).map(col) :+
+        col("cell") :+ dist2.as("dist2"): _*)
+    graft.plans.TopKPerKey.of(pairs,
+        keyCols = Seq(idCol), order = Seq("dist2" -> true, "cell" -> true), k = 1)
+      .drop("rank")
+  }
+
   /** Sign-LSH bucket id: `planes` pseudo-random hyperplanes whose component
     * j of plane p is +1/-1 from the shared deterministic 60-bit hash of
     * "p:j" (bit 0). The bucket is the sign pattern of the plane dot products

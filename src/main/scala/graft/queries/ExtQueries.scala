@@ -310,6 +310,42 @@ object ExtQueries {
         ORDER BY id_a, id_b
       """.trim)),
 
+    // IVF assignment: one Lloyd step — exact per-cell centroids, then each
+    // vector to its nearest centroid by squared L2 (argmin via the custom
+    // heap TopKPerKey, k=1). `label` is the prior cell; `cell` the refreshed
+    // assignment.
+    Q(
+      "q39_ivf_assign",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.assignToNearestCentroid(
+            e, "vec_id", "embedding",
+            Similarity.exactCentroids(e, "embedding", "label"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT label, CAST(u.i - 1 AS INTEGER) AS dim,
+                 CAST(SUM(CAST(CAST(u.v AS DOUBLE) * 281474976710656 AS DECIMAL(38,0))) AS DOUBLE)
+                   / 281474976710656 / COUNT(*) AS mean
+          FROM embeddings,
+               LATERAL (SELECT unnest(embedding) AS v,
+                               generate_subscripts(embedding, 1) AS i) u
+          GROUP BY label, dim
+        ), c AS (
+          SELECT label AS cell, list(mean ORDER BY dim) AS centroid FROM m GROUP BY label
+        ), p AS (
+          SELECT e.vec_id, e.label, c.cell,
+                 list_sum([(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                           * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                           FOR i IN generate_series(1, len(e.embedding))]) AS dist2
+          FROM embeddings e CROSS JOIN c
+        )
+        SELECT vec_id, label, cell, dist2 FROM p
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) = 1
+        ORDER BY vec_id
+      """.trim)),
+
     // Multimodal plumbing: binary payload + typed metadata, expression-level
     // metadata extraction and deterministic frame sampling (no codec).
     Q(
