@@ -86,6 +86,22 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = md5(Cleaning.normalizeText(text))
 
+  /** Deterministic dataset split assignment (train/val/test): bucket each id
+    * into [0,100) by the shared 60-bit hash and map cumulative weight ranges
+    * to split names. Hash-based (not rand()) so membership is stable across
+    * runs, re-shards, and engines — the property a training pipeline needs
+    * so examples never migrate between train and eval.
+    * `weights` are (name, percent) with percents summing to 100.
+    */
+  def splitAssign(id: Column, weights: Seq[(String, Int)]): Column = {
+    require(weights.map(_._2).sum == 100, "split percents must sum to 100")
+    val bucket = pmod(TextHash.hash60(id.cast("string")), lit(100L))
+    val cuts = weights.scanLeft(0)(_ + _._2).tail.zip(weights.map(_._1))
+    cuts.init.foldRight(lit(cuts.last._2): Column) { case ((cut, name), rest) =>
+      when(bucket < cut, name).otherwise(rest)
+    }
+  }
+
   /** Content-defined rolling fingerprint: 60-bit hash of each word 8-gram,
     * then the minimum — a cheap locality-insensitive document signature used
     * for shard-local grouping before exact comparison. Takes a materialized

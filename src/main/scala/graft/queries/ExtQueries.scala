@@ -400,6 +400,29 @@ object ExtQueries {
         GROUP BY o_orderpriority ORDER BY o_orderpriority
       """.trim)),
 
+    // Deterministic train/val/test split: hash-bucketed so membership is
+    // stable across runs/engines — per-split corpus stats as the output.
+    Q(
+      "q40_dataset_split",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          TextAnalysis.splitAssign(col("doc_id"),
+            Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split"),
+      Some(s"""
+        WITH assigned AS (
+          SELECT doc_id, n_chars,
+                 CASE WHEN ${TextHash.duckHash60("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                      WHEN ${TextHash.duckHash60("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        )
+        SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM assigned GROUP BY split ORDER BY split
+      """.trim)),
+
     // A2 whole-row dropDuplicates as an oracle query: inject exact duplicate
     // rows, dedup them away (single hash-aggregate shuffle).
     Q(
