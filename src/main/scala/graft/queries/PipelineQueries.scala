@@ -296,6 +296,9 @@ object PipelineQueries {
     Q(
       "q38_json_props",
       (s, dir) => Tables.events(s, dir)
+        // P4 null-guard filter (final_dim_load.py:68 idiom): semantics-
+        // neutral here (props is never null) but pushes IsNotNull to the scan
+        .filter(col("props").isNotNull)
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("int").as("k_path"),
           from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
@@ -314,7 +317,8 @@ object PipelineQueries {
                CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
                CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
                CAST(COUNT(*) AS BIGINT) AS n_agree
-        FROM events GROUP BY event_type ORDER BY event_type
+        FROM events WHERE props IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
       """.trim))
   )
 }

@@ -50,6 +50,14 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("b, c"))
   }
 
+  test("ParquetWarehouse sink saves tables the oracle side can read back") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    val wh: Sinks.WarehouseSink = new Sinks.ParquetWarehouse(root)
+    wh.save(spark.range(25).toDF("id"), "dim_probe")
+    val back = spark.read.parquet(s"$root/dim_probe")
+    assert(back.count() == 25)
+  }
+
   test("writeAndReadBack roundtrips with maxRecordsPerFile splitting files") {
     val dir = Files.createTempDirectory("graft_sink").toString + "/out"
     val df = spark.range(100).toDF("id")
