@@ -43,6 +43,14 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Schema-evolution read: union the schemas of all files in the directory
+    * (columns absent in older files surface as nulls). Off by default in
+    * Spark because footer-merging costs a pass over file metadata — turn it
+    * on per-read exactly where a table has actually evolved.
+    */
+  def parquetMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Schema validation probe (final_dim_load.py:97-101): fail fast with the
     * full missing-column list instead of a mid-job analysis error.
     */

@@ -110,6 +110,19 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop events whose key was already seen, with
+    * state bounded by the watermark (`dropDuplicatesWithinWatermark` —
+    * duplicates arriving within the delay window are suppressed, state for
+    * keys older than the watermark is evicted). The streaming-ingest twin of
+    * the batch fingerprint dedup: at-least-once sources re-deliver, this
+    * makes the landing zone effectively-once without unbounded state.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Standard sink wiring: append-mode parquet with checkpointing — the
     * writeStream half of the contract. Returns the started query; callers
     * own awaitTermination/stop.

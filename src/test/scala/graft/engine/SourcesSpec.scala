@@ -50,6 +50,18 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("b, c"))
   }
 
+  test("parquetMergedSchema unions schemas across file generations") {
+    val dir = Files.createTempDirectory("graft_evo").toString
+    spark.range(3).toDF("id").write.parquet(s"$dir/gen=1")
+    spark.range(3).toDF("id")
+      .withColumn("added", org.apache.spark.sql.functions.lit("v2"))
+      .write.parquet(s"$dir/gen=2")
+    val df = Sources.parquetMergedSchema(spark, dir)
+    assert(df.columns.toSet == Set("id", "added", "gen"))
+    assert(df.count() == 6)
+    assert(df.filter(org.apache.spark.sql.functions.col("added").isNull).count() == 3)
+  }
+
   test("ParquetWarehouse sink saves tables the oracle side can read back") {
     val root = Files.createTempDirectory("graft_wh").toString
     val wh: Sinks.WarehouseSink = new Sinks.ParquetWarehouse(root)

@@ -73,6 +73,23 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream suppresses re-delivered events within the watermark") {
+    val in = MemoryStream[Event](spark)
+    val q = EventStreams.dedupStream(in.toDF(), Seq("event_id"), "30 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1L, ts(0), 7L, "click", 1.0),
+        Event(1L, ts(0), 7L, "click", 1.0), // same-batch duplicate
+        Event(2L, ts(1), 8L, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(1L, ts(2), 7L, "click", 1.0)) // re-delivery, in window
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted === Seq(1L, 2L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("streaming parquet source + sink round-trip (readStream -> writeStream)") {
     val out = "/tmp/graft_scratch/stream_sink"
     val ckpt = "/tmp/graft_scratch/stream_ckpt"
