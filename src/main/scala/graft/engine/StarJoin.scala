@@ -85,7 +85,11 @@ object StarJoin {
     // already satisfied and shuffles only the orders side). Skew is smoothed
     // before the join instead of inside it; all joins are inner, so the
     // reorder is semantics-free.
-    val li = lineitem.repartition(col("l_orderkey"))
+    // Explicit N: repartition(col) with no count is eligible for AQE
+    // size-based coalescing, which would fold the byte-modest fact shuffle
+    // down and serialize the whole join chain behind it.
+    val li = lineitem.repartition(
+      lineitem.sparkSession.sessionState.conf.numShufflePartitions, col("l_orderkey"))
     val stage1 = li.join(orders, col("l_orderkey") === col("o_orderkey"), "inner")
     val stage2 = stage1.join(part, col("l_partkey") === col("p_partkey"), "inner")
     val stage3 = stage2

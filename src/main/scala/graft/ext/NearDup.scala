@@ -107,22 +107,34 @@ object NearDup {
   private def spread(docs: DataFrame, idCol: String): DataFrame =
     docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
 
-  /** Per-document shingle frame: (idCol, __shingles).
+  /** Per-document shingle frame: (idCol, __shingles), ending in an exchange.
     *
-    * Tokens are materialized BELOW the spread exchange, shingles above it:
-    * the shingle lambda references the token array per element, and a free
-    * non-attribute reference inside a higher-order lambda is re-evaluated
-    * per element — a nested tokens expression would re-run regexp+split once
-    * per shingle (quadratic per document; observed ~1.5 ms/doc). Projections
-    * cannot collapse across the exchange, so above it the lambda sees a
-    * plain shuffled attribute (free per-element), and the one-per-row
-    * tokenization rides the scan stage where it is linear and cheap.
+    * Tokens are materialized BELOW the first spread exchange, shingles above
+    * it: the shingle lambda references the token array per element, and a
+    * free non-attribute reference inside a higher-order lambda is
+    * re-evaluated per element — a nested tokens expression would re-run
+    * regexp+split once per shingle (quadratic per document; observed
+    * ~1.5 ms/doc). Projections cannot collapse across the exchange, so above
+    * it the lambda sees a plain shuffled attribute (free per-element), and
+    * the one-per-row tokenization rides the scan stage where it is linear
+    * and cheap.
+    *
+    * The SECOND spread makes the whole frame end in an exchange node, which
+    * is the single-evaluation point: every consumer (the signature
+    * aggregate plus BOTH exact-verify joins) references a plan-identical
+    * exchange, so ReuseExchange computes tokenize+shingle ONCE and fans the
+    * shuffled output out — without it the shingle pipeline re-executes per
+    * consumer (3x, measured dominant in q24/q36). It also leaves the frame
+    * hash-partitioned on the doc id, so the signature groupBy and the
+    * id-keyed verify joins need no further exchange on this side.
     */
   private def withShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     spread(
-      docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks")),
+      spread(
+        docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks")),
+        idCol)
+        .select(col(idCol), shingles(col("__toks"), n).as("__shingles")),
       idCol)
-      .select(col(idCol), shingles(col("__toks"), n).as("__shingles"))
 
   /** Exact near-dup pairs via inverted-index join: explode shingles, join on
     * the shingle, group to intersection counts, verify the Jaccard threshold.
@@ -196,9 +208,12 @@ object NearDup {
     */
   def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    // SHUFFLE_HASH: dropIds is doc-linear (never broadcastable at scale),
+    // and a broadcast build would run the whole pair pipeline inside one
+    // broadcast future instead of the shared-exchange plan.
     val dropIds = minHashNearDupPairs(docs, idCol, textCol, n, k, bands, threshold)
       .select(col("id_b").as(idCol)).distinct()
-    docs.join(dropIds, Seq(idCol), "left_anti")
+    docs.join(dropIds.hint("shuffle_hash"), Seq(idCol), "left_anti")
   }
 
   /** 60-bit SimHash signatures, one row per document: hash each distinct

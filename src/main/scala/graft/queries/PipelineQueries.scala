@@ -299,6 +299,12 @@ object PipelineQueries {
         // P4 null-guard filter (final_dim_load.py:68 idiom): semantics-
         // neutral here (props is never null) but pushes IsNotNull to the scan
         .filter(col("props").isNotNull)
+        // Spread the per-row JSON parsing: a small parquet file is ONE input
+        // split, so without this every get_json_object/from_json parse runs
+        // in a single task (measured: the whole query was one 3.5s task).
+        // Explicit N — AQE's size-based coalescing would fold a byte-light/
+        // CPU-heavy shuffle back together.
+        .repartition(s.sessionState.conf.numShufflePartitions, col("event_id"))
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("int").as("k_path"),
           from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
