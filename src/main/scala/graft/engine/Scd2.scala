@@ -64,10 +64,13 @@ object Scd2 {
       colName: String = "ta_insert_dt"): DataFrame =
     df.withColumn(colName, lit(runTs).cast(TimestampType))
 
-  /** Bootstrap-vs-incremental dispatch (final_dim_load.py:168-180): try to
-    * read the existing dimension; a missing path means first run ->
-    * bootstrap, otherwise incremental merge. The reference does this with a
-    * catch on the read — re-expressed as an explicit Try.
+  /** Bootstrap-vs-incremental dispatch (final_dim_load.py:168-180): read the
+    * existing dimension if its path exists, else first run -> bootstrap. The
+    * reference catches the read's exception; here the filesystem is probed
+    * first (Spark 4 logs every caught AnalysisException with a full caller
+    * stacktrace, which makes the expected first-run miss look like a crash
+    * in driver logs), with a Try fallback for paths that exist but fail to
+    * read as a dimension (corrupt/foreign content -> treat as first run).
     */
   def loadOrBootstrap(
       spark: SparkSession,
@@ -77,13 +80,17 @@ object Scd2 {
       scdCols: Seq[String],
       skCol: String,
       runTs: String,
-      sentinel: String = "2099-12-31 00:00:00"): DataFrame =
-    Try(spark.read.parquet(dimPath)) match {
-      case Success(existing) =>
-        merge(existing, incoming, naturalKey, scdCols, skCol, runTs, sentinel)
+      sentinel: String = "2099-12-31 00:00:00"): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dimPath)
+    val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val existing = if (exists) Try(spark.read.parquet(dimPath)) else Failure(new Exception)
+    existing match {
+      case Success(e) =>
+        merge(e, incoming, naturalKey, scdCols, skCol, runTs, sentinel)
       case Failure(_) =>
         bootstrap(incoming, naturalKey, skCol, runTs, sentinel)
     }
+  }
 
   /** Incremental SCD2 merge. `existing` must carry `skCol`, `start_dt`,
     * `end_dt`, `is_valid`, the natural key and the SCD columns; `incoming`

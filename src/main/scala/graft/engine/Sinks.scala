@@ -61,6 +61,13 @@ object Sinks {
     w2.format("parquet").saveAsTable(table)
   }
 
+  /** JSON-lines sink (one object per line — splittable on re-read). Dates
+    * and timestamps serialize as ISO strings, so a schema'd jsonLines read
+    * of the declared types round-trips them exactly.
+    */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** S5 warehouse sink abstraction. */
   trait WarehouseSink {
     def save(df: DataFrame, table: String): Unit

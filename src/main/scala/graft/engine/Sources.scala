@@ -43,6 +43,16 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSON-lines read with a declared schema. Schema-first for the same
+    * reasons as [[csvWithSchema]] — inference costs a full extra pass over
+    * the data (prohibitive at scale) and may widen types run-to-run; a
+    * declared StructType parses in one pass into stable types. One JSON
+    * object per line keeps files splittable (the multiLine option has the
+    * same one-task-per-file hazard as CSV).
+    */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Schema-evolution read: union the schemas of all files in the directory
     * (columns absent in older files surface as nulls). Off by default in
     * Spark because footer-merging costs a pass over file metadata — turn it

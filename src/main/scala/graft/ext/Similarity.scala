@@ -95,6 +95,39 @@ object Similarity {
         col("__cell") === col("__ccell") && col("query_id") =!= col("neighbor_id")), k)
   }
 
+  /** Multi-probe IVF ANN: each query probes its `nprobe` nearest cells by
+    * centroid distance (not just its own cell, which is `annTopKByCell`'s
+    * recall floor), then ranks exact cosine within the probed candidates.
+    * This is the standard IVF nprobe>1 recall knob: cross-cell neighbors
+    * near a cell boundary become reachable at ~nprobe/cells of brute-force
+    * cost. Centroids and the probe list are cell-bounded (broadcastable at
+    * any corpus size); the candidate join shuffles on the cell key.
+    */
+  def annTopKMultiProbe(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, nprobe: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val cents = exactCentroids(corpus, vecCol, cellCol)
+    val dist2 = aggregate(
+      zip_with(col(vecCol), col("centroid"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, v) => acc + v)
+    val probed = graft.plans.TopKPerKey.of(
+        spread(queries, idCol)
+          .crossJoin(broadcast(cents))
+          .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+            col("cell").as("__cell"), dist2.as("__d2")),
+        keyCols = Seq("query_id"), order = Seq("__d2" -> true, "__cell" -> true),
+        k = nprobe)
+      .select(col("query_id"), col("__qv"),
+        sqrt(nativeDot(col("__qv"), col("__qv"))).as("__qn"), col("__cell"))
+    val c = withNorm(spread(corpus, idCol), vecCol)
+      .select(col(cellCol).as("__ccell"), col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"), col("__norm").as("__cn"))
+    rankTopK(
+      c.join(broadcast(probed),
+        col("__cell") === col("__ccell") && col("query_id") =!= col("neighbor_id")), k)
+  }
+
   /** Per-query ranking via the custom heap-based TopKPerKey operator
     * (graft.plans): same shuffle as the window-rank idiom but O(n log k)
     * per partition with bounded memory instead of a full per-key sort.

@@ -438,6 +438,54 @@ object ExtQueries {
           UNION ALL
           SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 10 = 0
         ) ORDER BY doc_id
+      """.trim)),
+
+    // Multi-probe IVF ANN (nprobe=2): each query searches its TWO nearest
+    // cells by exact centroid distance — the recall knob over q27's
+    // own-cell-only probe; candidates still cell-bounded, never brute-force.
+    Q(
+      "q44_ann_multiprobe",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.annTopKMultiProbe(
+            e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding", "label",
+            nprobe = 2, k = 3)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT label, CAST(u.i - 1 AS INTEGER) AS dim,
+                 CAST(SUM(CAST(CAST(u.v AS DOUBLE) * 281474976710656 AS DECIMAL(38,0))) AS DOUBLE)
+                   / 281474976710656 / COUNT(*) AS mean
+          FROM embeddings,
+               LATERAL (SELECT unnest(embedding) AS v,
+                               generate_subscripts(embedding, 1) AS i) u
+          GROUP BY label, dim
+        ), c AS (
+          SELECT label AS cell, list(mean ORDER BY dim) AS centroid FROM m GROUP BY label
+        ), pr AS (
+          SELECT e.vec_id AS query_id, e.embedding AS qe, c.cell,
+                 list_sum([(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                           * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                           FOR i IN generate_series(1, len(e.embedding))]) AS d2
+          FROM embeddings e CROSS JOIN c
+          WHERE e.vec_id % 20 = 0
+          QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d2, c.cell) <= 2
+        ), cand AS (
+          SELECT pr.query_id, pr.qe,
+                 sqrt(${duckDot("pr.qe", "pr.qe")}) AS qn,
+                 n.vec_id AS neighbor_id, n.embedding AS ne,
+                 sqrt(${duckDot("n.embedding", "n.embedding")}) AS nn
+          FROM pr JOIN embeddings n ON n.label = pr.cell AND n.vec_id <> pr.query_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY ${duckDot("qe", "ne")} / (qn * nn) DESC, neighbor_id) AS INTEGER) AS rank,
+               ${duckDot("qe", "ne")} / (qn * nn) AS cosine
+        FROM cand
+        QUALIFY rank <= 3
+        ORDER BY query_id, rank
       """.trim))
   )
 }

@@ -325,6 +325,94 @@ object PipelineQueries {
                CAST(COUNT(*) AS BIGINT) AS n_agree
         FROM events WHERE props IS NOT NULL
         GROUP BY event_type ORDER BY event_type
+      """.trim)),
+
+    // Backward as-of join (engine.AsOfJoin): each click is enriched with the
+    // latest at-or-before purchase of the same user — union+window, one
+    // shuffle on the key, no range-join pair blowup. The oracle mirrors the
+    // same formulation (DuckDB's native ASOF JOIN has the same semantics but
+    // different tie handling; the window mirror is bit-identical).
+    Q(
+      "q41_asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "ts", "user_id", "value")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("value").as("purchase_value"), col("event_id").as("purchase_id"))
+        AsOfJoin.asofBackward(clicks, purchases, key = "user_id",
+            leftTime = "ts", rightTime = "ts", tieBreak = "event_id",
+            rightVals = Seq("purchase_value", "purchase_id"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id AS k, ts AS t, 1 AS side, event_id AS tb,
+                 event_id, ts, user_id, value,
+                 CAST(NULL AS DOUBLE) AS pv, CAST(NULL AS BIGINT) AS pid
+          FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id, ts, 0, event_id,
+                 NULL, NULL, NULL, NULL, value, event_id
+          FROM events WHERE event_type = 'purchase'
+        ), m AS (
+          SELECT side, event_id, ts, user_id, value,
+                 last_value(pv IGNORE NULLS) OVER w AS purchase_value,
+                 last_value(pid IGNORE NULLS) OVER w AS purchase_id
+          FROM u
+          WINDOW w AS (PARTITION BY k ORDER BY t, side, tb
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, ts, user_id, value, purchase_value, purchase_id
+        FROM m WHERE side = 1 ORDER BY event_id
+      """.trim)),
+
+    // JSON-lines sink + schema'd source round-trip (Sources.jsonLines /
+    // Sinks.writeJson): result equals the direct projection, proving the
+    // format round-trips types (date via ISO string, shortest-round-trip
+    // doubles) exactly.
+    Q(
+      "q42_json_roundtrip",
+      (s, dir) => {
+        val out = s"/tmp/graft_scratch/${new java.io.File(dir).getName}_orders_json"
+        val proj = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("total"),
+          col("o_orderdate"))
+        Sinks.writeJson(proj, out)
+        Sources.jsonLines(s, out, proj.schema).orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS total, o_orderdate
+        FROM orders ORDER BY o_orderkey
+      """.trim)),
+
+    // CUBE: all four grouping combinations with grouping-id disambiguation
+    // (completes the multi-level agg family next to q20's ROLLUP and q34's
+    // PIVOT).
+    Q(
+      "q43_cube",
+      (s, dir) => Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          Exact.sumD(col("o_totalprice")).as("sales"),
+          grouping_id().cast("int").as("gid"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("sales"), col("gid"))
+        .orderBy("gid", "status", "priority"),
+      Some("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS sales,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY gid, status, priority
       """.trim))
   )
 }

@@ -78,4 +78,18 @@ class SourcesSpec extends SparkSpec {
     val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
     assert(files >= 2, s"expected multiple files from maxRecordsPerFile, got $files")
   }
+
+  test("JSON-lines sink + schema'd source roundtrips types exactly") {
+    val dir = Files.createTempDirectory("graft_json").toString + "/out"
+    val df = graft.Tables.orders(spark, sf0001).select(
+      org.apache.spark.sql.functions.col("o_orderkey"),
+      org.apache.spark.sql.functions.col("o_totalprice")
+        .cast("double").as("total"),
+      org.apache.spark.sql.functions.col("o_orderdate"))
+    Sinks.writeJson(df, dir)
+    val back = Sources.jsonLines(spark, dir, df.schema)
+    assert(back.schema === df.schema)
+    assert(back.except(df).count() === 0)
+    assert(df.except(back).count() === 0)
+  }
 }

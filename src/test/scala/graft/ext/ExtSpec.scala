@@ -75,6 +75,31 @@ class ExtSpec extends SparkSpec {
     assert(out === Set(1L))
   }
 
+  test("annTopKMultiProbe reaches a cross-cell neighbor the own-cell probe misses") {
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f)),
+      (1L, 0, Array(0.9f, 0.1f)),
+      (2L, 1, Array(1.0f, 0.01f)), // nearer than 1, lives in the adjacent cell
+      (3L, 2, Array(-1.0f, 0.0f))  // far cell: must not be probed at nprobe=2
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.annTopKMultiProbe(
+        vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", "label",
+        nprobe = 2, k = 5)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 2L))
+  }
+
+  test("annTopKMultiProbe with nprobe = all cells equals brute-force top-k") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val cells = e.select("label").distinct().count().toInt
+    val multi = Similarity.annTopKMultiProbe(q, e, "vec_id", "embedding", "label",
+      nprobe = cells, k = 3)
+    val brute = Similarity.topKCosine(q, e, "vec_id", "embedding", k = 3)
+    assert(multi.except(brute).count() === 0)
+    assert(brute.except(multi).count() === 0)
+  }
+
   test("hyperplaneBucket is deterministic and spreads vectors") {
     val e = Tables.embeddings(spark, sf0001)
     val b1 = e.select(col("vec_id"), Similarity.hyperplaneBucket(col("embedding"), 8).as("b"))
