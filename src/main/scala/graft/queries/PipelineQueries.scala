@@ -413,6 +413,31 @@ object PipelineQueries {
                CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY gid, status, priority
+      """.trim)),
+
+    // Bucketed range join (engine.RangeJoin): customers whose balance falls
+    // inside a +/-25 band around each supplier balance — theta predicate
+    // turned into a bucket equi-join + residual filter, no nested loop.
+    Q(
+      "q45_range_join",
+      (s, dir) => {
+        val pts = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_acctbal").cast("double").as("bal"))
+        val ivs = Tables.supplier(s, dir).select(col("s_suppkey"),
+          (col("s_acctbal").cast("double") - 25.0).as("lo"),
+          (col("s_acctbal").cast("double") + 25.0).as("hi"))
+        RangeJoin.pointInInterval(pts, ivs, "bal", "lo", "hi", step = 50.0)
+          .orderBy("c_custkey", "s_suppkey")
+      },
+      Some("""
+        SELECT c.c_custkey, CAST(c.c_acctbal AS DOUBLE) AS bal,
+               s.s_suppkey,
+               CAST(s.s_acctbal AS DOUBLE) - 25.0 AS lo,
+               CAST(s.s_acctbal AS DOUBLE) + 25.0 AS hi
+        FROM customer c JOIN supplier s
+          ON CAST(s.s_acctbal AS DOUBLE) - 25.0 <= CAST(c.c_acctbal AS DOUBLE)
+         AND CAST(c.c_acctbal AS DOUBLE) < CAST(s.s_acctbal AS DOUBLE) + 25.0
+        ORDER BY c_custkey, s_suppkey
       """.trim))
   )
 }

@@ -123,6 +123,29 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream interval join: enrich one event stream with
+    * the other stream's rows for the same user within a bounded event-time
+    * lookback (r.ts in [l.ts - window, l.ts]). Both sides carry watermarks
+    * and the condition bounds time in BOTH directions — that is what lets
+    * Spark evict buffered join state once the watermark passes the
+    * interval; an unbounded condition would buffer each side forever (and
+    * is rejected in append mode). This is the streaming analog of
+    * engine.AsOfJoin/RangeJoin restricted to a finite lookback — an
+    * unbounded as-of can never be finalized on an infinite stream.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      lookbackSeconds: Long = 3600L,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+    val r = right.select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") <= col("ts") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $lookbackSeconds SECONDS"))
+  }
+
   /** Standard sink wiring: append-mode parquet with checkpointing — the
     * writeStream half of the contract. Returns the started query; callers
     * own awaitTermination/stop.

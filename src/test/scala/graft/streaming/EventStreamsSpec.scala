@@ -90,6 +90,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStream matches only in-lookback same-user pairs") {
+    val clicks = MemoryStream[Event](spark)
+    val buys = MemoryStream[Event](spark)
+    val q = EventStreams.intervalJoinStream(
+        clicks.toDF(), buys.toDF(),
+        lookbackSeconds = 1800L, watermarkDelay = "10 minutes")
+      .select("event_id", "r_event_id")
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      buys.addData(
+        Event(10L, ts(0), 100L, "purchase", 5.0),   // 10:00 — inside lookback
+        Event(11L, ts(0), 999L, "purchase", 5.0))   // other user: no match
+      clicks.addData(
+        Event(1L, ts(20), 100L, "click", 1.0),      // 10:20 — sees buy 10
+        Event(2L, ts(40), 100L, "click", 1.0))      // 10:40 — 40min gap: outside
+      // advance both watermarks so the joinable region is finalized
+      buys.addData(Event(12L, ts(120), 500L, "purchase", 1.0))
+      clicks.addData(Event(3L, ts(120), 500L, "click", 1.0))
+      q.processAllAvailable()
+      val pairs = spark.table("ivj").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 10L)), s"in-window pair missing from $pairs")
+      assert(!pairs.contains((2L, 10L)), "outside-lookback pair must not match")
+      assert(!pairs.exists(_._2 == 11L), "cross-user pair must not match")
+    } finally q.stop()
+  }
+
   test("streaming parquet source + sink round-trip (readStream -> writeStream)") {
     val out = "/tmp/graft_scratch/stream_sink"
     val ckpt = "/tmp/graft_scratch/stream_ckpt"
