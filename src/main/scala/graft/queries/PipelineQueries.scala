@@ -438,6 +438,40 @@ object PipelineQueries {
           ON CAST(s.s_acctbal AS DOUBLE) - 25.0 <= CAST(c.c_acctbal AS DOUBLE)
          AND CAST(c.c_acctbal AS DOUBLE) < CAST(s.s_acctbal AS DOUBLE) + 25.0
         ORDER BY c_custkey, s_suppkey
+      """.trim)),
+
+    // Window analytics q14 does not reach: ntile banding, percent_rank /
+    // cume_dist (exact single-division doubles), and a RANGE frame (90-day
+    // trailing spend — peers at the same day share the frame, unlike ROWS).
+    // The frame sum is decimal-exact (associative) before the double cast.
+    Q(
+      "q46_window_frames",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val dayN = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+        val byPrice = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val byDay = Window.partitionBy(col("o_custkey")).orderBy(dayN)
+        Tables.orders(s, dir).select(
+          col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(byPrice).as("price_quartile"),
+          percent_rank().over(byPrice).as("price_pr"),
+          cume_dist().over(byPrice).as("price_cd"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .over(byDay.rangeBetween(-90, 0)).cast("double").as("spend_90d"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(ntile(4) OVER wp AS INTEGER) AS price_quartile,
+               percent_rank() OVER wp AS price_pr,
+               cume_dist() OVER wp AS price_cd,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wd AS DOUBLE) AS spend_90d
+        FROM (SELECT *, date_diff('day', DATE '1992-01-01', o_orderdate) AS dayn FROM orders)
+        WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+               wd AS (PARTITION BY o_custkey ORDER BY dayn
+                      RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey
       """.trim))
   )
 }

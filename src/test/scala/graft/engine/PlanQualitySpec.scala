@@ -89,4 +89,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(hintLines.isEmpty || !optimized.contains("broadcast(customer)"))
     assert(df.columns.contains("fact_id"))
   }
+
+  test("as-of join plans one key shuffle and no join operator at all") {
+    val ev = Tables.events(spark, sf0001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "ts", "user_id", "value")
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("value").as("pv"), col("event_id").as("pid"))
+    val df = AsOfJoin.asofBackward(clicks, buys, "user_id", "ts", "ts",
+      "event_id", Seq("pv", "pid"))
+    val physical = df.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(physical).size
+    assert(shuffles === 1, s"as-of should shuffle exactly once on the key:\n$physical")
+    assert(!physical.contains("Join"),
+      s"union+window as-of must not materialize a join:\n$physical")
+  }
+
+  test("bucketed range join plans a hash join, never a nested loop") {
+    val pts = Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_acctbal").cast("double").as("bal"))
+    val ivs = Tables.supplier(spark, sf0001).select(col("s_suppkey"),
+      (col("s_acctbal").cast("double") - 25.0).as("lo"),
+      (col("s_acctbal").cast("double") + 25.0).as("hi"))
+    val bucketed = RangeJoin.pointInInterval(pts, ivs, "bal", "lo", "hi", step = 50.0)
+      .queryExecution.executedPlan.toString
+    assert(!bucketed.contains("BroadcastNestedLoopJoin") && !bucketed.contains("CartesianProduct"),
+      s"bucketed form must plan an equi-join:\n$bucketed")
+    val naive = RangeJoin.pointInIntervalNaive(pts, ivs, "bal", "lo", "hi")
+      .queryExecution.executedPlan.toString
+    assert(naive.contains("BroadcastNestedLoopJoin"),
+      "naive form is the nested-loop baseline this operator exists to avoid")
+  }
 }
