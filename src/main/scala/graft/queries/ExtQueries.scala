@@ -486,6 +486,66 @@ object ExtQueries {
         FROM cand
         QUALIFY rank <= 3
         ORDER BY query_id, rank
+      """.trim)),
+
+    // Per-language top-k vocabulary (corpus frequency tables — the vocab
+    // extraction pass of a training-data pipeline): token counts per lang,
+    // ranked by the custom heap TopKPerKey operator (its second engine use
+    // beyond similarity ranking).
+    Q(
+      "q47_vocab_topk",
+      (s, dir) => {
+        val counts = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .groupBy("lang", "token")
+          .agg(count(lit(1)).as("n"))
+        graft.plans.TopKPerKey.of(counts,
+            keyCols = Seq("lang"), order = Seq("n" -> false, "token" -> true), k = 10)
+          .select("lang", "token", "n", "rank")
+          .orderBy("lang", "rank")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT lang, unnest($Toks) AS token FROM documents
+        ), c AS (
+          SELECT lang, token, COUNT(*) AS n FROM t GROUP BY lang, token
+        )
+        SELECT lang, token, CAST(n AS BIGINT) AS n,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS INTEGER) AS rank
+        FROM c QUALIFY rank <= 10 ORDER BY lang, rank
+      """.trim)),
+
+    // Per-document trigram repetition ratio — the standard repetition
+    // quality filter (drop documents whose n-grams repeat heavily). distinct
+    // vs total shingle counts; the ratio is two IEEE ops, engine-identical.
+    Q(
+      "q48_doc_repetition",
+      (s, dir) => Tables.documents(s, dir)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          greatest(size(col("__toks")) - 2, lit(0)).as("total_3grams"),
+          size(NearDup.shingles(col("__toks"), 3)).as("distinct_3grams"))
+        .withColumn("repetition",
+          when(col("total_3grams") > 0,
+            lit(1.0) - col("distinct_3grams").cast("double") / col("total_3grams"))
+            .otherwise(lit(0.0)))
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, $Toks AS w FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 CAST(greatest(len(w) - 2, 0) AS INTEGER) AS total_3grams,
+                 CAST(len(${duckShingles("w", 3)}) AS INTEGER) AS distinct_3grams
+          FROM t
+        )
+        SELECT doc_id, total_3grams, distinct_3grams,
+               CASE WHEN total_3grams > 0
+                    THEN 1.0 - CAST(distinct_3grams AS DOUBLE) / total_3grams
+                    ELSE 0.0 END AS repetition
+        FROM s ORDER BY doc_id
       """.trim))
   )
 }
