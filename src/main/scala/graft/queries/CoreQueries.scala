@@ -294,6 +294,30 @@ object CoreQueries {
         ORDER BY o_custkey, tag
       """.trim)),
 
+    // Multiset set-op variants (SQL-standard ALL semantics: INTERSECT ALL =
+    // min(count_l, count_r) copies per key, EXCEPT ALL = max(0, l - r)) —
+    // completes section 2.7 next to q13's distinct forms.
+    Q(
+      "q49_set_ops_all",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        val done = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        open.intersectAll(done).withColumn("tag", lit("both_all"))
+          .unionByName(open.exceptAll(done).withColumn("tag", lit("open_excess")))
+          .orderBy("o_custkey", "tag")
+      },
+      Some("""
+        SELECT o_custkey, 'both_all' AS tag FROM (
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        UNION ALL
+        SELECT o_custkey, 'open_excess' AS tag FROM (
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        ORDER BY o_custkey, tag
+      """.trim)),
+
     // Section 2.5 generalized windows: ranking, offsets, running frame.
     Q(
       "q14_window_funcs",
