@@ -68,6 +68,29 @@ object Sinks {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Small-files compaction: rewrite a parquet directory into ~targetFiles
+    * files. Continuous/append ingestion accumulates many small files, and at
+    * scale the per-file open cost (plus task-per-file scheduling under
+    * non-splittable readers) dominates scans — periodic compaction is the
+    * standard lake-maintenance op. Writes to a sibling temp directory first:
+    * overwriting the path being lazily read would destroy the input mid-job;
+    * the swap is two filesystem renames, and `clearCache` drops any stale
+    * FileIndex for the old file set (same workaround the reference needs
+    * after overwrite, final_dim_load.py:455).
+    */
+  def compactParquet(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(path + "__compact_tmp")
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = new Path(path)
+    fs.delete(dest, true)
+    require(fs.rename(tmp, dest), s"compaction swap failed for $path")
+    spark.catalog.clearCache()
+  }
+
   /** S5 warehouse sink abstraction. */
   trait WarehouseSink {
     def save(df: DataFrame, table: String): Unit

@@ -79,6 +79,21 @@ class SourcesSpec extends SparkSpec {
     assert(files >= 2, s"expected multiple files from maxRecordsPerFile, got $files")
   }
 
+  test("compactParquet collapses a many-file directory, preserving rows") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/out"
+    val df = graft.Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
+    Sinks.writeParquet(df, dir, maxRecordsPerFile = 50L) // force many small files
+    def parquetFiles() =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    assert(before > 2, s"fixture should start fragmented, got $before files")
+    Sinks.compactParquet(spark, dir, targetFiles = 2)
+    assert(parquetFiles() <= 2, s"expected <=2 files after compaction, got ${parquetFiles()}")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === df.count())
+    assert(back.except(df).count() === 0 && df.except(back).count() === 0)
+  }
+
   test("JSON-lines sink + schema'd source roundtrips types exactly") {
     val dir = Files.createTempDirectory("graft_json").toString + "/out"
     val df = graft.Tables.orders(spark, sf0001).select(
