@@ -133,7 +133,18 @@ object NearDup {
       spread(
         docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks")),
         idCol)
-        .select(col(idCol), shingles(col("__toks"), n).as("__shingles")),
+        .select(col(idCol), shingles(col("__toks"), n).as("__shingles"))
+        // The empty-doc/null filters live HERE, inside the shared frame, so
+        // every consumer's exchange subtree carries the IDENTICAL predicate
+        // set. Applied outside, the optimizer pushes a different inferred
+        // variant below each consumer's exchange (the explode branch infers
+        // isnotnull(__shingles), the join branches only isnotnull(id)),
+        // the canonical forms diverge, and exchange reuse never fires —
+        // the whole tokenize+shingle pipeline then re-executes per
+        // consumer. Semantics-neutral for all callers: zero-shingle docs
+        // can never appear in pair output.
+        .filter(col(idCol).isNotNull && col("__shingles").isNotNull &&
+          size(col("__shingles")) > 0),
       idCol)
 
   /** Exact near-dup pairs via inverted-index join: explode shingles, join on
@@ -175,7 +186,6 @@ object NearDup {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rowsPerBand = k / bands
     val sh = withShingles(docs, idCol, textCol, n)
-      .filter(size(col("__shingles")) > 0)
     val banded = minHashSignatureFrame(sh, idCol, k)
       .select(col(idCol),
         explode(bandBuckets(col("__sig"), bands, rowsPerBand)).as("__bb"))

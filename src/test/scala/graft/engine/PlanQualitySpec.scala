@@ -106,6 +106,23 @@ class PlanQualitySpec extends SparkSpec {
       s"union+window as-of must not materialize a join:\n$physical")
   }
 
+  test("minhash near-dup plan reuses the shingle exchange (single evaluation)") {
+    // The shingle frame feeds the signature aggregate plus BOTH verify
+    // joins; without the exchange-reuse point it re-executes per consumer
+    // (3x, once the dominant bench cost). Reuse materializes at RUNTIME
+    // under AQE (reused shuffle stages in the final adaptive plan), so the
+    // plan is inspected after an action. The subtrees only canonicalize
+    // identically because withShingles carries its null/size filters
+    // inside the shared frame — this spec pins that.
+    val df = graft.ext.NearDup.minHashNearDupPairs(
+      graft.Tables.documents(spark, sf0001), "doc_id", "text",
+      n = 3, k = 16, bands = 4, threshold = 0.8)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange") || finalPlan.contains("ReusedQueryStage"),
+      s"expected a reused shingle exchange/stage in the final adaptive plan:\n$finalPlan")
+  }
+
   test("bucketed range join plans a hash join, never a nested loop") {
     val pts = Tables.customer(spark, sf0001)
       .select(col("c_custkey"), col("c_acctbal").cast("double").as("bal"))
