@@ -102,6 +102,56 @@ object TextAnalysis {
     }
   }
 
+  /** Mean token length in characters (0.0 for an empty token list). Fixed
+    * IEEE shape — long sum of lengths, one double division — so DuckDB
+    * reproduces it bitwise. Takes the materialized token ARRAY.
+    */
+  def meanTokenLen(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks).cast("double"))
+
+  /** Sliding-window token chunking — the context-window packing pass of a
+    * training-data pipeline. Emits one row per (doc, chunk): overlapping
+    * windows of `window` tokens advancing by `stride` (`window >= stride` so
+    * consecutive chunks overlap by `window - stride` tokens, and every token
+    * is covered). Chunk count is `1 + ceil(max(nt - window, 0) / stride)`,
+    * computed in integer arithmetic so both engines agree exactly.
+    *
+    * Pure per-row Generate (sequence + explode) over map-side expressions: no
+    * shuffle, linear in corpus size, survives column pruning — the shape that
+    * holds at 100 TB. `chunk_fp` is the shared 60-bit hash of the
+    * space-joined chunk tokens, usable downstream as a chunk-level dedup key.
+    */
+  def chunkFrame(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need window >= stride > 0, got window=$window stride=$stride")
+    val nChunksMinus1 = expr(s"(greatest(__nt - $window, 0) + ${stride - 1}) div $stride")
+    val chunkLen = least(lit(window), col("__nt") - col("__ci") * stride).cast("int")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).as("__nt"))
+      .filter(col("__nt") > 0)
+      .select(col(idCol), col("__toks"), col("__nt"),
+        explode(sequence(lit(0L), nChunksMinus1)).as("__ci"))
+      .select(col(idCol),
+        col("__ci").cast("int").as("chunk_idx"),
+        chunkLen.as("n_tokens"),
+        TextHash.hash60(concat_ws(" ",
+          slice(col("__toks"), (col("__ci") * stride + 1).cast("int"), chunkLen)))
+          .as("chunk_fp"))
+  }
+
+  /** Deterministic stratum-sampling bucket in [0, denom): shared 60-bit hash
+    * of the salted id. A row is kept when its bucket falls below
+    * `rate * denom` for its stratum — a pure map-side filter (no shuffle, no
+    * rand()), so membership is stable across runs, re-shards, and engines,
+    * and the filter sits directly on the scan at any scale.
+    */
+  def stratumBucket(id: Column, salt: String, denom: Long = 10000L): Column =
+    pmod(TextHash.hash60(concat(id.cast("string"), lit(salt))), lit(denom))
+
   /** Content-defined rolling fingerprint: 60-bit hash of each word 8-gram,
     * then the minimum — a cheap locality-insensitive document signature used
     * for shard-local grouping before exact comparison. Takes a materialized

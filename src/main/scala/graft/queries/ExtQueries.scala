@@ -546,6 +546,157 @@ object ExtQueries {
                     THEN 1.0 - CAST(distinct_3grams AS DOUBLE) / total_3grams
                     ELSE 0.0 END AS repetition
         FROM s ORDER BY doc_id
+      """.trim)),
+
+    // Sliding-window token chunking (context-window packing): one row per
+    // overlapping 32-token window advancing by 24. Pure map-side Generate —
+    // no shuffle, linear at 100 TB; chunk_fp doubles as a chunk-dedup key.
+    Q(
+      "q50_doc_chunks",
+      (s, dir) => TextAnalysis.chunkFrame(
+          Tables.documents(s, dir)
+            .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id")),
+          "doc_id", "text", window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx"),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, $Toks AS w FROM documents
+        ), s AS (
+          SELECT doc_id, w, CAST(len(w) AS INTEGER) AS nt FROM t WHERE len(w) > 0
+        ), c AS (
+          SELECT doc_id, w, nt,
+                 unnest(generate_series(0, (greatest(nt - 32, 0) + 23) // 24)) AS ci
+          FROM s
+        )
+        SELECT doc_id,
+               CAST(ci AS INTEGER) AS chunk_idx,
+               CAST(least(32, nt - ci*24) AS INTEGER) AS n_tokens,
+               ${TextHash.duckHash60(
+                 "array_to_string(w[CAST(ci*24+1 AS BIGINT):CAST(least(ci*24+32, nt) AS BIGINT)], ' ')")} AS chunk_fp
+        FROM c ORDER BY doc_id, chunk_idx
+      """.trim)),
+
+    // Vocabulary coverage / OOV rate: corpus top-20 vocabulary (count desc,
+    // token asc — total order, so the LIMIT boundary is deterministic), then
+    // per-document out-of-vocabulary token counts via a broadcast left join
+    // against the tiny vocab. The vocab build is a distributed agg + top-k
+    // collect; the probe side never shuffles by token at any scale.
+    Q(
+      "q51_vocab_coverage",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        val vocab = tok.groupBy("token").agg(count(lit(1)).as("__n"))
+          .orderBy(col("__n").desc, col("token")).limit(20)
+          .select(col("token"), lit(1).as("__in"))
+        tok.join(broadcast(vocab), Seq("token"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_rate",
+            col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest($Toks) AS token FROM documents
+        ), vocab AS (
+          SELECT token FROM (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+          ORDER BY n DESC, token LIMIT 20
+        )
+        SELECT t.doc_id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+        FROM tok t LEFT JOIN vocab v ON t.token = v.token
+        GROUP BY t.doc_id ORDER BY doc_id
+      """.trim)),
+
+    // Gopher-style composite quality-rule filter: per-language pass rates for
+    // token-count bounds, mean-token-length bounds, trigram repetition, and
+    // stopword-fraction floor. All rules are map-side expressions over the
+    // materialized token array; one grouped agg by lang. Counts (not
+    // booleans) are surfaced so the driver compare stays null-free.
+    Q(
+      "q52_quality_rules",
+      (s, dir) => Tables.documents(s, dir)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        .select(col("lang"), TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("lang"),
+          size(col("__toks")).as("__nt"),
+          TextAnalysis.meanTokenLen(col("__toks")).as("__mtl"),
+          TextAnalysis.stopwordRatio(col("__toks")).as("__swr"),
+          greatest(size(col("__toks")) - 2, lit(0)).as("__t3"),
+          size(NearDup.shingles(col("__toks"), 3)).as("__d3"))
+        .withColumn("__rep",
+          when(col("__t3") > 0,
+            lit(1.0) - col("__d3").cast("double") / col("__t3"))
+            .otherwise(lit(0.0)))
+        .withColumn("__pass",
+          (col("__nt") >= 20 && col("__nt") <= 1000 &&
+            col("__mtl") >= 3.0 && col("__mtl") <= 10.0 &&
+            col("__rep") < 0.5 &&
+            col("__swr") >= 0.01).cast("int"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("__pass")).as("n_pass"))
+        .withColumn("pass_rate",
+          col("n_pass").cast("double") / col("n_docs").cast("double"))
+        .orderBy("lang"),
+      Some(s"""
+        WITH t AS (
+          SELECT lang, $Toks AS w FROM documents
+        ), m AS (
+          SELECT lang,
+                 CAST(len(w) AS INTEGER) AS nt,
+                 CASE WHEN len(w) = 0 THEN 0.0
+                      ELSE CAST(list_sum([CAST(len(x) AS BIGINT) FOR x IN w]) AS DOUBLE)
+                           / CAST(len(w) AS DOUBLE) END AS mtl,
+                 CASE WHEN len(w) = 0 THEN 0.0
+                      ELSE CAST(len([x FOR x IN w IF x IN ($StopList)]) AS DOUBLE)
+                           / CAST(len(w) AS DOUBLE) END AS swr,
+                 CAST(greatest(len(w) - 2, 0) AS INTEGER) AS t3,
+                 CAST(len(${duckShingles("w", 3)}) AS INTEGER) AS d3
+          FROM t
+        ), r AS (
+          SELECT lang, nt, mtl, swr,
+                 CASE WHEN t3 > 0 THEN 1.0 - CAST(d3 AS DOUBLE) / t3 ELSE 0.0 END AS rep
+          FROM m
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN nt >= 20 AND nt <= 1000
+                              AND mtl >= 3.0 AND mtl <= 10.0
+                              AND rep < 0.5 AND swr >= 0.01
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               CAST(SUM(CASE WHEN nt >= 20 AND nt <= 1000
+                              AND mtl >= 3.0 AND mtl <= 10.0
+                              AND rep < 0.5 AND swr >= 0.01
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS pass_rate
+        FROM r GROUP BY lang ORDER BY lang
+      """.trim)),
+
+    // Deterministic stratified sampling: per-language keep rates (en 50%,
+    // others 20%) decided by the shared salted 60-bit hash bucket — a pure
+    // scan-level filter (no shuffle, no rand()), so sample membership is
+    // stable across runs, re-shards, and engines.
+    Q(
+      "q53_stratified_sample",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.stratumBucket(col("doc_id"), "#strata").as("bucket"))
+        .filter(col("bucket") <
+          when(col("lang") === "en", lit(5000L)).otherwise(lit(2000L)))
+        .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id, lang,
+               ${TextHash.duckHash60("CAST(doc_id AS VARCHAR) || '#strata'")} % 10000 AS bucket
+        FROM documents
+        WHERE ${TextHash.duckHash60("CAST(doc_id AS VARCHAR) || '#strata'")} % 10000
+              < CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END
+        ORDER BY doc_id
       """.trim))
   )
 }

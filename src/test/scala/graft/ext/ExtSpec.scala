@@ -133,6 +133,41 @@ class ExtSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("chunkFrame: windows tile every token with the declared overlap") {
+    val w = 32; val s = 24
+    val chunks = TextAnalysis.chunkFrame(docs, "doc_id", "text", w, s)
+      .collect().groupBy(_.getLong(0))
+    val nts = docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (docId, rows) =>
+      val byIdx = rows.sortBy(_.getInt(1))
+      val nt = nts(docId)
+      // indices are 0..n-1 dense; every chunk is full-width except possibly
+      // the tail; the last chunk's window reaches exactly the last token
+      assert(byIdx.map(_.getInt(1)).toSeq === (0 until byIdx.length))
+      byIdx.init.foreach(r => assert(r.getInt(2) === w))
+      val last = byIdx.last
+      assert(last.getInt(1) * s + last.getInt(2) === nt)
+      // overlap w - s between consecutive starts means n chunks cover nt iff
+      // n == 1 + ceil(max(nt - w, 0) / s)
+      assert(byIdx.length === 1 + math.ceil(math.max(nt - w, 0) / s.toDouble).toInt)
+    }
+  }
+
+  test("stratumBucket is a stable scan-level filter with sane per-stratum rates") {
+    val bucketed = docs.select(col("doc_id"), col("lang"),
+      TextAnalysis.stratumBucket(col("doc_id"), "#strata").as("b"))
+    val once = bucketed.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val again = bucketed.repartition(7).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(once === again, "bucket must not depend on partitioning")
+    assert(once.values.forall(b => b >= 0 && b < 10000))
+    // ~50% keep-rate at rate 5000 (loose: hash uniformity, 500 docs)
+    val kept = once.values.count(_ < 5000).toDouble / once.size
+    assert(kept > 0.35 && kept < 0.65, s"keep rate $kept far from 0.5")
+  }
+
   test("Caching.withCached caches during the body and releases after") {
     val dims = Seq(Tables.nation(spark, sf0001), Tables.region(spark, sf0001))
     Caching.withCached(dims) {
