@@ -123,6 +123,21 @@ class PlanQualitySpec extends SparkSpec {
       s"expected a reused shingle exchange/stage in the final adaptive plan:\n$finalPlan")
   }
 
+  test("exact-Jaccard plan reuses the shingle exchange across its four consumers") {
+    // exactJaccardPairs consumes the shingle frame 4x: both inverted-index
+    // sides and both size lookups. Same reuse condition as the minhash spec:
+    // identical predicate sets inside withShingles => identical canonical
+    // subtrees => AQE reuses the repartition stage instead of re-running
+    // tokenize+shingle per consumer.
+    val df = graft.ext.NearDup.exactJaccardPairs(
+      graft.Tables.documents(spark, sf0001), "doc_id", "text",
+      n = 3, threshold = 0.8)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange") || finalPlan.contains("ReusedQueryStage"),
+      s"expected a reused shingle exchange/stage in the final adaptive plan:\n$finalPlan")
+  }
+
   test("bucketed range join plans a hash join, never a nested loop") {
     val pts = Tables.customer(spark, sf0001)
       .select(col("c_custkey"), col("c_acctbal").cast("double").as("bal"))
