@@ -221,6 +221,19 @@ object Similarity {
     * packed into a long. Oracle-reproducible; at scale this is the
     * data-independent candidate generator (group by bucket, pair within).
     */
+  /** Uniform 8-bit quantization codes for a materialized array<double>
+    * column with its per-row min/max: floor((x - min) * 255 / (max - min)),
+    * clamped to 255 (all zeros for a constant vector). floor (never
+    * half-rounding) over a fixed IEEE evaluation order, so any engine
+    * reproduces the codes bitwise. At 100 TB this is the embedding-storage
+    * compression pass: 4x smaller vectors ahead of ANN sharding, pure
+    * map-side work.
+    */
+  def quantCodes(dv: Column, qmin: Column, qmax: Column): Column =
+    when(qmax > qmin,
+      transform(dv, x => least(floor((x - qmin) * lit(255.0) / (qmax - qmin)), lit(255L))))
+      .otherwise(transform(dv, _ => lit(0L)))
+
   def hyperplaneBucket(vec: Column, planes: Int): Column = {
     require(planes >= 1 && planes <= 60)
     val bits = (0 until planes).map { p =>

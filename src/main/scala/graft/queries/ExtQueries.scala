@@ -697,6 +697,136 @@ object ExtQueries {
         WHERE ${TextHash.duckHash60("CAST(doc_id AS VARCHAR) || '#strata'")} % 10000
               < CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END
         ORDER BY doc_id
+      """.trim)),
+
+    // Uniform int8 embedding quantization (4x storage compression before ANN
+    // sharding): per-vector min/max range, floor-quantized codes, checksum.
+    // Pure map-side transform — no shuffle at any scale.
+    Q(
+      "q54_embed_quantize",
+      (s, dir) => Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("__dv"))
+        .select(col("vec_id"), col("__dv"),
+          array_min(col("__dv")).as("qmin"), array_max(col("__dv")).as("qmax"))
+        .select(col("vec_id"),
+          size(col("__dv")).cast("int").as("n_dims"),
+          col("qmin"), col("qmax"),
+          aggregate(Similarity.quantCodes(col("__dv"), col("qmin"), col("qmax")),
+            lit(0L), (acc, q) => acc + q).as("qsum"))
+        .orderBy("vec_id"),
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS dv FROM embeddings
+        ), m AS (
+          SELECT vec_id, dv, list_min(dv) AS qmin, list_max(dv) AS qmax FROM v
+        )
+        SELECT vec_id, CAST(len(dv) AS INTEGER) AS n_dims, qmin, qmax,
+               CAST(CASE WHEN qmax > qmin
+                    THEN list_sum([least(CAST(floor((x - qmin) * 255.0 / (qmax - qmin)) AS BIGINT), 255)
+                                   FOR x IN dv])
+                    ELSE 0 END AS BIGINT) AS qsum
+        FROM m ORDER BY vec_id
+      """.trim)),
+
+    // Bigram collocation extraction (PMI-style association without log — a
+    // pure count ratio, so the doubles are engine-identical): corpus bigram
+    // counts joined to unigram counts; top-20 by (count, bigram) total order.
+    // No join hints: the count tables are agg outputs, so AQE's runtime stats
+    // pick broadcast here and shuffle at web-scale vocabularies.
+    Q(
+      "q55_collocations",
+      (s, dir) => {
+        val toksF = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(TextAnalysis.tokens(col("text")).as("__toks"))
+        val bi = toksF.filter(size(col("__toks")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(__toks) - 1), i -> struct(element_at(__toks, i) AS w1, element_at(__toks, i + 1) AS w2))"))
+            .as("__p"))
+          .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 5)
+        val uni = toksF.select(explode(col("__toks")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("n"))
+        val total = uni.agg(sum(col("n")).as("__n_total"))
+        bi
+          .join(uni.select(col("word").as("w1"), col("n").as("n_a")), Seq("w1"))
+          .join(uni.select(col("word").as("w2"), col("n").as("n_b")), Seq("w2"))
+          .crossJoin(broadcast(total))
+          .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+            col("n_ab"), col("n_a"), col("n_b"),
+            ((col("n_ab").cast("double") * col("__n_total").cast("double"))
+              / (col("n_a").cast("double") * col("n_b").cast("double"))).as("assoc"))
+          .orderBy(col("n_ab").desc, col("bigram")).limit(20)
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT $Toks AS w FROM documents
+        ), ix AS (
+          SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM t
+        ), bc AS (
+          SELECT w[i] AS w1, w[i+1] AS w2, COUNT(*) AS n_ab
+          FROM ix GROUP BY w[i], w[i+1] HAVING COUNT(*) >= 5
+        ), uni AS (
+          SELECT word, COUNT(*) AS n FROM (SELECT unnest(w) AS word FROM t) GROUP BY word
+        )
+        SELECT b.w1 || ' ' || b.w2 AS bigram,
+               CAST(b.n_ab AS BIGINT) AS n_ab,
+               CAST(ua.n AS BIGINT) AS n_a,
+               CAST(ub.n AS BIGINT) AS n_b,
+               (CAST(b.n_ab AS DOUBLE) * CAST((SELECT SUM(n) FROM uni) AS DOUBLE))
+                 / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)) AS assoc
+        FROM bc b JOIN uni ua ON b.w1 = ua.word JOIN uni ub ON b.w2 = ub.word
+        ORDER BY n_ab DESC, bigram LIMIT 20
+      """.trim)),
+
+    // Train/test decontamination (the eval-overlap sweep of a training-data
+    // pipeline): hash-bucketed split assignment, distinct word 8-grams per
+    // doc hashed to 60-bit fingerprints, then an inverted-index join on the
+    // fingerprint between test and train — per test doc, how many train docs
+    // share an 8-gram and how many distinct 8-grams leak. Joining on the
+    // 8-byte hash (not the gram string) keeps the shuffle narrow at scale;
+    // shuffle_hash avoids broadcasting a doc-linear side.
+    Q(
+      "q56_decontaminate",
+      (s, dir) => {
+        val grams = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("doc_id"),
+            TextAnalysis.splitAssign(col("doc_id"),
+              Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"),
+            explode(NearDup.shingles(TextAnalysis.tokens(col("text")), 8)).as("__g"))
+          .select(col("doc_id"), col("split"), TextHash.hash60(col("__g")).as("fp"))
+        val test = grams.filter(col("split") === "test")
+          .select(col("doc_id").as("test_id"), col("fp"))
+        val train = grams.filter(col("split") === "train")
+          .select(col("doc_id").as("train_id"), col("fp"))
+        test.join(train.hint("shuffle_hash"), Seq("fp"))
+          .groupBy("test_id")
+          .agg(countDistinct(col("train_id")).as("n_train_docs"),
+            countDistinct(col("fp")).as("n_shared_grams"))
+          .orderBy("test_id")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN ${TextHash.duckHash60("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                      WHEN ${TextHash.duckHash60("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split,
+                 ${duckShingles(Toks, 8)} AS sh
+          FROM documents
+        ), g AS (
+          SELECT doc_id, split, unnest(sh) AS gram FROM d
+        ), h AS (
+          SELECT doc_id, split, ${TextHash.duckHash60("gram")} AS fp FROM g
+        )
+        SELECT t.doc_id AS test_id,
+               CAST(COUNT(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs,
+               CAST(COUNT(DISTINCT t.fp) AS BIGINT) AS n_shared_grams
+        FROM h t JOIN h tr ON t.fp = tr.fp
+        WHERE t.split = 'test' AND tr.split = 'train'
+        GROUP BY t.doc_id ORDER BY test_id
       """.trim))
   )
 }

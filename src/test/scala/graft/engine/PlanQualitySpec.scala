@@ -123,6 +123,35 @@ class PlanQualitySpec extends SparkSpec {
       s"expected a reused shingle exchange/stage in the final adaptive plan:\n$finalPlan")
   }
 
+  test("runtime bloom-filter pruning injects might_contain on the big probe side") {
+    // At 100 TB the win is pruning fact-scan output BEFORE the shuffle when
+    // the dim side carries a selective filter. Spark's InjectRuntimeFilter
+    // does exactly that (bloom built on the filtered creation side, probed
+    // below the fact-side exchange) — but only for shuffle joins past size
+    // thresholds tuned for clusters. Pin that the engine's plans remain
+    // eligible by dropping the thresholds and asserting the filter appears.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = Tables.orders(spark, sf0001)
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0)
+        .select("o_orderkey", "o_orderdate")
+      val fact = Tables.lineitem(spark, sf0001)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val plan = formattedPlan(joined).toLowerCase
+      assert(plan.contains("might_contain") || plan.contains("bloomfilter"),
+        s"expected an injected runtime bloom filter in:\n${formattedPlan(joined)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("exact-Jaccard plan reuses the shingle exchange across its four consumers") {
     // exactJaccardPairs consumes the shingle frame 4x: both inverted-index
     // sides and both size lookups. Same reuse condition as the minhash spec:
