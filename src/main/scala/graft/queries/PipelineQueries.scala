@@ -472,6 +472,162 @@ object PipelineQueries {
                wd AS (PARTITION BY o_custkey ORDER BY dayn
                       RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
         ORDER BY o_custkey, o_orderkey
+      """.trim)),
+
+    // Arbitrary GROUPING SETS (the general form behind rollup/cube): an
+    // explicit set list that neither rollup nor cube expresses — both
+    // single-dimension marginals plus the full cross, one Expand + one
+    // grouped agg (no re-scan per set).
+    Q(
+      "q57_grouping_sets",
+      (s, dir) => Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          Exact.sumD(col("o_totalprice")).as("sales"),
+          grouping_id().cast("int").as("gid"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("sales"), col("gid"))
+        .orderBy("gid", "status", "priority"),
+      Some("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS sales,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+        ORDER BY gid, status, priority
+      """.trim)),
+
+    // Time-series resample with gap fill: hourly buckets per event type over
+    // the full global span (generated spine x distinct types, left join,
+    // zero-fill) — the standard "no silent missing buckets" analytics shape.
+    // The spine generator is one sequence+explode from a 1-row agg: bounded
+    // cardinality at any scale; the grouped agg shuffles once.
+    Q(
+      "q58_gapfill_hourly",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val hourly = ev
+          .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            Exact.sumD(col("value"), 6).as("sum_value"))
+        val spine = ev
+          .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+            date_trunc("hour", max(col("ts"))).as("hi"))
+          .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("bucket"))
+        val types = ev.select(col("event_type")).distinct()
+        spine.crossJoin(types)
+          .join(hourly, Seq("bucket", "event_type"), "left")
+          .select(col("bucket"), col("event_type"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+          .orderBy("bucket", "event_type")
+      },
+      Some("""
+        WITH span AS (
+          SELECT time_bucket(INTERVAL 1 HOUR, MIN(ts)) AS lo,
+                 time_bucket(INTERVAL 1 HOUR, MAX(ts)) AS hi
+          FROM events
+        ), spine AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM span
+        ), types AS (
+          SELECT DISTINCT event_type FROM events
+        ), agg AS (
+          SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+                 COUNT(*) AS n_events,
+                 CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+          FROM events GROUP BY 1, 2
+        )
+        SELECT s.bucket AS bucket, t.event_type AS event_type,
+               CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+               COALESCE(a.sum_value, 0.0) AS sum_value
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN agg a ON a.bucket = s.bucket AND a.event_type = t.event_type
+        ORDER BY bucket, event_type
+      """.trim)),
+
+    // Fixed-width histogram binning: floor(x / width) bucket ids (one double
+    // division + floor — engine-identical), per-bin counts and exact min/max.
+    // Single grouped agg; the classic distribution-profiling pass.
+    Q(
+      "q59_histogram",
+      (s, dir) => Tables.orders(s, dir)
+        .select(floor(col("o_totalprice") / lit(50000.0)).as("bin"),
+          col("o_totalprice"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .withColumn("bin_lo", col("bin").cast("double") * lit(50000.0))
+        .orderBy("bin"),
+      Some("""
+        SELECT bin, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+               CAST(bin AS DOUBLE) * 50000.0 AS bin_lo
+        FROM (SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin, o_totalprice
+              FROM orders)
+        GROUP BY bin ORDER BY bin
+      """.trim)),
+
+    // Exact distributed second moments: mean / variance / correlation
+    // derived from exact decimal power sums (sum x, x^2, y, y^2, xy) — the
+    // moments stay associative and partition-count-independent (the Exact
+    // discipline generalized past first moments), and the final double
+    // formula is a fixed IEEE expression both engines evaluate identically.
+    // corr() built-ins are NOT used: their streaming accumulation is
+    // order-dependent and never bitwise across engines.
+    Q(
+      "q60_moments",
+      (s, dir) => Tables.orders(s, dir)
+        .select(col("o_orderstatus").as("status"),
+          col("o_totalprice").cast("decimal(18,2)").as("x"),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            .cast("decimal(18,0)").as("y"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("x")).cast("double").as("sx2"),
+          sum(col("y") * col("y")).cast("double").as("sy2"),
+          sum(col("x") * col("y")).cast("double").as("sxy"))
+        .select(col("status"), col("n"),
+          (col("sx") / col("n").cast("double")).as("mean_price"),
+          ((col("sx2") - col("sx") * col("sx") / col("n").cast("double"))
+            / col("n").cast("double")).as("var_price"),
+          ((col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n").cast("double") * col("sx2") - col("sx") * col("sx"))
+              * sqrt(col("n").cast("double") * col("sy2") - col("sy") * col("sy"))))
+            .as("corr_price_day"))
+        .orderBy("status"),
+      Some("""
+        WITH m AS (
+          SELECT o_orderstatus AS status,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS sx,
+                 CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(SUM(x * x) AS DOUBLE) AS sx2,
+                 CAST(SUM(y * y) AS DOUBLE) AS sy2,
+                 CAST(SUM(x * y) AS DOUBLE) AS sxy
+          FROM (SELECT o_orderstatus,
+                       CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+                       CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS DECIMAL(18,0)) AS y
+                FROM orders)
+          GROUP BY o_orderstatus
+        )
+        SELECT status, n,
+               sx / CAST(n AS DOUBLE) AS mean_price,
+               (sx2 - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS var_price,
+               (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sx2 - sx * sx)
+                    * sqrt(CAST(n AS DOUBLE) * sy2 - sy * sy)) AS corr_price_day
+        FROM m ORDER BY status
       """.trim))
   )
 }
