@@ -47,6 +47,43 @@ object Sinks {
     w2.parquet(path)
   }
 
+  /** Range-clustered Parquet write: range-partition by the cluster key, sort
+    * within partitions, then write — every output file covers a disjoint key
+    * range, so parquet footer min/max statistics skip whole files/rowgroups
+    * for range predicates. This is the lake "clustering" maintenance op: at
+    * 100 TB it turns a full scan for `key BETWEEN a AND b` into reading only
+    * the few files whose range intersects. One range shuffle (sampled
+    * boundaries), no global sort.
+    */
+  def writeRangeClustered(df: DataFrame, path: String, clusterCol: String,
+      numFiles: Int, maxRecordsPerFile: Long = 0L): Unit = {
+    import org.apache.spark.sql.functions.col
+    val clustered = df.repartitionByRange(numFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+    val w = clustered.write.mode(SaveMode.Overwrite)
+    val w2 = if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+    w2.parquet(path)
+  }
+
+  /** Dynamic partition overwrite: replace ONLY the partitions present in
+    * `df`, leaving sibling partitions untouched — the incremental-pipeline
+    * staple (reprocess one day without rewriting the table). Static
+    * overwrite mode would drop every partition first; the conf is scoped to
+    * this write and restored after.
+    */
+  def overwritePartitionsDynamic(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Bucketed + sorted table write: rows are pre-shuffled into `numBuckets`
     * by the bucket key at write time, so equi-joins (and aggregations)
     * between co-bucketed tables skip the shuffle entirely — the write-side

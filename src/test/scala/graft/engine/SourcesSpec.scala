@@ -94,6 +94,51 @@ class SourcesSpec extends SparkSpec {
     assert(back.except(df).count() === 0 && df.except(back).count() === 0)
   }
 
+  test("writeRangeClustered: output files cover disjoint key ranges") {
+    import org.apache.spark.sql.functions.{min, max, col}
+    val dir = Files.createTempDirectory("graft_cluster").toString + "/out"
+    val df = graft.Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
+    Sinks.writeRangeClustered(df, dir, "o_orderkey", numFiles = 5)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    assert(files.size > 1, "fixture should produce multiple files")
+    // footer min/max stats only skip files when ranges are disjoint —
+    // verify by reading each file's actual key range
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("o_orderkey"), max("o_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) =>
+        assert(hiA < loB, s"file ranges overlap: $ranges")
+      case _ =>
+    }
+    assert(spark.read.parquet(dir).count() === df.count())
+  }
+
+  test("overwritePartitionsDynamic replaces only the written partitions") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = Files.createTempDirectory("graft_dynpart").toString + "/out"
+    val base = graft.Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus").as("p"))
+    Sinks.writePartitioned(base, dir, Seq("p"))
+    val before = spark.read.parquet(dir)
+    val nOther = before.filter(col("p") =!= "F").count()
+    assert(nOther > 0)
+    // rewrite ONLY partition p=F with a single sentinel row
+    val replacement = base.filter(col("p") === "F").limit(1)
+      .withColumn("o_totalprice", lit(-1.0))
+    Sinks.overwritePartitionsDynamic(replacement, dir, Seq("p"))
+    spark.catalog.clearCache()
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("p") =!= "F").count() === nOther,
+      "sibling partitions must survive a dynamic overwrite")
+    assert(after.filter(col("p") === "F").count() === 1)
+    assert(after.filter(col("p") === "F").head().getAs[Double]("o_totalprice") === -1.0)
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode").forall(_ != "dynamic"),
+      "conf must be restored after the scoped write")
+  }
+
   test("JSON-lines sink + schema'd source roundtrips types exactly") {
     val dir = Files.createTempDirectory("graft_json").toString + "/out"
     val df = graft.Tables.orders(spark, sf0001).select(
