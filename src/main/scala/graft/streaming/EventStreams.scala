@@ -123,6 +123,24 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming CONTENT dedup: the streaming-ingest twin of the batch
+    * exact-dedup-by-fingerprint pass (ext.TextAnalysis.fingerprint). Keys the
+    * watermark-bounded dedup state on the md5 of the normalized text instead
+    * of a delivery id, so re-crawled / re-delivered copies of the same
+    * document body are suppressed even when their ids differ — the
+    * first-line dedup of a streaming training-data ingest. State is one
+    * 32-hex key per distinct document inside the watermark window; older
+    * state is evicted, which is the only shape that holds on an unbounded
+    * corpus stream.
+    */
+  def dedupContentStream(docs: DataFrame, textCol: String, tsCol: String,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__content_fp", graft.ext.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("__content_fp"))
+      .drop("__content_fp")
+
   /** Watermarked stream-stream interval join: enrich one event stream with
     * the other stream's rows for the same user within a bounded event-time
     * lookback (r.ts in [l.ts - window, l.ts]). Both sides carry watermarks

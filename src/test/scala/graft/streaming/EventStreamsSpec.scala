@@ -90,6 +90,25 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupContentStream suppresses same-body docs even under new ids") {
+    val in = MemoryStream[StreamedDoc](spark)
+    val q = EventStreams.dedupContentStream(in.toDF(), "text", "ts", "30 minutes")
+      .writeStream.format("memory").queryName("cdedup").outputMode("append").start()
+    try {
+      in.addData(
+        StreamedDoc(1L, ts(0), "alpha beta gamma"),
+        StreamedDoc(2L, ts(1), "  Alpha   BETA gamma "), // same normalized body, new id
+        StreamedDoc(3L, ts(1), "different body"))
+      q.processAllAvailable()
+      in.addData(StreamedDoc(4L, ts(5), "alpha beta gamma")) // re-crawl in window
+      q.processAllAvailable()
+      val ids = spark.table("cdedup").select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted === Seq(1L, 3L), s"got $ids")
+      assert(spark.table("cdedup").columns.toSeq === Seq("doc_id", "ts", "text"),
+        "fingerprint helper column must not leak into output")
+    } finally q.stop()
+  }
+
   test("intervalJoinStream matches only in-lookback same-user pairs") {
     val clicks = MemoryStream[Event](spark)
     val buys = MemoryStream[Event](spark)
@@ -134,3 +153,6 @@ class EventStreamsSpec extends SparkSpec {
     assert(n === graft.Tables.events(spark, sf0001).count())
   }
 }
+
+/** Top-level so MemoryStream gets a clean product encoder (no outer capture). */
+case class StreamedDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
