@@ -211,9 +211,9 @@ object NearDup {
     * unless some lower-id document is near-duplicate-similar to it. This is
     * the standard one-pass MinHash-dedup policy (no transitive closure: a
     * doc is dropped iff it pairs directly with a lower survivor-or-not id,
-    * which keeps the decision embarrassingly parallel — full connected
-    * components would need iterative label propagation and is rarely worth
-    * it at 0.8+ thresholds where clusters are tight).
+    * which keeps the decision embarrassingly parallel; see
+    * [[connectedComponents]] for the transitive-closure alternative when
+    * cluster-level resolution is required).
     * Returns the surviving rows of `docs`.
     */
   def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
@@ -224,6 +224,45 @@ object NearDup {
     val dropIds = minHashNearDupPairs(docs, idCol, textCol, n, k, bands, threshold)
       .select(col("id_b").as(idCol)).distinct()
     docs.join(dropIds.hint("shuffle_hash"), Seq(idCol), "left_anti")
+  }
+
+  /** Connected components over near-dup pairs: iterative min-label
+    * propagation until fixpoint — the transitive-closure complement to
+    * [[dropNearDuplicates]]'s greedy policy (a~b, b~c clusters all three
+    * even when a and c never pair directly). Each iteration is one join +
+    * one min-aggregate over the (sparse) edge set, all distributed; the
+    * driver only counts label changes. Iterations are bounded by the
+    * largest cluster diameter — tight near-dup clusters converge in 2-3.
+    * Output: one row per node appearing in `pairs`, labeled with the
+    * minimum id of its component (`cluster_id`). At cluster scale, swap the
+    * per-iteration `persist` for checkpointing to also truncate lineage.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val undirected = edges
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = undirected.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val prop = undirected.join(labels, undirected("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster_id"))
+      val next = labels.unionAll(prop)
+        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+        .persist()
+      val changed = next
+        .join(labels.select(col("id"), col("cluster_id").as("__old")), Seq("id"))
+        .filter(col("cluster_id") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    undirected.unpersist()
+    labels
   }
 
   /** 60-bit SimHash signatures, one row per document: hash each distinct

@@ -227,6 +227,34 @@ object ExtQueries {
         ORDER BY doc_id
       """.trim)),
 
+    // Near-dup CLUSTER resolution: connected components (iterative min-label
+    // propagation) over the verified MinHash pairs — the transitive closure
+    // q36's greedy policy skips. Oracle: DuckDB recursive CTE computing the
+    // same min-reachable-id labels.
+    Q(
+      "q61_neardup_clusters",
+      (s, dir) => NearDup.connectedComponents(
+          NearDup.minHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+            n = 3, k = 64, bands = 16, threshold = 0.8),
+          "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id"),
+      Some(s"""
+        ${("WITH RECURSIVE " + MinhashPairsCte.stripPrefix("WITH ")).trim}, edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM verified
+        ), nodes AS (
+          SELECT DISTINCT src AS v FROM edges
+        ), reach(v, label) AS (
+          SELECT v, v FROM nodes
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v
+        )
+        SELECT v AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY v ORDER BY doc_id
+      """.trim)),
+
     // SimHash signatures (60-bit): one shuffle, bit votes aggregated
     // map-side-partially.
     Q(

@@ -133,6 +133,20 @@ class ExtSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("connectedComponents labels transitive chains with the component minimum") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (one component: 1 and 3 never pair directly),
+    // pair 10-11, and a long path 20-21-22-23 (diameter > 1 iteration)
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (21L, 20L), (21L, 22L), (22L, 23L))
+      .toDF("id_a", "id_b")
+    val labels = NearDup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
   test("chunkFrame: windows tile every token with the declared overlap") {
     val w = 32; val s = 24
     val chunks = TextAnalysis.chunkFrame(docs, "doc_id", "text", w, s)
