@@ -53,7 +53,13 @@ object Debug {
     args.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val tc = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      // GRAFT_DUMP_DIR: write the Verify-shaped parquet for JUST these
+      // queries (drop-in refresh of a full Verify out-dir for a targeted
+      // tools/compare.py re-check); otherwise noop-materialize for timing.
+      sys.env.get("GRAFT_DUMP_DIR") match {
+        case Some(dir) => df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+        case None => df.write.format("noop").mode("overwrite").save()
+      }
       println(s"TIMING-COLD $name ${(System.nanoTime() - tc) / 1e9}")
       if (sys.env.contains("GRAFT_WARM")) {
         val t0 = System.nanoTime()

@@ -239,12 +239,26 @@ object NearDup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 50): DataFrame = {
+    val n = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // Pinned hash partitioning on src: every iteration's propagation join
+    // probes the edge set on src, so persisting it already partitioned means
+    // the per-iteration join re-shuffles only the (smaller) label frame —
+    // the edge set shuffles exactly once for the whole fixpoint.
     val undirected = edges
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
+      .distinct().repartition(n, col("src")).persist()
     var labels = undirected.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id")).persist()
+    // Convergence via the label-sum invariant: next(id) = min(old(id),
+    // incoming), so labels are monotonically non-increasing and the exact
+    // decimal sum is strictly smaller than the previous one until fixpoint
+    // (equal sums <=> no label moved). One tiny aggregate per iteration —
+    // no second join against the previous labels, and the same action that
+    // checks convergence also materializes the persisted next frame.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -253,12 +267,11 @@ object NearDup {
       val next = labels.unionAll(prop)
         .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
         .persist()
-      val changed = next
-        .join(labels.select(col("id"), col("cluster_id").as("__old")), Seq("id"))
-        .filter(col("cluster_id") =!= col("__old")).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
     undirected.unpersist()
@@ -292,6 +305,62 @@ object NearDup {
     }.reduce(_ + _)
     tokenHashes.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
       .select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash banded near-dup pairs: bucket signatures on `bands` disjoint
+    * bit-slices (two docs within Hamming distance d < bands must collide in
+    * at least one slice by pigeonhole, so candidate generation is complete
+    * for d <= bands-1 and probabilistically catches larger d), then verify
+    * candidates with the exact Hamming distance (bit_count of xor — pure
+    * integer ops, engine-identical). Completes the SimHash dedup path begun
+    * by [[simHashFrame]]: banding is the same never-all-pairs scale shape as
+    * MinHash LSH, but the signature is one long instead of k hashes.
+    *
+    * Buckets larger than `maxBucket` are suppressed before pairing
+    * (frequent-bucket suppression — the standard LSH guard): a bucket shared
+    * by thousands of docs is non-discriminative and would alone produce a
+    * quadratic pair blowup; docs in a suppressed bucket still pair through
+    * their other `bands - 1` slices. This cap is what keeps the operator's
+    * cost bounded on skewed real corpora, not just the test data.
+    * Output: (id_a, id_b, hamming) with id_a < id_b.
+    */
+  def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, maxHamming: Int = 6, maxBucket: Int = 64): DataFrame = {
+    require(bands >= 1 && 60 % bands == 0, s"bands=$bands must divide 60")
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    // The repartition places an exchange ABOVE the 60-vote aggregate: the
+    // only shuffle inside simHashFrame sits BELOW it (the spread), so
+    // without this boundary each of the four consumers (banding, bucket
+    // counting, both verify joins) would replay the whole explode+aggregate
+    // pipeline; with it, AQE materializes the narrow (id, simhash) frame
+    // once and every consumer reuses the stage.
+    val sigs = simHashFrame(docs, idCol, textCol).repartition(col(idCol))
+    val allBanded = sigs.select(col(idCol), explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"),
+          shiftright(col("simhash"), j * width).bitwiseAND(lit(mask)).as("bucket"))
+      }: _*)).as("__bb"))
+      .select(col(idCol), col("__bb.band").as("__band"), col("__bb.bucket").as("__bucket"))
+    val smallBuckets = allBanded.groupBy("__band", "__bucket")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
+    val banded = allBanded.join(smallBuckets.hint("shuffle_hash"), Seq("__band", "__bucket"))
+    val cand = banded.as("a")
+      .join(banded.as("b").hint("shuffle_hash"),
+        col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    // SHUFFLE_HASH: the signature frame is doc-linear — same broadcast-build
+    // reasoning as the MinHash verify joins.
+    cand
+      .join(sigs.select(col(idCol).as("id_a"), col("simhash").as("__sa")).hint("shuffle_hash"),
+        Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("simhash").as("__sb")).hint("shuffle_hash"),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(__sa ^ __sb)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** DuckDB SQL mirror of [[simHashFrame]] over a relation `docsRel` with

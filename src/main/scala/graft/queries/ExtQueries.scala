@@ -255,6 +255,86 @@ object ExtQueries {
         FROM reach GROUP BY v ORDER BY doc_id
       """.trim)),
 
+    // SimHash banded near-dup pairs: bit-slice bucketing (never all-pairs)
+    // + exact Hamming verify — the pair-generation step completing q25's
+    // signature computation. All integer ops, so the oracle is exact.
+    Q(
+      "q62_simhash_pairs",
+      (s, dir) => NearDup.simHashNearDupPairs(
+          Tables.documents(s, dir), "doc_id", "text",
+          bands = 4, maxHamming = 6, maxBucket = 64)
+        .orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH sigs AS (
+          ${NearDup.simHashOracleSql("documents", "doc_id", "text")}
+        ), all_banded AS (
+          SELECT doc_id, j, (simhash >> CAST(j * 15 AS INTEGER)) & 32767 AS bucket
+          FROM sigs CROSS JOIN range(0, 4) t(j)
+        ), banded AS (
+          SELECT doc_id, j, bucket FROM (
+            SELECT doc_id, j, bucket, COUNT(*) OVER (PARTITION BY j, bucket) AS bn
+            FROM all_banded
+          ) WHERE bn <= 64
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = id_a
+        JOIN sigs sb ON sb.doc_id = id_b
+        WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
+        ORDER BY id_a, id_b
+      """.trim)),
+
+    // TF-IDF keyword extraction (log-free: weight = tf * N / df, a pure
+    // count ratio rank-equivalent to tf-idf for a fixed doc): per-doc top-3
+    // terms via the heap TopKPerKey operator (its third engine use). The
+    // document-frequency table is an agg output, so AQE broadcasts it here
+    // and shuffles at web-scale vocabularies.
+    Q(
+      "q63_tfidf_keywords",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val n = Tables.documents(s, dir).agg(count(lit(1)).as("__n"))
+        val scored = tf.join(dfreq, Seq("token"))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("token"), col("tf"), col("df"),
+            (col("tf").cast("double") * col("__n").cast("double")
+              / col("df").cast("double")).as("weight"))
+        graft.plans.TopKPerKey.of(scored,
+            keyCols = Seq("doc_id"), order = Seq("weight" -> false, "token" -> true), k = 3)
+          .select("doc_id", "token", "tf", "df", "weight", "rank")
+          .orderBy("doc_id", "rank")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest($Toks) AS token FROM documents
+        ), tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+        ), dfreq AS (
+          SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+        ), total AS (
+          SELECT COUNT(*) AS n FROM documents
+        )
+        SELECT t.doc_id AS doc_id, t.token AS token,
+               CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
+               CAST(t.tf AS DOUBLE) * CAST((SELECT n FROM total) AS DOUBLE)
+                 / CAST(d.df AS DOUBLE) AS weight,
+               CAST(row_number() OVER (
+                 PARTITION BY t.doc_id
+                 ORDER BY CAST(t.tf AS DOUBLE) * CAST((SELECT n FROM total) AS DOUBLE)
+                            / CAST(d.df AS DOUBLE) DESC, t.token) AS INTEGER) AS rank
+        FROM tf t JOIN dfreq d ON t.token = d.token
+        QUALIFY rank <= 3 ORDER BY doc_id, rank
+      """.trim)),
+
     // SimHash signatures (60-bit): one shuffle, bit votes aggregated
     // map-side-partially.
     Q(

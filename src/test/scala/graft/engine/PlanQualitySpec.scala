@@ -167,6 +167,19 @@ class PlanQualitySpec extends SparkSpec {
       s"expected a reused shingle exchange/stage in the final adaptive plan:\n$finalPlan")
   }
 
+  test("simhash pair plan reuses the signature exchange across its four consumers") {
+    // The 60-vote aggregate is the expensive stage; the repartition above it
+    // in simHashNearDupPairs is the shared materialization point for the
+    // banding, bucket-count, and both verify-join consumers.
+    val df = graft.ext.NearDup.simHashNearDupPairs(
+      graft.Tables.documents(spark, sf0001), "doc_id", "text",
+      bands = 4, maxHamming = 6, maxBucket = 64)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange") || finalPlan.contains("ReusedQueryStage"),
+      s"expected a reused signature exchange/stage in the final adaptive plan:\n$finalPlan")
+  }
+
   test("bucketed range join plans a hash join, never a nested loop") {
     val pts = Tables.customer(spark, sf0001)
       .select(col("c_custkey"), col("c_acctbal").cast("double").as("bal"))
