@@ -68,6 +68,11 @@ object Debug {
       }
       if (sys.env.contains("GRAFT_EXPLAIN")) df.explain("formatted")
     }
+    // Dump mode: also write the oracle json restricted to the dumped
+    // queries, so tools/compare.py runs against this dir directly.
+    sys.env.get("GRAFT_DUMP_DIR").foreach { dir =>
+      OracleJson.write(dir, SparkEntry.oracleSql.filter(e => args.contains(e._1)))
+    }
     spark.stop()
   }
 }

@@ -25,8 +25,16 @@ object Dedup {
     * unlike dropDuplicates(keys), which keeps an arbitrary row). One shuffle
     * on the key, local sort per group; no global sort.
     */
-  def keepFirstByKey(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+  def keepFirstByKey(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame =
+    keepFirstByKeyOrdered(df, keys, order.map(col))
+
+  /** [[keepFirstByKey]] with arbitrary ordering expressions — e.g. keep the
+    * LONGEST document per content fingerprint (`n_chars.desc`, id asc as the
+    * deterministic tie-break), the standard keep-best dedup policy.
+    */
+  def keepFirstByKeyOrdered(df: DataFrame, keys: Seq[String],
+      order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

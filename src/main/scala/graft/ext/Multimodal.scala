@@ -62,7 +62,7 @@ object Multimodal {
     StructField("kind", StringType, nullable = true),
     StructField("feat_mean", DoubleType, nullable = false),
     StructField("feat_dim", IntegerType, nullable = false),
-    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
   /** STUB DECODER — deterministic fake standing in for an image/audio codec
     * (none ships in this container). The Spark-side contract is the real
@@ -70,7 +70,8 @@ object Multimodal {
     * a per-partition batched kernel over an Iterator — swap the body for a
     * JNI/FFI call and nothing else changes. The fake "features" are `dim`
     * byte-window averages of the payload, normalized to [0,1] — deterministic
-    * so tests can assert exact values.
+    * pure integer-sum / double-division arithmetic, so tests assert exact
+    * values and a DuckDB oracle reproduces them bit-for-bit (q68).
     */
   def decodeStub(media: DataFrame, dim: Int = 8, partitions: Int = 0): DataFrame = {
     val spark = media.sparkSession
@@ -81,7 +82,7 @@ object Multimodal {
         val mediaId = internal.getLong(0)
         val kind = if (internal.isNullAt(1)) null else internal.getUTF8String(1).toString
         val bytes = internal.getBinary(2)
-        val feats = new Array[Float](dim)
+        val feats = new Array[Double](dim)
         val window = math.max(bytes.length / dim, 1)
         var f = 0
         while (f < dim) {
@@ -90,10 +91,10 @@ object Multimodal {
           while (i < math.min((f + 1) * window, bytes.length)) {
             sum += (bytes(i) & 0xff); cnt += 1; i += 1
           }
-          feats(f) = if (cnt == 0) 0f else (sum.toFloat / cnt / 255f)
+          feats(f) = if (cnt == 0) 0.0 else (sum.toDouble / cnt / 255.0)
           f += 1
         }
-        Row(mediaId, kind, feats.map(_.toDouble).sum / dim, dim, feats.toSeq)
+        Row(mediaId, kind, feats.sum / dim, dim, feats.toSeq)
       }
     }
     spark.createDataFrame(rows, decodedSchema)

@@ -248,4 +248,39 @@ object Similarity {
     }
     bits.reduce(_ + _)
   }
+
+  /** Driver-side evaluation of the shared 60-bit hash (same md5-prefix
+    * definition as TextHash.hash60) — lets plan construction pre-fold
+    * data-independent hash values into literals.
+    */
+  private def hash60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+
+  /** The ±1 SRP sign matrix for `planes` hyperplanes over `dim` components,
+    * derived from hash60("p:j") bit 0 — identical to what
+    * [[hyperplaneBucket]] computes per row, folded once at plan build.
+    */
+  def srpSigns(planes: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(planes, dim)((p, j) =>
+      if ((hash60Local(s"$p:$j") & 1L) == 1L) 1f else -1f)
+
+  /** Codegen-friendly [[hyperplaneBucket]] for a FIXED vector width: the
+    * per-component hash evaluations (planes x dim md5 calls PER ROW in the
+    * generic form — the dominant cost at corpus scale) collapse into
+    * literal sign arrays computed once on the driver, so each row pays only
+    * `planes` codegen'd dot products. Bit-identical to the generic form
+    * (same hash, same ±1 mapping, same sequential double accumulation —
+    * asserted in ExtSpec).
+    */
+  def hyperplaneBucketFast(vec: Column, planes: Int, dim: Int): Column = {
+    require(planes >= 1 && planes <= 60)
+    val signs = srpSigns(planes, dim)
+    val bits = (0 until planes).map { p =>
+      when(nativeDot(vec, typedLit(signs(p).toSeq)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
 }

@@ -30,6 +30,13 @@ object TextAnalysis {
   private val Stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "for", "on", "with")
 
+  /** Remove blocklisted tokens from a token array (order-preserving) — the
+    * scrub/redaction primitive of a training-data pipeline (PII terms, boilerplate
+    * markers, filter lists). Pure map-side expression work.
+    */
+  def scrubTokens(toks: Column, blocklist: Seq[String]): Column =
+    filter(toks, t => !t.isInCollection(blocklist))
+
   /** Fraction of tokens that are stopwords (0 when the document is empty). */
   def stopwordRatio(toks: Column): Column =
     when(size(toks) === 0, lit(0.0)).otherwise(

@@ -935,6 +935,157 @@ object ExtQueries {
         FROM h t JOIN h tr ON t.fp = tr.fp
         WHERE t.split = 'test' AND tr.split = 'train'
         GROUP BY t.doc_id ORDER BY test_id
+      """.trim)),
+
+    // SRP-LSH ANN: sign-random-projection buckets (hyperplaneBucketFast —
+    // the sign matrix pre-folded to literals, so bucketing is `planes`
+    // codegen'd dot products per row, no per-row hashing), candidates
+    // restricted to the query's bucket, exact cosine rank within. The
+    // data-independent counterpart to IVF cells (q27/q44): no centroid fit
+    // needed, recall tuned by plane count.
+    Q(
+      "q64_srp_ann",
+      (s, dir) => {
+        val b = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"),
+            Similarity.hyperplaneBucketFast(col("embedding"), 6, 64).as("bucket"))
+        Similarity.annTopKByCell(
+            b.filter(col("vec_id") % 20 === 0), b, "vec_id", "embedding", "bucket", k = 3)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH sb AS (
+          SELECT vec_id,
+                 CAST(list_sum([
+                   CASE WHEN list_sum([
+                     CAST(embedding[i] AS DOUBLE) *
+                     (CASE WHEN (${TextHash.duckHash60(
+                        "CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} & 1) = 1
+                      THEN 1.0 ELSE -1.0 END)
+                     FOR i IN generate_series(1, len(embedding))]) >= 0
+                   THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END
+                   FOR p IN generate_series(0, 5)]) AS BIGINT) AS bucket
+          FROM embeddings
+        ), e AS (
+          SELECT v.vec_id, v.embedding, sb.bucket,
+                 sqrt(${duckDot("v.embedding", "v.embedding")}) AS nrm
+          FROM embeddings v JOIN sb ON v.vec_id = sb.vec_id
+        )
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                          c.vec_id) AS INTEGER) AS rank,
+               ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+        FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id % 20 = 0
+        QUALIFY rank <= 3
+        ORDER BY query_id, rank
+      """.trim)),
+
+    // Token-blocklist scrub (PII-term / boilerplate removal shape): pure
+    // map-side higher-order filter, no shuffle — the output text is the
+    // order-preserving re-join of surviving tokens.
+    Q(
+      "q65_text_scrub",
+      (s, dir) => {
+        val bl = Seq("hash", "merge", "batch")
+        val toks = TextAnalysis.tokens(col("text"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(toks).as("n_tokens"),
+            (size(toks) - size(TextAnalysis.scrubTokens(toks, bl))).as("n_removed"),
+            concat_ws(" ", TextAnalysis.scrubTokens(toks, bl)).as("scrubbed"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(len(toks) - len(kept) AS INTEGER) AS n_removed,
+               array_to_string(kept, ' ') AS scrubbed
+        FROM (SELECT doc_id, $Toks AS toks,
+                     list_filter($Toks, t -> t NOT IN ('hash', 'merge', 'batch')) AS kept
+              FROM documents)
+        ORDER BY doc_id
+      """.trim)),
+
+    // Keep-BEST dedup policy: one survivor per content fingerprint, chosen
+    // by a total order (longest doc, id tie-break) — the standard
+    // "keep the best copy" variant of q29's keep-first (engine
+    // Dedup.keepFirstByKeyOrdered; one shuffle on the fingerprint).
+    Q(
+      "q66_dedup_keep_longest",
+      (s, dir) => Dedup.keepFirstByKeyOrdered(
+          Tables.documents(s, dir)
+            .withColumn("fp", TextAnalysis.fingerprint(col("text"))),
+          keys = Seq("fp"),
+          order = Seq(col("n_chars").desc, col("doc_id")))
+        .select("doc_id", "fp", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id, md5($NormText) AS fp, lang, source, n_chars
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY md5($NormText)
+                ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents)
+        WHERE rn = 1 ORDER BY doc_id
+      """.trim)),
+
+    // The decode kernel end-to-end: synthesize media payloads, run the
+    // mapPartitions decode stub (the real per-partition batched-kernel
+    // plumbing; the codec body is the deterministic fake), and
+    // oracle-verify its integer-sum/double-division feature math
+    // bit-for-bit — payloads are ASCII text bytes, so DuckDB reproduces the
+    // byte windows with ord(substr(...)).
+    Q(
+      "q68_decode_features",
+      (s, dir) => {
+        val d = Multimodal.decodeStub(
+          Multimodal.synthesize(Tables.documents(s, dir)), dim = 8)
+        // Flatten the feature vector for the compare (array cells don't
+        // survive the driver's row-sorting hash); the array stays the
+        // kernel's native output shape.
+        d.select(Seq(col("media_id"), col("kind"), col("feat_mean"), col("feat_dim")) ++
+            (0 until 8).map(i => element_at(col("features"), i + 1).as(s"feat_$i")): _*)
+          .orderBy("media_id")
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 CASE (doc_id % 3 + 1) WHEN 1 THEN 'image' WHEN 2 THEN 'audio'
+                   ELSE 'video' END AS kind,
+                 text, length(text) AS n
+          FROM documents
+        ), fw AS (
+          SELECT media_id, kind, f, n, text, greatest(n // 8, 1) AS win
+          FROM m CROSS JOIN range(0, 8) t(f)
+        ), feats AS (
+          SELECT media_id, kind, f,
+                 CASE WHEN least((f + 1) * win, n) - f * win <= 0 THEN 0.0
+                      ELSE CAST(list_sum([ord(substr(text, CAST(i AS INTEGER), 1))
+                             FOR i IN generate_series(CAST(f * win + 1 AS INTEGER),
+                                                      CAST(least((f + 1) * win, n) AS INTEGER))])
+                             AS DOUBLE)
+                           / (least((f + 1) * win, n) - f * win) / 255.0 END AS feat
+          FROM fw
+        ), agg AS (
+          SELECT media_id, kind,
+                 MAX(CASE WHEN f = 0 THEN feat END) AS feat_0,
+                 MAX(CASE WHEN f = 1 THEN feat END) AS feat_1,
+                 MAX(CASE WHEN f = 2 THEN feat END) AS feat_2,
+                 MAX(CASE WHEN f = 3 THEN feat END) AS feat_3,
+                 MAX(CASE WHEN f = 4 THEN feat END) AS feat_4,
+                 MAX(CASE WHEN f = 5 THEN feat END) AS feat_5,
+                 MAX(CASE WHEN f = 6 THEN feat END) AS feat_6,
+                 MAX(CASE WHEN f = 7 THEN feat END) AS feat_7
+          FROM feats GROUP BY media_id, kind
+        )
+        SELECT media_id, kind,
+               (((((((feat_0 + feat_1) + feat_2) + feat_3)
+                 + feat_4) + feat_5) + feat_6) + feat_7) / 8 AS feat_mean,
+               CAST(8 AS INTEGER) AS feat_dim,
+               feat_0, feat_1, feat_2, feat_3, feat_4, feat_5, feat_6, feat_7
+        FROM agg ORDER BY media_id
       """.trim))
   )
 }

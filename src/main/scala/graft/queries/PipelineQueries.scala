@@ -628,6 +628,138 @@ object PipelineQueries {
                  / (sqrt(CAST(n AS DOUBLE) * sx2 - sx * sx)
                     * sqrt(CAST(n AS DOUBLE) * sy2 - sy * sy)) AS corr_price_day
         FROM m ORDER BY status
+      """.trim)),
+
+    // Conversion funnel view -> click -> purchase: per-user milestone
+    // timestamps (first view; first click AFTER it; first purchase after
+    // that), then one global reduce. Each milestone is a filtered
+    // min-aggregate shuffled on user_id; the stage joins are same-key
+    // (co-partitioned under AQE) and the final single-row aggregate is
+    // map-side partial. Microsecond epoch longs keep all arithmetic exact.
+    Q(
+      "q67_funnel",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("us").as("view_us"))
+        val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+          .filter(col("us") > col("view_us"))
+          .groupBy("user_id").agg(min("us").as("click_us"))
+        val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+          .filter(col("us") > col("click_us"))
+          .groupBy("user_id").agg(min("us").as("purch_us"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .agg(
+            count(lit(1)).as("users_view"),
+            count(col("click_us")).as("users_click"),
+            count(col("purch_us")).as("users_purchase"),
+            sum(col("click_us") - col("view_us")).as("sum_view_to_click_us"),
+            sum(col("purch_us") - col("click_us")).as("sum_click_to_purchase_us"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        ), v AS (
+          SELECT user_id, MIN(us) AS view_us FROM e
+          WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+          SELECT e.user_id, MIN(e.us) AS click_us
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.us > v.view_us GROUP BY e.user_id
+        ), p AS (
+          SELECT e.user_id, MIN(e.us) AS purch_us
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.us > c.click_us GROUP BY e.user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS users_view,
+               CAST(COUNT(c.click_us) AS BIGINT) AS users_click,
+               CAST(COUNT(p.purch_us) AS BIGINT) AS users_purchase,
+               CAST(SUM(c.click_us - v.view_us) AS BIGINT) AS sum_view_to_click_us,
+               CAST(SUM(p.purch_us - c.click_us) AS BIGINT) AS sum_click_to_purchase_us
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN p ON c.user_id = p.user_id
+      """.trim)),
+
+    // Exact distribution percentiles (percentile_disc semantics: the value
+    // at rank ceil(q*n), no interpolation — rank selection is pure integer
+    // math, so the result is an ACTUAL data value and hash-exact). One
+    // shuffle: the rank window and the group aggregate share the
+    // event_type partitioning.
+    Q(
+      "q69_percentiles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("value")
+        val ranked = Tables.events(s, dir).select(col("event_type"), col("value"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        def pick(qp: Int, name: String) =
+          max(when(col("rn") === floor((col("n") * qp + lit(99)) / lit(100)).cast("int"),
+            col("value"))).as(name)
+        ranked.groupBy("event_type")
+          .agg(max(col("n")).as("n_events"),
+            pick(50, "p50"), pick(90, "p90"), pick(99, "p99"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH r AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n_events,
+               MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+               MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN value END) AS p90,
+               MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99
+        FROM r GROUP BY event_type ORDER BY event_type
+      """.trim)),
+
+    // Event throttling: drop an event arriving within 10 minutes of the
+    // PREVIOUS event of the same (user, type) — lag-window dedup, the batch
+    // twin of the streaming fingerprint throttle. One shuffle on the
+    // composite key; microsecond arithmetic exact.
+    Q(
+      "q70_event_throttle",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .withColumn("__us", unix_micros(col("ts")))
+          .withColumn("__prev_us", lag(col("__us"), 1).over(w))
+          .filter(col("__prev_us").isNull ||
+            col("__us") - col("__prev_us") >= lit(600L * 1000000L))
+          .select("event_id", "user_id", "event_type")
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH r AS (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+                 lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_us
+          FROM events
+        )
+        SELECT event_id, user_id, event_type FROM r
+        WHERE prev_us IS NULL OR us - prev_us >= 600000000
+        ORDER BY event_id
+      """.trim)),
+
+    // Deterministic salted two-phase aggregation over a genuinely hot key
+    // (5 event types): phase one spreads each type across 16 salt
+    // partitions, phase two merges partials — identical results to the
+    // direct groupBy (the oracle IS the direct form), no single-task
+    // hot-key bottleneck at scale.
+    Q(
+      "q71_salted_agg",
+      (s, dir) => Skew.saltedCountByKey(
+          Tables.events(s, dir), key = "event_type", saltFactor = 16,
+          saltSource = "event_id")
+        .orderBy("event_type"),
+      Some("""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
       """.trim))
   )
 }

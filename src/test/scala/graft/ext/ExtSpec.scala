@@ -110,6 +110,16 @@ class ExtSpec extends SparkSpec {
     assert(b1.values.toSet.size > 1, "8 hyperplanes should split the corpus")
   }
 
+  test("hyperplaneBucketFast is bit-identical to the generic form") {
+    val e = Tables.embeddings(spark, sf0001)
+    val both = e.select(
+        Similarity.hyperplaneBucket(col("embedding"), 8).as("generic"),
+        Similarity.hyperplaneBucketFast(col("embedding"), 8, 64).as("fast"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("decodeStub: deterministic features with the declared schema and batching") {
     val media = Multimodal.synthesize(docs.limit(20))
     val out = Multimodal.decodeStub(media, dim = 4, partitions = 3)
@@ -120,7 +130,7 @@ class ExtSpec extends SparkSpec {
     val k1 = rows.map(r => (r.getLong(0), r.getDouble(2))).toMap
     val k2 = again.map(r => (r.getLong(0), r.getDouble(2))).toMap
     assert(k1 === k2, "features must not depend on partitioning")
-    assert(rows.forall(r => r.getSeq[Float](4).length === 4))
+    assert(rows.forall(r => r.getSeq[Double](4).length === 4))
   }
 
   test("J9 keyOverlapCount matches the distinct-key intersection") {
