@@ -77,4 +77,38 @@ object Keys {
         (localRank.cast(LongType) + col("__poff") + lit(offset)).cast(LongType))
       .drop("__pid", "__poff")
   }
+
+  /** Scalable global prefix sum: `sumName` = running total of `valueCol` in
+    * `orderCol` order, INCLUDING the current row. The naive form is an
+    * unpartitioned running-sum window (single-task funnel, same hazard as
+    * surrogate keys); this is the same two-phase fix as
+    * [[surrogateKeysScalableCatalyst]] generalized from counts to sums:
+    * range-partition by the order key, run the running sum locally per
+    * partition, and add per-partition prefix offsets from a tiny aggregate
+    * broadcast back. The backbone of sequence-packing / budget-cut
+    * operators (q72): every partition works independently at any scale.
+    */
+  def globalRunningSum(df: DataFrame, orderCol: String, valueCol: String,
+      sumName: String, partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__psum"))
+      .withColumn("__poff",
+        coalesce(
+          sum(col("__psum")).over(
+            Window.orderBy(col("__pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__poff"))
+    val localSum = sum(col(valueCol)).over(
+      Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, 0))
+    ranged
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(sumName, localSum + col("__poff"))
+      .drop("__pid", "__poff")
+  }
 }

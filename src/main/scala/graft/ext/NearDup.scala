@@ -153,7 +153,34 @@ object NearDup {
     * Output: (id_a, id_b, jaccard) with id_a < id_b.
     */
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double): DataFrame =
+    intersections(docs, idCol, textCol, n)
+      .select(col("id_a"), col("id_b"),
+        (col("__inter").cast("double") /
+          (col("__na") + col("__nb") - col("__inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Containment near-dup pairs: |A∩B|/|A| and |A∩B|/|B| — the ASYMMETRIC
+    * similarity that catches a document embedded inside a larger one (quote
+    * inclusion, concatenated crawls), which symmetric Jaccard dilutes (a
+    * small doc inside a big one has low Jaccard but containment ~1). A pair
+    * survives when EITHER direction clears the threshold. Same
+    * inverted-index shuffle shape as [[exactJaccardPairs]].
+    * Output: (id_a, id_b, containment_a, containment_b), id_a < id_b.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame =
+    intersections(docs, idCol, textCol, n)
+      .select(col("id_a"), col("id_b"),
+        (col("__inter").cast("double") / col("__na").cast("double")).as("containment_a"),
+        (col("__inter").cast("double") / col("__nb").cast("double")).as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+
+  /** Shared inverted-index core: for every pair sharing >= 1 shingle,
+    * (id_a, id_b, __inter, __na, __nb) with id_a < id_b.
+    */
+  private def intersections(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
     val sh = withShingles(docs, idCol, textCol, n)
     val sizes = sh.select(col(idCol), size(col("__shingles")).as("__n"))
     val inv = sh.select(col(idCol), explode(col("__shingles")).as("__s"))
@@ -171,10 +198,6 @@ object NearDup {
         Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")).hint("shuffle_hash"),
         Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (col("__inter").cast("double") /
-          (col("__na") + col("__nb") - col("__inter")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /** MinHash + banded-LSH near-dup pairs, exact-verified: generate candidate

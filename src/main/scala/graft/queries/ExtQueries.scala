@@ -1086,6 +1086,64 @@ object ExtQueries {
                CAST(8 AS INTEGER) AS feat_dim,
                feat_0, feat_1, feat_2, feat_3, feat_4, feat_5, feat_6, feat_7
         FROM agg ORDER BY media_id
+      """.trim)),
+
+    // Sequence packing (chunked-concatenation): assign each doc (in corpus
+    // order) to the fixed-capacity context window its FIRST token falls in.
+    // The global prefix sum runs two-phase (Keys.globalRunningSum — range
+    // partition + local running sums + broadcast offsets), never a
+    // single-task window; integer token counts keep it hash-exact.
+    Q(
+      "q72_token_packing",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+        Keys.globalRunningSum(toks, "doc_id", "n_tok", "cum_tok")
+          .select(col("doc_id"), col("n_tok"), col("cum_tok"),
+            floor((col("cum_tok") - col("n_tok")) / lit(2048)).cast("long").as("pack_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tok FROM documents
+        )
+        SELECT doc_id, n_tok,
+               CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS cum_tok,
+               CAST((SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok)
+                 // 2048 AS BIGINT) AS pack_id
+        FROM t ORDER BY doc_id
+      """.trim)),
+
+    // Containment pairs: the asymmetric |A∩B|/|A| similarity that catches a
+    // doc embedded in a larger one (symmetric Jaccard dilutes those).
+    Q(
+      "q74_ngram_containment",
+      (s, dir) => NearDup.containmentPairs(
+          Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, ${duckShingles(Toks, 3)} AS sh FROM documents
+        ), inv AS (
+          SELECT doc_id, unnest(sh) AS s FROM d
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), sizes AS (
+          SELECT doc_id, len(sh) AS n FROM d
+        )
+        SELECT id_a, id_b,
+               CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment_a,
+               CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment_b
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE greatest(CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE),
+                       CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.8
+        ORDER BY id_a, id_b
       """.trim))
   )
 }

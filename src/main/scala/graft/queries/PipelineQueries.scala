@@ -760,6 +760,43 @@ object PipelineQueries {
       Some("""
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
         FROM events GROUP BY event_type ORDER BY event_type
+      """.trim)),
+
+    // Class-balanced downsampling: every event_type keeps exactly
+    // min-class-count rows, membership chosen by a deterministic salted-hash
+    // order (stable across runs/engines — the rand()-free form of balanced
+    // sampling). One shuffle for the per-class rank window; the two scalar
+    // bounds broadcast.
+    Q(
+      "q73_class_balance",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val minN = ev.groupBy("event_type").agg(count(lit(1)).as("__n"))
+          .agg(min(col("__n")).as("__min"))
+        val w = Window.partitionBy("event_type").orderBy(
+          graft.ext.TextHash.hash60(concat(lit("bal:"), col("event_id").cast("string"))),
+          col("event_id"))
+        ev.withColumn("__r", row_number().over(w))
+          .crossJoin(broadcast(minN))
+          .filter(col("__r") <= col("__min"))
+          .select("event_id", "user_id", "event_type")
+          .orderBy("event_id")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT MIN(cnt) AS mn FROM (
+            SELECT COUNT(*) AS cnt FROM events GROUP BY event_type)
+        ), r AS (
+          SELECT event_id, user_id, event_type,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY ${graft.ext.TextHash.duckHash60(
+                     "'bal:' || CAST(event_id AS VARCHAR)")}, event_id) AS rr
+          FROM events
+        )
+        SELECT event_id, user_id, event_type FROM r, m
+        WHERE rr <= mn ORDER BY event_id
       """.trim))
   )
 }

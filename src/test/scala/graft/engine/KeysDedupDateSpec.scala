@@ -24,6 +24,20 @@ class KeysDedupDateSpec extends SparkSpec {
     assert(faithful.toSeq == catalyst.toSeq)
   }
 
+  test("globalRunningSum equals the single-task running-sum window") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 997)
+      .select((col("id") * 7919 % 10007).as("k"), (col("id") % 13 + 1).as("v"))
+      .repartition(8)
+    val naive = df.withColumn("cum",
+        sum(col("v")).over(Window.orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val scalable = Keys.globalRunningSum(df, "k", "v", "cum", partitions = 5)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(naive.toSeq == scalable.toSeq)
+  }
+
   test("date spine has reference cardinality: 2010..2030 = 7670 rows") {
     assert(DateDim.dateSpine(spark, "2010-01-01", "2030-12-31").count() == 7670L)
   }
