@@ -152,4 +152,40 @@ object Scd2 {
       .unionByName(expired.select(cols: _*))
       .unionByName(fresh.select(cols: _*))
   }
+
+  /** Full-snapshot SCD2 merge: `incoming` is the COMPLETE current key
+    * universe, so a currently-valid key ABSENT from it is a logical delete —
+    * its current version is expired at runTs with no successor. Everything
+    * else behaves exactly like [[merge]]. (The incremental merge cannot
+    * detect deletes: a changes-only feed can't distinguish "unchanged"
+    * from "gone".) The missing-key set is small relative to the dimension,
+    * so AQE broadcasts the marker join.
+    */
+  def mergeFullSnapshot(
+      existing: DataFrame,
+      incoming: DataFrame,
+      naturalKey: String,
+      scdCols: Seq[String],
+      skCol: String,
+      runTs: String,
+      sentinel: String = "2099-12-31 00:00:00",
+      keying: (DataFrame, String, String, Long) => DataFrame =
+        Keys.surrogateKeysScalable(_, _, _, _)): DataFrame = {
+    val merged = merge(existing, incoming, naturalKey, scdCols, skCol, runTs,
+      sentinel, keying)
+    val missing = existing.filter(col("is_valid")).select(col(naturalKey))
+      .join(incoming.select(col(naturalKey)).distinct(), Seq(naturalKey), "left_anti")
+      .distinct()
+      .withColumn("__gone", lit(true))
+    merged.join(missing, Seq(naturalKey), "left")
+      // end_dt first (guarded by the still-unmodified is_valid), then the
+      // validity flip — history rows of a gone key keep their end_dt.
+      .withColumn("end_dt",
+        when(col("__gone").isNotNull && col("is_valid"),
+          lit(runTs).cast(TimestampType)).otherwise(col("end_dt")))
+      .withColumn("is_valid",
+        when(col("__gone").isNotNull, lit(false)).otherwise(col("is_valid")))
+      .drop("__gone")
+      .select(existing.columns.map(col).toSeq: _*)
+  }
 }

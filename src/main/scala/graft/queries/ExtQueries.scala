@@ -1144,6 +1144,51 @@ object ExtQueries {
         WHERE greatest(CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE),
                        CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.8
         ORDER BY id_a, id_b
+      """.trim)),
+
+    // Count-min sketch heavy-hitter estimates: the 4x256-cell sketch is a
+    // constant-size aggregate of the whole corpus (always broadcastable);
+    // estimates for the true top-10 tokens sit alongside their exact counts
+    // so the one-sided CMS error is visible in the output. Deterministic
+    // row hashes make the sketch itself engine-reproducible.
+    Q(
+      "q76_cms_heavy_hitters",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        val cells = Sketches.cmsCells(tok, "token", depth = 4, width = 256)
+        val exact = tok.groupBy("token").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("token")).limit(10)
+        Sketches.cmsEstimate(cells, exact, "token", depth = 4, width = 256)
+          .join(exact, Seq("token"))
+          .select("token", "exact_n", "cms_est")
+          .orderBy(col("exact_n").desc, col("token"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT unnest($Toks) AS token FROM documents
+        ), cells AS (
+          SELECT j, h % 256 AS bucket, COUNT(*) AS cnt FROM (
+            SELECT r.j AS j,
+                   ${TextHash.duckHash60("'cms' || CAST(r.j AS VARCHAR) || ':' || token")} AS h
+            FROM tok CROSS JOIN range(0, 4) r(j))
+          GROUP BY 1, 2
+        ), exact AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n FROM tok
+          GROUP BY token ORDER BY exact_n DESC, token LIMIT 10
+        ), est AS (
+          SELECT token, CAST(MIN(cnt) AS BIGINT) AS cms_est FROM (
+            SELECT e.token AS token, r.j AS j,
+                   ${TextHash.duckHash60("'cms' || CAST(r.j AS VARCHAR) || ':' || e.token")}
+                     % 256 AS bucket
+            FROM exact e CROSS JOIN range(0, 4) r(j)) p
+          JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+          GROUP BY token
+        )
+        SELECT e.token AS token, e.exact_n, est.cms_est
+        FROM exact e JOIN est ON e.token = est.token
+        ORDER BY exact_n DESC, token
       """.trim))
   )
 }

@@ -797,6 +797,109 @@ object PipelineQueries {
         )
         SELECT event_id, user_id, event_type FROM r, m
         WHERE rr <= mn ORDER BY event_id
+      """.trim)),
+
+    // Keyed refresh reconciliation: the full-outer diff report
+    // (added/removed/changed/unchanged per key) every warehouse load
+    // validates with — deterministic perturbations of orders stand in for
+    // yesterday/today snapshots. Covers the full_outer join type plus
+    // null-safe (<=>) column comparison.
+    Q(
+      "q75_reconcile",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("price"),
+          col("o_orderstatus").as("status"))
+        val yesterday = o.filter(col("o_orderkey") % 11 =!= 0)
+        val today = o.filter(col("o_orderkey") % 7 =!= 0)
+          .withColumn("price",
+            when(col("o_orderkey") % 5 === 0, col("price") + 10.0).otherwise(col("price")))
+        Reconcile.diffByKey(yesterday, today, "o_orderkey", Seq("price", "status"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+                 o_orderstatus AS status
+          FROM orders
+        ), y AS (
+          SELECT * FROM o WHERE o_orderkey % 11 <> 0
+        ), t AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 5 = 0 THEN price + 10.0 ELSE price END AS price,
+                 status
+          FROM o WHERE o_orderkey % 7 <> 0
+        )
+        SELECT COALESCE(y.o_orderkey, t.o_orderkey) AS o_orderkey,
+               CASE WHEN y.o_orderkey IS NULL THEN 'added'
+                    WHEN t.o_orderkey IS NULL THEN 'removed'
+                    WHEN y.price IS DISTINCT FROM t.price
+                         OR y.status IS DISTINCT FROM t.status THEN 'changed'
+                    ELSE 'unchanged' END AS diff_class
+        FROM y FULL OUTER JOIN t ON y.o_orderkey = t.o_orderkey
+        ORDER BY o_orderkey
+      """.trim)),
+
+    // Full-snapshot SCD2 merge with DELETE detection: keys with
+    // c_custkey%10==3 vanish from the snapshot and must be expired with no
+    // successor; %5==0 keys arrive changed (expire + re-key); the rest pass
+    // through — the snapshot-feed complement of q17's changes-only merge.
+    Q(
+      "q77_scd2_expire_missing",
+      (s, dir) => {
+        val base = Tables.customer(s, dir).select(
+          col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("decimal(12,2)").as("bal"))
+        val existing = Keys.surrogateKeys(base, "c_custkey", "customer_sk")
+          .withColumn("bal",
+            when(col("c_custkey") % 5 === 0, col("bal") + 100).otherwise(col("bal")))
+          .withColumn("start_dt", lit(Ts0).cast("timestamp"))
+          .withColumn("end_dt", lit(Sentinel).cast("timestamp"))
+          .withColumn("is_valid", lit(true))
+          .select("customer_sk", "c_custkey", "c_name", "bal",
+            "start_dt", "end_dt", "is_valid")
+        val snapshot = base.filter(col("c_custkey") % 10 =!= 3)
+        Scd2.mergeFullSnapshot(existing, snapshot,
+            naturalKey = "c_custkey", scdCols = Seq("c_name", "bal"),
+            skCol = "customer_sk", runTs = TsRun, sentinel = Sentinel)
+          .withColumn("bal", col("bal").cast("double"))
+          .orderBy("c_custkey", "start_dt")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+          FROM customer
+        ), cur AS (
+          SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_sk,
+                 c_custkey, c_name,
+                 CASE WHEN c_custkey % 5 = 0 THEN bal + 100 ELSE bal END AS bal,
+                 TIMESTAMP '$Ts0' AS start_dt,
+                 TIMESTAMP '$Sentinel' AS end_dt,
+                 true AS is_valid
+          FROM base
+        ), maxsk AS (
+          SELECT MAX(customer_sk) AS m FROM cur
+        ), fresh AS (
+          SELECT (SELECT m FROM maxsk)
+                   + CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_sk,
+                 c_custkey, c_name, bal,
+                 TIMESTAMP '$TsRun' AS start_dt,
+                 TIMESTAMP '$Sentinel' AS end_dt,
+                 true AS is_valid
+          FROM base WHERE c_custkey % 5 = 0 AND c_custkey % 10 <> 3
+        )
+        SELECT customer_sk, c_custkey, c_name, CAST(bal AS DOUBLE) AS bal,
+               start_dt, end_dt, is_valid
+        FROM (
+          SELECT * FROM cur WHERE c_custkey % 5 <> 0 AND c_custkey % 10 <> 3
+          UNION ALL
+          SELECT customer_sk, c_custkey, c_name, bal, start_dt,
+                 TIMESTAMP '$TsRun' AS end_dt, false AS is_valid
+          FROM cur WHERE c_custkey % 5 = 0 OR c_custkey % 10 = 3
+          UNION ALL
+          SELECT * FROM fresh
+        )
+        ORDER BY c_custkey, start_dt
       """.trim))
   )
 }

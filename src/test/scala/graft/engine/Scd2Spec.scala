@@ -58,6 +58,31 @@ class Scd2Spec extends SparkSpec {
     assert(unchanged.map(_.toSeq.toList).toSet == orig.map(_.toSeq.toList).toSet)
   }
 
+  test("mergeFullSnapshot expires keys missing from the snapshot") {
+    // bob vanishes (delete); carol changes; alice unchanged.
+    val snapshot = Seq((10L, "alice", "gold"), (30L, "carol", "silver"))
+      .toDF("id", "name", "tier")
+    val out = Scd2.mergeFullSnapshot(bootstrapped, snapshot,
+      naturalKey = "id", scdCols = Seq("name", "tier"), skCol = "sk",
+      runTs = run2, sentinel = sentinel)
+
+    // bob: single version, expired at run2, no successor.
+    val bob = out.filter(col("id") === 20L).collect()
+    assert(bob.length == 1)
+    assert(!bob(0).getBoolean(6))
+    assert(bob(0).getTimestamp(5).toString.startsWith("2022-06-15"))
+
+    // carol: expired v1 + fresh valid v2 with the new tier.
+    val carol = out.filter(col("id") === 30L).orderBy("start_dt").collect()
+    assert(carol.length == 2)
+    assert(!carol(0).getBoolean(6) && carol(1).getBoolean(6))
+    assert(carol(1).getString(3) == "silver")
+
+    // alice untouched; exactly one valid row per surviving key.
+    assert(out.filter(col("id") === 10L && col("is_valid")).count() == 1)
+    assert(out.filter(col("is_valid")).count() == 2)
+  }
+
   test("merge with no changes is a no-op") {
     val incoming = Seq((10L, "alice", "gold"), (20L, "bob", "silver"), (30L, "carol", "gold"))
       .toDF("id", "name", "tier")
