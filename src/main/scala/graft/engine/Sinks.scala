@@ -128,6 +128,31 @@ object Sinks {
     spark.catalog.clearCache()
   }
 
+  /** Keyed parquet upsert: rows of `batch` replace same-key rows of the
+    * directory (insert when absent) — the lake-table merge primitive under
+    * the streaming foreachBatch sink and incremental batch loads alike.
+    * Requires key-unique `batch` rows. Same safe temp-swap as
+    * [[compactParquet]]: never overwrites the directory it is lazily
+    * reading. At warehouse scale this becomes MERGE INTO on a table format
+    * with transactional commits; the join shape (existing LEFT ANTI batch,
+    * union batch) is identical.
+    */
+  def upsertParquet(batch: DataFrame, path: String, key: String): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.hadoop.fs.Path
+    val dest = new Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dest)) { writeParquet(batch, path); return }
+    val merged = spark.read.parquet(path)
+      .join(batch.select(key), Seq(key), "left_anti")
+      .unionByName(batch)
+    val tmp = new Path(path + "__upsert_tmp")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(dest, true)
+    require(fs.rename(tmp, dest), s"upsert swap failed for $path")
+    spark.catalog.clearCache()
+  }
+
   /** S5 warehouse sink abstraction. */
   trait WarehouseSink {
     def save(df: DataFrame, table: String): Unit

@@ -164,6 +164,16 @@ object EventStreams {
         col("r_ts") >= col("ts") - expr(s"INTERVAL $lookbackSeconds SECONDS"))
   }
 
+  /** Stream-static enrichment: join the event stream against a bounded
+    * dimension with an explicit broadcast hint — the silver-layer pattern
+    * (no state, no watermark needed; the static side is re-planned per
+    * micro-batch, so a refreshed dimension file is picked up between
+    * batches). `how` = "inner" or "left_outer" (both stream-static-legal).
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String,
+      how: String = "inner"): DataFrame =
+    events.join(broadcast(dim), Seq(key), how)
+
   /** Standard sink wiring: append-mode parquet with checkpointing — the
     * writeStream half of the contract. Returns the started query; callers
     * own awaitTermination/stop.
@@ -175,6 +185,22 @@ object EventStreams {
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
+      .start()
+
+  /** Keyed-upsert sink via foreachBatch (update output mode): each
+    * micro-batch's rows replace same-key rows of the parquet target
+    * (graft.engine.Sinks.upsertParquet), so state-store re-emissions and
+    * replayed batches land idempotently — the exactly-once-per-key pattern
+    * for aggregation streams writing to a lake table.
+    */
+  def startUpsertSink(df: DataFrame, outDir: String, checkpointDir: String,
+      key: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.engine.Sinks.upsertParquet(batch, outDir, key)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
       .start()
 }
 

@@ -109,6 +109,44 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream joins each micro-batch against the static dimension") {
+    import org.apache.spark.sql.functions.col
+    val dim = Seq(("click", 1), ("view", 2)).toDF("event_type", "type_id")
+    val in = MemoryStream[Event](spark)
+    val q = EventStreams.enrichStream(in.toDF(), dim, "event_type")
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1L, ts(0), 7L, "click", 1.0),
+        Event(2L, ts(1), 8L, "view", 2.0),
+        Event(3L, ts(2), 9L, "error", 3.0)) // no dim row -> dropped (inner)
+      q.processAllAvailable()
+      val got = spark.table("enrich").select("event_id", "type_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got === Set((1L, 1), (2L, 2)))
+      assert(spark.table("enrich").filter(col("event_id") === 3L).count() === 0)
+    } finally q.stop()
+  }
+
+  test("startUpsertSink lands re-emitted keys idempotently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val in = MemoryStream[Event](spark)
+    // running count per user — update mode re-emits a user's row each batch
+    val counts = in.toDF().groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val q = EventStreams.startUpsertSink(counts, s"$dir/out", s"$dir/ckpt", "user_id")
+    try {
+      in.addData(Event(1L, ts(0), 7L, "click", 1.0), Event(2L, ts(1), 8L, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(3L, ts(2), 7L, "click", 1.0)) // user 7 again -> n=2
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(out === Map(7L -> 2L, 8L -> 1L), s"got $out")
+    } finally q.stop()
+  }
+
   test("intervalJoinStream matches only in-lookback same-user pairs") {
     val clicks = MemoryStream[Event](spark)
     val buys = MemoryStream[Event](spark)
