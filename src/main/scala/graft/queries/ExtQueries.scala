@@ -1189,6 +1189,36 @@ object ExtQueries {
         SELECT e.token AS token, e.exact_n, est.cms_est
         FROM exact e JOIN est ON e.token = est.token
         ORDER BY exact_n DESC, token
+      """.trim)),
+
+    // Corpus n-gram diversity per source: distinct-vs-total trigram ratio
+    // (per-doc-distinct basis — the corpus-level complement of q48's
+    // per-doc repetition score). One explode + one aggregate; the ratio is
+    // a single exact double division.
+    Q(
+      "q79_source_diversity",
+      (s, dir) => {
+        val g = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("source"),
+            explode(NearDup.shingles(TextAnalysis.tokens(col("text")), 3)).as("g"))
+        g.groupBy("source")
+          .agg(count(lit(1)).as("n_grams"), countDistinct(col("g")).as("n_distinct"))
+          .select(col("source"), col("n_grams"), col("n_distinct"),
+            (col("n_distinct").cast("double") / col("n_grams").cast("double"))
+              .as("diversity"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT source, unnest(${duckShingles(Toks, 3)}) AS g FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+               CAST(COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS diversity
+        FROM g GROUP BY source ORDER BY source
       """.trim))
   )
 }

@@ -900,6 +900,77 @@ object PipelineQueries {
           SELECT * FROM fresh
         )
         ORDER BY c_custkey, start_dt
+      """.trim)),
+
+    // Z-score anomaly detection: per-type mean/std from EXACT decimal power
+    // sums (the q60 moment recipe — no order-dependent avg/stddev built-ins),
+    // broadcast back over the stream, flag |z| >= 2. The two-pass shape
+    // (tiny stats aggregate + map-side scoring) is the scalable form of
+    // "standardize then threshold".
+    Q(
+      "q78_zscore_anomalies",
+      (s, dir) => {
+        val typed = Tables.events(s, dir).select(
+          col("event_id"), col("event_type"), col("value"),
+          col("value").cast("decimal(18,2)").as("x"))
+        val stats = typed.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).cast("double").as("sx"),
+            sum(col("x") * col("x")).cast("double").as("sx2"))
+          .select(col("event_type"),
+            (col("sx") / col("n").cast("double")).as("mean_v"),
+            sqrt((col("sx2") - col("sx") * col("sx") / col("n").cast("double"))
+              / col("n").cast("double")).as("std_v"))
+        typed.join(broadcast(stats), Seq("event_type"))
+          .select(col("event_id"), col("event_type"), col("value"),
+            ((col("x").cast("double") - col("mean_v")) / col("std_v")).as("z"))
+          .filter(abs(col("z")) >= 2.0)
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT event_id, event_type, value, CAST(value AS DECIMAL(18,2)) AS x
+          FROM events
+        ), s AS (
+          SELECT event_type,
+                 CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_v,
+                 sqrt((CAST(SUM(x * x) AS DOUBLE)
+                       - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE))
+                      / CAST(COUNT(*) AS DOUBLE)) AS std_v
+          FROM t GROUP BY event_type
+        )
+        SELECT event_id, t.event_type AS event_type, value,
+               (CAST(x AS DOUBLE) - mean_v) / std_v AS z
+        FROM t JOIN s ON t.event_type = s.event_type
+        WHERE abs((CAST(x AS DOUBLE) - mean_v) / std_v) >= 2.0
+        ORDER BY event_id
+      """.trim)),
+
+    // Join-key skew audit: top-10 hottest keys with their share of total
+    // rows — the diagnostic run before choosing salt factors / AQE skew
+    // thresholds. Per-key counts are one hash aggregate; the top-10 is a
+    // total-order limit; total joins in by broadcast.
+    Q(
+      "q80_skew_audit",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val counts = li.groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+        val total = li.agg(count(lit(1)).as("__total"))
+        counts.orderBy(col("cnt").desc, col("l_suppkey")).limit(10)
+          .crossJoin(broadcast(total))
+          .select(col("l_suppkey"), col("cnt"),
+            (col("cnt").cast("double") / col("__total").cast("double")).as("share"))
+          .orderBy(col("cnt").desc, col("l_suppkey"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
+          GROUP BY l_suppkey ORDER BY cnt DESC, l_suppkey LIMIT 10
+        ), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lineitem)
+        SELECT l_suppkey, cnt,
+               CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        FROM c, t ORDER BY cnt DESC, l_suppkey
       """.trim))
   )
 }
