@@ -971,6 +971,55 @@ object PipelineQueries {
         SELECT l_suppkey, cnt,
                CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
         FROM c, t ORDER BY cnt DESC, l_suppkey
+      """.trim)),
+
+    // KMV (k-minimum-values) approximate distinct users per (day, type):
+    // the ENGINE-REPRODUCIBLE sketch counterpart of q33's HLL — estimate
+    // (k-1)·2^60/h_k from the k-th smallest distinct 60-bit hash, exact
+    // count when the group holds fewer than k distinct values. Pure integer
+    // hashing + one exact double division, so unlike HLL the estimate
+    // hash-matches DuckDB. The k smallest hashes per group come from the
+    // heap TopKPerKey operator (bounded memory at any cardinality).
+    Q(
+      "q81_kmv_distinct",
+      (s, dir) => {
+        val k = 16
+        val hashed = Tables.events(s, dir)
+          .select(date_trunc("day", col("ts")).as("bucket"), col("event_type"),
+            graft.ext.TextHash.hash60(
+              concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+          .distinct()
+        val ranked = graft.plans.TopKPerKey.of(hashed,
+          keyCols = Seq("bucket", "event_type"), order = Seq("h" -> true), k = k)
+        ranked.groupBy("bucket", "event_type")
+          .agg(count(lit(1)).as("n_seen"),
+            max(when(col("rank") === k, col("h"))).as("__hk"))
+          .select(col("bucket"), col("event_type"), col("n_seen"),
+            when(col("n_seen") < k, col("n_seen").cast("double"))
+              .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976L).cast("double")
+                / col("__hk").cast("double")).as("approx_users"))
+          .orderBy("bucket", "event_type")
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT DISTINCT time_bucket(INTERVAL 1 DAY, ts) AS bucket, event_type,
+                 ${graft.ext.TextHash.duckHash60("'kmv:' || CAST(user_id AS VARCHAR)")} AS h
+          FROM events
+        ), r AS (
+          SELECT bucket, event_type, h,
+                 row_number() OVER (PARTITION BY bucket, event_type ORDER BY h) AS rn
+          FROM h
+        ), a AS (
+          SELECT bucket, event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_seen,
+                 MAX(CASE WHEN rn = 16 THEN h END) AS hk
+          FROM r WHERE rn <= 16 GROUP BY bucket, event_type
+        )
+        SELECT bucket, event_type, n_seen,
+               CASE WHEN n_seen < 16 THEN CAST(n_seen AS DOUBLE)
+                    ELSE 15.0 * CAST(1152921504606846976 AS DOUBLE)
+                         / CAST(hk AS DOUBLE) END AS approx_users
+        FROM a ORDER BY bucket, event_type
       """.trim))
   )
 }
