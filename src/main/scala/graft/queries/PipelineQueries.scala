@@ -1020,6 +1020,93 @@ object PipelineQueries {
                     ELSE 15.0 * CAST(1152921504606846976 AS DOUBLE)
                          / CAST(hk AS DOUBLE) END AS approx_users
         FROM a ORDER BY bucket, event_type
+      """.trim)),
+
+    // Cohort retention: users grouped by first-activity day; per cohort,
+    // how many were active again exactly 1 and 7 days later. The cohort
+    // table is one min-aggregate on user_id; retention checks are same-key
+    // joins against the distinct (user, day) activity set — no windows, no
+    // cross-day shuffle amplification.
+    Q(
+      "q82_cohort_retention",
+      (s, dir) => {
+        val activity = Tables.events(s, dir)
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .distinct()
+        val cohort = activity.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+        // two independent semi joins, then one aggregate per cohort day
+        val c1 = cohort.join(activity.as("a1"),
+            cohort("user_id") === col("a1.user_id") &&
+              col("a1.day") === col("cohort_day") + expr("INTERVAL 1 DAY"), "left_semi")
+          .groupBy("cohort_day").agg(count(lit(1)).as("retained_1"))
+        val c7 = cohort.join(activity.as("a7"),
+            cohort("user_id") === col("a7.user_id") &&
+              col("a7.day") === col("cohort_day") + expr("INTERVAL 7 DAY"), "left_semi")
+          .groupBy("cohort_day").agg(count(lit(1)).as("retained_7"))
+        cohort.groupBy("cohort_day").agg(count(lit(1)).as("n_users"))
+          .join(c1, Seq("cohort_day"), "left")
+          .join(c7, Seq("cohort_day"), "left")
+          .select(col("cohort_day"), col("n_users"),
+            coalesce(col("retained_1"), lit(0L)).as("retained_1"),
+            coalesce(col("retained_7"), lit(0L)).as("retained_7"))
+          .orderBy("cohort_day")
+      },
+      Some("""
+        WITH activity AS (
+          SELECT DISTINCT user_id, time_bucket(INTERVAL 1 DAY, ts) AS day FROM events
+        ), cohort AS (
+          SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+        ), c1 AS (
+          SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS retained_1 FROM cohort c
+          WHERE EXISTS (SELECT 1 FROM activity a
+                        WHERE a.user_id = c.user_id
+                          AND a.day = c.cohort_day + INTERVAL 1 DAY)
+          GROUP BY cohort_day
+        ), c7 AS (
+          SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS retained_7 FROM cohort c
+          WHERE EXISTS (SELECT 1 FROM activity a
+                        WHERE a.user_id = c.user_id
+                          AND a.day = c.cohort_day + INTERVAL 7 DAY)
+          GROUP BY cohort_day
+        )
+        SELECT n.cohort_day AS cohort_day, n.n_users,
+               COALESCE(c1.retained_1, 0) AS retained_1,
+               COALESCE(c7.retained_7, 0) AS retained_7
+        FROM (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_users
+              FROM cohort GROUP BY cohort_day) n
+        LEFT JOIN c1 ON n.cohort_day = c1.cohort_day
+        LEFT JOIN c7 ON n.cohort_day = c7.cohort_day
+        ORDER BY cohort_day
+      """.trim)),
+
+    // Event-sequence mining: top-5 most common consecutive event-type
+    // transitions per user stream (lag window -> pair counts -> total-order
+    // limit) — the bigram/Markov-transition shape over behavioral
+    // sequences.
+    Q(
+      "q83_event_transitions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .withColumn("__next", lead(col("event_type"), 1).over(w))
+          .filter(col("__next").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("__next").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("from_type"), col("to_type"))
+          .limit(5)
+      },
+      Some("""
+        WITH r AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+          FROM events
+        )
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM r WHERE next_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 5
       """.trim))
   )
 }

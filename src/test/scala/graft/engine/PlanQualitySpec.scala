@@ -180,6 +180,39 @@ class PlanQualitySpec extends SparkSpec {
       s"expected a reused signature exchange/stage in the final adaptive plan:\n$finalPlan")
   }
 
+  test("globalRunningSum plans partitioned windows only (no single-task funnel)") {
+    val df = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey").as("v"))
+    val out = Keys.globalRunningSum(df, "o_orderkey", "v", "cum", partitions = 4)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // every Window node must carry a partition spec — an empty partitionBy
+    // would be the single-task global running sum this operator exists to
+    // avoid (the offsets window runs over the 4-row per-partition aggregate,
+    // which is fine; it is still partitioned output feeding a broadcast)
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty)
+    assert(plan.contains("__pid"), s"expected pid-partitioned local window in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast offset join in:\n$plan")
+  }
+
+  test("z-score scoring joins the tiny stats side by broadcast") {
+    val q = graft.SparkEntry.queries("q78_zscore_anomalies")
+    val df = q(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast stats join in:\n$plan")
+  }
+
+  test("KMV sketch plans through the heap TopKPerKey operator") {
+    val df = graft.SparkEntry.queries("q81_kmv_distinct")(spark, sf0001)
+    val plan = df.queryExecution.optimizedPlan.toString +
+      df.queryExecution.sparkPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected TopKPerKeyExec in:\n$plan")
+  }
+
   test("bucketed range join plans a hash join, never a nested loop") {
     val pts = Tables.customer(spark, sf0001)
       .select(col("c_custkey"), col("c_acctbal").cast("double").as("bal"))
