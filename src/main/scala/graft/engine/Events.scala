@@ -1,8 +1,19 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+/** Typed-row shape for [[Events.sessionizeTyped]] (top level: the encoder's
+  * generated code instantiates by name).
+  */
+case class RawEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** One closed session from [[Events.sessionizeTyped]]. */
+case class TypedSession(user_id: Long, session_seq: Long,
+    session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+    n_events: Long)
 
 /** Time-series batch analytics over the `events` table (SURVEY.md section
   * 2.10: the reference models time relationally — calendar join, no streams —
@@ -52,5 +63,44 @@ object Events {
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
         Exact.sumD(col("value"), scale = 6).as("sum_value"))
+  }
+
+  /** Typed twin of [[sessionize]] on the `Dataset[T]` API:
+    * `groupByKey(_.user_id).flatMapGroups` walks each user's events in
+    * (ts, event_id) order and emits a session per idle gap — the imperative
+    * per-group logic the typed API exists for, with the case-class encoder
+    * keeping field access compile-checked. Same shuffle contract as the
+    * window form (one exchange on the key); the group sort is in-memory, so
+    * this variant assumes bounded per-user event counts (true for session
+    * data; the window form or streaming flatMapGroupsWithState cover the
+    * unbounded case). Identical rows to [[sessionize]] minus the decimal
+    * sum (typed aggregation of decimals re-enters untyped territory).
+    */
+  def sessionizeTyped(events: DataFrame, gapSeconds: Long = 1800L): Dataset[TypedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[RawEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid: Long, it: Iterator[RawEvent]) =>
+        val evs = it.toArray.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        val out = scala.collection.mutable.ArrayBuffer.empty[TypedSession]
+        var seq = 0L
+        var start: java.sql.Timestamp = null
+        var end: java.sql.Timestamp = null
+        var n = 0L
+        def micros(t: java.sql.Timestamp): Long =
+          t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+        evs.foreach { e =>
+          if (start == null || micros(e.ts) - micros(end) > gapSeconds * 1000000L) {
+            if (start != null) out += TypedSession(uid, seq, start, end, n)
+            seq += 1L; start = e.ts; end = e.ts; n = 1L
+          } else {
+            end = e.ts; n += 1L
+          }
+        }
+        if (start != null) out += TypedSession(uid, seq, start, end, n)
+        out.iterator
+      }
   }
 }

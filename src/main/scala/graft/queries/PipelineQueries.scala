@@ -1107,6 +1107,36 @@ object PipelineQueries {
                CAST(COUNT(*) AS BIGINT) AS n
         FROM r WHERE next_type IS NOT NULL
         GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 5
+      """.trim)),
+
+    // The typed Dataset[T] path end-to-end: groupByKey + flatMapGroups
+    // sessionization (imperative per-group walk under a case-class encoder)
+    // — identical sessions to q19's window form, oracle-checked against the
+    // same gaps-and-islands SQL.
+    Q(
+      "q84_typed_sessions",
+      (s, dir) => Events.sessionizeTyped(Tables.events(s, dir), gapSeconds = 1800L)
+        .toDF()
+        .orderBy("user_id", "session_seq"),
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessioned AS (
+          SELECT user_id, ts,
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+          FROM flagged
+        )
+        SELECT user_id, session_seq,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM sessioned GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
       """.trim))
   )
 }
