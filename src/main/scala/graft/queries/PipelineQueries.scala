@@ -1137,6 +1137,80 @@ object PipelineQueries {
                COUNT(*) AS n_events
         FROM sessioned GROUP BY user_id, session_seq
         ORDER BY user_id, session_seq
+      """.trim)),
+
+    // Incremental aggregation: history state + delta state merged per key
+    // (engine.Incremental) — the materialized-view refresh pattern. The
+    // oracle is the FULL recompute, so the hash match IS the proof that
+    // state merging loses nothing (count + exact decimal sum are
+    // associative).
+    Q(
+      "q85_incremental_agg",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val split = lit("2024-01-15 00:00:00").cast("timestamp")
+        val hist = Incremental.sumCountState(
+          ev.filter(col("ts") < split), Seq("event_type"), "value")
+        val delta = Incremental.sumCountState(
+          ev.filter(col("ts") >= split), Seq("event_type"), "value")
+        Incremental.mergeStates(Seq(hist, delta), Seq("event_type"))
+          .select(col("event_type"), col("n"),
+            col("sum_state").cast("double").as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type
+      """.trim)),
+
+    // Blocked fuzzy matching (entity resolution): dirty supplier names
+    // (deterministic last-char corruption) are matched back to the clean
+    // dimension by prefix blocking + Levenshtein verify + best-match rank —
+    // never all-pairs; the block key bounds candidate sets the way LSH
+    // bands do for documents.
+    Q(
+      "q86_fuzzy_match",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+        val dirty = sup.select(col("s_suppkey").as("dirty_key"),
+          when(col("s_suppkey") % 3 === 0,
+            concat(substring(col("s_name"), 1, 17), lit("X")))
+            .otherwise(col("s_name")).as("dirty_name"))
+        val cand = dirty
+          .withColumn("__blk", substring(col("dirty_name"), 1, 17))
+          .join(sup.withColumn("__blk", substring(col("s_name"), 1, 17))
+              .hint("shuffle_hash"), Seq("__blk"))
+          .select(col("dirty_key"), col("dirty_name"), col("s_suppkey"), col("s_name"),
+            levenshtein(col("dirty_name"), col("s_name")).as("distance"))
+          .filter(col("distance") <= 1)
+        val w = Window.partitionBy("dirty_key")
+          .orderBy(col("distance"), col("s_suppkey"))
+        cand.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select("dirty_key", "s_suppkey", "distance")
+          .orderBy("dirty_key")
+      },
+      Some("""
+        WITH sup AS (
+          SELECT s_suppkey, s_name FROM supplier
+        ), dirty AS (
+          SELECT s_suppkey AS dirty_key,
+                 CASE WHEN s_suppkey % 3 = 0
+                      THEN substr(s_name, 1, 17) || 'X' ELSE s_name END AS dirty_name
+          FROM sup
+        ), cand AS (
+          SELECT d.dirty_key, s.s_suppkey,
+                 CAST(levenshtein(d.dirty_name, s.s_name) AS INTEGER) AS distance
+          FROM dirty d JOIN sup s
+            ON substr(d.dirty_name, 1, 17) = substr(s.s_name, 1, 17)
+          WHERE levenshtein(d.dirty_name, s.s_name) <= 1
+        )
+        SELECT dirty_key, s_suppkey, distance FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY dirty_key ORDER BY distance, s_suppkey) AS rn
+          FROM cand)
+        WHERE rn = 1 ORDER BY dirty_key
       """.trim))
   )
 }
