@@ -128,6 +128,22 @@ object Sinks {
     spark.catalog.clearCache()
   }
 
+  /** Observed write: attach `observe()` metrics to the frame and write it —
+    * the Spark-native data-quality instrumentation (metrics are computed by
+    * the SAME job that writes, no second scan) — and return the observed
+    * values (e.g. row count, null counts, sums) for load-audit logging.
+    */
+  def writeParquetObserved(df: DataFrame, path: String,
+      metrics: Map[String, org.apache.spark.sql.Column]): Map[String, Any] = {
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_write_${java.util.UUID.randomUUID()}")
+    val cols = metrics.toSeq
+    val observed = df.observe(obs, cols.head._2.as(cols.head._1),
+      cols.tail.map { case (n, c) => c.as(n) }: _*)
+    writeParquet(observed, path)
+    obs.get
+  }
+
   /** Keyed parquet upsert: rows of `batch` replace same-key rows of the
     * directory (insert when absent) — the lake-table merge primitive under
     * the streaming foreachBatch sink and incremental batch loads alike.

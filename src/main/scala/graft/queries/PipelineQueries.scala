@@ -1211,6 +1211,33 @@ object PipelineQueries {
             PARTITION BY dirty_key ORDER BY distance, s_suppkey) AS rn
           FROM cand)
         WHERE rn = 1 ORDER BY dirty_key
+      """.trim)),
+
+    // The spark.sql(...) entry path: temp views + one ANSI query string —
+    // same Catalyst plan as the DataFrame form, proving the SQL front door
+    // works against the engine's tables (the oracle is literally the same
+    // statement minus dialect).
+    Q(
+      "q87_sql_api",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+        Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+        s.sql("""
+          SELECT c.c_mktsegment AS segment,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o.o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS sales
+          FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment
+          ORDER BY segment
+        """)
+      },
+      Some("""
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS sales
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY segment
       """.trim))
   )
 }

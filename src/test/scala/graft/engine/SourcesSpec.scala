@@ -79,6 +79,27 @@ class SourcesSpec extends SparkSpec {
     assert(files >= 2, s"expected multiple files from maxRecordsPerFile, got $files")
   }
 
+  test("writeParquetObserved returns the write job's own audit metrics") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_observed").toString + "/t"
+    val df = graft.Tables.customer(spark, sf0001).select("c_custkey", "c_acctbal")
+    val metrics = Sinks.writeParquetObserved(df, dir, Map(
+      "n_rows" -> count(lit(1)),
+      "n_null_bal" -> count(when(col("c_acctbal").isNull, 1))))
+    assert(metrics("n_rows") === df.count())
+    assert(metrics("n_null_bal") === 0L)
+    assert(spark.read.parquet(dir).count() === df.count())
+  }
+
+  test("upsertParquet replaces same-key rows and inserts new ones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_b").toString + "/t"
+    Sinks.writeParquet(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    Sinks.upsertParquet(Seq((2L, "B"), (3L, "c")).toDF("k", "v"), dir, "k")
+    val got = spark.read.parquet(dir).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
   test("compactParquet collapses a many-file directory, preserving rows") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/out"
     val df = graft.Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
