@@ -1238,6 +1238,73 @@ object PipelineQueries {
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
         ORDER BY segment
+      """.trim)),
+
+    // LOCF forward fill (last observation carried forward): nulls injected
+    // deterministically (event_id%7==0), then filled with the most recent
+    // non-null same-user value via last_value(IGNORE NULLS) over preceding
+    // rows — the time-series imputation staple, one shuffle on the key.
+    Q(
+      "q88_forward_fill",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("v_sparse",
+            when(col("event_id") % 7 === 0, lit(null).cast("double"))
+              .otherwise(col("value")))
+          .withColumn("v_filled",
+            last(col("v_sparse"), ignoreNulls = true).over(w))
+          .select("event_id", "user_id", "v_sparse", "v_filled")
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH sparse AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v_sparse
+          FROM events
+        )
+        SELECT event_id, user_id, v_sparse,
+               last_value(v_sparse IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        FROM sparse ORDER BY event_id
+      """.trim)),
+
+    // Equi-DEPTH histogram (deciles): per-bucket row count and value range —
+    // the quantile-bucketed complement of q59's fixed-width bins. A naive
+    // ntile() is an UNPARTITIONED window (single-task funnel); here the
+    // global rank comes from the two-phase range-partitioned form and the
+    // ntile bucket-size rule ((n mod k) leading buckets one larger) is
+    // applied as explicit integer math. Tie rows may swap ranks across runs,
+    // but bucket SIZES are fixed and min/max depend only on the sorted
+    // multiset, so the output is deterministic.
+    Q(
+      "q89_equidepth_hist",
+      (s, dir) => {
+        val v = Tables.events(s, dir).select(col("value"))
+        val ranked = Keys.surrogateKeysScalableCatalyst(v, "value", "rank")
+        val total = v.agg(count(lit(1)).as("__n"))
+        val q = floor(col("__n") / 10)
+        val r = col("__n") % 10
+        val b0 = when(col("rank") <= r * (q + 1),
+            floor((col("rank") - 1) / (q + 1)))
+          .otherwise(r + floor((col("rank") - r * (q + 1) - 1) / q))
+        ranked.crossJoin(broadcast(total))
+          .select(col("value"), (b0 + 1).cast("int").as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min(col("value")).as("lo"), max(col("value")).as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(value) AS lo, MAX(value) AS hi
+        FROM (SELECT value,
+                     CAST(ntile(10) OVER (ORDER BY value) AS INTEGER) AS bucket
+              FROM events)
+        GROUP BY bucket ORDER BY bucket
       """.trim))
   )
 }

@@ -38,6 +38,26 @@ class KeysDedupDateSpec extends SparkSpec {
     assert(naive.toSeq == scalable.toSeq)
   }
 
+  test("two-phase ntile formula matches the window ntile on a non-divisible n") {
+    import org.apache.spark.sql.expressions.Window
+    // n = 23, k = 10 -> r = 3 leading buckets of 3, seven of 2 (the branch
+    // the even-sized test tables never exercise)
+    val df = spark.range(0, 23).select((col("id") * 131 % 97).as("v")).repartition(4)
+    val viaNtile = df.withColumn("b", ntile(10).over(Window.orderBy("v")))
+      .groupBy("b").count().orderBy("b")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val ranked = Keys.surrogateKeysScalableCatalyst(df, "v", "rank", partitions = 3)
+    val n = lit(23L)
+    val q = floor(n / 10)
+    val r = n % 10
+    val b0 = when(col("rank") <= r * (q + 1), floor((col("rank") - 1) / (q + 1)))
+      .otherwise(r + floor((col("rank") - r * (q + 1) - 1) / q))
+    val viaFormula = ranked.select((b0 + 1).cast("int").as("b"))
+      .groupBy("b").count().orderBy("b")
+      .collect().map(r2 => (r2.getInt(0), r2.getLong(1)))
+    assert(viaFormula.toSeq == viaNtile.toSeq)
+  }
+
   test("date spine has reference cardinality: 2010..2030 = 7670 rows") {
     assert(DateDim.dateSpine(spark, "2010-01-01", "2030-12-31").count() == 7670L)
   }
