@@ -135,6 +135,7 @@ object Sinks {
     */
   def writeParquetObserved(df: DataFrame, path: String,
       metrics: Map[String, org.apache.spark.sql.Column]): Map[String, Any] = {
+    require(metrics.nonEmpty, "writeParquetObserved needs at least one metric")
     val obs = org.apache.spark.sql.Observation(
       s"graft_write_${java.util.UUID.randomUUID()}")
     val cols = metrics.toSeq

@@ -279,8 +279,12 @@ object NearDup {
     // (equal sums <=> no label moved). One tiny aggregate per iteration —
     // no second join against the previous labels, and the same action that
     // checks convergence also materializes the persisted next frame.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // sum of an EMPTY frame is null — coalesce so a pair-less input
+      // converges on the first check instead of NPE-ing the compare
+      val v = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0

@@ -157,6 +157,12 @@ class ExtSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("connectedComponents on an empty pair set returns an empty labeling") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(NearDup.connectedComponents(empty, "id_a", "id_b").count() === 0)
+  }
+
   test("chunkFrame: windows tile every token with the declared overlap") {
     val w = 32; val s = 24
     val chunks = TextAnalysis.chunkFrame(docs, "doc_id", "text", w, s)
