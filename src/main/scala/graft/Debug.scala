@@ -68,10 +68,12 @@ object Debug {
       }
       if (sys.env.contains("GRAFT_EXPLAIN")) df.explain("formatted")
     }
-    // Dump mode: also write the oracle json restricted to the dumped
-    // queries, so tools/compare.py runs against this dir directly.
+    // Dump mode: write the COMPLETE oracle json (not just the dumped
+    // queries) so refreshing single queries inside a full Verify out-dir
+    // never shrinks the correctness gate; tools/compare.py skips oracle
+    // entries with no dumped parquet, so a fresh partial dir still works.
     sys.env.get("GRAFT_DUMP_DIR").foreach { dir =>
-      OracleJson.write(dir, SparkEntry.oracleSql.filter(e => args.contains(e._1)))
+      OracleJson.write(dir, SparkEntry.oracleSql)
     }
     spark.stop()
   }

@@ -89,8 +89,10 @@ object Events {
         var start: java.sql.Timestamp = null
         var end: java.sql.Timestamp = null
         var n = 0L
+        // floorDiv, not /: truncation-toward-zero misplaces pre-1970
+        // timestamps by up to a second vs unix_micros' floor semantics
         def micros(t: java.sql.Timestamp): Long =
-          t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+          Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
         evs.foreach { e =>
           if (start == null || micros(e.ts) - micros(end) > gapSeconds * 1000000L) {
             if (start != null) out += TypedSession(uid, seq, start, end, n)

@@ -23,9 +23,10 @@ object Reconcile {
     val t = target.select(
       (col(key) +: compareCols.map(c => col(c).as(s"__t_$c"))): _*)
       .withColumn("__in_t", lit(true))
+    // empty compareCols = key-presence diff only ('changed' impossible)
     val anyDiff = compareCols
       .map(c => !(col(s"__s_$c") <=> col(s"__t_$c")))
-      .reduce(_ || _)
+      .reduceOption(_ || _).getOrElse(lit(false))
     s.join(t, Seq(key), "full_outer")
       .select(col(key),
         when(col("__in_s").isNull, "added")

@@ -362,7 +362,8 @@ object NearDup {
     // counting, both verify joins) would replay the whole explode+aggregate
     // pipeline; with it, AQE materializes the narrow (id, simhash) frame
     // once and every consumer reuses the stage.
-    val sigs = simHashFrame(docs, idCol, textCol).repartition(col(idCol))
+    val sigs = simHashFrame(docs, idCol, textCol)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
     val allBanded = sigs.select(col(idCol), explode(array((0 until bands).map { j =>
         struct(lit(j).as("band"),
           shiftright(col("simhash"), j * width).bitwiseAND(lit(mask)).as("bucket"))

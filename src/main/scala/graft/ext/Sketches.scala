@@ -36,7 +36,10 @@ object Sketches {
 
   /** Point estimates for `probes(valueCol)`: min over the depth cells each
     * probe hashes into. `cells` is the [[cmsCells]] output (tiny —
-    * broadcast).
+    * broadcast). LEFT join + coalesce(0): a cell with no row is a ZERO
+    * cell, and the CMS upper-bound contract requires it to participate in
+    * the min (a never-inserted probe must estimate 0, not vanish or
+    * overestimate from its populated cells only).
     */
   def cmsEstimate(cells: DataFrame, probes: DataFrame, valueCol: String,
       depth: Int, width: Int): DataFrame =
@@ -45,7 +48,7 @@ object Sketches {
         struct(lit(j).as("j"), bucket(col(valueCol), j, width).as("bucket"))
       }: _*)).as("__jb"))
       .select(col(valueCol), col("__jb.j").as("j"), col("__jb.bucket").as("bucket"))
-      .join(broadcast(cells), Seq("j", "bucket"))
+      .join(broadcast(cells), Seq("j", "bucket"), "left")
       .groupBy(valueCol)
-      .agg(min(col("cnt")).as("cms_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 }

@@ -990,12 +990,19 @@ object ExtQueries {
       "q65_text_scrub",
       (s, dir) => {
         val bl = Seq("hash", "merge", "batch")
-        val toks = TextAnalysis.tokens(col("text"))
+        // Tokenize ONCE below an exchange: the four token references above
+        // would each inline the regexp+split pipeline if projected in the
+        // same stage (CollapseProject), so the exchange is the
+        // single-evaluation boundary — above it, __t is a plain shuffled
+        // attribute and the scrub lambdas run over cheap column reads.
         Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
           .select(col("doc_id"),
-            size(toks).as("n_tokens"),
-            (size(toks) - size(TextAnalysis.scrubTokens(toks, bl))).as("n_removed"),
-            concat_ws(" ", TextAnalysis.scrubTokens(toks, bl)).as("scrubbed"))
+            size(col("__t")).as("n_tokens"),
+            (size(col("__t")) - size(TextAnalysis.scrubTokens(col("__t"), bl)))
+              .as("n_removed"),
+            concat_ws(" ", TextAnalysis.scrubTokens(col("__t"), bl)).as("scrubbed"))
           .orderBy("doc_id")
       },
       Some(s"""

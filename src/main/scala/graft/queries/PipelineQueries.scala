@@ -921,10 +921,14 @@ object PipelineQueries {
             (col("sx") / col("n").cast("double")).as("mean_v"),
             sqrt((col("sx2") - col("sx") * col("sx") / col("n").cast("double"))
               / col("n").cast("double")).as("std_v"))
+        // std_v > 0 guard on BOTH sides: a zero-variance group yields
+        // z = 0/0 = NaN, and Spark (NaN fails >=) and DuckDB (NaN sorts
+        // greatest, passes >=) disagree on whether it survives the filter
         typed.join(broadcast(stats), Seq("event_type"))
-          .select(col("event_id"), col("event_type"), col("value"),
+          .select(col("event_id"), col("event_type"), col("value"), col("std_v"),
             ((col("x").cast("double") - col("mean_v")) / col("std_v")).as("z"))
-          .filter(abs(col("z")) >= 2.0)
+          .filter(col("std_v") > 0.0 && abs(col("z")) >= 2.0)
+          .drop("std_v")
           .orderBy("event_id")
       },
       Some("""
@@ -943,7 +947,7 @@ object PipelineQueries {
         SELECT event_id, t.event_type AS event_type, value,
                (CAST(x AS DOUBLE) - mean_v) / std_v AS z
         FROM t JOIN s ON t.event_type = s.event_type
-        WHERE abs((CAST(x AS DOUBLE) - mean_v) / std_v) >= 2.0
+        WHERE std_v > 0.0 AND abs((CAST(x AS DOUBLE) - mean_v) / std_v) >= 2.0
         ORDER BY event_id
       """.trim)),
 
@@ -1174,9 +1178,12 @@ object PipelineQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+        // append-X corruption: the true entity is UNIQUELY distance 1 (one
+        // deletion); every other block member needs its own char-17/18 edit
+        // too (distance >= 2), so the <=1 verify + rank provably recovers
+        // the right supplier rather than a same-distance block neighbor
         val dirty = sup.select(col("s_suppkey").as("dirty_key"),
-          when(col("s_suppkey") % 3 === 0,
-            concat(substring(col("s_name"), 1, 17), lit("X")))
+          when(col("s_suppkey") % 3 === 0, concat(col("s_name"), lit("X")))
             .otherwise(col("s_name")).as("dirty_name"))
         val cand = dirty
           .withColumn("__blk", substring(col("dirty_name"), 1, 17))
@@ -1197,7 +1204,7 @@ object PipelineQueries {
         ), dirty AS (
           SELECT s_suppkey AS dirty_key,
                  CASE WHEN s_suppkey % 3 = 0
-                      THEN substr(s_name, 1, 17) || 'X' ELSE s_name END AS dirty_name
+                      THEN s_name || 'X' ELSE s_name END AS dirty_name
           FROM sup
         ), cand AS (
           SELECT d.dirty_key, s.s_suppkey,
