@@ -40,6 +40,23 @@ object Sources {
   def csvSplittable(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.options(csvOptions - "multiLine").schema(schema).csv(path)
 
+  /** Permissive typed read with corrupt-record capture: rows that fail to
+    * parse into `schema` land whole in `_corrupt_record` (other columns
+    * null) instead of killing the job — the quarantine pattern for dirty
+    * feeds at scale (count/route the bad rows, never FAILFAST a 100 TB
+    * load). Spark requires the corrupt column declared in the read schema;
+    * filtering on it alone also requires a materialization barrier
+    * (`cache`) per the Spark docs — callers splitting good/bad should
+    * cache the returned frame first.
+    */
+  val CorruptCol = "_corrupt_record"
+  def csvPermissive(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.options(csvOptions - "multiLine")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(schema.add(CorruptCol, org.apache.spark.sql.types.StringType))
+      .csv(path)
+
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

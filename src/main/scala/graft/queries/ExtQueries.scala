@@ -1226,6 +1226,48 @@ object ExtQueries {
                CAST(COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
                  AS diversity
         FROM g GROUP BY source ORDER BY source
+      """.trim)),
+
+    // Quality-WEIGHTED subsampling: each doc's keep probability is
+    // quality/2, decided by comparing its deterministic hash bucket to
+    // floor(quality*5000) — per-ROW rates (the curation "sample better
+    // data more" pass), vs q53's fixed per-stratum rates. Pure map-side
+    // filter; membership stable across runs, shards, and engines.
+    Q(
+      "q90_quality_weighted_sample",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), TextAnalysis.tokens(col("text")).as("__toks"))
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.qualityScore(col("__toks")).as("quality"))
+        base.filter(TextAnalysis.stratumBucket(col("doc_id"), "qw")
+            < floor(col("quality") * 5000.0).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, lang, $Toks AS w FROM documents
+        ), feat AS (
+          SELECT doc_id, lang,
+                 CAST(len(w) AS INTEGER) AS n_tokens,
+                 len(list_filter(w, t -> t IN ($StopList))) AS n_stop,
+                 CAST(list_sum([length(t) FOR t IN w]) AS DOUBLE) AS sum_len
+          FROM base
+        ), q AS (
+          SELECT doc_id, lang,
+                 0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                   + 0.3 * (CASE WHEN n_tokens = 0 THEN 0.0
+                                 ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END)
+                   + 0.2 * least((CASE WHEN n_tokens = 0 THEN 0.0
+                                       ELSE sum_len / CAST(n_tokens AS DOUBLE) END) / 8.0, 1.0)
+                   AS quality
+          FROM feat
+        )
+        SELECT doc_id, lang, quality FROM q
+        WHERE (${TextHash.duckHash60("CAST(doc_id AS VARCHAR) || 'qw'")} % 10000)
+                < CAST(floor(quality * 5000.0) AS BIGINT)
+        ORDER BY doc_id
       """.trim))
   )
 }

@@ -44,6 +44,25 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter(org.apache.spark.sql.functions.col("id") === 4321L).head.getDouble(1) == 4321.25)
   }
 
+  test("csvPermissive quarantines malformed rows in _corrupt_record") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_permissive")
+    java.nio.file.Files.writeString(dir.resolve("in.csv"),
+      "id,amount\n1,10.5\n2,notanumber\n3,7.25\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType)))
+    val df = Sources.csvPermissive(spark, dir.toString, schema).cache()
+    try {
+      val bad = df.filter(col(Sources.CorruptCol).isNotNull)
+      val good = df.filter(col(Sources.CorruptCol).isNull)
+      assert(bad.count() === 1)
+      assert(bad.head.getString(2) === "2,notanumber")
+      assert(good.count() === 2)
+      assert(good.select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    } finally { df.unpersist(); () }
+  }
+
   test("requireColumns fails fast with the missing list") {
     val df = spark.range(1).toDF("a")
     val e = intercept[IllegalArgumentException](Sources.requireColumns(df, Seq("a", "b", "c")))
