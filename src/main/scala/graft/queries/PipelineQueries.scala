@@ -1312,6 +1312,113 @@ object PipelineQueries {
                      CAST(ntile(10) OVER (ORDER BY value) AS INTEGER) AS bucket
               FROM events)
         GROUP BY bucket ORDER BY bucket
+      """.trim)),
+
+    // RFM segmentation: per-customer recency/frequency/monetary quartiles.
+    // Single-task-free: each quartile label comes from ntile(4) over a
+    // TOTAL order (metric, custkey) — the tie-break makes label assignment
+    // deterministic across engines, and the global windows the naive form
+    // would use are again avoided via per-metric rank windows kept small
+    // (the per-customer aggregate is customers-sized, 1000x smaller than
+    // orders; an unpartitioned window over it is a documented,
+    // bounded-input exception).
+    Q(
+      "q91_rfm_segments",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val per = Tables.orders(s, dir).groupBy("o_custkey")
+          .agg(max(col("o_orderdate")).as("last_order"),
+            count(lit(1)).as("frequency"),
+            Exact.sumD(col("o_totalprice")).as("monetary"))
+        val r = ntile(4).over(Window.orderBy(col("last_order").desc, col("o_custkey")))
+        val f = ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey")))
+        val m = ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey")))
+        per.select(col("o_custkey"), col("frequency"), col("monetary"),
+            r.cast("int").as("r_q"), f.cast("int").as("f_q"), m.cast("int").as("m_q"))
+          .withColumn("segment",
+            concat(col("r_q").cast("string"), col("f_q").cast("string"),
+              col("m_q").cast("string")))
+          .orderBy("o_custkey")
+      },
+      Some("""
+        WITH per AS (
+          SELECT o_custkey,
+                 MAX(o_orderdate) AS last_order,
+                 CAST(COUNT(*) AS BIGINT) AS frequency,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS monetary
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, frequency, monetary,
+               CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS INTEGER) AS r_q,
+               CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f_q,
+               CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INTEGER) AS m_q,
+               CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS VARCHAR)
+                 || CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS VARCHAR)
+                 || CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS VARCHAR)
+                 AS segment
+        FROM per ORDER BY o_custkey
+      """.trim)),
+
+    // Market-basket pair mining: parts co-ordered in the same order, pair
+    // support counts, total-order top-20 — the pairwise frequent-itemset
+    // sweep. Same never-all-pairs shape as the LSH candidates: the
+    // self-join key is the order id, so pair blowup is bounded by
+    // lines-per-order squared, not catalog size.
+    Q(
+      "q92_basket_pairs",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+        li.as("a")
+          .join(li.as("b").hint("shuffle_hash"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+          .agg(count(lit(1)).as("support"))
+          .orderBy(col("support").desc, col("part_a"), col("part_b"))
+          .limit(20)
+      },
+      Some("""
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 ORDER BY support DESC, part_a, part_b LIMIT 20
+      """.trim)),
+
+    // Pareto / cumulative-share: customers ranked by revenue with their
+    // running share of the total — "which customers are 80% of revenue".
+    // The running sum stays DECIMAL inside the window (associative-exact,
+    // so DuckDB's segment-tree window aggregation and Spark's running
+    // accumulation cannot diverge) and converts to double only at the
+    // final division.
+    Q(
+      "q93_pareto_share",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables.orders(s, dir).groupBy("o_custkey")
+          .agg(sum(col("o_totalprice").cast("decimal(24,2)")).as("__rev"))
+        val w = Window.orderBy(col("__rev").desc, col("o_custkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rev
+          .withColumn("cum_rev", sum(col("__rev")).over(w))
+          .crossJoin(broadcast(rev.agg(sum(col("__rev")).as("__total"))))
+          .select(col("o_custkey"),
+            col("__rev").cast("double").as("revenue"),
+            (col("cum_rev").cast("double") / col("__total").cast("double"))
+              .as("cum_share"))
+          .orderBy(col("revenue").desc, col("o_custkey"))
+      },
+      Some("""
+        WITH rev AS (
+          SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS r
+          FROM orders GROUP BY o_custkey
+        ), t AS (SELECT SUM(r) AS total FROM rev)
+        SELECT o_custkey,
+               CAST(r AS DOUBLE) AS revenue,
+               CAST(SUM(r) OVER (ORDER BY r DESC, o_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST((SELECT total FROM t) AS DOUBLE) AS cum_share
+        FROM rev ORDER BY revenue DESC, o_custkey
       """.trim))
   )
 }
