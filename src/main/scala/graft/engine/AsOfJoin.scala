@@ -61,4 +61,40 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select(leftCols.map(c => col(s"__l_$c").as(c)) ++ rightVals.map(col): _*)
   }
+
+  /** Forward as-of join: for each `left` row, the EARLIEST right row with
+    * `rightTime` >= `leftTime` in the same key group (null when none
+    * follows) — "next event after" enrichment (next purchase after a click,
+    * next error after a deploy). Mirror of [[asofBackward]]: left sorts
+    * BEFORE right at equal times (forward-inclusive) and the first
+    * following right payload is pulled back with first(_, ignoreNulls)
+    * over the (currentRow, unboundedFollowing) frame. Same one-shuffle
+    * cost shape.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, tieBreak: String,
+      rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(rightVals.forall(v => !leftCols.contains(v)),
+      s"right value columns ${rightVals.mkString(",")} must not collide with left columns")
+    val l = left.select(
+      Seq(col(key).as("__k"), col(leftTime).as("__t"), lit(0).as("__side"),
+        col(tieBreak).as("__tb"))
+        ++ leftCols.map(c => col(c).as(s"__l_$c"))
+        ++ rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val r = right.select(
+      Seq(col(key).as("__k"), col(rightTime).as("__t"), lit(1).as("__side"),
+        col(tieBreak).as("__tb"))
+        ++ leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c"))
+        ++ rightVals.map(c => col(c).as(s"__r_$c")): _*)
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__side"), col("__tb"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .select(Seq(col("__side"))
+        ++ leftCols.map(c => col(s"__l_$c"))
+        ++ rightVals.map(c => first(col(s"__r_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__side") === 0)
+      .select(leftCols.map(c => col(s"__l_$c").as(c)) ++ rightVals.map(col): _*)
+  }
 }

@@ -52,6 +52,13 @@ object Keys {
     * broadcast. Costs one extra hash shuffle (the window re-clusters by pid)
     * but never leaves Catalyst/codegen and needs no row deserialization —
     * preferable when downstream operators benefit from staying in Tungsten.
+    *
+    * CORRECTNESS CAVEAT: both branches reference `repartitionByRange`,
+    * whose boundaries are SAMPLED per execution — the form is only correct
+    * when AQE reuses the exchange across the two branches (it does for
+    * simple scans; observed NOT to for a union-of-windows input, which is
+    * why [[globalRunningSum]] uses the RDD shuffle-reuse shape). Keep
+    * inputs to this form simple, or prefer [[surrogateKeysScalable]].
     */
   def surrogateKeysScalableCatalyst(df: DataFrame, orderCol: String,
       keyName: String, offset: Long = 0L, partitions: Int = 0): DataFrame = {
@@ -78,37 +85,41 @@ object Keys {
       .drop("__pid", "__poff")
   }
 
-  /** Scalable global prefix sum: `sumName` = running total of `valueCol` in
-    * `orderCol` order, INCLUDING the current row. The naive form is an
-    * unpartitioned running-sum window (single-task funnel, same hazard as
-    * surrogate keys); this is the same two-phase fix as
-    * [[surrogateKeysScalableCatalyst]] generalized from counts to sums:
-    * range-partition by the order key, run the running sum locally per
-    * partition, and add per-partition prefix offsets from a tiny aggregate
-    * broadcast back. The backbone of sequence-packing / budget-cut
-    * operators (q72): every partition works independently at any scale.
+  /** Scalable global prefix sum: `sumName` = running total of `valueCol`
+    * (LongType) in `orderCol` order, INCLUDING the current row. The naive
+    * form is an unpartitioned running-sum window (single-task funnel, same
+    * hazard as surrogate keys).
+    *
+    * Implementation deliberately mirrors [[surrogateKeysScalable]]'s RDD
+    * shape, NOT the pure-Catalyst two-exchange form: range-partition +
+    * local sort ONCE, then two jobs over the SAME materialized shuffle —
+    * a per-partition-total pass and the prefix-offset map. RDD shuffle
+    * files are computed once and reused across the jobs, so the sampled
+    * range boundaries cannot differ between the phases. A DataFrame
+    * two-branch formulation (offsets aggregate + pid-window over two
+    * evaluations of `repartitionByRange`) is only correct when AQE reuses
+    * the exchange — and for complex inputs (a union of windowed subplans,
+    * q95) that reuse does NOT fire, silently splitting the two branches
+    * onto DIFFERENTLY-SAMPLED partitionings with garbage offsets.
     */
   def globalRunningSum(df: DataFrame, orderCol: String, valueCol: String,
       sumName: String, partitions: Int = 0): DataFrame = {
-    val n = if (partitions > 0) partitions
-      else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, col(orderCol))
-      .withColumn("__pid", spark_partition_id())
-    val offsets = ranged.groupBy(col("__pid"))
-      .agg(sum(col(valueCol)).as("__psum"))
-      .withColumn("__poff",
-        coalesce(
-          sum(col("__psum")).over(
-            Window.orderBy(col("__pid"))
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("__pid"), col("__poff"))
-    val localSum = sum(col(valueCol)).over(
-      Window.partitionBy(col("__pid")).orderBy(col(orderCol))
-        .rowsBetween(Window.unboundedPreceding, 0))
-    ranged
-      .join(broadcast(offsets), Seq("__pid"))
-      .withColumn(sumName, localSum + col("__poff"))
-      .drop("__pid", "__poff")
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    require(df.schema(valueCol).dataType == LongType,
+      s"globalRunningSum needs a LongType $valueCol")
+    val sorted = df.repartitionByRange(n, col(orderCol)).sortWithinPartitions(orderCol)
+    val schema = sorted.schema.add(sumName, LongType, nullable = false)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    spark.createDataFrame(out, schema)
   }
 }

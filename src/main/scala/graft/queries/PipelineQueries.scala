@@ -1291,7 +1291,7 @@ object PipelineQueries {
       "q89_equidepth_hist",
       (s, dir) => {
         val v = Tables.events(s, dir).select(col("value"))
-        val ranked = Keys.surrogateKeysScalableCatalyst(v, "value", "rank")
+        val ranked = Keys.surrogateKeysScalable(v, "value", "rank")
         val total = v.agg(count(lit(1)).as("__n"))
         val q = floor(col("__n") / 10)
         val r = col("__n") % 10
@@ -1419,6 +1419,97 @@ object PipelineQueries {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                  / CAST((SELECT total FROM t) AS DOUBLE) AS cum_share
         FROM rev ORDER BY revenue DESC, o_custkey
+      """.trim)),
+
+    // FORWARD as-of join: each click enriched with the NEXT at-or-after
+    // purchase of the same user — the q41 mirror completing the as-of
+    // family (same union+window shape, first() over the following frame).
+    Q(
+      "q94_asof_forward",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "ts", "user_id", "value")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("value").as("purchase_value"), col("event_id").as("purchase_id"))
+        AsOfJoin.asofForward(clicks, purchases, key = "user_id",
+            leftTime = "ts", rightTime = "ts", tieBreak = "event_id",
+            rightVals = Seq("purchase_value", "purchase_id"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id AS k, ts AS t, 0 AS side, event_id AS tb,
+                 event_id, ts, user_id, value,
+                 CAST(NULL AS DOUBLE) AS pv, CAST(NULL AS BIGINT) AS pid
+          FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id, ts, 1, event_id,
+                 NULL, NULL, NULL, NULL, value, event_id
+          FROM events WHERE event_type = 'purchase'
+        ), m AS (
+          SELECT side, event_id, ts, user_id, value,
+                 first_value(pv IGNORE NULLS) OVER w AS purchase_value,
+                 first_value(pid IGNORE NULLS) OVER w AS purchase_id
+          FROM u
+          WINDOW w AS (PARTITION BY k ORDER BY t, side, tb
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_id, ts, user_id, value, purchase_value, purchase_id
+        FROM m WHERE side = 0 ORDER BY event_id
+      """.trim)),
+
+    // Sweep-line concurrency: session boundaries become +1/-1 deltas on a
+    // TOTAL integer order (micros*4 + delta code — ties of equal deltas
+    // permute without changing any running value), the running sum is the
+    // scalable two-phase prefix sum, and the per-day max is "peak
+    // concurrent sessions observed at boundary instants".
+    Q(
+      "q95_concurrency",
+      (s, dir) => {
+        val sess = Events.sessionize(Tables.events(s, dir), gapSeconds = 1800L)
+        val deltas = sess.select(col("session_start").as("ts"), lit(1L).as("delta"))
+          .unionByName(sess.select(col("session_end").as("ts"), lit(-1L).as("delta")))
+          .select(col("ts"), col("delta"),
+            (unix_micros(col("ts")) * 4 + col("delta") + 1).as("k"))
+        Keys.globalRunningSum(deltas, "k", "delta", "conc")
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(max(col("conc")).as("peak_concurrency"),
+            count(lit(1)).as("n_boundaries"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessioned AS (
+          SELECT user_id, ts,
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+          FROM flagged
+        ), sess AS (
+          SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end
+          FROM sessioned GROUP BY user_id, session_seq
+        ), deltas AS (
+          SELECT session_start AS ts, CAST(1 AS BIGINT) AS delta,
+                 epoch_us(session_start) * 4 + 2 AS k
+          FROM sess
+          UNION ALL
+          SELECT session_end, -1, epoch_us(session_end) * 4 AS k FROM sess
+        ), swept AS (
+          SELECT ts, CAST(SUM(delta) OVER (ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+          FROM deltas
+        )
+        SELECT time_bucket(INTERVAL 1 DAY, ts) AS day,
+               CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+               CAST(COUNT(*) AS BIGINT) AS n_boundaries
+        FROM swept GROUP BY 1 ORDER BY day
       """.trim))
   )
 }

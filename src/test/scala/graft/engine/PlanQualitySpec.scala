@@ -180,21 +180,15 @@ class PlanQualitySpec extends SparkSpec {
       s"expected a reused signature exchange/stage in the final adaptive plan:\n$finalPlan")
   }
 
-  test("globalRunningSum plans partitioned windows only (no single-task funnel)") {
+  test("globalRunningSum plans no window at all (no single-task funnel)") {
     val df = Tables.orders(spark, sf0001)
       .select(col("o_orderkey"), col("o_custkey").as("v"))
     val out = Keys.globalRunningSum(df, "o_orderkey", "v", "cum", partitions = 4)
     out.collect()
+    // the RDD shuffle-reuse form has NO WindowExec anywhere — the running
+    // sum is per-partition imperative over one materialized range shuffle
     val plan = out.queryExecution.executedPlan.toString
-    // every Window node must carry a partition spec — an empty partitionBy
-    // would be the single-task global running sum this operator exists to
-    // avoid (the offsets window runs over the 4-row per-partition aggregate,
-    // which is fine; it is still partitioned output feeding a broadcast)
-    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
-    assert(windowLines.nonEmpty)
-    assert(plan.contains("__pid"), s"expected pid-partitioned local window in:\n$plan")
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
-      s"expected broadcast offset join in:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
   }
 
   test("z-score scoring joins the tiny stats side by broadcast") {
