@@ -1268,6 +1268,86 @@ object ExtQueries {
         WHERE (${TextHash.duckHash60("CAST(doc_id AS VARCHAR) || 'qw'")} % 10000)
                 < CAST(floor(quality * 5000.0) AS BIGINT)
         ORDER BY doc_id
+      """.trim)),
+
+    // ANN recall@3 evaluation: the SRP-bucketed index's top-3 vs the
+    // brute-force ground truth, per probe query — the index-quality metric
+    // every ANN deployment tracks, computed distributedly (semi join on
+    // (query, neighbor); counts + one exact division).
+    Q(
+      "q97_ann_recall",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val b = e.select(col("vec_id"), col("embedding"),
+          Similarity.hyperplaneBucketFast(col("embedding"), 6, 64).as("bucket"))
+        val probes = b.filter(col("vec_id") % 20 === 0)
+        val ann = Similarity.annTopKByCell(probes, b, "vec_id", "embedding", "bucket", k = 3)
+          .select("query_id", "neighbor_id")
+        val brute = Similarity.topKCosine(
+            e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding", k = 3)
+          .select("query_id", "neighbor_id")
+        val base = brute.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+        val hits = brute.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        base.join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_true"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)).cast("double")
+              / col("n_true").cast("double")).as("recall"))
+          .orderBy("query_id")
+      },
+      Some(s"""
+        WITH sb AS (
+          SELECT vec_id,
+                 CAST(list_sum([
+                   CASE WHEN list_sum([
+                     CAST(embedding[i] AS DOUBLE) *
+                     (CASE WHEN (${TextHash.duckHash60(
+                        "CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} & 1) = 1
+                      THEN 1.0 ELSE -1.0 END)
+                     FOR i IN generate_series(1, len(embedding))]) >= 0
+                   THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END
+                   FOR p IN generate_series(0, 5)]) AS BIGINT) AS bucket
+          FROM embeddings
+        ), e AS (
+          SELECT v.vec_id, v.embedding, sb.bucket,
+                 sqrt(${duckDot("v.embedding", "v.embedding")}) AS nrm
+          FROM embeddings v JOIN sb ON v.vec_id = sb.vec_id
+        ), ann AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                              c.vec_id) AS rnk
+            FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+            WHERE q.vec_id % 20 = 0)
+          WHERE rnk <= 3
+        ), brute AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                              c.vec_id) AS rnk
+            FROM e q CROSS JOIN e c
+            WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id)
+          WHERE rnk <= 3
+        ), hits AS (
+          SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM brute b WHERE EXISTS (
+            SELECT 1 FROM ann a
+            WHERE a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id)
+          GROUP BY b.query_id
+        ), base AS (
+          SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_true
+          FROM brute GROUP BY query_id
+        )
+        SELECT base.query_id AS query_id, n_true,
+               COALESCE(n_hits, 0) AS n_hits,
+               CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+        FROM base LEFT JOIN hits ON base.query_id = hits.query_id
+        ORDER BY query_id
       """.trim))
   )
 }

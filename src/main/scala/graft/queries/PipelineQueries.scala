@@ -1510,6 +1510,40 @@ object PipelineQueries {
                CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
                CAST(COUNT(*) AS BIGINT) AS n_boundaries
         FROM swept GROUP BY 1 ORDER BY day
+      """.trim)),
+
+    // Inter-event latency distribution on power-of-two buckets: the log2
+    // comes from the BINARY-STRING LENGTH of the whole-second gap (pure
+    // integer — no libm log whose last-ulp differs across engines). The
+    // standard latency-histogram shape: lag per key, bucket, count.
+    Q(
+      "q96_latency_dist",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .withColumn("__gap_s",
+            floor((unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+              / lit(1000000L)).cast("long"))
+          .filter(col("__gap_s").isNotNull)
+          .withColumn("bucket", length(bin(col("__gap_s"))).cast("int"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min(col("__gap_s")).as("min_gap_s"), max(col("__gap_s")).as("max_gap_s"))
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH gaps AS (
+          SELECT CAST(floor((epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) / 1000000) AS BIGINT)
+                 AS gap_s
+          FROM events
+        )
+        SELECT CAST(length(bin(gap_s)) AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(gap_s) AS min_gap_s, MAX(gap_s) AS max_gap_s
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY 1 ORDER BY bucket
       """.trim))
   )
 }
