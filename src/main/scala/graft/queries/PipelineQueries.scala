@@ -1544,6 +1544,129 @@ object PipelineQueries {
                MIN(gap_s) AS min_gap_s, MAX(gap_s) AS max_gap_s
         FROM gaps WHERE gap_s IS NOT NULL
         GROUP BY 1 ORDER BY bucket
+      """.trim)),
+
+    // Sketch MERGE: per-day KMV k-min sets rolled up to the type level by
+    // keeping the k smallest of the union — lossless for the top-k (any
+    // hash among a type's k smallest is among its day's k smallest), so
+    // the merged estimate EQUALS the direct type-level sketch. That
+    // mergeability is what makes sketches work in partial aggregation /
+    // incremental pipelines; the oracle computes the direct form.
+    Q(
+      "q98_kmv_merge",
+      (s, dir) => {
+        val k = 16
+        val dayMins = Tables.events(s, dir)
+          .select(date_trunc("day", col("ts")).as("day"), col("event_type"),
+            graft.ext.TextHash.hash60(
+              concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+          .distinct()
+        val perDay = graft.plans.TopKPerKey.of(dayMins,
+          keyCols = Seq("day", "event_type"), order = Seq("h" -> true), k = k)
+        // merge: k smallest DISTINCT hashes of the union of day-level mins
+        val merged = graft.plans.TopKPerKey.of(
+          perDay.select(col("event_type"), col("h")).distinct(),
+          keyCols = Seq("event_type"), order = Seq("h" -> true), k = k)
+        merged.groupBy("event_type")
+          .agg(count(lit(1)).as("n_seen"),
+            max(when(col("rank") === k, col("h"))).as("__hk"))
+          .select(col("event_type"), col("n_seen"),
+            when(col("n_seen") < k, col("n_seen").cast("double"))
+              .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976L).cast("double")
+                / col("__hk").cast("double")).as("approx_users"))
+          .orderBy("event_type")
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 ${graft.ext.TextHash.duckHash60("'kmv:' || CAST(user_id AS VARCHAR)")} AS h
+          FROM events
+        ), r AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM h
+        ), a AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_seen,
+                 MAX(CASE WHEN rn = 16 THEN h END) AS hk
+          FROM r WHERE rn <= 16 GROUP BY event_type
+        )
+        SELECT event_type, n_seen,
+               CASE WHEN n_seen < 16 THEN CAST(n_seen AS DOUBLE)
+                    ELSE 15.0 * CAST(1152921504606846976 AS DOUBLE)
+                         / CAST(hk AS DOUBLE) END AS approx_users
+        FROM a ORDER BY event_type
+      """.trim)),
+
+    // Exact weighted mean: quantity-weighted average price per return flag
+    // — decimal sum(w*x) over decimal sum(w), one double division at the
+    // end (never a running double mean).
+    Q(
+      "q99_weighted_mean",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,2)")
+            * col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,4)"))
+            .as("__wx"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("__w"))
+        .select(col("flag"),
+          (col("__wx").cast("double") / col("__w").cast("double"))
+            .as("weighted_avg_price"))
+        .orderBy("flag"),
+      Some("""
+        SELECT l_returnflag AS flag,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                    AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS weighted_avg_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY flag
+      """.trim)),
+
+    // Winsorized statistics: clip each value at its group's p05/p95 (exact
+    // rank-selected bounds, q69 machinery), then exact decimal sums of the
+    // clipped column — the outlier-robust cleaning pass with
+    // reproducible bounds.
+    Q(
+      "q100_winsorized_stats",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("value")
+        val ranked = Tables.events(s, dir).select(col("event_type"), col("value"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        def pick(qp: Int) =
+          max(when(col("rn") === floor((col("n") * qp + lit(99)) / lit(100)).cast("int"),
+            col("value")))
+        val bounds = ranked.groupBy("event_type")
+          .agg(pick(5).as("p05"), pick(95).as("p95"))
+        ranked.join(broadcast(bounds), Seq("event_type"))
+          .select(col("event_type"),
+            greatest(least(col("value"), col("p95")), col("p05")).as("__clipped"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            Exact.sumD(col("__clipped"), scale = 6).as("sum_winsorized"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH r AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        ), b AS (
+          SELECT event_type,
+                 MAX(CASE WHEN rn = (n * 5 + 99) // 100 THEN value END) AS p05,
+                 MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN value END) AS p95
+          FROM r GROUP BY event_type
+        )
+        SELECT r.event_type AS event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(greatest(least(value, p95), p05) AS DECIMAL(24,6)))
+                    AS DOUBLE) AS sum_winsorized
+        FROM r JOIN b ON r.event_type = b.event_type
+        GROUP BY r.event_type ORDER BY event_type
       """.trim))
   )
 }
