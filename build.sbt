@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must pass through UNPREFIXED: sbt's default logger
+// decorates every forked-process line with "[info] ", which breaks the
+// driver's line-oriented parse of Bench's one-line JSON metric (BENCH_r01
+// and _r02 both show parsed:null with the JSON visible behind an "[info] "
+// prefix in the captured tail).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
