@@ -147,6 +147,125 @@ object NearDup {
           size(col("__shingles")) > 0),
       idCol)
 
+  /** Public handle on the shared per-document shingle frame
+    * (idCol, __shingles), exchange-ended — see [[withShingles]].
+    */
+  def shingleFrame(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    withShingles(docs, idCol, textCol, n)
+
+  /** POSITIONAL word n-grams (non-distinct, document order) — the winnowing
+    * input, where the i-th gram corresponds to text position i. Same
+    * shifted-slice zip construction as [[shingles]] (argument-position
+    * references only), minus the distinct.
+    */
+  def posGrams(toks: Column, n: Int): Column = {
+    val m = size(toks) - (n - 1)
+    val parts = (0 until n).map(o => slice(toks, lit(o + 1), m))
+    val gramOf = (s: Column) =>
+      concat_ws(" ", (0 until n).map(i => s.getField(i.toString)): _*)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(arrays_zip(parts: _*), gramOf))
+  }
+
+  /** Exact Jaccard pairs via PREFIX FILTERING (SSJoin/PPJoin family,
+    * Chaudhuri et al. 2006; Xiao et al. 2008): under any global total order
+    * on the shingle universe (here: the 60-bit hash value), two sets with
+    * |A∩B| >= o must share an element within the first |A|-o+1 / |B|-o+1
+    * elements of their sorted forms. Jaccard >= num/den implies overlap
+    * >= ceil(num*|A|/den) (integer arithmetic — a float ceil(t*|A|) can land
+    * one above the true bound and silently drop candidates), so exploding
+    * ONLY each document's prefix yields a threshold-COMPLETE candidate set
+    * at a fraction of the inverted-index volume: for t=0.8, ~20% of the
+    * postings and ~4% of the bucket-pair blowup. Candidates are then
+    * exact-verified on the full shingle sets. Same output as
+    * [[exactJaccardPairs]], cheaper by construction — the exact-pairs form
+    * to prefer at scale when LSH recall loss is not acceptable.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen must be in (0,1]")
+    val threshold = tNum.toDouble / tDen
+    val sh = withShingles(docs, idCol, textCol, n)
+    // Prefix of the hash-sorted shingle set: length |S| - ceil(t|S|) + 1.
+    val sz = size(col("__shingles"))
+    // ceil(num*|S|/den) as floor((num*|S| + den - 1) / den): the operands stay
+    // far below 2^53, so the double division + floor is integer-exact.
+    val prefixLen = (sz - floor((sz * tNum + (tDen - 1)) / tDen) + 1).cast("int")
+    val prefixes = sh.select(col(idCol),
+      explode(slice(sort_array(transform(col("__shingles"), s => TextHash.hash60(s))),
+        lit(1), prefixLen)).as("__p"))
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b").hint("shuffle_hash"),
+        col("a.__p") === col("b.__p") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    // SHUFFLE_HASH: doc-linear shingle frame — same broadcast-build reasoning
+    // as the MinHash verify joins.
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("__shingles").as("__sa")).hint("shuffle_hash"),
+        Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__shingles").as("__sb")).hint("shuffle_hash"),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("__sa"), col("__sb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Per-document duplicate-n-gram coverage: the fraction of a document's
+    * distinct n-grams that occur in at least one OTHER document — the
+    * corpus-level duplication diagnostic (Gopher / FineWeb "dup n-gram
+    * fraction") that decides between document-level and span-level dedup.
+    * One inverted-index aggregate (shingle -> doc frequency) joined back to
+    * the postings; both frames shuffle on bounded keys, never all-pairs.
+    * A shingle's doc frequency counts each document once (shingle sets are
+    * distinct per doc). Output: (idCol, n_grams, n_dup, dup_frac).
+    */
+  def dupNgramCoverage(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val inv = withShingles(docs, idCol, textCol, n)
+      .select(col(idCol), explode(col("__shingles")).as("__s"))
+    val df = inv.groupBy("__s").agg(count(lit(1)).as("__df"))
+    // SHUFFLE_HASH on the df side: gram-linear, not broadcastable at scale.
+    inv.join(df.hint("shuffle_hash"), Seq("__s"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col(idCol), col("n_grams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams").cast("double")).as("dup_frac"))
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): hash every
+    * POSITIONAL word n-gram, slide a window of `w` consecutive gram hashes,
+    * keep each window's minimum — guaranteeing any shared run of
+    * w + n - 1 words contributes at least one common fingerprint, with
+    * expected density 2/(w+1) of the gram count. The distinct kept hashes
+    * are the document's fingerprint set (plagiarism/attribution-grade
+    * near-dup evidence, robust to insertions between shared spans).
+    * Pure map-side expression work: gram hashes are materialized below a
+    * spread exchange (the [[withShingles]] lambda-re-evaluation discipline),
+    * window minima above it. Documents with fewer than w grams are dropped.
+    * Output: (idCol, n_grams, n_fps, min_fp).
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, w: Int): DataFrame = {
+    require(n >= 1 && w >= 1, s"need n >= 1, w >= 1; got n=$n w=$w")
+    val gh = spread(
+      spread(
+        docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks")),
+        idCol)
+        .select(col(idCol),
+          transform(posGrams(col("__toks"), n), g => TextHash.hash60(g)).as("__gh"))
+        .filter(col(idCol).isNotNull && size(col("__gh")) >= w),
+      idCol)
+    gh.select(col(idCol), size(col("__gh")).as("n_grams"),
+        array_distinct(transform(
+          sequence(lit(1), size(col("__gh")) - (w - 1)),
+          i => array_min(slice(col("__gh"), i, lit(w))))).as("__fps"))
+      .select(col(idCol), col("n_grams"),
+        size(col("__fps")).as("n_fps"), array_min(col("__fps")).as("min_fp"))
+  }
+
   /** Exact near-dup pairs via inverted-index join: explode shingles, join on
     * the shingle, group to intersection counts, verify the Jaccard threshold.
     * Only pairs sharing >= 1 shingle are ever materialized.

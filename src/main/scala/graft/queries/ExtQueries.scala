@@ -66,6 +66,31 @@ object ExtQueries {
                   / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) >= 0.8
         )""".stripMargin.trim
 
+  /** DuckDB oracle for exact trigram-Jaccard pairs at threshold 0.8 — shared
+    * by q23 (inverted-index plan) and q101 (prefix-filtered plan): two
+    * physical strategies, one answer.
+    */
+  private lazy val ExactJaccardPairsSql: String = s"""
+        WITH d AS (
+          SELECT doc_id, ${duckShingles(Toks, 3)} AS sh FROM documents
+        ), inv AS (
+          SELECT doc_id, unnest(sh) AS s FROM d
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), sizes AS (
+          SELECT doc_id, len(sh) AS n FROM d
+        )
+        SELECT id_a, id_b,
+               CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8
+        ORDER BY id_a, id_b
+      """.trim
+
   val qs: Seq[Q] = Seq(
 
     // Text analysis: per-(lang, source) corpus statistics. Map-side token
@@ -176,26 +201,7 @@ object ExtQueries {
       (s, dir) => NearDup.exactJaccardPairs(
           Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
         .orderBy("id_a", "id_b"),
-      Some(s"""
-        WITH d AS (
-          SELECT doc_id, ${duckShingles(Toks, 3)} AS sh FROM documents
-        ), inv AS (
-          SELECT doc_id, unnest(sh) AS s FROM d
-        ), pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        ), sizes AS (
-          SELECT doc_id, len(sh) AS n FROM d
-        )
-        SELECT id_a, id_b,
-               CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
-        FROM pairs
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8
-        ORDER BY id_a, id_b
-      """.trim)),
+      Some(ExactJaccardPairsSql)),
 
     // MinHash + banded LSH near-dup pairs, exact-verified on candidates —
     // bucketed candidate generation, never all-pairs (the scale path).
@@ -1348,6 +1354,224 @@ object ExtQueries {
                CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
         FROM base LEFT JOIN hits ON base.query_id = hits.query_id
         ORDER BY query_id
+      """.trim)),
+
+    // Prefix-filtered exact Jaccard pairs (SSJoin/PPJoin prefix filter):
+    // threshold-complete candidates from hash-ordered shingle PREFIXES
+    // (~20% of the postings at t=0.8), exact-verified — the scale form of
+    // exact pair detection. Oracle: the SAME SQL as q23's inverted-index
+    // plan; identical output proves the prefix filter loses nothing.
+    Q(
+      "q101_prefix_jaccard",
+      (s, dir) => NearDup.prefixJaccardPairs(
+          Tables.documents(s, dir), "doc_id", "text", n = 3, tNum = 4, tDen = 5)
+        .orderBy("id_a", "id_b"),
+      Some(ExactJaccardPairsSql)),
+
+    // Duplicate-n-gram coverage: per-document fraction of distinct 8-grams
+    // shared with any other document — the Gopher/FineWeb corpus-duplication
+    // diagnostic that picks document- vs span-level dedup.
+    Q(
+      "q102_dup_ngram_coverage",
+      (s, dir) => NearDup.dupNgramCoverage(
+          Tables.documents(s, dir), "doc_id", "text", n = 8)
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, ${duckShingles(Toks, 8)} AS sh FROM documents
+        ), inv AS (
+          SELECT doc_id, unnest(sh) AS s FROM d WHERE len(sh) > 0
+        ), df AS (
+          SELECT s, COUNT(*) AS df FROM inv GROUP BY s
+        )
+        SELECT inv.doc_id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+        FROM inv JOIN df ON inv.s = df.s
+        GROUP BY inv.doc_id ORDER BY doc_id
+      """.trim)),
+
+    // Spearman rank correlation (chars vs tokens, per language): ties get
+    // average ranks kept INTEGER by doubling (2*min_rank + tie_count - 1),
+    // so every Pearson-on-ranks sum is exact in both engines; the only
+    // doubles are the final casts, one sqrt each, and one division.
+    Q(
+      "q104_spearman",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val d = Tables.documents(s, dir)
+          .select(col("lang"), col("n_chars"),
+            size(TextAnalysis.tokens(col("text"))).as("__nt"))
+        val rx = (rank().over(w.partitionBy("lang").orderBy("n_chars")) * 2
+          + count(lit(1)).over(w.partitionBy("lang", "n_chars")) - 1).cast("long")
+        val ry = (rank().over(w.partitionBy("lang").orderBy("__nt")) * 2
+          + count(lit(1)).over(w.partitionBy("lang", "__nt")) - 1).cast("long")
+        val g = d.select(col("lang"), rx.as("__rx"), ry.as("__ry"))
+          .groupBy("lang").agg(
+            count(lit(1)).as("__n"),
+            sum(col("__rx")).as("__sx"), sum(col("__ry")).as("__sy"),
+            sum(col("__rx") * col("__ry")).as("__sxy"),
+            sum(col("__rx") * col("__rx")).as("__sxx"),
+            sum(col("__ry") * col("__ry")).as("__syy"))
+        val vx = g("__n") * g("__sxx") - g("__sx") * g("__sx")
+        val vy = g("__n") * g("__syy") - g("__sy") * g("__sy")
+        g.select(col("lang"), col("__n").as("n_docs"),
+            when(vx === 0 || vy === 0, lit(null).cast("double"))
+              .otherwise((col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+                / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+              .as("spearman"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT lang, n_chars, CAST(len($Toks) AS BIGINT) AS nt FROM documents
+        ), r AS (
+          SELECT lang,
+                 2 * rank() OVER (PARTITION BY lang ORDER BY n_chars)
+                   + COUNT(*) OVER (PARTITION BY lang, n_chars) - 1 AS rx,
+                 2 * rank() OVER (PARTITION BY lang ORDER BY nt)
+                   + COUNT(*) OVER (PARTITION BY lang, nt) - 1 AS ry
+          FROM t
+        ), g AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+                 CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+                 CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+                 CAST(SUM(ry * ry) AS BIGINT) AS syy
+          FROM r GROUP BY lang
+        )
+        SELECT lang, n AS n_docs,
+               CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+               END AS spearman
+        FROM g ORDER BY lang
+      """.trim)),
+
+    // Prefix-fingerprint dedup: crawl snapshots routinely differ only in a
+    // trailing boilerplate suffix, so keying on the md5 of the first 80
+    // normalized chars catches head-identical docs that whole-text md5
+    // misses. One hash-groupBy — the same single-shuffle scale shape as
+    // exact dedup. Output: one survivor (min id) per prefix group.
+    Q(
+      "q105_prefix_dedup",
+      (s, dir) => Tables.documents(s, dir)
+        .select(md5(substring(Cleaning.normalizeText(col("text")), 1, 80)).as("__fp"),
+          col("doc_id"))
+        .groupBy("__fp")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+        .select("doc_id", "n_dups")
+        .orderBy("doc_id"),
+      Some(s"""
+        SELECT min(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+        FROM (SELECT doc_id, md5(substr($NormText, 1, 80)) AS fp FROM documents)
+        GROUP BY fp ORDER BY doc_id
+      """.trim)),
+
+    // Winnowing fingerprints (MOSS): window-min over positional 4-gram
+    // hashes, w=4 — any shared 7-word run yields a common fingerprint.
+    Q(
+      "q106_winnowing",
+      (s, dir) => NearDup.winnowFingerprints(
+          Tables.documents(s, dir), "doc_id", "text", n = 4, w = 4)
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, $Toks AS w FROM documents
+        ), gr AS (
+          SELECT doc_id,
+                 [array_to_string(w[i:i+3], ' ')
+                  FOR i IN generate_series(1, len(w) - 3)] AS g
+          FROM t
+        ), gh AS (
+          SELECT doc_id, [${TextHash.duckHash60("x")} FOR x IN g] AS gh
+          FROM gr
+        ), wins AS (
+          SELECT doc_id, CAST(len(gh) AS INTEGER) AS n_grams,
+                 list_distinct([list_min(gh[i:i+3])
+                                FOR i IN generate_series(1, len(gh) - 3)]) AS fps
+          FROM gh WHERE len(gh) >= 4
+        )
+        SELECT doc_id, n_grams, CAST(len(fps) AS INTEGER) AS n_fps,
+               CAST(list_min(fps) AS BIGINT) AS min_fp
+        FROM wins ORDER BY doc_id
+      """.trim)),
+
+    // Embedding L2 norms + coarse norm bands: the normalization/diagnostic
+    // pass before cosine ANN (a norm-0 or extreme-norm vector is a data
+    // bug). Norm = sqrt of the fixed-order double fold; band = floor(norm*4)
+    // (power-of-two scaling — exact in IEEE, so the band edges agree across
+    // engines). Pure map-side expression work.
+    Q(
+      "q107_embedding_norms",
+      (s, dir) => {
+        val nrm = sqrt(Similarity.dot(col("embedding"), col("embedding")))
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), nrm.as("l2_norm"),
+            floor(nrm * 4).cast("int").as("norm_band"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        SELECT vec_id,
+               sqrt(${duckDot("embedding", "embedding")}) AS l2_norm,
+               CAST(floor(sqrt(${duckDot("embedding", "embedding")}) * 4) AS INTEGER)
+                 AS norm_band
+        FROM embeddings ORDER BY vec_id
+      """.trim)),
+
+    // One FULL Lloyd iteration (k-means step): label-seeded exact centroids
+    // -> nearest-centroid reassignment (q39's argmin) -> recomputed exact
+    // centroids of the NEW cells, exploded (cell, dim, mean). Iterating this
+    // operator to convergence is the IVF index build; every stage is the
+    // bounded-aggregate / broadcast-argmin shape that scales.
+    Q(
+      "q108_lloyd_iteration",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val assigned = Similarity.assignToNearestCentroid(
+            e, "vec_id", "embedding",
+            Similarity.exactCentroids(e, "embedding", "label"))
+          .select(col("vec_id"), col("cell"))
+        val scale = lit(281474976710656.0) // 2^48, lossless float exponent shift
+        assigned.join(e.select("vec_id", "embedding"), Seq("vec_id"))
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("cell", "dim")
+          .agg((sum((col("v").cast("double") * scale).cast("decimal(38,0)")).cast("double")
+            / scale / count(lit(1))).as("mean"))
+          .orderBy("cell", "dim")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT label, CAST(u.i - 1 AS INTEGER) AS dim,
+                 CAST(SUM(CAST(CAST(u.v AS DOUBLE) * 281474976710656 AS DECIMAL(38,0))) AS DOUBLE)
+                   / 281474976710656 / COUNT(*) AS mean
+          FROM embeddings,
+               LATERAL (SELECT unnest(embedding) AS v,
+                               generate_subscripts(embedding, 1) AS i) u
+          GROUP BY label, dim
+        ), c AS (
+          SELECT label AS cell, list(mean ORDER BY dim) AS centroid FROM m GROUP BY label
+        ), p AS (
+          SELECT e.vec_id, c.cell,
+                 list_sum([(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                           * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                           FOR i IN generate_series(1, len(e.embedding))]) AS dist2
+          FROM embeddings e CROSS JOIN c
+        ), a AS (
+          SELECT vec_id, cell FROM p
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) = 1
+        )
+        SELECT a.cell AS cell, CAST(u.i - 1 AS INTEGER) AS dim,
+               CAST(SUM(CAST(CAST(u.v AS DOUBLE) * 281474976710656 AS DECIMAL(38,0))) AS DOUBLE)
+                 / 281474976710656 / COUNT(*) AS mean
+        FROM embeddings e JOIN a ON e.vec_id = a.vec_id,
+             LATERAL (SELECT unnest(e.embedding) AS v,
+                             generate_subscripts(e.embedding, 1) AS i) u
+        GROUP BY a.cell, dim
+        ORDER BY cell, dim
       """.trim))
   )
 }

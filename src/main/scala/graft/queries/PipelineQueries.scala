@@ -1667,6 +1667,121 @@ object PipelineQueries {
                     AS DOUBLE) AS sum_winsorized
         FROM r JOIN b ON r.event_type = b.event_type
         GROUP BY r.event_type ORDER BY event_type
+      """.trim)),
+
+    // Z-order (Morton) clustering key: interleave the bits of two quantized
+    // dimensions (hour bucket x user bucket) so that sorting/range-clustering
+    // by the key co-locates rows close in BOTH dimensions — the multi-column
+    // data-layout trick behind Delta/Iceberg Z-ORDER. Writing z-sorted files
+    // (Sinks.writeRangeClustered on zkey) gives parquet footer min/max
+    // stats that prune 2-D predicates, where a lexicographic sort prunes
+    // only its leading column. Pure integer bit arithmetic — engine-exact.
+    Q(
+      "q103_zorder_key",
+      (s, dir) => {
+        val zbits = 10
+        def interleave(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+          (0 until zbits).map { b =>
+            shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b + 1) +
+              shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b)
+          }.reduce(_ + _)
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            expr("(unix_micros(ts) div 3600000000) % 1024").as("zx"),
+            pmod(col("user_id"), lit(1024L)).as("zy"))
+          .select(col("event_id"), col("zx"), col("zy"),
+            interleave(col("zx"), col("zy")).as("zkey"))
+          .orderBy("event_id")
+      },
+      Some {
+        val zexpr = (0 until 10)
+          .map(b => s"(((zx >> $b) & 1) << ${2 * b + 1}) + (((zy >> $b) & 1) << ${2 * b})")
+          .mkString(" + ")
+        s"""
+        WITH b AS (
+          SELECT event_id,
+                 (epoch_us(ts) // 3600000000) % 1024 AS zx,
+                 user_id % 1024 AS zy
+          FROM events
+        )
+        SELECT event_id, zx, zy, CAST($zexpr AS BIGINT) AS zkey
+        FROM b ORDER BY event_id
+      """.trim
+      }),
+
+    // Keyed-upsert (MERGE) round-trip through the parquet warehouse sink:
+    // write the base table, upsert a delta that UPDATES every key%5==0 row
+    // and would INSERT unseen keys, read back. The oracle states the merge
+    // contract directly with a CASE over the base — matched keys take the
+    // delta row, everything else passes through (Sinks.upsertParquet is the
+    // batch twin of the streaming exactly-once-per-key sink, X63).
+    Q(
+      "q109_upsert_roundtrip",
+      (s, dir) => {
+        val path = s"/tmp/graft_scratch/${new java.io.File(dir).getName}_upsert_tgt"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path)); rm(new java.io.File(path + "__upsert_tmp"))
+        val base = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_orderstatus").as("status"),
+          col("o_totalprice").cast("double").as("price"))
+        Sinks.writeParquet(base, path)
+        val delta = base.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("price", col("price") * 2)
+          .withColumn("status", lit("U"))
+        Sinks.upsertParquet(delta, path, "o_orderkey")
+        s.read.parquet(path).orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+               CASE WHEN o_orderkey % 5 = 0 THEN CAST(o_totalprice AS DOUBLE) * 2
+                    ELSE CAST(o_totalprice AS DOUBLE) END AS price
+        FROM orders ORDER BY o_orderkey
+      """.trim)),
+
+    // PII detection + redaction: regex-extract counts and in-place masking
+    // of synthesized contact strings (emails + phone fragments derived
+    // deterministically from customer rows — the shared tables carry no real
+    // PII). Map-side regexp work, the scrubbing pass every training-data
+    // pipeline runs before release; patterns stay in the RE2-compatible
+    // subset so both engines match identically.
+    Q(
+      "q110_pii_redact",
+      (s, dir) => {
+        val emailRe = "[a-z0-9#.]+@[a-z0-9.]+"
+        val phoneRe = "\\+1-555-[0-9]{4}"
+        val synth = concat(col("c_name"), lit(" <"), lower(col("c_name")),
+          lit("@example.com> call +1-555-"),
+          lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"))
+        Tables.customer(s, dir)
+          .select(col("c_custkey"), synth.as("__text"))
+          .select(col("c_custkey"),
+            size(regexp_extract_all(col("__text"), lit(emailRe), lit(0))).as("n_emails"),
+            size(regexp_extract_all(col("__text"), lit(phoneRe), lit(0))).as("n_phones"),
+            regexp_replace(
+              regexp_replace(col("__text"), emailRe, "[EMAIL]"),
+              phoneRe, "[PHONE]").as("redacted"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 c_name || ' <' || lower(c_name) || '@example.com> call +1-555-'
+                   || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS txt
+          FROM customer
+        )
+        SELECT c_custkey,
+               CAST(len(regexp_extract_all(txt, '[a-z0-9#.]+@[a-z0-9.]+')) AS INTEGER)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(txt, '\+1-555-[0-9]{4}')) AS INTEGER)
+                 AS n_phones,
+               regexp_replace(
+                 regexp_replace(txt, '[a-z0-9#.]+@[a-z0-9.]+', '[EMAIL]', 'g'),
+                 '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+        FROM t ORDER BY c_custkey
       """.trim))
   )
 }

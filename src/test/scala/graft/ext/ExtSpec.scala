@@ -198,6 +198,56 @@ class ExtSpec extends SparkSpec {
     assert(kept > 0.35 && kept < 0.65, s"keep rate $kept far from 0.5")
   }
 
+  test("prefix-filtered Jaccard pairs equal the full inverted-index pairs") {
+    // Completeness of the prefix filter (SSJoin lemma): same output as the
+    // exhaustive inverted-index form on the planted near-dup corpus, at two
+    // thresholds (exercises two different prefix lengths).
+    for ((num, den) <- Seq((4, 5), (3, 5))) {
+      val t = num.toDouble / den
+      val exact = NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = NearDup.prefixJaccardPairs(docs, "doc_id", "text", 3, num, den)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(exact.nonEmpty, "testdata should contain planted near-dup pairs")
+      assert(pref === exact, s"prefix filter must be complete at t=$t")
+    }
+  }
+
+  test("winnowing: shared w+n-1 token run yields a common fingerprint") {
+    // n=4, w=4: any shared run of 7 tokens shares a full window of 4-gram
+    // hashes, so the window minimum is a common fingerprint (MOSS guarantee).
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val df = Seq(
+      (1L, s"one two $shared three four five six"),
+      (2L, s"$shared completely different tail words here"),
+      (3L, "unrelated text with enough tokens to form several windows okay")
+    ).toDF("doc_id", "text")
+    val fps = NearDup.winnowFingerprints(df, "doc_id", "text", 4, 4)
+    assert(fps.count() === 3)
+    // recompute the fingerprint SETS directly to check pairwise overlap
+    val sets = df.select(col("doc_id"),
+        NearDup.posGrams(TextAnalysis.tokens(col("text")), 4).as("__g"))
+      .select(col("doc_id"), transform(col("__g"), g => TextHash.hash60(g)).as("__gh"))
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), size(col("__gh")) - 3),
+        i => array_min(slice(col("__gh"), i, lit(4))))).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((sets(1L) & sets(2L)).nonEmpty, "shared 7-token run must collide")
+    assert((sets(1L) & sets(3L)).isEmpty, "unrelated docs must not collide")
+  }
+
+  test("dup-ngram coverage: planted duplicate spans are detected, frac in [0,1]") {
+    val rows = NearDup.dupNgramCoverage(docs, "doc_id", "text", 8).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, dup, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(dup >= 0 && dup <= n)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // the corpus plants near-duplicate docs, so SOME doc must carry dup grams
+    assert(rows.exists(_.getLong(2) > 0), "planted near-dups imply dup 8-grams")
+  }
+
   test("Caching.withCached caches during the body and releases after") {
     val dims = Seq(Tables.nation(spark, sf0001), Tables.region(spark, sf0001))
     Caching.withCached(dims) {
