@@ -16,5 +16,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(GraftFunctions.vecDot)
     extensions.injectFunction(GraftFunctions.hash60)
     extensions.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    extensions.injectOptimizerRule(_ => graft.plans.TopKRankRewrite)
   }
 }

@@ -160,5 +160,8 @@ object GraftFunctions {
         registry.registerFunction(ident, info, builder)
       }
     }
+    // The library's full Catalyst surface rides along: the window-rank-filter
+    // -> heap-top-k optimizer rewrite plus its planner strategy.
+    graft.plans.TopKRankInstall.ensureInstalled(spark)
   }
 }

@@ -1572,6 +1572,98 @@ object ExtQueries {
                              generate_subscripts(e.embedding, 1) AS i) u
         GROUP BY a.cell, dim
         ORDER BY cell, dim
+      """.trim)),
+
+    // Character-class quality profile: digit/whitespace/vowel counts and the
+    // alpha ratio per document — the cheap script/garbage signals a curation
+    // pipeline computes on every document before any tokenization. Counts
+    // via length-difference of class-stripped text: pure map-side regexp,
+    // integer-exact in both engines.
+    Q(
+      "q113_char_classes",
+      (s, dir) => {
+        val t = col("text")
+        def stripped(re: String) = length(t) - length(regexp_replace(t, re, ""))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), length(t).as("n_chars_raw"),
+            stripped("[0-9]").as("n_digits"),
+            stripped("\\s").as("n_spaces"),
+            stripped("[aeiou]").as("n_vowels"),
+            (stripped("[a-z]").cast("double") / length(t).cast("double"))
+              .as("alpha_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, CAST(len(text) AS INTEGER) AS n_chars_raw,
+               CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER)
+                 AS n_digits,
+               CAST(len(text) - len(regexp_replace(text, '\s', '', 'g')) AS INTEGER)
+                 AS n_spaces,
+               CAST(len(text) - len(regexp_replace(text, '[aeiou]', '', 'g')) AS INTEGER)
+                 AS n_vowels,
+               CAST(len(text) - len(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE)
+                 / CAST(len(text) AS DOUBLE) AS alpha_ratio
+        FROM documents ORDER BY doc_id
+      """.trim)),
+
+    // Generator null-semantics surface: posexplode_outer keeps a (null, null)
+    // row for documents whose filtered token array is EMPTY (here: tokens of
+    // >= 8 chars) — the outer-generate behavior plain explode silently drops.
+    // The rollup distinguishes the two counts: n_rows counts the null row,
+    // n_long_toks does not.
+    Q(
+      "q114_explode_outer",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          filter(TextAnalysis.tokens(col("text")), t => length(t) >= 8).as("__lt"))
+        .select(col("doc_id"), posexplode_outer(col("__lt")).as(Seq("pos", "tok")))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("tok")).as("n_long_toks"),
+          min(col("tok")).as("first_tok"))
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, list_filter($Toks, x -> len(x) >= 8) AS lt FROM documents
+        )
+        SELECT doc_id,
+               CAST(GREATEST(len(lt), 1) AS BIGINT) AS n_rows,
+               CAST(len(lt) AS BIGINT) AS n_long_toks,
+               CASE WHEN len(lt) = 0 THEN NULL ELSE list_sort(lt)[1] END AS first_tok
+        FROM t ORDER BY doc_id
+      """.trim)),
+
+    // Array-function surface over token arrays: sort/slice/distinct/contains/
+    // overlap/flatten/join — the collection toolkit the shingle and chunking
+    // operators build from, exercised directly. Map-side only.
+    Q(
+      "q117_array_funcs",
+      (s, dir) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), toks.as("__t"))
+          .select(col("doc_id"),
+            size(col("__t")).as("n_toks"),
+            size(array_distinct(col("__t"))).as("n_distinct"),
+            array_contains(col("__t"), "data").as("has_data"),
+            arrays_overlap(col("__t"), array(lit("spark"), lit("query"))).as("has_any"),
+            array_join(slice(array_sort(array_distinct(col("__t"))), 1, 3), "-")
+              .as("first3_sorted"),
+            size(flatten(array(slice(col("__t"), 1, 2), slice(col("__t"), -2, 2))))
+              .as("n_ends"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $Toks AS lt FROM documents)
+        SELECT doc_id,
+               CAST(len(lt) AS INTEGER) AS n_toks,
+               CAST(len(list_distinct(lt)) AS INTEGER) AS n_distinct,
+               list_contains(lt, 'data') AS has_data,
+               list_has_any(lt, ['spark', 'query']) AS has_any,
+               array_to_string(list_sort(list_distinct(lt))[1:3], '-') AS first3_sorted,
+               CAST(len(flatten([lt[1:2], lt[-2:]])) AS INTEGER) AS n_ends
+        FROM t ORDER BY doc_id
       """.trim))
   )
 }

@@ -1782,6 +1782,121 @@ object PipelineQueries {
                  regexp_replace(txt, '[a-z0-9#.]+@[a-z0-9.]+', '[EMAIL]', 'g'),
                  '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS redacted
         FROM t ORDER BY c_custkey
+      """.trim)),
+
+    // Wide-to-long unpivot (Dataset.unpivot, the melt/stack surface): per-
+    // status order metrics pivoted into (metric, value) rows. The aggregate
+    // runs ONCE and the unpivot is a pure projection+Expand on top — no
+    // second scan, unlike the UNION-ALL-of-subqueries formulation the oracle
+    // states it against.
+    Q(
+      "q111_unpivot",
+      (s, dir) => Tables.orders(s, dir).groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).cast("double").as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"),
+          max(col("o_totalprice")).cast("double").as("max_price"))
+        .unpivot(
+          Array(col("o_orderstatus")),
+          Array(col("n_orders"), col("total_price"), col("max_price")),
+          "metric", "value")
+        .orderBy("o_orderstatus", "metric"),
+      Some("""
+        WITH w AS (
+          SELECT o_orderstatus,
+                 CAST(COUNT(*) AS DOUBLE) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+                 CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+          FROM orders GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, metric, value FROM (
+          SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM w
+          UNION ALL SELECT o_orderstatus, 'total_price', total_price FROM w
+          UNION ALL SELECT o_orderstatus, 'max_price', max_price FROM w
+        ) ORDER BY o_orderstatus, metric
+      """.trim)),
+
+    // MapType surface: props parsed as map<string,int> (schema'd from_json,
+    // not per-path string extraction), entries exploded to (key, value) rows
+    // and rolled up per key. Same explicit spread as q38 — the JSON parse is
+    // CPU-heavy map work on a byte-light input.
+    Q(
+      "q112_map_props",
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("props").isNotNull)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("event_id"))
+        .select(col("event_id"),
+          explode(from_json(col("props"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType))))
+        .groupBy("key")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("long")).as("sum_v"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"))
+        .orderBy("key"),
+      Some("""
+        SELECT 'k' AS key, COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_v,
+               CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_v,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_v
+        FROM events WHERE props IS NOT NULL
+        GROUP BY 1 ORDER BY key
+      """.trim)),
+
+    // Calendar-arithmetic surface beyond q09's attribute extraction:
+    // add_months (end-of-month clamped in both engines), date_add, datediff,
+    // last_day, and quarter truncation — all integer/date-exact, pure
+    // map-side projection.
+    Q(
+      "q115_date_arith",
+      (s, dir) => Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+        .select(col("o_orderkey"), col("d"),
+          add_months(col("d"), 3).as("plus3m"),
+          date_add(col("d"), 30).as("plus30d"),
+          datediff(col("d"), lit("1995-01-01").cast("date")).as("days_since"),
+          last_day(col("d")).as("eom"),
+          date_trunc("quarter", col("d")).cast("date").as("qtr_start"))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+               CAST(o_orderdate AS DATE) + 30 AS plus30d,
+               CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+                 AS days_since,
+               last_day(CAST(o_orderdate AS DATE)) AS eom,
+               CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr_start
+        FROM orders ORDER BY o_orderkey
+      """.trim)),
+
+    // String-function surface on part names: pad/substring/translate/
+    // position/repeat/reverse — the formatting+normalization toolkit beyond
+    // q03's regexp cleaning. All byte-deterministic over ASCII inputs.
+    Q(
+      "q116_string_funcs",
+      (s, dir) => Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_name"))
+        .select(col("p_partkey"),
+          lpad(col("p_name"), 30, "*").as("padded"),
+          substring(col("p_name"), 1, 5).as("head5"),
+          translate(col("p_name"), "aeiou", "#####").as("devoweled"),
+          instr(col("p_name"), "a").cast("int").as("first_a"),
+          repeat(substring(col("p_name"), 1, 2), 3).as("rep2x3"),
+          reverse(col("p_name")).as("rev"),
+          ascii(col("p_name")).cast("int").as("lead_byte"))
+        .orderBy("p_partkey"),
+      Some("""
+        SELECT p_partkey,
+               lpad(p_name, 30, '*') AS padded,
+               substr(p_name, 1, 5) AS head5,
+               translate(p_name, 'aeiou', '#####') AS devoweled,
+               CAST(instr(p_name, 'a') AS INTEGER) AS first_a,
+               repeat(substr(p_name, 1, 2), 3) AS rep2x3,
+               reverse(p_name) AS rev,
+               CAST(ascii(p_name) AS INTEGER) AS lead_byte
+        FROM part ORDER BY p_partkey
       """.trim))
   )
 }

@@ -9,19 +9,26 @@ class TopKPerKeySpec extends SparkSpec {
   import spark.implicits._
 
   test("TopKPerKey equals the window row_number formulation") {
-    val o = Tables.orders(spark, sf0001)
-      .select("o_custkey", "o_orderkey", "o_totalprice")
-    val viaCustom = TopKPerKey.of(o, Seq("o_custkey"),
-        Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
-      .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
-    val viaWindow = o.withColumn("rank",
-        row_number().over(Window.partitionBy("o_custkey")
-          .orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("int"))
-      .filter(col("rank") <= 3)
-      .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
-    assert(viaCustom.count() === viaWindow.count())
-    assert(viaCustom.except(viaWindow).count() === 0)
-    assert(viaWindow.except(viaCustom).count() === 0)
+    // Pin the rank filter to the REAL window plan: with the TopKRankRewrite
+    // installed session-wide, the window formulation would otherwise be
+    // silently rewritten into the very operator under test.
+    spark.conf.set("spark.graft.topkRewrite.enabled", "false")
+    try {
+      val o = Tables.orders(spark, sf0001)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      val viaCustom = TopKPerKey.of(o, Seq("o_custkey"),
+          Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+      val viaWindow = o.withColumn("rank",
+          row_number().over(Window.partitionBy("o_custkey")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("int"))
+        .filter(col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+      assert(viaWindow.queryExecution.executedPlan.toString.contains("Window "))
+      assert(viaCustom.count() === viaWindow.count())
+      assert(viaCustom.except(viaWindow).count() === 0)
+      assert(viaWindow.except(viaCustom).count() === 0)
+    } finally spark.conf.unset("spark.graft.topkRewrite.enabled")
   }
 
   test("physical plan uses TopKPerKeyExec with a hash exchange, no sort") {
