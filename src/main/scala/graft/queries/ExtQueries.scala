@@ -1664,6 +1664,37 @@ object ExtQueries {
                array_to_string(list_sort(list_distinct(lt))[1:3], '-') AS first3_sorted,
                CAST(len(flatten([lt[1:2], lt[-2:]])) AS INTEGER) AS n_ends
         FROM t ORDER BY doc_id
+      """.trim)),
+
+    // One BPE-training iteration: corpus frequencies of adjacent character
+    // pairs within words (every occurrence counts, not per-doc-distinct) —
+    // the argmax pair IS the next BPE merge. Char-pair explosion is the
+    // CPU-heavy map stage (spread by doc first), the count is one hash
+    // aggregate over a bounded pair universe, and the top-20 is a total-order
+    // LIMIT over that constant-size frame.
+    Q(
+      "q118_bpe_pairs",
+      (s, dir) => Tables.documents(s, dir)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        .select(explode(TextAnalysis.tokens(col("text"))).as("__w"))
+        .filter(length(col("__w")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("__w")) - 1),
+          i => col("__w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20),
+      Some(s"""
+        WITH w AS (
+          SELECT unnest($Toks) AS w FROM documents
+        ), p AS (
+          SELECT unnest([substr(w, CAST(i AS INTEGER), 2)
+                         FOR i IN generate_series(1, len(w) - 1)]) AS pair
+          FROM w WHERE len(w) >= 2
+        )
+        SELECT pair, COUNT(*) AS n FROM p
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 20
       """.trim))
   )
 }

@@ -1897,6 +1897,44 @@ object PipelineQueries {
                reverse(p_name) AS rev,
                CAST(ascii(p_name) AS INTEGER) AS lead_byte
         FROM part ORDER BY p_partkey
+      """.trim)),
+
+    // Batch session_window API (the native Spark session primitive, distinct
+    // from q19's lag/cumsum formulation and q84's typed walk): gap-merged
+    // event-time sessions per user in ONE groupBy — no window-function pass.
+    // Semantics: a new session starts when the gap is >= 30 min (session
+    // windows are half-open [ts, ts+gap)); session end = last event + gap.
+    // The oracle restates that rule via lag/cumsum.
+    Q(
+      "q120_session_window_api",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          Exact.sumD(col("value"), 6).as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start"),
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessioned AS (
+          SELECT user_id, ts, value,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged
+        )
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+        FROM sessioned GROUP BY user_id, sid
+        ORDER BY user_id, session_start
       """.trim))
   )
 }
