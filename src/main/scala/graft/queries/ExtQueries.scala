@@ -1695,6 +1695,60 @@ object ExtQueries {
         )
         SELECT pair, COUNT(*) AS n FROM p
         GROUP BY pair ORDER BY n DESC, pair LIMIT 20
-      """.trim))
+      """.trim)),
+
+    // Product quantization codes (the IVF-PQ compression path): the 64-dim
+    // embedding splits into two 32-dim subspaces; each gets its own exact
+    // label-seeded codebook (10 sub-centroids), and every vector is coded by
+    // its nearest sub-centroid per subspace — 2 bytes per vector instead of
+    // 256, the standard memory layout for billion-scale ANN. Codebooks are
+    // constant-size (broadcast); assignment is the k=1 heap argmin; both
+    // subspace pipelines are doc-linear with one join on vec_id.
+    Q(
+      "q119_pq_codes",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        def sub(i: Int) = slice(col("embedding"), i * 32 + 1, 32)
+        val parts = e.select(col("vec_id"), col("label"),
+          sub(0).as("s0"), sub(1).as("s1"))
+        def codes(c: String, out: String) = Similarity.assignToNearestCentroid(
+            parts.select(col("vec_id"), col(c)), "vec_id", c,
+            Similarity.exactCentroids(parts.select(col("label"), col(c)), c, "label"))
+          .select(col("vec_id"), col("cell").as(out))
+        codes("s0", "code0").join(codes("s1", "code1"), Seq("vec_id"))
+          .orderBy("vec_id")
+      },
+      Some {
+        def half(j: Int, code: String) = {
+          val lo = j * 32 + 1
+          val hi = j * 32 + 32
+          s"""m$j AS (
+          SELECT label, CAST(u.i - 1 AS INTEGER) AS dim,
+                 CAST(SUM(CAST(CAST(u.v AS DOUBLE) * 281474976710656 AS DECIMAL(38,0))) AS DOUBLE)
+                   / 281474976710656 / COUNT(*) AS mean
+          FROM embeddings,
+               LATERAL (SELECT unnest(embedding[$lo:$hi]) AS v,
+                               generate_subscripts(embedding[$lo:$hi], 1) AS i) u
+          GROUP BY label, dim
+        ), c$j AS (
+          SELECT label AS cell, list(mean ORDER BY dim) AS centroid FROM m$j GROUP BY label
+        ), p$j AS (
+          SELECT e.vec_id, c.cell,
+                 list_sum([(CAST(e.embedding[i + ${lo - 1}] AS DOUBLE) - c.centroid[i])
+                           * (CAST(e.embedding[i + ${lo - 1}] AS DOUBLE) - c.centroid[i])
+                           FOR i IN generate_series(1, 32)]) AS dist2
+          FROM embeddings e CROSS JOIN c$j c
+        ), a$j AS (
+          SELECT vec_id, cell AS $code FROM p$j
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) = 1
+        )"""
+        }
+        s"""
+        WITH ${half(0, "code0")}, ${half(1, "code1")}
+        SELECT a0.vec_id, a0.code0, a1.code1
+        FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id
+        ORDER BY a0.vec_id
+      """.trim
+      })
   )
 }
