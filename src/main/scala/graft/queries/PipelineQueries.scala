@@ -1935,6 +1935,80 @@ object PipelineQueries {
                CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
         FROM sessioned GROUP BY user_id, sid
         ORDER BY user_id, session_start
+      """.trim)),
+
+    // Structured Streaming THROUGH the correctness gate (the streaming ops
+    // are otherwise spec-only): file-stream source -> stateful hourly
+    // aggregation -> update-mode foreachBatch keyed-upsert sink
+    // (Trigger.AvailableNow), read back, compare against the batch oracle.
+    // Update mode re-emits a key's current aggregate whenever a batch touches
+    // it and the upsert keeps the LAST emission per key, so the final on-disk
+    // state equals the complete aggregate no matter how the source files
+    // split into micro-batches — the determinism argument that makes a
+    // streaming query oracle-checkable at all.
+    Q(
+      "q121_stream_rollup_gate",
+      (s, dir) => {
+        val base = s"/tmp/graft_scratch/${new java.io.File(dir).getName}_stream_gate"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(base)); rm(new java.io.File(base + "_ckpt"))
+        rm(new java.io.File(base + "__upsert_tmp"))
+        val agg = graft.streaming.EventStreams.streamingEvents(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), Exact.sumD(col("value"), 6).as("sum_value"))
+          .select(col("window.start").as("bucket"), col("event_type"),
+            col("n_events"), col("sum_value"))
+          .withColumn("__key",
+            concat(col("bucket").cast("string"), lit("|"), col("event_type")))
+        val q = agg.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            Sinks.upsertParquet(b, base, "__key")
+          }
+          .option("checkpointLocation", base + "_ckpt")
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(base).drop("__key").orderBy("bucket", "event_type")
+      },
+      Some("""
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
+      """.trim)),
+
+    // Ranking-metric window functions beyond q14/q46: percent_rank and
+    // cume_dist (exact integer-ratio doubles), ntile, and nth_value under
+    // the ANSI default peers frame — identical formulas in both engines once
+    // the order is total.
+    Q(
+      "q122_rank_metrics",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderstatus")
+          .orderBy(col("price"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("double").as("price"))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+          .withColumn("bucket7", ntile(7).over(w))
+          .withColumn("second_price", nth_value(col("price"), 2).over(w))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS price,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               CAST(ntile(7) OVER w AS INTEGER) AS bucket7,
+               nth_value(CAST(o_totalprice AS DOUBLE), 2) OVER w AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY CAST(o_totalprice AS DOUBLE), o_orderkey)
+        ORDER BY o_orderkey
       """.trim))
   )
 }
