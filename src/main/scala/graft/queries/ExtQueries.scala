@@ -1749,6 +1749,70 @@ object ExtQueries {
         FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id
         ORDER BY a0.vec_id
       """.trim
-      })
+      }),
+
+    // Feature-hashing vectorizer (the "hashing trick"): tokens hash into a
+    // fixed K=16-bucket count vector — constant-width featurization for
+    // linear probes / cheap clustering when a learned vocabulary can't be
+    // built at corpus scale. One explode + one hash agg + an explicit-value
+    // pivot (K is constant, never data-dependent, so the pivot is one
+    // ordinary aggregate); the dense vector is emitted space-joined so the
+    // compared output stays scalar.
+    Q(
+      "q124_feature_hashing",
+      (s, dir) => {
+        val k = 16
+        Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .withColumn("bucket", pmod(TextHash.hash60(col("tok")), lit(k.toLong)))
+          .groupBy("doc_id").pivot("bucket", 0 until k)
+          .agg(count(lit(1)))
+          .na.fill(0)
+          .select(col("doc_id"),
+            concat_ws(" ", (0 until k).map(i => col(i.toString)): _*).as("fvec"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest($Toks) AS tok FROM documents
+        ), counts AS (
+          SELECT doc_id, ${TextHash.duckHash60("tok")} % 16 AS bucket, COUNT(*) AS cnt
+          FROM toks GROUP BY 1, 2
+        ), grid AS (
+          SELECT doc_id, t.b FROM documents CROSS JOIN range(0, 16) t(b)
+        )
+        SELECT g.doc_id,
+               string_agg(CAST(COALESCE(c.cnt, 0) AS VARCHAR), ' ' ORDER BY g.b) AS fvec
+        FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.b = c.bucket
+        GROUP BY g.doc_id ORDER BY g.doc_id
+      """.trim)),
+
+    // URL structure extraction (parse_url): the corpus-provenance pass that
+    // splits crawl URLs into protocol / host / path / query params for
+    // per-domain rollups. URLs are synthesized deterministically from
+    // document columns so the oracle can restate the decomposition exactly;
+    // the parse itself is pure map-side string work (no shuffle at all).
+    Q(
+      "q125_url_parse",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+            col("doc_id").cast("string"), lit("?lang="), col("lang"),
+            lit("&v=2")).as("url"))
+        .select(col("doc_id"),
+          expr("parse_url(url, 'PROTOCOL')").as("scheme"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("lang_param"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               'https' AS scheme,
+               source || '.example.com' AS host,
+               '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+               lang AS lang_param
+        FROM documents ORDER BY doc_id
+      """.trim))
   )
 }

@@ -2009,6 +2009,125 @@ object PipelineQueries {
         FROM orders
         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY CAST(o_totalprice AS DOUBLE), o_orderkey)
         ORDER BY o_orderkey
+      """.trim)),
+
+    // Bitmap exact-distinct rollup (the Spark 3.5+ bitmap surface): per-day
+    // user bitmaps in fixed 32k-bit buckets (bitmap_construct_agg), merged
+    // LOSSLESSLY to event_type level with bitmap_or_agg — q98's KMV rollup
+    // shape but EXACT: re-aggregating stored bitmaps replaces a full rescan,
+    // and sum(bitmap_count) over the merged buckets equals the direct
+    // COUNT(DISTINCT). Bucket cardinality is ceil(id_range/32768) — data-
+    // independent of row count, so merge state stays small and mergeable.
+    Q(
+      "q123_bitmap_distinct",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+          .withColumn("bucket", expr("bitmap_bucket_number(user_id)"))
+          .withColumn("pos", expr("bitmap_bit_position(user_id)"))
+          .groupBy("event_type", "day", "bucket")
+          .agg(expr("bitmap_construct_agg(pos)").as("bmp"))
+        val perDay = daily
+          .groupBy("event_type", "day")
+          .agg(sum(expr("bitmap_count(bmp)")).as("daily_users"))
+          .groupBy("event_type")
+          .agg(sum("daily_users").as("sum_daily_distinct"),
+            count(lit(1)).as("n_days"))
+        val merged = daily
+          .groupBy("event_type", "bucket")
+          .agg(expr("bitmap_or_agg(bmp)").as("bmp"))
+          .groupBy("event_type")
+          .agg(sum(expr("bitmap_count(bmp)")).as("distinct_users"))
+        perDay.join(merged, Seq("event_type")).orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 COUNT(DISTINCT user_id) AS daily_users
+          FROM events GROUP BY 1, 2
+        )
+        SELECT d.event_type,
+               CAST(SUM(d.daily_users) AS BIGINT) AS sum_daily_distinct,
+               COUNT(*) AS n_days,
+               m.distinct_users
+        FROM daily d
+        JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+              FROM events GROUP BY 1) m USING (event_type)
+        GROUP BY d.event_type, m.distinct_users
+        ORDER BY d.event_type
+      """.trim)),
+
+    // Partition-checksum table fingerprint (anti-entropy audit): every row
+    // renders through a PINNED string format and hashes; 32 hash buckets
+    // aggregate a (count, XOR, modular-sum) signature triple. Comparing 32
+    // tiny rows decides table equality after a migration/backfill WITHOUT
+    // moving either copy — the 100 TB replication check. Pure map-side hash
+    // into one constant-size aggregate; the mod-2^31 term keeps the bigint
+    // sum overflow-free to 2^33 rows per bucket.
+    Q(
+      "q126_table_checksum",
+      (s, dir) => {
+        val rowSig = graft.ext.TextHash.hash60(concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+          col("o_orderpriority")))
+        Tables.orders(s, dir)
+          .withColumn("sig", rowSig)
+          .withColumn("bucket",
+            pmod(graft.ext.TextHash.hash60(col("o_orderkey").cast("string")), lit(32L)))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(sig)").as("xor_sig"),
+            sum(col("sig") % 2147483647L).as("sum_sig"))
+          .orderBy("bucket")
+      },
+      Some(s"""
+        WITH sigs AS (
+          SELECT ${graft.ext.TextHash.duckHash60("CAST(o_orderkey AS VARCHAR)")} % 32 AS bucket,
+                 ${graft.ext.TextHash.duckHash60(
+        "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
+          "o_orderstatus || '|' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' || " +
+          "o_orderpriority")} AS sig
+          FROM orders
+        )
+        SELECT bucket, COUNT(*) AS n_rows, bit_xor(sig) AS xor_sig,
+               CAST(SUM(sig % 2147483647) AS BIGINT) AS sum_sig
+        FROM sigs GROUP BY bucket ORDER BY bucket
+      """.trim)),
+
+    // Activity-streak islands (gaps-and-islands): consecutive-day runs per
+    // user via the classic dayNumber - row_number constant-group trick — one
+    // keyed shuffle, no self-join, no per-user sequence generation. The run
+    // key is pure integer arithmetic, so both engines group identically.
+    Q(
+      "q127_activity_streaks",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("day")
+        Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+          .withColumn("grp",
+            datediff(col("day"), lit("1970-01-01").cast("date"))
+              - row_number().over(w))
+          .groupBy("user_id", "grp")
+          .agg(min("day").as("streak_start"), count(lit(1)).as("streak_len"))
+          .filter(col("streak_len") >= 3)
+          .select("user_id", "streak_start", "streak_len")
+          .orderBy("user_id", "streak_start")
+      },
+      Some("""
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), runs AS (
+          SELECT user_id, day,
+                 CAST(day - DATE '1970-01-01' AS BIGINT)
+                   - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+          FROM days
+        )
+        SELECT user_id, MIN(day) AS streak_start, COUNT(*) AS streak_len
+        FROM runs GROUP BY user_id, grp
+        HAVING COUNT(*) >= 3
+        ORDER BY user_id, streak_start
       """.trim))
   )
 }
