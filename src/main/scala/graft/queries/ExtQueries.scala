@@ -1788,6 +1788,50 @@ object ExtQueries {
         GROUP BY g.doc_id ORDER BY g.doc_id
       """.trim)),
 
+    // Chunking round-trip integrity (pack/unpack audit): non-overlapping
+    // 32-token chunks reassemble into the exact normalized text via
+    // order-preserving array_sort(collect_list(struct(idx, chunk))) — the
+    // invariant a context-window packer must hold before chunks feed
+    // training. Chunking is a shuffle-free Generate; reassembly is one
+    // groupBy whose per-doc state is the doc itself (bounded by doc size).
+    Q(
+      "q128_chunk_roundtrip",
+      (s, dir) => {
+        val W = 32
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        val chunks = d
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0), ((size(col("toks")) - 1) / W).cast("int"))).as("ci"))
+          .select(col("doc_id"), col("ci"),
+            array_join(slice(col("toks"), col("ci") * W + 1, lit(W)), " ").as("chunk"))
+        chunks.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("ci"), col("chunk")))),
+              x => x.getField("chunk")), " ").as("rebuilt"))
+          .join(d.select(col("doc_id"), array_join(col("toks"), " ").as("norm")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("n_chunks"),
+            (col("rebuilt") === col("norm")).as("roundtrip_ok"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $Toks AS w FROM documents
+        ), chunks AS (
+          SELECT doc_id, t.ci,
+                 array_to_string(w[CAST(t.ci*32+1 AS BIGINT):CAST(t.ci*32+32 AS BIGINT)], ' ') AS chunk
+          FROM toks CROSS JOIN UNNEST(generate_series(0, (len(w)-1)//32)) t(ci)
+        )
+        SELECT c.doc_id, COUNT(*) AS n_chunks,
+               string_agg(c.chunk, ' ' ORDER BY c.ci) = array_to_string(t.w, ' ')
+                 AS roundtrip_ok
+        FROM chunks c JOIN toks t USING (doc_id)
+        GROUP BY c.doc_id, array_to_string(t.w, ' ')
+        ORDER BY c.doc_id
+      """.trim)),
+
     // URL structure extraction (parse_url): the corpus-provenance pass that
     // splits crawl URLs into protocol / host / path / query params for
     // per-domain rollups. URLs are synthesized deterministically from

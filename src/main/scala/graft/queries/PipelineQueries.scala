@@ -2128,6 +2128,59 @@ object PipelineQueries {
         FROM runs GROUP BY user_id, grp
         HAVING COUNT(*) >= 3
         ORDER BY user_id, streak_start
+      """.trim)),
+
+    // Ordered-aggregate surface (count_if / bool_and / bool_or / max_by /
+    // min_by): argmax-per-group WITHOUT a window pass — one hash aggregate
+    // instead of shuffle+sort+filter. The ordering key is made collision-
+    // free by exact decimal arithmetic (value*10^13 steps by 10^7 > any
+    // event_id), so both engines pick the same extreme row even on
+    // duplicate values.
+    Q(
+      "q129_agg_surface",
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("ord",
+          col("value").cast("decimal(10,6)") * lit(10000000000000L) + col("event_id"))
+        .groupBy("event_type")
+        .agg(
+          expr("count_if(value > 50.0)").as("n_high"),
+          expr("bool_and(value >= 0.0)").as("all_nonneg"),
+          expr("bool_or(value > 550.0)").as("any_extreme"),
+          expr("max_by(event_id, ord)").as("peak_event"),
+          expr("min_by(event_id, ord)").as("trough_event"))
+        .orderBy("event_type"),
+      Some("""
+        SELECT event_type,
+               CAST(count_if(value > 50.0) AS BIGINT) AS n_high,
+               bool_and(value >= 0.0) AS all_nonneg,
+               bool_or(value > 550.0) AS any_extreme,
+               arg_max(event_id, CAST(value AS DECIMAL(10,6)) * 10000000000000 + event_id)
+                 AS peak_event,
+               arg_min(event_id, CAST(value AS DECIMAL(10,6)) * 10000000000000 + event_id)
+                 AS trough_event
+        FROM events GROUP BY event_type ORDER BY event_type
+      """.trim)),
+
+    // Null-ordering top-k: DESC NULLS LAST under a LIMIT — the plan must
+    // stay TakeOrderedAndProject (per-partition heap + driver merge, no
+    // global sort), and the null placement must agree across engines (Spark
+    // default for DESC is NULLS LAST; DuckDB's is NULLS LAST only since
+    // 0.9's default flip, so the oracle pins it explicitly).
+    Q(
+      "q130_nulls_order_topk",
+      (s, dir) => Tables.customer(s, dir)
+        .withColumn("score",
+          when(col("c_custkey") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")))
+        .orderBy(col("score").desc_nulls_last, col("c_custkey").asc)
+        .limit(20)
+        .select("c_custkey", "score"),
+      Some("""
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS score
+        FROM customer
+        ORDER BY score DESC NULLS LAST, c_custkey
+        LIMIT 20
       """.trim))
   )
 }

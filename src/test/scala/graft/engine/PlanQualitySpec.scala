@@ -123,6 +123,19 @@ class PlanQualitySpec extends SparkSpec {
       s"expected a reused shingle exchange/stage in the final adaptive plan:\n$finalPlan")
   }
 
+  test("bitmap rollup reuses the daily-bitmap exchange across both consumers") {
+    // q123's per-(type, day, bucket) bitmap frame feeds the per-day distinct
+    // branch AND the bitmap_or_agg merge branch; the subtrees canonicalize
+    // identically up through the first shuffle, so AQE must materialize the
+    // events scan + partial bitmap agg ONCE (reused stage), not per branch —
+    // at 100 TB that exchange is a full fact-table scan.
+    val df = graft.queries.Registry.queries("q123_bitmap_distinct")(spark, sf0001)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange") || finalPlan.contains("ReusedQueryStage"),
+      s"expected a reused daily-bitmap exchange/stage in the final adaptive plan:\n$finalPlan")
+  }
+
   test("runtime bloom-filter pruning injects might_contain on the big probe side") {
     // At 100 TB the win is pruning fact-scan output BEFORE the shuffle when
     // the dim side carries a selective filter. Spark's InjectRuntimeFilter
