@@ -35,4 +35,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with wide aggregates + broadcast builds GC-thrashes at 8g
   // (bimodal 1s-vs-20s per-query timings); the box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 137 benched queries x several whole-stage-codegen classes each overflow
+  // the default ~240m code cache; eviction de-JITs hot generated loops and
+  // single queries re-measure 3-6x slower late in a bench pass.
+  "-XX:ReservedCodeCacheSize=512m",
 )

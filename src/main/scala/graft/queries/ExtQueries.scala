@@ -1832,6 +1832,31 @@ object ExtQueries {
         ORDER BY c.doc_id
       """.trim)),
 
+    // LATERAL VIEW through the SQL front door (q87's entry path + the Hive-
+    // compat generator syntax): explode inside a SQL string, long-token
+    // vocabulary per language. Catalyst plans the same Generate operator the
+    // DataFrame explode produces — one syntax surface, one plan.
+    Q(
+      "q136_lateral_view_sql",
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("v_documents_lv")
+        s.sql(raw"""
+          SELECT lang, tok, COUNT(*) AS n
+          FROM v_documents_lv
+          LATERAL VIEW explode(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' ')) t AS tok
+          WHERE length(tok) >= 8
+          GROUP BY lang, tok
+          ORDER BY lang, tok
+        """)
+      },
+      Some(s"""
+        SELECT lang, t.tok, COUNT(*) AS n
+        FROM documents CROSS JOIN UNNEST($Toks) t(tok)
+        WHERE length(t.tok) >= 8
+        GROUP BY lang, t.tok
+        ORDER BY lang, t.tok
+      """.trim)),
+
     // URL structure extraction (parse_url): the corpus-provenance pass that
     // splits crawl URLs into protocol / host / path / query params for
     // per-domain rollups. URLs are synthesized deterministically from

@@ -2181,6 +2181,174 @@ object PipelineQueries {
         FROM customer
         ORDER BY score DESC NULLS LAST, c_custkey
         LIMIT 20
+      """.trim)),
+
+    // Streaming exact dedup THROUGH the correctness gate (q121's pattern for
+    // the dedup operator): file-stream source -> watermark-bounded
+    // dropDuplicatesWithinWatermark -> keyed-upsert sink. Re-emissions of a
+    // key whose dedup state was evicted past the watermark still collapse in
+    // the upsert (last write per key), so the final on-disk table is the
+    // exact distinct key set no matter how the source splits into batches.
+    Q(
+      "q131_stream_dedup_gate",
+      (s, dir) => {
+        val base = s"/tmp/graft_scratch/${new java.io.File(dir).getName}_stream_dedup"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(base)); rm(new java.io.File(base + "_ckpt"))
+        rm(new java.io.File(base + "__upsert_tmp"))
+        val deduped = graft.streaming.EventStreams.dedupStream(
+            graft.streaming.EventStreams.streamingEvents(s, dir),
+            Seq("user_id", "event_type"))
+          .select(col("user_id"), col("event_type"))
+          .withColumn("__key",
+            concat(col("user_id").cast("string"), lit("|"), col("event_type")))
+        val q = deduped.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            Sinks.upsertParquet(b, base, "__key")
+          }
+          .option("checkpointLocation", base + "_ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(base).drop("__key").orderBy("user_id", "event_type")
+      },
+      Some("""
+        SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type
+      """.trim)),
+
+    // Reporting-grid completeness: CROSS JOIN of two small distinct
+    // dimensions left-joined against the fact rollup with zero fill — the
+    // "every cell present" contract dashboards need. The cross join is
+    // bounded (|status| x |priority|), exactly the case where a cartesian
+    // product is legitimate; the fact side still aggregates BEFORE joining.
+    Q(
+      "q132_cross_join_grid",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val counts = o.groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+        o.select("o_orderstatus").distinct()
+          .crossJoin(o.select("o_orderpriority").distinct())
+          .join(counts, Seq("o_orderstatus", "o_orderpriority"), "left")
+          .na.fill(0L, Seq("n"))
+          .orderBy("o_orderstatus", "o_orderpriority")
+      },
+      Some("""
+        SELECT s.o_orderstatus, p.o_orderpriority, COALESCE(c.n, 0) AS n
+        FROM (SELECT DISTINCT o_orderstatus FROM orders) s
+        CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+        LEFT JOIN (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+                   FROM orders GROUP BY 1, 2) c
+          USING (o_orderstatus, o_orderpriority)
+        ORDER BY s.o_orderstatus, p.o_orderpriority
+      """.trim)),
+
+    // String-predicate surface: LIKE / ILIKE / RLIKE plus the function forms
+    // (startswith / endswith / contains), counted in ONE aggregate pass.
+    // The regex stays in the RE2-compatible subset so both engines match
+    // identical rows.
+    Q(
+      "q133_string_predicates",
+      (s, dir) => Tables.part(s, dir)
+        .agg(
+          expr("count_if(p_name LIKE '%al%')").as("n_like"),
+          expr("count_if(p_name ILIKE 'A%')").as("n_ilike"),
+          expr("count_if(p_name RLIKE '^[a-z]+ [a-z]+$')").as("n_rlike"),
+          expr("count_if(startswith(p_name, 'b'))").as("n_starts"),
+          expr("count_if(endswith(p_name, 'e'))").as("n_ends"),
+          expr("count_if(contains(p_name, 'ol'))").as("n_contains")),
+      Some("""
+        SELECT CAST(count_if(p_name LIKE '%al%') AS BIGINT) AS n_like,
+               CAST(count_if(p_name ILIKE 'A%') AS BIGINT) AS n_ilike,
+               CAST(count_if(regexp_matches(p_name, '^[a-z]+ [a-z]+$')) AS BIGINT) AS n_rlike,
+               CAST(count_if(starts_with(p_name, 'b')) AS BIGINT) AS n_starts,
+               CAST(count_if(ends_with(p_name, 'e')) AS BIGINT) AS n_ends,
+               CAST(count_if(contains(p_name, 'ol')) AS BIGINT) AS n_contains
+        FROM part
+      """.trim)),
+
+    // Conditional-expression surface: nullif / nvl / nvl2 / least / greatest
+    // over a derived nullable column. All comparisons are on values both
+    // engines read identically from parquet, so the conditionals are exact.
+    Q(
+      "q134_conditional_surface",
+      (s, dir) => Tables.customer(s, dir)
+        .withColumn("seg", nullif(col("c_mktsegment"), lit("BUILDING")))
+        .select(col("c_custkey"), col("seg"),
+          expr("nvl(seg, 'none')").as("seg_filled"),
+          expr("nvl2(seg, 'kept', 'suppressed')").as("seg_tag"),
+          least(col("c_acctbal"), lit(0.0)).as("neg_part"),
+          greatest(col("c_acctbal"), lit(0.0)).as("pos_part"))
+        .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey,
+               nullif(c_mktsegment, 'BUILDING') AS seg,
+               ifnull(nullif(c_mktsegment, 'BUILDING'), 'none') AS seg_filled,
+               CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+                    THEN 'kept' ELSE 'suppressed' END AS seg_tag,
+               least(c_acctbal, 0.0) AS neg_part,
+               greatest(c_acctbal, 0.0) AS pos_part
+        FROM customer ORDER BY c_custkey
+      """.trim)),
+
+    // Error-tolerant arithmetic (try_*): division by zero, an impossible
+    // cast, and an out-of-range array index all yield NULL instead of
+    // failing the job — the semantics a 100 TB load needs (one bad row must
+    // not kill the stage; quarantine, don't crash). DuckDB states the same
+    // contract via TRY_CAST / CASE / native out-of-range list access.
+    Q(
+      "q135_try_arithmetic",
+      (s, dir) => Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          expr("try_divide(o_totalprice, CAST(o_custkey % 10 AS DOUBLE))").as("per_digit"),
+          expr("try_cast(o_orderstatus AS INT)").as("bad_int"),
+          // index in {2,3,4}: 2 resolves, 3/4 are out of range -> NULL.
+          // (try_element_at nulls out-of-RANGE but still rejects index 0 as
+          // an invalid argument, so the modulus is shifted off zero.)
+          expr("try_element_at(array(o_orderstatus, o_orderpriority), CAST(o_custkey % 3 AS INT) + 2)")
+            .as("elem"))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey,
+               CASE WHEN o_custkey % 10 = 0 THEN NULL
+                    ELSE o_totalprice / CAST(o_custkey % 10 AS DOUBLE) END AS per_digit,
+               TRY_CAST(o_orderstatus AS INTEGER) AS bad_int,
+               ([o_orderstatus, o_orderpriority])[CAST(o_custkey % 3 AS INTEGER) + 2] AS elem
+        FROM orders ORDER BY o_orderkey
+      """.trim)),
+
+    // Typed Aggregator THROUGH the oracle gate: QtyStatsAggregator keeps a
+    // pure-integer (count, sum) buffer, so the programmatic
+    // KeyValueGroupedDataset.agg path is bit-exact under ANY merge order —
+    // the one double division happens at finish. (CentroidAggregator stays
+    // spec-only because double sums are order-dependent; this is the
+    // gate-able half of the typed-UDAF surface.)
+    Q(
+      "q137_typed_agg_gate",
+      (s, dir) => {
+        import s.implicits._
+        val agg = new graft.functions.QtyStatsAggregator().toColumn
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(agg.name("stats"))
+          .select(col("key").as("l_returnflag"),
+            col("stats._1").as("n"), col("stats._2").as("sum_qty"),
+            col("stats._3").as("avg_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
       """.trim))
   )
 }
