@@ -136,6 +136,42 @@ class PlanQualitySpec extends SparkSpec {
       s"expected a reused daily-bitmap exchange/stage in the final adaptive plan:\n$finalPlan")
   }
 
+  test("feature-hashing pivot plans ONE aggregate pass, no per-bucket scans") {
+    // The explicit-value pivot must compile to a single hash aggregate over
+    // the exploded tokens (16 conditional counts), not 16 scans or a
+    // data-dependent distinct pass for the pivot values.
+    val df = graft.queries.Registry.queries("q124_feature_hashing")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size <= 1,
+      s"pivot should not rescan per bucket:\n$plan")
+  }
+
+  test("table checksum is one partial-aggregated pass over the scan") {
+    // 32 buckets x 3 signatures: the partial aggregate must sit directly on
+    // the scan (map-side combine), with ONE exchange of 32 rows — the shape
+    // that makes the 100 TB anti-entropy check IO-bound, not shuffle-bound.
+    val df = graft.queries.Registry.queries("q126_table_checksum")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"checksum should shuffle exactly the 32 partial buckets:\n$plan")
+    assert(!plan.contains("Window"), s"no window pass expected:\n$plan")
+  }
+
+  test("ordered-aggregate argmax plans a hash aggregate, not a window") {
+    // max_by/min_by exist precisely to avoid shuffle+sort+rank; the plan
+    // must contain no Window/Sort before the aggregate.
+    val df = graft.queries.Registry.queries("q129_agg_surface")(spark, sf0001)
+    val plan = formattedPlan(df)
+    assert(!plan.contains("Window"), s"argmax must not plan a window:\n$plan")
+  }
+
+  test("null-ordering limit plans TakeOrderedAndProject, not a global sort") {
+    val df = graft.queries.Registry.queries("q130_nulls_order_topk")(spark, sf0001)
+    val plan = formattedPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ORDER BY + LIMIT should plan the per-partition heap:\n$plan")
+  }
+
   test("runtime bloom-filter pruning injects might_contain on the big probe side") {
     // At 100 TB the win is pruning fact-scan output BEFORE the shuffle when
     // the dim side carries a selective filter. Spark's InjectRuntimeFilter
