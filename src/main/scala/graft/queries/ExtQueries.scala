@@ -1857,6 +1857,30 @@ object ExtQueries {
         ORDER BY lang, t.tok
       """.trim)),
 
+    // Array higher-order-function surface (filter / exists / forall /
+    // aggregate as lambdas, q117's companion): per-doc curation signals
+    // computed entirely map-side inside whole-stage codegen — integer
+    // arithmetic only, so the fold is engine-exact.
+    Q(
+      "q140_hof_surface",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          size(filter(col("w"), t => length(t) > 4)).as("n_long"),
+          exists(col("w"), t => t === lit("the")).as("has_the"),
+          forall(col("w"), t => length(t) <= 12).as("all_short"),
+          aggregate(col("w"), lit(0), (acc, t) => acc + length(t)).as("char_sum"))
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $Toks AS w FROM documents)
+        SELECT doc_id,
+               CAST(len(list_filter(w, t -> length(t) > 4)) AS INTEGER) AS n_long,
+               len(list_filter(w, t -> t = 'the')) > 0 AS has_the,
+               len(list_filter(w, t -> length(t) <= 12)) = len(w) AS all_short,
+               CAST(list_sum(list_transform(w, t -> length(t))) AS INTEGER) AS char_sum
+        FROM t ORDER BY doc_id
+      """.trim)),
+
     // URL structure extraction (parse_url): the corpus-provenance pass that
     // splits crawl URLs into protocol / host / path / query params for
     // per-domain rollups. URLs are synthesized deterministically from

@@ -2349,6 +2349,61 @@ object PipelineQueries {
                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+      """.trim)),
+
+    // Equi-WIDTH histogram (the fixed-bucket complement of q89's equi-depth
+    // deciles): global min/max as a constant-size stats frame broadcast onto
+    // the scan, bucket = floor((x-min)/width) clamped to the last bucket.
+    // Two passes total, both map-side-combined — the shape that holds at
+    // 100 TB because the stats side never grows. Bucket arithmetic is one
+    // IEEE double division + floor, identical in both engines.
+    Q(
+      "q138_equiwidth_histogram",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val stats = o.agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        o.crossJoin(broadcast(stats))
+          .withColumn("bucket",
+            least(floor((col("o_totalprice") - col("mn"))
+              / ((col("mx") - col("mn")) / lit(10.0))).cast("int"), lit(9)))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            Exact.sumD(col("o_totalprice"), 2).as("sum_price"))
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+        SELECT CAST(LEAST(CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 10.0)) AS INTEGER), 9)
+                 AS INTEGER) AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS sum_price
+        FROM orders, s
+        GROUP BY 1 ORDER BY bucket
+      """.trim)),
+
+    // json_tuple generator: multi-field JSON extraction in ONE parse per row
+    // (vs one get_json_object parse per field, q38) through the Hive-compat
+    // generator surface; absent keys yield NULL columns, not errors.
+    Q(
+      "q139_json_tuple",
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("v_events_jt")
+        s.sql("""
+          SELECT event_type,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(j.k AS INT)) AS BIGINT) AS sum_k,
+                 CAST(count_if(j.absent IS NULL) AS BIGINT) AS n_missing
+          FROM v_events_jt
+          LATERAL VIEW json_tuple(props, 'k', 'nope') j AS k, absent
+          GROUP BY event_type
+          ORDER BY event_type
+        """)
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+               CAST(count_if(props->>'nope' IS NULL) AS BIGINT) AS n_missing
+        FROM events GROUP BY event_type ORDER BY event_type
       """.trim))
   )
 }
