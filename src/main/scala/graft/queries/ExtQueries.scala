@@ -1857,6 +1857,133 @@ object ExtQueries {
         ORDER BY lang, t.tok
       """.trim)),
 
+    // Embedding-level dedup RESOLUTION (q37 finds the pairs; this drops the
+    // losers): keep a vector iff it has no smaller-id near-duplicate — the
+    // same keep-lowest policy as the MinHash dedup (q36), applied to the
+    // ANN-pruned cosine pairs. The drop list is corpus-linear, so the anti
+    // join is hinted shuffle_hash, never a broadcast build.
+    Q(
+      "q141_embedding_dedup",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val drops = Similarity.embeddingNearDupPairs(
+            e, "vec_id", "embedding", "label", threshold = 0.4)
+          .select(col("id_b").as("vec_id")).distinct()
+        e.join(drops.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("label"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 sqrt(${duckDot("embedding", "embedding")}) AS nrm
+          FROM embeddings
+        ), drops AS (
+          SELECT DISTINCT b.vec_id
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+        )
+        SELECT vec_id, label FROM embeddings
+        WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+        ORDER BY vec_id
+      """.trim)),
+
+    // Retrieval + quality rerank (the end-to-end RAG-curation pipeline):
+    // ANN top-5 by cosine, neighbors joined to their documents' quality
+    // scores, re-ranked by cosine x quality, top-3 kept. Composes the
+    // similarity, text-quality, and heap-top-k layers in one plan; the
+    // probe set stays bounded (broadcast), the corpus side streams.
+    Q(
+      "q142_retrieval_rerank",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val hits = Similarity.topKCosine(
+          e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding", k = 5)
+        val qual = Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.qualityScore(TextAnalysis.tokens(col("text"))).as("quality"))
+        val scored = hits.join(qual, hits("neighbor_id") === qual("doc_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            (col("cosine") * col("quality")).as("rerank"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("rerank").desc, col("neighbor_id"))
+        scored.withColumn("rr", row_number().over(w))
+          .filter(col("rr") <= 3)
+          .orderBy("query_id", "rr")
+      },
+      Some {
+        val quality = """0.5 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (CASE WHEN len(w) = 0 THEN 0.0
+                               ELSE CAST(len(list_filter(w, t -> t IN (""" + StopList + """))) AS DOUBLE)
+                                    / CAST(len(w) AS DOUBLE) END)
+                 + 0.2 * least((CASE WHEN len(w) = 0 THEN 0.0
+                                     ELSE CAST(list_sum([length(t) FOR t IN w]) AS DOUBLE)
+                                          / CAST(len(w) AS DOUBLE) END) / 8.0, 1.0)"""
+        s"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 sqrt(${duckDot("embedding", "embedding")}) AS nrm
+          FROM embeddings
+        ), cand AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                            c.vec_id) AS r
+          FROM e q CROSS JOIN e c
+          WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id
+          QUALIFY r <= 5
+        ), qual AS (
+          SELECT doc_id, $quality AS quality
+          FROM (SELECT doc_id, $Toks AS w FROM documents)
+        )
+        SELECT query_id, neighbor_id, cosine * quality AS rerank,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine * quality DESC, neighbor_id) AS INTEGER) AS rr
+        FROM cand JOIN qual ON qual.doc_id = cand.neighbor_id
+        QUALIFY rr <= 3
+        ORDER BY query_id, rr
+      """.trim
+      }),
+
+    // One-row corpus summary (the dataset-card numbers): doc/token/char
+    // totals, language breadth, exact-duplicate share — integer-only
+    // aggregates plus single final divisions, so the report is engine-exact.
+    // The fingerprint duplicate count joins the constant-size df table back
+    // to the docs (same shape as the z-score stats join).
+    Q(
+      "q143_corpus_summary",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          col("n_chars"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+        val fpCounts = d.groupBy("fp").agg(count(lit(1)).as("c"))
+        d.join(fpCounts.hint("shuffle_hash"), Seq("fp"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("n_toks")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars_total"),
+            expr("count_if(c > 1)").as("n_dup_docs"))
+          .withColumn("mean_tokens",
+            col("n_tokens").cast("double") / col("n_docs").cast("double"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, lang, n_chars, md5($NormText) AS fp,
+                 len($Toks) AS n_toks
+          FROM documents
+        ), fc AS (SELECT fp, COUNT(*) AS c FROM d GROUP BY fp)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+               CAST(count_if(c > 1) AS BIGINT) AS n_dup_docs,
+               CAST(SUM(n_toks) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tokens
+        FROM d JOIN fc USING (fp)
+      """.trim)),
+
     // Array higher-order-function surface (filter / exists / forall /
     // aggregate as lambdas, q117's companion): per-doc curation signals
     // computed entirely map-side inside whole-stage codegen — integer
