@@ -34,6 +34,14 @@ object Sinks {
     spark.read.parquet(path)
   }
 
+  /** ORC sink/source round-trip (S-surface beyond the reference's
+    * CSV/Parquet): same columnar footer-statistics story as Parquet through
+    * Spark's built-in `orc` format — the interchange format a warehouse
+    * migration actually encounters.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Hive-style partitioned Parquet write: partition values become
     * directories, so a filter on the partition column prunes whole
     * directories at planning time (PartitionFilters in the scan) — the

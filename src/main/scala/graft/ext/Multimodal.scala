@@ -24,6 +24,30 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Media-ingest fixture writer: one raw `.bin` file per row (UTF-8 payload
+    * bytes), written from the executors via foreachPartition — the landing-
+    * zone shape `spark.read.format("binaryFile")` ingests. Local-FS scratch
+    * only (tests/dev); at cluster scale the directory is an object store and
+    * this writer is the upload job.
+    */
+  def writeBinaryFiles(rows: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+    new java.io.File(dir).mkdirs(): Unit
+    rows.select(col(idCol).cast("string").as("__id"), col(textCol).as("__payload"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, r.getString(0) + ".bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+      }
+  }
+
   /** Synthesize a deterministic media table from the documents table: the
     * payload is the UTF-8 text bytes (a stand-in with realistic variable
     * sizes); kind/width/height/sample_rate derive from the doc id.

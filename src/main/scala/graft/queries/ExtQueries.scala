@@ -1984,6 +1984,33 @@ object ExtQueries {
         FROM d JOIN fc USING (fp)
       """.trim)),
 
+    // binaryFile ingestion (the multimodal landing zone): raw .bin payload
+    // files scanned by the built-in binaryFile source into (path, length,
+    // content) rows — filename becomes the id, md5(content) the content
+    // fingerprint. The oracle recomputes length/md5 from the source text
+    // (ASCII corpus: char length == byte length; md5 hashes the same UTF-8
+    // bytes in both engines).
+    Q(
+      "q145_binaryfile_ingest",
+      (s, dir) => {
+        val scratch = s"/tmp/graft_scratch/${new java.io.File(dir).getName}_binfiles"
+        Multimodal.writeBinaryFiles(
+          Tables.documents(s, dir).filter(col("doc_id") < 100)
+            .select(col("doc_id"), graft.engine.Cleaning.normalizeText(col("text")).as("norm")),
+          "doc_id", "norm", scratch)
+        s.read.format("binaryFile").load(scratch)
+          .select(
+            regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+            col("length"),
+            md5(col("content")).as("content_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT doc_id, CAST(strlen($NormText) AS BIGINT) AS length,
+               md5($NormText) AS content_md5
+        FROM documents WHERE doc_id < 100 ORDER BY doc_id
+      """.trim)),
+
     // Array higher-order-function surface (filter / exists / forall /
     // aggregate as lambdas, q117's companion): per-doc curation signals
     // computed entirely map-side inside whole-stage codegen — integer

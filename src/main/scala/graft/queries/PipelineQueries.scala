@@ -2404,6 +2404,53 @@ object PipelineQueries {
                CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
                CAST(count_if(props->>'nope' IS NULL) AS BIGINT) AS n_missing
         FROM events GROUP BY event_type ORDER BY event_type
+      """.trim)),
+
+    // ORC sink/source round-trip (q05's contract through the second columnar
+    // format): write ORC, clear the file-index cache, read back, aggregate.
+    // Same footer-statistics scan story as Parquet — the migration-path
+    // format coverage a warehouse switch needs.
+    Q(
+      "q144_orc_roundtrip",
+      (s, dir) => {
+        val scratch = s"/tmp/graft_scratch/${new java.io.File(dir).getName}_orc_rt"
+        Sinks.writeOrc(Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"), scratch)
+        s.catalog.clearCache()
+        s.read.orc(scratch)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), Exact.sumD(col("o_totalprice"), 2).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY 1 ORDER BY 1
+      """.trim)),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): two rollups of
+    // the same nullable segment key join WITHOUT dropping the NULL group —
+    // the semantics an outer-source reconciliation needs (plain `=` silently
+    // loses the null bucket).
+    Q(
+      "q146_nullsafe_join",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .withColumn("seg", nullif(col("o_orderstatus"), lit("P")))
+        val l = o.groupBy("seg").agg(count(lit(1)).as("n_orders"))
+        val r = o.groupBy("seg").agg(Exact.sumD(col("o_totalprice"), 2).as("sum_price"))
+        l.join(r, l("seg") <=> r("seg"))
+          .select(l("seg"), col("n_orders"), col("sum_price"))
+          .orderBy(col("seg").asc_nulls_first)
+      },
+      Some("""
+        WITH o AS (SELECT nullif(o_orderstatus, 'P') AS seg, o_totalprice FROM orders),
+        l AS (SELECT seg, COUNT(*) AS n_orders FROM o GROUP BY seg),
+        r AS (SELECT seg, CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE)
+                     AS sum_price FROM o GROUP BY seg)
+        SELECT l.seg, l.n_orders, r.sum_price
+        FROM l JOIN r ON l.seg IS NOT DISTINCT FROM r.seg
+        ORDER BY l.seg NULLS FIRST
       """.trim))
   )
 }
