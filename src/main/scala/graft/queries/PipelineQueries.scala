@@ -2451,6 +2451,58 @@ object PipelineQueries {
         SELECT l.seg, l.n_orders, r.sum_price
         FROM l JOIN r ON l.seg IS NOT DISTINCT FROM r.seg
         ORDER BY l.seg NULLS FIRST
+      """.trim)),
+
+    // Hidden _metadata columns (the lake-ops file audit): per-source-file row
+    // counts without input_file_name()'s whole-string nondeterminism — the
+    // filename leaf is stable ('orders.parquet'), so the manifest rollup is
+    // oracle-checkable. At scale this is the "which files feed this
+    // partition" lineage query run before compaction.
+    Q(
+      "q147_file_metadata",
+      (s, dir) => s.read.parquet(s"$dir/orders.parquet")
+        .select(col("_metadata.file_name").as("file_name"), col("o_orderkey"))
+        .groupBy("file_name")
+        .agg(count(lit(1)).as("n_rows"), max("o_orderkey").as("max_key"))
+        .orderBy("file_name"),
+      Some("""
+        SELECT 'orders.parquet' AS file_name, COUNT(*) AS n_rows,
+               MAX(o_orderkey) AS max_key
+        FROM orders
+      """.trim)),
+
+    // Window-surface completion: lag/lead WITH explicit defaults (no NULL
+    // head/tail), first_value/last_value under an explicit running frame —
+    // the per-key time-series deltas a feature pipeline computes. Values are
+    // parquet doubles compared, never re-accumulated, so the frame semantics
+    // are the only thing under test.
+    Q(
+      "q148_window_defaults",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("prev_value", lag(col("value"), 1, -1.0).over(w))
+          .withColumn("next_value", lead(col("value"), 1, -1.0).over(w))
+          .withColumn("first_seen", first(col("value")).over(run))
+          .withColumn("running_last", last(col("value")).over(run))
+          .drop("ts")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""
+        SELECT user_id, event_id, value,
+               COALESCE(lag(value) OVER w, -1.0) AS prev_value,
+               COALESCE(lead(value) OVER w, -1.0) AS next_value,
+               first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS first_seen,
+               last_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS running_last
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, event_id
       """.trim))
   )
 }

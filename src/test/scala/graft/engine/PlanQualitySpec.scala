@@ -172,6 +172,22 @@ class PlanQualitySpec extends SparkSpec {
       s"ORDER BY + LIMIT should plan the per-partition heap:\n$plan")
   }
 
+  test("ORC scan pushes filters and prunes columns like parquet") {
+    // The migration-path format must keep the same IO discipline: predicate
+    // into PushedFilters, projection into the read schema.
+    val scratch = "/tmp/graft_scratch/plan_orc_pushdown"
+    Sinks.writeOrc(Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice"), scratch)
+    val df = spark.read.orc(scratch)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey")
+    val plan = formattedPlan(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"expected the status predicate pushed to the ORC scan:\n$plan")
+    assert(!plan.contains("o_totalprice"),
+      s"expected o_totalprice pruned from the ORC read schema:\n$plan")
+  }
+
   test("runtime bloom-filter pruning injects might_contain on the big probe side") {
     // At 100 TB the win is pruning fact-scan output BEFORE the shuffle when
     // the dim side carries a selective filter. Spark's InjectRuntimeFilter
