@@ -2503,6 +2503,135 @@ object PipelineQueries {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY user_id, event_id
+      """.trim)),
+
+    // Benford-style leading-digit audit (fraud/data-quality screening): the
+    // distribution of first significant digits of the order totals, with
+    // share-of-total. Digit extraction goes through integer floor + string
+    // head, never double rendering, so both engines bucket identically; the
+    // share is one division of exact counts.
+    Q(
+      "q149_benford_digits",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+            .as("digit"))
+        val counts = o.groupBy("digit").agg(count(lit(1)).as("n"))
+        counts.crossJoin(broadcast(counts.agg(sum("n").as("total"))))
+          .select(col("digit"), col("n"),
+            (col("n").cast("double") / col("total").cast("double")).as("share"))
+          .orderBy("digit")
+      },
+      Some("""
+        WITH d AS (
+          SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+          FROM orders
+        ), c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit)
+        SELECT digit, n,
+               CAST(n AS DOUBLE) / CAST((SELECT SUM(n) FROM c) AS DOUBLE) AS share
+        FROM c ORDER BY digit
+      """.trim)),
+
+    // Median absolute deviation (robust dispersion): discrete median via
+    // q69's integer rank selection, |value - median| re-ranked the same way.
+    // Both medians are ACTUAL data points and the deviation is one exact
+    // double subtraction, so MAD is hash-exact — the outlier scale estimate
+    // sigma-based z-scores (q78) can't provide on heavy tails.
+    Q(
+      "q150_mad_robust",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        def discMedian(df: org.apache.spark.sql.DataFrame, valueCol: String,
+            outName: String) = {
+          val w = Window.partitionBy("event_type").orderBy(valueCol)
+          df.withColumn("rn", row_number().over(w))
+            .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+            .groupBy("event_type")
+            .agg(max(when(col("rn") === floor((col("n") * 50 + lit(99)) / lit(100)).cast("int"),
+              col(valueCol))).as(outName))
+        }
+        val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+        val med = discMedian(ev, "value", "med")
+        val dev = ev.join(broadcast(med), Seq("event_type"))
+          .withColumn("dev", abs(col("value") - col("med")))
+        discMedian(dev.select(col("event_type"), col("dev")), "dev", "mad")
+          .join(med, Seq("event_type"))
+          .select("event_type", "med", "mad")
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH r AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        ), med AS (
+          SELECT event_type, MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS med
+          FROM r GROUP BY event_type
+        ), dv AS (
+          SELECT e.event_type, abs(e.value - m.med) AS dev
+          FROM events e JOIN med m USING (event_type)
+        ), r2 AS (
+          SELECT event_type, dev,
+                 row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM dv
+        )
+        SELECT r2.event_type,
+               MAX(m.med) AS med,
+               MAX(CASE WHEN r2.rn = (r2.n * 50 + 99) // 100 THEN r2.dev END) AS mad
+        FROM r2 JOIN med m USING (event_type)
+        GROUP BY r2.event_type ORDER BY r2.event_type
+      """.trim)),
+
+    // Calendar surface 2 (q115's companion): strictly-after next_day, ISO
+    // weekofyear, dayofyear, Monday-anchored week truncation — the oracle
+    // restates next_day as isodow arithmetic.
+    Q(
+      "q151_calendar2",
+      (s, dir) => Tables.orders(s, dir)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+        .select(col("o_orderkey"), col("d"),
+          next_day(col("d"), "Monday").as("next_monday"),
+          weekofyear(col("d")).as("iso_week"),
+          dayofyear(col("d")).as("doy"),
+          trunc(col("d"), "week").as("week_start"))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+               CAST(o_orderdate AS DATE)
+                 + CAST(CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7
+                             ELSE (8 - isodow(o_orderdate)) % 7 END AS INTEGER)
+                 AS next_monday,
+               CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+               CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+               CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start
+        FROM orders ORDER BY o_orderkey
+      """.trim)),
+
+    // Bit-manipulation surface: shifts, masks, xor, popcount over integer
+    // keys — the arithmetic under the Z-order/SimHash operators exposed as
+    // first-class functions.
+    Q(
+      "q152_bit_ops",
+      (s, dir) => Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          expr("shiftleft(o_orderkey, 3)").as("shl3"),
+          expr("shiftright(o_orderkey, 2)").as("shr2"),
+          expr("o_orderkey & 255").as("low_byte"),
+          expr("o_orderkey | 1").as("set_lsb"),
+          expr("o_orderkey ^ o_custkey").as("xor_cust"),
+          expr("bit_count(o_orderkey)").cast("int").as("popcount"))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey,
+               o_orderkey << 3 AS shl3,
+               o_orderkey >> 2 AS shr2,
+               o_orderkey & 255 AS low_byte,
+               o_orderkey | 1 AS set_lsb,
+               xor(o_orderkey, o_custkey) AS xor_cust,
+               CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+        FROM orders ORDER BY o_orderkey
       """.trim))
   )
 }
