@@ -2632,6 +2632,75 @@ object PipelineQueries {
                xor(o_orderkey, o_custkey) AS xor_cust,
                CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
         FROM orders ORDER BY o_orderkey
+      """.trim)),
+
+    // Stream-static enrichment THROUGH the gate (X62 was spec-only): the
+    // event stream broadcast-joins a static dimension per micro-batch, lands
+    // in an append-mode parquet FILE SINK (exactly-once via the sink's
+    // transaction log, no upsert needed — the join is stateless), and the
+    // read-back rollup must equal the batch join. Third streaming query
+    // through the oracle, covering the third sink shape.
+    Q(
+      "q153_stream_enrich_gate",
+      (s, dir) => {
+        val base = s"/tmp/graft_scratch/${new java.io.File(dir).getName}_stream_enrich"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(base)); rm(new java.io.File(base + "_ckpt"))
+        val dim = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+        val enriched = graft.streaming.EventStreams.enrichStream(
+          graft.streaming.EventStreams.streamingEvents(s, dir)
+            .withColumn("n_nationkey", col("user_id") % 25),
+          dim, "n_nationkey")
+        val q = enriched.select(col("n_name"), col("value"))
+          .writeStream
+          .format("parquet")
+          .option("path", base)
+          .option("checkpointLocation", base + "_ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(base)
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_events"), Exact.sumD(col("value"), 6).as("sum_value"))
+          .orderBy("n_name")
+      },
+      Some("""
+        SELECT n.n_name, COUNT(*) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+        FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+        GROUP BY n.n_name ORDER BY n.n_name
+      """.trim)),
+
+    // Typed Dataset transforms (map/filter over tuple encoders): the
+    // object-deserialization path a programmatic pipeline takes when lambda
+    // logic won't express as Columns. Deliberately mixes a typed filter and
+    // a typed projection before returning to relational aggregation — the
+    // boundary (Serialize/DeserializeToObject) is the operator under test;
+    // the arithmetic inside (one IEEE division + floor) stays engine-exact.
+    Q(
+      "q154_typed_transforms",
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .as[(Long, String, Double)]
+          .filter(t => t._2 != "P")
+          .map(t => (t._2, math.floor(t._3 / 1000.0).toLong))
+          .toDF("status", "kbucket")
+          .groupBy("status", "kbucket")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("status", "kbucket")
+      },
+      Some("""
+        SELECT o_orderstatus AS status,
+               CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS kbucket,
+               COUNT(*) AS n
+        FROM orders WHERE o_orderstatus <> 'P'
+        GROUP BY 1, 2 ORDER BY status, kbucket
       """.trim))
   )
 }
