@@ -144,6 +144,90 @@ object Similarity {
         k = k)
       .select("query_id", "neighbor_id", "rank", "cosine")
 
+  /** Late-interaction (ColBERT-style) max-sim top-k: each vector splits into
+    * `subs` sub-vectors of `subDim` dims; score(q, d) = sum over the query's
+    * sub-vectors of the best cosine against ANY of the document's
+    * sub-vectors. Catches partial/aspect matches a single pooled cosine
+    * dilutes. Shape: sub-vector explode (subs rows/vector), probe side
+    * broadcast, one (pair, qi) max aggregate, then a constant-width pivot so
+    * the final sum adds the per-sub bests in FIXED index order (relational
+    * SUM over doubles would be merge-order-dependent). Corpus side stays
+    * doc-linear; per-pair work is subs^2 codegen'd dots.
+    */
+  def maxSimTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, subs: Int, subDim: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
+    def subFrame(df: DataFrame, outId: String, iCol: String, vCol: String,
+        nCol: String): DataFrame =
+      df.select(col(idCol).as(outId),
+          posexplode(array((0 until subs).map(i =>
+            slice(col(vecCol), i * subDim + 1, subDim)): _*)).as(Seq(iCol, vCol)))
+        .withColumn(nCol, sqrt(nativeDot(col(vCol), col(vCol))))
+    val q = subFrame(queries, "query_id", "__qi", "__qv", "__qn")
+    val c = subFrame(spread(corpus, idCol), "neighbor_id", "__ci", "__cv", "__cn")
+    val best = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__qi"),
+        cosineWithNorms(nativeDot(col("__qv"), col("__cv")), col("__qn"), col("__cn"))
+          .as("__cos"))
+      .groupBy("query_id", "neighbor_id", "__qi")
+      .agg(max(col("__cos")).as("__best"))
+      .groupBy("query_id", "neighbor_id")
+      .pivot("__qi", 0 until subs)
+      .agg(max(col("__best")))
+    val maxsim = (1 until subs).foldLeft(col("0"))((acc, i) => acc + col(i.toString))
+    graft.plans.TopKPerKey.of(
+        best.select(col("query_id"), col("neighbor_id"), maxsim.as("maxsim")),
+        keyCols = Seq("query_id"),
+        order = Seq("maxsim" -> false, "neighbor_id" -> true),
+        k = k)
+      .select("query_id", "neighbor_id", "rank", "maxsim")
+  }
+
+  /** Matryoshka two-stage retrieval: rank candidates by cosine on the PREFIX
+    * of the embedding (MRL-trained embeddings keep most signal in the head
+    * dims), keep `shortlist`, then re-rank the shortlist with the full-dim
+    * cosine and keep `k`. The first stage does `prefixDim/dim` of the
+    * arithmetic on the full corpus; the expensive full-dim scoring touches
+    * only `shortlist` rows per query — the standard accuracy/cost dial of a
+    * single-index retrieval tier.
+    */
+  def matryoshkaTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, prefixDim: Int, shortlist: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
+    def headFrame(df: DataFrame, outId: String, pvCol: String, pnCol: String): DataFrame =
+      df.select(col(idCol).as(outId), slice(col(vecCol), 1, prefixDim).as(pvCol))
+        .withColumn(pnCol, sqrt(nativeDot(col(pvCol), col(pvCol))))
+    def fullFrame(df: DataFrame, outId: String, vCol: String, nCol: String): DataFrame =
+      df.select(col(idCol).as(outId), col(vecCol).as(vCol))
+        .withColumn(nCol, sqrt(nativeDot(col(vCol), col(vCol))))
+    // Stage 1 touches only the head dims of every corpus vector.
+    val stage1 = graft.plans.TopKPerKey.of(
+        headFrame(spread(corpus, idCol), "neighbor_id", "__cpv", "__cpn")
+          .join(broadcast(headFrame(queries, "query_id", "__qpv", "__qpn")),
+            col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            cosineWithNorms(nativeDot(col("__qpv"), col("__cpv")), col("__qpn"), col("__cpn"))
+              .as("head_cos")),
+        keyCols = Seq("query_id"),
+        order = Seq("head_cos" -> false, "neighbor_id" -> true),
+        k = shortlist)
+    // Stage 2 joins the shortlist ids back to the full-dim store, so the
+    // full-width arithmetic (and at scale, the full-width IO) touches only
+    // shortlist-many rows per query.
+    graft.plans.TopKPerKey.of(
+        stage1.select("query_id", "neighbor_id")
+          .join(fullFrame(corpus, "neighbor_id", "__cv", "__cn").hint("shuffle_hash"),
+            Seq("neighbor_id"))
+          .join(broadcast(fullFrame(queries, "query_id", "__qv", "__qn")), Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            cosineWithNorms(nativeDot(col("__qv"), col("__cv")), col("__qn"), col("__cn"))
+              .as("cosine")),
+        keyCols = Seq("query_id"),
+        order = Seq("cosine" -> false, "neighbor_id" -> true),
+        k = k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** The window-function formulation of rankTopK — the fallback when keys
     * are near-unique (heap memory degenerates) and the reference both
     * implementations are verified against.

@@ -1984,6 +1984,102 @@ object ExtQueries {
         FROM d JOIN fc USING (fp)
       """.trim)),
 
+    // Late-interaction (ColBERT-style) max-sim retrieval: 4x16-dim
+    // sub-vectors, score = sum over query subs of the best cosine against
+    // any document sub — catches aspect matches a single pooled cosine
+    // dilutes. The oracle re-derives per-(pair, qi) bests relationally and
+    // adds them through MAX(CASE) pivots in fixed index order (a relational
+    // SUM over doubles would be merge-order-dependent).
+    Q(
+      "q155_maxsim_retrieval",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.maxSimTopK(
+            e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding",
+            subs = 4, subDim = 16, k = 3)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        def subDot(qs: String, cs: String, qi: String, cj: String) =
+          s"""list_sum([CAST($qs.embedding[i + $qi*16] AS DOUBLE)
+                        * CAST($cs.embedding[i + $cj*16] AS DOUBLE)
+                        FOR i IN generate_series(1, 16)])"""
+        s"""
+        WITH sub AS (
+          SELECT vec_id, t.i AS si,
+                 sqrt(list_sum([CAST(embedding[j + t.i*16] AS DOUBLE)
+                                * CAST(embedding[j + t.i*16] AS DOUBLE)
+                                FOR j IN generate_series(1, 16)])) AS nrm
+          FROM embeddings CROSS JOIN range(0, 4) t(i)
+        ), cosed AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 sq.si AS qi, sc.si AS cj,
+                 ${subDot("q", "c", "sq.si", "sc.si")} / (sq.nrm * sc.nrm) AS cos
+          FROM embeddings q
+          JOIN embeddings c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+          JOIN sub sq ON sq.vec_id = q.vec_id
+          JOIN sub sc ON sc.vec_id = c.vec_id
+        ), best AS (
+          SELECT query_id, neighbor_id, qi, MAX(cos) AS b
+          FROM cosed GROUP BY 1, 2, 3
+        ), scored AS (
+          SELECT query_id, neighbor_id,
+                 MAX(CASE WHEN qi = 0 THEN b END)
+                   + MAX(CASE WHEN qi = 1 THEN b END)
+                   + MAX(CASE WHEN qi = 2 THEN b END)
+                   + MAX(CASE WHEN qi = 3 THEN b END) AS maxsim
+          FROM best GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY maxsim DESC, neighbor_id) AS INTEGER) AS rank,
+               maxsim
+        FROM scored
+        QUALIFY rank <= 3
+        ORDER BY query_id, rank
+      """.trim
+      }),
+
+    // Matryoshka two-stage retrieval: head-16-dim cosine shortlists 20
+    // candidates per probe (a quarter of the arithmetic on the full corpus),
+    // then ONLY the shortlist is joined back to the full-dim store for the
+    // exact re-rank — the accuracy/cost dial of MRL embeddings as a plan
+    // shape (stage-2 width x shortlist, never width x corpus).
+    Q(
+      "q156_matryoshka_rerank",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.matryoshkaTopK(
+            e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding",
+            prefixDim = 16, shortlist = 20, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                                FOR i IN generate_series(1, 16)])) AS hn,
+                 sqrt(${duckDot("embedding", "embedding")}) AS fn
+          FROM embeddings
+        ), stage1 AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 q.embedding AS qe, c.embedding AS ce, q.fn AS qfn, c.fn AS cfn,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                             FOR i IN generate_series(1, 16)]) / (q.hn * c.hn) DESC,
+                   c.vec_id) AS r1
+          FROM h q JOIN h c ON q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id
+          QUALIFY r1 <= 20
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+                 ${duckDot("qe", "ce")} / (qfn * cfn) DESC, neighbor_id) AS INTEGER) AS rank,
+               ${duckDot("qe", "ce")} / (qfn * cfn) AS cosine
+        FROM stage1
+        QUALIFY rank <= 5
+        ORDER BY query_id, rank
+      """.trim)),
+
     // binaryFile ingestion (the multimodal landing zone): raw .bin payload
     // files scanned by the built-in binaryFile source into (path, length,
     // content) rows — filename becomes the id, md5(content) the content
