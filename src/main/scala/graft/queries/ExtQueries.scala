@@ -2080,6 +2080,83 @@ object ExtQueries {
         ORDER BY query_id, rank
       """.trim)),
 
+    // Hybrid retrieval with reciprocal-rank fusion: a LEXICAL ranking
+    // (distinct shared tokens via the inverted index, the BM25-free exact
+    // form) and a VECTOR ranking (full cosine; doc_id == vec_id links the
+    // modalities) fuse as sum of 1/(60+rank) — integer ranks make every RRF
+    // term an exact division, and missing-side contributions are an exact
+    // 0.0. (1,2) vs (2,1) rank pairs tie by construction, so neighbor_id
+    // tie-breaks. The standard dense+sparse search fusion, as one plan.
+    Q(
+      "q157_hybrid_rrf",
+      (s, dir) => {
+        val probeFilter = col("doc_id") % 100 === 0
+        val toks = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("doc_id"), explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+        val lexPairs = toks.filter(probeFilter).withColumnRenamed("doc_id", "query_id")
+          .join(toks.withColumnRenamed("doc_id", "neighbor_id").hint("shuffle_hash"), Seq("tok"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .groupBy("query_id", "neighbor_id")
+          .agg(count(lit(1)).as("shared"))
+        val lex = graft.plans.TopKPerKey.of(lexPairs,
+            keyCols = Seq("query_id"),
+            order = Seq("shared" -> false, "neighbor_id" -> true), k = 10)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("r_lex"))
+        val e = Tables.embeddings(s, dir)
+        val vec = Similarity.topKCosine(
+            e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("r_vec"))
+        val fused = lex.join(vec, Seq("query_id", "neighbor_id"), "full_outer")
+          .select(col("query_id"), col("neighbor_id"),
+            (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))).as("rrf"))
+        graft.plans.TopKPerKey.of(fused,
+            keyCols = Seq("query_id"),
+            order = Seq("rrf" -> false, "neighbor_id" -> true), k = 5)
+          .select("query_id", "neighbor_id", "rank", "rrf")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct($Toks)) AS tok FROM documents
+        ), lex AS (
+          SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.doc_id
+                   ORDER BY COUNT(*) DESC, c.doc_id) AS r_lex
+          FROM toks q JOIN toks c ON q.tok = c.tok AND q.doc_id <> c.doc_id
+          WHERE q.doc_id % 100 = 0
+          GROUP BY q.doc_id, c.doc_id
+          QUALIFY r_lex <= 10
+        ), e AS (
+          SELECT vec_id, embedding,
+                 sqrt(${duckDot("embedding", "embedding")}) AS nrm
+          FROM embeddings
+        ), vec AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                            c.vec_id) AS r_vec
+          FROM e q CROSS JOIN e c
+          WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+          QUALIFY r_vec <= 10
+        ), fused AS (
+          SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
+                 COALESCE(lex.neighbor_id, vec.neighbor_id) AS neighbor_id,
+                 COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_lex), CAST(0.0 AS DOUBLE))
+                   + COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_vec), CAST(0.0 AS DOUBLE)) AS rrf
+          FROM lex FULL OUTER JOIN vec
+            ON lex.query_id = vec.query_id AND lex.neighbor_id = vec.neighbor_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf DESC, neighbor_id) AS INTEGER) AS rank,
+               rrf
+        FROM fused
+        QUALIFY rank <= 5
+        ORDER BY query_id, rank
+      """.trim)),
+
     // binaryFile ingestion (the multimodal landing zone): raw .bin payload
     // files scanned by the built-in binaryFile source into (path, length,
     // content) rows — filename becomes the id, md5(content) the content
