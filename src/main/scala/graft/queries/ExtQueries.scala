@@ -2157,6 +2157,57 @@ object ExtQueries {
         ORDER BY query_id, rank
       """.trim)),
 
+    // 2-D skyline / Pareto front (multi-objective curation: keep documents
+    // no other document beats on BOTH quality and length): the classic
+    // sort-desc + running-max algorithm — one aggregate to distinct quality
+    // levels, one window over LEVELS (bounded by the value space, not the
+    // corpus; for unbounded level spaces the two-phase prefix-max form of
+    // Keys.globalRunningSum applies) — vs the oracle's quadratic NOT EXISTS:
+    // two algorithms, one answer. A point is dominated iff a strictly-
+    // higher-quality level reaches its length, or its own level exceeds it.
+    Q(
+      "q158_skyline",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pts = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("doc_id"),
+            TextAnalysis.qualityScore(TextAnalysis.tokens(col("text"))).as("quality"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        val levels = pts.groupBy("quality").agg(max("n_tokens").as("lvl_max"))
+          .withColumn("above_max",
+            max(col("lvl_max")).over(Window.orderBy(col("quality").desc)
+              .rowsBetween(Window.unboundedPreceding, -1)))
+        pts.join(levels.hint("shuffle_hash"), Seq("quality"))
+          .filter((col("above_max").isNull || col("above_max") < col("n_tokens"))
+            && col("lvl_max") <= col("n_tokens"))
+          .select("doc_id", "quality", "n_tokens")
+          .orderBy("doc_id")
+      },
+      Some {
+        val quality = """0.5 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (CASE WHEN len(w) = 0 THEN 0.0
+                               ELSE CAST(len(list_filter(w, t -> t IN (""" + StopList + """))) AS DOUBLE)
+                                    / CAST(len(w) AS DOUBLE) END)
+                 + 0.2 * least((CASE WHEN len(w) = 0 THEN 0.0
+                                     ELSE CAST(list_sum([length(t) FOR t IN w]) AS DOUBLE)
+                                          / CAST(len(w) AS DOUBLE) END) / 8.0, 1.0)"""
+        s"""
+        WITH pts AS (
+          SELECT doc_id, $quality AS quality, CAST(len(w) AS BIGINT) AS n_tokens
+          FROM (SELECT doc_id, $Toks AS w FROM documents)
+        )
+        SELECT p.doc_id, p.quality, p.n_tokens
+        FROM pts p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pts d
+          WHERE d.quality >= p.quality AND d.n_tokens >= p.n_tokens
+            AND (d.quality > p.quality OR d.n_tokens > p.n_tokens)
+        )
+        ORDER BY p.doc_id
+      """.trim
+      }),
+
     // binaryFile ingestion (the multimodal landing zone): raw .bin payload
     // files scanned by the built-in binaryFile source into (path, length,
     // content) rows — filename becomes the id, md5(content) the content
