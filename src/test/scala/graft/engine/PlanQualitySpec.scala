@@ -172,6 +172,33 @@ class PlanQualitySpec extends SparkSpec {
       s"ORDER BY + LIMIT should plan the per-partition heap:\n$plan")
   }
 
+  test("max-sim retrieval broadcasts only the probe sub-vectors") {
+    // The non-equi pair join must build on the (bounded) probe side — a
+    // BroadcastNestedLoopJoin whose build is the sub-vector probe frame —
+    // while the corpus side streams; ranking goes through TopKPerKeyExec.
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val df = graft.ext.Similarity.maxSimTopK(
+      e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding",
+      subs = 4, subDim = 16, k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"probe side must be the broadcast build:\n$plan")
+    assert(plan.contains("TopKPerKey"), s"expected heap top-k ranking:\n$plan")
+  }
+
+  test("matryoshka stage 2 joins the shortlist back — exactly one corpus-wide pair join") {
+    // Stage 1 is the only all-pairs (probe x corpus) join; the full-dim
+    // re-rank must reach the store through equi joins on shortlist ids, so
+    // exactly ONE nested-loop join may appear in the whole plan.
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val df = graft.ext.Similarity.matryoshkaTopK(
+      e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding",
+      prefixDim = 16, shortlist = 20, k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 1,
+      s"expected exactly one corpus-wide pair join (stage 1):\n$plan")
+  }
+
   test("ORC scan pushes filters and prunes columns like parquet") {
     // The migration-path format must keep the same IO discipline: predicate
     // into PushedFilters, projection into the read schema.
