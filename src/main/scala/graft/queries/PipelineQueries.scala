@@ -2701,6 +2701,49 @@ object PipelineQueries {
                COUNT(*) AS n
         FROM orders WHERE o_orderstatus <> 'P'
         GROUP BY 1, 2 ORDER BY status, kbucket
+      """.trim)),
+
+    // VARIANT semi-structured type (Spark 4 native): parse once into the
+    // binary variant encoding, extract typed paths with variant_get /
+    // try_variant_get (absent path -> NULL, not error) — the open-schema
+    // ingestion answer to q38's per-field JSON string parsing.
+    Q(
+      "q159_variant_extract",
+      (s, dir) => Tables.events(s, dir)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("event_id"))
+        .select(col("event_type"), expr("parse_json(props)").as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'int')").as("k"),
+          expr("try_variant_get(v, '$.missing', 'int')").as("missing"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("sum_k"),
+          expr("count_if(missing IS NULL)").as("n_missing"))
+        .orderBy("event_type"),
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+               CAST(count_if(props->>'missing' IS NULL) AS BIGINT) AS n_missing
+        FROM events GROUP BY event_type ORDER BY event_type
+      """.trim)),
+
+    // listagg WITHIN GROUP (Spark 4 / ANSI ordered string aggregation):
+    // deterministic because the order clause is total; DISTINCT bounds the
+    // string length by the value domain, not the row count.
+    Q(
+      "q160_listagg",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("listagg(DISTINCT o_orderstatus, '|') WITHIN GROUP (ORDER BY o_orderstatus)")
+            .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("""
+        SELECT o_orderpriority,
+               string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS statuses,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
       """.trim))
   )
 }
