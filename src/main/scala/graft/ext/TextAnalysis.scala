@@ -168,4 +168,26 @@ object TextAnalysis {
   def rollingFingerprint(text: Column, shingles8: Column): Column =
     when(size(shingles8) === 0, TextHash.hash60(Cleaning.normalizeText(text)))
       .otherwise(array_min(transform(shingles8, x => TextHash.hash60(x))))
+
+  /** 2-D skyline (Pareto front): rows no other row beats on BOTH `xCol` and
+    * `yCol` (maximization; >= both and > at least one dominates). The classic
+    * sort-desc + running-max algorithm relationally: one aggregate to
+    * distinct x LEVELS, one window over levels (bounded by the value space,
+    * not the row count — for unbounded level spaces use the two-phase
+    * prefix-max form of Keys.globalRunningSum), one hash join back. A row
+    * survives iff no strictly-higher x level reaches its y and its own level
+    * doesn't exceed it. Never all-pairs.
+    */
+  def skyline2D(df: org.apache.spark.sql.DataFrame, xCol: String,
+      yCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val levels = df.groupBy(xCol).agg(max(col(yCol)).as("__lvl_max"))
+      .withColumn("__above_max",
+        max(col("__lvl_max")).over(Window.orderBy(col(xCol).desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    df.join(levels.hint("shuffle_hash"), Seq(xCol))
+      .filter((col("__above_max").isNull || col("__above_max") < col(yCol))
+        && col("__lvl_max") <= col(yCol))
+      .drop("__lvl_max", "__above_max")
+  }
 }

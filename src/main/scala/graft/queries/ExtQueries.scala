@@ -2168,19 +2168,12 @@ object ExtQueries {
     Q(
       "q158_skyline",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val pts = Tables.documents(s, dir)
           .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
           .select(col("doc_id"),
             TextAnalysis.qualityScore(TextAnalysis.tokens(col("text"))).as("quality"),
             size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-        val levels = pts.groupBy("quality").agg(max("n_tokens").as("lvl_max"))
-          .withColumn("above_max",
-            max(col("lvl_max")).over(Window.orderBy(col("quality").desc)
-              .rowsBetween(Window.unboundedPreceding, -1)))
-        pts.join(levels.hint("shuffle_hash"), Seq("quality"))
-          .filter((col("above_max").isNull || col("above_max") < col("n_tokens"))
-            && col("lvl_max") <= col("n_tokens"))
+        TextAnalysis.skyline2D(pts, "quality", "n_tokens")
           .select("doc_id", "quality", "n_tokens")
           .orderBy("doc_id")
       },

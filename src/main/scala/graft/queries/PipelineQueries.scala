@@ -2744,6 +2744,61 @@ object PipelineQueries {
                string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS statuses,
                COUNT(*) AS n
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """.trim)),
+
+    // Point-in-time validity join (feature-store correctness): each event
+    // joins the SCD2-style dimension VERSION that was valid at the event's
+    // own timestamp (start <= ts < end) — never the current one, never a
+    // leaked future one. Plan shape: equi join on the key carries the
+    // shuffle; the interval predicate is a post-join filter, so this scales
+    // exactly like any keyed join (no range machinery needed when versions
+    // per key are few). Completes the as-of family (q41/q94: nearest-event;
+    // here: interval membership against a versioned dim).
+    Q(
+      "q161_pit_join",
+      (s, dir) => {
+        val cut = lit("2020-07-01 00:00:00").cast("timestamp")
+        val base = Tables.customer(s, dir).select(
+          col("c_custkey"), col("c_mktsegment").as("seg"))
+        val v1 = base
+          .withColumn("bal_tier", lit("old"))
+          .withColumn("start_dt", lit(TsHist).cast("timestamp"))
+          .withColumn("end_dt", cut)
+        val v2 = base
+          .withColumn("bal_tier",
+            when(col("c_custkey") % 3 === 0, lit("upgraded")).otherwise(lit("old")))
+          .withColumn("start_dt", cut)
+          .withColumn("end_dt", lit(Sentinel).cast("timestamp"))
+        val dim = v1.unionByName(v2)
+        Tables.events(s, dir)
+          .withColumn("c_custkey", col("user_id") % 1500 + 1)
+          .join(dim, Seq("c_custkey"))
+          .filter(col("ts") >= col("start_dt") && col("ts") < col("end_dt"))
+          .groupBy("seg", "bal_tier")
+          .agg(count(lit(1)).as("n_events"),
+            Exact.sumD(col("value"), 6).as("sum_value"))
+          .orderBy("seg", "bal_tier")
+      },
+      Some(s"""
+        WITH dim AS (
+          SELECT c_custkey, c_mktsegment AS seg, 'old' AS bal_tier,
+                 TIMESTAMP '$TsHist' AS start_dt,
+                 TIMESTAMP '2020-07-01 00:00:00' AS end_dt
+          FROM customer
+          UNION ALL
+          SELECT c_custkey, c_mktsegment AS seg,
+                 CASE WHEN c_custkey % 3 = 0 THEN 'upgraded' ELSE 'old' END AS bal_tier,
+                 TIMESTAMP '2020-07-01 00:00:00' AS start_dt,
+                 TIMESTAMP '$Sentinel' AS end_dt
+          FROM customer
+        )
+        SELECT d.seg, d.bal_tier, COUNT(*) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+        FROM events e
+        JOIN dim d ON d.c_custkey = e.user_id % 1500 + 1
+                  AND e.ts >= d.start_dt AND e.ts < d.end_dt
+        GROUP BY d.seg, d.bal_tier
+        ORDER BY d.seg, d.bal_tier
       """.trim))
   )
 }

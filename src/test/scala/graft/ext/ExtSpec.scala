@@ -248,6 +248,26 @@ class ExtSpec extends SparkSpec {
     assert(rows.exists(_.getLong(2) > 0), "planted near-dups imply dup 8-grams")
   }
 
+  test("skyline2D matches brute-force dominance on seeded random points") {
+    // Property check: the levels/running-max algorithm equals the O(n^2)
+    // definition (no other point >= on both axes and > on at least one) on
+    // 10 seeded point clouds, duplicates and ties included.
+    val rng = new scala.util.Random(42)
+    (1 to 10).foreach { _ =>
+      val pts = (0 until 120).map(i =>
+        (i.toLong, rng.nextInt(20).toDouble / 2.0, rng.nextInt(30).toLong))
+      val df = pts.toDF("id", "x", "y")
+      val got = TextAnalysis.skyline2D(df, "x", "y")
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = pts.filter { case (_, x, y) =>
+        !pts.exists { case (_, x2, y2) =>
+          x2 >= x && y2 >= y && (x2 > x || y2 > y)
+        }
+      }.map(_._1).toSet
+      assert(got === want)
+    }
+  }
+
   test("Caching.withCached caches during the body and releases after") {
     val dims = Seq(Tables.nation(spark, sf0001), Tables.region(spark, sf0001))
     Caching.withCached(dims) {
