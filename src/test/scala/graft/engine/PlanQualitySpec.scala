@@ -199,6 +199,19 @@ class PlanQualitySpec extends SparkSpec {
       s"expected exactly one corpus-wide pair join (stage 1):\n$plan")
   }
 
+  test("broadcastDimJoin plans a broadcast hash join on the hinted dim") {
+    // J10's explicit form: the hint must survive to a BroadcastHashJoin with
+    // the dim as the build side (bounded dims only — the q10 star path
+    // hints nation/region and lets AQE decide the linear-scaling dims).
+    val df = StarJoin.broadcastDimJoin(
+      Tables.customer(spark, sf0001),
+      Tables.nation(spark, sf0001),
+      col("c_nationkey") === col("n_nationkey"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the hinted dim to broadcast:\n$plan")
+  }
+
   test("ORC scan pushes filters and prunes columns like parquet") {
     // The migration-path format must keep the same IO discipline: predicate
     // into PushedFilters, projection into the read schema.

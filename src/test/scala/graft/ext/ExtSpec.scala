@@ -268,6 +268,37 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("rankTopKWindow matches the heap TopKPerKey ranking exactly") {
+    // The two formulations of per-key top-k (window row_number vs the custom
+    // heap operator) must agree on every (rank, id, score) — including on
+    // tied scores, where both tie-break by neighbor_id.
+    val pairs = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.9), (1L, 12L, 0.5), (1L, 13L, 0.95),
+      (2L, 10L, 0.1), (2L, 11L, 0.3), (2L, 12L, 0.3)
+    ).toDF("query_id", "neighbor_id", "cosine")
+    val win = Similarity.rankTopKWindow(pairs, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val heap = graft.plans.TopKPerKey.of(pairs,
+        keyCols = Seq("query_id"),
+        order = Seq("cosine" -> false, "neighbor_id" -> true), k = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(win === heap)
+    assert(win === Set((1L, 13L, 1), (1L, 10L, 2), (2L, 11L, 1), (2L, 12L, 2)))
+  }
+
+  test("shingleFrame exposes the same distinct shingle sets as the expression form") {
+    val viaFrame = NearDup.shingleFrame(docs, "doc_id", "text", 3)
+      .select(col("doc_id"), sort_array(col("__shingles")).as("sh"))
+    val viaExpr = docs.select(col("doc_id"),
+      sort_array(NearDup.shingles(TextAnalysis.tokens(col("text")), 3)).as("sh"))
+    // shingleFrame drops empty-shingle docs (they cannot pair); the
+    // expression form keeps them — compare on the common support.
+    assert(viaFrame.join(viaExpr, Seq("doc_id", "sh"), "left_anti").count() === 0L)
+    assert(viaFrame.count() ===
+      viaExpr.filter(size(col("sh")) > 0).count())
+  }
+
   test("Caching.withCached caches during the body and releases after") {
     val dims = Seq(Tables.nation(spark, sf0001), Tables.region(spark, sf0001))
     Caching.withCached(dims) {
