@@ -1687,7 +1687,7 @@ object PipelineQueries {
           }.reduce(_ + _)
         Tables.events(s, dir)
           .select(col("event_id"),
-            expr("(unix_micros(ts) div 3600000000) % 1024").as("zx"),
+            expr("(unix_micros(ts) div 1200000000) % 1024").as("zx"),
             pmod(col("user_id"), lit(1024L)).as("zy"))
           .select(col("event_id"), col("zx"), col("zy"),
             interleave(col("zx"), col("zy")).as("zkey"))
@@ -2799,6 +2799,127 @@ object PipelineQueries {
                   AND e.ts >= d.start_dt AND e.ts < d.end_dt
         GROUP BY d.seg, d.bal_tier
         ORDER BY d.seg, d.bal_tier
+      """.trim)),
+
+    // str_to_map parsing (the key:value config-string decoder): a synthesized
+    // tag string parses into a map, entries extract by key — the lightweight
+    // cousin of JSON parsing for attribute strings (user agents, flags,
+    // k=v logs). Pure map-side.
+    Q(
+      "q162_str_to_map",
+      (s, dir) => Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          concat(lit("status:"), col("o_orderstatus"),
+            lit(",prio:"), substring(col("o_orderpriority"), 1, 1),
+            lit(",bucket:"), (col("o_orderkey") % 7).cast("string")).as("tags"))
+        .select(col("o_orderkey"),
+          expr("str_to_map(tags, ',', ':')").as("m"))
+        .select(col("o_orderkey"),
+          expr("m['status']").as("status"),
+          expr("m['prio']").as("prio"),
+          expr("m['bucket']").cast("int").as("bucket"),
+          expr("m['absent']").as("absent"),
+          size(expr("map_keys(m)")).as("n_keys"))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey,
+               o_orderstatus AS status,
+               substr(o_orderpriority, 1, 1) AS prio,
+               CAST(o_orderkey % 7 AS INTEGER) AS bucket,
+               CAST(NULL AS VARCHAR) AS absent,
+               CAST(3 AS INTEGER) AS n_keys
+        FROM orders ORDER BY o_orderkey
+      """.trim)),
+
+    // Capped sessionization: sessions split by a 30-min inactivity gap AND
+    // a 20-minute maximum duration (the runaway-session guard real analytics
+    // pipelines add to q19's pure gap rule). The cap is a second,
+    // arithmetic-only split — floor((ts - gap_session_start)/20min) — so no
+    // extra shuffle: both levels ride the same user_id window.
+    Q(
+      "q163_capped_sessions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("__us", unix_micros(col("ts")))
+          .withColumn("__new",
+            when(col("__us") - lag(col("__us"), 1).over(w) >= 1800L * 1000000L
+              || lag(col("__us"), 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("__gap_sid", sum(col("__new")).over(run))
+          .withColumn("__gap_start",
+            min(col("__us")).over(Window.partitionBy("user_id", "__gap_sid")))
+          .withColumn("__cap_idx",
+            expr("(__us - __gap_start) div 1200000000"))
+          .groupBy("user_id", "__gap_sid", "__cap_idx")
+          .agg(count(lit(1)).as("n_events"),
+            min("ts").as("session_start"), max("ts").as("session_end"))
+          .select("user_id", "session_start", "session_end", "n_events")
+          .orderBy("user_id", "session_start")
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800 * 1000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), gap AS (
+          SELECT user_id, ts, us,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gap_sid
+          FROM flagged
+        ), capped AS (
+          SELECT user_id, ts, gap_sid,
+                 (us - MIN(us) OVER (PARTITION BY user_id, gap_sid))
+                   // 1200000000 AS cap_idx
+          FROM gap
+        )
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM capped GROUP BY user_id, gap_sid, cap_idx
+        ORDER BY user_id, session_start
+      """.trim)),
+
+    // Percent-of-parent rollup (hierarchical share-of-total reporting):
+    // revenue share of each nation WITHIN its region from two exact decimal
+    // rollups joined on the parent key — one double division per row, no
+    // windows over the fact table.
+    Q(
+      "q164_percent_of_parent",
+      (s, dir) => {
+        val rev = Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        val byNation = rev.groupBy("r_name", "n_name")
+          .agg(Exact.sumD(col("o_totalprice"), 2).as("nation_rev"))
+        val byRegion = byNation.groupBy("r_name")
+          .agg(sum(col("nation_rev").cast("decimal(24,2)")).cast("double").as("region_rev"))
+        byNation.join(byRegion, Seq("r_name"))
+          .select(col("r_name"), col("n_name"), col("nation_rev"),
+            (col("nation_rev") / col("region_rev")).as("share"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""
+        WITH byn AS (
+          SELECT r_name, n_name,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS nation_rev
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name
+        ), byr AS (
+          SELECT r_name,
+                 CAST(SUM(CAST(nation_rev AS DECIMAL(24,2))) AS DOUBLE) AS region_rev
+          FROM byn GROUP BY r_name
+        )
+        SELECT byn.r_name, n_name, nation_rev, nation_rev / region_rev AS share
+        FROM byn JOIN byr ON byn.r_name = byr.r_name
+        ORDER BY byn.r_name, n_name
       """.trim))
   )
 }
