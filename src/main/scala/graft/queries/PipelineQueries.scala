@@ -1687,7 +1687,7 @@ object PipelineQueries {
           }.reduce(_ + _)
         Tables.events(s, dir)
           .select(col("event_id"),
-            expr("(unix_micros(ts) div 1200000000) % 1024").as("zx"),
+            expr("(unix_micros(ts) div 3600000000) % 1024").as("zx"),
             pmod(col("user_id"), lit(1024L)).as("zy"))
           .select(col("event_id"), col("zx"), col("zy"),
             interleave(col("zx"), col("zy")).as("zkey"))
