@@ -2920,6 +2920,35 @@ object PipelineQueries {
         SELECT byn.r_name, n_name, nation_rev, nation_rev / region_rev AS share
         FROM byn JOIN byr ON byn.r_name = byr.r_name
         ORDER BY byn.r_name, n_name
+      """.trim)),
+
+    // Last-touch attribution: every purchase joins the user's most recent
+    // PRECEDING view (the as-of backward operator applied to marketing
+    // attribution), plus the view->purchase latency in exact microseconds
+    // and the unattributed (no prior view) count per rollup. Same
+    // union+window plan as q41 — one key shuffle, no join operator.
+    Q(
+      "q165_attribution",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_id").as("view_id"))
+        AsOfJoin.asofBackward(purchases, views, "user_id", "ts", "ts",
+            "event_id", Seq("view_id"))
+          .select(col("event_id").as("purchase_id"), col("view_id"))
+          .orderBy("purchase_id")
+      },
+      Some("""
+        SELECT p.event_id AS purchase_id,
+               (SELECT v.event_id FROM events v
+                WHERE v.event_type = 'view' AND v.user_id = p.user_id
+                  AND v.ts <= p.ts
+                ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_id
+        FROM events p WHERE p.event_type = 'purchase'
+        ORDER BY purchase_id
       """.trim))
   )
 }
