@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -34,15 +34,40 @@ object Keys {
     * pure-Catalyst form and the bench notes on both.
     */
   def surrogateKeysScalable(df: DataFrame, orderCol: String, keyName: String,
+      offset: Long = 0L, partitions: Int = 0): DataFrame =
+    rankByScalable(df, Seq(col(orderCol)), keyName, offset, partitions)
+
+  /** Multi-column generalization of [[surrogateKeysScalable]]: assigns the
+    * global 1-based rank under an arbitrary sort-order list (e.g.
+    * `Seq(col("rev").desc, col("k"))`) with the same range-partition +
+    * local-sort + zipWithIndex shape — no single-task window, ever. The
+    * order must be a TOTAL order (include a unique tie-break column) for
+    * the rank to be deterministic.
+    */
+  def rankByScalable(df: DataFrame, order: Seq[Column], keyName: String,
       offset: Long = 0L, partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(n, col(orderCol)).sortWithinPartitions(orderCol)
+    val sorted = df.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*)
     val schema = sorted.schema.add(keyName, LongType, nullable = false)
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L + offset))
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** SQL `ntile(k)` bucket (1-based) computed from a global rank and the
+    * total row count — the explicit form of the ntile size rule: the first
+    * `n mod k` buckets get `floor(n/k)+1` rows, the rest `floor(n/k)`.
+    * Lets equi-depth bucketing ride [[rankByScalable]]'s two-phase rank
+    * instead of an unpartitioned window. Requires n >= k (q = 0 otherwise
+    * divides by zero — same domain ntile itself degenerates on).
+    */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    val q = floor(n / k)
+    val r = n % k
+    (when(rank <= r * (q + 1), floor((rank - 1) / (q + 1)))
+      .otherwise(r + floor((rank - r * (q + 1) - 1) / q)) + 1).cast("int")
   }
 
   /** Pure-Catalyst two-phase form (same output, given a unique order key):
@@ -103,12 +128,23 @@ object Keys {
     * onto DIFFERENTLY-SAMPLED partitionings with garbage offsets.
     */
   def globalRunningSum(df: DataFrame, orderCol: String, valueCol: String,
+      sumName: String, partitions: Int = 0): DataFrame =
+    globalRunningSumBy(df, Seq(col(orderCol)), valueCol, sumName, partitions)
+
+  /** Multi-column-order form of [[globalRunningSum]] (e.g. a running total
+    * in `(revenue DESC, key)` order for Pareto shares). Same RDD
+    * shuffle-reuse shape; the order must be total for determinism. The
+    * value stays LongType — decimal running sums scale to long first
+    * (scale-2 money → cents), which keeps the accumulation associative-
+    * exact and overflow-safe to ~9e16 cents.
+    */
+  def globalRunningSumBy(df: DataFrame, order: Seq[Column], valueCol: String,
       sumName: String, partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
     require(df.schema(valueCol).dataType == LongType,
       s"globalRunningSum needs a LongType $valueCol")
-    val sorted = df.repartitionByRange(n, col(orderCol)).sortWithinPartitions(orderCol)
+    val sorted = df.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*)
     val schema = sorted.schema.add(sumName, LongType, nullable = false)
     val vIdx = sorted.schema.fieldIndex(valueCol)
     val rdd = sorted.rdd
@@ -119,6 +155,47 @@ object Keys {
     val out = rdd.mapPartitionsWithIndex { (i, it) =>
       var acc = offsets(i)
       it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Two-phase EXCLUSIVE global prefix max: `maxName` = max of `valueCol`
+    * (LongType, non-null) over all rows STRICTLY BEFORE the current row in
+    * `order` — null for the global first row. The scale-safe replacement
+    * for `max(...).over(Window.orderBy(...).rowsBetween(unboundedPreceding,
+    * -1))`, which funnels the whole frame through one task. Same RDD
+    * shuffle-reuse shape as [[globalRunningSum]]: range-partition + local
+    * sort once, a per-partition-max pass, then exclusive per-partition
+    * prefix offsets. The order must be total for determinism.
+    */
+  def globalPrefixMaxBy(df: DataFrame, order: Seq[Column], valueCol: String,
+      maxName: String, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    require(df.schema(valueCol).dataType == LongType,
+      s"globalPrefixMaxBy needs a LongType $valueCol")
+    val sorted = df.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*)
+    val schema = sorted.schema.add(maxName, LongType, nullable = true)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val partMaxes: Array[Option[Long]] = rdd.mapPartitionsWithIndex { (i, it) =>
+      var m = Long.MinValue; var any = false
+      it.foreach { r => any = true; val v = r.getLong(vIdx); if (v > m) m = v }
+      Iterator((i, if (any) Some(m) else None))
+    }.collect().sortBy(_._1).map(_._2)
+    // offsets(i) = max over partitions < i (None when no prior rows exist)
+    val offsets: Array[Option[Long]] = partMaxes.scanLeft(Option.empty[Long]) {
+      case (Some(a), Some(c)) => Some(math.max(a, c))
+      case (a, c)             => a.orElse(c)
+    }.init
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { r =>
+        val emit: Any = acc.map(Long.box).orNull
+        val v = r.getLong(vIdx)
+        acc = Some(acc.fold(v)(a => math.max(a, v)))
+        Row.fromSeq(r.toSeq :+ emit)
+      }
     }
     spark.createDataFrame(out, schema)
   }

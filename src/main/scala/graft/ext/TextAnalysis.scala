@@ -172,19 +172,18 @@ object TextAnalysis {
   /** 2-D skyline (Pareto front): rows no other row beats on BOTH `xCol` and
     * `yCol` (maximization; >= both and > at least one dominates). The classic
     * sort-desc + running-max algorithm relationally: one aggregate to
-    * distinct x LEVELS, one window over levels (bounded by the value space,
-    * not the row count — for unbounded level spaces use the two-phase
-    * prefix-max form of Keys.globalRunningSum), one hash join back. A row
-    * survives iff no strictly-higher x level reaches its y and its own level
-    * doesn't exceed it. Never all-pairs.
+    * distinct x LEVELS, the exclusive prefix max over levels in x-desc order
+    * via the two-phase Keys.globalPrefixMaxBy (range partition + local sort
+    * + per-partition offsets — no single-task window even when x is
+    * continuous and levels ~= row count), one hash join back. A row survives
+    * iff no strictly-higher x level reaches its y and its own level doesn't
+    * exceed it. Never all-pairs. `yCol` must be LongType and non-null.
     */
   def skyline2D(df: org.apache.spark.sql.DataFrame, xCol: String,
       yCol: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val levels = df.groupBy(xCol).agg(max(col(yCol)).as("__lvl_max"))
-      .withColumn("__above_max",
-        max(col("__lvl_max")).over(Window.orderBy(col(xCol).desc)
-          .rowsBetween(Window.unboundedPreceding, -1)))
+    val levels = graft.engine.Keys.globalPrefixMaxBy(
+      df.groupBy(xCol).agg(max(col(yCol)).as("__lvl_max")),
+      Seq(col(xCol).desc), "__lvl_max", "__above_max")
     df.join(levels.hint("shuffle_hash"), Seq(xCol))
       .filter((col("__above_max").isNull || col("__above_max") < col(yCol))
         && col("__lvl_max") <= col(yCol))

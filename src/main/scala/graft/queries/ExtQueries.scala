@@ -2160,9 +2160,10 @@ object ExtQueries {
     // 2-D skyline / Pareto front (multi-objective curation: keep documents
     // no other document beats on BOTH quality and length): the classic
     // sort-desc + running-max algorithm — one aggregate to distinct quality
-    // levels, one window over LEVELS (bounded by the value space, not the
-    // corpus; for unbounded level spaces the two-phase prefix-max form of
-    // Keys.globalRunningSum applies) — vs the oracle's quadratic NOT EXISTS:
+    // levels, then the EXCLUSIVE prefix max over levels via the two-phase
+    // Keys.globalPrefixMaxBy (quality is a continuous double, so levels ~=
+    // corpus cardinality; an unpartitioned window here would be a
+    // single-task funnel) — vs the oracle's quadratic NOT EXISTS:
     // two algorithms, one answer. A point is dominated iff a strictly-
     // higher-quality level reaches its length, or its own level exceeds it.
     Q(

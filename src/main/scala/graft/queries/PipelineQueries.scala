@@ -31,14 +31,14 @@ object PipelineQueries {
         val base = Tables.customer(s, dir).select(
           col("c_custkey"), col("c_name"), col("c_mktsegment"),
           col("c_acctbal").cast("decimal(12,2)").as("bal"))
-        val cur = Keys.surrogateKeys(
+        val cur = Keys.surrogateKeysScalable(
             base.filter(col("c_custkey") % 4 =!= 1), "c_custkey", "customer_sk")
           .withColumn("bal",
             when(col("c_custkey") % 5 === 0, col("bal") + 100).otherwise(col("bal")))
           .withColumn("start_dt", lit(Ts0).cast("timestamp"))
           .withColumn("end_dt", lit(Sentinel).cast("timestamp"))
           .withColumn("is_valid", lit(true))
-        val hist = Keys.surrogateKeys(
+        val hist = Keys.surrogateKeysScalable(
             base.filter(col("c_custkey") % 4 =!= 1 && col("c_custkey") % 7 === 3),
             "c_custkey", "customer_sk", offset = 100000L)
           .withColumn("bal", col("bal") - 50)
@@ -850,7 +850,7 @@ object PipelineQueries {
         val base = Tables.customer(s, dir).select(
           col("c_custkey"), col("c_name"),
           col("c_acctbal").cast("decimal(12,2)").as("bal"))
-        val existing = Keys.surrogateKeys(base, "c_custkey", "customer_sk")
+        val existing = Keys.surrogateKeysScalable(base, "c_custkey", "customer_sk")
           .withColumn("bal",
             when(col("c_custkey") % 5 === 0, col("bal") + 100).otherwise(col("bal")))
           .withColumn("start_dt", lit(Ts0).cast("timestamp"))
@@ -1293,13 +1293,9 @@ object PipelineQueries {
         val v = Tables.events(s, dir).select(col("value"))
         val ranked = Keys.surrogateKeysScalable(v, "value", "rank")
         val total = v.agg(count(lit(1)).as("__n"))
-        val q = floor(col("__n") / 10)
-        val r = col("__n") % 10
-        val b0 = when(col("rank") <= r * (q + 1),
-            floor((col("rank") - 1) / (q + 1)))
-          .otherwise(r + floor((col("rank") - r * (q + 1) - 1) / q))
         ranked.crossJoin(broadcast(total))
-          .select(col("value"), (b0 + 1).cast("int").as("bucket"))
+          .select(col("value"),
+            Keys.ntileFromRank(col("rank"), col("__n"), 10).as("bucket"))
           .groupBy("bucket")
           .agg(count(lit(1)).as("n"),
             min(col("value")).as("lo"), max(col("value")).as("hi"))
@@ -1315,26 +1311,35 @@ object PipelineQueries {
       """.trim)),
 
     // RFM segmentation: per-customer recency/frequency/monetary quartiles.
-    // Single-task-free: each quartile label comes from ntile(4) over a
-    // TOTAL order (metric, custkey) — the tie-break makes label assignment
-    // deterministic across engines, and the global windows the naive form
-    // would use are again avoided via per-metric rank windows kept small
-    // (the per-customer aggregate is customers-sized, 1000x smaller than
-    // orders; an unpartitioned window over it is a documented,
-    // bounded-input exception).
+    // Single-task-free: each quartile label is ntile(4) over a TOTAL order
+    // (metric DESC, custkey — the tie-break makes assignment deterministic
+    // across engines), but the three naive unpartitioned ntile windows are
+    // replaced by three two-phase global ranks (Keys.rankByScalable: range
+    // partition + local sort + zipWithIndex) plus the explicit ntile bucket
+    // rule (Keys.ntileFromRank) — the q89 machinery, per metric. Each rank
+    // joins back to the customers-sized aggregate on the key; no task ever
+    // sees more than one partition's worth of rows.
     Q(
       "q91_rfm_segments",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val per = Tables.orders(s, dir).groupBy("o_custkey")
           .agg(max(col("o_orderdate")).as("last_order"),
             count(lit(1)).as("frequency"),
             Exact.sumD(col("o_totalprice")).as("monetary"))
-        val r = ntile(4).over(Window.orderBy(col("last_order").desc, col("o_custkey")))
-        val f = ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey")))
-        val m = ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey")))
-        per.select(col("o_custkey"), col("frequency"), col("monetary"),
-            r.cast("int").as("r_q"), f.cast("int").as("f_q"), m.cast("int").as("m_q"))
+        def rankOf(metric: String, name: String) =
+          Keys.rankByScalable(per.select(col("o_custkey"), col(metric)),
+              Seq(col(metric).desc, col("o_custkey")), name)
+            .select(col("o_custkey"), col(name))
+        val total = per.agg(count(lit(1)).as("__n"))
+        per
+          .join(rankOf("last_order", "__rr"), "o_custkey")
+          .join(rankOf("frequency", "__fr"), "o_custkey")
+          .join(rankOf("monetary", "__mr"), "o_custkey")
+          .crossJoin(broadcast(total))
+          .select(col("o_custkey"), col("frequency"), col("monetary"),
+            Keys.ntileFromRank(col("__rr"), col("__n"), 4).as("r_q"),
+            Keys.ntileFromRank(col("__fr"), col("__n"), 4).as("f_q"),
+            Keys.ntileFromRank(col("__mr"), col("__n"), 4).as("m_q"))
           .withColumn("segment",
             concat(col("r_q").cast("string"), col("f_q").cast("string"),
               col("m_q").cast("string")))
@@ -1387,35 +1392,38 @@ object PipelineQueries {
 
     // Pareto / cumulative-share: customers ranked by revenue with their
     // running share of the total — "which customers are 80% of revenue".
-    // The running sum stays DECIMAL inside the window (associative-exact,
-    // so DuckDB's segment-tree window aggregation and Spark's running
-    // accumulation cannot diverge) and converts to double only at the
-    // final division.
+    // The naive form is an unpartitioned running-sum window (single-task
+    // funnel over the whole customer frame); here the running total rides
+    // Keys.globalRunningSumBy — range-partition by (rev DESC, custkey),
+    // per-partition totals, prefix offsets — over the revenue scaled to
+    // exact cents (scale-2 decimal * 100 → long, associative-exact, no
+    // double merge-order hazard). Share = one final double division of
+    // exact integers, the cross-engine-safe reduction shape.
     Q(
       "q93_pareto_share",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val rev = Tables.orders(s, dir).groupBy("o_custkey")
           .agg(sum(col("o_totalprice").cast("decimal(24,2)")).as("__rev"))
-        val w = Window.orderBy(col("__rev").desc, col("o_custkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        rev
-          .withColumn("cum_rev", sum(col("__rev")).over(w))
-          .crossJoin(broadcast(rev.agg(sum(col("__rev")).as("__total"))))
+          .withColumn("__cents", (col("__rev") * 100).cast("long"))
+        val run = Keys.globalRunningSumBy(rev,
+          Seq(col("__rev").desc, col("o_custkey")), "__cents", "__cum")
+        run
+          .crossJoin(broadcast(rev.agg(sum(col("__cents")).as("__total"))))
           .select(col("o_custkey"),
             col("__rev").cast("double").as("revenue"),
-            (col("cum_rev").cast("double") / col("__total").cast("double"))
+            (col("__cum").cast("double") / col("__total").cast("double"))
               .as("cum_share"))
           .orderBy(col("revenue").desc, col("o_custkey"))
       },
       Some("""
         WITH rev AS (
-          SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS r
+          SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS r,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) * 100 AS BIGINT) AS cents
           FROM orders GROUP BY o_custkey
-        ), t AS (SELECT SUM(r) AS total FROM rev)
+        ), t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev)
         SELECT o_custkey,
                CAST(r AS DOUBLE) AS revenue,
-               CAST(SUM(r) OVER (ORDER BY r DESC, o_custkey
+               CAST(SUM(cents) OVER (ORDER BY r DESC, o_custkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                  / CAST((SELECT total FROM t) AS DOUBLE) AS cum_share
         FROM rev ORDER BY revenue DESC, o_custkey

@@ -312,6 +312,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("TopKPerKey"), s"expected TopKPerKeyExec in:\n$plan")
   }
 
+  test("registry sweep: no unpartitioned Window in any registered query's plan") {
+    // The single-task-funnel audit, mechanized: every registered query's
+    // optimized logical plan must be free of Window nodes with an empty
+    // partitionSpec — those become one-task WindowExec sorts whose frame
+    // grows with the data. The scale-safe substitutes (Keys.rankByScalable,
+    // globalRunningSumBy, globalPrefixMaxBy) leave no Window node at all.
+    // Whitelist: frames PROVABLY bounded by a value space, not the corpus —
+    // q10's discount/tax decode dim is ~100 distinct (disc, tax) pairs at
+    // any scale factor (StarJoin.scala:71).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val bounded = Set("q10_star_fact")
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, mk) =>
+        val wins = mk(spark, sf0001).queryExecution.optimizedPlan.collect {
+          case w: LogicalWindow if w.partitionSpec.isEmpty => w
+        }
+        if (wins.nonEmpty && !bounded(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows in: ${offenders.mkString(", ")}")
+  }
+
   test("bucketed range join plans a hash join, never a nested loop") {
     val pts = Tables.customer(spark, sf0001)
       .select(col("c_custkey"), col("c_acctbal").cast("double").as("bal"))
