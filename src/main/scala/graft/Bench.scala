@@ -50,6 +50,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Short total-only line FIRST: the driver stores only the tail of the
+    // output, and the per-query map outgrew it in round 3 (BENCH_r03 kept a
+    // truncated JSON with parsed:null). The compact line always survives.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

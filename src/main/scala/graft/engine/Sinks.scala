@@ -99,10 +99,22 @@ object Sinks {
     * metadata lives in the catalog).
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
+      numBuckets: Int, sortCols: Seq[String] = Nil): Unit =
+    writeBucketedAt(df, table, None, bucketCols, numBuckets, sortCols)
+
+  /** [[writeBucketed]] with an explicit EXTERNAL data path: the bucketing
+    * metadata still lives in the (session-scoped) catalog, but the parquet
+    * lands under `path` instead of spark.sql.warehouse.dir — so gate
+    * queries can scope their bucketed tables to per-session scratch and
+    * never pollute a shared warehouse directory.
+    */
+  def writeBucketedAt(df: DataFrame, table: String, path: Option[String],
+      bucketCols: Seq[String], numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w0 = df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
-    val w2 = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    val w1 = path.fold(w0)(p => w0.option("path", p))
+    val w2 = if (sortCols.nonEmpty) w1.sortBy(sortCols.head, sortCols.tail: _*) else w1
     w2.format("parquet").saveAsTable(table)
   }
 

@@ -32,6 +32,12 @@ object Multimodal {
     */
   def writeBinaryFiles(rows: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
+    // Executors write via java.nio to a DRIVER-LOCAL path; on a multi-node
+    // master the files would land on executor-local disks and the read-back
+    // would be silently partial. Fail loudly instead of corrupting.
+    require(rows.sparkSession.sparkContext.isLocal,
+      "writeBinaryFiles is a local-FS fixture writer; on a cluster the " +
+        "landing zone must be shared storage (object store upload job)")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
       f.delete(): Unit

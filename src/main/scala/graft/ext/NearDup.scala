@@ -376,9 +376,15 @@ object NearDup {
     * driver only counts label changes. Iterations are bounded by the
     * largest cluster diameter — tight near-dup clusters converge in 2-3.
     * Output: one row per node appearing in `pairs`, labeled with the
-    * minimum id of its component (`cluster_id`). At cluster scale, swap the
-    * per-iteration `persist` for checkpointing to also truncate lineage.
+    * minimum id of its component (`cluster_id`). Each iteration's label
+    * frame is `localCheckpoint`ed, not merely persisted: the physical plan
+    * stays O(1) deep across iterations instead of accreting the whole join
+    * history, which is what keeps the fixpoint runnable at cluster scale
+    * (a 30-iteration lineage over a 100 TB edge set would otherwise blow
+    * planning time and any lost-executor recomputation).
     */
+  @volatile private[ext] var lastCCIterations: Int = -1
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 50): DataFrame = {
     val n = pairs.sparkSession.sessionState.conf.numShufflePartitions
@@ -410,9 +416,12 @@ object NearDup {
     while (!converged && i < maxIters) {
       val prop = undirected.join(labels, undirected("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster_id"))
+      // eager localCheckpoint: materializes AND truncates lineage (replaced
+      // frames drop out of driver scope, so the ContextCleaner reclaims
+      // their blocks); the convergence check then reads the stored frame.
       val next = labels.unionAll(prop)
         .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
-        .persist()
+        .localCheckpoint(eager = true)
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
@@ -421,6 +430,7 @@ object NearDup {
       i += 1
     }
     undirected.unpersist()
+    lastCCIterations = i
     labels
   }
 

@@ -9,10 +9,10 @@ import graft.engine._
 object CoreQueries {
 
   /** Scratch space for queries that exercise write paths (CSV ingest, sink
-    * roundtrip). Keyed by the sf dir name so concurrent SFs don't collide.
+    * roundtrip). See [[graft.engine.Scratch]] for the collision contract.
     */
-  private def scratch(dir: String, tag: String): String =
-    s"/tmp/graft_scratch/${new java.io.File(dir).getName}_$tag"
+  private def scratch(s: org.apache.spark.sql.SparkSession, dir: String,
+      tag: String): String = Scratch.dir(s, dir, tag)
 
   val qs: Seq[Q] = Seq(
     Q(
@@ -40,7 +40,7 @@ object CoreQueries {
     Q(
       "q02_csv_ingest",
       (s, dir) => {
-        val tmp = scratch(dir, "csv_nation")
+        val tmp = scratch(s, dir, "csv_nation")
         Tables.nation(s, dir).write.mode("overwrite").option("header", "true").csv(tmp)
         val raw = Sources.csv(s, tmp)
         Cleaning.castNormalize(
@@ -133,7 +133,7 @@ object CoreQueries {
         val subset = Tables.orders(s, dir)
           .filter(col("o_orderkey") % 7 === 0)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        Sinks.writeAndReadBack(s, subset, scratch(dir, "sink_orders"), maxRecordsPerFile = 5000L)
+        Sinks.writeAndReadBack(s, subset, scratch(s, dir, "sink_orders"), maxRecordsPerFile = 5000L)
           .orderBy("o_orderkey")
       },
       Some("""

@@ -496,7 +496,7 @@ object ExtQueries {
     Q(
       "q32_partition_prune",
       (s, dir) => {
-        val path = s"/tmp/graft_scratch/${new java.io.File(dir).getName}_part_orders"
+        val path = Scratch.dir(s, dir, "part_orders")
         Sinks.writePartitioned(
           Tables.orders(s, dir).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"),
           path, partitionCols = Seq("o_orderstatus"))
@@ -2211,7 +2211,7 @@ object ExtQueries {
     Q(
       "q145_binaryfile_ingest",
       (s, dir) => {
-        val scratch = s"/tmp/graft_scratch/${new java.io.File(dir).getName}_binfiles"
+        val scratch = Scratch.dir(s, dir, "binfiles")
         Multimodal.writeBinaryFiles(
           Tables.documents(s, dir).filter(col("doc_id") < 100)
             .select(col("doc_id"), graft.engine.Cleaning.normalizeText(col("text")).as("norm")),

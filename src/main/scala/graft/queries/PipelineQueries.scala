@@ -179,7 +179,7 @@ object PipelineQueries {
     Q(
       "q30_scd2_bootstrap",
       (s, dir) => {
-        val missing = s"/tmp/graft_scratch/${new java.io.File(dir).getName}_no_such_dim"
+        val missing = Scratch.dir(s, dir, "no_such_dim")
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
           f.delete(): Unit
@@ -375,7 +375,7 @@ object PipelineQueries {
     Q(
       "q42_json_roundtrip",
       (s, dir) => {
-        val out = s"/tmp/graft_scratch/${new java.io.File(dir).getName}_orders_json"
+        val out = Scratch.dir(s, dir, "orders_json")
         val proj = Tables.orders(s, dir).select(
           col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice").cast("double").as("total"),
@@ -1726,7 +1726,7 @@ object PipelineQueries {
     Q(
       "q109_upsert_roundtrip",
       (s, dir) => {
-        val path = s"/tmp/graft_scratch/${new java.io.File(dir).getName}_upsert_tgt"
+        val path = Scratch.dir(s, dir, "upsert_tgt")
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
           f.delete(): Unit
@@ -1957,7 +1957,7 @@ object PipelineQueries {
     Q(
       "q121_stream_rollup_gate",
       (s, dir) => {
-        val base = s"/tmp/graft_scratch/${new java.io.File(dir).getName}_stream_gate"
+        val base = Scratch.dir(s, dir, "stream_gate")
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
           f.delete(): Unit
@@ -2141,14 +2141,17 @@ object PipelineQueries {
     // Ordered-aggregate surface (count_if / bool_and / bool_or / max_by /
     // min_by): argmax-per-group WITHOUT a window pass — one hash aggregate
     // instead of shuffle+sort+filter. The ordering key is made collision-
-    // free by exact decimal arithmetic (value*10^13 steps by 10^7 > any
-    // event_id), so both engines pick the same extreme row even on
-    // duplicate values.
+    // free by exact decimal arithmetic: value*10^25 steps adjacent value
+    // levels (>= 10^-6 apart) by 10^19 > Long.MaxValue, so the invariant is
+    // DATA-INDEPENDENT — no event_id domain can make two rows share ord —
+    // and both engines pick the same extreme row even on duplicate values.
     Q(
       "q129_agg_surface",
       (s, dir) => Tables.events(s, dir)
         .withColumn("ord",
-          col("value").cast("decimal(10,6)") * lit(10000000000000L) + col("event_id"))
+          col("value").cast("decimal(10,6)")
+            * lit(new java.math.BigDecimal("10000000000000000000000000"))
+            + col("event_id"))
         .groupBy("event_type")
         .agg(
           expr("count_if(value > 50.0)").as("n_high"),
@@ -2162,9 +2165,11 @@ object PipelineQueries {
                CAST(count_if(value > 50.0) AS BIGINT) AS n_high,
                bool_and(value >= 0.0) AS all_nonneg,
                bool_or(value > 550.0) AS any_extreme,
-               arg_max(event_id, CAST(value AS DECIMAL(10,6)) * 10000000000000 + event_id)
+               arg_max(event_id, CAST(value AS DECIMAL(10,6))
+                 * CAST('10000000000000000000000000' AS DECIMAL(26,0)) + event_id)
                  AS peak_event,
-               arg_min(event_id, CAST(value AS DECIMAL(10,6)) * 10000000000000 + event_id)
+               arg_min(event_id, CAST(value AS DECIMAL(10,6))
+                 * CAST('10000000000000000000000000' AS DECIMAL(26,0)) + event_id)
                  AS trough_event
         FROM events GROUP BY event_type ORDER BY event_type
       """.trim)),
@@ -2200,7 +2205,7 @@ object PipelineQueries {
     Q(
       "q131_stream_dedup_gate",
       (s, dir) => {
-        val base = s"/tmp/graft_scratch/${new java.io.File(dir).getName}_stream_dedup"
+        val base = Scratch.dir(s, dir, "stream_dedup")
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
           f.delete(): Unit
@@ -2421,7 +2426,7 @@ object PipelineQueries {
     Q(
       "q144_orc_roundtrip",
       (s, dir) => {
-        val scratch = s"/tmp/graft_scratch/${new java.io.File(dir).getName}_orc_rt"
+        val scratch = Scratch.dir(s, dir, "orc_rt")
         Sinks.writeOrc(Tables.orders(s, dir)
           .select("o_orderkey", "o_orderstatus", "o_totalprice"), scratch)
         s.catalog.clearCache()
@@ -2651,7 +2656,7 @@ object PipelineQueries {
     Q(
       "q153_stream_enrich_gate",
       (s, dir) => {
-        val base = s"/tmp/graft_scratch/${new java.io.File(dir).getName}_stream_enrich"
+        val base = Scratch.dir(s, dir, "stream_enrich")
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
           f.delete(): Unit
@@ -2932,9 +2937,8 @@ object PipelineQueries {
 
     // Last-touch attribution: every purchase joins the user's most recent
     // PRECEDING view (the as-of backward operator applied to marketing
-    // attribution), plus the view->purchase latency in exact microseconds
-    // and the unattributed (no prior view) count per rollup. Same
-    // union+window plan as q41 — one key shuffle, no join operator.
+    // attribution); purchases with no prior view surface as a null view_id.
+    // Same union+window plan as q41 — one key shuffle, no join operator.
     Q(
       "q165_attribution",
       (s, dir) => {
@@ -2957,6 +2961,432 @@ object PipelineQueries {
                 ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_id
         FROM events p WHERE p.event_type = 'purchase'
         ORDER BY purchase_id
+      """.trim)),
+
+    // Medallion end-to-end — the reference's actual user journey in ONE
+    // query: raw CSV landing (csv_to_parquet.py inputs) -> typed silver
+    // (per-column casts) -> gold SCD2 customer dim (final_dim_load.py, the
+    // q17 seeded prior state) + generated date dim (:464-485) -> star fact
+    // with banding + exact-decimal revenue (final_fact_load.py:60-151) ->
+    // parquet sink round-trip. Gates the composition seams the piecewise
+    // queries can't: CSV type fidelity (longs, doubles, timestamps through
+    // the text round-trip — `acctbal` surfaces the doubles directly),
+    // watermark-continued surrogate keys feeding a downstream join, and
+    // column-order preservation across the final write/read. Scale shape:
+    // the fact repartitions by its join key first (C4), the date spine is
+    // broadcast (bounded), the dim join is AQE-sized, one parquet sink.
+    Q(
+      "q166_medallion_e2e",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+        // Bronze: raw CSV landing zone.
+        val rawCust = Scratch.dir(s, dir, "medallion_cust_csv")
+        val rawOrd = Scratch.dir(s, dir, "medallion_ord_csv")
+        Tables.customer(s, dir).write.mode("overwrite")
+          .option("header", "true").csv(rawCust)
+        Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+          .write.mode("overwrite").option("header", "true").csv(rawOrd)
+        // Silver: typed, column-contract-checked.
+        val custSilver = Cleaning.castNormalize(
+          Sources.requireColumns(Sources.csv(s, rawCust),
+            Seq("c_custkey", "c_name", "c_mktsegment", "c_acctbal")),
+          Map("c_custkey" -> LongType, "c_acctbal" -> DoubleType))
+        val ordSilver = Cleaning.castNormalize(
+          Sources.requireColumns(Sources.csv(s, rawOrd),
+            Seq("o_orderkey", "o_custkey", "o_orderdate")),
+          Map("o_orderkey" -> LongType, "o_custkey" -> LongType,
+            "o_orderdate" -> TimestampType))
+        // Gold dims: SCD2 merge over the q17 seeded prior state, built from
+        // the SILVER frame so the whole dim derives from the CSV leg.
+        val base = custSilver.select(col("c_custkey"), col("c_name"),
+          col("c_mktsegment"), col("c_acctbal").cast("decimal(12,2)").as("bal"))
+        val cur = Keys.surrogateKeysScalable(
+            base.filter(col("c_custkey") % 4 =!= 1), "c_custkey", "customer_sk")
+          .withColumn("bal",
+            when(col("c_custkey") % 5 === 0, col("bal") + 100).otherwise(col("bal")))
+          .withColumn("start_dt", lit(Ts0).cast("timestamp"))
+          .withColumn("end_dt", lit(Sentinel).cast("timestamp"))
+          .withColumn("is_valid", lit(true))
+        val hist = Keys.surrogateKeysScalable(
+            base.filter(col("c_custkey") % 4 =!= 1 && col("c_custkey") % 7 === 3),
+            "c_custkey", "customer_sk", offset = 100000L)
+          .withColumn("bal", col("bal") - 50)
+          .withColumn("start_dt", lit(TsHist).cast("timestamp"))
+          .withColumn("end_dt", lit(Ts0).cast("timestamp"))
+          .withColumn("is_valid", lit(false))
+        val existing = cur.unionByName(hist).select(
+          "customer_sk", "c_custkey", "c_name", "c_mktsegment", "bal",
+          "start_dt", "end_dt", "is_valid")
+        val dim = Scd2.merge(existing, base,
+          naturalKey = "c_custkey", scdCols = Seq("c_name", "c_mktsegment", "bal"),
+          skCol = "customer_sk", runTs = TsRun, sentinel = Sentinel)
+        val dimCur = dim.filter(col("is_valid"))
+          .select(col("customer_sk"), col("c_custkey"), col("c_mktsegment"),
+            col("bal").cast("double").as("acctbal"))
+        val dates = DateDim.build(s, "1992-01-01", "2005-12-31")
+        // Gold fact: pre-spread by the join key, bounded dims broadcast.
+        val fact = Tables.lineitem(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("l_orderkey"))
+          .join(ordSilver, col("l_orderkey") === col("o_orderkey"))
+          .join(dimCur, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(dates), to_date(col("o_orderdate")) === col("date_id"))
+          .select(
+            (col("l_orderkey") * 100 + col("l_linenumber")).as("fact_id"),
+            col("l_orderkey"), col("l_linenumber"),
+            col("customer_sk"), col("c_mktsegment"), col("acctbal"),
+            col("year"), col("quarter"), col("month"), col("day_name"),
+            round(col("l_extendedprice").cast("decimal(18,2)")
+              * (lit(1) - col("l_discount").cast("decimal(18,2)")), 2)
+              .cast("double").as("revenue"),
+            when(col("l_quantity") <= 7, "short")
+              .when(col("l_quantity") <= 30, "medium")
+              .otherwise("long").as("qty_band"))
+        // Publish + read back: the consumer sees the parquet, not the plan.
+        Sinks.writeAndReadBack(s, fact, Scratch.dir(s, dir, "medallion_fact"))
+          .orderBy("fact_id")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT c_custkey, c_name, c_mktsegment,
+                 CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+          FROM customer
+        ), cur AS (
+          SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_sk,
+                 c_custkey, c_mktsegment, bal
+          FROM base WHERE c_custkey % 4 <> 1
+        ), hist AS (
+          SELECT 100000 + CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_sk
+          FROM base WHERE c_custkey % 4 <> 1 AND c_custkey % 7 = 3
+        ), maxsk AS (
+          SELECT max(customer_sk) AS m
+          FROM (SELECT customer_sk FROM cur UNION ALL SELECT customer_sk FROM hist)
+        ), fresh AS (
+          SELECT (SELECT m FROM maxsk)
+                   + CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_sk,
+                 c_custkey, c_mktsegment, bal
+          FROM base WHERE c_custkey % 4 = 1 OR c_custkey % 5 = 0
+        ), dim_cur AS (
+          SELECT customer_sk, c_custkey, c_mktsegment, CAST(bal AS DOUBLE) AS acctbal
+          FROM cur WHERE c_custkey % 5 <> 0
+          UNION ALL
+          SELECT customer_sk, c_custkey, c_mktsegment, CAST(bal AS DOUBLE) AS acctbal
+          FROM fresh
+        )
+        SELECT l.l_orderkey * 100 + l.l_linenumber AS fact_id,
+               l.l_orderkey, l.l_linenumber,
+               d.customer_sk, d.c_mktsegment, d.acctbal,
+               CAST(year(o.o_orderdate) AS INTEGER) AS year,
+               CAST(quarter(o.o_orderdate) AS INTEGER) AS quarter,
+               CAST(month(o.o_orderdate) AS INTEGER) AS month,
+               CASE dayofweek(CAST(o.o_orderdate AS DATE))
+                    WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday' WHEN 2 THEN 'Tuesday'
+                    WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday' WHEN 5 THEN 'Friday'
+                    ELSE 'Saturday' END AS day_name,
+               CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+               CASE WHEN l.l_quantity <= 7 THEN 'short' WHEN l.l_quantity <= 30 THEN 'medium' ELSE 'long' END AS qty_band
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN dim_cur d ON o.o_custkey = d.c_custkey
+        ORDER BY fact_id
+      """.trim)),
+
+    // S5 warehouse-sink seam, gated: a dimension published through the
+    // WarehouseSink TRAIT (the reference's BigQuery `save(df, table)` shape,
+    // final_dim_load.py:211-215) with the ParquetWarehouse implementation,
+    // then read back from the warehouse root by TABLE NAME. The external
+    // connector is out of scope by design (no network egress); what this
+    // gates is the seam itself — the trait-typed call site, one-directory-
+    // per-table layout, and read-back fidelity of the published dim.
+    Q(
+      "q167_warehouse_sink",
+      (s, dir) => {
+        val root = Scratch.dir(s, dir, "warehouse")
+        val wh: Sinks.WarehouseSink = new Sinks.ParquetWarehouse(root)
+        val dimLocation = Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("nation_id"),
+            col("n_name").as("nation"), col("r_name").as("region"))
+        wh.save(dimLocation, "dim_location")
+        s.read.parquet(s"$root/dim_location").orderBy("nation_id")
+      },
+      Some("""
+        SELECT n_nationkey AS nation_id, n_name AS nation, r_name AS region
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        ORDER BY nation_id
+      """.trim)),
+
+    // S9 bucketed-table gate: orders and lineitem written CO-BUCKETED (and
+    // sorted) on the order key into scratch-scoped EXTERNAL tables, then
+    // joined through the catalog — at scale this is the write-side answer
+    // to a repeatedly-joined key: both sides land pre-shuffled, so the join
+    // (and any later one on the same key) skips its exchanges entirely.
+    // The shuffle-free plan property is spec-pinned (PlanQualitySpec
+    // "co-bucketed join"); this query gates the VALUES that flow through
+    // the bucketed write+catalog read-back. The explicit `path` keeps the
+    // warehouse dir clean (the round-3 deferral reason, now fixed).
+    Q(
+      "q168_bucketed_join",
+      (s, dir) => {
+        val ord = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"),
+            (col("l_extendedprice").cast("decimal(18,2)")
+              * (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("__net"))
+        Sinks.writeBucketedAt(ord, "g168_orders_b",
+          Some(Scratch.dir(s, dir, "bucketed_orders")), Seq("o_orderkey"), 8,
+          Seq("o_orderkey"))
+        Sinks.writeBucketedAt(li, "g168_lineitem_b",
+          Some(Scratch.dir(s, dir, "bucketed_lineitem")), Seq("l_orderkey"), 8,
+          Seq("l_orderkey"))
+        s.table("g168_orders_b")
+          .join(s.table("g168_lineitem_b"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_lines"),
+            Exact.sumProductD(col("__net")).as("net_revenue"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS net_revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """.trim)),
+
+    // q33's machine-checkable twin: HLL sketch values are engine-specific
+    // (q33 is rows-only by documented design), but the sketch's CONTRACT is
+    // checkable — here the same rollup computes approx_count_distinct NEXT
+    // TO the exact distinct and emits a tolerance verdict (|approx-exact|
+    // within max(15%, 2) — HLL default rsd is 5%), which the oracle pins to
+    // 1 for every row. Row shape, group keys, exact counts, and the sketch
+    // envelope all ride the normal hash-compare path; only the raw sketch
+    // value stays engine-local. Exact count_distinct forces a per-key
+    // expansion the sketch avoids — that cost is the audit's price, run it
+    // sampled at scale; the production rollup stays q33's sketch-only shape.
+    Q(
+      "q169_approx_audit",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(
+          window(col("ts"), "1 hour").getField("start").as("bucket"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users_exact"),
+          approx_count_distinct(col("user_id")).as("__approx"))
+        .select(col("bucket"), col("event_type"), col("n_events"),
+          col("n_users_exact"),
+          when(abs(col("__approx") - col("n_users_exact"))
+              <= greatest(col("n_users_exact").cast("double") * 0.15, lit(2.0)),
+            1).otherwise(0).as("approx_within_tol"))
+        .orderBy("bucket", "event_type"),
+      Some("""
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+               CAST(1 AS INTEGER) AS approx_within_tol
+        FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
+      """.trim)),
+
+    // months_between — the round-3 deferral, solved by restating Spark's
+    // 31-day-month rule explicitly in the oracle: same day-of-month (or
+    // both last-of-month) -> whole months; otherwise whole months +
+    // (day1-day2)/31, rounded half-up to 8 digits (Spark's roundOff).
+    // Midnight timestamps keep the time fraction zero in both engines, and
+    // the /31 quotient of small integers never lands on a decimal halfway
+    // point, so double rounding agrees. Pure map-side projection.
+    Q(
+      "q170_months_between",
+      (s, dir) => Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          months_between(col("o_orderdate"), lit("1995-01-15").cast("timestamp"))
+            .as("m_since_mid"),
+          months_between(last_day(col("o_orderdate")), lit("1995-01-31").cast("timestamp"))
+            .as("m_last_days"))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, o_orderdate,
+               CASE WHEN day(CAST(o_orderdate AS DATE)) = 15
+                    THEN CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS DOUBLE)
+                    ELSE ROUND(CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS DOUBLE)
+                               + (day(CAST(o_orderdate AS DATE)) - 15) / 31.0, 8)
+               END AS m_since_mid,
+               CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS DOUBLE) AS m_last_days
+        FROM orders ORDER BY o_orderkey
+      """.trim)),
+
+    // mode() — the round-3 deferral, solved with DETERMINISTIC tie-breaks:
+    // the native Spark aggregate (mode(col, true) -> lowest value among the
+    // most frequent) next to its relational two-phase restatement
+    // (count-per-value, then min_by over the (-cnt, value) struct — two
+    // hash aggregates, no window, no per-group value map), which is also
+    // the shape that scales when the value domain is unbounded. The oracle
+    // picks the same (cnt DESC, value ASC) winner; both columns must agree
+    // with it AND each other.
+    Q(
+      "q171_mode",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val native = c.groupBy("c_nationkey")
+          .agg(expr("mode(c_mktsegment, true)").as("seg_mode_native"))
+        val counts = c.groupBy("c_nationkey", "c_mktsegment")
+          .agg(count(lit(1)).as("cnt"))
+        val twoPhase = counts.groupBy("c_nationkey")
+          .agg(expr("min_by(c_mktsegment, struct(-cnt, c_mktsegment))")
+            .as("seg_mode"))
+        native.join(twoPhase, "c_nationkey")
+          .select("c_nationkey", "seg_mode", "seg_mode_native")
+          .orderBy("c_nationkey")
+      },
+      Some("""
+        WITH counts AS (
+          SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+          FROM customer GROUP BY 1, 2
+        ), pick AS (
+          SELECT c_nationkey, c_mktsegment,
+                 row_number() OVER (PARTITION BY c_nationkey
+                   ORDER BY cnt DESC, c_mktsegment ASC) AS rn
+          FROM counts
+        )
+        SELECT c_nationkey, c_mktsegment AS seg_mode,
+               c_mktsegment AS seg_mode_native
+        FROM pick WHERE rn = 1 ORDER BY c_nationkey
+      """.trim)),
+
+    // ST3 stateful sessionization, oracle-gated. Raw emission timing of
+    // flatMapGroupsWithState depends on micro-batch splits (why this stayed
+    // spec-only in round 3); two tricks make the FINAL STATE batch-split-
+    // independent: (1) a far-future SENTINEL event per user is appended as
+    // a second source file, so every real session is closed by the per-user
+    // event fold itself (gap exceeded on sentinel arrival) — deterministic
+    // whether the sentinel lands in the same batch or a later one — rather
+    // than by watermark-timing-dependent timeouts; (2) the q131 keyed-
+    // upsert sink collapses any re-emission. Sentinel sessions are filtered
+    // out; sum_value is omitted from the compared projection (sequential
+    // double accumulation is fold-order-exact but not decimal-exact).
+    Q(
+      "q172_stream_session_gate",
+      (s, dir) => {
+        import graft.streaming.EventStreams
+        val base = Scratch.dir(s, dir, "stream_sessions")
+        val src = base + "_src"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        Seq(base, base + "_ckpt", base + "__upsert_tmp", src, src + "_tmp")
+          .foreach(p => rm(new java.io.File(p)))
+        new java.io.File(src).mkdirs(): Unit
+        // Source file 1: the events table verbatim (raw nanos-long ts).
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(dir, "events.parquet"),
+          java.nio.file.Paths.get(src, "events.parquet")): Unit
+        // Source file 2: one sentinel per user, 100 days after the last
+        // real event — closes every user's final session through the fold.
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
+        val sentinelNs = maxNs + 100L * 86400L * 1000000000L
+        raw.select(col("user_id")).distinct()
+          .select((lit(1000000000L) + col("user_id")).as("event_id"),
+            lit(sentinelNs).as("ts"), col("user_id"),
+            lit("flush").as("event_type"), lit(0.0).as("value"))
+          .coalesce(1).write.parquet(src + "_tmp")
+        val part = new java.io.File(src + "_tmp").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(src, "sentinel.parquet")): Unit
+        rm(new java.io.File(src + "_tmp"))
+        // Stream: file source over the two files -> sessionize -> upsert.
+        import s.implicits._
+        val events = s.readStream.schema(raw.schema).parquet(src)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[EventStreams.Event]
+        val sessions = EventStreams.sessionizeStream(events, gapSeconds = 1800L)
+          .filter(col("session_start") < expr(s"timestamp_micros(${sentinelNs / 1000}L)"))
+          .withColumn("__key", concat(col("user_id").cast("string"), lit("|"),
+            unix_micros(col("session_start")).cast("string")))
+        val q = sessions.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            Sinks.upsertParquet(b, base, "__key")
+          }
+          .option("checkpointLocation", base + "_ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(base)
+          .select("user_id", "session_start", "session_end", "n_events")
+          .orderBy("user_id", "session_start")
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessioned AS (
+          SELECT user_id, ts,
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+          FROM flagged
+        )
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sessioned GROUP BY user_id, session_seq
+        ORDER BY user_id, session_start
+      """.trim)),
+
+    // ST6 stream-stream interval join, oracle-gated: purchases joined to
+    // the same user's views in the preceding hour, both sides watermarked
+    // streams off the same file source. The match SET is batch-split-
+    // independent (a view's buffered state outlives every purchase that can
+    // legally join it — eviction needs the watermark past view_ts+lookback,
+    // by which point any joining purchase would itself be late), and the
+    // q131 keyed-upsert sink absorbs re-emission, so the final table equals
+    // the batch interval join the oracle states.
+    Q(
+      "q173_stream_interval_join_gate",
+      (s, dir) => {
+        val base = Scratch.dir(s, dir, "stream_ivjoin")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        Seq(base, base + "_ckpt", base + "__upsert_tmp")
+          .foreach(p => rm(new java.io.File(p)))
+        val ev = graft.streaming.EventStreams.streamingEvents(s, dir)
+        val joined = graft.streaming.EventStreams.intervalJoinStream(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "view"),
+            lookbackSeconds = 3600L)
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("r_event_id").as("view_id"), col("ts").as("purchase_ts"),
+            col("r_ts").as("view_ts"))
+          .withColumn("__key", concat(col("purchase_id").cast("string"),
+            lit("|"), col("view_id").cast("string")))
+        val q = joined.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            Sinks.upsertParquet(b, base, "__key")
+          }
+          .option("checkpointLocation", base + "_ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(base).drop("__key").orderBy("purchase_id", "view_id")
+      },
+      Some("""
+        SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+               p.ts AS purchase_ts, v.ts AS view_ts
+        FROM events p JOIN events v
+          ON v.user_id = p.user_id
+         AND p.event_type = 'purchase' AND v.event_type = 'view'
+         AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        ORDER BY purchase_id, view_id
       """.trim))
   )
 }

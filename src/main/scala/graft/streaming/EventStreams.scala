@@ -67,9 +67,19 @@ object EventStreams {
       watermarkDelay: String = "2 hours"): Dataset[Session] = {
     import events.sparkSession.implicits._
 
+    // micros <-> java.sql.Timestamp without dropping sub-millisecond
+    // precision: getTime() is millis-only (sub-ms lives in getNanos), and
+    // new Timestamp(millis) zeroes the nanos field — both would silently
+    // truncate event times to the millisecond.
+    def tsMicros(t: Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def microsTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
     def toSession(uid: Long, s: SessionState): Session =
-      Session(uid, new Timestamp(s.start / 1000), new Timestamp(s.end / 1000),
-        s.n, s.total)
+      Session(uid, microsTs(s.start), microsTs(s.end), s.n, s.total)
 
     events
       .withWatermark("ts", watermarkDelay)
@@ -85,11 +95,11 @@ object EventStreams {
           } else {
             val gapMicros = gapSeconds * 1000000L
             // state ops must happen outside the iterator's laziness
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
             val closed = Seq.newBuilder[Session]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime * 1000L
+              val t = tsMicros(e.ts)
               cur match {
                 case Some(s) if t - s.end <= gapMicros =>
                   cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1,

@@ -155,6 +155,11 @@ class ExtSpec extends SparkSpec {
       1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    // iteration budget: min-label propagation needs ceil(log2(diameter))-ish
+    // rounds plus the fixpoint-confirming round; the localCheckpoint swap
+    // must not change convergence (diameter-3 path -> at most 4 rounds).
+    assert(NearDup.lastCCIterations > 0 && NearDup.lastCCIterations <= 4,
+      s"CC took ${NearDup.lastCCIterations} iterations")
   }
 
   test("connectedComponents on an empty pair set returns an empty labeling") {
