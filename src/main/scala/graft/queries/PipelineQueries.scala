@@ -3387,6 +3387,229 @@ object PipelineQueries {
          AND p.event_type = 'purchase' AND v.event_type = 'view'
          AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
         ORDER BY purchase_id, view_id
+      """.trim)),
+
+    // Map higher-order-function surface: per-user maps built by aggregation
+    // (map_from_entries over a sorted entry list), then transform_keys
+    // (upper), map_filter (count floor), map_zip_with (count map x exact-sum
+    // map -> mean). The maps stay inside one hash-aggregate + map-side
+    // expressions — no extra shuffle; the relational oracle restates the
+    // same values as a grouped HAVING query, proving the HOF chain computes
+    // what it claims. Means divide EXACT decimal sums (one final double op).
+    Q(
+      "q174_map_hof_surface",
+      (s, dir) => {
+        val perType = Tables.events(s, dir)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,6)")).as("vsum"))
+        val maps = perType.groupBy("user_id")
+          .agg(
+            map_from_entries(sort_array(collect_list(
+              struct(col("event_type"), col("cnt"))))).as("cnt_map"),
+            map_from_entries(sort_array(collect_list(
+              struct(col("event_type"), col("vsum").cast("double"))))).as("sum_map"))
+        val zipped = maps.select(col("user_id"),
+          transform_keys(
+            map_filter(
+              map_zip_with(col("cnt_map"), col("sum_map"),
+                (_, c, vs) => struct(c.as("cnt"), (vs / c).as("mean"))),
+              (_, v) => v.getField("cnt") >= 10L),
+            (k, _) => upper(k)).as("m"))
+        zipped.select(col("user_id"), explode(col("m")).as(Seq("etype", "cv")))
+          .select(col("user_id"), col("etype"),
+            col("cv.cnt").as("cnt"), col("cv.mean").as("mean_value"))
+          .orderBy("user_id", "etype")
+      },
+      Some("""
+        SELECT user_id, upper(event_type) AS etype,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                 AS mean_value
+        FROM events
+        GROUP BY user_id, event_type
+        HAVING COUNT(*) >= 10
+        ORDER BY user_id, etype
+      """.trim)),
+
+    // String-function surface 3 (beyond q116/q133): split_part /
+    // substring_index / initcap / overlay / format_string / find_in_set.
+    // Pure map-side projection. The oracle restates each via DuckDB
+    // primitives (printf for format_string, substr algebra for overlay and
+    // initcap, list_position over a split literal for find_in_set), so the
+    // gate checks VALUES, not shared implementations.
+    Q(
+      "q175_string_surface3",
+      (s, dir) => Tables.customer(s, dir)
+        .filter(col("c_custkey") < 500)
+        .select(col("c_custkey"),
+          split_part(col("c_name"), lit("#"), lit(2)).as("key_digits"),
+          substring_index(col("c_name"), "#", 1).as("name_prefix"),
+          initcap(lower(col("c_mktsegment"))).as("segment_title"),
+          overlay(col("c_name"), lit("XXXX"), lit(10), lit(4)).as("masked"),
+          format_string("%08d-%s", col("c_custkey"), col("c_mktsegment")).as("slug"),
+          expr("find_in_set(c_mktsegment, 'BUILDING,AUTOMOBILE,MACHINERY,HOUSEHOLD,FURNITURE')")
+            .cast("int").as("seg_idx"))
+        .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey,
+               split_part(c_name, '#', 2) AS key_digits,
+               split_part(c_name, '#', 1) AS name_prefix,
+               upper(substr(lower(c_mktsegment), 1, 1))
+                 || substr(lower(c_mktsegment), 2) AS segment_title,
+               substr(c_name, 1, 9) || 'XXXX' || substr(c_name, 14) AS masked,
+               printf('%08d-%s', c_custkey, c_mktsegment) AS slug,
+               CAST(list_position(string_split(
+                 'BUILDING,AUTOMOBILE,MACHINERY,HOUSEHOLD,FURNITURE', ','),
+                 c_mktsegment) AS INTEGER) AS seg_idx
+        FROM customer WHERE c_custkey < 500 ORDER BY c_custkey
+      """.trim)),
+
+    // Calendar surface 3 (beyond q115/q151): make_date / make_timestamp
+    // round-trip from extracted fields, ISO-Monday date_trunc to week and
+    // quarter, epoch milliseconds, last_day, and next_day (strictly-after
+    // next Monday — DuckDB lacks next_day, so the oracle restates it as
+    // isodow modular arithmetic, pinning Spark's "strictly later" rule).
+    Q(
+      "q176_calendar_surface3",
+      (s, dir) => Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .select(col("o_orderkey"),
+          make_date(year(col("o_orderdate")), month(col("o_orderdate")),
+            dayofmonth(col("o_orderdate"))).as("rebuilt_date"),
+          make_timestamp(year(col("o_orderdate")), month(col("o_orderdate")),
+            dayofmonth(col("o_orderdate")), lit(12), lit(30), lit(0)).as("noonish_ts"),
+          date_trunc("week", col("o_orderdate")).cast("date").as("week_start"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").as("quarter_start"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("epoch_ms"),
+          last_day(col("o_orderdate")).as("month_end"),
+          next_day(col("o_orderdate"), "Mon").as("next_monday"))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey,
+               make_date(CAST(year(o_orderdate) AS INTEGER),
+                         CAST(month(o_orderdate) AS INTEGER),
+                         CAST(day(o_orderdate) AS INTEGER)) AS rebuilt_date,
+               make_timestamp(CAST(year(o_orderdate) AS BIGINT),
+                 CAST(month(o_orderdate) AS BIGINT), CAST(day(o_orderdate) AS BIGINT),
+                 12, 30, 0.0) AS noonish_ts,
+               CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+               CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+               epoch_ms(o_orderdate) AS epoch_ms,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(o_orderdate AS DATE)
+                 + CAST((8 - isodow(o_orderdate)) % 7
+                        + CASE WHEN isodow(o_orderdate) = 1 THEN 7 ELSE 0 END
+                        AS INTEGER) AS next_monday
+        FROM orders WHERE o_orderkey % 13 = 0 ORDER BY o_orderkey
+      """.trim)),
+
+    // JSON serialization surface: to_json over a typed struct (long,
+    // string, array) and the from_json -> to_json canonicalization
+    // round-trip of the events props blob (strips the source's
+    // inter-token spacing). Both engines emit compact key-ordered JSON, so
+    // the STRINGS compare exactly — this pins serialization format, not
+    // just parsed values. Map-side only.
+    Q(
+      "q177_to_json",
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("event_id") % 17 === 0)
+        .select(col("event_id"),
+          to_json(struct(col("event_id").as("id"), col("event_type").as("t"),
+            array(col("user_id"), col("user_id") + 1).as("us"))).as("payload"),
+          to_json(from_json(col("props"), lit("k INT"))).as("props_canon"))
+        .orderBy("event_id"),
+      Some("""
+        SELECT event_id,
+               to_json(struct_pack(id := event_id, t := event_type,
+                 us := [user_id, user_id + 1])) AS payload,
+               to_json(struct_pack(k := CAST(json_extract(props, '$.k') AS INTEGER)))
+                 AS props_canon
+        FROM events WHERE event_id % 17 = 0 ORDER BY event_id
+      """.trim)),
+
+    // width_bucket banding over an EXACT integer domain: o_totalprice is
+    // re-expressed in cents (integer-valued doubles are exact in IEEE), the
+    // bucket width 60e6/12 = 5e6 is exact, and the nearest bucket boundary
+    // is >= 1/5e6 away from any representable quotient error — so Spark's
+    // width_bucket and the oracle's floor-division restatement provably
+    // agree on every row. (Banding a raw float domain would invite
+    // half-ulp boundary flips; the integer re-expression is the documented
+    // determinism pattern.) One hash aggregate.
+    Q(
+      "q178_width_bucket",
+      (s, dir) => Tables.orders(s, dir)
+        .withColumn("cents",
+          (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+        .withColumn("bucket",
+          width_bucket(col("cents").cast("double"), lit(0d), lit(60000000d), lit(12))
+            .cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.sumD(col("o_totalprice")).as("revenue"))
+        .orderBy("bucket"),
+      Some("""
+        SELECT CAST(CASE WHEN cents < 0 THEN 0
+                         WHEN cents >= 60000000 THEN 13
+                         ELSE floor(CAST(cents AS DOUBLE) / 5000000.0) + 1
+                    END AS INTEGER) AS bucket,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS revenue
+        FROM (SELECT o_totalprice,
+                     CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+              FROM orders)
+        GROUP BY 1 ORDER BY bucket
+      """.trim)),
+
+    // IEEE special-value semantics: a derived column is salted with NaN and
+    // +/-Infinity on a deterministic key rule, then audited per event_type —
+    // isnan counts, infinity counts (sign-split), nanvl substitution feeding
+    // an EXACT decimal sum over the finite subset, and min/max over finite
+    // values only. Both engines agree NaN = NaN and NaN > Infinity in
+    // comparisons; raw NaN/Inf values are deliberately NOT emitted (exact
+    // hash compare of NaN text is the one thing the gate can't promise).
+    Q(
+      "q179_special_values",
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("v",
+          when(col("event_id") % 97 === 0, lit(Double.NaN))
+            .when(col("event_id") % 97 === 1, lit(Double.PositiveInfinity))
+            .when(col("event_id") % 97 === 2, lit(Double.NegativeInfinity))
+            .otherwise(col("value")))
+        .groupBy("event_type")
+        .agg(
+          sum(when(isnan(col("v")), 1L).otherwise(0L)).as("n_nan"),
+          sum(when(col("v") === lit(Double.PositiveInfinity), 1L).otherwise(0L)).as("n_posinf"),
+          sum(when(col("v") === lit(Double.NegativeInfinity), 1L).otherwise(0L)).as("n_neginf"),
+          sum(when(isnan(col("v")) || col("v") === lit(Double.PositiveInfinity)
+              || col("v") === lit(Double.NegativeInfinity), lit(null).cast("decimal(18,6)"))
+            .otherwise(nanvl(col("v"), lit(0d)).cast("decimal(18,6)"))).cast("double").as("finite_sum"),
+          min(when(isnan(col("v")) || col("v") === lit(Double.PositiveInfinity)
+              || col("v") === lit(Double.NegativeInfinity), lit(null))
+            .otherwise(col("v"))).as("finite_min"),
+          max(when(isnan(col("v")) || col("v") === lit(Double.PositiveInfinity)
+              || col("v") === lit(Double.NegativeInfinity), lit(null))
+            .otherwise(col("v"))).as("finite_max"))
+        .orderBy("event_type"),
+      Some("""
+        WITH salted AS (
+          SELECT event_type,
+                 CASE WHEN event_id % 97 = 0 THEN 'NaN'::DOUBLE
+                      WHEN event_id % 97 = 1 THEN 'Infinity'::DOUBLE
+                      WHEN event_id % 97 = 2 THEN '-Infinity'::DOUBLE
+                      ELSE value END AS v
+          FROM events
+        )
+        SELECT event_type,
+               CAST(SUM(CASE WHEN isnan(v) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+               CAST(SUM(CASE WHEN v = 'Infinity'::DOUBLE THEN 1 ELSE 0 END) AS BIGINT) AS n_posinf,
+               CAST(SUM(CASE WHEN v = '-Infinity'::DOUBLE THEN 1 ELSE 0 END) AS BIGINT) AS n_neginf,
+               CAST(SUM(CASE WHEN isnan(v) OR isinf(v) THEN NULL
+                             ELSE CAST(v AS DECIMAL(18,6)) END) AS DOUBLE) AS finite_sum,
+               MIN(CASE WHEN isnan(v) OR isinf(v) THEN NULL ELSE v END) AS finite_min,
+               MAX(CASE WHEN isnan(v) OR isinf(v) THEN NULL ELSE v END) AS finite_max
+        FROM salted GROUP BY event_type ORDER BY event_type
       """.trim))
   )
 }
