@@ -3610,6 +3610,230 @@ object PipelineQueries {
                MIN(CASE WHEN isnan(v) OR isinf(v) THEN NULL ELSE v END) AS finite_min,
                MAX(CASE WHEN isnan(v) OR isinf(v) THEN NULL ELSE v END) AS finite_max
         FROM salted GROUP BY event_type ORDER BY event_type
+      """.trim)),
+
+    // Exact higher-moment statistics — the determinism blocker that kept
+    // skewness/kurtosis deferred, solved: the double column is exactly
+    // 2-decimal, so power sums S1..S4 are EXACT decimals (every product
+    // stays under precision 38 unreduced), and the central-moment algebra
+    // runs as one identical double expression tree in both engines (each op
+    // correctly rounded => bit-identical). sqrt replaces pow(x,1.5) — pow
+    // is libm-dependent, sqrt is IEEE-exact. Spark's native streaming
+    // skewness/kurtosis are audited against the exact values (|diff|<1e-5
+    // verdict, pinned to 1 by the oracle — the q169 envelope pattern).
+    // Shape: one map-side product projection + one hash aggregate.
+    Q(
+      "q180_moment_stats",
+      (s, dir) => {
+        val sums = Tables.events(s, dir)
+          .select(col("event_type"), col("value"),
+            col("value").cast("decimal(8,2)").as("vd"))
+          .withColumn("v2", col("vd") * col("vd"))
+          .withColumn("v3", col("v2") * col("vd"))
+          .withColumn("v4", col("v2") * col("v2"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("vd")).cast("double").as("s1"),
+            sum(col("v2")).cast("double").as("s2"),
+            sum(col("v3")).cast("double").as("s3"),
+            sum(col("v4")).cast("double").as("s4"),
+            skewness(col("value")).as("__sk"),
+            kurtosis(col("value")).as("__ku"))
+        sums
+          .withColumn("nn", col("n_events").cast("double"))
+          .withColumn("mean", col("s1") / col("nn"))
+          .withColumn("m2", col("s2") / col("nn") - col("mean") * col("mean"))
+          .withColumn("m3", col("s3") / col("nn")
+            - lit(3.0) * col("mean") * (col("s2") / col("nn"))
+            + lit(2.0) * col("mean") * col("mean") * col("mean"))
+          .withColumn("m4", col("s4") / col("nn")
+            - lit(4.0) * col("mean") * (col("s3") / col("nn"))
+            + lit(6.0) * col("mean") * col("mean") * (col("s2") / col("nn"))
+            - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+          .withColumn("skew", col("m3") / (col("m2") * sqrt(col("m2"))))
+          .withColumn("kurt", col("m4") / (col("m2") * col("m2")) - lit(3.0))
+          .select(col("event_type"), col("n_events"), col("mean"),
+            col("m2").as("var_pop"), col("skew"), col("kurt"),
+            when(abs(col("__sk") - col("skew")) < lit(1e-5), 1).otherwise(0)
+              .cast("int").as("skew_native_ok"),
+            when(abs(col("__ku") - col("kurt")) < lit(1e-5), 1).otherwise(0)
+              .cast("int").as("kurt_native_ok"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH base AS (
+          SELECT event_type, CAST(value AS DECIMAL(8,2)) AS vd FROM events
+        ), t AS (
+          -- explicit widening: DuckDB keeps (16,4)x(16,4) in the int64 path
+          -- and overflows; a (19,4) cast forces the int128 product
+          SELECT event_type, vd, CAST(vd*vd AS DECIMAL(19,4)) AS v2 FROM base
+        ), s AS (
+          -- s4's backing integer exceeds int64, where DuckDB's direct
+          -- decimal->double cast is NOT correctly rounded; the VARCHAR hop
+          -- (exact decimal print, correctly-rounded strtod) restores the
+          -- bit-exact value Spark's BigDecimal.doubleValue produces
+          SELECT event_type, COUNT(*) AS n_events,
+                 CAST(SUM(vd) AS DOUBLE) AS s1,
+                 CAST(SUM(v2) AS DOUBLE) AS s2,
+                 CAST(CAST(SUM(v2*vd) AS VARCHAR) AS DOUBLE) AS s3,
+                 CAST(CAST(SUM(v2*v2) AS VARCHAR) AS DOUBLE) AS s4
+          FROM t GROUP BY event_type
+        ), b AS (
+          SELECT event_type, n_events, CAST(n_events AS DOUBLE) AS nn,
+                 s1, s2, s3, s4, s1 / CAST(n_events AS DOUBLE) AS mean
+          FROM s
+        ), c AS (
+          SELECT event_type, n_events, nn, s1, s2, s3, s4, mean,
+                 s2 / nn - mean * mean AS m2,
+                 s3 / nn - 3.0 * mean * (s2 / nn)
+                   + 2.0 * mean * mean * mean AS m3,
+                 s4 / nn - 4.0 * mean * (s3 / nn)
+                   + 6.0 * mean * mean * (s2 / nn)
+                   - 3.0 * mean * mean * mean * mean AS m4
+          FROM b
+        )
+        SELECT event_type, n_events, mean, m2 AS var_pop,
+               m3 / (m2 * sqrt(m2)) AS skew,
+               m4 / (m2 * m2) - 3.0 AS kurt,
+               1 AS skew_native_ok, 1 AS kurt_native_ok
+        FROM c ORDER BY event_type
+      """.trim)),
+
+    // Linear-regression aggregate family (regr_slope / regr_intercept /
+    // regr_r2 / corr / covar_pop) restated over EXACT power sums: x is
+    // integer-valued, y is 2-decimal, so SX/SY/SXX/SYY/SXY are exact
+    // decimals; slope/intercept/corr/r2 are then one shared double
+    // expression tree (deterministic cross-engine). Spark's five native
+    // order-dependent aggregates are each audited within 1e-6 relative of
+    // the exact value (verdicts pinned by the oracle). This IS the
+    // scale-safe form: five plain decimal sums, partial aggregation intact.
+    Q(
+      "q181_regression_agg",
+      (s, dir) => {
+        val sums = Tables.lineitem(s, dir)
+          .select(col("l_returnflag"),
+            col("l_quantity").as("x"), col("l_extendedprice").as("y"),
+            col("l_quantity").cast("decimal(4,0)").as("xd"),
+            col("l_extendedprice").cast("decimal(12,2)").as("yd"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("xd")).cast("double").as("sx"),
+            sum(col("yd")).cast("double").as("sy"),
+            sum(col("xd") * col("xd")).cast("double").as("sxx"),
+            sum(col("yd") * col("yd")).cast("double").as("syy"),
+            sum(col("xd") * col("yd")).cast("double").as("sxy"),
+            expr("regr_slope(y, x)").as("__slope"),
+            expr("regr_intercept(y, x)").as("__icept"),
+            expr("regr_r2(y, x)").as("__r2"),
+            corr(col("y"), col("x")).as("__corr"),
+            covar_pop(col("y"), col("x")).as("__covar"))
+        def ok(native: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+          when(abs(native - exact) < lit(1e-6) * (lit(1.0) + abs(exact)), 1)
+            .otherwise(0).cast("int")
+        sums
+          .withColumn("nn", col("n_rows").cast("double"))
+          .withColumn("slope", (col("nn") * col("sxy") - col("sx") * col("sy"))
+            / (col("nn") * col("sxx") - col("sx") * col("sx")))
+          .withColumn("icept", col("sy") / col("nn") - col("slope") * (col("sx") / col("nn")))
+          .withColumn("cov_p", col("sxy") / col("nn") - (col("sx") / col("nn")) * (col("sy") / col("nn")))
+          .withColumn("var_x", col("sxx") / col("nn") - (col("sx") / col("nn")) * (col("sx") / col("nn")))
+          .withColumn("var_y", col("syy") / col("nn") - (col("sy") / col("nn")) * (col("sy") / col("nn")))
+          .withColumn("corr_xy", col("cov_p") / (sqrt(col("var_x")) * sqrt(col("var_y"))))
+          .withColumn("r2", col("corr_xy") * col("corr_xy"))
+          .select(col("l_returnflag"), col("n_rows"), col("slope"), col("icept"),
+            col("cov_p"), col("corr_xy"), col("r2"),
+            ok(col("__slope"), col("slope")).as("slope_ok"),
+            ok(col("__icept"), col("icept")).as("icept_ok"),
+            ok(col("__r2"), col("r2")).as("r2_ok"),
+            ok(col("__corr"), col("corr_xy")).as("corr_ok"),
+            ok(col("__covar"), col("cov_p")).as("covar_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH s AS (
+          SELECT l_returnflag, COUNT(*) AS n_rows,
+                 CAST(SUM(xd) AS DOUBLE) AS sx,
+                 CAST(SUM(yd) AS DOUBLE) AS sy,
+                 CAST(SUM(xd*xd) AS DOUBLE) AS sxx,
+                 CAST(SUM(yd*yd) AS DOUBLE) AS syy,
+                 CAST(SUM(xd*yd) AS DOUBLE) AS sxy
+          FROM (SELECT l_returnflag,
+                       CAST(l_quantity AS DECIMAL(4,0)) AS xd,
+                       CAST(l_extendedprice AS DECIMAL(12,2)) AS yd
+                FROM lineitem)
+          GROUP BY l_returnflag
+        ), b AS (
+          SELECT l_returnflag, n_rows, CAST(n_rows AS DOUBLE) AS nn,
+                 sx, sy, sxx, syy, sxy,
+                 (CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n_rows AS DOUBLE) * sxx - sx * sx) AS slope
+          FROM s
+        ), c AS (
+          SELECT l_returnflag, n_rows, nn, sx, sy, sxx, syy, sxy, slope,
+                 sy / nn - slope * (sx / nn) AS icept,
+                 sxy / nn - (sx / nn) * (sy / nn) AS cov_p,
+                 sxx / nn - (sx / nn) * (sx / nn) AS var_x,
+                 syy / nn - (sy / nn) * (sy / nn) AS var_y
+          FROM b
+        ), d AS (
+          SELECT l_returnflag, n_rows, slope, icept, cov_p,
+                 cov_p / (sqrt(var_x) * sqrt(var_y)) AS corr_xy
+          FROM c
+        )
+        SELECT l_returnflag, n_rows, slope, icept, cov_p, corr_xy,
+               corr_xy * corr_xy AS r2,
+               1 AS slope_ok, 1 AS icept_ok, 1 AS r2_ok,
+               1 AS corr_ok, 1 AS covar_ok
+        FROM d ORDER BY l_returnflag
+      """.trim)),
+
+    // approx_percentile (GK sketch) envelope audit — the quantile twin of
+    // q169's HLL gate: the sketch value itself is engine-local, but its
+    // CONTRACT (returned value's exact rank within n/accuracy of the target
+    // rank) is machine-checked by ranking the approx answer against the
+    // exact distribution. accuracy=100 keeps the envelope meaningful
+    // (+-1% of n), the discrete exact p50 rides the q69 pick. Two
+    // aggregates + one broadcast-back join of 5 rows.
+    Q(
+      "q182_approx_percentile_gate",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val approx = ev.groupBy("event_type")
+          .agg(expr("approx_percentile(value, 0.5, 100)").as("__ap"),
+            count(lit(1)).as("n_events"))
+        val exact = ev.select(col("event_type"), col("value"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy("value")))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+          .groupBy("event_type")
+          .agg(max(when(col("rn") === floor((col("n") * 50 + lit(99)) / lit(100)).cast("int"),
+            col("value"))).as("p50_exact"))
+        val ranked = ev.join(broadcast(approx), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(max(col("n_events")).as("n_events"),
+            sum(when(col("value") <= col("__ap"), 1L).otherwise(0L)).as("__rank_ap"))
+          .withColumn("lo", col("n_events") * 50 / lit(100) - col("n_events") / lit(100) - 1)
+          .withColumn("hi", col("n_events") * 50 / lit(100) + col("n_events") / lit(100) + 1)
+          .select(col("event_type"), col("n_events"),
+            when(col("__rank_ap").between(col("lo"), col("hi")), 1).otherwise(0)
+              .cast("int").as("envelope_ok"))
+        ranked.join(exact, Seq("event_type"))
+          .select("event_type", "n_events", "p50_exact", "envelope_ok")
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH r AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n_events,
+               MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50_exact,
+               1 AS envelope_ok
+        FROM r GROUP BY event_type ORDER BY event_type
       """.trim))
   )
 }
