@@ -2278,6 +2278,192 @@ object ExtQueries {
                '/docs/' || CAST(doc_id AS VARCHAR) AS path,
                lang AS lang_param
         FROM documents ORDER BY doc_id
+      """.trim)),
+
+    // PQ asymmetric-distance (ADC) retrieval — the scoring half that makes
+    // q119's codes useful: each probe precomputes a per-subspace distance
+    // TABLE to every sub-centroid (bounded: probes x cells x 2), and every
+    // base vector is then scored by two table LOOKUPS + one addition
+    // instead of a 64-dim distance — the standard billion-scale ANN scan
+    // shape (compose with q27's IVF cells to restrict the scan). Codebooks
+    // and distance tables broadcast; the base-side scan stays linear and
+    // map-side. adist is d0+d1, a single deterministic double addition over
+    // the fixed-order fold both engines share.
+    Q(
+      "q183_pq_adc_retrieval",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        def sub(i: Int) = slice(col("embedding"), i * 32 + 1, 32)
+        val parts = e.select(col("vec_id"), col("label"),
+          sub(0).as("s0"), sub(1).as("s1"))
+        def centFor(c: String) = Similarity.exactCentroids(
+          parts.select(col("label"), col(c)), c, "label")
+        val cent0 = centFor("s0")
+        val cent1 = centFor("s1")
+        def codes(c: String, cent: org.apache.spark.sql.DataFrame, out: String) =
+          Similarity.assignToNearestCentroid(
+              parts.select(col("vec_id"), col(c)), "vec_id", c, cent)
+            .select(col("vec_id"), col("cell").as(out))
+        val coded = codes("s0", cent0, "code0")
+          .join(codes("s1", cent1, "code1"), Seq("vec_id"))
+        val probes = parts.filter(col("vec_id") % 50 === 0)
+        def dtable(pcol: String, cent: org.apache.spark.sql.DataFrame,
+            cCol: String, dCol: String) = {
+          val d2 = aggregate(
+            zip_with(col(pcol), col("centroid"),
+              (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+            lit(0.0), (acc, v) => acc + v)
+          probes.select(col("vec_id").as("probe_id"), col(pcol))
+            .crossJoin(broadcast(cent))
+            .select(col("probe_id"), col("cell").as(cCol), d2.as(dCol))
+        }
+        val dt0 = dtable("s0", cent0, "code0", "d0")
+        val dt1 = dtable("s1", cent1, "code1", "d1")
+        val scored = coded
+          .join(broadcast(dt0), Seq("code0"))
+          .join(broadcast(dt1), Seq("code1", "probe_id"))
+          .select(col("probe_id"), col("vec_id"),
+            (col("d0") + col("d1")).as("adist"))
+        graft.plans.TopKPerKey.of(scored, keyCols = Seq("probe_id"),
+            order = Seq("adist" -> true, "vec_id" -> true), k = 3)
+          .select("probe_id", "rank", "vec_id", "adist")
+          .orderBy("probe_id", "rank")
+      },
+      Some {
+        def half(j: Int, code: String) = {
+          val lo = j * 32 + 1
+          val hi = j * 32 + 32
+          s"""m$j AS (
+          SELECT label, CAST(u.i - 1 AS INTEGER) AS dim,
+                 CAST(SUM(CAST(CAST(u.v AS DOUBLE) * 281474976710656 AS DECIMAL(38,0))) AS DOUBLE)
+                   / 281474976710656 / COUNT(*) AS mean
+          FROM embeddings,
+               LATERAL (SELECT unnest(embedding[$lo:$hi]) AS v,
+                               generate_subscripts(embedding[$lo:$hi], 1) AS i) u
+          GROUP BY label, dim
+        ), c$j AS (
+          SELECT label AS cell, list(mean ORDER BY dim) AS centroid FROM m$j GROUP BY label
+        ), p$j AS (
+          SELECT e.vec_id, c.cell,
+                 list_sum([(CAST(e.embedding[i + ${lo - 1}] AS DOUBLE) - c.centroid[i])
+                           * (CAST(e.embedding[i + ${lo - 1}] AS DOUBLE) - c.centroid[i])
+                           FOR i IN generate_series(1, 32)]) AS dist2
+          FROM embeddings e CROSS JOIN c$j c
+        ), a$j AS (
+          SELECT vec_id, cell AS $code FROM p$j
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) = 1
+        ), dt$j AS (
+          SELECT e.vec_id AS probe_id, c.cell AS $code,
+                 list_sum([(CAST(e.embedding[i + ${lo - 1}] AS DOUBLE) - c.centroid[i])
+                           * (CAST(e.embedding[i + ${lo - 1}] AS DOUBLE) - c.centroid[i])
+                           FOR i IN generate_series(1, 32)]) AS d$j
+          FROM embeddings e CROSS JOIN c$j c
+          WHERE e.vec_id % 50 = 0
+        )"""
+        }
+        s"""
+        WITH ${half(0, "code0")}, ${half(1, "code1")},
+        scored AS (
+          SELECT dt0.probe_id, a0.vec_id, dt0.d0 + dt1.d1 AS adist
+          FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id
+          JOIN dt0 ON dt0.code0 = a0.code0
+          JOIN dt1 ON dt1.code1 = a1.code1 AND dt1.probe_id = dt0.probe_id
+        )
+        SELECT probe_id,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                 ORDER BY adist, vec_id) AS INTEGER) AS rank,
+               vec_id, adist
+        FROM scored
+        QUALIFY rank <= 3
+        ORDER BY probe_id, rank
+      """.trim
+      }),
+
+    // Cross-document boilerplate removal (the C4/RefinedWeb block-dedup
+    // pass): documents split into NON-overlapping 16-token blocks (window =
+    // stride — removal stays well-defined), block fingerprints counted by
+    // DISTINCT-document frequency, and any block appearing in 2+ documents
+    // is dropped as boilerplate. Per-document audit: blocks kept/dropped and
+    // surviving token count. Two key shuffles (fp, then doc) — the df table
+    // is data-dependent and unbounded, so it is deliberately NOT broadcast;
+    // the fp join rides the same exchange as the frequency aggregate.
+    Q(
+      "q184_boilerplate_removal",
+      (s, dir) => {
+        val paras = TextAnalysis.chunkFrame(
+          Tables.documents(s, dir)
+            .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id")),
+          "doc_id", "text", window = 16, stride = 16)
+        val dfreq = paras.groupBy("chunk_fp")
+          .agg(countDistinct(col("doc_id")).as("doc_freq"))
+        paras.join(dfreq, Seq("chunk_fp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(when(col("doc_freq") >= 2, 1L).otherwise(0L)).as("n_boiler"),
+            sum(when(col("doc_freq") < 2, col("n_tokens").cast("long"))
+              .otherwise(0L)).as("tokens_kept"))
+          .withColumn("boiler_ratio",
+            col("n_boiler").cast("double") / col("n_blocks").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, $Toks AS w FROM documents
+        ), s AS (
+          SELECT doc_id, w, CAST(len(w) AS INTEGER) AS nt FROM t WHERE len(w) > 0
+        ), c AS (
+          SELECT doc_id, nt, w,
+                 unnest(generate_series(0, (greatest(nt - 16, 0) + 15) // 16)) AS ci
+          FROM s
+        ), p AS (
+          SELECT doc_id,
+                 CAST(least(16, nt - ci*16) AS INTEGER) AS n_tokens,
+                 ${TextHash.duckHash60(
+                   "array_to_string(w[CAST(ci*16+1 AS BIGINT):CAST(least(ci*16+16, nt) AS BIGINT)], ' ')")} AS fp
+          FROM c
+        ), d AS (
+          SELECT fp, COUNT(DISTINCT doc_id) AS doc_freq FROM p GROUP BY fp
+        )
+        SELECT p.doc_id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(CASE WHEN d.doc_freq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+               CAST(SUM(CASE WHEN d.doc_freq < 2 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+               CAST(SUM(CASE WHEN d.doc_freq >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS boiler_ratio
+        FROM p JOIN d ON p.fp = d.fp
+        GROUP BY p.doc_id ORDER BY doc_id
+      """.trim)),
+
+    // Domain-blocklist filtering (the crawl-curation counterpart of q65's
+    // token scrub): document URLs are reduced to their registrable host via
+    // parse_url, anti-joined against a curated blocklist, and the surviving
+    // corpus is profiled per source. The blocklist is a genuinely bounded
+    // dim (human-curated), so broadcast is the correct scale shape — the
+    // corpus side never shuffles for the filter itself.
+    Q(
+      "q185_domain_blocklist",
+      (s, dir) => {
+        import s.implicits._
+        val blocked = Seq("src3", "src7", "src11")
+          .map(x => s"$x.example.com").toDF("host")
+        Tables.documents(s, dir)
+          .withColumn("url", concat(lit("https://"), col("source"),
+            lit(".example.com/docs/"), col("doc_id").cast("string")))
+          .withColumn("host", expr("parse_url(url, 'HOST')"))
+          .join(broadcast(blocked), Seq("host"), "left_anti")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE source || '.example.com' NOT IN
+          ('src3.example.com', 'src7.example.com', 'src11.example.com')
+        GROUP BY source ORDER BY source
       """.trim))
   )
 }
