@@ -2464,6 +2464,61 @@ object ExtQueries {
         WHERE source || '.example.com' NOT IN
           ('src3.example.com', 'src7.example.com', 'src11.example.com')
         GROUP BY source ORDER BY source
+      """.trim)),
+
+    // ST7 streaming content dedup, oracle-gated (was spec-only): the corpus
+    // plus a full RE-CRAWL copy (new doc_ids, identical bodies) streamed
+    // through dropDuplicatesWithinWatermark keyed on the md5 content
+    // fingerprint, keyed-upsert sink. WHICH physical row survives per
+    // fingerprint depends on arrival order, so the gate compares only the
+    // content-determined projection (fp, lang, n_chars) — identical for
+    // every candidate of a fingerprint — making the final state
+    // batch-split-independent by construction (the q172/q131 discipline).
+    Q(
+      "q189_stream_content_dedup_gate",
+      (s, dir) => {
+        val base = Scratch.dir(s, dir, "stream_content_dedup")
+        val src = base + "_src"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        Seq(base, base + "_ckpt", base + "__upsert_tmp", src, src + "_tmp")
+          .foreach(p => rm(new java.io.File(p)))
+        new java.io.File(src).mkdirs(): Unit
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(dir, "documents.parquet"),
+          java.nio.file.Paths.get(src, "docs1.parquet")): Unit
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        docs.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .coalesce(1).write.parquet(src + "_tmp")
+        val part = new java.io.File(src + "_tmp").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(src, "docs2_recrawl.parquet")): Unit
+        rm(new java.io.File(src + "_tmp"))
+        val stream = s.readStream.schema(docs.schema).parquet(src)
+          .withColumn("ts", expr("timestamp_micros(1000000 * doc_id)"))
+        val deduped = graft.streaming.EventStreams
+          .dedupContentStream(stream, "text", "ts", watermarkDelay = "3650 days")
+          .withColumn("__key", TextAnalysis.fingerprint(col("text")))
+        val q = deduped.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            Sinks.upsertParquet(b, base, "__key")
+          }
+          .option("checkpointLocation", base + "_ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(base)
+          .select(col("__key").as("fp"), col("lang"), col("n_chars"))
+          .orderBy("fp")
+      },
+      Some(s"""
+        SELECT DISTINCT md5($NormText) AS fp, lang, n_chars
+        FROM documents ORDER BY fp
       """.trim))
   )
 }

@@ -3834,6 +3834,129 @@ object PipelineQueries {
                MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50_exact,
                1 AS envelope_ok
         FROM r GROUP BY event_type ORDER BY event_type
+      """.trim)),
+
+    // Time-weighted average value (TWAP): each event's value holds until
+    // the user's next event; the average weights each value by its holding
+    // duration. All weighting is EXACT integer math — cents x microseconds
+    // products summed in decimal(38,0) — with two final double divisions
+    // (identical in any engine). One key shuffle for the lead window plus
+    // the per-user aggregate on the same key. The big sum exceeds int64, so
+    // the oracle casts it through VARCHAR (DuckDB's hugeint->double direct
+    // cast is not correctly rounded — see q180).
+    Q(
+      "q186_twap",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"),
+            (col("value").cast("decimal(8,2)") * 100).cast("long").as("cents"))
+          .withColumn("next_us", lead(col("us"), 1).over(w))
+          .filter(col("next_us").isNotNull)
+          .withColumn("wprod",
+            (col("cents") * (col("next_us") - col("us"))).cast("decimal(38,0)"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_segments"),
+            sum(col("wprod")).as("__sw"),
+            sum(col("next_us") - col("us")).as("__dur"))
+          .filter(col("__dur") > 0)
+          .select(col("user_id"), col("n_segments"),
+            (col("__sw").cast("double") / lit(100.0) / col("__dur").cast("double"))
+              .as("twap"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+          FROM events
+        ), seg AS (
+          SELECT user_id, cents, us,
+                 lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us
+          FROM e
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(CAST(SUM(CAST(cents * (next_us - us) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+                 / 100.0 / CAST(CAST(SUM(next_us - us) AS BIGINT) AS DOUBLE) AS twap
+        FROM seg WHERE next_us IS NOT NULL
+        GROUP BY user_id HAVING CAST(SUM(next_us - us) AS BIGINT) > 0
+        ORDER BY user_id
+      """.trim)),
+
+    // Permissive-CSV quarantine, oracle-gated (X78 was spec-only): nation
+    // re-landed as CSV with a deterministic corruption rule (every 5th key
+    // gets a non-numeric n_regionkey), read back through csvPermissive's
+    // corrupt-record capture, and routed good/bad — the never-FAILFAST
+    // pattern for dirty feeds at 100 TB. The cache() barrier before
+    // splitting on the corrupt column is the Spark-documented requirement.
+    Q(
+      "q187_csv_quarantine",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val path = Scratch.dir(s, dir, "quarantine_csv")
+        Tables.nation(s, dir).select(
+            col("n_nationkey").cast("string").as("n_nationkey"),
+            col("n_name"),
+            when(col("n_nationkey") % 5 === 0, lit("XX"))
+              .otherwise(col("n_regionkey").cast("string")).as("n_regionkey"))
+          .write.mode("overwrite").option("header", "true").csv(path)
+        val schema = StructType(Seq(
+          StructField("n_nationkey", LongType), StructField("n_name", StringType),
+          StructField("n_regionkey", LongType)))
+        val read = Sources.csvPermissive(s, path, schema).cache()
+        val bad = read.filter(col(Sources.CorruptCol).isNotNull)
+        val good = read.filter(col(Sources.CorruptCol).isNull)
+        good.agg(count(lit(1)).as("n_rows"),
+            sum(col("n_regionkey")).as("region_sum"))
+          .select(lit("good").as("status"), col("n_rows"), col("region_sum"))
+          .unionByName(
+            bad.agg(count(lit(1)).as("n_rows"))
+              .select(lit("bad").as("status"), col("n_rows"),
+                lit(-1L).as("region_sum")))
+          .orderBy("status")
+      },
+      Some("""
+        SELECT 'bad' AS status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(-1 AS BIGINT) AS region_sum
+        FROM nation WHERE n_nationkey % 5 = 0
+        UNION ALL
+        SELECT 'good', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_regionkey) AS BIGINT)
+        FROM nation WHERE n_nationkey % 5 != 0
+        ORDER BY status
+      """.trim)),
+
+    // observe() load-audit metrics, oracle-gated (X74 was spec-only): the
+    // write job itself computes row count, an exact decimal sum, and a
+    // predicate count via AggregatingAccumulators (NO second scan of the
+    // data — the point of observe at scale), and the query emits the
+    // observed values plus the sink's read-back count. The oracle restates
+    // all four from the source table, proving the metrics describe what
+    // was actually written.
+    Q(
+      "q188_observe_metrics",
+      (s, dir) => {
+        val path = Scratch.dir(s, dir, "observed_orders")
+        val proj = Tables.orders(s, dir)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        val m = Sinks.writeParquetObserved(proj, path, Map(
+          "n_rows" -> count(lit(1)),
+          "sum_price" -> sum(col("o_totalprice").cast("decimal(24,2)")),
+          "n_open" -> sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L))))
+        val readBack = s.read.parquet(path).count()
+        import s.implicits._
+        Seq((m("n_rows").asInstanceOf[Long],
+          m("sum_price").asInstanceOf[java.math.BigDecimal].doubleValue(),
+          m("n_open").asInstanceOf[Long], readBack))
+          .toDF("n_rows", "sum_price", "n_open", "n_readback")
+      },
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS sum_price,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+               COUNT(*) AS n_readback
+        FROM orders
       """.trim))
   )
 }
