@@ -334,6 +334,40 @@ class PlanQualitySpec extends SparkSpec {
       s"unpartitioned windows in: ${offenders.mkString(", ")}")
   }
 
+  test("PQ-ADC retrieval broadcasts only the bounded tables and keeps the heap top-k") {
+    // The base-vector side (doc-linear) must stream through lookups against
+    // broadcast distance tables/codebooks; the final per-probe top-k is the
+    // heap operator, not a window sort.
+    val df = graft.SparkEntry.queries("q183_pq_adc_retrieval")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected TopKPerKeyExec in:\n$plan")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(nBroadcast >= 2,
+      s"expected the two distance tables to join by broadcast, got $nBroadcast in:\n$plan")
+  }
+
+  test("boilerplate removal reuses the block-fingerprint exchange") {
+    // The paras frame feeds both the doc-frequency aggregate and the join
+    // probe on the SAME chunk_fp key — the expensive tokenize+hash stage
+    // must materialize once and be reused, not recomputed per consumer.
+    val df = graft.SparkEntry.queries("q184_boilerplate_removal")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"expected a reused chunk exchange/stage in:\n$plan")
+  }
+
+  test("TWAP shuffles once: the lead window and the aggregate share the user key") {
+    val df = graft.SparkEntry.queries("q186_twap")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val shuffles = "ShuffleExchange|Exchange hashpartitioning".r.findAllIn(plan).size
+    val userShuffles = "hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(userShuffles >= 1 && shuffles <= userShuffles + 1, // +1 for the final orderBy range exchange
+      s"expected one user_id hash shuffle (+ the output sort), got:\n$plan")
+  }
+
   test("bucketed range join plans a hash join, never a nested loop") {
     val pts = Tables.customer(spark, sf0001)
       .select(col("c_custkey"), col("c_acctbal").cast("double").as("bal"))
