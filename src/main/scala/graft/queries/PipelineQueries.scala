@@ -3957,6 +3957,64 @@ object PipelineQueries {
                CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
                COUNT(*) AS n_readback
         FROM orders
+      """.trim)),
+
+    // Daily resample + LOCF densification — the time-series feature-prep
+    // op: per (user, day) keep the LAST event's value (row_number pick on a
+    // total order — exact), build each user's dense calendar spine with
+    // sequence/explode (the S6 generator applied per key), and forward-fill
+    // gap days from the last observed value. Every window is user-
+    // partitioned (no global funnel); the spine join is keyed on
+    // (user, day). The spine starts at each user's first observed day, so
+    // LOCF never reads before its first value.
+    Q(
+      "q190_resample_locf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"),
+            unix_micros(col("ts")).as("us"), col("ts").cast("date").as("day"))
+        val wPick = Window.partitionBy("user_id", "day")
+          .orderBy(col("us").desc, col("event_id").desc)
+        val daily = ev.withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("day"), col("value"))
+        val spine = daily.groupBy("user_id")
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+        val wFill = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("v_filled", last(col("value"), ignoreNulls = true).over(wFill))
+          .withColumn("was_filled",
+            when(col("value").isNull, 1).otherwise(0).cast("int"))
+          .select("user_id", "day", "v_filled", "was_filled")
+          .orderBy("user_id", "day")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, value, epoch_us(ts) AS us,
+                 CAST(ts AS DATE) AS day
+          FROM events
+        ), daily AS (
+          SELECT user_id, day, value FROM e
+          QUALIFY row_number() OVER (PARTITION BY user_id, day
+            ORDER BY us DESC, event_id DESC) = 1
+        ), bounds AS (
+          SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+        ), spine AS (
+          SELECT user_id,
+                 CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                   CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+          FROM bounds
+        )
+        SELECT s.user_id AS user_id, s.day AS day,
+               last_value(d.value IGNORE NULLS) OVER (
+                 PARTITION BY s.user_id ORDER BY s.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+               CAST(CASE WHEN d.value IS NULL THEN 1 ELSE 0 END AS INTEGER) AS was_filled
+        FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+        ORDER BY user_id, day
       """.trim))
   )
 }

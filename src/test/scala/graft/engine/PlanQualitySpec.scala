@@ -368,6 +368,38 @@ class PlanQualitySpec extends SparkSpec {
       s"expected one user_id hash shuffle (+ the output sort), got:\n$plan")
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // The 100 TB skew story: one hot key dominating a shuffle partition is
+    // re-planned by AQE into parallel sub-splits (skew=true on the SMJ),
+    // instead of one straggler task. Thresholds are lowered to make the
+    // spec-sized hot key (90% of rows on key 0) trip the same machinery a
+    // hot customer/session would at scale.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      val left = spark.range(0, 100000).toDF("id")
+        .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(0, 200).toDF("k")
+      val joined = left.join(right, Seq("k"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed join (skew=true) in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed range join plans a hash join, never a nested loop") {
     val pts = Tables.customer(spark, sf0001)
       .select(col("c_custkey"), col("c_acctbal").cast("double").as("bal"))
