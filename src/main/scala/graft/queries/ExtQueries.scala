@@ -2519,6 +2519,195 @@ object ExtQueries {
       Some(s"""
         SELECT DISTINCT md5($NormText) AS fp, lang, n_chars
         FROM documents ORDER BY fp
+      """.trim)),
+
+    // BM25 (Lucene +1 idf variant) — previously deferred on ln()
+    // cross-engine ulp risk, now un-deferred by QUANTIZING idf to integer
+    // micro-nats: round(ln(x)*1e6) collapses the measured 1-ulp libm
+    // divergence (JVM Math.log vs DuckDB ln disagreed on 3/12000 probed
+    // inputs) unless ln lands within ~1e-10 of a .5e-6 boundary —
+    // negligible over the <=N distinct df values. The tf side is fully
+    // rational (fixed-order IEEE ops over exact integers), and the 3-term
+    // score sums in FIXED literal order (the q155 pivot discipline), so
+    // ranking and LIMIT boundary are deterministic. Shape: one tokenize
+    // pass, tiny df/totals frames broadcast, top-10 via sort-limit.
+    Q(
+      "q191_bm25",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+          .select(col("doc_id"), col("__toks"), size(col("__toks")).as("dl"))
+        val tf = docs
+          .select(col("doc_id"), col("dl"), explode(col("__toks")).as("t"))
+          .filter(col("t").isin("spark", "table", "query"))
+          .groupBy("doc_id", "dl", "t").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+        val totals = docs.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl").cast("long")).as("total_dl"))
+        val scored = tf.join(broadcast(dfreq), Seq("t"))
+          .crossJoin(broadcast(totals))
+          .withColumn("idf",
+            round(log(lit(1.0)
+              + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+                / (col("df").cast("double") + lit(0.5))) * lit(1000000.0))
+              .cast("long").cast("double") / lit(1000000.0))
+          .withColumn("tfac",
+            col("tf").cast("double") * lit(2.2)
+              / (col("tf").cast("double") + lit(0.3)
+                + lit(0.9) * col("dl").cast("double") * col("n_docs").cast("double")
+                  / col("total_dl").cast("double")))
+          .withColumn("sc", col("idf") * col("tfac"))
+        scored.groupBy("doc_id")
+          .agg(max(when(col("t") === "spark", col("sc"))).as("s1"),
+            max(when(col("t") === "table", col("sc"))).as("s2"),
+            max(when(col("t") === "query", col("sc"))).as("s3"))
+          .select(col("doc_id"),
+            (coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0))
+              + coalesce(col("s3"), lit(0.0))).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(10)
+      },
+      Some(s"""
+        WITH docs AS (
+          SELECT doc_id, $Toks AS w FROM documents
+        ), dls AS (
+          SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM docs
+        ), tok AS (
+          SELECT doc_id, dl, unnest(w) AS t FROM dls
+        ), tf AS (
+          SELECT doc_id, dl, t, COUNT(*) AS tf FROM tok
+          WHERE t IN ('spark', 'table', 'query') GROUP BY 1, 2, 3
+        ), dfreq AS (
+          SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+        ), totals AS (
+          SELECT COUNT(*) AS n_docs, SUM(CAST(len(w) AS BIGINT)) AS total_dl FROM docs
+        ), scored AS (
+          SELECT f.doc_id, f.t,
+                 CAST(CAST(round(ln(1.0
+                   + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                     / (CAST(df AS DOUBLE) + 0.5)) * 1000000.0) AS BIGINT) AS DOUBLE)
+                   / 1000000.0
+                 * (CAST(tf AS DOUBLE) * 2.2
+                    / (CAST(tf AS DOUBLE) + 0.3
+                       + 0.9 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                         / CAST(total_dl AS DOUBLE))) AS sc
+          FROM tf f JOIN dfreq USING (t) CROSS JOIN totals
+        )
+        SELECT doc_id,
+               (COALESCE(MAX(CASE WHEN t = 'spark' THEN sc END), CAST(0.0 AS DOUBLE))
+                + COALESCE(MAX(CASE WHEN t = 'table' THEN sc END), CAST(0.0 AS DOUBLE))
+                + COALESCE(MAX(CASE WHEN t = 'query' THEN sc END), CAST(0.0 AS DOUBLE)))
+                 AS score
+        FROM scored GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 10
+      """.trim)),
+
+    // Multi-signal ensemble dedup — what production pipelines actually run:
+    // the UNION of three independently-generated edge sets (exact content
+    // fingerprint, MinHash+LSH verified Jaccard, n-gram containment) feeds
+    // ONE connected-components pass, and each cluster elects its min-id
+    // canonical. Signals stay banded/bucketed (never all-pairs); the CC
+    // fixpoint is the q61 checkpointed loop over the merged edge set.
+    Q(
+      "q192_ensemble_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val mh = NearDup.minHashNearDupPairs(docs, "doc_id", "text",
+          n = 3, k = 64, bands = 16, threshold = 0.8).select("id_a", "id_b")
+        val cont = NearDup.containmentPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.8).select("id_a", "id_b")
+        val fps = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        val exact = fps.as("a").join(fps.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        val edges = mh.unionByName(cont).unionByName(exact).distinct()
+        NearDup.connectedComponents(edges, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("cluster_id"),
+            (col("id") === col("cluster_id")).cast("int").as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        ${("WITH RECURSIVE " + MinhashPairsCte.stripPrefix("WITH ")).trim}, cd AS (
+          SELECT doc_id, ${duckShingles(Toks, 3)} AS sh FROM documents
+        ), cinv AS (
+          SELECT doc_id, unnest(sh) AS s FROM cd
+        ), cpairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM cinv a JOIN cinv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), csizes AS (
+          SELECT doc_id, len(sh) AS n FROM cd
+        ), cont AS (
+          SELECT id_a, id_b FROM cpairs
+          JOIN csizes sa ON sa.doc_id = id_a
+          JOIN csizes sb ON sb.doc_id = id_b
+          WHERE greatest(CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE),
+                         CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.8
+        ), xf AS (
+          SELECT doc_id, md5($NormText) AS fp FROM documents
+        ), xpairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM xf a JOIN xf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        ), eunion AS (
+          SELECT id_a, id_b FROM verified
+          UNION SELECT id_a, id_b FROM cont
+          UNION SELECT id_a, id_b FROM xpairs
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM eunion
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM eunion
+        ), nodes AS (
+          SELECT DISTINCT src AS v FROM edges
+        ), reach(v, label) AS (
+          SELECT v, v FROM nodes
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v
+        )
+        SELECT v AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id,
+               CAST(CASE WHEN v = MIN(label) THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+        FROM reach GROUP BY v ORDER BY doc_id
+      """.trim)),
+
+    // Source-overlap contamination matrix: for every source PAIR, how many
+    // distinct 16-token block fingerprints they share — the corpus-level
+    // diagnostic behind q56's train/test decontamination (which pair of
+    // feeds is leaking into each other). Block fps from the q184 chunker;
+    // per-source distinct sets self-join on the fp (bucketed by fp, never
+    // source x source cross). Output is at most |sources|^2 rows.
+    Q(
+      "q193_source_overlap",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val blocks = TextAnalysis.chunkFrame(
+            docs.repartition(s.sessionState.conf.numShufflePartitions, col("doc_id")),
+            "doc_id", "text", window = 16, stride = 16)
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .select(col("source"), col("chunk_fp")).distinct()
+        blocks.as("a").join(blocks.as("b"),
+            col("a.chunk_fp") === col("b.chunk_fp") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("shared_blocks"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, source, $Toks AS w FROM documents
+        ), s AS (
+          SELECT doc_id, source, w, CAST(len(w) AS INTEGER) AS nt FROM t WHERE len(w) > 0
+        ), c AS (
+          SELECT doc_id, source, nt, w,
+                 unnest(generate_series(0, (greatest(nt - 16, 0) + 15) // 16)) AS ci
+          FROM s
+        ), p AS (
+          SELECT DISTINCT source,
+                 ${TextHash.duckHash60(
+                   "array_to_string(w[CAST(ci*16+1 AS BIGINT):CAST(least(ci*16+16, nt) AS BIGINT)], ' ')")} AS fp
+          FROM c
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_blocks
+        FROM p a JOIN p b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY source_a, source_b
       """.trim))
   )
 }
