@@ -2708,6 +2708,85 @@ object ExtQueries {
                CAST(COUNT(*) AS BIGINT) AS shared_blocks
         FROM p a JOIN p b ON a.fp = b.fp AND a.source < b.source
         GROUP BY 1, 2 ORDER BY source_a, source_b
+      """.trim)),
+
+    // Bigram-LM perplexity scoring — the standard LLM-data quality filter,
+    // previously deferred on log determinism, un-deferred by the q191
+    // micro-nat trick taken further: each bigram's add-one-smoothed
+    // log-probability quantizes to an INTEGER (micro-nats), so the per-doc
+    // sum is an order-independent integer aggregate — no double-sum hazard
+    // at any partition count — and only the final avg (one division) and
+    // display perplexity (exp, re-quantized to 1e-3) are double ops.
+    // Self-trained on the corpus: c2/c1 tables are token-keyed aggregates,
+    // scoring is one bigram-keyed join — both linear, no all-pairs.
+    Q(
+      "q194_perplexity",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+          .filter(size(col("w")) > 1)
+        val bigrams = toks.select(col("doc_id"),
+            posexplode(slice(col("w"), 1, 1000000)).as(Seq("i", "w1")), col("w"))
+          .filter(col("i") < size(col("w")) - 1)
+          .select(col("doc_id"), col("w1"),
+            element_at(col("w"), col("i") + 2).as("w2"))
+        val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val vocab = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+          .agg(countDistinct(col("t")).as("v"))
+        val unats = bigrams
+          .join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .withColumn("unats",
+            round(log((col("c2") + 1).cast("double")
+              / (col("c1").cast("double") + col("v").cast("double"))) * lit(1000000.0))
+              .cast("long"))
+        unats.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("unats")).as("sum_unats"))
+          .withColumn("avg_d",
+            col("sum_unats").cast("double") / col("n_bigrams").cast("double"))
+          .select(col("doc_id"), col("n_bigrams"), col("sum_unats"),
+            (round(exp((lit(0.0) - col("avg_d")) / lit(1000000.0)) * lit(1000.0))
+              .cast("long").cast("double") / lit(1000.0)).as("ppl"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, $Toks AS w FROM documents
+        ), tt AS (
+          SELECT doc_id, w FROM t WHERE len(w) > 1
+        ), big AS (
+          SELECT doc_id,
+                 unnest([w[i] FOR i IN generate_series(1, len(w) - 1)]) AS w1,
+                 unnest([w[i + 1] FOR i IN generate_series(1, len(w) - 1)]) AS w2
+          FROM tt
+        ), c2 AS (
+          SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2
+        ), c1 AS (
+          SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1
+        ), vocab AS (
+          SELECT COUNT(DISTINCT u.t) AS v
+          FROM (SELECT unnest($Toks) AS t FROM documents) u
+        ), unats AS (
+          SELECT b.doc_id,
+                 CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE)
+                   / (CAST(c1.c1 AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000.0)
+                   AS BIGINT) AS unats
+          FROM big b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+          JOIN c1 ON b.w1 = c1.w1
+          CROSS JOIN vocab
+        ), agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(unats) AS BIGINT) AS sum_unats
+          FROM unats GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams, sum_unats,
+               CAST(CAST(round(exp((0.0 - CAST(sum_unats AS DOUBLE)
+                 / CAST(n_bigrams AS DOUBLE)) / 1000000.0) * 1000.0) AS BIGINT)
+                 AS DOUBLE) / 1000.0 AS ppl
+        FROM agg ORDER BY doc_id
       """.trim))
   )
 }
