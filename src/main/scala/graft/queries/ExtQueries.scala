@@ -2787,6 +2787,44 @@ object ExtQueries {
                  / CAST(n_bigrams AS DOUBLE)) / 1000000.0) * 1000.0) AS BIGINT)
                  AS DOUBLE) / 1000.0 AS ppl
         FROM agg ORDER BY doc_id
+      """.trim)),
+
+    // Triangle counting over the verified near-dup graph — the cluster-
+    // density diagnostic (triangles distinguish tight clique families from
+    // loose chains before committing to a dedup policy). Distributed shape:
+    // edges oriented low->high id, two hash joins (b-keyed, then the
+    // closing (a,c) probe) — never an all-pairs expansion; per-node
+    // triangle membership via one union+count. Integer-only, oracle exact.
+    Q(
+      "q195_triangle_count",
+      (s, dir) => {
+        val e = NearDup.minHashNearDupPairs(Tables.documents(s, dir),
+            "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.8)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .join(e.as("e3"),
+            col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+        tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        $MinhashPairsCte, e AS (
+          SELECT id_a AS a, id_b AS b FROM verified
+        ), tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e1.b = e2.a
+          JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+        ), members AS (
+          SELECT x AS doc_id FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM members GROUP BY doc_id ORDER BY doc_id
       """.trim))
   )
 }
