@@ -349,6 +349,48 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental dedup: near-dup pairs between a NEW delta batch and the
+    * existing base corpus ONLY — the production shape when a crawl lands a
+    * fresh batch against a corpus already deduped. Both sides are banded
+    * with the same MinHash parameters; candidates are (delta, base) bucket
+    * collisions, so the within-base quadratic work of a full re-pair never
+    * happens — per-batch cost is proportional to the DELTA's postings plus
+    * one bucket-join against the base's banding (which a real deployment
+    * persists between batches). Candidate completeness equals the full
+    * pipeline's restricted to mixed pairs: bucket collision is a pairwise
+    * criterion, indifferent to which side a doc arrives on. Within-delta
+    * duplicates are intentionally NOT emitted (that is a separate
+    * [[minHashNearDupPairs]] pass over the delta alone).
+    * Output: (new_id, base_id, jaccard) at or above `threshold`.
+    */
+  def deltaNearDupPairs(base: DataFrame, delta: DataFrame, idCol: String,
+      textCol: String, n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rowsPerBand = k / bands
+    def bandedOf(docs: DataFrame): (DataFrame, DataFrame) = {
+      val sh = withShingles(docs, idCol, textCol, n)
+      val banded = minHashSignatureFrame(sh, idCol, k)
+        .select(col(idCol),
+          explode(bandBuckets(col("__sig"), bands, rowsPerBand)).as("__bb"))
+        .select(col(idCol), col("__bb.band").as("__band"), col("__bb.bucket").as("__bucket"))
+      (sh, banded)
+    }
+    val (shNew, bNew) = bandedOf(delta)
+    val (shBase, bBase) = bandedOf(base)
+    val candidates = bNew.as("a")
+      .join(bBase.as("b").hint("shuffle_hash"),
+        col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket"))
+      .select(col(s"a.$idCol").as("new_id"), col(s"b.$idCol").as("base_id"))
+      .distinct()
+    candidates
+      .join(shNew.select(col(idCol).as("new_id"), col("__shingles").as("__sa"))
+        .hint("shuffle_hash"), Seq("new_id"))
+      .join(shBase.select(col(idCol).as("base_id"), col("__shingles").as("__sb"))
+        .hint("shuffle_hash"), Seq("base_id"))
+      .select(col("new_id"), col("base_id"), jaccard(col("__sa"), col("__sb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Near-dup DEDUP resolution: greedy keep-lowest-id — a document survives
     * unless some lower-id document is near-duplicate-similar to it. This is
     * the standard one-pass MinHash-dedup policy (no transitive closure: a
@@ -432,6 +474,47 @@ object NearDup {
     undirected.unpersist()
     lastCCIterations = i
     labels
+  }
+
+  /** Integer-arithmetic PageRank over the undirected pair graph (pairs are
+    * (aCol, bCol) with a < b; both directions are materialized). Ranks are
+    * held as nano-rank longs (R0 = 10^9 per node), damping 0.85 applied as
+    * `(85 * s) div 100`, per-neighbor contribution as `rank div deg`, and
+    * the teleport base as `(0.15 * 10^9) div N` — every operation integral,
+    * so the result is bit-identical at any partition count and in any
+    * engine. Textbook double PageRank is merge-order-dependent (the
+    * contribution sum); the truncation here costs < 100 nano of rank mass
+    * per node per iteration and buys a DuckDB-unrollable oracle. Plan
+    * shape: the degree-annotated edge set shuffles ONCE (pinned src hash
+    * partitioning, persisted); each of the fixed `iters` iterations
+    * re-shuffles only the rank frame (one row per node) — the same
+    * asymmetry that makes the q61 fixpoint scale. The final frame is
+    * localCheckpoint'ed so the returned plan is O(1) deep, and the cached
+    * edge set is dropped before returning.
+    */
+  def pageRankInt(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int = 3): DataFrame = {
+    val n = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .repartition(n, col("src")).persist()
+    val nNodes = withDeg.select(col("src")).distinct().count()
+    val base = if (nNodes == 0) 0L else 150000000L / nNodes
+    var ranks = withDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank div deg").as("contrib"))
+        .groupBy("dst")
+        .agg((lit(base) + expr("(85 * sum(contrib)) div 100")).as("rank"))
+        .select(col("dst").as("node"), col("rank"))
+    }
+    val out = ranks.localCheckpoint(eager = true)
+    withDeg.unpersist()
+    out
   }
 
   /** 60-bit SimHash signatures, one row per document: hash each distinct

@@ -78,6 +78,28 @@ object Similarity {
       c.join(broadcast(q), col("query_id") =!= col("neighbor_id")), k)
   }
 
+  /** Contrastive hard-negative mining: per query, the top-k most cosine-
+    * similar corpus vectors whose `labelCol` DIFFERS from the query's — the
+    * standard in-batch-negative upgrade for embedding/reranker training
+    * (nearest wrong-class examples are the informative negatives). Same
+    * broadcast-probe + streamed-corpus shape as [[topKCosine]]; the label
+    * inequality rides the join condition so wrong-label pairs never reach
+    * the ranking heap. Rank order (cosine desc, neighbor_id asc) is total,
+    * so output is deterministic.
+    */
+  def hardNegativeTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = withNorm(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(labelCol).as("__ql"),
+        col(vecCol).as("__qv"), col("__norm").as("__qn"))
+    val c = withNorm(spread(corpus, idCol), vecCol)
+      .select(col(idCol).as("neighbor_id"), col(labelCol).as("__cl"),
+        col(vecCol).as("__cv"), col("__norm").as("__cn"))
+    rankTopK(
+      c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("__ql") =!= col("__cl")), k)
+  }
+
   /** IVF-style ANN: probe only the query's own cell. Same math, candidate
     * set cut by the cell count; the join on the cell column shuffles both
     * sides by cell (or broadcasts the query side under AQE).

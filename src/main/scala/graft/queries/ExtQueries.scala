@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.engine._
@@ -2825,6 +2826,319 @@ object ExtQueries {
         )
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
         FROM members GROUP BY doc_id ORDER BY doc_id
+      """.trim)),
+
+    // PageRank over the verified near-dup graph — graph IMPORTANCE next to
+    // q61's connectivity and q195's density: which documents sit at the
+    // center of duplication clusters (the canonical-representative signal
+    // production dedup uses when min-id election is too arbitrary). Integer
+    // nano-rank arithmetic throughout (NearDup.pageRankInt): rank div deg
+    // contributions, (85*s) div 100 damping, base 0.15e9 div N — bit-exact
+    // at any partition count, so the oracle is the same three iterations
+    // unrolled as CTEs. Edge set shuffles once; 3 fixed iterations
+    // re-shuffle only the one-row-per-node rank frame.
+    Q(
+      "q196_pagerank",
+      (s, dir) => {
+        val pairs = NearDup.minHashNearDupPairs(Tables.documents(s, dir),
+            "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.8)
+        NearDup.pageRankInt(pairs, "id_a", "id_b", iters = 3)
+          .select(col("node").as("doc_id"), col("rank").as("pr_nano"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        $MinhashPairsCte, e AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM verified
+        ), deg AS (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src
+        ), nn AS (
+          SELECT CAST(150000000 // COUNT(*) AS BIGINT) AS base FROM deg
+        ), r0 AS (
+          SELECT src AS node, CAST(1000000000 AS BIGINT) AS rank FROM deg
+        ), r1 AS (
+          SELECT e.dst AS node,
+                 CAST((SELECT base FROM nn)
+                   + (85 * CAST(SUM(r.rank // d.deg) AS BIGINT)) // 100 AS BIGINT) AS rank
+          FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        ), r2 AS (
+          SELECT e.dst AS node,
+                 CAST((SELECT base FROM nn)
+                   + (85 * CAST(SUM(r.rank // d.deg) AS BIGINT)) // 100 AS BIGINT) AS rank
+          FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        ), r3 AS (
+          SELECT e.dst AS node,
+                 CAST((SELECT base FROM nn)
+                   + (85 * CAST(SUM(r.rank // d.deg) AS BIGINT)) // 100 AS BIGINT) AS rank
+          FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        )
+        SELECT node AS doc_id, rank AS pr_nano FROM r3 ORDER BY doc_id
+      """.trim)),
+
+    // ML lag-feature generation: per-user event history flattened into a
+    // per-row feature vector — previous-value delta and a bounded EWMA
+    // (alpha=1/2 over the last 8 values, weights 128..1/256). Values are
+    // quantized to integer micros (exact: the generator's value levels are
+    // >= 1e-6 apart, the q129 precedent), the EWMA numerator is an INTEGER
+    // dot product with power-of-two weights, and the single /256.0 is an
+    // exact binary scaling — so the doubles match bitwise across engines
+    // and partition counts. One user-partitioned window (7 lags share one
+    // window spec = one physical sort); no unpartitioned ordering anywhere.
+    Q(
+      "q197_lag_features",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            (col("value").cast("decimal(16,6)") * lit(1000000)).cast("long").as("micros"))
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val lags = (1 to 7).foldLeft(ev)((df, k) =>
+          df.withColumn(s"__l$k", lag(col("micros"), k).over(w)))
+        val num = col("micros") * 128 + col("__l1") * 64 + col("__l2") * 32 +
+          col("__l3") * 16 + col("__l4") * 8 + col("__l5") * 4 +
+          col("__l6") * 2 + col("__l7")
+        lags.select(
+            col("event_id"), col("user_id"), col("micros"),
+            (col("micros") - col("__l1")).as("delta_1"),
+            when((1 to 7).map(k => col(s"__l$k").isNotNull).reduce(_ && _),
+              num / lit(256.0)).as("ewma8"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id, user_id, ts,
+                 CAST(CAST(value AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS micros
+          FROM events
+        ), lagd AS (
+          SELECT event_id, user_id, micros,
+                 lag(micros, 1) OVER w AS l1, lag(micros, 2) OVER w AS l2,
+                 lag(micros, 3) OVER w AS l3, lag(micros, 4) OVER w AS l4,
+                 lag(micros, 5) OVER w AS l5, lag(micros, 6) OVER w AS l6,
+                 lag(micros, 7) OVER w AS l7
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_id, user_id, micros,
+               micros - l1 AS delta_1,
+               CASE WHEN l1 IS NOT NULL AND l2 IS NOT NULL AND l3 IS NOT NULL
+                     AND l4 IS NOT NULL AND l5 IS NOT NULL AND l6 IS NOT NULL
+                     AND l7 IS NOT NULL
+                    THEN (micros*128 + l1*64 + l2*32 + l3*16
+                          + l4*8 + l5*4 + l6*2 + l7) / 256.0
+               END AS ewma8
+        FROM lagd ORDER BY event_id
+      """.trim)),
+
+    // CUBE + GROUPING SETS — the two grouping-set surfaces q20's ROLLUP
+    // left uncovered, through one gate: the full 4-set cube and an explicit
+    // 2-set GROUPING SETS ((status),(priority)), tagged and unioned.
+    // grouping_id() disambiguates NULL-as-ALL from genuine null group keys
+    // in both engines (same bit convention, pinned by q20). Expansion
+    // happens BEFORE the shuffle (Spark's Expand operator), so a G-set
+    // aggregate costs one shuffle regardless of the set count.
+    Q(
+      "q198_cube_gsets",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        def shape(g: org.apache.spark.sql.RelationalGroupedDataset, tag: String) =
+          g.agg(count(lit(1)).as("n_orders"),
+              Exact.sumD(col("o_totalprice")).as("sales"),
+              grouping_id().cast("int").as("gid"))
+            .select(lit(tag).as("shape"),
+              coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("gid"), col("n_orders"), col("sales"))
+        shape(o.cube(col("o_orderstatus"), col("o_orderpriority")), "cube")
+          .unionByName(shape(
+            o.groupingSets(
+              Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+              col("o_orderstatus"), col("o_orderpriority")), "gsets"))
+          .orderBy("shape", "gid", "status", "priority")
+      },
+      Some("""
+        SELECT 'cube' AS shape,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS sales
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        UNION ALL
+        SELECT 'gsets' AS shape,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS sales
+        FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY shape, gid, status, priority
+      """.trim)),
+
+    // Contrastive hard-negative mining: per probe vector, the top-3 most
+    // cosine-similar vectors of a DIFFERENT label — the informative
+    // negatives for embedding/reranker training (random negatives are too
+    // easy; nearest wrong-class examples carry the gradient). The label
+    // inequality rides the broadcast join condition, so wrong-label pairs
+    // never reach the top-k heap; ranking is the same TopKPerKey operator
+    // as q28/q97 with its total (cosine desc, id) order. Fixed-order dots
+    // keep the cosine doubles engine-bitwise.
+    Q(
+      "q199_hard_negatives",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.hardNegativeTopK(
+            e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding",
+            "label", k = 3)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH nrm AS (
+          SELECT vec_id, label, embedding,
+                 sqrt(${duckDot("embedding", "embedding")}) AS nrm
+          FROM embeddings
+        ), pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+          FROM nrm q JOIN nrm c
+            ON c.vec_id <> q.vec_id AND c.label <> q.label
+          WHERE q.vec_id % 20 = 0
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank,
+               cosine
+        FROM pairs
+        QUALIFY rank <= 3
+        ORDER BY query_id, rank
+      """.trim)),
+
+    // Incremental dedup — the delta-vs-corpus admission gate: a fresh crawl
+    // batch (doc_id % 7 = 3 stands in for the new arrivals) is MinHash-
+    // banded against the existing base only; a new doc is admitted iff it
+    // collides-and-verifies against NO base doc. Never re-pairs the base
+    // with itself (per-batch cost ~ delta postings, not corpus pairs). The
+    // oracle derives the same answer from the FULL pair pipeline restricted
+    // to mixed (delta, base) pairs — bucket collision is pairwise, so the
+    // two candidate sets provably coincide: two algorithms, one answer.
+    Q(
+      "q200_incremental_dedup",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val delta = d.filter(col("doc_id") % 7 === 3)
+        val base = d.filter(col("doc_id") % 7 =!= 3)
+        val pairs = NearDup.deltaNearDupPairs(base, delta, "doc_id", "text",
+          n = 3, k = 64, bands = 16, threshold = 0.8)
+        delta.select(col("doc_id").as("new_id"))
+          .join(pairs.groupBy("new_id").agg(count(lit(1)).as("n_dups")),
+            Seq("new_id"), "left")
+          .select(col("new_id"),
+            coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+            when(coalesce(col("n_dups"), lit(0L)) === 0, 1).otherwise(0)
+              .cast("int").as("admitted"))
+          .orderBy("new_id")
+      },
+      Some(s"""
+        $MinhashPairsCte, mixed AS (
+          SELECT CASE WHEN id_a % 7 = 3 THEN id_a ELSE id_b END AS new_id
+          FROM verified
+          WHERE (id_a % 7 = 3) <> (id_b % 7 = 3)
+        ), cnts AS (
+          SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+          FROM mixed GROUP BY new_id
+        )
+        SELECT d.doc_id AS new_id,
+               COALESCE(c.n_dups, 0) AS n_dups,
+               CAST(CASE WHEN COALESCE(c.n_dups, 0) = 0 THEN 1 ELSE 0 END
+                 AS INTEGER) AS admitted
+        FROM documents d LEFT JOIN cnts c ON c.new_id = d.doc_id
+        WHERE d.doc_id % 7 = 3
+        ORDER BY new_id
+      """.trim)),
+
+    // Schema evolution round-trip: a v1 batch (two columns) and a v2 batch
+    // (one added column) land in the same parquet directory; the mergeSchema
+    // read unifies the footers and back-fills v1 rows with null — the
+    // ingestion seam every long-lived lakehouse table crosses. The oracle
+    // states the merge contract directly over the source table. Scratch
+    // path is applicationId-keyed (concurrent drivers never collide).
+    Q(
+      "q201_schema_evolution",
+      (s, dir) => {
+        val p = Scratch.dir(s, dir, "schema_evo")
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .write.mode("overwrite").parquet(p)
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("double").as("total_d"))
+          .write.mode("append").parquet(p)
+        Sources.parquetMergedSchema(s, p)
+          .select("o_orderkey", "o_orderstatus", "total_d")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 2 = 1 THEN CAST(o_totalprice AS DOUBLE)
+               END AS total_d
+        FROM orders ORDER BY o_orderkey
+      """.trim)),
+
+    // Clickstream path mining: top-20 3-step event-type paths WITHIN a
+    // session (q19's 30-minute gap rule) — the journey-discovery complement
+    // of the fixed-target funnels. Two leads + the session running-sum share
+    // ONE user-partitioned sort; a path counts only when its third step is
+    // still in the same session (session_seq is monotone per user, so
+    // checking the +2 lead subsumes the +1). Total-order top-20 via
+    // TakeOrdered on the deterministic (n desc, path) key.
+    Q(
+      "q202_path_mining",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val prevTs = lag(unix_micros(col("ts")), 1).over(w)
+        val isNew = when(
+          prevTs.isNull || (unix_micros(col("ts")) - prevTs) > 1800L * 1000000L,
+          1L).otherwise(0L)
+        Tables.events(s, dir)
+          .withColumn("session_seq",
+            sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("t1", lead(col("event_type"), 1).over(w))
+          .withColumn("t2", lead(col("event_type"), 2).over(w))
+          .withColumn("s2", lead(col("session_seq"), 2).over(w))
+          .filter(col("s2") === col("session_seq"))
+          .select(concat_ws(">", col("event_type"), col("t1"), col("t2")).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path")).limit(20)
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), seqd AS (
+          SELECT user_id, event_id, ts, event_type,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM flagged
+        ), led AS (
+          SELECT event_type,
+                 lead(event_type, 1) OVER w2 AS t1,
+                 lead(event_type, 2) OVER w2 AS t2,
+                 session_seq,
+                 lead(session_seq, 2) OVER w2 AS s2
+          FROM seqd
+          WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_type || '>' || t1 || '>' || t2 AS path,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM led WHERE s2 = session_seq
+        GROUP BY 1 ORDER BY n DESC, path LIMIT 20
       """.trim))
   )
 }

@@ -168,6 +168,49 @@ class ExtSpec extends SparkSpec {
     assert(NearDup.connectedComponents(empty, "id_a", "id_b").count() === 0)
   }
 
+  test("pageRankInt matches a driver-side integer reference on a seeded graph") {
+    import spark.implicits._
+    // star 1-{2,3,4} plus pair 10-11: the hub must outrank the leaves, and
+    // every rank must equal the hand-rolled integer recurrence exactly.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = NearDup.pageRankInt(pairs, "id_a", "id_b", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val adj = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 10L -> 11L)
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = adj.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val base = 150000000L / deg.size
+    var ranks = deg.keys.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to 3) {
+      val in = adj.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => ranks(src) / deg(src) }.sum
+      }
+      ranks = in.map { case (n, s) => n -> (base + (85L * s) / 100L) }
+    }
+    assert(got === ranks)
+    assert(got(1L) > got(2L), "hub must outrank a leaf")
+    assert(got(2L) === got(3L) && got(3L) === got(4L), "symmetric leaves tie")
+  }
+
+  test("hardNegativeTopK excludes same-label vectors and ranks by cosine") {
+    import spark.implicits._
+    // query 0 (label 0) at e1; same-label near-twin must NOT appear;
+    // best different-label is the axis-aligned 2, then the diagonal 3.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.1f), 0), // same label: excluded however similar
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0.5f, 0.5f), 1),
+      (4L, Array(0.0f, 1.0f), 2)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegativeTopK(
+        vecs.filter(col("vec_id") === 0L), vecs, "vec_id", "embedding", "label", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(2L, 3L, 4L))
+    assert(!out.map(_.getLong(1)).contains(1L))
+    val cosines = out.map(_.getDouble(3))
+    assert(cosines.sameElements(cosines.sorted.reverse), "ranked by cosine desc")
+  }
+
   test("chunkFrame: windows tile every token with the declared overlap") {
     val w = 32; val s = 24
     val chunks = TextAnalysis.chunkFrame(docs, "doc_id", "text", w, s)
