@@ -168,6 +168,38 @@ class ExtSpec extends SparkSpec {
     assert(NearDup.connectedComponents(empty, "id_a", "id_b").count() === 0)
   }
 
+  test("deltaNearDupPairs equals the full pipeline restricted to mixed pairs") {
+    // planted: delta doc 3 duplicates base doc 1; delta docs never pair
+    // with each other (within-batch dedup is out of contract)
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (10L, "unrelated words entirely separate content here today now")
+    ).toDF("doc_id", "text")
+    val inc = NearDup.deltaNearDupPairs(
+        planted.filter(col("doc_id") % 7 =!= 3),
+        planted.filter(col("doc_id") % 7 === 3),
+        "doc_id", "text", 3, 64, 16, 0.8)
+      .select("new_id", "base_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === Set((3L, 1L)))
+
+    // corpus equivalence: incremental output == full pair pipeline filtered
+    // to mixed (delta, base) pairs and re-oriented
+    val incCorpus = NearDup.deltaNearDupPairs(
+        docs.filter(col("doc_id") % 7 =!= 3), docs.filter(col("doc_id") % 7 === 3),
+        "doc_id", "text", 3, 64, 16, 0.8)
+      .select("new_id", "base_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullMixed = NearDup.minHashNearDupPairs(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 7 == 3) != (b % 7 == 3) }
+      .map { case (a, b) => if (a % 7 == 3) (a, b) else (b, a) }.toSet
+    assert(incCorpus === fullMixed)
+  }
+
   test("pageRankInt matches a driver-side integer reference on a seeded graph") {
     import spark.implicits._
     // star 1-{2,3,4} plus pair 10-11: the hub must outrank the leaves, and
