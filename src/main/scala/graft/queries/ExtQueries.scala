@@ -3139,6 +3139,144 @@ object ExtQueries {
                CAST(COUNT(*) AS BIGINT) AS n
         FROM led WHERE s2 = session_seq
         GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+      """.trim)),
+
+    // Quality-weighted corpus resampling (FineWeb-style): each document is
+    // kept with probability equal to its quality score — deterministically,
+    // by comparing a salted 60-bit hash against quality * 2^60 (the power-
+    // of-two scaling is exact; both engines promote the hash to double for
+    // the compare and round identically, so membership is bit-stable across
+    // runs, shards, and engines — no RNG anywhere). Aggregated per source
+    // with an exact kept-id checksum so the oracle pins the individual
+    // membership decisions, not just the counts. Pure scan + one aggregate.
+    Q(
+      "q203_weighted_resample",
+      (s, dir) => {
+        val kept = TextHash.hash60(concat(col("doc_id").cast("string"), lit(":resample")))
+          .cast("double") < col("q") * lit(1.152921504606846976e18)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.qualityScore(TextAnalysis.tokens(col("text"))).as("q"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(kept, col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+          .withColumn("accept_rate",
+            col("n_kept").cast("double") / col("n_docs").cast("double"))
+          .orderBy("source")
+      },
+      Some {
+        val quality = """0.5 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (CASE WHEN len(w) = 0 THEN 0.0
+                               ELSE CAST(len(list_filter(w, t -> t IN (""" + StopList + """))) AS DOUBLE)
+                                    / CAST(len(w) AS DOUBLE) END)
+                 + 0.2 * least((CASE WHEN len(w) = 0 THEN 0.0
+                                     ELSE CAST(list_sum([length(t) FOR t IN w]) AS DOUBLE)
+                                          / CAST(len(w) AS DOUBLE) END) / 8.0, 1.0)"""
+        s"""
+        WITH scored AS (
+          SELECT doc_id, source, $quality AS q,
+                 ${TextHash.duckHash60("CAST(doc_id AS VARCHAR) || ':resample'")} AS h
+          FROM (SELECT doc_id, source, $Toks AS w FROM documents)
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN CAST(h AS DOUBLE) < q * 1152921504606846976.0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN CAST(h AS DOUBLE) < q * 1152921504606846976.0
+                             THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum,
+               CAST(SUM(CASE WHEN CAST(h AS DOUBLE) < q * 1152921504606846976.0
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS accept_rate
+        FROM scored GROUP BY source ORDER BY source
+      """.trim
+      }),
+
+    // Training-mixture planning: per-language token inventories against an
+    // equal-share target — the rebalancing math every multi-source pretrain
+    // run starts with (downsample over-represented languages, keep the
+    // rest whole). Integer token sums, integer-division target, LEAST for
+    // the plan, ONE exact-int division for the rate — no running double
+    // anywhere. The one-row total rides a broadcast cross join.
+    Q(
+      "q204_mixture_plan",
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("lang"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+          .groupBy("lang").agg(sum(col("n")).as("n_tokens"))
+        val tot = t.agg(sum(col("n_tokens")).as("total"), count(lit(1)).as("n_langs"))
+        t.crossJoin(broadcast(tot))
+          .withColumn("target_tokens", expr("total div n_langs"))
+          .select(col("lang"), col("n_tokens"), col("target_tokens"),
+            least(col("n_tokens"), col("target_tokens")).as("planned_tokens"),
+            when(col("n_tokens") <= col("target_tokens"), lit(1.0))
+              .otherwise(col("target_tokens").cast("double")
+                / col("n_tokens").cast("double")).as("sample_rate"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT lang, CAST(SUM(len($Toks)) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY lang
+        ), tot AS (
+          SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_langs FROM t
+        )
+        SELECT lang, n_tokens,
+               CAST(total // n_langs AS BIGINT) AS target_tokens,
+               CAST(LEAST(n_tokens, total // n_langs) AS BIGINT) AS planned_tokens,
+               CASE WHEN n_tokens <= total // n_langs THEN 1.0
+                    ELSE CAST(total // n_langs AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               END AS sample_rate
+        FROM t CROSS JOIN tot ORDER BY lang
+      """.trim)),
+
+    // Token-distribution (Shannon) entropy per source — the corpus
+    // diversity diagnostic next to X65's distinct-ratio: H = ln(T) -
+    // (sum c_t ln c_t)/T over per-source token counts, carried in integer
+    // micro-nats end-to-end (c_t * round(ln(c_t)*1e6) is an exact integer
+    // product; the q194 quantization un-blocked ln). The only double op is
+    // the final display division by 1e6 of two exact integers. Two hash
+    // aggregates, both token-keyed — linear at any corpus size.
+    Q(
+      "q205_source_entropy",
+      (s, dir) => {
+        val counts = Tables.documents(s, dir)
+          .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+          .groupBy("source", "t").agg(count(lit(1)).as("c"))
+        counts.groupBy("source")
+          .agg(
+            sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("c") * round(log(col("c").cast("double")) * 1000000.0).cast("long"))
+              .as("s_unats"))
+          .select(col("source"), col("n_tokens"), col("n_distinct"),
+            (round(log(col("n_tokens").cast("double")) * 1000000.0).cast("long")
+              - expr("s_unats div n_tokens")).as("h_unats"))
+          .withColumn("entropy_nats",
+            col("h_unats").cast("double") / lit(1000000.0))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT source, unnest($Toks) AS t FROM documents
+        ), c AS (
+          SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY source, t
+        ), agg AS (
+          SELECT source,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 CAST(SUM(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT))
+                   AS BIGINT) AS s_unats
+          FROM c GROUP BY source
+        )
+        SELECT source, n_tokens, n_distinct,
+               CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+                 - s_unats // n_tokens AS BIGINT) AS h_unats,
+               CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+                 - s_unats // n_tokens AS DOUBLE) / 1000000.0 AS entropy_nats
+        FROM agg ORDER BY source
       """.trim))
   )
 }
