@@ -3277,6 +3277,47 @@ object ExtQueries {
                CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
                  - s_unats // n_tokens AS DOUBLE) / 1000000.0 AS entropy_nats
         FROM agg ORDER BY source
-      """.trim))
+      """.trim)),
+
+    // RANGE-frame rolling windows — the time-window frame the ROWS-frame
+    // surface can't express: per event, the user's trailing-1-hour count and
+    // exact micro-sum plus the leading-10-minute count, frames bounded by
+    // the ORDER-BY VALUE (epoch micros), not row offsets. Peers at equal
+    // timestamps enter the frame together in both engines (SQL-standard
+    // value-based peers), so ties cost nothing in determinism. Both frames
+    // share one user-partitioned sort.
+    Q(
+      "q206_rolling_window",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            (col("value").cast("decimal(16,6)") * lit(1000000)).cast("long").as("micros"))
+        val wt = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600L * 1000000L, Window.currentRow)
+        val wl = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+          .rangeBetween(Window.currentRow, 600L * 1000000L)
+        ev.select(col("event_id"), col("user_id"),
+            count(lit(1)).over(wt).as("n_trail_1h"),
+            sum(col("micros")).over(wt).as("sum_trail_1h"),
+            count(lit(1)).over(wl).as("n_lead_10m"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id, user_id, epoch_us(ts) AS us,
+                 CAST(CAST(value AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS micros
+          FROM events
+        )
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER wt AS BIGINT) AS n_trail_1h,
+               CAST(SUM(micros) OVER wt AS BIGINT) AS sum_trail_1h,
+               CAST(COUNT(*) OVER wl AS BIGINT) AS n_lead_10m
+        FROM ev
+        WINDOW wt AS (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+               wl AS (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN CURRENT ROW AND 600000000 FOLLOWING)
+        ORDER BY event_id
+      """.trim)),
   )
 }
