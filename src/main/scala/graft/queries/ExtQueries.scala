@@ -3319,5 +3319,165 @@ object ExtQueries {
                       RANGE BETWEEN CURRENT ROW AND 600000000 FOLLOWING)
         ORDER BY event_id
       """.trim)),
+
+    // Population-stability-index drift detection — the ML-ops monitor run
+    // between a reference cohort and a live one (here: even- vs odd-user
+    // events, a data-independent split): PSI = sum over 10 fixed value bins
+    // of (p-q)*ln(p/q), add-one smoothed. The ln rides the q194 micro-nat
+    // quantization (its argument is one division of two exact <2^53
+    // integer products), each bin term is a fixed expression tree over
+    // exact integers, and the 10 bounded terms add in FIXED index order
+    // through a pivot — no merge-order-dependent double sum anywhere.
+    // Absent bins are densified (a zero-count bin still contributes).
+    Q(
+      "q207_psi_drift",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          (col("user_id") % 2 === 0).as("is_ref"),
+          least(greatest(floor(col("value") / 100.0), lit(0.0)), lit(9.0))
+            .cast("int").as("bin"))
+        val counts = ev.groupBy("event_type", "bin").agg(
+          sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_r"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_c"))
+        val totals = ev.groupBy("event_type").agg(
+          sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_r"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_c"))
+        val dense = totals
+          .select(col("event_type"), col("n_r"), col("n_c"),
+            explode(sequence(lit(0), lit(9))).as("bin"))
+          .join(counts, Seq("event_type", "bin"), "left")
+          .na.fill(0L, Seq("c_r", "c_c"))
+        val terms = dense
+          .withColumn("unats",
+            round(log(((col("c_r") + 1) * (col("n_c") + 10)).cast("double")
+              / ((col("c_c") + 1) * (col("n_r") + 10)).cast("double")) * 1000000.0)
+              .cast("long"))
+          .withColumn("term",
+            ((col("c_r") + 1).cast("double") / (col("n_r") + 10).cast("double")
+              - (col("c_c") + 1).cast("double") / (col("n_c") + 10).cast("double"))
+              * (col("unats").cast("double") / 1000000.0))
+        terms.groupBy("event_type", "n_r", "n_c")
+          .pivot("bin", 0 to 9).agg(first(col("term")))
+          .select(col("event_type"), col("n_r").as("n_ref"), col("n_c").as("n_cur"),
+            (0 to 9).map(i => col(i.toString)).reduce(_ + _).as("psi"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, user_id % 2 = 0 AS is_ref,
+                 CAST(LEAST(GREATEST(floor(value / 100.0), 0.0), 9.0) AS INTEGER) AS bin
+          FROM events
+        ), c AS (
+          SELECT event_type, bin,
+                 CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_r,
+                 CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_c
+          FROM ev GROUP BY 1, 2
+        ), t AS (
+          SELECT event_type,
+                 CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+                 CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_c
+          FROM ev GROUP BY 1
+        ), dense AS (
+          SELECT t.event_type, t.n_r, t.n_c, b.bin,
+                 COALESCE(c.c_r, 0) AS c_r, COALESCE(c.c_c, 0) AS c_c
+          FROM t CROSS JOIN range(0, 10) b(bin)
+          LEFT JOIN c ON c.event_type = t.event_type AND c.bin = b.bin
+        ), terms AS (
+          SELECT event_type, n_r, n_c, bin,
+                 (CAST(c_r + 1 AS DOUBLE) / CAST(n_r + 10 AS DOUBLE)
+                  - CAST(c_c + 1 AS DOUBLE) / CAST(n_c + 10 AS DOUBLE))
+                 * (CAST(CAST(round(ln(CAST((c_r + 1) * (n_c + 10) AS DOUBLE)
+                        / CAST((c_c + 1) * (n_r + 10) AS DOUBLE)) * 1000000.0)
+                     AS BIGINT) AS DOUBLE) / 1000000.0) AS term
+          FROM dense
+        )
+        SELECT event_type, n_r AS n_ref, n_c AS n_cur,
+               MAX(CASE WHEN bin = 0 THEN term END)
+               + MAX(CASE WHEN bin = 1 THEN term END)
+               + MAX(CASE WHEN bin = 2 THEN term END)
+               + MAX(CASE WHEN bin = 3 THEN term END)
+               + MAX(CASE WHEN bin = 4 THEN term END)
+               + MAX(CASE WHEN bin = 5 THEN term END)
+               + MAX(CASE WHEN bin = 6 THEN term END)
+               + MAX(CASE WHEN bin = 7 THEN term END)
+               + MAX(CASE WHEN bin = 8 THEN term END)
+               + MAX(CASE WHEN bin = 9 THEN term END) AS psi
+        FROM terms GROUP BY event_type, n_r, n_c ORDER BY event_type
+      """.trim)),
+
+    // Weighted priority sampling (Efraimidis-Spirakis A-Res) without RNG:
+    // key = ln(u)/w with u a salted-hash uniform in (0,1] and w = token
+    // count, top-100 by key — inclusion probability proportional to weight,
+    // membership stable across runs/shards/engines. The ln is micro-nat
+    // quantized (q194); u's 2^60 denominator is an exact power-of-two
+    // scaling; the one division per row is a fixed two-operand tree. Global
+    // top-k is TakeOrdered (no single-task window). This is how a token-
+    // budget-proportional corpus subsample is drawn at 100 TB — a
+    // distributed top-k, not a reservoir walk.
+    Q(
+      "q208_priority_sample",
+      (s, dir) => {
+        val u = (TextHash.hash60(concat(col("doc_id").cast("string"), lit(":priority")))
+          .cast("double") + lit(1.0)) / lit(1.152921504606846976e18)
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+            round(log(u) * 1000000.0).cast("long").as("unats"))
+          .filter(col("n_tokens") > 0)
+          .select(col("doc_id"), col("n_tokens"),
+            (col("unats").cast("double") / col("n_tokens").cast("double"))
+              .as("sample_key"))
+          .orderBy(col("sample_key").desc, col("doc_id")).limit(100)
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens,
+                 ${TextHash.duckHash60("CAST(doc_id AS VARCHAR) || ':priority'")} AS h
+          FROM documents
+        ), keyed AS (
+          SELECT doc_id, n_tokens,
+                 CAST(CAST(round(ln((CAST(h AS DOUBLE) + 1.0)
+                       / 1152921504606846976.0) * 1000000.0) AS BIGINT) AS DOUBLE)
+                   / CAST(n_tokens AS DOUBLE) AS sample_key
+          FROM d WHERE n_tokens > 0
+        )
+        SELECT doc_id, n_tokens, sample_key
+        FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 100
+      """.trim)),
+
+    // Recency-weighted engagement scoring with INTEGER half-life decay:
+    // each event contributes its micro-value right-shifted by its age in
+    // whole one-day half-lives (shift = exact division by 2^k, so the
+    // per-user sum is an exact BIGINT at any partition count — the
+    // floating exp(-lambda*age) this replaces is merge-order-dependent).
+    // The corpus max-timestamp anchor rides a broadcast cross join; the
+    // shift count is capped at 62 (beyond that a long contributes 0
+    // anyway, and >=64-bit shifts are engine-undefined).
+    Q(
+      "q209_decayed_engagement",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          (col("value").cast("decimal(16,6)") * lit(1000000)).cast("long").as("micros"))
+        val mx = ev.agg(max(col("us")).as("t"))
+        ev.crossJoin(broadcast(mx))
+          .withColumn("k", least(expr("(t - us) div 86400000000"), lit(62L)))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("shiftright(micros, cast(k as int))")).as("decayed_score"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 CAST(CAST(value AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS micros
+          FROM events
+        ), mx AS (SELECT MAX(us) AS t FROM ev)
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(micros >> CAST(LEAST((t - us) // 86400000000, 62) AS INTEGER))
+                 AS BIGINT) AS decayed_score
+        FROM ev CROSS JOIN mx GROUP BY user_id ORDER BY user_id
+      """.trim))
   )
 }
