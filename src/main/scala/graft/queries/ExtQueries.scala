@@ -2932,9 +2932,10 @@ object ExtQueries {
         FROM lagd ORDER BY event_id
       """.trim)),
 
-    // CUBE + GROUPING SETS — the two grouping-set surfaces q20's ROLLUP
-    // left uncovered, through one gate: the full 4-set cube and an explicit
-    // 2-set GROUPING SETS ((status),(priority)), tagged and unioned.
+    // Explicit GROUPING SETS — the one grouping-set surface q20 (ROLLUP)
+    // and q43 (CUBE) left uncovered: the Dataset.groupingSets API with an
+    // arbitrary 2-set list ((status),(priority)), unioned beside the same
+    // cube so the gate cross-checks the two shapes agree on shared sets.
     // grouping_id() disambiguates NULL-as-ALL from genuine null group keys
     // in both engines (same bit convention, pinned by q20). Expansion
     // happens BEFORE the shuffle (Spark's Expand operator), so a G-set
@@ -3279,13 +3280,14 @@ object ExtQueries {
         FROM agg ORDER BY source
       """.trim)),
 
-    // RANGE-frame rolling windows — the time-window frame the ROWS-frame
-    // surface can't express: per event, the user's trailing-1-hour count and
-    // exact micro-sum plus the leading-10-minute count, frames bounded by
-    // the ORDER-BY VALUE (epoch micros), not row offsets. Peers at equal
-    // timestamps enter the frame together in both engines (SQL-standard
-    // value-based peers), so ties cost nothing in determinism. Both frames
-    // share one user-partitioned sort.
+    // RANGE-frame rolling TIME windows at microsecond resolution — the
+    // event-time extension of q46's day-number range frame: per event, the
+    // user's trailing-1-hour count and exact micro-sum plus a LEADING
+    // 10-minute frame (the FOLLOWING direction q46 doesn't touch), frames
+    // bounded by the ORDER-BY VALUE (epoch micros), not row offsets. Peers
+    // at equal timestamps enter the frame together in both engines
+    // (SQL-standard value-based peers), so ties cost nothing in
+    // determinism. Both frames share one user-partitioned sort.
     Q(
       "q206_rolling_window",
       (s, dir) => {
