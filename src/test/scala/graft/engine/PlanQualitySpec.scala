@@ -312,6 +312,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("TopKPerKey"), s"expected TopKPerKeyExec in:\n$plan")
   }
 
+  test("micro-range rolling windows ride ONE user_id exchange") {
+    // Both RANGE frames (trailing + leading) and their sort must share a
+    // single hash exchange on user_id — a second exchange would re-shuffle
+    // the fact per frame.
+    val df = graft.SparkEntry.queries("q206_rolling_window")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      s"expected exactly one user_id exchange in:\n$plan")
+  }
+
+  test("priority sampling plans the global top-k as TakeOrderedAndProject") {
+    // orderBy(key).limit(k) must become the streaming per-partition top-k
+    // (TakeOrderedAndProject), never a materialized global sort — the
+    // difference between O(k) and O(corpus) driver/exchange volume.
+    val df = graft.SparkEntry.queries("q208_priority_sample")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+  }
+
+  test("quality-weighted resampling is one scan + aggregates, no join") {
+    // Membership is decided per-row from the hash and quality columns, so
+    // the whole op must stay scan + aggregate: any Join (or second scan of
+    // documents) means the sampling decision left the map side.
+    val df = graft.SparkEntry.queries("q203_weighted_resample")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"expected a single documents scan in:\n$plan")
+  }
+
   test("registry sweep: no unpartitioned Window in any registered query's plan") {
     // The single-task-funnel audit, mechanized: every registered query's
     // optimized logical plan must be free of Window nodes with an empty
