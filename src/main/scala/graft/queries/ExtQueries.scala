@@ -3480,6 +3480,43 @@ object ExtQueries {
                CAST(SUM(micros >> CAST(LEAST((t - us) // 86400000000, 62) AS INTEGER))
                  AS BIGINT) AS decayed_score
         FROM ev CROSS JOIN mx GROUP BY user_id ORDER BY user_id
+      """.trim)),
+
+    // Recursive CTE (WITH RECURSIVE — the Spark 4 SQL surface): every user
+    // walks the implicit binary hierarchy u -> u div 2 up to the root, one
+    // recursion step per level (depth <= log2(max id), rows per user =
+    // path length). Emits the depth and an exact path-id checksum, so the
+    // oracle pins every step of every walk, not just termination. The only
+    // spark.sql entry besides the date dim — exercises parse -> analyze ->
+    // UnionLoop execution, a plan shape the DataFrame DSL can't declare.
+    Q(
+      "q210_recursive_cte",
+      (s, dir) => {
+        Tables.events(s, dir).select(col("user_id"))
+          .where(col("user_id") >= 1).distinct()
+          .createOrReplaceTempView("rcte_users")
+        s.sql("""
+          WITH RECURSIVE walk(user_id, anc, depth) AS (
+            SELECT user_id, user_id, 0 FROM rcte_users
+            UNION ALL
+            SELECT user_id, anc div 2, depth + 1 FROM walk WHERE anc > 1
+          )
+          SELECT user_id, CAST(max(depth) AS INT) AS depth_to_root,
+                 CAST(sum(anc) AS BIGINT) AS path_id_sum
+          FROM walk GROUP BY user_id ORDER BY user_id
+        """)
+      },
+      Some("""
+        WITH RECURSIVE u AS (
+          SELECT DISTINCT user_id FROM events WHERE user_id >= 1
+        ), walk(user_id, anc, depth) AS (
+          SELECT user_id, user_id, 0 FROM u
+          UNION ALL
+          SELECT user_id, anc // 2, depth + 1 FROM walk WHERE anc > 1
+        )
+        SELECT user_id, CAST(max(depth) AS INTEGER) AS depth_to_root,
+               CAST(sum(anc) AS BIGINT) AS path_id_sum
+        FROM walk GROUP BY user_id ORDER BY user_id
       """.trim))
   )
 }
