@@ -3517,6 +3517,40 @@ object ExtQueries {
         SELECT user_id, CAST(max(depth) AS INTEGER) AS depth_to_root,
                CAST(sum(anc) AS BIGINT) AS path_id_sum
         FROM walk GROUP BY user_id ORDER BY user_id
+      """.trim)),
+
+    // LATERAL correlated subquery — the per-row-subquery SQL surface
+    // (top-2 customers per nation by balance): the planner decorrelates
+    // the LIMIT-bearing subquery into a per-key rank, which the injected
+    // TopKRankRewrite rule lowers onto the bounded-memory TopKPerKey heap
+    // operator (plan-pinned) — LATERAL sugar lands on the same physical
+    // plan as the explicit heap top-k, never a nested loop. Deterministic
+    // (acctbal desc, custkey) order; money surfaced as double.
+    Q(
+      "q211_lateral_topn",
+      (s, dir) => {
+        Tables.nation(s, dir).createOrReplaceTempView("lat_nation")
+        Tables.customer(s, dir).createOrReplaceTempView("lat_customer")
+        s.sql("""
+          SELECT n.n_name, t.c_custkey,
+                 CAST(t.c_acctbal AS DOUBLE) AS acctbal
+          FROM lat_nation n,
+               LATERAL (SELECT c_custkey, c_acctbal
+                        FROM lat_customer c
+                        WHERE c.c_nationkey = n.n_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          ORDER BY n.n_name, t.c_custkey
+        """)
+      },
+      Some("""
+        SELECT n.n_name, t.c_custkey,
+               CAST(t.c_acctbal AS DOUBLE) AS acctbal
+        FROM nation n,
+             LATERAL (SELECT c_custkey, c_acctbal
+                      FROM customer c
+                      WHERE c.c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        ORDER BY n.n_name, t.c_custkey
       """.trim))
   )
 }

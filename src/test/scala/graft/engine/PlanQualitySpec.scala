@@ -343,6 +343,22 @@ class PlanQualitySpec extends SparkSpec {
       s"expected a single documents scan in:\n$plan")
   }
 
+  test("LATERAL top-n decorrelates to a partitioned rank, no nested loop") {
+    // The LIMIT-bearing correlated subquery must not execute per outer row:
+    // no nested-loop/cartesian operator, and a rank window partitioned by
+    // the correlation key must appear instead.
+    val df = graft.SparkEntry.queries("q211_lateral_topn")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"LATERAL fell back to a nested loop:\n$plan")
+    // decorrelation produces a per-key rank, which the injected
+    // TopKRankRewrite rule further lowers onto the bounded-memory heap
+    // operator — LATERAL sugar ends on the same physical plan as
+    // TopKPerKey.of
+    assert(plan.contains("TopKPerKey") || plan.contains("row_number"),
+      s"expected a decorrelated rank/heap top-k in:\n$plan")
+  }
+
   test("registry sweep: no unpartitioned Window in any registered query's plan") {
     // The single-task-funnel audit, mechanized: every registered query's
     // optimized logical plan must be free of Window nodes with an empty
