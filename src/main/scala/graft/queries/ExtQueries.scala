@@ -3551,6 +3551,165 @@ object ExtQueries {
                       WHERE c.c_nationkey = n.n_nationkey
                       ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
         ORDER BY n.n_name, t.c_custkey
+      """.trim)),
+
+    // Retrieval-quality metrics: per-probe MRR and NDCG@3 of the SRP-cell
+    // ANN against the brute-force ground truth — the rank-position-aware
+    // complement of q97's recall@k (a hit at rank 1 and a hit at rank 3
+    // score differently here). The log2 position discounts are HARDCODED
+    // micro-nat integers (10^12 div round(log2(i+1)*1e6) = 1000000 /
+    // 630929 / 500000) so no libm call exists in either engine; DCG and
+    // IDCG stay exact integers and each metric is one final division.
+    Q(
+      "q212_retrieval_metrics",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val b = e.select(col("vec_id"), col("embedding"),
+          Similarity.hyperplaneBucketFast(col("embedding"), 6, 64).as("bucket"))
+        val probes = b.filter(col("vec_id") % 20 === 0)
+        val ann = Similarity.annTopKByCell(probes, b, "vec_id", "embedding", "bucket", k = 3)
+          .select("query_id", "neighbor_id", "rank")
+        val truth = Similarity.topKCosine(
+            e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding", k = 3)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+        val agg = ann.join(truth, Seq("query_id", "neighbor_id"), "left")
+          .na.fill(0L, Seq("hit"))
+          .groupBy("query_id")
+          .agg(
+            max(when(col("rank") === 1, col("hit")).otherwise(0L)).as("h1"),
+            max(when(col("rank") === 2, col("hit")).otherwise(0L)).as("h2"),
+            max(when(col("rank") === 3, col("hit")).otherwise(0L)).as("h3"))
+        agg.select(col("query_id"),
+            (col("h1") + col("h2") + col("h3")).as("n_hits"),
+            when(col("h1") === 1, lit(1.0))
+              .when(col("h2") === 1, lit(1.0) / lit(2.0))
+              .when(col("h3") === 1, lit(1.0) / lit(3.0))
+              .otherwise(lit(0.0)).as("mrr"),
+            when(col("h1") + col("h2") + col("h3") === 0, lit(0.0))
+              .otherwise(
+                (col("h1") * 1000000L + col("h2") * 630929L + col("h3") * 500000L)
+                  .cast("double")
+                / when(col("h1") + col("h2") + col("h3") === 1, 1000000L)
+                    .when(col("h1") + col("h2") + col("h3") === 2, 1630929L)
+                    .otherwise(2130929L).cast("double")).as("ndcg3"))
+          .orderBy("query_id")
+      },
+      Some(s"""
+        WITH sb AS (
+          SELECT vec_id,
+                 CAST(list_sum([
+                   CASE WHEN list_sum([
+                     CAST(embedding[i] AS DOUBLE) *
+                     (CASE WHEN (${TextHash.duckHash60(
+                        "CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} & 1) = 1
+                      THEN 1.0 ELSE -1.0 END)
+                     FOR i IN generate_series(1, len(embedding))]) >= 0
+                   THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END
+                   FOR p IN generate_series(0, 5)]) AS BIGINT) AS bucket
+          FROM embeddings
+        ), e AS (
+          SELECT v.vec_id, v.embedding, sb.bucket,
+                 sqrt(${duckDot("v.embedding", "v.embedding")}) AS nrm
+          FROM embeddings v JOIN sb ON v.vec_id = sb.vec_id
+        ), ann AS (
+          SELECT query_id, neighbor_id, rnk FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                              c.vec_id) AS rnk
+            FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+            WHERE q.vec_id % 20 = 0)
+          WHERE rnk <= 3
+        ), brute AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                              c.vec_id) AS rnk
+            FROM e q CROSS JOIN e c
+            WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id)
+          WHERE rnk <= 3
+        ), agg AS (
+          SELECT a.query_id,
+                 CAST(MAX(CASE WHEN a.rnk = 1 AND EXISTS (SELECT 1 FROM brute b
+                   WHERE b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+                 CAST(MAX(CASE WHEN a.rnk = 2 AND EXISTS (SELECT 1 FROM brute b
+                   WHERE b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+                 CAST(MAX(CASE WHEN a.rnk = 3 AND EXISTS (SELECT 1 FROM brute b
+                   WHERE b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS h3
+          FROM ann a GROUP BY a.query_id
+        )
+        SELECT query_id,
+               CAST(h1 + h2 + h3 AS BIGINT) AS n_hits,
+               CASE WHEN h1 = 1 THEN CAST(1 AS DOUBLE)
+                    WHEN h2 = 1 THEN CAST(1 AS DOUBLE) / 2
+                    WHEN h3 = 1 THEN CAST(1 AS DOUBLE) / 3
+                    ELSE CAST(0 AS DOUBLE) END AS mrr,
+               CASE WHEN h1 + h2 + h3 = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE CAST(h1 * 1000000 + h2 * 630929 + h3 * 500000 AS DOUBLE)
+                         / CAST(CASE h1 + h2 + h3 WHEN 1 THEN 1000000
+                                WHEN 2 THEN 1630929 ELSE 2130929 END AS DOUBLE)
+               END AS ndcg3
+        FROM agg ORDER BY query_id
+      """.trim)),
+
+    // BPE merge-training step — the tokenizer-training component of an LLM
+    // pipeline: count every word-internal character bigram across the
+    // corpus, elect the merge winner by (count desc, pair asc), then apply
+    // the merge corpus-wide and report per-language how many words and
+    // occurrences it touched (replace() is leftmost-non-overlapping in
+    // both engines, so the applied-merge counts agree exactly). Pair
+    // explosion is linear in characters; the 1-row winner broadcasts onto
+    // the application scan. Iterating this query IS BPE training.
+    Q(
+      "q213_bpe_merge_step",
+      (s, dir) => {
+        val words = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) >= 2)
+        val pairs = words
+          .select(col("lang"),
+            explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+              .as("pair"))
+        val winner = pairs.groupBy("pair").agg(count(lit(1)).as("n_pair"))
+          .orderBy(col("n_pair").desc, col("pair")).limit(1)
+        words.crossJoin(broadcast(winner))
+          .withColumn("n_merges",
+            expr("cast((length(w) - length(replace(w, pair, ''))) div 2 as bigint)"))
+          .groupBy("lang", "pair", "n_pair")
+          .agg(
+            sum(when(col("n_merges") > 0, 1L).otherwise(0L)).as("n_words_affected"),
+            sum(col("n_merges")).as("n_occurrences"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH words AS (
+          SELECT lang, unnest($Toks) AS w FROM documents
+        ), w2 AS (
+          SELECT lang, w FROM words WHERE length(w) >= 2
+        ), pairs AS (
+          SELECT lang, unnest([substr(w, CAST(i AS INTEGER), 2)
+                               FOR i IN generate_series(1, length(w) - 1)]) AS pair
+          FROM w2
+        ), winner AS (
+          SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_pair
+          FROM pairs GROUP BY pair
+          ORDER BY n_pair DESC, pair LIMIT 1
+        )
+        SELECT lang, winner.pair, winner.n_pair,
+               CAST(SUM(CASE WHEN length(w) > length(replace(w, winner.pair, ''))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_words_affected,
+               CAST(SUM((length(w) - length(replace(w, winner.pair, ''))) // 2)
+                 AS BIGINT) AS n_occurrences
+        FROM w2 CROSS JOIN winner
+        GROUP BY lang, winner.pair, winner.n_pair
+        ORDER BY lang
       """.trim))
   )
 }
