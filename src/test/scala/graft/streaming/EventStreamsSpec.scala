@@ -190,6 +190,49 @@ class EventStreamsSpec extends SparkSpec {
     val n = spark.read.parquet(out).count()
     assert(n === graft.Tables.events(spark, sf0001).count())
   }
+
+  test("checkpoint restart resumes exactly-once: old files skipped, new file processed") {
+    // The recovery contract a 100 TB landing zone depends on: a stopped
+    // query restarted against the SAME checkpoint must process only files
+    // that arrived while it was down — no reprocessing (the file-source log
+    // remembers batch 1), no loss, no duplicates in the sink.
+    import org.apache.spark.sql.functions._
+    val base = "/tmp/graft_scratch/restart_spec"
+    val srcDir = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(base))
+    new java.io.File(srcDir).mkdirs()
+    // land each batch as ONE flat file (the file-stream source lists the
+    // directory's files, it does not recurse into per-batch subdirs)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$base/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      assert(part.renameTo(new java.io.File(s"$srcDir/$name.parquet")))
+    }
+    land(spark.range(1, 101).select(col("id")), "batch1")
+    val schema = spark.read.parquet(s"$srcDir/batch1.parquet").schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(out).count() === 100L)
+    land(spark.range(101, 151).select(col("id")), "batch2")
+    run()
+    val ids = spark.read.parquet(out).select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.length === 150, s"expected exactly-once union, got ${ids.length} rows")
+    assert(ids.toSeq === (1L to 150L), "restart must add only the new file's rows")
+  }
 }
 
 /** Top-level so MemoryStream gets a clean product encoder (no outer capture). */
