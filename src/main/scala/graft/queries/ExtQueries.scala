@@ -3710,6 +3710,48 @@ object ExtQueries {
         FROM w2 CROSS JOIN winner
         GROUP BY lang, winner.pair, winner.n_pair
         ORDER BY lang
+      """.trim)),
+
+    // Sequence packing: assign documents to fixed 2048-token context-window
+    // bins by their START offset in the arrival-order token stream — the
+    // training-batch packing pass that turns a deduped corpus into
+    // fixed-budget sequences. The global cumulative offset comes from the
+    // TWO-PHASE prefix sum (range partition + per-partition offsets,
+    // Keys.globalRunningSum) — the single-task window the naive form needs
+    // is exactly what 100 TB forbids; the oracle states the same packing
+    // with DuckDB's (single-node-fine) unbounded window. Per-bin doc count,
+    // token fill, and id span pin every assignment.
+    Q(
+      "q214_sequence_packing",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+          .filter(col("n_tokens") > 0)
+        graft.engine.Keys.globalRunningSum(docs, "doc_id", "n_tokens", "cum")
+          .withColumn("bin", expr("(cum - n_tokens) div 2048"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("bin")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens FROM documents
+        ), d2 AS (
+          SELECT doc_id, n_tokens FROM d WHERE n_tokens > 0
+        ), c AS (
+          SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d2
+        )
+        SELECT CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM c GROUP BY 1 ORDER BY bin
       """.trim))
   )
 }
