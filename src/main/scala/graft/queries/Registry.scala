@@ -13,7 +13,7 @@ final case class Q(
 
 object Registry {
   /** All registered queries, contributed per module. */
-  def all: Seq[Q] = CoreQueries.qs ++ PipelineQueries.qs ++ ExtQueries.qs
+  def all: Seq[Q] = CoreQueries.qs ++ PipelineQueries.qs ++ ExtQueries.qs ++ EvalQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
