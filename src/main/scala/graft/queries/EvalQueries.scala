@@ -175,6 +175,258 @@ object EvalQueries {
                  AS avg_pred,
                CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_pos
         FROM b GROUP BY 1 ORDER BY bin
+      """.trim)),
+
+    // Chi-square association audit of the lang × source contingency table —
+    // the data-mixture independence test (is language composition uniform
+    // across feeds?). Marginals come from re-aggregating the cell table
+    // (tiny, AQE-broadcast), so the corpus is scanned once. Per-cell
+    // expected count, chi-square contribution, and standardized residual
+    // are emitted as ROWS (no cross-cell double sum exists, so there is no
+    // merge-order hazard); each double is a fixed-order expression over
+    // exact integers — (o·n − r·c)² / (n·r·c) — identical in both engines.
+    // Integer products stay under 2^63 while the corpus is under ~3e9 docs.
+    Q(
+      "q218_contingency_chi2",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cell = docs.groupBy("lang", "source").agg(count(lit(1)).as("observed"))
+        val rowT = cell.groupBy("lang").agg(sum("observed").as("row_tot"))
+        val colT = cell.groupBy("source").agg(sum("observed").as("col_tot"))
+        val n = docs.agg(count(lit(1)).as("__n"))
+        val dev = (col("observed") * col("__n") - col("row_tot") * col("col_tot"))
+          .cast("double")
+        val expected = (col("row_tot") * col("col_tot")).cast("double") /
+          col("__n").cast("double")
+        cell.join(rowT, "lang").join(colT, "source").crossJoin(broadcast(n))
+          .select(col("lang"), col("source"), col("observed"),
+            col("row_tot"), col("col_tot"),
+            expected.as("expected"),
+            (dev * dev / (col("__n") * col("row_tot") * col("col_tot")).cast("double"))
+              .as("chi2_contrib"),
+            ((col("observed").cast("double") - expected) / sqrt(expected)).as("std_resid"))
+          .orderBy("lang", "source")
+      },
+      Some("""
+        WITH cell AS (
+          SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS observed
+          FROM documents GROUP BY 1, 2
+        ), r AS (
+          SELECT lang, CAST(SUM(observed) AS BIGINT) AS row_tot FROM cell GROUP BY 1
+        ), c AS (
+          SELECT source, CAST(SUM(observed) AS BIGINT) AS col_tot FROM cell GROUP BY 1
+        ), n AS (
+          SELECT COUNT(*) AS n FROM documents
+        )
+        SELECT cell.lang, cell.source, observed, row_tot, col_tot,
+               CAST(row_tot * col_tot AS DOUBLE) / CAST(n.n AS DOUBLE) AS expected,
+               (CAST(observed * n.n - row_tot * col_tot AS DOUBLE)
+                 * CAST(observed * n.n - row_tot * col_tot AS DOUBLE))
+                 / CAST(n.n * row_tot * col_tot AS DOUBLE) AS chi2_contrib,
+               (CAST(observed AS DOUBLE)
+                 - CAST(row_tot * col_tot AS DOUBLE) / CAST(n.n AS DOUBLE))
+                 / sqrt(CAST(row_tot * col_tot AS DOUBLE) / CAST(n.n AS DOUBLE))
+                 AS std_resid
+        FROM cell
+        JOIN r ON cell.lang = r.lang
+        JOIN c ON cell.source = c.source
+        CROSS JOIN n
+        ORDER BY cell.lang, cell.source
+      """.trim)),
+
+    // Per-source KL divergence from the corpus token distribution — the
+    // data-mixture drift monitor (which feed's unigram distribution departs
+    // most from the blend it feeds into). The q194 micro-nat trick makes the
+    // token-level log term an INTEGER (round(ln(p/q)·1e6)), so the per-source
+    // reduction Σ n_st·unats is an order-independent integer sum at any
+    // partition count; the corpus distribution covers every source token, so
+    // no zero-probability terms exist. Aggregate-sized side tables join onto
+    // the (source, token) frame — all linear, one shuffle each.
+    Q(
+      "q219_kl_drift",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+        val st = tok.groupBy("source", "t").agg(count(lit(1)).as("n_st"))
+        val ct = st.groupBy("t").agg(sum("n_st").as("n_t"))
+        val ts = st.groupBy("source").agg(sum("n_st").as("t_s"))
+        val tot = st.agg(sum("n_st").as("t_all"))
+        st.join(ct, "t").join(ts, "source").crossJoin(broadcast(tot))
+          .withColumn("unats", round(log(
+              (col("n_st").cast("double") * col("t_all").cast("double"))
+                / (col("t_s").cast("double") * col("n_t").cast("double"))) * lit(1000000.0))
+            .cast("long"))
+          .groupBy("source")
+          .agg(max("t_s").as("n_tokens"),
+            count(lit(1)).as("n_distinct_tokens"),
+            sum(col("n_st") * col("unats")).as("sum_unats"))
+          .select(col("source"), col("n_tokens"), col("n_distinct_tokens"),
+            col("sum_unats"),
+            (col("sum_unats").cast("double")
+              / (col("n_tokens").cast("double") * lit(1000000.0))).as("kl_nats"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT source, unnest($Toks) AS t FROM documents
+        ), st AS (
+          SELECT source, t, COUNT(*) AS n_st FROM tok GROUP BY 1, 2
+        ), ct AS (
+          SELECT t, CAST(SUM(n_st) AS BIGINT) AS n_t FROM st GROUP BY 1
+        ), ts AS (
+          SELECT source, CAST(SUM(n_st) AS BIGINT) AS t_s FROM st GROUP BY 1
+        ), tot AS (
+          SELECT CAST(SUM(n_st) AS BIGINT) AS t_all FROM st
+        ), u AS (
+          SELECT st.source, st.n_st, ts.t_s,
+                 CAST(round(ln((CAST(st.n_st AS DOUBLE) * CAST(t_all AS DOUBLE))
+                   / (CAST(t_s AS DOUBLE) * CAST(n_t AS DOUBLE))) * 1000000.0)
+                   AS BIGINT) AS unats
+          FROM st
+          JOIN ct ON st.t = ct.t
+          JOIN ts ON st.source = ts.source
+          CROSS JOIN tot
+        )
+        SELECT source, MAX(t_s) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+               CAST(SUM(n_st * unats) AS BIGINT) AS sum_unats,
+               CAST(SUM(n_st * unats) AS DOUBLE)
+                 / (CAST(MAX(t_s) AS DOUBLE) * 1000000.0) AS kl_nats
+        FROM u GROUP BY 1 ORDER BY source
+      """.trim)),
+
+    // Bloom-prefiltered train/test decontamination — the 100 TB shape of
+    // q56: the test set's 16-token block fingerprints compress into a
+    // 1024-bit Bloom bitmap (17 bigint words of 63 bits, k=3 — built
+    // RELATIONALLY with bit_or aggregation, no driver-side sketch; 63 bits
+    // per word keeps the sign bit untouched in both engines, sized so the
+    // gate observably exercises false-positive elimination), broadcast onto
+    // the train-block scan as a pure expression filter, and only the
+    // bloom-positive blocks (true matches + ~p³ false positives) reach the
+    // exact fingerprint join. Flagged-vs-matched counts per source expose
+    // the false-positive elimination the exact verify performs; no false
+    // negatives exist by construction, which is what makes the prefilter
+    // sound. All-integer output.
+    Q(
+      "q220_bloom_decontam",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val blocks = TextAnalysis.chunkFrame(
+            docs.repartition(s.sessionState.conf.numShufflePartitions, col("doc_id")),
+            "doc_id", "text", window = 16, stride = 16)
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("chunk_fp"))
+        val testB = blocks.filter(col("doc_id") % 37 === 0).select("chunk_fp").distinct()
+        val trainB = blocks.filter(col("doc_id") % 37 =!= 0)
+        def posCol(fp: org.apache.spark.sql.Column, j: Int) =
+          pmod(TextHash.hash60(concat(fp.cast("string"), lit(":" + j))), lit(1024L))
+        val bitmap = testB
+          .select(explode(array((0 until 3).map(j => posCol(col("chunk_fp"), j)): _*)).as("pos"))
+          .select(expr("pos div 63").as("word"), expr("pos % 63").as("bit"))
+          .groupBy("word")
+          .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(bit as int)))").as("bits"))
+        val flagged = trainB
+          .withColumn("pos",
+            explode(array((0 until 3).map(j => posCol(col("chunk_fp"), j)): _*)))
+          .withColumn("word", expr("pos div 63"))
+          .join(broadcast(bitmap), Seq("word"), "left")
+          .withColumn("hit",
+            coalesce(expr("shiftright(bits, cast(pos % 63 as int)) & 1"), lit(0L)))
+          .groupBy("doc_id", "source", "chunk_fp")
+          .agg(min("hit").as("maybe"))
+          .filter(col("maybe") === 1L)
+        val matched = flagged.join(testB, Seq("chunk_fp"), "left_semi")
+        val base = trainB.select("doc_id", "source").distinct()
+          .groupBy("source").agg(count(lit(1)).as("n_train_docs"))
+        val fDocs = flagged.select("doc_id", "source").distinct()
+          .groupBy("source").agg(count(lit(1)).as("n_docs_flagged"))
+        val cDocs = matched.select("doc_id", "source").distinct()
+          .groupBy("source").agg(count(lit(1)).as("n_docs_contaminated"))
+        val fBlk = flagged.groupBy("source").agg(count(lit(1)).as("n_blocks_flagged"))
+        val mBlk = matched.groupBy("source").agg(count(lit(1)).as("n_blocks_matched"))
+        base
+          .join(fDocs, Seq("source"), "left")
+          .join(cDocs, Seq("source"), "left")
+          .join(fBlk, Seq("source"), "left")
+          .join(mBlk, Seq("source"), "left")
+          .na.fill(0L, Seq("n_docs_flagged", "n_docs_contaminated",
+            "n_blocks_flagged", "n_blocks_matched"))
+          .withColumn("n_clean_docs", col("n_train_docs") - col("n_docs_contaminated"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH t0 AS (
+          SELECT doc_id, source, $Toks AS w FROM documents
+        ), t1 AS (
+          SELECT doc_id, source, w, CAST(len(w) AS INTEGER) AS nt FROM t0 WHERE len(w) > 0
+        ), blk AS (
+          SELECT doc_id, source,
+                 ${TextHash.duckHash60(
+                   "array_to_string(w[CAST(ci*16+1 AS BIGINT):CAST(least(ci*16+16, nt) AS BIGINT)], ' ')")}
+                   AS chunk_fp
+          FROM (SELECT doc_id, source, w, nt,
+                       unnest(generate_series(0, (greatest(nt - 16, 0) + 15) // 16)) AS ci
+                FROM t1)
+        ), testb AS (
+          SELECT DISTINCT chunk_fp FROM blk WHERE doc_id % 37 = 0
+        ), trainb AS (
+          SELECT doc_id, source, chunk_fp FROM blk WHERE doc_id % 37 <> 0
+        ), bitmap AS (
+          SELECT pos // 63 AS word,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+          FROM (
+            SELECT ${TextHash.duckHash60(
+              "CAST(chunk_fp AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} % 1024 AS pos
+            FROM testb CROSS JOIN range(0, 3) t(j))
+          GROUP BY 1
+        ), probe AS (
+          SELECT doc_id, source, chunk_fp,
+                 ${TextHash.duckHash60(
+                   "CAST(chunk_fp AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} % 1024 AS pos
+          FROM trainb CROSS JOIN range(0, 3) t(j)
+        ), flagged AS (
+          SELECT doc_id, source, chunk_fp
+          FROM (
+            SELECT p.doc_id, p.source, p.chunk_fp,
+                   MIN(CASE WHEN b.bits IS NOT NULL
+                            AND ((b.bits >> CAST(p.pos % 63 AS INTEGER)) & 1) = 1
+                            THEN 1 ELSE 0 END) AS maybe
+            FROM probe p LEFT JOIN bitmap b ON b.word = p.pos // 63
+            GROUP BY 1, 2, 3)
+          WHERE maybe = 1
+        ), matched AS (
+          SELECT f.doc_id, f.source, f.chunk_fp
+          FROM flagged f WHERE f.chunk_fp IN (SELECT chunk_fp FROM testb)
+        ), base AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train_docs
+          FROM (SELECT DISTINCT doc_id, source FROM trainb) GROUP BY 1
+        ), fd AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_flagged
+          FROM (SELECT DISTINCT doc_id, source FROM flagged) GROUP BY 1
+        ), cd AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_contaminated
+          FROM (SELECT DISTINCT doc_id, source FROM matched) GROUP BY 1
+        ), fb AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_blocks_flagged
+          FROM flagged GROUP BY 1
+        ), mb AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_blocks_matched
+          FROM matched GROUP BY 1
+        )
+        SELECT base.source,
+               n_train_docs,
+               COALESCE(n_docs_flagged, 0) AS n_docs_flagged,
+               COALESCE(n_docs_contaminated, 0) AS n_docs_contaminated,
+               COALESCE(n_blocks_flagged, 0) AS n_blocks_flagged,
+               COALESCE(n_blocks_matched, 0) AS n_blocks_matched,
+               n_train_docs - COALESCE(n_docs_contaminated, 0) AS n_clean_docs
+        FROM base
+        LEFT JOIN fd ON base.source = fd.source
+        LEFT JOIN cd ON base.source = cd.source
+        LEFT JOIN fb ON base.source = fb.source
+        LEFT JOIN mb ON base.source = mb.source
+        ORDER BY base.source
       """.trim))
   )
 }
