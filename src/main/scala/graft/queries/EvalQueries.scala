@@ -427,6 +427,196 @@ object EvalQueries {
         LEFT JOIN fb ON base.source = fb.source
         LEFT JOIN mb ON base.source = mb.source
         ORDER BY base.source
+      """.trim)),
+
+    // Cohen's kappa between the heuristic language-ID labeler and the
+    // metadata label (en vs not) — the annotator-agreement statistic that
+    // separates real classifier skill from marginal-rate luck, plus the
+    // confusion matrix and accuracy/precision/recall. One map-side labeling
+    // pass + one global 4-counter aggregate; every metric is a single
+    // division of exact integer counts — kappa = (N·agree − Σ marginal
+    // products) / (N² − Σ marginal products).
+    Q(
+      "q221_cohens_kappa",
+      (s, dir) => {
+        val cm = Tables.documents(s, dir)
+          .select(col("lang"), TextAnalysis.tokens(col("text")).as("__toks"))
+          .select(
+            when(col("lang") === "en", 1L).otherwise(0L).as("truth"),
+            when(TextAnalysis.langId(col("__toks")) === "en", 1L).otherwise(0L).as("pred"))
+          .agg(
+            sum(when(col("truth") === 1L && col("pred") === 1L, 1L).otherwise(0L)).as("tp"),
+            sum(when(col("truth") === 1L && col("pred") === 0L, 1L).otherwise(0L)).as("fn"),
+            sum(when(col("truth") === 0L && col("pred") === 1L, 1L).otherwise(0L)).as("fp"),
+            sum(when(col("truth") === 0L && col("pred") === 0L, 1L).otherwise(0L)).as("tn"))
+        val n = col("tp") + col("fn") + col("fp") + col("tn")
+        val pe = (col("tp") + col("fn")) * (col("tp") + col("fp")) +
+          (col("fp") + col("tn")) * (col("fn") + col("tn"))
+        cm.select(col("tp"), col("fn"), col("fp"), col("tn"),
+          ((col("tp") + col("tn")).cast("double") / n.cast("double")).as("accuracy"),
+          (col("tp").cast("double") / (col("tp") + col("fp")).cast("double")).as("prec"),
+          (col("tp").cast("double") / (col("tp") + col("fn")).cast("double")).as("recall"),
+          ((n * (col("tp") + col("tn")) - pe).cast("double")
+            / (n * n - pe).cast("double")).as("kappa"))
+      },
+      Some {
+        val langCounts = TextAnalysis.LangProfiles.map { case (lang, words) =>
+          s"len(list_filter(w, t -> t IN (${words.map(x => s"'$x'").mkString(",")}))) AS c_$lang"
+        }.mkString(",\n                 ")
+        val langs = TextAnalysis.LangProfiles.map(_._1)
+        val langCase = langs.init.zipWithIndex.map { case (lang, i) =>
+          val later = langs.drop(i + 1).map(l => s"c_$lang >= c_$l").mkString(" AND ")
+          s"WHEN $later THEN '$lang'"
+        }.mkString(" ")
+        s"""
+        WITH base AS (
+          SELECT lang, $Toks AS w FROM documents
+        ), feat AS (
+          SELECT lang, $langCounts FROM base
+        ), lab AS (
+          SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+                 CASE WHEN (CASE $langCase ELSE '${langs.last}' END) = 'en'
+                      THEN 1 ELSE 0 END AS pred
+          FROM feat
+        ), cm AS (
+          SELECT
+            CAST(SUM(CASE WHEN truth = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(SUM(CASE WHEN truth = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+            CAST(SUM(CASE WHEN truth = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(SUM(CASE WHEN truth = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          FROM lab
+        ), m AS (
+          SELECT tp, fn, fp, tn, tp + fn + fp + tn AS n,
+                 (tp + fn) * (tp + fp) + (fp + tn) * (fn + tn) AS pe
+          FROM cm
+        )
+        SELECT tp, fn, fp, tn,
+               CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
+               CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS prec,
+               CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+               CAST(n * (tp + tn) - pe AS DOUBLE) / CAST(n * n - pe AS DOUBLE) AS kappa
+        FROM m
+      """.trim
+      }),
+
+    // Per-source Gini concentration of document token counts — the corpus
+    // inequality diagnostic (is a feed's token mass concentrated in a few
+    // giant documents?). Computed WITHOUT a per-row rank: Gini's rank form
+    // equals the mean-absolute-difference form, whose numerator needs only
+    // exclusive prefix (count, mass) sums over the DISTINCT-VALUE frame —
+    // Σ_v c_v·(x_v·cnt_before − mass_before) — so the window runs over
+    // (source × distinct token-count) rows, bounded by the value domain
+    // (the q59/q89 precedent), never over documents. Integer algebra, one
+    // final division per source.
+    Q(
+      "q222_gini_sources",
+      (s, dir) => {
+        val grp = Tables.documents(s, dir)
+          .select(col("source"), size(TextAnalysis.tokens(col("text"))).cast("long").as("x"))
+          .groupBy("source", "x").agg(count(lit(1)).as("c"))
+          .withColumn("sx", col("c") * col("x"))
+        val w = Window.partitionBy("source").orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        grp
+          .withColumn("cb", coalesce(sum("c").over(w), lit(0L)))
+          .withColumn("sb", coalesce(sum("sx").over(w), lit(0L)))
+          .groupBy("source")
+          .agg(sum("c").as("n_docs"), sum("sx").as("total_tokens"),
+            sum(col("c") * (col("x") * col("cb") - col("sb"))).as("mad_num"))
+          .select(col("source"), col("n_docs"), col("total_tokens"), col("mad_num"),
+            (col("mad_num").cast("double")
+              / (col("n_docs") * col("total_tokens")).cast("double")).as("gini"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT source, CAST(len($Toks) AS BIGINT) AS x FROM documents
+        ), g AS (
+          SELECT source, x, COUNT(*) AS c, COUNT(*) * x AS sx
+          FROM d GROUP BY 1, 2
+        ), p AS (
+          SELECT source, x, c, sx,
+                 COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+                 COALESCE(SUM(sx) OVER (PARTITION BY source ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sb
+          FROM g
+        ), a AS (
+          SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+                 CAST(SUM(sx) AS BIGINT) AS total_tokens,
+                 CAST(SUM(c * (x * cb - sb)) AS BIGINT) AS mad_num
+          FROM p GROUP BY 1
+        )
+        SELECT source, n_docs, total_tokens, mad_num,
+               CAST(mad_num AS DOUBLE) / CAST(n_docs * total_tokens AS DOUBLE) AS gini
+        FROM a ORDER BY source
+      """.trim)),
+
+    // Two-sample Kolmogorov-Smirnov distance between source length
+    // distributions (every pair among src0-src3) — the exact drift test
+    // complementing q207's binned PSI: D = max_x |F_a(x) − F_b(x)|,
+    // evaluated on the shared distinct-value grid so both ECDFs step at
+    // every pooled value. The ECDF difference stays an INTEGER
+    // (cum_a·n_b − cum_b·n_a); only the final D is one division. Windows
+    // run per source over the distinct-value grid (value-domain bounded,
+    // q59 precedent); the pair join is value-bucketed, |sources|²-bounded.
+    Q(
+      "q223_ks_distance",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .filter(col("source").isin("src0", "src1", "src2", "src3"))
+          .select(col("source"), col("n_chars"))
+        val cnt = d.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+        val grid = d.select("n_chars").distinct()
+          .crossJoin(d.select("source").distinct())
+          .join(cnt, Seq("source", "n_chars"), "left")
+          .na.fill(0L, Seq("c"))
+        val w = Window.partitionBy("source").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = grid.withColumn("cum", sum("c").over(w))
+          .join(d.groupBy("source").agg(count(lit(1)).as("n")), "source")
+        cum.as("a")
+          .join(cum.as("b"),
+            col("a.n_chars") === col("b.n_chars") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(max(col("a.n")).as("n_a"), max(col("b.n")).as("n_b"),
+            max(abs(col("a.cum") * col("b.n") - col("b.cum") * col("a.n"))).as("ks_num"))
+          .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("ks_num"),
+            (col("ks_num").cast("double")
+              / (col("n_a") * col("n_b")).cast("double")).as("ks_d"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""
+        WITH d AS (
+          SELECT source, n_chars FROM documents
+          WHERE source IN ('src0','src1','src2','src3')
+        ), cnt AS (
+          SELECT source, n_chars, COUNT(*) AS c FROM d GROUP BY 1, 2
+        ), grid AS (
+          SELECT s.source, x.n_chars, COALESCE(cnt.c, 0) AS c
+          FROM (SELECT DISTINCT n_chars FROM d) x
+          CROSS JOIN (SELECT DISTINCT source FROM d) s
+          LEFT JOIN cnt ON cnt.source = s.source AND cnt.n_chars = x.n_chars
+        ), cum AS (
+          SELECT source, n_chars,
+                 SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM grid
+        ), tot AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+        ), j AS (
+          SELECT a.source AS sa, b.source AS sb, a.cum AS ca, b.cum AS cb,
+                 ta.n AS na, tb.n AS nb
+          FROM cum a
+          JOIN cum b ON a.n_chars = b.n_chars AND a.source < b.source
+          JOIN tot ta ON ta.source = a.source
+          JOIN tot tb ON tb.source = b.source
+        )
+        SELECT sa AS source_a, sb AS source_b, MAX(na) AS n_a, MAX(nb) AS n_b,
+               CAST(MAX(abs(ca * nb - cb * na)) AS BIGINT) AS ks_num,
+               CAST(MAX(abs(ca * nb - cb * na)) AS DOUBLE)
+                 / CAST(MAX(na) * MAX(nb) AS DOUBLE) AS ks_d
+        FROM j GROUP BY 1, 2 ORDER BY source_a, source_b
       """.trim))
   )
 }
