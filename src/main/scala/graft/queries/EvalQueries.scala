@@ -617,6 +617,174 @@ object EvalQueries {
                CAST(MAX(abs(ca * nb - cb * na)) AS DOUBLE)
                  / CAST(MAX(na) * MAX(nb) AS DOUBLE) AS ks_d
         FROM j GROUP BY 1, 2 ORDER BY source_a, source_b
+      """.trim)),
+
+    // Zipf coverage curve — the tokenizer-budget planner: how many vocabulary
+    // types cover 50/90/99% of corpus token mass. Token frequencies collapse
+    // to DISTINCT-FREQUENCY groups (Zipf makes this frame tiny relative to
+    // the vocabulary), descending-frequency cumulative (types, mass) come
+    // from the two-phase prefix sum — no unpartitioned window, no global
+    // sort — and the boundary group's partial take is exact integer ceiling
+    // arithmetic: v_P = types_before + ceil((T_P − mass_before)/f) with
+    // T_P = ceil(P·total/100). Min-over-qualifying-groups selects the
+    // crossing group without a second pass.
+    Q(
+      "q224_zipf_coverage",
+      (s, dir) => {
+        val fg = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("f"))
+          .groupBy("f").agg(count(lit(1)).as("n_types"))
+          .withColumn("mass", col("f") * col("n_types"))
+        val cum = Keys.globalRunningSumBy(
+          Keys.globalRunningSumBy(fg, Seq(col("f").desc), "mass", "cum_mass"),
+          Seq(col("f").desc), "n_types", "cum_types")
+        val tot = fg.agg(sum("mass").as("total_mass"), sum("n_types").as("vocab"))
+        def vP(p: Int) = min(when(
+          col("cum_mass") >= expr(s"($p * total_mass + 99) div 100"),
+          col("cum_types") - col("n_types") +
+            expr(s"(($p * total_mass + 99) div 100 - (cum_mass - mass) + f - 1) div f")))
+        cum.crossJoin(broadcast(tot))
+          .agg(max("total_mass").as("n_tokens_total"), max("vocab").as("vocab_size"),
+            vP(50).as("v50"), vP(90).as("v90"), vP(99).as("v99"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT unnest($Toks) AS t FROM documents
+        ), tf AS (
+          SELECT t, COUNT(*) AS f FROM tok GROUP BY 1
+        ), fg AS (
+          SELECT f, COUNT(*) AS n_types, f * COUNT(*) AS mass FROM tf GROUP BY 1
+        ), c AS (
+          SELECT f, n_types, mass,
+                 SUM(mass) OVER (ORDER BY f DESC ROWS UNBOUNDED PRECEDING) AS cum_mass,
+                 SUM(n_types) OVER (ORDER BY f DESC ROWS UNBOUNDED PRECEDING) AS cum_types
+          FROM fg
+        ), tot AS (
+          SELECT CAST(SUM(mass) AS BIGINT) AS total_mass,
+                 CAST(SUM(n_types) AS BIGINT) AS vocab FROM fg
+        )
+        SELECT MAX(total_mass) AS n_tokens_total, MAX(vocab) AS vocab_size,
+               CAST(MIN(CASE WHEN cum_mass >= (50 * total_mass + 99) // 100
+                 THEN cum_types - n_types
+                   + ((50 * total_mass + 99) // 100 - (cum_mass - mass) + f - 1) // f
+                 END) AS BIGINT) AS v50,
+               CAST(MIN(CASE WHEN cum_mass >= (90 * total_mass + 99) // 100
+                 THEN cum_types - n_types
+                   + ((90 * total_mass + 99) // 100 - (cum_mass - mass) + f - 1) // f
+                 END) AS BIGINT) AS v90,
+               CAST(MIN(CASE WHEN cum_mass >= (99 * total_mass + 99) // 100
+                 THEN cum_types - n_types
+                   + ((99 * total_mass + 99) // 100 - (cum_mass - mass) + f - 1) // f
+                 END) AS BIGINT) AS v99
+        FROM c CROSS JOIN tot
+      """.trim)),
+
+    // Cross-source quantile normalization — map every document's length onto
+    // the CORPUS value at the same within-source quantile (the batch-effect
+    // removal step before mixing heterogeneous feeds). Within-source ranks
+    // avoid per-row global windows: exclusive prefix counts over the
+    // distinct-value frame (source-partitioned, value-domain bounded) plus a
+    // row_number only within each (source, value) tie group. The mid-rank →
+    // corpus order statistic k = ceil((2r−1)·N / (2n_s)) stays integer, and
+    // the k → value lookup runs through the bucketed point-in-interval
+    // RangeJoin (equi-join on rank buckets), never a nested-loop theta join.
+    Q(
+      "q225_quantile_normalize",
+      (s, dir) => {
+        val docs0 = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+        val wS = Window.partitionBy("source").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cbS = docs0.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+          .withColumn("cb", coalesce(sum("c").over(wS), lit(0L)))
+        val ranked = docs0
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("source", "n_chars").orderBy("doc_id")).cast("long"))
+          .join(cbS.select("source", "n_chars", "cb"), Seq("source", "n_chars"))
+          .withColumn("r", col("cb") + col("rn"))
+          .join(docs0.groupBy("source").agg(count(lit(1)).as("n_s")), "source")
+          .crossJoin(broadcast(docs0.agg(count(lit(1)).as("n_corp"))))
+          .withColumn("k", expr("((2*r - 1) * n_corp + 2*n_s - 1) div (2*n_s)"))
+        val intervals = Keys.globalRunningSum(
+            docs0.groupBy("n_chars").agg(count(lit(1)).as("cc")), "n_chars", "cc", "cum")
+          .select(col("n_chars").as("norm_chars"),
+            (col("cum") - col("cc") + lit(1L)).as("lo"), (col("cum") + lit(1L)).as("hi"))
+        RangeJoin.pointInInterval(
+            ranked.select("doc_id", "source", "n_chars", "k"),
+            intervals, "k", "lo", "hi", step = 16.0)
+          .select("doc_id", "source", "n_chars", "norm_chars")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source, n_chars FROM documents
+        ), r AS (
+          SELECT doc_id, source, n_chars,
+                 CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+                   AS BIGINT) AS r,
+                 CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n_corp
+          FROM d
+        ), k AS (
+          SELECT doc_id, source, n_chars,
+                 ((2 * r - 1) * n_corp + 2 * n_s - 1) // (2 * n_s) AS k
+          FROM r
+        ), v AS (
+          SELECT n_chars AS norm_chars,
+                 SUM(COUNT(*)) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING)
+                   - COUNT(*) + 1 AS lo,
+                 SUM(COUNT(*)) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING)
+                   + 1 AS hi
+          FROM d GROUP BY n_chars
+        )
+        SELECT doc_id, k.source, k.n_chars, v.norm_chars
+        FROM k JOIN v ON k.k >= v.lo AND k.k < v.hi
+        ORDER BY doc_id
+      """.trim)),
+
+    // Heaps-law growth curve — distinct trigram shingles seen as the corpus
+    // is ingested in doc-id order, per 50-document batch: the dedup-planning
+    // curve (a flattening curve says later batches add mostly repeats).
+    // Exact cumulative-distinct without any re-scan: each shingle's FIRST
+    // document (min over one hash aggregate) assigns it to the batch that
+    // introduced it; new-per-batch counts then accumulate through the
+    // two-phase prefix sum. Linear in corpus shingles, two shuffles total.
+    Q(
+      "q226_heaps_curve",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val newPerBucket = NearDup.shingleFrame(docs, "doc_id", "text", n = 3)
+          .select(col("doc_id"), explode(col("__shingles")).as("sh"))
+          .groupBy("sh").agg(min("doc_id").as("first_doc"))
+          .groupBy(expr("first_doc div 50").as("bucket"))
+          .agg(count(lit(1)).as("n_new"))
+        val base = docs
+          .groupBy(expr("doc_id div 50").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"))
+          .join(newPerBucket, Seq("bucket"), "left")
+          .na.fill(0L, Seq("n_new"))
+        Keys.globalRunningSum(base, "bucket", "n_new", "cum")
+          .select(col("bucket"), col("n_docs"), col("n_new").as("n_new_shingles"),
+            col("cum").as("cum_distinct_shingles"))
+          .orderBy("bucket")
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id, unnest(${duckShingles(Toks, 3)}) AS s FROM documents
+        ), first AS (
+          SELECT s, MIN(doc_id) AS fd FROM sh GROUP BY 1
+        ), nb AS (
+          SELECT fd // 50 AS bucket, COUNT(*) AS n_new FROM first GROUP BY 1
+        ), db AS (
+          SELECT doc_id // 50 AS bucket, COUNT(*) AS n_docs FROM documents GROUP BY 1
+        )
+        SELECT db.bucket AS bucket, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new_shingles,
+               CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY db.bucket
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_shingles
+        FROM db LEFT JOIN nb ON db.bucket = nb.bucket
+        ORDER BY bucket
       """.trim))
   )
 }
