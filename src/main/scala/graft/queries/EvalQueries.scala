@@ -785,6 +785,159 @@ object EvalQueries {
                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_shingles
         FROM db LEFT JOIN nb ON db.bucket = nb.bucket
         ORDER BY bucket
+      """.trim)),
+
+    // Split-leakage audit — near-duplicate pairs that CROSS the
+    // train/val/test hash-split boundary: the eval-integrity check a
+    // fingerprint decontamination pass (q220) cannot see, because near-dups
+    // share no exact block. Composes the verified MinHash pair pipeline
+    // with the deterministic hash split; the pair set is banded/bucketed
+    // candidate generation (never all-pairs), the split label join is
+    // id-keyed. Output is the split×split leakage matrix.
+    Q(
+      "q227_split_leakage",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = NearDup.minHashNearDupPairs(docs, "doc_id", "text",
+          n = 3, k = 64, bands = 16, threshold = 0.8)
+        val split = docs.select(col("doc_id"),
+          TextAnalysis.splitAssign(col("doc_id"),
+            Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+        pairs
+          .join(split.withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("split", "split_a"), "id_a")
+          .join(split.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("split", "split_b"), "id_b")
+          .groupBy(least(col("split_a"), col("split_b")).as("split_lo"),
+            greatest(col("split_a"), col("split_b")).as("split_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .select(col("split_lo"), col("split_hi"), col("n_pairs"),
+            (col("split_lo") =!= col("split_hi")).cast("int").as("is_leakage"))
+          .orderBy("split_lo", "split_hi")
+      },
+      Some(s"""
+        ${ExtQueries.MinhashPairsCte}, split AS (
+          SELECT doc_id,
+                 CASE WHEN ${TextHash.duckHash60("CAST(doc_id AS VARCHAR)")} % 100 < 80
+                        THEN 'train'
+                      WHEN ${TextHash.duckHash60("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                        THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        ), lab AS (
+          SELECT least(sa.split, sb.split) AS split_lo,
+                 greatest(sa.split, sb.split) AS split_hi
+          FROM verified v
+          JOIN split sa ON sa.doc_id = v.id_a
+          JOIN split sb ON sb.doc_id = v.id_b
+        )
+        SELECT split_lo, split_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS INTEGER)
+                 AS is_leakage
+        FROM lab GROUP BY 1, 2 ORDER BY split_lo, split_hi
+      """.trim)),
+
+    // Split vocabulary OOV audit — for each hash split, how much of its
+    // token stream falls outside the TRAIN split's vocabulary: the
+    // tokenizer-training sanity check (a tokenizer fit on train must not
+    // meet a structurally different val/test vocabulary). One token
+    // explosion, one (split, token) aggregate, one vocab join — all
+    // hash-partitioned, no per-row driver work. Counts exact; the rate is
+    // one final division.
+    Q(
+      "q228_split_vocab_oov",
+      (s, dir) => {
+        val st = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(
+            TextAnalysis.splitAssign(col("doc_id"),
+              Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"),
+            explode(TextAnalysis.tokens(col("text"))).as("t"))
+          .groupBy("split", "t").agg(count(lit(1)).as("n"))
+        val trainV = st.filter(col("split") === "train")
+          .select(col("t"), lit(1L).as("in_train"))
+        st.join(trainV, Seq("t"), "left")
+          .na.fill(0L, Seq("in_train"))
+          .groupBy("split")
+          .agg(sum("n").as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(when(col("in_train") === 0L, 1L).otherwise(0L)).as("n_oov_types"),
+            sum(when(col("in_train") === 0L, col("n")).otherwise(0L)).as("n_oov_tokens"))
+          .select(col("split"), col("n_tokens"), col("n_types"),
+            col("n_oov_types"), col("n_oov_tokens"),
+            (col("n_oov_tokens").cast("double") / col("n_tokens").cast("double"))
+              .as("oov_rate"))
+          .orderBy("split")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT CASE WHEN ${TextHash.duckHash60("CAST(doc_id AS VARCHAR)")} % 100 < 80
+                        THEN 'train'
+                      WHEN ${TextHash.duckHash60("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                        THEN 'val'
+                      ELSE 'test' END AS split,
+                 unnest($Toks) AS t
+          FROM documents
+        ), st AS (
+          SELECT split, t, COUNT(*) AS n FROM toks GROUP BY 1, 2
+        ), tv AS (
+          SELECT t FROM st WHERE split = 'train'
+        ), f AS (
+          SELECT st.split, st.n,
+                 CASE WHEN tv.t IS NULL THEN 0 ELSE 1 END AS in_train
+          FROM st LEFT JOIN tv ON st.t = tv.t
+        )
+        SELECT split,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN in_train = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov_types,
+               CAST(SUM(CASE WHEN in_train = 0 THEN n ELSE 0 END) AS BIGINT)
+                 AS n_oov_tokens,
+               CAST(SUM(CASE WHEN in_train = 0 THEN n ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(n) AS DOUBLE) AS oov_rate
+        FROM f GROUP BY 1 ORDER BY split
+      """.trim)),
+
+    // Embedding dimension health screen — per-dimension min/max/range and
+    // near-zero occupancy over the whole corpus: the dead/collapsed-
+    // dimension diagnostic run before index building (a dimension with no
+    // spread contributes nothing to cosine ranking but still costs memory
+    // and bandwidth). min/max are order-independent reductions (exact on
+    // floats), counts are integers — nothing here depends on summation
+    // order, so the gate is bitwise. One posexplode + one aggregate,
+    // map-side-combinable at any scale.
+    Q(
+      "q229_embedding_dims",
+      (s, dir) => {
+        Tables.embeddings(s, dir)
+          .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n_vecs"),
+            min(col("v").cast("double")).as("min_v"),
+            max(col("v").cast("double")).as("max_v"),
+            sum(when(abs(col("v").cast("double")) < lit(0.01), 1L).otherwise(0L))
+              .as("n_near_zero"))
+          .select(col("dim"), col("n_vecs"), col("min_v"), col("max_v"),
+            (col("max_v") - col("min_v")).as("range_v"),
+            col("n_near_zero"),
+            ((col("max_v") - col("min_v")) < lit(0.05)).cast("int").as("is_dead"))
+          .orderBy("dim")
+      },
+      Some("""
+        WITH x AS (
+          SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings
+        )
+        SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               MIN(v) AS min_v, MAX(v) AS max_v,
+               MAX(v) - MIN(v) AS range_v,
+               CAST(SUM(CASE WHEN abs(v) < CAST(0.01 AS DOUBLE) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_near_zero,
+               CAST(CASE WHEN MAX(v) - MIN(v) < CAST(0.05 AS DOUBLE) THEN 1 ELSE 0 END
+                 AS INTEGER) AS is_dead
+        FROM x GROUP BY 1 ORDER BY dim
       """.trim))
   )
 }

@@ -36,7 +36,7 @@ object ExtQueries {
     * -> band buckets -> candidate pairs -> exact-Jaccard-verified `verified`
     * relation (id_a, id_b, jaccard). Shared by q24 and q36.
     */
-  private lazy val MinhashPairsCte: String = s"""
+  private[queries] lazy val MinhashPairsCte: String = s"""
         WITH d AS (
           SELECT doc_id, ${duckShingles(Toks, 3)} AS sh FROM documents
         ), sigs AS (
