@@ -462,4 +462,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(naive.contains("BroadcastNestedLoopJoin"),
       "naive form is the nested-loop baseline this operator exists to avoid")
   }
+
+  test("bloom decontamination broadcasts the bitmap onto the train-block scan") {
+    // The 100 TB contract of q220: the Bloom bitmap (an aggregate of at most
+    // ceil(1024/63) rows) must reach the train-block probe as a broadcast —
+    // a shuffled bitmap join would defeat the point of the sketch. The exact
+    // verify join stays AFTER the prefilter, so only bloom-positive blocks
+    // shuffle.
+    val df = graft.SparkEntry.queries("q220_bloom_decontam")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the bitmap to broadcast onto the probe:\n$plan")
+  }
+
+  test("quantile normalization routes the rank lookup through the bucketed range join") {
+    // q225's k -> corpus-order-statistic lookup is a theta join by nature;
+    // the plan must show the bucketed equi-join (no nested loop, no
+    // cartesian) and no unpartitioned window anywhere.
+    val df = graft.SparkEntry.queries("q225_quantile_normalize")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // The only BroadcastNestedLoopJoin allowed is the scalar 1-row
+    // crossJoin(broadcast(count)) that attaches n_corp; the k -> value
+    // lookup itself must be the bucketed hash equi-join with the exact
+    // range predicate as residual.
+    assert("BroadcastHashJoin \\[__bucket".r.findAllIn(plan).nonEmpty,
+      s"expected the bucketed __bucket equi-join for the rank lookup:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"rank lookup must never plan a cartesian product:\n$plan")
+  }
 }
