@@ -938,6 +938,210 @@ object EvalQueries {
                CAST(CASE WHEN MAX(v) - MIN(v) < CAST(0.05 AS DOUBLE) THEN 1 ELSE 0 END
                  AS INTEGER) AS is_dead
         FROM x GROUP BY 1 ORDER BY dim
+      """.trim)),
+
+    // Dedup funnel report — the pipeline-shape summary every training-data
+    // run publishes: docs and token mass remaining after each cleaning stage
+    // (raw -> Gopher quality rules -> exact fingerprint dedup -> MinHash
+    // near-dup dedup), composed from the SAME operators the individual
+    // gates verify (q52's predicate, q29's keep-min-fingerprint, q36's
+    // verified-pair drop — the near-dup stage runs over the stage-3
+    // SURVIVORS, which the table-parameterized oracle CTE restates). Four
+    // aggregate rows; every stage is a filter/aggregate over the shared
+    // feature scan.
+    Q(
+      "q230_dedup_funnel",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("__toks"))
+          .select(col("doc_id"), col("text"),
+            size(col("__toks")).as("nt"),
+            size(col("__toks")).cast("long").as("n_tok"),
+            TextAnalysis.meanTokenLen(col("__toks")).as("mtl"),
+            TextAnalysis.stopwordRatio(col("__toks")).as("swr"),
+            greatest(size(col("__toks")) - 2, lit(0)).as("t3"),
+            size(NearDup.shingles(col("__toks"), 3)).as("d3"),
+            TextAnalysis.fingerprint(col("text")).as("fp"))
+          .withColumn("rep",
+            when(col("t3") > 0, lit(1.0) - col("d3").cast("double") / col("t3"))
+              .otherwise(lit(0.0)))
+        val q = base.filter(col("nt") >= 20 && col("nt") <= 1000 &&
+          col("mtl") >= 3.0 && col("mtl") <= 10.0 &&
+          col("rep") < 0.5 && col("swr") >= 0.01)
+        val ex = q.join(
+          q.groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val nd = ex.join(
+          NearDup.minHashNearDupPairs(ex.select("doc_id", "text"), "doc_id", "text",
+              n = 3, k = 64, bands = 16, threshold = 0.8)
+            .select(col("id_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        def stat(idx: Int, name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+            .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+              col("n_docs"), col("n_tokens"))
+        stat(1, "raw", base)
+          .unionByName(stat(2, "quality", q))
+          .unionByName(stat(3, "exact_dedup", ex))
+          .unionByName(stat(4, "near_dup", nd))
+          .orderBy("stage_idx")
+      },
+      Some(s"""
+        WITH t0 AS (
+          SELECT doc_id, text, $Toks AS w FROM documents
+        ), feat AS (
+          SELECT doc_id, text,
+                 CAST(len(w) AS INTEGER) AS nt,
+                 CAST(len(w) AS BIGINT) AS n_tok,
+                 CASE WHEN len(w) = 0 THEN 0.0
+                      ELSE CAST(list_sum([CAST(len(x) AS BIGINT) FOR x IN w]) AS DOUBLE)
+                           / CAST(len(w) AS DOUBLE) END AS mtl,
+                 CASE WHEN len(w) = 0 THEN 0.0
+                      ELSE CAST(len([x FOR x IN w IF x IN (${ExtQueries.StopList})]) AS DOUBLE)
+                           / CAST(len(w) AS DOUBLE) END AS swr,
+                 CAST(greatest(len(w) - 2, 0) AS INTEGER) AS t3,
+                 CAST(len(${duckShingles("w", 3)}) AS INTEGER) AS d3,
+                 md5($NormText) AS fp
+          FROM t0
+        ), q AS (
+          SELECT doc_id, text, n_tok, fp FROM (
+            SELECT doc_id, text, n_tok, fp, nt, mtl, swr,
+                   CASE WHEN t3 > 0 THEN 1.0 - CAST(d3 AS DOUBLE) / t3 ELSE 0.0 END AS rep
+            FROM feat)
+          WHERE nt >= 20 AND nt <= 1000 AND mtl >= 3.0 AND mtl <= 10.0
+            AND rep < 0.5 AND swr >= 0.01
+        ), ex AS (
+          SELECT doc_id, text, n_tok FROM q
+          WHERE doc_id IN (SELECT MIN(doc_id) FROM q GROUP BY fp)
+        ), ${ExtQueries.minhashPairsCteOver("ex").stripPrefix("WITH ")}, nd AS (
+          SELECT doc_id, n_tok FROM ex
+          WHERE doc_id NOT IN (SELECT id_b FROM verified)
+        )
+        SELECT * FROM (
+          SELECT 1 AS stage_idx, 'raw' AS stage,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM feat
+          UNION ALL
+          SELECT 2, 'quality', CAST(COUNT(*) AS BIGINT),
+                 CAST(SUM(n_tok) AS BIGINT) FROM q
+          UNION ALL
+          SELECT 3, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+                 CAST(SUM(n_tok) AS BIGINT) FROM ex
+          UNION ALL
+          SELECT 4, 'near_dup', CAST(COUNT(*) AS BIGINT),
+                 CAST(SUM(n_tok) AS BIGINT) FROM nd)
+        ORDER BY stage_idx
+      """.trim)),
+
+    // Multi-class language-ID evaluation — per-class precision/recall/F1 of
+    // the heuristic labeler against the metadata label (the per-class view
+    // q221's binary kappa collapses). F1 avoids the unstable 2pr/(p+r)
+    // composition: 2·correct/(n_truth + n_pred) is ONE division of exact
+    // integers. Classes with no predictions report 0 precision (guarded,
+    // null-free). One labeling pass, one confusion aggregate, two tiny
+    // marginal joins.
+    Q(
+      "q231_multiclass_eval",
+      (s, dir) => {
+        val lab = Tables.documents(s, dir)
+          .select(col("lang").as("truth"),
+            TextAnalysis.langId(TextAnalysis.tokens(col("text"))).as("pred"))
+        val conf = lab.groupBy("truth", "pred").agg(count(lit(1)).as("n"))
+        val byTruth = conf.groupBy("truth").agg(sum("n").as("n_truth"))
+        val byPred = conf.groupBy("pred").agg(sum("n").as("n_pred"))
+        val correct = conf.filter(col("truth") === col("pred"))
+          .select(col("truth"), col("n").as("n_correct"))
+        byTruth
+          .join(byPred.withColumnRenamed("pred", "truth"), Seq("truth"), "left")
+          .join(correct, Seq("truth"), "left")
+          .na.fill(0L, Seq("n_pred", "n_correct"))
+          .select(col("truth").as("lang"), col("n_truth"), col("n_pred"), col("n_correct"),
+            when(col("n_pred") > 0,
+              col("n_correct").cast("double") / col("n_pred").cast("double"))
+              .otherwise(lit(0.0)).as("prec"),
+            (col("n_correct").cast("double") / col("n_truth").cast("double")).as("recall"),
+            ((lit(2L) * col("n_correct")).cast("double")
+              / (col("n_truth") + col("n_pred")).cast("double")).as("f1"))
+          .orderBy("lang")
+      },
+      Some {
+        val langCounts = TextAnalysis.LangProfiles.map { case (lang, words) =>
+          s"len(list_filter(w, t -> t IN (${words.map(x => s"'$x'").mkString(",")}))) AS c_$lang"
+        }.mkString(",\n                 ")
+        val langs = TextAnalysis.LangProfiles.map(_._1)
+        val langCase = langs.init.zipWithIndex.map { case (lang, i) =>
+          val later = langs.drop(i + 1).map(l => s"c_$lang >= c_$l").mkString(" AND ")
+          s"WHEN $later THEN '$lang'"
+        }.mkString(" ")
+        s"""
+        WITH base AS (
+          SELECT lang AS truth, $Toks AS w FROM documents
+        ), feat AS (
+          SELECT truth, $langCounts FROM base
+        ), lab AS (
+          SELECT truth, CASE $langCase ELSE '${langs.last}' END AS pred FROM feat
+        ), conf AS (
+          SELECT truth, pred, COUNT(*) AS n FROM lab GROUP BY 1, 2
+        ), bt AS (
+          SELECT truth, CAST(SUM(n) AS BIGINT) AS n_truth FROM conf GROUP BY 1
+        ), bp AS (
+          SELECT pred, CAST(SUM(n) AS BIGINT) AS n_pred FROM conf GROUP BY 1
+        ), cr AS (
+          SELECT truth, CAST(n AS BIGINT) AS n_correct FROM conf WHERE truth = pred
+        )
+        SELECT bt.truth AS lang, n_truth,
+               COALESCE(n_pred, 0) AS n_pred,
+               COALESCE(n_correct, 0) AS n_correct,
+               CASE WHEN COALESCE(n_pred, 0) > 0
+                    THEN CAST(COALESCE(n_correct, 0) AS DOUBLE) / CAST(n_pred AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS prec,
+               CAST(COALESCE(n_correct, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall,
+               CAST(2 * COALESCE(n_correct, 0) AS DOUBLE)
+                 / CAST(n_truth + COALESCE(n_pred, 0) AS DOUBLE) AS f1
+        FROM bt
+        LEFT JOIN bp ON bt.truth = bp.pred
+        LEFT JOIN cr ON bt.truth = cr.truth
+        ORDER BY lang
+      """.trim
+      }),
+
+    // Effective sample size of length-weighted sampling per source — the
+    // statistic that says how many EFFECTIVE documents a weighted draw
+    // carries: ESS = (Σw)²/Σw², with w = n_chars kept integer. The squared
+    // sum is computed as a fixed-order product of exact-integer doubles
+    // (exact below 2^53 per factor), so both engines agree bitwise;
+    // ess_ratio = ESS/n flags sources whose mass concentrates in few docs.
+    // One grouped aggregate — the cheapest query in the registry.
+    Q(
+      "q232_effective_sample_size",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_w"),
+            sum(col("n_chars") * col("n_chars")).as("sum_w2"))
+          .select(col("source"), col("n_docs"), col("sum_w"), col("sum_w2"),
+            (col("sum_w").cast("double") * col("sum_w").cast("double")
+              / col("sum_w2").cast("double")).as("ess"),
+            (col("sum_w").cast("double") * col("sum_w").cast("double")
+              / col("sum_w2").cast("double") / col("n_docs").cast("double"))
+              .as("ess_ratio"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH a AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS sum_w,
+                 CAST(SUM(n_chars * n_chars) AS BIGINT) AS sum_w2
+          FROM documents GROUP BY 1
+        )
+        SELECT source, n_docs, sum_w, sum_w2,
+               CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
+                 / CAST(sum_w2 AS DOUBLE) AS ess,
+               CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
+                 / CAST(sum_w2 AS DOUBLE) / CAST(n_docs AS DOUBLE) AS ess_ratio
+        FROM a ORDER BY source
       """.trim))
   )
 }

@@ -29,16 +29,18 @@ object ExtQueries {
   private def duckDot(a: String, b: String): String =
     s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN generate_series(1, len($a))])"
 
-  private val StopList = "'the','a','an','of','and','to','in','is','for','on','with'"
+  private[queries] val StopList = "'the','a','an','of','and','to','in','is','for','on','with'"
 
   /** DuckDB CTE chain mirroring NearDup.minHashNearDupPairs (k=64, b=16,
     * r=4, n=3, threshold 0.8): shingles -> universal-hash MinHash signatures
     * -> band buckets -> candidate pairs -> exact-Jaccard-verified `verified`
-    * relation (id_a, id_b, jaccard). Shared by q24 and q36.
+    * relation (id_a, id_b, jaccard). Shared by q24 and q36; the
+    * table-parameterized form lets funnel-style oracles run the same chain
+    * over an intermediate CTE (any relation with doc_id + text).
     */
-  private[queries] lazy val MinhashPairsCte: String = s"""
+  private[queries] def minhashPairsCteOver(table: String): String = s"""
         WITH d AS (
-          SELECT doc_id, ${duckShingles(Toks, 3)} AS sh FROM documents
+          SELECT doc_id, ${duckShingles(Toks, 3)} AS sh FROM $table
         ), sigs AS (
           SELECT doc_id, sh,
                  [list_min([((s * 2654435761 % ${NearDup.MinHashP - 1} + 1)
@@ -66,6 +68,8 @@ object ExtQueries {
           WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
                   / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) >= 0.8
         )""".stripMargin.trim
+
+  private[queries] lazy val MinhashPairsCte: String = minhashPairsCteOver("documents")
 
   /** DuckDB oracle for exact trigram-Jaccard pairs at threshold 0.8 — shared
     * by q23 (inverted-index plan) and q101 (prefix-filtered plan): two
