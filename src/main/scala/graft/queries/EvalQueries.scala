@@ -1142,6 +1142,166 @@ object EvalQueries {
                CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
                  / CAST(sum_w2 AS DOUBLE) / CAST(n_docs AS DOUBLE) AS ess_ratio
         FROM a ORDER BY source
-      """.trim))
+      """.trim)),
+
+    // Near-dup graph degree distribution — the graph-health histogram read
+    // BEFORE committing to a dedup policy (a fat-tailed degree distribution
+    // means hub documents that greedy keep-lowest would resolve badly;
+    // q195's triangles measure closure, this measures load). Nodes from the
+    // verified pair set, two tiny aggregates. Integer-only.
+    Q(
+      "q233_neardup_degrees",
+      (s, dir) => {
+        val pairs = NearDup.minHashNearDupPairs(Tables.documents(s, dir),
+          "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.8)
+        pairs.select(col("id_a").as("id"))
+          .unionAll(pairs.select(col("id_b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("degree")
+      },
+      Some(s"""
+        ${ExtQueries.MinhashPairsCte}, deg AS (
+          SELECT id, COUNT(*) AS degree FROM (
+            SELECT id_a AS id FROM verified
+            UNION ALL
+            SELECT id_b AS id FROM verified)
+          GROUP BY 1
+        )
+        SELECT CAST(degree AS BIGINT) AS degree,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY 1 ORDER BY degree
+      """.trim)),
+
+    // Near-dup cluster-size distribution — how much of the duplicate mass
+    // sits in pairs vs larger families, from the SAME iterative
+    // connected-components labels q61 gates (min-label propagation over the
+    // once-shuffled edge set); the rollup is two more hash aggregates.
+    // Cluster count by size pins the transitive structure end-to-end.
+    Q(
+      "q234_cluster_sizes",
+      (s, dir) => {
+        NearDup.connectedComponents(
+            NearDup.minHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+              n = 3, k = 64, bands = 16, threshold = 0.8),
+            "id_a", "id_b")
+          .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("cluster_size")
+      },
+      Some(s"""
+        ${("WITH RECURSIVE " + ExtQueries.MinhashPairsCte.stripPrefix("WITH ")).trim}, edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM verified
+        ), nodes AS (
+          SELECT DISTINCT src AS v FROM edges
+        ), reach(v, label) AS (
+          SELECT v, v FROM nodes
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v
+        ), lab AS (
+          SELECT v, MIN(label) AS cluster_id FROM reach GROUP BY v
+        ), sizes AS (
+          SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM lab GROUP BY 1
+        )
+        SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM sizes GROUP BY 1 ORDER BY cluster_size
+      """.trim)),
+
+    // Token burstiness — the variance-to-mean dispersion index of a token's
+    // per-document counts over the documents that contain it: bursty tokens
+    // (D >> 1) are topical/templated, D ~ 1 is Poisson-like background — the
+    // corpus-linguistics screen for boilerplate vocabulary. The moment sums
+    // (df, Σc, Σc²) are exact integers, D = (df·Σc² − (Σc)²)/(df·Σc) is one
+    // division, and the global top-20 is a TakeOrdered limit, not a window.
+    Q(
+      "q235_token_burstiness",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+          .groupBy("t").agg(count(lit(1)).as("df"),
+            sum("c").as("total_occ"),
+            sum(col("c") * col("c")).as("sum_sq"))
+          .filter(col("df") >= 20)
+          .select(col("t").as("token"), col("df"), col("total_occ"), col("sum_sq"),
+            ((col("df") * col("sum_sq") - col("total_occ") * col("total_occ")).cast("double")
+              / (col("df") * col("total_occ")).cast("double")).as("burstiness"))
+          .orderBy(col("burstiness").desc, col("token"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest($Toks) AS t FROM documents
+        ), dc AS (
+          SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+        ), m AS (
+          SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS df,
+                 CAST(SUM(c) AS BIGINT) AS total_occ,
+                 CAST(SUM(c * c) AS BIGINT) AS sum_sq
+          FROM dc GROUP BY 1
+        )
+        SELECT token, df, total_occ, sum_sq,
+               CAST(df * sum_sq - total_occ * total_occ AS DOUBLE)
+                 / CAST(df * total_occ AS DOUBLE) AS burstiness
+        FROM m WHERE df >= 20
+        ORDER BY burstiness DESC, token LIMIT 20
+      """.trim)),
+
+    // Uncertainty sampling for annotation — the active-learning selector:
+    // the 50 documents whose language-ID evidence margin (best profile score
+    // minus runner-up) is smallest are the ones a labeling budget should go
+    // to first. Margins are pure integer expression work on the scan; the
+    // global bottom-k is a TakeOrdered limit. Ties break on doc_id so the
+    // selection is engine-stable.
+    Q(
+      "q236_uncertainty_sample",
+      (s, dir) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        val scores = TextAnalysis.LangProfiles.map { case (lang, words) =>
+          size(filter(toks, t => t.isInCollection(words))).cast("long").as(s"s_$lang")
+        }
+        val sorted = sort_array(array(TextAnalysis.LangProfiles.map {
+          case (lang, _) => col(s"s_$lang")
+        }: _*))
+        Tables.documents(s, dir)
+          .select(col("doc_id") +: col("text") +: scores: _*)
+          .select(col("doc_id"),
+            TextAnalysis.langId(toks).as("pred_lang"),
+            element_at(sorted, 5).as("best"),
+            element_at(sorted, 4).as("second"))
+          .withColumn("margin", col("best") - col("second"))
+          .orderBy(col("margin"), col("doc_id"))
+          .limit(50)
+      },
+      Some {
+        val langCounts = TextAnalysis.LangProfiles.map { case (lang, words) =>
+          s"CAST(len(list_filter(w, t -> t IN (${words.map(x => s"'$x'").mkString(",")}))) AS BIGINT) AS c_$lang"
+        }.mkString(",\n                 ")
+        val langs = TextAnalysis.LangProfiles.map(_._1)
+        val langCase = langs.init.zipWithIndex.map { case (lang, i) =>
+          val later = langs.drop(i + 1).map(l => s"c_$lang >= c_$l").mkString(" AND ")
+          s"WHEN $later THEN '$lang'"
+        }.mkString(" ")
+        val arr = langs.map(l => s"c_$l").mkString(", ")
+        s"""
+        WITH base AS (
+          SELECT doc_id, $Toks AS w FROM documents
+        ), feat AS (
+          SELECT doc_id, $langCounts FROM base
+        ), m AS (
+          SELECT doc_id,
+                 CASE $langCase ELSE '${langs.last}' END AS pred_lang,
+                 list_sort([$arr])[5] AS best,
+                 list_sort([$arr])[4] AS second
+          FROM feat
+        )
+        SELECT doc_id, pred_lang, best, second, best - second AS margin
+        FROM m ORDER BY margin, doc_id LIMIT 50
+      """.trim
+      })
   )
 }
