@@ -1302,6 +1302,152 @@ object EvalQueries {
         SELECT doc_id, pred_lang, best, second, best - second AS margin
         FROM m ORDER BY margin, doc_id LIMIT 50
       """.trim
-      })
+      }),
+
+    // Mutual information I(lang; source) — the single-number answer to
+    // "does source predict language?" that q218's per-cell chi-square ranks
+    // but does not summarize. Every log term is a micro-nat INTEGER
+    // (round(ln(n·N/(r·c))·1e6)), so Σ n_cell·unats is order-independent at
+    // any partition count, and the same trick yields H(lang) and the
+    // conditional H(lang|source) = H − I — all from one contingency
+    // aggregate plus broadcast marginals.
+    Q(
+      "q237_mutual_information",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cell = docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        val rowT = cell.groupBy("lang").agg(sum("n").as("r"))
+        val colT = cell.groupBy("source").agg(sum("n").as("c"))
+        val tot = docs.agg(count(lit(1)).as("nn"))
+        val mi = cell.join(rowT, "lang").join(colT, "source").crossJoin(broadcast(tot))
+          .withColumn("unats", round(log(
+              (col("n").cast("double") * col("nn").cast("double"))
+                / (col("r").cast("double") * col("c").cast("double"))) * lit(1000000.0))
+            .cast("long"))
+          .agg(sum(col("n") * col("unats")).as("mi_unats"), max("nn").as("n_docs"))
+        val h = rowT.crossJoin(broadcast(tot))
+          .withColumn("unats", round(log(
+              col("r").cast("double") / col("nn").cast("double")) * lit(1000000.0))
+            .cast("long"))
+          .agg((lit(0L) - sum(col("r") * col("unats"))).as("h_unats"))
+        mi.crossJoin(broadcast(h))
+          .select(col("n_docs"), col("mi_unats"), col("h_unats"),
+            (col("mi_unats").cast("double")
+              / (col("n_docs").cast("double") * lit(1000000.0))).as("mi_nats"),
+            (col("h_unats").cast("double")
+              / (col("n_docs").cast("double") * lit(1000000.0))).as("h_lang_nats"),
+            ((col("h_unats") - col("mi_unats")).cast("double")
+              / (col("n_docs").cast("double") * lit(1000000.0))).as("h_cond_nats"))
+      },
+      Some("""
+        WITH cell AS (
+          SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+        ), r AS (
+          SELECT lang, CAST(SUM(n) AS BIGINT) AS r FROM cell GROUP BY 1
+        ), c AS (
+          SELECT source, CAST(SUM(n) AS BIGINT) AS c FROM cell GROUP BY 1
+        ), tot AS (
+          SELECT COUNT(*) AS nn FROM documents
+        ), mi AS (
+          SELECT CAST(SUM(n * CAST(round(ln((CAST(n AS DOUBLE) * CAST(nn AS DOUBLE))
+                   / (CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE))) * 1000000.0) AS BIGINT))
+                 AS BIGINT) AS mi_unats,
+                 MAX(nn) AS n_docs
+          FROM cell
+          JOIN r ON cell.lang = r.lang
+          JOIN c ON cell.source = c.source
+          CROSS JOIN tot
+        ), h AS (
+          SELECT CAST(0 - SUM(r.r * CAST(round(ln(CAST(r.r AS DOUBLE)
+                   / CAST(nn AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS h_unats
+          FROM r CROSS JOIN tot
+        )
+        SELECT n_docs, mi_unats, h_unats,
+               CAST(mi_unats AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1000000.0) AS mi_nats,
+               CAST(h_unats AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1000000.0)
+                 AS h_lang_nats,
+               CAST(h_unats - mi_unats AS DOUBLE)
+                 / (CAST(n_docs AS DOUBLE) * 1000000.0) AS h_cond_nats
+        FROM mi CROSS JOIN h
+      """.trim)),
+
+    // Padding-waste report — the batching-efficiency audit for fixed-shape
+    // training: bucket documents by token length (32-token steps, integer
+    // binning), and report how many pad tokens each bucket burns when its
+    // docs pad to the bucket ceiling. Waste percentages expose whether
+    // length-bucketed batching is worth the shuffle it costs. Pure
+    // expression binning + one aggregate; integer counts, one division.
+    Q(
+      "q238_padding_waste",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("len"))
+          .filter(col("len") > 0)
+          .withColumn("bucket", expr("(len - 1) div 32"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("len").as("sum_tokens"))
+          .withColumn("bucket_cap", (col("bucket") + 1L) * 32L)
+          .select(col("bucket"), col("n_docs"), col("sum_tokens"), col("bucket_cap"),
+            (col("n_docs") * col("bucket_cap") - col("sum_tokens")).as("pad_tokens"),
+            ((col("n_docs") * col("bucket_cap") - col("sum_tokens")).cast("double")
+              / (col("n_docs") * col("bucket_cap")).cast("double")).as("waste_pct"))
+          .orderBy("bucket")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT CAST(len($Toks) AS BIGINT) AS len FROM documents
+        ), b AS (
+          SELECT (len - 1) // 32 AS bucket, len FROM d WHERE len > 0
+        ), a AS (
+          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len) AS BIGINT) AS sum_tokens,
+                 (bucket + 1) * 32 AS bucket_cap
+          FROM b GROUP BY 1
+        )
+        SELECT bucket, n_docs, sum_tokens, bucket_cap,
+               n_docs * bucket_cap - sum_tokens AS pad_tokens,
+               CAST(n_docs * bucket_cap - sum_tokens AS DOUBLE)
+                 / CAST(n_docs * bucket_cap AS DOUBLE) AS waste_pct
+        FROM a ORDER BY bucket
+      """.trim)),
+
+    // k-anonymity audit over quasi-identifiers — the data-governance check
+    // before corpus release: how many (lang, source, length-band) cells
+    // contain fewer than k=5 documents (each such cell risks singling out a
+    // document by metadata alone). Per-source risky-cell and risky-doc
+    // counts; the length band is integer division so cell membership is
+    // engine-exact. Two aggregates, no shuffle beyond the rollup.
+    Q(
+      "q239_k_anonymity",
+      (s, dir) => {
+        val cells = Tables.documents(s, dir)
+          .select(col("source"), col("lang"), expr("n_chars div 200").as("len_band"))
+          .groupBy("source", "lang", "len_band")
+          .agg(count(lit(1)).as("n"))
+        cells.groupBy("source")
+          .agg(count(lit(1)).as("n_cells"),
+            sum(when(col("n") < 5L, 1L).otherwise(0L)).as("n_risky_cells"),
+            sum(when(col("n") < 5L, col("n")).otherwise(0L)).as("n_risky_docs"),
+            sum("n").as("n_docs"))
+          .select(col("source"), col("n_cells"), col("n_risky_cells"),
+            col("n_risky_docs"), col("n_docs"),
+            (col("n_risky_docs").cast("double") / col("n_docs").cast("double"))
+              .as("risky_frac"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH cells AS (
+          SELECT source, lang, n_chars // 200 AS len_band, COUNT(*) AS n
+          FROM documents GROUP BY 1, 2, 3
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_cells,
+               CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_risky_docs,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(n) AS DOUBLE) AS risky_frac
+        FROM cells GROUP BY 1 ORDER BY source
+      """.trim))
   )
 }
