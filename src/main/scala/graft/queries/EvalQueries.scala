@@ -90,23 +90,10 @@ object EvalQueries {
     // (sum2 - n_pos·(n_pos+1)) / (2·n_pos·n_neg).
     Q(
       "q216_auc_quality",
-      (s, dir) => {
-        val grp = Tables.documents(s, dir)
-          .select(col("n_chars"),
-            when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
-          .groupBy("n_chars")
-          .agg(count(lit(1)).as("cnt"), sum("pos").as("npos"))
-        Keys.globalRunningSum(grp, "n_chars", "cnt", "cum")
-          .select(col("npos"), col("cnt"),
-            (col("npos") * (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L)))
-              .as("r2"))
-          .agg(sum("npos").as("n_pos"),
-            sum(col("cnt") - col("npos")).as("n_neg"),
-            sum("r2").as("sum2"))
-          .select(col("n_pos"), col("n_neg"),
-            ((col("sum2") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double")
-              / (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
-      },
+      (s, dir) => EvalStats.mannWhitneyAuc(
+        Tables.documents(s, dir).select(col("n_chars"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+        "n_chars", "is_en"),
       Some("""
         WITH g AS (
           SELECT n_chars, COUNT(*) AS cnt,
@@ -319,23 +306,9 @@ object EvalQueries {
           .select(col("doc_id"), col("source"), col("chunk_fp"))
         val testB = blocks.filter(col("doc_id") % 37 === 0).select("chunk_fp").distinct()
         val trainB = blocks.filter(col("doc_id") % 37 =!= 0)
-        def posCol(fp: org.apache.spark.sql.Column, j: Int) =
-          pmod(TextHash.hash60(concat(fp.cast("string"), lit(":" + j))), lit(1024L))
-        val bitmap = testB
-          .select(explode(array((0 until 3).map(j => posCol(col("chunk_fp"), j)): _*)).as("pos"))
-          .select(expr("pos div 63").as("word"), expr("pos % 63").as("bit"))
-          .groupBy("word")
-          .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(bit as int)))").as("bits"))
-        val flagged = trainB
-          .withColumn("pos",
-            explode(array((0 until 3).map(j => posCol(col("chunk_fp"), j)): _*)))
-          .withColumn("word", expr("pos div 63"))
-          .join(broadcast(bitmap), Seq("word"), "left")
-          .withColumn("hit",
-            coalesce(expr("shiftright(bits, cast(pos % 63 as int)) & 1"), lit(0L)))
-          .groupBy("doc_id", "source", "chunk_fp")
-          .agg(min("hit").as("maybe"))
-          .filter(col("maybe") === 1L)
+        val bitmap = EvalStats.bloomBitmap(testB, "chunk_fp", bits = 1024L, numHashes = 3)
+        val flagged = EvalStats.bloomMaybeContains(trainB, "chunk_fp", bitmap,
+          bits = 1024L, numHashes = 3)
         val matched = flagged.join(testB, Seq("chunk_fp"), "left_semi")
         val base = trainB.select("doc_id", "source").distinct()
           .groupBy("source").agg(count(lit(1)).as("n_train_docs"))
