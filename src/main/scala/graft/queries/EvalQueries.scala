@@ -26,6 +26,10 @@ object EvalQueries {
   private def duckShingles(w: String, n: Int): String =
     s"list_distinct([array_to_string($w[i:i+${n - 1}], ' ') FOR i IN generate_series(1, len($w) - ${n - 1})])"
 
+  /** DuckDB fragment: sequential double dot product of float lists a,b. */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN generate_series(1, len($a))])"
+
   val qs: Seq[Q] = Seq(
 
     // Mergeable MinHash rollup — the sketch-algebra property that makes
@@ -1421,6 +1425,122 @@ object EvalQueries {
                CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
                  / CAST(SUM(n) AS DOUBLE) AS risky_frac
         FROM cells GROUP BY 1 ORDER BY source
+      """.trim)),
+
+    // Rank-biased overlap (p = 1/2, depth 3) between the SRP-cell ANN
+    // ranking and the brute-force truth ranking — the top-weighted
+    // rank-similarity metric completing q212's MRR/NDCG family (RBO rewards
+    // agreeing at rank 1 more than agreeing at rank 3, and handles
+    // non-conjoint lists). With p = 1/2 the whole metric collapses to ONE
+    // integer division: RBO@3 = (12·X₁ + 3·X₂ + X₃)/24, where X_d counts
+    // shared items with max(rank_ann, rank_truth) ≤ d — no per-term double
+    // accumulation exists at all.
+    Q(
+      "q240_rank_biased_overlap",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val b = e.select(col("vec_id"), col("embedding"),
+          Similarity.hyperplaneBucketFast(col("embedding"), 6, 64).as("bucket"))
+        val probes = b.filter(col("vec_id") % 20 === 0)
+        val ann = Similarity.annTopKByCell(probes, b, "vec_id", "embedding", "bucket", k = 3)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("ra"))
+        val truth = Similarity.topKCosine(
+            e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding", k = 3)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("rb"))
+        val matched = ann.join(truth, Seq("query_id", "neighbor_id"))
+          .withColumn("rmax", greatest(col("ra"), col("rb")))
+          .groupBy("query_id")
+          .agg(sum(when(col("rmax") <= 1, 1L).otherwise(0L)).as("x1"),
+            sum(when(col("rmax") <= 2, 1L).otherwise(0L)).as("x2"),
+            sum(when(col("rmax") <= 3, 1L).otherwise(0L)).as("x3"))
+        probes.select(col("vec_id").as("query_id"))
+          .join(matched, Seq("query_id"), "left")
+          .na.fill(0L, Seq("x1", "x2", "x3"))
+          .select(col("query_id"), col("x1"), col("x2"), col("x3"),
+            ((lit(12L) * col("x1") + lit(3L) * col("x2") + col("x3")).cast("double")
+              / lit(24.0)).as("rbo3"))
+          .orderBy("query_id")
+      },
+      Some(s"""
+        WITH sb AS (
+          SELECT vec_id,
+                 CAST(list_sum([
+                   CASE WHEN list_sum([
+                     CAST(embedding[i] AS DOUBLE) *
+                     (CASE WHEN (${TextHash.duckHash60(
+                        "CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} & 1) = 1
+                      THEN 1.0 ELSE -1.0 END)
+                     FOR i IN generate_series(1, len(embedding))]) >= 0
+                   THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END
+                   FOR p IN generate_series(0, 5)]) AS BIGINT) AS bucket
+          FROM embeddings
+        ), e AS (
+          SELECT v.vec_id, v.embedding, sb.bucket,
+                 sqrt(${duckDot("v.embedding", "v.embedding")}) AS nrm
+          FROM embeddings v JOIN sb ON v.vec_id = sb.vec_id
+        ), ann AS (
+          SELECT query_id, neighbor_id, rnk AS ra FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                              c.vec_id) AS rnk
+            FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+            WHERE q.vec_id % 20 = 0)
+          WHERE rnk <= 3
+        ), brute AS (
+          SELECT query_id, neighbor_id, rnk AS rb FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                              c.vec_id) AS rnk
+            FROM e q CROSS JOIN e c
+            WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id)
+          WHERE rnk <= 3
+        ), m AS (
+          SELECT a.query_id,
+                 CAST(SUM(CASE WHEN greatest(a.ra, b.rb) <= 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x1,
+                 CAST(SUM(CASE WHEN greatest(a.ra, b.rb) <= 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x2,
+                 CAST(SUM(CASE WHEN greatest(a.ra, b.rb) <= 3 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x3
+          FROM ann a JOIN brute b
+            ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+          GROUP BY 1
+        )
+        SELECT p.vec_id AS query_id,
+               COALESCE(x1, 0) AS x1, COALESCE(x2, 0) AS x2, COALESCE(x3, 0) AS x3,
+               CAST(12 * COALESCE(x1, 0) + 3 * COALESCE(x2, 0) + COALESCE(x3, 0)
+                 AS DOUBLE) / 24.0 AS rbo3
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id % 20 = 0) p
+        LEFT JOIN m ON m.query_id = p.vec_id
+        ORDER BY query_id
+      """.trim)),
+
+    // Shingle document-frequency histogram — how duplicated the corpus is at
+    // the n-gram level, BEFORE committing to dedup thresholds (the mass at
+    // df >= 2 is exactly what MinHash banding goes hunting for; q226's
+    // growth curve is this histogram's time axis). One shingle explosion,
+    // two hash aggregates, integer-only.
+    Q(
+      "q241_shingle_df_hist",
+      (s, dir) => {
+        NearDup.shingleFrame(Tables.documents(s, dir), "doc_id", "text", n = 3)
+          .select(explode(col("__shingles")).as("sh"))
+          .groupBy("sh").agg(count(lit(1)).as("df"))
+          .groupBy("df").agg(count(lit(1)).as("n_shingles"))
+          .orderBy("df")
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id, unnest(${duckShingles(Toks, 3)}) AS s FROM documents
+        ), dfreq AS (
+          SELECT s, COUNT(*) AS df FROM sh GROUP BY 1
+        )
+        SELECT CAST(df AS BIGINT) AS df, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM dfreq GROUP BY 1 ORDER BY df
       """.trim))
   )
 }
