@@ -1541,6 +1541,182 @@ object EvalQueries {
         )
         SELECT CAST(df AS BIGINT) AS df, CAST(COUNT(*) AS BIGINT) AS n_shingles
         FROM dfreq GROUP BY 1 ORDER BY df
+      """.trim)),
+
+    // DAU / WAU / MAU active-user curves + stickiness — the product-health
+    // rollup every event pipeline publishes. Sliding-window distincts are
+    // computed WITHOUT a range join or re-scan: each (user, day) presence
+    // row EXPLODES to the ≤N later window anchors it contributes to
+    // (sequence + explode, bounded fanout), then one exact distinct-count
+    // per anchor day — an equi-aggregate at any scale where the naive
+    // "BETWEEN d-27 AND d" theta join degrades to a nested loop.
+    Q(
+      "q242_active_user_curves",
+      (s, dir) => {
+        val presence = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val days = presence.select("day").distinct()
+        def windowed(n: Int, name: String) = presence
+          .withColumn("d", explode(expr(
+            s"sequence(day, date_add(day, ${n - 1}), interval 1 day)")))
+          .groupBy("d").agg(countDistinct("user_id").as(name))
+          .withColumnRenamed("d", "day")
+        days
+          .join(windowed(1, "dau"), Seq("day"))
+          .join(windowed(7, "wau"), Seq("day"))
+          .join(windowed(28, "mau"), Seq("day"))
+          .select(col("day"), col("dau"), col("wau"), col("mau"),
+            (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH presence AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), days AS (
+          SELECT DISTINCT day FROM presence
+        ), dau AS (
+          SELECT day AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+          FROM presence GROUP BY 1
+        ), wau AS (
+          SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau FROM (
+            SELECT user_id, unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS d
+            FROM presence)
+          GROUP BY 1
+        ), mau AS (
+          SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau FROM (
+            SELECT user_id, unnest(generate_series(day, day + 27, INTERVAL 1 DAY)) AS d
+            FROM presence)
+          GROUP BY 1
+        )
+        SELECT days.day AS day, dau.dau, wau.wau, mau.mau,
+               CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+        FROM days
+        JOIN dau ON dau.d = days.day
+        JOIN wau ON CAST(wau.d AS DATE) = days.day
+        JOIN mau ON CAST(mau.d AS DATE) = days.day
+        ORDER BY day
+      """.trim)),
+
+    // New-vs-returning user split per day — acquisition-vs-retention
+    // decomposition of the DAU curve: a user's FIRST active day (one min
+    // aggregate) classifies every later active day. Two hash aggregates and
+    // an id-keyed join; integer counts, one rate division.
+    Q(
+      "q243_new_vs_returning",
+      (s, dir) => {
+        val presence = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val first = presence.groupBy("user_id").agg(min("day").as("first_day"))
+        presence.join(first, "user_id")
+          .groupBy("day")
+          .agg(count(lit(1)).as("active_users"),
+            sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"))
+          .select(col("day"), col("active_users"), col("new_users"),
+            (col("active_users") - col("new_users")).as("returning_users"),
+            (col("new_users").cast("double") / col("active_users").cast("double"))
+              .as("new_frac"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH presence AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), first AS (
+          SELECT user_id, MIN(day) AS first_day FROM presence GROUP BY 1
+        )
+        SELECT p.day AS day,
+               CAST(COUNT(*) AS BIGINT) AS active_users,
+               CAST(SUM(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+                 AS new_users,
+               CAST(COUNT(*) - SUM(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END)
+                 AS BIGINT) AS returning_users,
+               CAST(SUM(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS new_frac
+        FROM presence p JOIN first f ON p.user_id = f.user_id
+        GROUP BY 1 ORDER BY day
+      """.trim)),
+
+    // Shipping-priority composite (the TPC-H Q3 shape): segment-filtered
+    // customers ⋈ open orders ⋈ late-shipping lineitems, revenue-ranked
+    // top 10 orders. Three-way join where the filtered dims shrink below
+    // the broadcast threshold (AQE decides per scale), revenue through the
+    // exact decimal product sum (q01's machinery), top-k as
+    // TakeOrderedAndProject — the benchmark-classic plan end to end.
+    Q(
+      "q244_shipping_priority",
+      (s, dir) => {
+        val cutoff = "1998-01-01 00:00:00"
+        val discPrice = (col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("decimal(24,4)")
+        Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+          .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") < to_timestamp(lit(cutoff))),
+            col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, dir)
+            .filter(col("l_shipdate") > to_timestamp(lit(cutoff))),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(Exact.sumProductD(discPrice).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))), 2)
+                 AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+      """.trim)),
+
+    // Local-supplier volume composite (the TPC-H Q5 shape): six-way join
+    // region -> nation -> (customer, supplier) -> orders -> lineitem with
+    // the co-nation residual (customer and supplier in the SAME nation),
+    // one-year order window, revenue per nation. The dim chain broadcasts;
+    // the fact-side join keys are orderkey/suppkey hash joins — the star
+    // topology the engine's join planning exists for.
+    Q(
+      "q245_local_supplier_volume",
+      (s, dir) => {
+        val discPrice = (col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("decimal(24,4)")
+        val nations = Tables.nation(s, dir)
+          .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+        Tables.customer(s, dir)
+          .join(nations, col("c_nationkey") === col("n_nationkey"))
+          .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+              col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00"))),
+            col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.supplier(s, dir),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("s_nationkey") === col("c_nationkey"))
+          .groupBy("n_name")
+          .agg(Exact.sumProductD(discPrice).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""
+        SELECT n_name,
+               CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))), 2)
+                 AS DOUBLE) AS revenue
+        FROM region
+        JOIN nation ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1 ORDER BY revenue DESC, n_name
       """.trim))
   )
 }
