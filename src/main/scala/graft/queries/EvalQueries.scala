@@ -1717,6 +1717,126 @@ object EvalQueries {
           AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY 1 ORDER BY revenue DESC, n_name
+      """.trim)),
+
+    // Promo revenue share (the TPC-H Q14 shape): conditional-vs-total exact
+    // decimal revenue over a shipping window, surfaced as two exact doubles
+    // plus ONE ratio division — the conditional-aggregate-ratio pattern
+    // (no separate filtered scan; one pass, two sums).
+    Q(
+      "q246_promo_share",
+      (s, dir) => {
+        val discPrice = (col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("decimal(24,4)")
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1997-06-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-07-01 00:00:00")))
+          .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+          .agg(
+            Exact.sumProductD(when(col("p_type") === "PROMO", discPrice)
+              .otherwise(lit(0).cast("decimal(24,4)"))).as("promo_revenue"),
+            Exact.sumProductD(discPrice).as("total_revenue"))
+          .select(col("promo_revenue"), col("total_revenue"),
+            (col("promo_revenue") * lit(100.0) / col("total_revenue")).as("promo_pct"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT
+            CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+              THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))
+              ELSE CAST(0 AS DECIMAL(24,4)) END), 2) AS DOUBLE) AS promo_revenue,
+            CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))), 2)
+              AS DOUBLE) AS total_revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+        )
+        SELECT promo_revenue, total_revenue,
+               promo_revenue * 100.0 / total_revenue AS promo_pct
+        FROM a
+      """.trim)),
+
+    // Brand market share by order year (the TPC-H Q8 flavor): per (year,
+    // brand) conditional revenue over per-year totals — the
+    // share-of-a-slice-within-its-parent pattern on exact decimal sums,
+    // grouped once and joined to its own year rollup (broadcast-sized).
+    Q(
+      "q247_brand_share_by_year",
+      (s, dir) => {
+        val discPrice = (col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("decimal(24,4)")
+        val base = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"), col("p_brand"))
+          .agg(Exact.sumProductD(discPrice).as("brand_revenue"))
+        val totals = base.groupBy("o_year")
+          .agg(Exact.sumD(col("brand_revenue"), 2).as("year_revenue"))
+        base.join(totals, "o_year")
+          .select(col("o_year"), col("p_brand"), col("brand_revenue"), col("year_revenue"),
+            (col("brand_revenue") / col("year_revenue")).as("share"))
+          .orderBy("o_year", "p_brand")
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, p_brand,
+                 CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))), 2)
+                   AS DOUBLE) AS brand_revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2
+        ), totals AS (
+          SELECT o_year,
+                 CAST(SUM(CAST(brand_revenue AS DECIMAL(24,2))) AS DOUBLE)
+                   AS year_revenue
+          FROM base GROUP BY 1
+        )
+        SELECT base.o_year AS o_year, p_brand, brand_revenue, year_revenue,
+               brand_revenue / year_revenue AS share
+        FROM base JOIN totals ON base.o_year = totals.o_year
+        ORDER BY o_year, p_brand
+      """.trim)),
+
+    // Returned-item customer ranking (the TPC-H Q10 shape): customers
+    // ranked by revenue lost to returns in a quarter — fact-side filter on
+    // the return flag, three-way join, exact decimal revenue, top-20 via
+    // TakeOrdered with a full deterministic tie-break.
+    Q(
+      "q248_returned_customers",
+      (s, dir) => {
+        val discPrice = (col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("decimal(24,4)")
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+              col("o_orderdate") < to_timestamp(lit("1997-04-01 00:00:00"))),
+            col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("c_custkey", "c_name", "c_mktsegment")
+          .agg(Exact.sumProductD(discPrice).as("lost_revenue"),
+            count(lit(1)).as("n_return_lines"))
+          .orderBy(col("lost_revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment,
+               CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))), 2)
+                 AS DOUBLE) AS lost_revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_return_lines
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+        ORDER BY lost_revenue DESC, c_custkey LIMIT 20
       """.trim))
   )
 }
