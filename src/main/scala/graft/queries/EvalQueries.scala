@@ -1837,6 +1837,110 @@ object EvalQueries {
           AND l_returnflag = 'R'
         GROUP BY 1, 2, 3
         ORDER BY lost_revenue DESC, c_custkey LIMIT 20
+      """.trim)),
+
+    // Order-priority wait check (the TPC-H Q4 shape): per priority, how
+    // many orders in a quarter have at least one line that shipped after
+    // the order date — an EXISTS decorrelated to a LEFT SEMI join on the
+    // order key (never a per-order subquery). Integer counts only.
+    Q(
+      "q249_priority_wait",
+      (s, dir) => {
+        val late = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate"))
+          .select(col("l_orderkey").as("late_key")).distinct()
+        Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-04-01 00:00:00")))
+          .join(late, col("o_orderkey") === col("late_key"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY 1 ORDER BY o_orderpriority
+      """.trim)),
+
+    // Large-volume customers (the TPC-H Q18 shape): orders whose total
+    // quantity clears a threshold (a HAVING subquery decorrelated to an
+    // aggregate + semi join), joined back to their customers and ranked.
+    // Quantity sums ride the exact decimal path.
+    Q(
+      "q250_large_volume_customers",
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir)
+          .groupBy("l_orderkey")
+          .agg(Exact.sumD(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 120.0)
+        Tables.orders(s, dir)
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_orderdate"), col("total_qty"))
+          .orderBy(col("total_qty").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) AS total_qty
+          FROM lineitem GROUP BY 1
+          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) > 120.0
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+        FROM orders
+        JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_qty DESC, o_orderkey LIMIT 20
+      """.trim)),
+
+    // Dormant rich customers (the TPC-H Q22 flavor): customers whose
+    // balance beats the positive-balance average but who placed NO order
+    // since 2000 — a scalar aggregate broadcast as a cross join plus a
+    // LEFT ANTI join on the recent-order side. The average is one division
+    // of an exact decimal sum, so the filter boundary is engine-exact.
+    Q(
+      "q251_dormant_rich_customers",
+      (s, dir) => {
+        val avgBal = Tables.customer(s, dir)
+          .filter(col("c_acctbal") > 0.0)
+          .agg((Exact.sumD(col("c_acctbal"))
+            / count(lit(1)).cast("double")).as("avg_bal"))
+        Tables.customer(s, dir)
+          .crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(Tables.orders(s, dir)
+              .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01 00:00:00")))
+              .select(col("o_custkey")).distinct(),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"),
+            Exact.sumD(col("c_acctbal")).as("total_balance"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        WITH avg_bal AS (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(24,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_bal
+          FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(24,2))) AS DOUBLE) AS total_balance
+        FROM customer CROSS JOIN avg_bal
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY 1 ORDER BY c_mktsegment
       """.trim))
   )
 }
