@@ -1941,6 +1941,105 @@ object EvalQueries {
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         GROUP BY 1 ORDER BY c_mktsegment
+      """.trim)),
+
+    // Exactly-k-per-group deterministic sample — the fixed-budget
+    // complement of rate-based stratified sampling (q53 keeps a FRACTION;
+    // a labeling or eval budget wants exactly k rows per stratum). Salted-
+    // hash order makes membership engine/run/shard-stable, and the custom
+    // TopKPerKey heap operator takes the k smallest per language without a
+    // per-group sort — bounded memory per task at any group size.
+    Q(
+      "q252_exact_k_per_group",
+      (s, dir) => {
+        val scored = Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"),
+            TextHash.hash60(concat(col("doc_id").cast("string"), lit(":k5"))).as("hkey"))
+        graft.plans.TopKPerKey.of(scored,
+            keyCols = Seq("lang"), order = Seq("hkey" -> true, "doc_id" -> true), k = 5)
+          .select("lang", "rank", "doc_id", "hkey")
+          .orderBy("lang", "rank")
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT lang, doc_id,
+                 ${TextHash.duckHash60("CAST(doc_id AS VARCHAR) || ':k5'")} AS hkey
+          FROM documents
+        )
+        SELECT lang,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id)
+                 AS INTEGER) AS rank,
+               doc_id, hkey
+        FROM scored
+        QUALIFY rank <= 5
+        ORDER BY lang, rank
+      """.trim)),
+
+    // Linear interpolation at hourly anchors — the gap-filling mode between
+    // q190's LOCF and dropping: each (user, hour) anchor takes the
+    // time-weighted blend of its bracketing readings, produced by the
+    // engine's backward AND forward as-of joins over a generated spine
+    // (each one shuffle on the user key — never a per-anchor subquery).
+    // Readings are deduped per (user, ts) by max event id first so both
+    // engines' as-of picks are uniquely determined; the blend
+    // (v0·(t1−h) + v1·(h−t0))/(t1−t0) runs on exact epoch-microsecond
+    // integers widened to doubles in fixed order. The DuckDB oracle states
+    // the same thing with native ASOF joins.
+    Q(
+      "q253_linear_interpolate",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("user_id") % 20 === 0)
+          .groupBy("user_id", "ts").agg(max_by(col("value"), col("event_id")).as("v"))
+        val grid = ev.select("user_id").distinct()
+          .crossJoin(s.sql(
+            """SELECT explode(sequence(timestamp'2024-01-05 00:00:00',
+              |timestamp'2024-01-25 23:00:00', interval 1 hour)) AS h""".stripMargin))
+          .withColumn("tb", lit(0L))
+        val back = AsOfJoin.asofBackward(grid,
+          ev.select(col("user_id"), col("ts"), col("v").as("v0"),
+            col("ts").as("t0"), lit(0L).as("tb")),
+          key = "user_id", leftTime = "h", rightTime = "ts", tieBreak = "tb",
+          rightVals = Seq("v0", "t0"))
+        val both = AsOfJoin.asofForward(back,
+          ev.select(col("user_id"), col("ts"), col("v").as("v1"),
+            col("ts").as("t1"), lit(0L).as("tb")),
+          key = "user_id", leftTime = "h", rightTime = "ts", tieBreak = "tb",
+          rightVals = Seq("v1", "t1"))
+        both.filter(col("t0").isNotNull && col("t1").isNotNull)
+          .select(col("user_id"), col("h"),
+            when(col("t0") === col("t1"), col("v0")).otherwise(
+              (col("v0") * expr("cast(unix_micros(t1) - unix_micros(h) as double)")
+                + col("v1") * expr("cast(unix_micros(h) - unix_micros(t0) as double)"))
+                / expr("cast(unix_micros(t1) - unix_micros(t0) as double)")).as("interp"),
+            expr("unix_micros(t1) - unix_micros(t0)").as("span_us"),
+            (col("t0") === col("t1")).cast("int").as("exact_hit"))
+          .orderBy("user_id", "h")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, ts, arg_max(value, event_id) AS v
+          FROM events WHERE user_id % 20 = 0 GROUP BY 1, 2
+        ), hours AS (
+          SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+            TIMESTAMP '2024-01-25 23:00:00', INTERVAL 1 HOUR)) AS h
+        ), grid AS (
+          SELECT user_id, h FROM (SELECT DISTINCT user_id FROM ev) CROSS JOIN hours
+        ), j AS (
+          SELECT g.user_id, g.h, b.ts AS t0, b.v AS v0, f.ts AS t1, f.v AS v1
+          FROM grid g
+          ASOF LEFT JOIN ev b ON g.user_id = b.user_id AND b.ts <= g.h
+          ASOF LEFT JOIN ev f ON g.user_id = f.user_id AND f.ts >= g.h
+        )
+        SELECT user_id, h,
+               CASE WHEN t0 = t1 THEN v0
+                    ELSE (v0 * CAST(epoch_us(t1) - epoch_us(h) AS DOUBLE)
+                        + v1 * CAST(epoch_us(h) - epoch_us(t0) AS DOUBLE))
+                        / CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE) END AS interp,
+               CAST(epoch_us(t1) - epoch_us(t0) AS BIGINT) AS span_us,
+               CAST(CASE WHEN t0 = t1 THEN 1 ELSE 0 END AS INTEGER) AS exact_hit
+        FROM j WHERE t0 IS NOT NULL AND t1 IS NOT NULL
+        ORDER BY user_id, h
       """.trim))
   )
 }
