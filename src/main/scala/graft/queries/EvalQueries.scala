@@ -2040,6 +2040,255 @@ object EvalQueries {
                CAST(CASE WHEN t0 = t1 THEN 1 ELSE 0 END AS INTEGER) AS exact_hit
         FROM j WHERE t0 IS NOT NULL AND t1 IS NOT NULL
         ORDER BY user_id, h
+      """.trim)),
+
+    // Cross-nation trade volume (the TPC-H Q7 shape): revenue shipped
+    // between a PAIR of nations by ship year, nation dims joined twice
+    // (supplier side and customer side) with the pair filter pushed onto
+    // both dim scans BEFORE the fact joins — the disjunctive
+    // (s=A,c=B) OR (s=B,c=A) pair condition reduces to "both in {A,B} and
+    // different", so each dim prunes independently and only the cheap
+    // inequality remains as a residual.
+    Q(
+      "q254_nation_trade_volume",
+      (s, dir) => {
+        val pair = Seq("NATION_1", "NATION_2")
+        val discPrice = (col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("decimal(24,4)")
+        val suppNation = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val custNation = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1999-01-01 00:00:00")))
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(Exact.sumProductD(discPrice).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""
+        SELECT supp.n_name AS supp_nation, cust.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))), 2)
+                 AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation supp ON s_nationkey = supp.n_nationkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cust ON c_nationkey = cust.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+          AND supp.n_name IN ('NATION_1', 'NATION_2')
+          AND cust.n_name IN ('NATION_1', 'NATION_2')
+          AND supp.n_name <> cust.n_name
+        GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year
+      """.trim)),
+
+    // Customer order-count distribution (the TPC-H Q13 shape): how many
+    // customers placed exactly N qualifying orders, INCLUDING zero — the
+    // left-outer-join-then-double-aggregate pattern. The right-side filter
+    // (the ON-clause residual in SQL) is applied before the join so
+    // non-qualifying orders turn into null matches, count(o_orderkey)
+    // skips the nulls, and the second aggregate folds per-customer counts
+    // into a distribution whose size is bounded by max orders-per-customer.
+    Q(
+      "q255_order_count_distribution",
+      (s, dir) => {
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir).filter(col("o_orderpriority") =!= "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""
+        WITH co AS (
+          SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+            AND o_orderpriority <> '1-URGENT'
+          GROUP BY 1
+        )
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+      """.trim)),
+
+    // Top revenue supplier (the TPC-H Q15 shape): per-supplier quarterly
+    // revenue, keep the supplier(s) equal to the scalar MAX — the
+    // view-plus-scalar-subquery pattern as one aggregate reused twice: the
+    // 100-row rollup broadcasts its own max back over itself, so no second
+    // fact scan. Equality on doubles is safe here because both engines
+    // derive the value from the identical exact-decimal rounding path.
+    Q(
+      "q256_top_supplier",
+      (s, dir) => {
+        val discPrice = (col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("decimal(24,4)")
+        val rev = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1997-07-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-10-01 00:00:00")))
+          .groupBy("l_suppkey")
+          .agg(Exact.sumProductD(discPrice).as("total_revenue"))
+        rev.crossJoin(broadcast(rev.agg(max("total_revenue").as("max_revenue"))))
+          .filter(col("total_revenue") === col("max_revenue"))
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))), 2)
+                   AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-07-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+          GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+      """.trim)),
+
+    // Small-quantity revenue probe (the TPC-H Q17 shape): lines of one
+    // brand whose quantity is under half that PART's average quantity — a
+    // correlated scalar-avg subquery decorrelated to a per-part aggregate
+    // joined back to the same filtered lines (one extra shuffle on
+    // l_partkey, never a per-row subquery). The avg is an exact decimal
+    // sum over an exact count divided once in double space, so the filter
+    // boundary is bit-identical in both engines.
+    Q(
+      "q257_small_quantity_revenue",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir).filter(col("p_brand") === "Brand#23"),
+            col("l_partkey") === col("p_partkey"))
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+        val avgQty = li.groupBy(col("l_partkey").as("a_partkey"))
+          .agg((Exact.sumD(col("l_quantity"))
+            / count(lit(1)).cast("double")).as("avg_qty"))
+        li.join(avgQty, col("l_partkey") === col("a_partkey"))
+          .filter(col("l_quantity") < col("avg_qty") * lit(0.5).cast("double"))
+          .agg(Exact.sumD(col("l_extendedprice")).as("sum_extprice"),
+            count(lit(1)).as("n_small_lines"))
+          .select(col("sum_extprice"), col("n_small_lines"),
+            (col("sum_extprice") / lit(7.0)).as("avg_yearly"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#23'
+        ), avg_qty AS (
+          SELECT l_partkey AS a_partkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+          FROM li GROUP BY 1
+        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE)
+                 AS sum_extprice,
+               CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE)
+                 / CAST(7.0 AS DOUBLE) AS avg_yearly
+        FROM li JOIN avg_qty ON l_partkey = a_partkey
+        WHERE l_quantity < avg_qty * CAST(0.5 AS DOUBLE)
+      """.trim)),
+
+    // Disjunctive join predicates (the TPC-H Q19 shape): an OR of three
+    // brand/size/quantity conjunctions INSIDE the join condition. Catalyst
+    // factors l_partkey = p_partkey out as the equi-key (hash join, not
+    // NL) and keeps the disjunction as a join residual; the common
+    // p_size >= 1 conjunct is pushed to the part scan.
+    Q(
+      "q258_disjunctive_join",
+      (s, dir) => {
+        val discPrice = (col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("decimal(24,4)")
+        Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir),
+            col("l_partkey") === col("p_partkey") && (
+              (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+                col("l_quantity").between(1.0, 11.0)) ||
+              (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+                col("l_quantity").between(10.0, 20.0)) ||
+              (col("p_brand") === "Brand#4" && col("p_size").between(1, 35) &&
+                col("l_quantity").between(20.0, 30.0))))
+          .agg(Exact.sumProductD(discPrice).as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""
+        SELECT CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))), 2)
+                 AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+          AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                  AND l_quantity BETWEEN 1.0 AND 11.0)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                  AND l_quantity BETWEEN 10.0 AND 20.0)
+            OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+                  AND l_quantity BETWEEN 20.0 AND 30.0))
+      """.trim)),
+
+    // Sole-blame late supplier (the TPC-H Q21 shape): for finished
+    // multi-supplier orders, count late lines attributable to the ONE
+    // supplier who alone shipped late — the EXISTS + NOT EXISTS double
+    // correlation decorrelated to a single per-order aggregate (distinct
+    // suppliers, distinct LATE suppliers, the late line count, and the
+    // blame key via max over a null-gated conditional) instead of two
+    // per-line subquery probes. "Late" is shipping >90 days after the
+    // order date. The oracle keeps the textbook correlated form.
+    Q(
+      "q259_sole_blame_supplier",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+            col("l_orderkey") === col("o_orderkey"))
+          .withColumn("is_late",
+            (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+              .cast("long"))
+        val perOrder = li.groupBy("l_orderkey")
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(when(col("is_late") === 1L, col("l_suppkey"))).as("n_late_supp"),
+            max(when(col("is_late") === 1L, col("l_suppkey"))).as("blame_supp"),
+            sum(col("is_late")).as("n_late_lines"))
+        perOrder.filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+          .join(Tables.supplier(s, dir), col("blame_supp") === col("s_suppkey"))
+          .groupBy("s_suppkey", "s_name")
+          .agg(sum(col("n_late_lines")).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_suppkey"))
+          .limit(20)
+      },
+      Some("""
+        SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 20
       """.trim))
   )
 }
