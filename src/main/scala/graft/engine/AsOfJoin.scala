@@ -62,6 +62,30 @@ object AsOfJoin {
       .select(leftCols.map(c => col(s"__l_$c").as(c)) ++ rightVals.map(col): _*)
   }
 
+  /** [[asofBackward]] with a match-window bound — the pandas `merge_asof`
+    * `tolerance` semantics: a preceding right row more than
+    * `maxStalenessUs` microseconds older than the probe time counts as NO
+    * match, so every right value column (and the matched right time,
+    * exposed as `matchedTimeCol`) nulls out. Both time columns must be
+    * timestamps. The bound is a post-window projection on the already-
+    * joined rows — same one-shuffle cost as the unbounded join, never a
+    * second join or a range join.
+    */
+  def asofBackwardWithin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, tieBreak: String,
+      rightVals: Seq[String], maxStalenessUs: Long,
+      matchedTimeCol: String): DataFrame = {
+    val joined = asofBackward(left,
+      right.withColumn(matchedTimeCol, col(rightTime)),
+      key, leftTime, rightTime, tieBreak, rightVals :+ matchedTimeCol)
+    val withFlag = joined.withColumn("__fresh",
+      unix_micros(col(leftTime)) - unix_micros(col(matchedTimeCol))
+        <= maxStalenessUs)
+    (rightVals :+ matchedTimeCol)
+      .foldLeft(withFlag)((d, c) => d.withColumn(c, when(col("__fresh"), col(c))))
+      .drop("__fresh")
+  }
+
   /** Forward as-of join: for each `left` row, the EARLIEST right row with
     * `rightTime` >= `leftTime` in the same key group (null when none
     * follows) — "next event after" enrichment (next purchase after a click,

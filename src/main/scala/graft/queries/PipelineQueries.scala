@@ -4015,6 +4015,133 @@ object PipelineQueries {
                CAST(CASE WHEN d.value IS NULL THEN 1 ELSE 0 END AS INTEGER) AS was_filled
         FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
         ORDER BY user_id, day
+      """.trim)),
+
+    // Hopping (sliding) window aggregation in BATCH — Spark's built-in
+    // window(ts, windowDuration, slideDuration) with overlap: each event
+    // lands in windowDuration/slideDuration buckets (here 2h/1h = 2), the
+    // generate-then-hash-aggregate shape that replaces a self-join against
+    // a window spine. The tumbling form is q33/q122's; this gates the
+    // OVERLAPPING form, whose oracle expands each row to its two window
+    // starts explicitly. Epoch-aligned starts (Spark's default) match the
+    // oracle's date_trunc arithmetic exactly.
+    Q(
+      "q260_hopping_window",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            Exact.sumD(col("value")).as("sum_value"))
+          .select(col("window.start").as("w_start"),
+            col("window.end").as("w_end"),
+            col("event_type"), col("n_events"), col("sum_value"))
+          .orderBy("w_start", "event_type")
+      },
+      Some("""
+        WITH ex AS (
+          SELECT event_type, value,
+                 unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                         date_trunc('hour', ts)]) AS w_start
+          FROM events
+        )
+        SELECT w_start, w_start + INTERVAL 2 HOUR AS w_end, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(24,2))) AS DOUBLE) AS sum_value
+        FROM ex GROUP BY 1, 2, 3 ORDER BY w_start, event_type
+      """.trim)),
+
+    // Attribution with a match window — the as-of join bounded by a
+    // tolerance (pandas merge_asof semantics, engine op
+    // AsOfJoin.asofBackwardWithin): a purchase is credited to the user's
+    // latest prior view ONLY if it happened within 30 minutes; older views
+    // null out in the same one-shuffle union-window pass (no second join).
+    // Daily rollup: purchases, attributed purchases, and the exact
+    // integer-microsecond latency mass of the attributed ones. Views are
+    // deduped per (user, ts) so both engines' as-of picks are unique.
+    Q(
+      "q261_attribution_window",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+          .withColumn("tb", lit(0L))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"),
+            col("event_id").as("purchase_id"), lit(0L).as("tb"))
+        AsOfJoin.asofBackwardWithin(purchases, views,
+            key = "user_id", leftTime = "pts", rightTime = "ts",
+            tieBreak = "tb", rightVals = Seq("view_id"),
+            maxStalenessUs = 1800000000L, matchedTimeCol = "vts")
+          .groupBy(col("pts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n_purchases"),
+            count(col("view_id")).as("n_attributed"),
+            sum(coalesce(unix_micros(col("pts")) - unix_micros(col("vts")),
+              lit(0L))).as("latency_us_sum"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS view_id
+          FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        ), p AS (
+          SELECT user_id, ts AS pts, event_id AS purchase_id
+          FROM events WHERE event_type = 'purchase'
+        ), j AS (
+          SELECT p.user_id, p.pts,
+                 CASE WHEN epoch_us(p.pts) - epoch_us(v.ts) <= 1800000000
+                      THEN v.view_id END AS view_id,
+                 CASE WHEN epoch_us(p.pts) - epoch_us(v.ts) <= 1800000000
+                      THEN v.ts END AS vts
+          FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.pts
+        )
+        SELECT CAST(pts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(COUNT(view_id) AS BIGINT) AS n_attributed,
+               CAST(SUM(COALESCE(epoch_us(pts) - epoch_us(vts), 0)) AS BIGINT)
+                 AS latency_us_sum
+        FROM j GROUP BY 1 ORDER BY day
+      """.trim)),
+
+    // Leave-one-out target encoding — the categorical-feature prep that
+    // replaces a category with the mean target of the OTHER rows in that
+    // category ((sum - own)/(n - 1)), the standard leakage-free encoder
+    // for training tables. One per-category aggregate broadcast back over
+    // the rows; the subtraction stays in exact decimal space, so the only
+    // IEEE op is the final division — bit-identical in both engines (the
+    // oracle routes its wide decimal through VARCHAR, the q180 hugeint-
+    // cast workaround). Output bounded by a deterministic key slice.
+    Q(
+      "q262_target_encoding",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_mktsegment"), col("o_totalprice"))
+        val seg = o.groupBy(col("c_mktsegment").as("seg"))
+          .agg(sum(col("o_totalprice").cast("decimal(24,2)")).as("seg_sum"),
+            count(lit(1)).as("seg_n"))
+        o.join(broadcast(seg), col("c_mktsegment") === col("seg"))
+          .filter(col("o_orderkey") % 37 === 0)
+          .select(col("o_orderkey"), col("c_mktsegment"), col("o_totalprice"),
+            ((col("seg_sum") - col("o_totalprice").cast("decimal(24,2)")).cast("double")
+              / (col("seg_n") - lit(1L)).cast("double")).as("loo_mean"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, c_mktsegment, o_totalprice
+          FROM orders JOIN customer ON o_custkey = c_custkey
+        ), seg AS (
+          SELECT c_mktsegment AS seg,
+                 SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS seg_sum,
+                 COUNT(*) AS seg_n
+          FROM o GROUP BY 1
+        )
+        SELECT o_orderkey, c_mktsegment, o_totalprice,
+               CAST(CAST(seg_sum - CAST(o_totalprice AS DECIMAL(24,2)) AS VARCHAR)
+                 AS DOUBLE) / CAST(seg_n - 1 AS DOUBLE) AS loo_mean
+        FROM o JOIN seg ON c_mktsegment = seg
+        WHERE o_orderkey % 37 = 0
+        ORDER BY o_orderkey
       """.trim))
   )
 }

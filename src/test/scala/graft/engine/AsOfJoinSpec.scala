@@ -60,4 +60,27 @@ class AsOfJoinSpec extends SparkSpec {
     val r = out.select("rid", "rv").head
     assert(r.getLong(0) === 21L && r.getDouble(1) === 6.0) // greatest tiebreak wins
   }
+
+  test("tolerance bound: stale matches null out, boundary is inclusive") {
+    def within(maxUs: Long) = AsOfJoin.asofBackwardWithin(
+      left, right.select(col("id"), col("t"), col("k"),
+        col("v").as("rv"), col("id").as("rid")),
+      key = "k", leftTime = "t", rightTime = "t", tieBreak = "id",
+      rightVals = Seq("rv", "rid"), maxStalenessUs = maxUs,
+      matchedTimeCol = "mt")
+      .orderBy("id")
+      .select("id", "rv", "mt").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+
+    // 30 min tolerance: id=1's 09:30 match is EXACTLY 30 min old — kept
+    val at30 = within(30L * 60 * 1000000)
+    assert(at30(0)._2 === Some(1.0) && at30(0)._3.isDefined)
+    assert(at30(1)._2 === Some(2.0)) // equal-time match, staleness 0
+    assert(at30(2)._2 === None && at30(3)._2 === None) // no-match rows stay null
+
+    // 29 min tolerance: id=1's match is now stale — nulls out, id=2 keeps
+    val at29 = within(29L * 60 * 1000000)
+    assert(at29(0)._2 === None && at29(0)._3 === None)
+    assert(at29(1)._2 === Some(2.0))
+  }
 }
