@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -2289,6 +2290,199 @@ object EvalQueries {
               AND l3.l_suppkey <> l1.l_suppkey
               AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
         GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 20
+      """.trim)),
+
+    // Per-column dataset profiler — the schema-audit report every ingest
+    // runs before trusting a new drop: null count, exact distinct count,
+    // numeric min/max (timestamps as exact epoch-micros doubles — micros
+    // fit 2^53), and string length bounds for every column, in ONE
+    // aggregate pass (24 agg expressions, one row) unpivoted to a
+    // column-per-row report. The wide-agg-then-explode shape costs one
+    // scan regardless of column count; nothing per-column is re-scanned.
+    Q(
+      "q263_column_profiler",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val agg = o.agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("o_orderkey"))).as("nn1"),
+          countDistinct(col("o_orderkey")).as("nd1"),
+          min(col("o_orderkey")).cast("double").as("mn1"),
+          max(col("o_orderkey")).cast("double").as("mx1"),
+          (count(lit(1)) - count(col("o_custkey"))).as("nn2"),
+          countDistinct(col("o_custkey")).as("nd2"),
+          min(col("o_custkey")).cast("double").as("mn2"),
+          max(col("o_custkey")).cast("double").as("mx2"),
+          (count(lit(1)) - count(col("o_orderstatus"))).as("nn3"),
+          countDistinct(col("o_orderstatus")).as("nd3"),
+          min(length(col("o_orderstatus"))).as("ml3"),
+          max(length(col("o_orderstatus"))).as("xl3"),
+          (count(lit(1)) - count(col("o_totalprice"))).as("nn4"),
+          countDistinct(col("o_totalprice")).as("nd4"),
+          min(col("o_totalprice")).as("mn4"),
+          max(col("o_totalprice")).as("mx4"),
+          (count(lit(1)) - count(col("o_orderdate"))).as("nn5"),
+          countDistinct(col("o_orderdate")).as("nd5"),
+          min(unix_micros(col("o_orderdate").cast("timestamp"))).cast("double").as("mn5"),
+          max(unix_micros(col("o_orderdate").cast("timestamp"))).cast("double").as("mx5"),
+          (count(lit(1)) - count(col("o_orderpriority"))).as("nn6"),
+          countDistinct(col("o_orderpriority")).as("nd6"),
+          min(length(col("o_orderpriority"))).as("ml6"),
+          max(length(col("o_orderpriority"))).as("xl6"))
+        def prof(name: String, nn: String, nd: String,
+            mn: Column, mx: Column, ml: Column, xl: Column) =
+          struct(lit(name).as("column_name"), col("n_rows"),
+            col(nn).as("n_nulls"), col(nd).as("n_distinct"),
+            mn.as("min_num"), mx.as("max_num"),
+            ml.as("min_len"), xl.as("max_len"))
+        val nullD = lit(null).cast("double")
+        val nullI = lit(null).cast("int")
+        agg.select(explode(array(
+            prof("o_orderkey", "nn1", "nd1", col("mn1"), col("mx1"), nullI, nullI),
+            prof("o_custkey", "nn2", "nd2", col("mn2"), col("mx2"), nullI, nullI),
+            prof("o_orderstatus", "nn3", "nd3", nullD, nullD, col("ml3"), col("xl3")),
+            prof("o_totalprice", "nn4", "nd4", col("mn4"), col("mx4"), nullI, nullI),
+            prof("o_orderdate", "nn5", "nd5", col("mn5"), col("mx5"), nullI, nullI),
+            prof("o_orderpriority", "nn6", "nd6", nullD, nullD, col("ml6"), col("xl6"))
+          )).as("p"))
+          .select("p.*")
+          .orderBy("column_name")
+      },
+      Some("""
+        WITH a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS nn1,
+                 CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+                 CAST(MIN(o_orderkey) AS DOUBLE) AS mn1,
+                 CAST(MAX(o_orderkey) AS DOUBLE) AS mx1,
+                 CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS nn2,
+                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd2,
+                 CAST(MIN(o_custkey) AS DOUBLE) AS mn2,
+                 CAST(MAX(o_custkey) AS DOUBLE) AS mx2,
+                 CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS nn3,
+                 CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+                 CAST(MIN(length(o_orderstatus)) AS INTEGER) AS ml3,
+                 CAST(MAX(length(o_orderstatus)) AS INTEGER) AS xl3,
+                 CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS nn4,
+                 CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd4,
+                 MIN(o_totalprice) AS mn4,
+                 MAX(o_totalprice) AS mx4,
+                 CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT) AS nn5,
+                 CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd5,
+                 CAST(MIN(epoch_us(o_orderdate)) AS DOUBLE) AS mn5,
+                 CAST(MAX(epoch_us(o_orderdate)) AS DOUBLE) AS mx5,
+                 CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT) AS nn6,
+                 CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd6,
+                 CAST(MIN(length(o_orderpriority)) AS INTEGER) AS ml6,
+                 CAST(MAX(length(o_orderpriority)) AS INTEGER) AS xl6
+          FROM orders
+        )
+        SELECT 'o_orderkey' AS column_name, n_rows, nn1 AS n_nulls,
+               nd1 AS n_distinct, mn1 AS min_num, mx1 AS max_num,
+               CAST(NULL AS INTEGER) AS min_len, CAST(NULL AS INTEGER) AS max_len
+        FROM a
+        UNION ALL SELECT 'o_custkey', n_rows, nn2, nd2, mn2, mx2,
+               CAST(NULL AS INTEGER), CAST(NULL AS INTEGER) FROM a
+        UNION ALL SELECT 'o_orderstatus', n_rows, nn3, nd3,
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), ml3, xl3 FROM a
+        UNION ALL SELECT 'o_totalprice', n_rows, nn4, nd4, mn4, mx4,
+               CAST(NULL AS INTEGER), CAST(NULL AS INTEGER) FROM a
+        UNION ALL SELECT 'o_orderdate', n_rows, nn5, nd5, mn5, mx5,
+               CAST(NULL AS INTEGER), CAST(NULL AS INTEGER) FROM a
+        UNION ALL SELECT 'o_orderpriority', n_rows, nn6, nd6,
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), ml6, xl6 FROM a
+        ORDER BY column_name
+      """.trim)),
+
+    // Sparse TF-IDF lexical k-NN — the lexical complement of dense
+    // embedding cosine (q26) and unweighted Jaccard (q23): for a fixed
+    // probe set (every 50th doc), the top-3 cosine neighbors in tf-idf
+    // term space. Candidates come ONLY from the inverted-index join
+    // (probe postings x matching postings — fan-out linear in probe
+    // count, never all-pairs), and the shortlist is cut by the custom
+    // TopKPerKey heap, not a per-probe sort. Determinism: idf is
+    // quantized to integer micro-nats (the q191 recipe), weights and both
+    // norm-squared sums are exact integers (decimal-summed), and the only
+    // IEEE ops are one sqrt·sqrt·divide chain in fixed order.
+    Q(
+      "q264_sparse_cosine_topk",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+        val tf = docs.select(col("doc_id"), explode(col("__toks")).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+        val w = tf.join(broadcast(dfreq), Seq("t")).crossJoin(broadcast(nDocs))
+          .withColumn("idf_micro",
+            round(log(col("n_docs").cast("double") / col("df").cast("double"))
+              * lit(1000000.0)).cast("long"))
+          .select(col("t"), col("doc_id"), (col("tf") * col("idf_micro")).as("w"))
+        val norms = w.groupBy("doc_id")
+          .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("norm_sq"))
+        val probes = w.filter(col("doc_id") % 50 === 0)
+          .select(col("t"), col("doc_id").as("probe_id"), col("w").as("wp"))
+        val dots = probes
+          .join(w, Seq("t"))
+          .filter(col("doc_id") =!= col("probe_id"))
+          .groupBy(col("probe_id"), col("doc_id").as("neighbor_id"))
+          .agg(sum((col("wp") * col("w")).cast("decimal(38,0)")).as("dot"),
+            count(lit(1)).as("n_shared_terms"))
+        val scored = dots
+          .join(norms.select(col("doc_id").as("probe_id"),
+            col("norm_sq").as("np")), "probe_id")
+          .join(norms.select(col("doc_id").as("neighbor_id"),
+            col("norm_sq").as("nn")), "neighbor_id")
+          .select(col("probe_id"), col("neighbor_id"), col("n_shared_terms"),
+            (col("dot").cast("double")
+              / (sqrt(col("np").cast("double")) * sqrt(col("nn").cast("double"))))
+              .as("cos_sim"))
+        graft.plans.TopKPerKey.of(scored, keyCols = Seq("probe_id"),
+            order = Seq("cos_sim" -> false, "neighbor_id" -> true), k = 3)
+          .select("probe_id", "rank", "neighbor_id", "n_shared_terms", "cos_sim")
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""
+        WITH docs AS (
+          SELECT doc_id, $Toks AS w FROM documents
+        ), tf AS (
+          SELECT doc_id, t, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(w) AS t FROM docs) GROUP BY 1, 2
+        ), nd AS (
+          SELECT COUNT(*) AS n_docs FROM docs
+        ), dfreq AS (
+          SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+        ), wt AS (
+          SELECT t, doc_id,
+                 tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+                   * 1000000.0) AS BIGINT) AS w
+          FROM tf JOIN dfreq USING (t) CROSS JOIN nd
+        ), norms AS (
+          SELECT doc_id, SUM(CAST(w * w AS DECIMAL(38,0))) AS norm_sq
+          FROM wt GROUP BY 1
+        ), dots AS (
+          SELECT p.doc_id AS probe_id, b.doc_id AS neighbor_id,
+                 SUM(CAST(p.w * b.w AS DECIMAL(38,0))) AS dot,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared_terms
+          FROM wt p JOIN wt b ON p.t = b.t AND b.doc_id <> p.doc_id
+          WHERE p.doc_id % 50 = 0
+          GROUP BY 1, 2
+        ), scored AS (
+          SELECT probe_id, neighbor_id, n_shared_terms,
+                 CAST(CAST(dot AS VARCHAR) AS DOUBLE)
+                   / (sqrt(CAST(CAST(np.norm_sq AS VARCHAR) AS DOUBLE))
+                      * sqrt(CAST(CAST(nn.norm_sq AS VARCHAR) AS DOUBLE))) AS cos_sim
+          FROM dots
+          JOIN norms np ON np.doc_id = probe_id
+          JOIN norms nn ON nn.doc_id = neighbor_id
+        )
+        SELECT probe_id,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank,
+               neighbor_id, n_shared_terms, cos_sim
+        FROM scored
+        QUALIFY rank <= 3
+        ORDER BY probe_id, rank
       """.trim))
   )
 }
