@@ -4142,6 +4142,130 @@ object PipelineQueries {
         FROM o JOIN seg ON c_mktsegment = seg
         WHERE o_orderkey % 37 = 0
         ORDER BY o_orderkey
+      """.trim)),
+
+    // Relational integrity audit — the constraint checks a warehouse runs
+    // before trusting a load: FK orphans both directions, childless
+    // parents, cross-table date inversions, a recomputed-total consistency
+    // rule in exact decimal space, and a domain bound. Each rule is ONE
+    // conditional aggregate over an (anti/left/inner) join — never a
+    // row-level quarantine copy — so the audit costs a handful of
+    // shuffle-light passes regardless of violation count. The synthetic
+    // data genuinely violates two rules (ship-before-order dates,
+    // totalprice drift), so the gate checks real nonzero counts.
+    Q(
+      "q265_integrity_audit",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val r1 = li.select(col("l_orderkey"))
+          .join(o.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left")
+          .agg(count(lit(1)).as("n_checked"),
+            sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+          .select(lit("fk_lineitem_orders").as("rule"), col("n_checked"), col("n_violations"))
+        val r2 = o.select(col("o_custkey"))
+          .join(c.select(col("c_custkey")), col("o_custkey") === col("c_custkey"), "left")
+          .agg(count(lit(1)).as("n_checked"),
+            sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+          .select(lit("fk_orders_customer").as("rule"), col("n_checked"), col("n_violations"))
+        val r3 = o.select(col("o_orderkey"))
+          .join(li.select(col("l_orderkey")).distinct(),
+            col("o_orderkey") === col("l_orderkey"), "left")
+          .agg(count(lit(1)).as("n_checked"),
+            sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+          .select(lit("childless_orders").as("rule"), col("n_checked"), col("n_violations"))
+        val r4 = li.select(col("l_orderkey"), col("l_shipdate"))
+          .join(o.select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("n_checked"),
+            sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L))
+              .as("n_violations"))
+          .select(lit("ship_before_order").as("rule"), col("n_checked"), col("n_violations"))
+        val recomputed = li.groupBy(col("l_orderkey"))
+          .agg(round(sum(((col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("decimal(24,4)")
+            * (lit(1) + col("l_tax").cast("decimal(19,2)")))), 2).as("rec_total"))
+        val r5 = o.select(col("o_orderkey"), col("o_totalprice"))
+          .join(recomputed, col("o_orderkey") === col("l_orderkey"))
+          .agg(count(lit(1)).as("n_checked"),
+            sum(when(abs(col("o_totalprice").cast("decimal(18,2)") - col("rec_total"))
+              > lit(0.01).cast("decimal(18,2)"), 1L).otherwise(0L)).as("n_violations"))
+          .select(lit("totalprice_consistency").as("rule"), col("n_checked"), col("n_violations"))
+        val r6 = li
+          .agg(count(lit(1)).as("n_checked"),
+            sum(when(col("l_quantity") <= 0.0 || col("l_quantity") > 50.0, 1L)
+              .otherwise(0L)).as("n_violations"))
+          .select(lit("quantity_domain").as("rule"), col("n_checked"), col("n_violations"))
+        r1.unionByName(r2).unionByName(r3).unionByName(r4)
+          .unionByName(r5).unionByName(r6)
+          .orderBy("rule")
+      },
+      Some("""
+        SELECT 'fk_lineitem_orders' AS rule,
+               CAST(COUNT(*) AS BIGINT) AS n_checked,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violations
+        FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT 'fk_orders_customer', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        UNION ALL
+        SELECT 'childless_orders', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders LEFT JOIN
+          (SELECT DISTINCT l_orderkey AS k FROM lineitem) ON o_orderkey = k
+        UNION ALL
+        SELECT 'ship_before_order', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT 'totalprice_consistency', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN abs(CAST(o_totalprice AS DECIMAL(18,2)) - rec_total)
+                 > CAST(0.01 AS DECIMAL(18,2)) THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders JOIN (
+          SELECT l_orderkey,
+                 round(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))
+                   * (1 + CAST(l_tax AS DECIMAL(19,2)))), 2) AS rec_total
+          FROM lineitem GROUP BY 1
+        ) ON o_orderkey = l_orderkey
+        UNION ALL
+        SELECT 'quantity_domain', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN l_quantity <= 0.0 OR l_quantity > 50.0
+                 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        ORDER BY rule
+      """.trim)),
+
+    // Plain-text source/sink round-trip — the last uncovered file format
+    // (CSV, JSON-lines, parquet, ORC, binaryFile are all gated): write the
+    // document corpus as raw text lines (one doc per line — the corpus is
+    // single-line ASCII, so lines ARE records), read it back with the text
+    // source, and fingerprint the result with order-independent exact
+    // aggregates. Text is the format training corpora actually arrive in;
+    // the gate proves lossless line round-tripping, not just row counts.
+    Q(
+      "q266_text_roundtrip",
+      (s, dir) => {
+        val path = Scratch.dir(s, dir, "q266_text")
+        Tables.documents(s, dir).select(col("text"))
+          .write.mode("overwrite").text(path)
+        s.read.text(path)
+          .agg(count(lit(1)).as("n_lines"),
+            countDistinct(col("value")).as("n_distinct_lines"),
+            sum(length(col("value")).cast("long")).as("total_chars"),
+            min(length(col("value"))).as("min_len"),
+            max(length(col("value"))).as("max_len"))
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_lines,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(MIN(length(text)) AS INTEGER) AS min_len,
+               CAST(MAX(length(text)) AS INTEGER) AS max_len
+        FROM documents
       """.trim))
   )
 }
