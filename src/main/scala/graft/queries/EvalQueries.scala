@@ -2401,32 +2401,35 @@ object EvalQueries {
     // (probe postings x matching postings — fan-out linear in probe
     // count, never all-pairs), and the shortlist is cut by the custom
     // TopKPerKey heap, not a per-probe sort. Determinism: idf is
-    // quantized to integer micro-nats (the q191 recipe), weights and both
-    // norm-squared sums are exact integers (decimal-summed), and the only
-    // IEEE ops are one sqrt·sqrt·divide chain in fixed order.
+    // quantized to integer CENTI-nats (the q191 micro-nat recipe,
+    // coarsened so every weight product and dot/norm sum stays inside
+    // int64 even at 1e9 docs — the whole hot aggregate rides codegen'd
+    // long arithmetic, no wide-decimal path), and the only IEEE ops are
+    // one sqrt·sqrt·divide chain in fixed order.
     Q(
       "q264_sparse_cosine_topk",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
         val tf = docs.select(col("doc_id"), explode(col("__toks")).as("t"))
           .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
         val nDocs = docs.agg(count(lit(1)).as("n_docs"))
         val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
         val w = tf.join(broadcast(dfreq), Seq("t")).crossJoin(broadcast(nDocs))
-          .withColumn("idf_micro",
+          .withColumn("idf_centi",
             round(log(col("n_docs").cast("double") / col("df").cast("double"))
-              * lit(1000000.0)).cast("long"))
-          .select(col("t"), col("doc_id"), (col("tf") * col("idf_micro")).as("w"))
+              * lit(100.0)).cast("long"))
+          .select(col("t"), col("doc_id"), (col("tf") * col("idf_centi")).as("w"))
         val norms = w.groupBy("doc_id")
-          .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("norm_sq"))
+          .agg(sum(col("w") * col("w")).as("norm_sq"))
         val probes = w.filter(col("doc_id") % 50 === 0)
           .select(col("t"), col("doc_id").as("probe_id"), col("w").as("wp"))
-        val dots = probes
+        val dots = broadcast(probes)
           .join(w, Seq("t"))
           .filter(col("doc_id") =!= col("probe_id"))
           .groupBy(col("probe_id"), col("doc_id").as("neighbor_id"))
-          .agg(sum((col("wp") * col("w")).cast("decimal(38,0)")).as("dot"),
+          .agg(sum(col("wp") * col("w")).as("dot"),
             count(lit(1)).as("n_shared_terms"))
         val scored = dots
           .join(norms.select(col("doc_id").as("probe_id"),
@@ -2455,23 +2458,23 @@ object EvalQueries {
         ), wt AS (
           SELECT t, doc_id,
                  tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
-                   * 1000000.0) AS BIGINT) AS w
+                   * 100.0) AS BIGINT) AS w
           FROM tf JOIN dfreq USING (t) CROSS JOIN nd
         ), norms AS (
-          SELECT doc_id, SUM(CAST(w * w AS DECIMAL(38,0))) AS norm_sq
+          SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS norm_sq
           FROM wt GROUP BY 1
         ), dots AS (
           SELECT p.doc_id AS probe_id, b.doc_id AS neighbor_id,
-                 SUM(CAST(p.w * b.w AS DECIMAL(38,0))) AS dot,
+                 CAST(SUM(p.w * b.w) AS BIGINT) AS dot,
                  CAST(COUNT(*) AS BIGINT) AS n_shared_terms
           FROM wt p JOIN wt b ON p.t = b.t AND b.doc_id <> p.doc_id
           WHERE p.doc_id % 50 = 0
           GROUP BY 1, 2
         ), scored AS (
           SELECT probe_id, neighbor_id, n_shared_terms,
-                 CAST(CAST(dot AS VARCHAR) AS DOUBLE)
-                   / (sqrt(CAST(CAST(np.norm_sq AS VARCHAR) AS DOUBLE))
-                      * sqrt(CAST(CAST(nn.norm_sq AS VARCHAR) AS DOUBLE))) AS cos_sim
+                 CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(np.norm_sq AS DOUBLE))
+                      * sqrt(CAST(nn.norm_sq AS DOUBLE))) AS cos_sim
           FROM dots
           JOIN norms np ON np.doc_id = probe_id
           JOIN norms nn ON nn.doc_id = neighbor_id
