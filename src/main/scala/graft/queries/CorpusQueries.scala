@@ -1,0 +1,472 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{NearDup, TextAnalysis, TextHash}
+
+/** Corpus-operations wave 3: interval algebra, weighted order statistics,
+  * crawl-URL canonicalization, LSH parameter evaluation, and the
+  * right-to-be-forgotten purge cascade. Same exactness discipline as the
+  * rest of the registry: integer/decimal arithmetic end-to-end with at most
+  * a single final IEEE double division per output column, and no
+  * unpartitioned window anywhere (per-user/per-lang frames only).
+  */
+object CorpusQueries {
+
+  /** DuckDB fragment: normalized text (mirror of Cleaning.normalizeText). */
+  private val NormText = raw"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+  /** DuckDB fragment: whitespace tokens of the normalized text. */
+  private val Toks = s"string_split($NormText, ' ')"
+
+  /** DuckDB fragment: distinct word n-gram shingles of token list `w`. */
+  private def duckShingles(w: String, n: Int): String =
+    s"list_distinct([array_to_string($w[i:i+${n - 1}], ' ') FOR i IN generate_series(1, len($w) - ${n - 1})])"
+
+  val qs: Seq[Q] = Seq(
+
+    // Merged-interval coverage (interval union length) per user: each event
+    // opens a deterministic-duration interval; overlapping/touching
+    // intervals merge into islands and the per-user covered time is the sum
+    // of island extents — the classic "total active time" / sensor-uptime
+    // operator that a naive sum-of-durations double-counts. Islands come
+    // from the EXCLUSIVE prefix max of interval ends within the user
+    // partition (a per-user-bounded frame, never a global window): a row
+    // starts a new island iff its start exceeds every earlier end.
+    Q(
+      "q267_interval_coverage",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("start_us"),
+            (unix_micros(col("ts")) +
+              (lit(60L) + pmod(col("event_id"), lit(240L))) * lit(1000000L))
+              .as("end_us"))
+        val w = Window.partitionBy("user_id").orderBy("start_us", "event_id")
+        val islanded = ev
+          .withColumn("prev_end",
+            max(col("end_us")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("is_new",
+            when(col("prev_end").isNull || col("start_us") > col("prev_end"), 1L)
+              .otherwise(0L))
+          .withColumn("island",
+            sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        islanded
+          .groupBy("user_id", "island")
+          .agg(count(lit(1)).as("n_ev"),
+            min(col("start_us")).as("i_start"), max(col("end_us")).as("i_end"))
+          .groupBy("user_id")
+          .agg(sum(col("n_ev")).as("n_events"),
+            count(lit(1)).as("n_islands"),
+            sum(col("i_end") - col("i_start")).as("covered_us"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH iv AS (
+          SELECT user_id, event_id,
+                 epoch_us(ts) AS start_us,
+                 epoch_us(ts) + (60 + event_id % 240) * 1000000 AS end_us
+          FROM events
+        ), marked AS (
+          SELECT user_id, start_us, end_us,
+                 MAX(end_us) OVER (PARTITION BY user_id ORDER BY start_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM iv
+        ), islanded AS (
+          SELECT user_id, start_us, end_us,
+                 SUM(CASE WHEN prev_end IS NULL OR start_us > prev_end
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY start_us, end_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM marked
+        ), islands AS (
+          SELECT user_id, island, COUNT(*) AS n_ev,
+                 MIN(start_us) AS i_start, MAX(end_us) AS i_end
+          FROM islanded GROUP BY 1, 2
+        )
+        SELECT user_id, CAST(SUM(n_ev) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(i_end - i_start) AS BIGINT) AS covered_us
+        FROM islands GROUP BY user_id ORDER BY user_id
+      """.trim)),
+
+    // Token-weighted median document length per language: the weighted
+    // order statistic (smallest value whose cumulative weight reaches half
+    // the total) that answers "the median TOKEN sits in a document of what
+    // length" — documents weighted by their token counts, so a few huge
+    // docs move it where the unweighted median is blind. Values collapse to
+    // (lang, n_chars) groups first; the cumulative rides a lang-partitioned
+    // window over distinct values (bounded by the value domain per lang,
+    // never a global sort) and the pick is pure integer comparison
+    // 2*cum >= total — no division, no doubles anywhere.
+    Q(
+      "q268_weighted_median",
+      (s, dir) => {
+        val grouped = Tables.documents(s, dir)
+          .select(col("lang"), col("n_chars"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("w"))
+          .groupBy("lang", "n_chars")
+          .agg(sum(col("w")).as("gw"))
+        val wLang = Window.partitionBy("lang")
+        val cum = grouped
+          .withColumn("cum",
+            sum(col("gw")).over(wLang.orderBy("n_chars")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("total", sum(col("gw")).over(wLang))
+        cum.filter(col("cum") * 2 >= col("total"))
+          .groupBy("lang")
+          .agg(min(col("n_chars")).as("w_median_chars"),
+            max(col("total")).as("total_weight"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH g AS (
+          SELECT lang, n_chars, SUM(len(string_split(
+                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))) AS gw
+          FROM documents GROUP BY 1, 2
+        ), c AS (
+          SELECT lang, n_chars, gw,
+                 SUM(gw) OVER (PARTITION BY lang ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(gw) OVER (PARTITION BY lang) AS total
+          FROM g
+        )
+        SELECT lang, CAST(MIN(n_chars) AS BIGINT) AS w_median_chars,
+               CAST(MAX(total) AS BIGINT) AS total_weight
+        FROM c WHERE cum * 2 >= total GROUP BY lang ORDER BY lang
+      """.trim)),
+
+    // Crawl-URL canonicalization + dedup rollup: messy URLs (mixed-case
+    // scheme/host, default :443 port, trailing slash, utm_* tracking params,
+    // fragments) are synthesized deterministically from document columns,
+    // then the Spark side PARSES the raw string back apart (parse_url) and
+    // rebuilds the canonical form — lowercase host, port and fragment
+    // dropped, tracking params stripped, trailing slash removed — the
+    // standard pre-dedup URL normalization of a crawl pipeline. Pure
+    // map-side string work into one host-keyed rollup; the oracle restates
+    // the canonical form from the synthesis columns (same q125 pattern).
+    Q(
+      "q269_url_canonical_dedup",
+      (s, dir) => {
+        val raw = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          concat(
+            when(col("doc_id") % 2 === 0, "HTTPS://").otherwise("https://"),
+            when(col("doc_id") % 3 === 0, upper(col("source"))).otherwise(col("source")),
+            lit(".Example.COM"),
+            when(col("doc_id") % 4 === 0, ":443").otherwise(""),
+            lit("/docs/"), (col("doc_id") % 500).cast("string"),
+            when(col("doc_id") % 5 === 0, "/").otherwise(""),
+            lit("?utm_source=feed&id="), (col("doc_id") % 500).cast("string"),
+            when(col("doc_id") % 7 === 0, "&utm_campaign=x").otherwise(""),
+            lit("#s"), (col("doc_id") % 3).cast("string")).as("url"))
+        raw
+          .select(col("url"),
+            lower(expr("parse_url(url, 'HOST')")).as("host"),
+            concat(lit("https://"), lower(expr("parse_url(url, 'HOST')")),
+              regexp_replace(expr("parse_url(url, 'PATH')"), "/$", ""),
+              lit("?id="), expr("parse_url(url, 'QUERY', 'id')")).as("canonical"),
+            when(expr("parse_url(url, 'QUERY', 'utm_campaign')").isNotNull, 1L)
+              .otherwise(0L).as("had_campaign"))
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("url")).as("n_raw_forms"),
+            countDistinct(col("canonical")).as("n_canonical"),
+            sum(col("had_campaign")).as("n_campaign_tagged"))
+          .withColumn("n_dup_rows", col("n_urls") - col("n_canonical"))
+          .orderBy("host")
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id, source,
+                 source || '.example.com' AS host,
+                 (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+                 || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+                 || '.Example.COM'
+                 || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+                 || '/docs/' || CAST(doc_id % 500 AS VARCHAR)
+                 || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+                 || '?utm_source=feed&id=' || CAST(doc_id % 500 AS VARCHAR)
+                 || (CASE WHEN doc_id % 7 = 0 THEN '&utm_campaign=x' ELSE '' END)
+                 || '#s' || CAST(doc_id % 3 AS VARCHAR) AS url,
+                 'https://' || source || '.example.com/docs/'
+                 || CAST(doc_id % 500 AS VARCHAR)
+                 || '?id=' || CAST(doc_id % 500 AS VARCHAR) AS canonical,
+                 CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS had_campaign
+          FROM documents
+        )
+        SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+               CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_canonical,
+               CAST(SUM(had_campaign) AS BIGINT) AS n_campaign_tagged,
+               CAST(COUNT(*) - COUNT(DISTINCT canonical) AS BIGINT) AS n_dup_rows
+        FROM u GROUP BY host ORDER BY host
+      """.trim)),
+
+    // LSH tuning evaluation: candidate-set precision/recall of the banded
+    // MinHash stage (k=64, b=16, r=4 — BEFORE exact verification) against
+    // the exact trigram-Jaccard >= 0.8 truth — the measurement that picks
+    // (b, r) for a corpus: precision prices the wasted verify work,
+    // recall bounds what banding silently loses. Candidates come from the
+    // same bucketed self-join as q24 (never all-pairs); truth from the
+    // q23 inverted-index pairs. One summary row, two final divisions.
+    Q(
+      "q270_lsh_tuning_eval",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sh = NearDup.shingleFrame(docs, "doc_id", "text", n = 3)
+        val banded = NearDup.minHashSignatureFrame(sh, "doc_id", k = 64)
+          .select(col("doc_id"),
+            explode(NearDup.bandBuckets(col("__sig"), 16, 4)).as("__bb"))
+          .select(col("doc_id"), col("__bb.band").as("__band"),
+            col("__bb.bucket").as("__bucket"))
+        val cand = banded.as("a")
+          .join(banded.as("b").hint("shuffle_hash"),
+            col("a.__band") === col("b.__band") &&
+              col("a.__bucket") === col("b.__bucket") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        val truth = NearDup.exactJaccardPairs(docs, "doc_id", "text",
+            n = 3, threshold = 0.8)
+          .select("id_a", "id_b")
+        val hits = cand.join(truth.hint("shuffle_hash"), Seq("id_a", "id_b"),
+          "left_semi")
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+          .select(col("n_candidates"), col("n_truth"), col("n_hits"),
+            (col("n_hits").cast("double") / col("n_candidates").cast("double"))
+              .as("precision"),
+            (col("n_hits").cast("double") / col("n_truth").cast("double"))
+              .as("recall"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, ${duckShingles(Toks, 3)} AS sh FROM documents
+        ), nz AS (
+          SELECT doc_id, sh FROM d WHERE len(sh) > 0
+        ), sigs AS (
+          SELECT doc_id,
+                 [list_min([((s * 2654435761 % ${NearDup.MinHashP - 1} + 1)
+                             * (${TextHash.duckHash60("x")} % ${NearDup.MinHashP}) + s)
+                            % ${NearDup.MinHashP} FOR x IN sh])
+                  FOR s IN generate_series(0, 63)] AS sig
+          FROM nz
+        ), banded AS (
+          SELECT doc_id, j AS band,
+                 array_to_string(list_transform(sig[CAST(j*4+1 AS BIGINT):CAST(j*4+4 AS BIGINT)],
+                   v -> CAST(v AS VARCHAR)), '_') AS bucket
+          FROM sigs CROSS JOIN range(0, 16) t(j)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ), inv AS (
+          SELECT doc_id, unnest(sh) AS s FROM nz
+        ), truth AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING CAST(COUNT(*) AS DOUBLE)
+                   / CAST((SELECT len(sh) FROM nz WHERE doc_id = a.doc_id)
+                          + (SELECT len(sh) FROM nz WHERE doc_id = b.doc_id)
+                          - COUNT(*) AS DOUBLE) >= 0.8
+        ), hits AS (
+          SELECT 1 FROM cand c JOIN truth t
+            ON c.id_a = t.id_a AND c.id_b = t.id_b
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+               CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE) AS precision,
+               CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) AS recall
+      """.trim)),
+
+    // Right-to-be-forgotten purge cascade: a bounded deletion-request list
+    // (customer keys) anti-joined through the fact chain — events by the
+    // user key, orders by the customer key, and lineitem transitively
+    // through its purged parent orders. The per-table before/after/deleted
+    // audit is what a GDPR/CCPA erasure job must emit. Scale shape: the
+    // request list broadcasts (bounded by the request batch, never
+    // data-sized); the order-key cascade is a shuffle semi/anti join
+    // (order keys of deleted customers are data-sized — hinted off
+    // broadcast).
+    Q(
+      "q271_gdpr_purge",
+      (s, dir) => {
+        val del = Tables.customer(s, dir)
+          .filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey").as("del_id"))
+        val ev = Tables.events(s, dir)
+        val evAfter = ev.join(broadcast(del), col("user_id") === col("del_id"),
+          "left_anti")
+        val od = Tables.orders(s, dir)
+        val odAfter = od.join(broadcast(del), col("o_custkey") === col("del_id"),
+          "left_anti")
+        val purgedOrders = od.join(broadcast(del),
+            col("o_custkey") === col("del_id"), "left_semi")
+          .select(col("o_orderkey"))
+        val li = Tables.lineitem(s, dir)
+        val liAfter = li.join(purgedOrders.hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        def audit(name: String, before: org.apache.spark.sql.DataFrame,
+            after: org.apache.spark.sql.DataFrame) =
+          before.agg(count(lit(1)).as("rows_before"))
+            .crossJoin(after.agg(count(lit(1)).as("rows_after")))
+            .select(lit(name).as("table_name"), col("rows_before"),
+              col("rows_after"),
+              (col("rows_before") - col("rows_after")).as("rows_deleted"))
+        audit("events", ev, evAfter)
+          .unionByName(audit("lineitem", li, liAfter))
+          .unionByName(audit("orders", od, odAfter))
+          .orderBy("table_name")
+      },
+      Some("""
+        WITH del AS (
+          SELECT c_custkey AS del_id FROM customer WHERE c_custkey % 97 = 0
+        ), a AS (
+          SELECT 'events' AS table_name, CAST(COUNT(*) AS BIGINT) AS rows_before,
+                 CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+                   (SELECT 1 FROM del WHERE del_id = user_id)) AS BIGINT) AS rows_after
+          FROM events
+          UNION ALL
+          SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+                 CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+                   (SELECT 1 FROM del WHERE del_id = o_custkey)) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+                 CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+                   (SELECT 1 FROM orders o JOIN del ON o.o_custkey = del.del_id
+                    WHERE o.o_orderkey = l_orderkey)) AS BIGINT)
+          FROM lineitem
+        )
+        SELECT table_name, rows_before, rows_after,
+               rows_before - rows_after AS rows_deleted
+        FROM a ORDER BY table_name
+      """.trim)),
+
+    // CUSUM drift detection per user — the sequential changepoint statistic
+    // S_i = max(0, S_{i-1} + (x_i - k)) that flags sustained upward drift a
+    // per-point z-score (q78) misses. The textbook form is a RECURSIVE fold
+    // no window can express; here it rides the closed form
+    // S_i = P_i - min(0, min_{j<=i} P_j) over the prefix sums P of (x - k)
+    // — two per-user-partitioned running aggregates, exact integer micros
+    // end-to-end (x = floor(value·1e6): one IEEE multiply + floor on the
+    // same double in both engines, then pure long arithmetic).
+    Q(
+      "q272_cusum_drift",
+      (s, dir) => {
+        val k = 250000000L  // reference level, micro-units
+        val h = 2000000000L // alarm threshold, micro-units
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            (floor(col("value") * 1000000d).cast("long") - k).as("y"))
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cusum = ev
+          .withColumn("p", sum(col("y")).over(w))
+          .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(w)))
+        cusum.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            max(col("s")).as("max_cusum"),
+            sum(when(col("s") > h, 1L).otherwise(0L)).as("n_alarms"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH y AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                 CAST(floor(value * 1000000) AS BIGINT) - 250000000 AS y
+          FROM events
+        ), pre AS (
+          SELECT user_id, ts_us, event_id,
+                 SUM(y) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+          FROM y
+        ), c AS (
+          SELECT user_id, p,
+                 p - LEAST(0, MIN(p) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+          FROM pre
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(s) AS BIGINT) AS max_cusum,
+               CAST(SUM(CASE WHEN s > 2000000000 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_alarms
+        FROM c GROUP BY user_id ORDER BY user_id
+      """.trim)),
+
+    // Sequential conversion funnel with per-step deadlines: view -> first
+    // click STRICTLY after it (within 30 min) -> first purchase strictly
+    // after that click (within 30 min). Deadlines make this a different
+    // operator from unordered funnels (q67) and unconstrained paths (q202):
+    // each step re-anchors the clock. "First X strictly after" is a
+    // VALUE-RANGE window (RANGE 1 FOLLOWING .. UNBOUNDED on epoch micros) —
+    // tie rows get identical answers, so the chain is deterministic on ts
+    // values alone; the click->purchase hop joins views to the DISTINCT
+    // per-(user, ts) click frame, all user-key-partitioned work.
+    Q(
+      "q273_sequential_funnel",
+      (s, dir) => {
+        val win = 30L * 60L * 1000000L
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+        val after = Window.partitionBy("user_id").orderBy("ts_us")
+          .rangeBetween(1L, Window.unboundedFollowing)
+        val annotated = ev
+          .withColumn("next_click_ts",
+            min(when(col("event_type") === "click", col("ts_us"))).over(after))
+          .withColumn("next_purchase_ts",
+            min(when(col("event_type") === "purchase", col("ts_us"))).over(after))
+        val clicks = annotated.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us").as("c_ts"), col("next_purchase_ts"))
+          .distinct()
+        annotated.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_us").as("v_ts"),
+            when(col("next_click_ts") - col("ts_us") <= win, col("next_click_ts"))
+              .as("c_ts"))
+          .join(clicks, Seq("user_id", "c_ts"), "left")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_views"),
+            sum(when(col("c_ts").isNotNull, 1L).otherwise(0L)).as("n_click30"),
+            sum(when(col("next_purchase_ts") - col("c_ts") <= win, 1L)
+              .otherwise(0L)).as("n_funnel30"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        ), ann AS (
+          SELECT user_id, event_type, ts_us,
+                 MIN(CASE WHEN event_type = 'click' THEN ts_us END) OVER after
+                   AS next_click_ts,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER after
+                   AS next_purchase_ts
+          FROM ev
+          WINDOW after AS (PARTITION BY user_id ORDER BY ts_us
+                           RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        ), clicks AS (
+          SELECT DISTINCT user_id, ts_us AS c_ts, next_purchase_ts
+          FROM ann WHERE event_type = 'click'
+        ), views AS (
+          SELECT user_id, ts_us AS v_ts,
+                 CASE WHEN next_click_ts - ts_us <= 1800000000
+                      THEN next_click_ts END AS c_ts
+          FROM ann WHERE event_type = 'view'
+        )
+        SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS n_views,
+               CAST(SUM(CASE WHEN v.c_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_click30,
+               CAST(SUM(CASE WHEN c.next_purchase_ts - v.c_ts <= 1800000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel30
+        FROM views v LEFT JOIN clicks c
+          ON c.user_id = v.user_id AND c.c_ts = v.c_ts
+        GROUP BY v.user_id ORDER BY v.user_id
+      """.trim))
+  )
+}

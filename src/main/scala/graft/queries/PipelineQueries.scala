@@ -3284,12 +3284,20 @@ object PipelineQueries {
           java.nio.file.Paths.get(src, "events.parquet")): Unit
         // Source file 2: one sentinel per user, 100 days after the last
         // real event — closes every user's final session through the fold.
+        // The sentinel's ts column is written in the SAME encoding the raw
+        // file carries (nanos long vs timestamp), so the declared-schema
+        // file-stream source reads both files uniformly.
         val raw = s.read.parquet(s"$dir/events.parquet")
-        val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
-        val sentinelNs = maxNs + 100L * 86400L * 1000000000L
+        val maxUs = graft.Tables.normalizeTs(raw)
+          .agg(max(unix_micros(col("ts")))).head.getLong(0)
+        val sentinelUs = maxUs + 100L * 86400L * 1000000L
+        val sentinelTs = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => lit(sentinelUs * 1000L)
+          case t => timestamp_micros(lit(sentinelUs)).cast(t)
+        }
         raw.select(col("user_id")).distinct()
           .select((lit(1000000000L) + col("user_id")).as("event_id"),
-            lit(sentinelNs).as("ts"), col("user_id"),
+            sentinelTs.as("ts"), col("user_id"),
             lit("flush").as("event_type"), lit(0.0).as("value"))
           .coalesce(1).write.parquet(src + "_tmp")
         val part = new java.io.File(src + "_tmp").listFiles()
@@ -3299,12 +3307,12 @@ object PipelineQueries {
         rm(new java.io.File(src + "_tmp"))
         // Stream: file source over the two files -> sessionize -> upsert.
         import s.implicits._
-        val events = s.readStream.schema(raw.schema).parquet(src)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val events = graft.Tables.normalizeTs(
+            s.readStream.schema(raw.schema).parquet(src))
           .select("event_id", "ts", "user_id", "event_type", "value")
           .as[EventStreams.Event]
         val sessions = EventStreams.sessionizeStream(events, gapSeconds = 1800L)
-          .filter(col("session_start") < expr(s"timestamp_micros(${sentinelNs / 1000}L)"))
+          .filter(col("session_start") < timestamp_micros(lit(sentinelUs)))
           .withColumn("__key", concat(col("user_id").cast("string"), lit("|"),
             unix_micros(col("session_start")).cast("string")))
         val q = sessions.writeStream

@@ -13,7 +13,8 @@ final case class Q(
 
 object Registry {
   /** All registered queries, contributed per module. */
-  def all: Seq[Q] = CoreQueries.qs ++ PipelineQueries.qs ++ ExtQueries.qs ++ EvalQueries.qs
+  def all: Seq[Q] = CoreQueries.qs ++ PipelineQueries.qs ++ ExtQueries.qs ++
+    EvalQueries.qs ++ CorpusQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
