@@ -467,6 +467,227 @@ object CorpusQueries {
         FROM views v LEFT JOIN clicks c
           ON c.user_id = v.user_id AND c.c_ts = v.c_ts
         GROUP BY v.user_id ORDER BY v.user_id
+      """.trim)),
+
+    // Markov next-event prediction eval: a first-order transition model
+    // trained on the first half of event time (argmax next type per
+    // previous type, q171's deterministic min_by((-cnt, value)) tie-break)
+    // scored on the second half — the relational form of "can yesterday's
+    // transition matrix predict tomorrow". The time split is the exact
+    // integer midpoint of the epoch-micros range; a consecutive pair
+    // belongs to the half its NEXT event falls in (the prediction target's
+    // timestamp decides). Transitions are one lead over the user-partitioned
+    // sort shared by both halves; the 5-row model broadcasts back onto the
+    // test pairs.
+    Q(
+      "q274_markov_eval",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val pairs = ev
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .withColumn("next_ts", lead(col("ts_us"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+        val mid = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+          .select(expr("(mn + mx) div 2").as("mid"))
+        val split = pairs.crossJoin(broadcast(mid))
+        val model = split.filter(col("next_ts") <= col("mid"))
+          .groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("event_type"))
+          .agg(expr("min_by(next_type, struct(-cnt, next_type))").as("prediction"))
+        split.filter(col("next_ts") > col("mid"))
+          .join(broadcast(model), Seq("event_type"), "inner")
+          .groupBy(col("event_type").as("prev_type"),
+            col("prediction"))
+          .agg(count(lit(1)).as("n_test_pairs"),
+            sum(when(col("next_type") === col("prediction"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .select(col("prev_type"), col("prediction"), col("n_test_pairs"),
+            col("n_correct"),
+            (col("n_correct").cast("double") / col("n_test_pairs").cast("double"))
+              .as("accuracy"))
+          .orderBy("prev_type")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+        ), pairs AS (
+          SELECT user_id, event_type, ts_us,
+                 LEAD(event_type) OVER w AS next_type,
+                 LEAD(ts_us) OVER w AS next_ts
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ), mid AS (
+          SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid FROM ev
+        ), train AS (
+          SELECT event_type, next_type, COUNT(*) AS cnt
+          FROM pairs, mid
+          WHERE next_type IS NOT NULL AND next_ts <= mid
+          GROUP BY 1, 2
+        ), model AS (
+          SELECT event_type, next_type AS prediction
+          FROM (SELECT event_type, next_type,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY cnt DESC, next_type ASC) AS rn
+                FROM train)
+          WHERE rn = 1
+        )
+        SELECT p.event_type AS prev_type, m.prediction,
+               CAST(COUNT(*) AS BIGINT) AS n_test_pairs,
+               CAST(SUM(CASE WHEN p.next_type = m.prediction THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_correct,
+               CAST(SUM(CASE WHEN p.next_type = m.prediction THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+        FROM pairs p, mid, model m
+        WHERE p.next_type IS NOT NULL AND p.next_ts > mid.mid
+          AND m.event_type = p.event_type
+        GROUP BY 1, 2 ORDER BY prev_type
+      """.trim)),
+
+    // Merkle-style bucket diff between two table versions — the
+    // anti-entropy primitive of incremental replication: rows hash into 256
+    // key buckets, each bucket folds to (count, Σ row-hash) — an
+    // order-independent exact checksum — and only buckets whose summaries
+    // disagree are reported (those are the ones a sync job would re-ship).
+    // v2 simulates an update batch (price bump on key%1000, deletes on
+    // key%997). Work is two scans + one 256-row join, no row×row compare.
+    Q(
+      "q275_bucket_diff",
+      (s, dir) => {
+        import graft.ext.TextHash
+        // row hash reduced to 32 bits BEFORE the sum: a Σ of 60-bit values
+        // overflows long past ~8 rows, and DuckDB's SUM silently widens to
+        // HUGEINT where Spark's ANSI sum throws — 32-bit terms keep the
+        // bucket checksum exact in a plain long to ~2e9 rows per bucket.
+        def summarize(df: org.apache.spark.sql.DataFrame) = df
+          .select(pmod(col("k"), lit(256)).as("bucket"),
+            pmod(TextHash.hash60(concat(col("k").cast("string"), lit(":"),
+              col("cents").cast("string"))), lit(4294967296L)).as("rh"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum(col("rh")).as("chk"))
+        val v1 = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"))
+        val v2 = v1.filter(col("k") % 997 =!= 0)
+          .select(col("k"),
+            when(col("k") % 1000 === 0, col("cents") + 1)
+              .otherwise(col("cents")).as("cents"))
+        summarize(v1).as("a")
+          .join(summarize(v2).as("b"), Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            coalesce(col("a.n"), lit(0L)).as("n_v1"),
+            coalesce(col("b.n"), lit(0L)).as("n_v2"),
+            (coalesce(col("a.chk"), lit(0L)) - coalesce(col("b.chk"), lit(0L)))
+              .as("chk_delta"))
+          .filter(col("n_v1") =!= col("n_v2") || col("chk_delta") =!= 0)
+          .orderBy("bucket")
+      },
+      Some(s"""
+        WITH v1 AS (
+          SELECT o_orderkey AS k,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM orders
+        ), v2 AS (
+          SELECT k,
+                 CASE WHEN k % 1000 = 0 THEN cents + 1 ELSE cents END AS cents
+          FROM v1 WHERE k % 997 <> 0
+        ), s1 AS (
+          SELECT k % 256 AS bucket, COUNT(*) AS n,
+                 SUM(${graft.ext.TextHash.duckHash60("CAST(k AS VARCHAR) || ':' || CAST(cents AS VARCHAR)")} % 4294967296) AS chk
+          FROM v1 GROUP BY 1
+        ), s2 AS (
+          SELECT k % 256 AS bucket, COUNT(*) AS n,
+                 SUM(${graft.ext.TextHash.duckHash60("CAST(k AS VARCHAR) || ':' || CAST(cents AS VARCHAR)")} % 4294967296) AS chk
+          FROM v2 GROUP BY 1
+        )
+        SELECT COALESCE(s1.bucket, s2.bucket) AS bucket,
+               CAST(COALESCE(s1.n, 0) AS BIGINT) AS n_v1,
+               CAST(COALESCE(s2.n, 0) AS BIGINT) AS n_v2,
+               CAST(COALESCE(s1.chk, 0) - COALESCE(s2.chk, 0) AS BIGINT) AS chk_delta
+        FROM s1 FULL OUTER JOIN s2 ON s1.bucket = s2.bucket
+        WHERE COALESCE(s1.n, 0) <> COALESCE(s2.n, 0)
+           OR COALESCE(s1.chk, 0) <> COALESCE(s2.chk, 0)
+        ORDER BY bucket
+      """.trim)),
+
+    // Hot/cold split join — the OTHER skew defense (q71 salts the
+    // aggregate; AQE splits at runtime): keys above a hotness threshold
+    // route through a broadcast join of JUST the hot dimension rows
+    // (bounded: few keys are ever hot), the cold majority takes the normal
+    // shuffle join, and the union is the full join result — bit-identical
+    // to the plain join, which is exactly what the oracle states. The
+    // split predicate is a semi/anti join against the hot-key list.
+    Q(
+      "q276_hotcold_join",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"))
+        val hotKeys = li.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 35).select("l_partkey")
+        val pt = Tables.part(s, dir).select("p_partkey", "p_brand")
+        val hot = li.join(broadcast(hotKeys), Seq("l_partkey"), "left_semi")
+          .join(broadcast(pt.join(broadcast(hotKeys),
+            col("p_partkey") === col("l_partkey"), "left_semi")),
+            col("l_partkey") === col("p_partkey"))
+        val cold = li.join(broadcast(hotKeys), Seq("l_partkey"), "left_anti")
+          .join(pt.hint("shuffle_hash"), col("l_partkey") === col("p_partkey"))
+        hot.unionByName(cold)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("sum_qty"))
+          .orderBy("p_brand")
+      },
+      Some("""
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand
+      """.trim)),
+
+    // SQL PIVOT clause — the parser-level pivot surface q34's DataFrame
+    // API doesn't touch: value-aliased IN list, DECIMAL-exact cell sums
+    // surfaced as doubles (backing integers stay far inside int64, so the
+    // decimal->double conversion is exact in both engines).
+    Q(
+      "q277_sql_pivot",
+      (s, dir) => {
+        val v = "graft_q277_orders"
+        Tables.orders(s, dir).createOrReplaceTempView(v)
+        s.sql(s"""
+          SELECT o_orderstatus,
+                 CAST(p1 AS DOUBLE) AS urgent,
+                 CAST(p2 AS DOUBLE) AS high,
+                 CAST(p3 AS DOUBLE) AS medium,
+                 CAST(p4 AS DOUBLE) AS not_specified,
+                 CAST(p5 AS DOUBLE) AS low
+          FROM (
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS tp
+            FROM $v
+          )
+          PIVOT (SUM(tp) FOR o_orderpriority IN (
+            '1-URGENT' AS p1, '2-HIGH' AS p2, '3-MEDIUM' AS p3,
+            '4-NOT SPECIFIED' AS p4, '5-LOW' AS p5))
+          ORDER BY o_orderstatus
+        """)
+      },
+      Some("""
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FILTER (WHERE o_orderpriority = '2-HIGH') AS DOUBLE) AS high,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FILTER (WHERE o_orderpriority = '3-MEDIUM') AS DOUBLE) AS medium,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE)
+                 AS not_specified,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE) AS low
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
       """.trim))
   )
 }

@@ -492,4 +492,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"rank lookup must never plan a cartesian product:\n$plan")
   }
+
+  test("hot/cold split join takes BOTH paths: broadcast for hot, shuffle for cold") {
+    // q276's point is the plan shape: the hot-key slice must hit a
+    // broadcast hash join (bounded hot dimension rows) while the cold
+    // majority keeps a shuffle join — a plan with only one join strategy
+    // means the split collapsed and the skew defense is gone.
+    val df = graft.SparkEntry.queries("q276_hotcold_join")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot path must broadcast the hot dimension slice:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"cold path must keep a shuffle join:\n$plan")
+  }
 }
