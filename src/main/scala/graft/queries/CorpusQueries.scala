@@ -688,6 +688,115 @@ object CorpusQueries {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                  FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE) AS low
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """.trim)),
+
+    // Corpus phrase search — multi-token EXACT phrase matching over the
+    // normalized text, the "grep the corpus" operator. For a BOUNDED query
+    // phrase list the scale-right plan is not an index but a single
+    // broadcast-phrase map-side scan (one pass over the corpus, no
+    // shuffle on the doc side until the per-phrase rollup); occurrence
+    // counts come from pure integer length arithmetic
+    // (len(t) - len(replace(t, p))) / len(p) — identical in both engines,
+    // counting non-overlapping occurrences exactly like replace() removes
+    // them. Phrases are padded with spaces against the padded text so only
+    // whole-token matches count.
+    Q(
+      "q278_phrase_search",
+      (s, dir) => {
+        import s.implicits._
+        val phrases = Seq("table value part", "scan slow fast", "spark a a")
+          .toDF("phrase")
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            concat(lit(" "), graft.engine.Cleaning.normalizeText(col("text")),
+              lit(" ")).as("t"))
+        docs.crossJoin(broadcast(phrases))
+          .select(col("doc_id"), col("phrase"),
+            expr("""(length(t) - length(replace(t, ' ' || phrase || ' ', ' ')))
+                    div (length(phrase) + 1)""").as("n_occ"))
+          .filter(col("n_occ") > 0)
+          .groupBy("phrase")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_occ")).as("n_occurrences"))
+          .orderBy("phrase")
+      },
+      Some(s"""
+        WITH phrases AS (
+          SELECT unnest(['table value part', 'scan slow fast', 'spark a a'])
+            AS phrase
+        ), d AS (
+          SELECT doc_id, ' ' || $NormText || ' ' AS t FROM documents
+        ), m AS (
+          SELECT phrase, doc_id,
+                 (length(t) - length(replace(t, ' ' || phrase || ' ', ' ')))
+                   // (length(phrase) + 1) AS n_occ
+          FROM d CROSS JOIN phrases
+        )
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_occ) AS BIGINT) AS n_occurrences
+        FROM m WHERE n_occ > 0
+        GROUP BY phrase ORDER BY phrase
+      """.trim)),
+
+    // Event-time disorder audit — the watermark-planning diagnostic: how
+    // late does each event arrive relative to the per-user event-time high
+    // watermark seen so far? Lateness of a row = prefix-max(ts) − ts over
+    // the ARRIVAL order; the histogram of lateness (on-time / <1 s / <10 s
+    // / <1 min / <10 min / ≥10 min) is what picks a streaming watermark
+    // delay that loses less than a target fraction. The fixture lands in
+    // perfect event-time order (zero lateness everywhere), so the arrival
+    // process is a deterministic local permutation of the ingest sequence —
+    // the last decimal digit of event_id reversed, i.e. shuffling within
+    // consecutive blocks of 10 — giving the audit genuine bounded disorder
+    // to measure. Per-user partitioned prefix max (the q267 exclusive-frame
+    // shape), then one bounded rollup.
+    Q(
+      "q279_disorder_audit",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            (col("event_id") - pmod(col("event_id"), lit(10L)) +
+              (lit(9L) - pmod(col("event_id"), lit(10L)))).as("arrival_seq"))
+        val w = Window.partitionBy("user_id").orderBy("arrival_seq")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val late = ev
+          .withColumn("hwm", max(col("ts_us")).over(w))
+          .withColumn("lateness_us",
+            greatest(lit(0L), coalesce(col("hwm") - col("ts_us"), lit(0L))))
+        late
+          .withColumn("bucket",
+            when(col("lateness_us") === 0, "0_on_time")
+              .when(col("lateness_us") < 1000000L, "1_under_1s")
+              .when(col("lateness_us") < 10000000L, "2_under_10s")
+              .when(col("lateness_us") < 60000000L, "3_under_1m")
+              .when(col("lateness_us") < 600000000L, "4_under_10m")
+              .otherwise("5_over_10m"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_events"),
+            max(col("lateness_us")).as("max_lateness_us"))
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH arr AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+                 event_id - (event_id % 10) + (9 - event_id % 10) AS arrival_seq
+          FROM events
+        ), late AS (
+          SELECT user_id,
+                 GREATEST(0, COALESCE(
+                   MAX(ts_us) OVER (PARTITION BY user_id ORDER BY arrival_seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - ts_us, 0)) AS lateness_us
+          FROM arr
+        )
+        SELECT CASE WHEN lateness_us = 0 THEN '0_on_time'
+                    WHEN lateness_us < 1000000 THEN '1_under_1s'
+                    WHEN lateness_us < 10000000 THEN '2_under_10s'
+                    WHEN lateness_us < 60000000 THEN '3_under_1m'
+                    WHEN lateness_us < 600000000 THEN '4_under_10m'
+                    ELSE '5_over_10m' END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(lateness_us) AS BIGINT) AS max_lateness_us
+        FROM late GROUP BY 1 ORDER BY bucket
       """.trim))
   )
 }
