@@ -797,6 +797,113 @@ object CorpusQueries {
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(MAX(lateness_us) AS BIGINT) AS max_lateness_us
         FROM late GROUP BY 1 ORDER BY bucket
+      """.trim)),
+
+    // Grid-cell neighbor join — the 2-D spatial-join pattern without a geo
+    // library: points (per-part profile coordinates, exact integers) land
+    // in d×d grid cells; one side explodes to its 3×3 neighbor cells and
+    // the candidate join is a plain HASH equi-join on the cell key — never
+    // the all-pairs theta join the oracle states. With cell size = the L∞
+    // radius d, |Δx| ≤ d forces the cell deltas into {-1,0,1}, so the 3×3
+    // probe is COMPLETE; and since a target's cell is unique, each
+    // candidate pair arises from exactly one probe cell — no dedup needed.
+    // The same shape scales to any point count (candidates ~ density ×
+    // points, not points²).
+    Q(
+      "q280_grid_neighbor_join",
+      (s, dir) => {
+        val d = 3L
+        val pts = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey").as("k"))
+          .agg(sum(col("l_quantity").cast("long")).as("x"),
+            sum((col("l_discount").cast("decimal(8,2)") * 100).cast("long"))
+              .as("y"))
+        val cells = pts
+          .withColumn("cx", expr(s"x div $d")).withColumn("cy", expr(s"y div $d"))
+        val offsets = array(
+          (for (i <- -1 to 1; j <- -1 to 1)
+            yield struct(lit(i.toLong).as("di"), lit(j.toLong).as("dj"))): _*)
+        val probes = cells.select(col("k"), col("x"), col("y"),
+            col("cx"), col("cy"), explode(offsets).as("o"))
+          .select(col("k"), col("x"), col("y"),
+            (col("cx") + col("o.di")).as("ncx"), (col("cy") + col("o.dj")).as("ncy"))
+        probes.as("a")
+          .join(cells.as("b").hint("shuffle_hash"),
+            col("a.ncx") === col("b.cx") && col("a.ncy") === col("b.cy") &&
+              col("a.k") < col("b.k"))
+          .filter(abs(col("a.x") - col("b.x")) <= d &&
+            abs(col("a.y") - col("b.y")) <= d)
+          .select(col("a.k").as("id_a"), col("b.k").as("id_b"),
+            (col("a.x") - col("b.x")).as("dx"), (col("a.y") - col("b.y")).as("dy"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT l_partkey AS k,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x,
+                 CAST(SUM(CAST(CAST(l_discount AS DECIMAL(8,2)) * 100 AS BIGINT))
+                   AS BIGINT) AS y
+          FROM lineitem GROUP BY 1
+        )
+        SELECT a.k AS id_a, b.k AS id_b,
+               a.x - b.x AS dx, a.y - b.y AS dy
+        FROM pts a JOIN pts b
+          ON a.k < b.k AND abs(a.x - b.x) <= 3 AND abs(a.y - b.y) <= 3
+        ORDER BY id_a, id_b
+      """.trim)),
+
+    // Pseudonymization consistency audit — format-free key tokenization for
+    // privacy-preserving analytics: user keys are replaced by a keyed
+    // 60-bit hash and the audit proves the pseudonymized corpus still
+    // supports the SAME analytics — distinct-entity counts are preserved
+    // (injectivity on the observed domain) and the events↔customer join
+    // cardinality is identical before and after tokenization. One row,
+    // all exact integers; any collision or join drift shows as a
+    // before≠after difference the hash gate would catch.
+    Q(
+      "q281_pseudonym_audit",
+      (s, dir) => {
+        import graft.ext.TextHash
+        def tok(c: org.apache.spark.sql.Column) =
+          TextHash.hash60(concat(lit("u:"), c.cast("string")))
+        val ev = Tables.events(s, dir).select(col("user_id"))
+        val cust = Tables.customer(s, dir).select(col("c_custkey"))
+        val before = ev.join(cust, col("user_id") === col("c_custkey"))
+          .agg(count(lit(1)).as("n_join_before"))
+        val after = ev.select(tok(col("user_id")).as("pu"))
+          .join(cust.select(tok(col("c_custkey")).as("pc")),
+            col("pu") === col("pc"))
+          .agg(count(lit(1)).as("n_join_after"))
+        ev.agg(countDistinct(col("user_id")).as("n_users"))
+          .crossJoin(ev.select(tok(col("user_id")).as("pu"))
+            .agg(countDistinct(col("pu")).as("n_pseudo_users")))
+          .crossJoin(before).crossJoin(after)
+          .select(col("n_users"), col("n_pseudo_users"),
+            col("n_join_before"), col("n_join_after"),
+            (col("n_users") - col("n_pseudo_users")).as("collisions"),
+            (col("n_join_before") - col("n_join_after")).as("join_drift"))
+      },
+      Some(s"""
+        WITH pe AS (
+          SELECT user_id,
+                 ${graft.ext.TextHash.duckHash60("'u:' || CAST(user_id AS VARCHAR)")} AS pu
+          FROM events
+        ), pc AS (
+          SELECT c_custkey,
+                 ${graft.ext.TextHash.duckHash60("'u:' || CAST(c_custkey AS VARCHAR)")} AS pc
+          FROM customer
+        )
+        SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM pe) AS n_users,
+               (SELECT CAST(COUNT(DISTINCT pu) AS BIGINT) FROM pe) AS n_pseudo_users,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM pe JOIN pc
+                  ON pe.user_id = pc.c_custkey) AS n_join_before,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM pe JOIN pc
+                  ON pe.pu = pc.pc) AS n_join_after,
+               (SELECT CAST(COUNT(DISTINCT user_id) - COUNT(DISTINCT pu) AS BIGINT)
+                  FROM pe) AS collisions,
+               CAST((SELECT COUNT(*) FROM pe JOIN pc ON pe.user_id = pc.c_custkey)
+                 - (SELECT COUNT(*) FROM pe JOIN pc ON pe.pu = pc.pc) AS BIGINT)
+                 AS join_drift
       """.trim))
   )
 }
