@@ -904,6 +904,88 @@ object CorpusQueries {
                CAST((SELECT COUNT(*) FROM pe JOIN pc ON pe.user_id = pc.c_custkey)
                  - (SELECT COUNT(*) FROM pe JOIN pc ON pe.pu = pc.pc) AS BIGINT)
                  AS join_drift
+      """.trim)),
+
+    // Luhn checksum validation — the PII-detection depth check behind
+    // q110's regex pass: a card-NUMBER-shaped string is only sensitive if
+    // its check digit verifies. Numbers are synthesized deterministically
+    // (~1 in 10 valid); Spark validates with the built-in luhn_check while
+    // the oracle recomputes the checksum from first principles — reversed
+    // digits, every second one doubled with digit-sum folding (d*2 - 9
+    // when d > 4), total mod 10 — so the builtin's contract itself is what
+    // the gate pins. Booleans surface as ints (nullable-boolean hash
+    // hazard), rollup per source.
+    Q(
+      "q282_luhn_check",
+      (s, dir) => {
+        val nums = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            concat(lit("4"),
+              lpad((col("doc_id") * 7919 % 100000000000000L).cast("string"), 14, "0"),
+              (col("doc_id") % 10).cast("string")).as("card"))
+        nums
+          .select(col("source"),
+            expr("if(luhn_check(card), 1L, 0L)").as("is_valid"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_numbers"), sum(col("is_valid")).as("n_valid"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH nums AS (
+          SELECT doc_id, source,
+                 '4' || lpad(CAST(doc_id * 7919 % 100000000000000 AS VARCHAR), 14, '0')
+                     || CAST(doc_id % 10 AS VARCHAR) AS card
+          FROM documents
+        ), checked AS (
+          SELECT source,
+                 CASE WHEN list_sum(
+                   [CASE WHEN i % 2 = 1 THEN
+                      CASE WHEN CAST(card[len(card) - i : len(card) - i] AS INT) > 4
+                           THEN CAST(card[len(card) - i : len(card) - i] AS INT) * 2 - 9
+                           ELSE CAST(card[len(card) - i : len(card) - i] AS INT) * 2 END
+                    ELSE CAST(card[len(card) - i : len(card) - i] AS INT) END
+                    FOR i IN generate_series(0, len(card) - 1)]) % 10 = 0
+                 THEN 1 ELSE 0 END AS is_valid
+          FROM nums
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_numbers,
+               CAST(SUM(is_valid) AS BIGINT) AS n_valid
+        FROM checked GROUP BY source ORDER BY source
+      """.trim)),
+
+    // transform_values — the one map HOF q174 left untouched: per-user
+    // event-type count maps normalized IN PLACE to per-type shares
+    // (transform_values with a captured total), then exploded back to rows
+    // for the value-exact compare. Each share is one division of exact
+    // integers; the relational oracle computes the same shares without ever
+    // building a map, proving the HOF is semantics-neutral packaging.
+    Q(
+      "q283_map_normalize",
+      (s, dir) => {
+        val perType = Tables.events(s, dir)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("cnt"))
+        val maps = perType.groupBy("user_id")
+          .agg(map_from_entries(sort_array(collect_list(
+              struct(col("event_type"), col("cnt"))))).as("cnt_map"),
+            sum(col("cnt")).as("total"))
+        maps
+          .select(col("user_id"),
+            explode(transform_values(col("cnt_map"),
+              (_, v) => v.cast("double") / col("total").cast("double")))
+              .as(Seq("event_type", "share")))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""
+        WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+        ), t AS (
+          SELECT user_id, SUM(cnt) AS total FROM c GROUP BY 1
+        )
+        SELECT c.user_id, c.event_type,
+               CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        FROM c JOIN t ON c.user_id = t.user_id
+        ORDER BY c.user_id, event_type
       """.trim))
   )
 }
