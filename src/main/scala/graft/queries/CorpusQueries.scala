@@ -986,6 +986,104 @@ object CorpusQueries {
                CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
         FROM c JOIN t ON c.user_id = t.user_id
         ORDER BY c.user_id, event_type
+      """.trim)),
+
+    // Rendezvous (highest-random-weight) sharding + rebalance diff — the
+    // consistent-assignment primitive of distributed stores: each doc goes
+    // to the shard minimizing hash(doc, shard), so adding a 17th shard
+    // moves ONLY the docs whose new-shard weight beats their old minimum
+    // (~1/17 of the corpus in expectation) — against naive mod-sharding,
+    // which moves ~16/17. The assignment is a bounded 16/17-way explode +
+    // min_by per doc (deterministic struct tie-break), never a shuffle of
+    // shard state; the audit reports per-old-shard occupancy and outflow
+    // plus the global moved fraction.
+    Q(
+      "q284_rendezvous_shards",
+      (s, dir) => {
+        import graft.ext.TextHash
+        def assign(n: Int, name: String) =
+          Tables.documents(s, dir).select(col("doc_id"))
+            .select(col("doc_id"),
+              explode(sequence(lit(0L), lit(n - 1L))).as("sh"))
+            .select(col("doc_id"), col("sh"),
+              TextHash.hash60(concat(col("doc_id").cast("string"), lit(":"),
+                col("sh").cast("string"))).as("w"))
+            .groupBy("doc_id")
+            .agg(expr("min_by(sh, struct(w, sh))").as(name))
+        assign(16, "shard_v1").join(assign(17, "shard_v2"), "doc_id")
+          .groupBy(col("shard_v1").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("shard_v1") =!= col("shard_v2"), 1L).otherwise(0L))
+              .as("n_moved_out"))
+          .orderBy("shard")
+      },
+      Some(s"""
+        WITH a1 AS (
+          SELECT doc_id, sh AS shard_v1
+          FROM (SELECT doc_id, sh,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY
+                         ${graft.ext.TextHash.duckHash60("CAST(doc_id AS VARCHAR) || ':' || CAST(sh AS VARCHAR)")},
+                         sh) AS rn
+                FROM documents CROSS JOIN range(0, 16) t(sh))
+          WHERE rn = 1
+        ), a2 AS (
+          SELECT doc_id, sh AS shard_v2
+          FROM (SELECT doc_id, sh,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY
+                         ${graft.ext.TextHash.duckHash60("CAST(doc_id AS VARCHAR) || ':' || CAST(sh AS VARCHAR)")},
+                         sh) AS rn
+                FROM documents CROSS JOIN range(0, 17) t(sh))
+          WHERE rn = 1
+        )
+        SELECT shard_v1 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN shard_v1 <> shard_v2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_moved_out
+        FROM a1 JOIN a2 USING (doc_id)
+        GROUP BY 1 ORDER BY shard
+      """.trim)),
+
+    // Backfill planner — the lake-maintenance gap detector: orders land in
+    // a month-partitioned sink with two months deterministically withheld
+    // (a failed-ingest simulation); the planner reads the sink's partition
+    // values back through directory discovery, builds the full month spine
+    // from the data's own min/max (the S6 generator shape), and anti-joins
+    // to emit exactly the partitions a backfill job must re-run. Composes
+    // partitioned write -> partition discovery -> spine anti-join in one
+    // gated query.
+    Q(
+      "q285_backfill_plan",
+      (s, dir) => {
+        val path = graft.engine.Scratch.dir(s, dir, "q285_backfill")
+        val od = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        graft.engine.Sinks.writePartitioned(
+          od.filter(!month(col("o_orderdate")).isin(3, 11)),
+          path, partitionCols = Seq("order_month"))
+        s.catalog.clearCache()
+        val present = s.read.parquet(path).select("order_month").distinct()
+        val spine = od.agg(min(col("o_orderdate")).as("mn"), max(col("o_orderdate")).as("mx"))
+          .select(explode(sequence(trunc(col("mn"), "month"),
+            trunc(col("mx"), "month"), expr("interval 1 month"))).as("m"))
+          .select(date_format(col("m"), "yyyy-MM").as("order_month"))
+        spine.join(present, Seq("order_month"), "left_anti")
+          .orderBy("order_month")
+      },
+      Some("""
+        WITH spine AS (
+          SELECT strftime(m, '%Y-%m') AS order_month
+          FROM (SELECT unnest(generate_series(
+                  date_trunc('month', (SELECT MIN(o_orderdate) FROM orders)),
+                  date_trunc('month', (SELECT MAX(o_orderdate) FROM orders)),
+                  INTERVAL 1 MONTH)) AS m)
+        ), present AS (
+          SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS order_month
+          FROM orders
+          WHERE month(o_orderdate) NOT IN (3, 11)
+        )
+        SELECT order_month FROM spine
+        WHERE order_month NOT IN (SELECT order_month FROM present)
+        ORDER BY order_month
       """.trim))
   )
 }
