@@ -1084,6 +1084,105 @@ object CorpusQueries {
         SELECT order_month FROM spine
         WHERE order_month NOT IN (SELECT order_month FROM present)
         ORDER BY order_month
+      """.trim)),
+
+    // Skip-gram co-occurrence — the word2vec-style windowed statistic that
+    // generalizes q55's ADJACENT-only collocations: token pairs up to 5
+    // positions apart, ordered (left, right). Pairs come from the shifted-
+    // slice zip trick (the shingle construction), one zip per offset,
+    // flattened — pure map-side expression work, NO positional self-join
+    // (which would fan out per-doc-length² before its residual filter).
+    // Global top-20 by (count DESC, pair) rides TakeOrdered, not a window.
+    Q(
+      "q286_skipgram_pairs",
+      (s, dir) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        val pairsFor = (j: Int) => {
+          val m = size(toks) - j
+          transform(arrays_zip(slice(toks, lit(1), m), slice(toks, lit(j + 1), m)),
+            z => struct(z.getField("0").as("tok_a"), z.getField("1").as("tok_b")))
+        }
+        Tables.documents(s, dir)
+          .select(explode(flatten(array((1 to 5).map(pairsFor): _*))).as("p"))
+          .select(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
+          .groupBy("tok_a", "tok_b")
+          .agg(count(lit(1)).as("n_cooc"))
+          .orderBy(col("n_cooc").desc, col("tok_a"), col("tok_b"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT $Toks AS w FROM documents
+        ), pairs AS (
+          SELECT unnest([struct_pack(a := w[i], b := w[i + j])
+                         FOR i IN generate_series(1, len(w) - j)]) AS pr
+          FROM d CROSS JOIN range(1, 6) o(j)
+          WHERE len(w) > j
+        )
+        SELECT pr.a AS tok_a, pr.b AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_cooc
+        FROM pairs GROUP BY 1, 2
+        ORDER BY n_cooc DESC, tok_a, tok_b LIMIT 20
+      """.trim)),
+
+    // Two-proportion z-test — the A/B experiment readout: users hash-split
+    // into arms (RNG-free, the q40/q203 membership discipline), per-arm
+    // purchase conversion compared under the pooled-variance z statistic.
+    // The four inputs are exact integers; z is ONE fixed expression tree of
+    // IEEE ops both engines evaluate identically (same divisions, same
+    // sqrt), and the significance verdict is an integer threshold compare
+    // on |z| — no boolean column, no engine-local rounding path.
+    Q(
+      "q287_ab_ztest",
+      (s, dir) => {
+        import graft.ext.TextHash
+        val perUser = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" && col("value") > 300.0,
+            1L).otherwise(0L)).as("converted"))
+          .select(pmod(TextHash.hash60(concat(lit("ab:"),
+            col("user_id").cast("string"))), lit(2L)).as("arm"), col("converted"))
+        val arms = perUser.groupBy("arm")
+          .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
+        val a = arms.filter(col("arm") === 0).select(col("n").as("n_a"), col("x").as("x_a"))
+        val b = arms.filter(col("arm") === 1).select(col("n").as("n_b"), col("x").as("x_b"))
+        a.crossJoin(b)
+          .withColumn("z",
+            expr("""(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                     - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                    / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                           * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                           * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"""))
+          .withColumn("significant_95",
+            when(abs(col("z")) > 1.959963984540054, 1L).otherwise(0L))
+      },
+      Some(s"""
+        WITH u AS (
+          SELECT ${graft.ext.TextHash.duckHash60("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+                 MAX(CASE WHEN event_type = 'purchase' AND value > 300.0
+                          THEN 1 ELSE 0 END) AS converted
+          FROM events GROUP BY user_id
+        ), arms AS (
+          SELECT arm, COUNT(*) AS n, SUM(converted) AS x FROM u GROUP BY 1
+        ), w AS (
+          SELECT (SELECT CAST(n AS BIGINT) FROM arms WHERE arm = 0) AS n_a,
+                 (SELECT CAST(x AS BIGINT) FROM arms WHERE arm = 0) AS x_a,
+                 (SELECT CAST(n AS BIGINT) FROM arms WHERE arm = 1) AS n_b,
+                 (SELECT CAST(x AS BIGINT) FROM arms WHERE arm = 1) AS x_b
+        )
+        SELECT n_a, x_a, n_b, x_b,
+               (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z,
+               CAST(CASE WHEN abs((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))
+                      > 1.959963984540054
+                    THEN 1 ELSE 0 END AS BIGINT) AS significant_95
+        FROM w
       """.trim))
   )
 }
