@@ -1183,6 +1183,119 @@ object CorpusQueries {
                       > 1.959963984540054
                     THEN 1 ELSE 0 END AS BIGINT) AS significant_95
         FROM w
+      """.trim)),
+
+    // Edit-distance-1 spell-candidate pairs — SymSpell's symmetric-delete
+    // blocking: every vocabulary word expands to {itself} ∪ its single-char
+    // deletions; two words at edit distance 1 MUST share an entry, so the
+    // candidate join is a plain hash equi-join on the variant string (L+1
+    // entries per word, never vocab²). Candidates are then verified with
+    // the BANDED levenshtein (threshold form — O(L) band, not the full DP
+    // matrix; the oracle uses DuckDB's plain levenshtein, same answer
+    // inside the filter). Same-length words sharing a deletion can sit at
+    // distance 2 (transpositions), so the verify is load-bearing.
+    Q(
+      "q288_spell_candidates",
+      (s, dir) => {
+        val real = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0).distinct()
+        // the clean corpus vocabulary has no distance-1 pairs of its own, so
+        // a deterministic TYPO corpus (2nd char deleted from every word of
+        // >= 4 chars) is unioned in — the realistic input shape anyway: a
+        // dirty vocabulary containing both forms.
+        val vocab = real.unionByName(
+          real.filter(length(col("w")) >= 4)
+            .select(concat(col("w").substr(lit(1), lit(1)),
+              expr("substring(w, 3)")).as("w"))).distinct()
+        val variants = vocab.select(col("w"),
+          explode(array_distinct(concat(
+            transform(sequence(lit(1), length(col("w"))),
+              i => concat(col("w").substr(lit(1), i - 1),
+                col("w").substr(i + 1, length(col("w"))))),
+            array(col("w"))))).as("v"))
+        variants.as("a")
+          .join(variants.as("b").hint("shuffle_hash"),
+            col("a.v") === col("b.v") && col("a.w") < col("b.w"))
+          .select(col("a.w").as("word_a"), col("b.w").as("word_b"))
+          .distinct()
+          .filter(levenshtein(col("word_a"), col("word_b"), 1) === 1)
+          .orderBy("word_a", "word_b")
+      },
+      Some(s"""
+        WITH real AS (
+          SELECT DISTINCT unnest($Toks) AS w FROM documents
+        ), nz AS (
+          SELECT DISTINCT w FROM (
+            SELECT w FROM real WHERE len(w) > 0
+            UNION
+            SELECT w[1:1] || w[3:len(w)] AS w FROM real WHERE len(w) >= 4
+          )
+        ), variants AS (
+          SELECT w, unnest(list_distinct(
+                   [w[1:i-1] || w[i+1:len(w)] FOR i IN generate_series(1, len(w))]
+                   || [w])) AS v
+          FROM nz
+        )
+        SELECT DISTINCT a.w AS word_a, b.w AS word_b
+        FROM variants a JOIN variants b ON a.v = b.v AND a.w < b.w
+        WHERE levenshtein(a.w, b.w) = 1
+        ORDER BY word_a, word_b
+      """.trim)),
+
+    // Semi-supervised label propagation — 1-hop majority vote over the
+    // VERIFIED near-dup graph: docs with doc_id % 5 = 0 keep their lang as
+    // a seed label, every other doc collects its labeled neighbors' votes
+    // (edges = q24's exact-verified MinHash pairs, both directions) and
+    // takes the majority with the deterministic (−votes, label) tie-break.
+    // Because the fixture knows every doc's true lang, the per-doc verdict
+    // carries is_correct — propagation accuracy rides the same hash gate.
+    Q(
+      "q289_label_propagation",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "lang")
+        val pairs = NearDup.minHashNearDupPairs(docs
+            .join(Tables.documents(s, dir).select("doc_id", "text"), "doc_id"),
+          "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.8)
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        val seeds = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("dst"), col("lang").as("seed_lang"))
+        val votes = edges.join(seeds, "dst")
+          .filter(col("src") % 5 =!= 0)
+          .groupBy(col("src").as("doc_id"), col("seed_lang"))
+          .agg(count(lit(1)).as("votes"))
+        votes.groupBy("doc_id")
+          .agg(expr("min_by(seed_lang, struct(-votes, seed_lang))").as("predicted"),
+            sum(col("votes")).as("n_votes"))
+          .join(docs, "doc_id")
+          .select(col("doc_id"), col("predicted"), col("n_votes"),
+            when(col("predicted") === col("lang"), 1L).otherwise(0L).as("is_correct"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        ${ExtQueries.MinhashPairsCte}, edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM verified
+        ), votes AS (
+          SELECT e.src AS doc_id, d.lang AS seed_lang, COUNT(*) AS votes
+          FROM edges e JOIN documents d ON d.doc_id = e.dst
+          WHERE e.dst % 5 = 0 AND e.src % 5 <> 0
+          GROUP BY 1, 2
+        ), picked AS (
+          SELECT doc_id, seed_lang AS predicted,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY votes DESC, seed_lang ASC) AS rn,
+                 SUM(votes) OVER (PARTITION BY doc_id) AS n_votes
+          FROM votes
+        )
+        SELECT p.doc_id, p.predicted, CAST(p.n_votes AS BIGINT) AS n_votes,
+               CAST(CASE WHEN p.predicted = d.lang THEN 1 ELSE 0 END AS BIGINT)
+                 AS is_correct
+        FROM picked p JOIN documents d ON d.doc_id = p.doc_id
+        WHERE p.rn = 1
+        ORDER BY p.doc_id
       """.trim))
   )
 }
