@@ -1296,6 +1296,121 @@ object CorpusQueries {
         FROM picked p JOIN documents d ON d.doc_id = p.doc_id
         WHERE p.rn = 1
         ORDER BY p.doc_id
+      """.trim)),
+
+    // Adjusted Rand Index — clustering-stability measurement: how much did
+    // one Lloyd step (q39's refreshed cells) actually change the partition
+    // vs the prior labels? The pair-counting index is kept ENTIRELY in
+    // integers via the identity ARI = (2·C·I − 2·A·B) / (C·(A+B) − 2·A·B)
+    // with I = Σ C(n_ij,2), A = Σ C(a_i,2), B = Σ C(b_j,2), C = C(n,2) —
+    // one final double division (products stay inside long for any corpus
+    // where C(n,2) · I fits 63 bits; ~3e14 here). Contingency is one
+    // (label × cell) aggregate over the q39 assignment.
+    Q(
+      "q290_ari_stability",
+      (s, dir) => {
+        import graft.ext.Similarity
+        val e = Tables.embeddings(s, dir)
+        val assigned = Similarity.assignToNearestCentroid(
+          e, "vec_id", "embedding",
+          Similarity.exactCentroids(e, "embedding", "label"))
+        val cont = assigned.groupBy("label", "cell").agg(count(lit(1)).as("nij"))
+        // C(c,2) = c(c-1)/2 via shift — exact integer (c(c-1) is even),
+        // never the Column `/` double path.
+        def choose2(c: org.apache.spark.sql.Column) = shiftright(c * (c - 1), 1)
+        val i2 = cont.agg(sum(choose2(col("nij"))).as("i2"),
+          sum(col("nij")).as("n"))
+        val a2 = cont.groupBy("label").agg(sum(col("nij")).as("ai"))
+          .agg(sum(choose2(col("ai"))).as("a2"))
+        val b2 = cont.groupBy("cell").agg(sum(col("nij")).as("bj"))
+          .agg(sum(choose2(col("bj"))).as("b2"))
+        i2.crossJoin(a2).crossJoin(b2)
+          .select(col("n"), col("a2"), col("b2"), col("i2"),
+            choose2(col("n")).as("c2"))
+          .select(col("n"), col("a2"), col("b2"), col("i2"),
+            ((lit(2L) * col("c2") * col("i2") - lit(2L) * col("a2") * col("b2"))
+              .cast("double") /
+              (col("c2") * (col("a2") + col("b2")) -
+                lit(2L) * col("a2") * col("b2")).cast("double")).as("ari"))
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT label, CAST(u.i - 1 AS INTEGER) AS dim,
+                 CAST(SUM(CAST(CAST(u.v AS DOUBLE) * 281474976710656 AS DECIMAL(38,0))) AS DOUBLE)
+                   / 281474976710656 / COUNT(*) AS mean
+          FROM embeddings,
+               LATERAL (SELECT unnest(embedding) AS v,
+                               generate_subscripts(embedding, 1) AS i) u
+          GROUP BY label, dim
+        ), c AS (
+          SELECT label AS cell, list(mean ORDER BY dim) AS centroid FROM m GROUP BY label
+        ), p AS (
+          SELECT e.vec_id, e.label, c.cell,
+                 list_sum([(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                           * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                           FOR i IN generate_series(1, len(e.embedding))]) AS dist2
+          FROM embeddings e CROSS JOIN c
+        ), assigned AS (
+          SELECT vec_id, label, cell FROM p
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) = 1
+        ), cont AS (
+          SELECT label, cell, COUNT(*) AS nij FROM assigned GROUP BY 1, 2
+        ), tot AS (
+          SELECT CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS i2,
+                 CAST(SUM(nij) AS BIGINT) AS n
+          FROM cont
+        ), am AS (
+          SELECT CAST(SUM(ai * (ai - 1) // 2) AS BIGINT) AS a2
+          FROM (SELECT SUM(nij) AS ai FROM cont GROUP BY label)
+        ), bm AS (
+          SELECT CAST(SUM(bj * (bj - 1) // 2) AS BIGINT) AS b2
+          FROM (SELECT SUM(nij) AS bj FROM cont GROUP BY cell)
+        )
+        SELECT n, a2, b2, i2,
+               CAST(2 * (n * (n - 1) // 2) * i2 - 2 * a2 * b2 AS DOUBLE)
+                 / CAST((n * (n - 1) // 2) * (a2 + b2) - 2 * a2 * b2 AS DOUBLE)
+                 AS ari
+        FROM tot, am, bm
+      """.trim)),
+
+    // Term-rank drift between crawl batches — the corpus-monitoring report
+    // that flags vocabulary shift before it poisons downstream stats: two
+    // interleaved snapshots (doc_id parity), per-batch token frequency
+    // RANKS from the two-phase scalable rank (Keys.rankByScalable — no
+    // global window even though the vocab is small here; at a real vocab
+    // size an unpartitioned row_number is the same single-task funnel as
+    // any other), joined on the token, top-15 movers by absolute shift.
+    Q(
+      "q291_term_drift",
+      (s, dir) => {
+        def ranks(parity: Int, name: String) = graft.engine.Keys.rankByScalable(
+          Tables.documents(s, dir).filter(col("doc_id") % 2 === parity)
+            .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+            .filter(length(col("tok")) > 0)
+            .groupBy("tok").agg(count(lit(1)).as("cnt")),
+          Seq(col("cnt").desc, col("tok")), name)
+          .select(col("tok"), col(name))
+        ranks(0, "rank_a").join(ranks(1, "rank_b"), "tok")
+          .select(col("tok"), col("rank_a"), col("rank_b"),
+            abs(col("rank_a") - col("rank_b")).as("shift"))
+          .orderBy(col("shift").desc, col("tok"))
+          .limit(15)
+      },
+      Some(s"""
+        WITH a AS (
+          SELECT tok, row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rank_a
+          FROM (SELECT unnest($Toks) AS tok FROM documents WHERE doc_id % 2 = 0)
+          WHERE len(tok) > 0 GROUP BY tok
+        ), b AS (
+          SELECT tok, row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rank_b
+          FROM (SELECT unnest($Toks) AS tok FROM documents WHERE doc_id % 2 = 1)
+          WHERE len(tok) > 0 GROUP BY tok
+        )
+        SELECT a.tok, CAST(rank_a AS BIGINT) AS rank_a,
+               CAST(rank_b AS BIGINT) AS rank_b,
+               CAST(abs(rank_a - rank_b) AS BIGINT) AS shift
+        FROM a JOIN b ON a.tok = b.tok
+        ORDER BY shift DESC, a.tok LIMIT 15
       """.trim))
   )
 }
