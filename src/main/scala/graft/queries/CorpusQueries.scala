@@ -1411,6 +1411,112 @@ object CorpusQueries {
                CAST(abs(rank_a - rank_b) AS BIGINT) AS shift
         FROM a JOIN b ON a.tok = b.tok
         ORDER BY shift DESC, a.tok LIMIT 15
+      """.trim)),
+
+    // Declarative data-quality expectation suite (the Deequ shape): a
+    // constraint catalog — completeness, key uniqueness, set membership,
+    // value bounds, volume floor — evaluated in ONE aggregate pass over the
+    // table, then unpivoted to a per-constraint report row (observed
+    // metric, threshold, integer pass verdict). This is the pre-publish
+    // gate a warehouse load runs before promoting a batch; one scan
+    // regardless of how many constraints the catalog carries.
+    Q(
+      "q292_expectations",
+      (s, dir) => {
+        val m = Tables.orders(s, dir).agg(
+          count(lit(1)).cast("double").as("n_rows"),
+          (count(col("o_custkey")).cast("double") /
+            count(lit(1)).cast("double")).as("custkey_completeness"),
+          (countDistinct(col("o_orderkey")).cast("double") /
+            count(lit(1)).cast("double")).as("orderkey_uniqueness"),
+          (sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L))
+            .cast("double") / count(lit(1)).cast("double"))
+            .as("status_violation_rate"),
+          min(col("o_totalprice")).as("min_totalprice"))
+        m.select(explode(array(
+            struct(lit("row_count_min_1000").as("check_name"),
+              col("n_rows").as("observed"), lit(1000.0).as("threshold"),
+              when(col("n_rows") >= 1000.0, 1L).otherwise(0L).as("pass")),
+            struct(lit("custkey_completeness_99").as("check_name"),
+              col("custkey_completeness").as("observed"), lit(0.99).as("threshold"),
+              when(col("custkey_completeness") >= 0.99, 1L).otherwise(0L).as("pass")),
+            struct(lit("orderkey_unique").as("check_name"),
+              col("orderkey_uniqueness").as("observed"), lit(1.0).as("threshold"),
+              when(col("orderkey_uniqueness") === 1.0, 1L).otherwise(0L).as("pass")),
+            struct(lit("status_in_set").as("check_name"),
+              col("status_violation_rate").as("observed"), lit(0.0).as("threshold"),
+              when(col("status_violation_rate") === 0.0, 1L).otherwise(0L).as("pass")),
+            struct(lit("totalprice_positive").as("check_name"),
+              col("min_totalprice").as("observed"), lit(0.0).as("threshold"),
+              when(col("min_totalprice") > 0.0, 1L).otherwise(0L).as("pass"))))
+            .as("r"))
+          .select(col("r.check_name").as("check_name"), col("r.observed"),
+            col("r.threshold"), col("r.pass"))
+          .orderBy("check_name")
+      },
+      Some("""
+        WITH m AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_rows,
+                 CAST(COUNT(o_custkey) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS custkey_completeness,
+                 CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS orderkey_uniqueness,
+                 CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS status_violation_rate,
+                 MIN(o_totalprice) AS min_totalprice
+          FROM orders
+        )
+        SELECT * FROM (
+          SELECT 'row_count_min_1000' AS check_name, n_rows AS observed,
+                 1000.0 AS threshold,
+                 CAST(CASE WHEN n_rows >= 1000.0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+          FROM m
+          UNION ALL
+          SELECT 'custkey_completeness_99', custkey_completeness, 0.99,
+                 CAST(CASE WHEN custkey_completeness >= 0.99 THEN 1 ELSE 0 END AS BIGINT)
+          FROM m
+          UNION ALL
+          SELECT 'orderkey_unique', orderkey_uniqueness, 1.0,
+                 CAST(CASE WHEN orderkey_uniqueness = 1.0 THEN 1 ELSE 0 END AS BIGINT)
+          FROM m
+          UNION ALL
+          SELECT 'status_in_set', status_violation_rate, 0.0,
+                 CAST(CASE WHEN status_violation_rate = 0.0 THEN 1 ELSE 0 END AS BIGINT)
+          FROM m
+          UNION ALL
+          SELECT 'totalprice_positive', min_totalprice, 0.0,
+                 CAST(CASE WHEN min_totalprice > 0.0 THEN 1 ELSE 0 END AS BIGINT)
+          FROM m
+        ) ORDER BY check_name
+      """.trim)),
+
+    // mask() format profiling — the PII-adjacent data-profiling trick:
+    // masking collapses every string to its CHARACTER-CLASS pattern
+    // (upper->X, lower->x, digit->n, punctuation kept), so grouping by the
+    // masked form inventories the FORMATS present in a column — the fast
+    // way to find malformed ids/codes without reading values. The oracle
+    // restates the builtin as an ordered regexp-replace chain (upper, then
+    // lower, then digit — later passes never touch earlier substitutions).
+    // Title-casing is spelled upper(head)||lower(tail) rather than initcap
+    // because DuckDB has no initcap builtin.
+    Q(
+      "q293_mask_patterns",
+      (s, dir) => Tables.documents(s, dir)
+        .select(expr(
+          "mask(concat(upper(substring(source, 1, 1)), lower(substring(source, 2)), " +
+            "'-', CAST(doc_id % 100 AS STRING)))")
+          .as("pattern"))
+        .groupBy("pattern")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("pattern"),
+      Some("""
+        SELECT regexp_replace(regexp_replace(regexp_replace(
+                 upper(substr(source, 1, 1)) || lower(substr(source, 2))
+                   || '-' || CAST(doc_id % 100 AS VARCHAR),
+                 '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                 AS pattern,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1 ORDER BY pattern
       """.trim))
   )
 }
