@@ -490,6 +490,290 @@ object WarehouseQueries {
         JOIN idx ON CAST(o_orderdate AS DATE) = idx.d
         JOIN bdays ON idx.bidx + 5 = bdays.target_idx
         ORDER BY o_orderkey
+      """.trim)),
+
+    // Golden-record survivorship — the completion step of entity
+    // resolution (q86/q288 find the duplicates; this merges them): three
+    // source systems carry the same customers with different fields
+    // populated and different recency, and the published record takes each
+    // FIELD independently from the freshest source that has it
+    // (last-non-null-wins per column, not per row). With a bounded source
+    // catalog the per-field picks compile to conditional aggregation +
+    // coalesce in priority order — one hash aggregate over (key, field
+    // values), no window, no join, map-side partial like any groupBy. The
+    // fixture gives every null-pattern combination a population:
+    // field-complete keys, keys where only the oldest source knows a
+    // field, and keys no source can complete (phone stays null when
+    // neither %3 nor %5 divides).
+    Q(
+      "q302_golden_record",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), cents(col("c_acctbal")).as("__b"))
+        val crm = c.select(col("c_custkey"), lit(1L).as("seq"),
+          concat(lit("cust_"), col("c_custkey")).as("name"),
+          when(col("c_custkey") % 3 === 0,
+            concat(lit("555-"), col("c_custkey") % 10000)).as("phone"),
+          lit(null).cast("long").as("balance_cents"))
+        val billing = c.select(col("c_custkey"), lit(2L).as("seq"),
+          when(col("c_custkey") % 2 === 0,
+            concat(lit("CUST_"), col("c_custkey"))).as("name"),
+          when(col("c_custkey") % 5 === 0,
+            concat(lit("800-"), col("c_custkey") % 10000)).as("phone"),
+          when(col("c_custkey") % 4 === 0, col("__b") + 10L)
+            .cast("long").as("balance_cents"))
+        val web = c.select(col("c_custkey"), lit(3L).as("seq"),
+          lit(null).cast("string").as("name"),
+          lit(null).cast("string").as("phone"),
+          col("__b").as("balance_cents"))
+        val all = crm.unionByName(billing).unionByName(web)
+        def pick(f: String) = (seq: Int) => max(when(col("seq") === seq, col(f)))
+        all.groupBy("c_custkey")
+          .agg(
+            coalesce(pick("name")(3), pick("name")(2), pick("name")(1)).as("name"),
+            coalesce(pick("phone")(3), pick("phone")(2), pick("phone")(1)).as("phone"),
+            coalesce(pick("balance_cents")(3), pick("balance_cents")(2),
+              pick("balance_cents")(1)).as("balance_cents"))
+          .withColumn("completeness",
+            when(col("name").isNotNull, 1L).otherwise(0L)
+              + when(col("phone").isNotNull, 1L).otherwise(0L)
+              + when(col("balance_cents").isNotNull, 1L).otherwise(0L))
+          .orderBy("c_custkey")
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT c_custkey, ${duckCents("c_acctbal")} AS b FROM customer
+        ), src AS (
+          SELECT c_custkey, 1 AS seq, 'cust_' || c_custkey AS name,
+                 CASE WHEN c_custkey % 3 = 0
+                      THEN '555-' || (c_custkey % 10000) END AS phone,
+                 CAST(NULL AS BIGINT) AS balance_cents
+          FROM c
+          UNION ALL
+          SELECT c_custkey, 2,
+                 CASE WHEN c_custkey % 2 = 0 THEN 'CUST_' || c_custkey END,
+                 CASE WHEN c_custkey % 5 = 0
+                      THEN '800-' || (c_custkey % 10000) END,
+                 CASE WHEN c_custkey % 4 = 0 THEN b + 10 END
+          FROM c
+          UNION ALL
+          SELECT c_custkey, 3, NULL, NULL, b FROM c
+        ), golden AS (
+          SELECT c_custkey,
+                 coalesce(MAX(CASE WHEN seq = 3 THEN name END),
+                          MAX(CASE WHEN seq = 2 THEN name END),
+                          MAX(CASE WHEN seq = 1 THEN name END)) AS name,
+                 coalesce(MAX(CASE WHEN seq = 3 THEN phone END),
+                          MAX(CASE WHEN seq = 2 THEN phone END),
+                          MAX(CASE WHEN seq = 1 THEN phone END)) AS phone,
+                 coalesce(MAX(CASE WHEN seq = 3 THEN balance_cents END),
+                          MAX(CASE WHEN seq = 2 THEN balance_cents END),
+                          MAX(CASE WHEN seq = 1 THEN balance_cents END))
+                   AS balance_cents
+          FROM src GROUP BY c_custkey
+        )
+        SELECT c_custkey, name, phone, balance_cents,
+               CAST((CASE WHEN name IS NOT NULL THEN 1 ELSE 0 END)
+                 + (CASE WHEN phone IS NOT NULL THEN 1 ELSE 0 END)
+                 + (CASE WHEN balance_cents IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS completeness
+        FROM golden ORDER BY c_custkey
+      """.trim)),
+
+    // Bitemporal as-of — transaction time (when the warehouse LEARNED a
+    // fact) crossed with valid time (when the fact was TRUE): the audit
+    // question "as the system knew at T, what was part p's price on day
+    // V?". The fixture loads an initial price (tx 1), a scheduled future
+    // change (tx 2, valid from day 10), and a RETROACTIVE CORRECTION
+    // (tx 3 rewrites valid-day-0 history for every 7th part). Per
+    // knowledge time: keep rows with tx_from <= T, latest tx wins per
+    // (part, valid_from) — max_by on the unique tx — then the newest
+    // valid_from <= V wins per part. Asking at V=5 under T=2 vs T=3
+    // surfaces exactly the corrected parts: price_known_t2 carries the
+    // original, price_known_t3 the correction, corrected = their
+    // disagreement flag. Two hash aggregates per knowledge time, no
+    // windows; history volume per part is bounded by the tx count.
+    Q(
+      "q303_bitemporal",
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+          .select(col("p_partkey"), cents(col("p_retailprice")).as("__c"))
+        val hist = p.select(col("p_partkey"), lit(0L).as("valid_from"),
+            lit(1L).as("tx_from"), col("__c").as("price_cents"))
+          .unionByName(p.select(col("p_partkey"), lit(10L).as("valid_from"),
+            lit(2L).as("tx_from"), (col("__c") + 100L).as("price_cents")))
+          .unionByName(p.filter(col("p_partkey") % 7 === 0)
+            .select(col("p_partkey"), lit(0L).as("valid_from"),
+              lit(3L).as("tx_from"), (col("__c") + 5L).as("price_cents")))
+        def asOf(txMax: Long, vMax: Long, outCol: String) = hist
+          .filter(col("tx_from") <= txMax)
+          .groupBy("p_partkey", "valid_from")
+          .agg(max_by(col("price_cents"), col("tx_from")).as("p"))
+          .filter(col("valid_from") <= vMax)
+          .groupBy("p_partkey")
+          .agg(max_by(col("p"), col("valid_from")).as(outCol))
+        asOf(2L, 5L, "price_known_t2")
+          .join(asOf(3L, 5L, "price_known_t3"), "p_partkey")
+          .withColumn("corrected",
+            when(col("price_known_t2") =!= col("price_known_t3"), 1L)
+              .otherwise(0L))
+          .orderBy("p_partkey")
+      },
+      Some(s"""
+        WITH p AS (
+          SELECT p_partkey, ${duckCents("p_retailprice")} AS c FROM part
+        ), hist AS (
+          SELECT p_partkey, 0 AS valid_from, 1 AS tx_from, c AS price_cents
+          FROM p
+          UNION ALL
+          SELECT p_partkey, 10, 2, c + 100 FROM p
+          UNION ALL
+          SELECT p_partkey, 0, 3, c + 5 FROM p WHERE p_partkey % 7 = 0
+        ), t2 AS (
+          SELECT p_partkey, arg_max(p2.p, valid_from) AS price_known_t2
+          FROM (
+            SELECT p_partkey, valid_from, arg_max(price_cents, tx_from) AS p
+            FROM hist WHERE tx_from <= 2 GROUP BY p_partkey, valid_from
+          ) p2
+          WHERE valid_from <= 5 GROUP BY p_partkey
+        ), t3 AS (
+          SELECT p_partkey, arg_max(p3.p, valid_from) AS price_known_t3
+          FROM (
+            SELECT p_partkey, valid_from, arg_max(price_cents, tx_from) AS p
+            FROM hist WHERE tx_from <= 3 GROUP BY p_partkey, valid_from
+          ) p3
+          WHERE valid_from <= 5 GROUP BY p_partkey
+        )
+        SELECT t2.p_partkey, price_known_t2, price_known_t3,
+               CAST(CASE WHEN price_known_t2 <> price_known_t3
+                 THEN 1 ELSE 0 END AS BIGINT) AS corrected
+        FROM t2 JOIN t3 ON t2.p_partkey = t3.p_partkey
+        ORDER BY t2.p_partkey
+      """.trim)),
+
+    // FIFO lot costing — inventory cost-of-goods-sold where demand drains
+    // purchase lots strictly in receipt order: per part, each lot's
+    // consumption is the overlap of its [prev_cum, cum) supply interval
+    // with [0, sold) — the closed form that turns a sequential drain
+    // simulation into one per-part running sum plus per-row arithmetic
+    // (consumed = clamp(sold - prev_cum into [0, qty])). Lot costs
+    // allocate by integer div (cost*consumed div qty) so COGS stays in
+    // exact cents with no unit-price division. Windows are per-part (~15
+    // lots) — partitioned frames that scale with parts, never one task.
+    // The lot order (shipdate, orderkey, linenumber, qty, cents) is total
+    // down to bit-identical rows, whose swap cannot change any cum value.
+    Q(
+      "q304_fifo_costing",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_shipdate"), col("l_quantity").cast("long").as("qty"),
+            cents(col("l_extendedprice")).as("cost_cents"))
+        val lots = li.filter(col("l_orderkey") % 2 === 0)
+        val sold = li.filter(col("l_orderkey") % 2 === 1)
+          .groupBy("l_partkey").agg(sum(col("qty")).as("sold_qty"))
+        val w = Window.partitionBy("l_partkey")
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("qty"), col("cost_cents"))
+        lots
+          .withColumn("cum", sum(col("qty")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .join(sold.hint("shuffle_hash"), Seq("l_partkey"), "inner")
+          .withColumn("consumed",
+            greatest(lit(0L), least(col("qty"),
+              col("sold_qty") - (col("cum") - col("qty")))))
+          .withColumn("lot_cogs",
+            expr("(cost_cents * consumed) div qty"))
+          .groupBy("l_partkey")
+          .agg(max(col("sold_qty")).as("sold_qty"),
+            sum(col("qty")).as("supply_qty"),
+            sum(col("consumed")).as("consumed_qty"),
+            sum(when(col("consumed") > 0, 1L).otherwise(0L)).as("lots_touched"),
+            sum(col("lot_cogs")).cast("long").as("cogs_cents"))
+          .withColumn("unfilled_qty",
+            greatest(lit(0L), col("sold_qty") - col("supply_qty")))
+          .orderBy("l_partkey")
+      },
+      Some(s"""
+        WITH li AS (
+          SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+                 CAST(l_quantity AS BIGINT) AS qty,
+                 ${duckCents("l_extendedprice")} AS cost_cents
+          FROM lineitem
+        ), sold AS (
+          SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sold_qty
+          FROM li WHERE l_orderkey % 2 = 1 GROUP BY l_partkey
+        ), lots AS (
+          SELECT l_partkey, qty, cost_cents,
+                 SUM(qty) OVER (PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber, qty, cost_cents
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM li WHERE l_orderkey % 2 = 0
+        ), drained AS (
+          SELECT lots.l_partkey, qty, cost_cents, sold_qty,
+                 greatest(0, least(qty, sold_qty - (cum - qty))) AS consumed
+          FROM lots JOIN sold ON lots.l_partkey = sold.l_partkey
+        )
+        SELECT l_partkey,
+               CAST(MAX(sold_qty) AS BIGINT) AS sold_qty,
+               CAST(SUM(qty) AS BIGINT) AS supply_qty,
+               CAST(SUM(consumed) AS BIGINT) AS consumed_qty,
+               CAST(SUM(CASE WHEN consumed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS lots_touched,
+               CAST(SUM(cost_cents * consumed // qty) AS BIGINT) AS cogs_cents,
+               CAST(greatest(0, MAX(sold_qty) - SUM(qty)) AS BIGINT)
+                 AS unfilled_qty
+        FROM drained GROUP BY l_partkey ORDER BY l_partkey
+      """.trim)),
+
+    // Month-over-month growth in integer basis points: monthly revenue per
+    // region with the previous month attached by a MONTH-ARITHMETIC
+    // SELF-JOIN (cur.month = add_months(prev.month, 1)) — no window at
+    // all, so the shape holds at any history length — and growth stated as
+    // ((cur - prev) * 10000) div prev: exact integer basis points, no
+    // IEEE division to diverge across engines. First months carry null
+    // growth through the left join, and the bounded region dim rides
+    // broadcast.
+    Q(
+      "q305_mom_growth",
+      (s, dir) => {
+        val monthly = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), date_trunc("month", col("o_orderdate"))
+            .cast("date").as("month"))
+          .agg(sum(cents(col("o_totalprice"))).cast("long").as("revenue_cents"))
+        val prev = monthly.select(col("r_name"),
+          add_months(col("month"), 1).as("month"),
+          col("revenue_cents").as("prev_cents"))
+        monthly.join(prev, Seq("r_name", "month"), "left")
+          .select(col("r_name"), col("month"), col("revenue_cents"),
+            expr("((revenue_cents - prev_cents) * 10000) div prev_cents")
+              .as("growth_bp"))
+          .orderBy("r_name", "month")
+      },
+      Some(s"""
+        WITH monthly AS (
+          SELECT r_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                 CAST(SUM(${duckCents("o_totalprice")}) AS BIGINT) AS revenue_cents
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2
+        )
+        SELECT m.r_name, m.month, m.revenue_cents,
+               CAST((m.revenue_cents - p.revenue_cents) * 10000
+                 // p.revenue_cents AS BIGINT) AS growth_bp
+        FROM monthly m
+        LEFT JOIN monthly p
+          ON m.r_name = p.r_name
+          AND m.month = CAST(p.month + INTERVAL 1 MONTH AS DATE)
+        ORDER BY m.r_name, m.month
       """.trim))
   )
 }
