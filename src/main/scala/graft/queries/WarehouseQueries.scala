@@ -774,6 +774,132 @@ object WarehouseQueries {
           ON m.r_name = p.r_name
           AND m.month = CAST(p.month + INTERVAL 1 MONTH AS DATE)
         ORDER BY m.r_name, m.month
+      """.trim)),
+
+    // Maximum drawdown — the peak-to-trough risk statistic over each
+    // user's cumulative value series: drawdown(t) = running_max(cum) - cum,
+    // reported at its per-user maximum with the earliest trough event
+    // (a second aggregate over the max-dd rows — composite arg_max
+    // orderings do not port to the oracle engine). Both running
+    // aggregates are per-user partitioned windows over (ts, event_id) —
+    // a total order since event_id is unique — and values move as exact
+    // integer micros, so cum/peak/dd are bit-identical in any engine.
+    Q(
+      "q306_max_drawdown",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            (col("value").cast("decimal(16,6)") * 1000000).cast("long")
+              .as("micros"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val run = ev
+          .withColumn("cum", sum(col("micros")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("peak", max(col("cum")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("dd", col("peak") - col("cum"))
+        val agg = run.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            max(col("dd")).as("max_drawdown_micros"))
+        // trough pick: biggest drawdown, then EARLIEST event — stated as a
+        // second aggregate over the max-dd rows (composite arg_max
+        // orderings are not portable to the oracle engine)
+        val trough = run.join(agg.select(col("user_id"),
+            col("max_drawdown_micros").as("__mdd")), "user_id")
+          .filter(col("dd") === col("__mdd"))
+          .groupBy("user_id")
+          .agg(min(col("event_id")).as("trough_event_id"))
+        agg.join(trough, "user_id")
+          .select(col("user_id"), col("n_events"), col("max_drawdown_micros"),
+            col("trough_event_id"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, ts,
+                 CAST(CAST(value AS DECIMAL(16,6)) * 1000000 AS BIGINT)
+                   AS micros
+          FROM events
+        ), run AS (
+          SELECT user_id, event_id,
+                 MAX(cum) OVER w2 - cum AS dd
+          FROM (
+            SELECT user_id, event_id, ts,
+                   SUM(micros) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM ev)
+          WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING)
+        )
+        , agg AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(MAX(dd) AS BIGINT) AS max_drawdown_micros
+          FROM run GROUP BY user_id
+        )
+        SELECT agg.user_id, n_events, max_drawdown_micros,
+               CAST(MIN(event_id) AS BIGINT) AS trough_event_id
+        FROM agg JOIN run ON agg.user_id = run.user_id
+          AND run.dd = agg.max_drawdown_micros
+        GROUP BY agg.user_id, n_events, max_drawdown_micros
+        ORDER BY agg.user_id
+      """.trim)),
+
+    // Exact continuous quartiles (percentile_cont semantics) WITHOUT the
+    // cross-engine interpolation hazard: at quartile q over n values the
+    // interpolated value is v_lo*(4-r) + v_hi*r in QUARTER-CENTS, where
+    // r = ((n-1)*q) mod 4 — all integers, no IEEE interpolation to
+    // diverge by an ulp between engines (the reason percentile_cont
+    // itself was deferred). Ranks come from per-nation partitioned
+    // windows (bounded per-group frames); the lo/hi neighbors collapse
+    // into one conditional aggregate per quartile.
+    Q(
+      "q307_quartiles_cont",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+          .select(col("c_nationkey"), cents(col("c_acctbal")).as("v"))
+        val w = Window.partitionBy("c_nationkey").orderBy("v")
+        val ranked = c
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("c_nationkey")))
+        def quart(k: Int, name: String) = {
+          val loIdx = expr(s"((n - 1) * $k) div 4")
+          val r = expr(s"((n - 1) * $k) % 4")
+          max(when(col("rk") === loIdx + 1, col("v") * (lit(4) - r)))
+            .plus(coalesce(max(when(col("rk") === loIdx + 2, col("v") * r)),
+              lit(0L)))
+            .cast("long").as(name)
+        }
+        ranked.groupBy("c_nationkey")
+          .agg(quart(1, "q1_quarter_cents"), quart(2, "q2_quarter_cents"),
+            quart(3, "q3_quarter_cents"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT c_nationkey, ${duckCents("c_acctbal")} AS v FROM customer
+        ), ranked AS (
+          SELECT c_nationkey, v,
+                 row_number() OVER (PARTITION BY c_nationkey ORDER BY v) AS rk,
+                 COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+          FROM c
+        )
+        SELECT c_nationkey,
+               CAST(MAX(CASE WHEN rk = (n-1)*1//4 + 1
+                      THEN v * (4 - (n-1)*1%4) END)
+                 + coalesce(MAX(CASE WHEN rk = (n-1)*1//4 + 2
+                      THEN v * ((n-1)*1%4) END), 0) AS BIGINT)
+                 AS q1_quarter_cents,
+               CAST(MAX(CASE WHEN rk = (n-1)*2//4 + 1
+                      THEN v * (4 - (n-1)*2%4) END)
+                 + coalesce(MAX(CASE WHEN rk = (n-1)*2//4 + 2
+                      THEN v * ((n-1)*2%4) END), 0) AS BIGINT)
+                 AS q2_quarter_cents,
+               CAST(MAX(CASE WHEN rk = (n-1)*3//4 + 1
+                      THEN v * (4 - (n-1)*3%4) END)
+                 + coalesce(MAX(CASE WHEN rk = (n-1)*3//4 + 2
+                      THEN v * ((n-1)*3%4) END), 0) AS BIGINT)
+                 AS q3_quarter_cents
+        FROM ranked GROUP BY c_nationkey ORDER BY c_nationkey
       """.trim))
   )
 }
