@@ -1517,6 +1517,86 @@ object CorpusQueries {
                  AS pattern,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM documents GROUP BY 1 ORDER BY pattern
+      """.trim)),
+
+    // DBSCAN density classification on q280's grid-cell candidate
+    // machinery: a point is CORE when >= 3 other points sit within
+    // Chebyshev radius 3, BORDER when it isn't core but touches one, and
+    // NOISE otherwise. Neighbor counting reuses the 3x3 neighbor-cell
+    // explode -> hash equi-join (cell = radius makes the candidate set
+    // provably complete; candidates ~ density x points, never points²);
+    // the border hop is one semi-join of the directed neighbor pairs
+    // against the core set. The oracle states the all-pairs theta join.
+    Q(
+      "q309_dbscan_classify",
+      (s, dir) => {
+        val d = 3L
+        val pts = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey").as("k"))
+          .agg(sum(col("l_quantity").cast("long")).as("x"),
+            sum((col("l_discount").cast("decimal(8,2)") * 100).cast("long"))
+              .as("y"))
+        val cells = pts
+          .withColumn("cx", expr(s"x div $d")).withColumn("cy", expr(s"y div $d"))
+        val offsets = array(
+          (for (i <- -1 to 1; j <- -1 to 1)
+            yield struct(lit(i.toLong).as("di"), lit(j.toLong).as("dj"))): _*)
+        val probes = cells.select(col("k"), col("x"), col("y"),
+            col("cx"), col("cy"), explode(offsets).as("o"))
+          .select(col("k"), col("x"), col("y"),
+            (col("cx") + col("o.di")).as("ncx"), (col("cy") + col("o.dj")).as("ncy"))
+        val nbrs = probes.as("a")
+          .join(cells.as("b").hint("shuffle_hash"),
+            col("a.ncx") === col("b.cx") && col("a.ncy") === col("b.cy") &&
+              col("a.k") =!= col("b.k"))
+          .filter(abs(col("a.x") - col("b.x")) <= d &&
+            abs(col("a.y") - col("b.y")) <= d)
+          .select(col("a.k").as("k"), col("b.k").as("nbr"))
+        val counts = pts.select(col("k"))
+          .join(nbrs.groupBy("k").agg(count(lit(1)).as("n_nbrs")), Seq("k"), "left")
+          .na.fill(0L, Seq("n_nbrs"))
+        val cores = counts.filter(col("n_nbrs") >= 3).select(col("k"))
+        val borders = nbrs
+          .join(cores.withColumnRenamed("k", "nbr"), Seq("nbr"), "left_semi")
+          .select(col("k")).distinct()
+          .join(cores, Seq("k"), "left_anti")
+          .withColumn("is_border", lit(1L))
+        counts
+          .join(cores.withColumn("is_core", lit(1L)), Seq("k"), "left")
+          .join(borders, Seq("k"), "left")
+          .select(col("k"), col("n_nbrs"),
+            when(col("is_core") === 1L, "core")
+              .when(col("is_border") === 1L, "border")
+              .otherwise("noise").as("role"))
+          .orderBy("k")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT l_partkey AS k,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x,
+                 CAST(SUM(CAST(CAST(l_discount AS DECIMAL(8,2)) * 100 AS BIGINT))
+                   AS BIGINT) AS y
+          FROM lineitem GROUP BY 1
+        ), nbrs AS (
+          SELECT a.k AS k, b.k AS nbr
+          FROM pts a JOIN pts b
+            ON a.k <> b.k AND abs(a.x - b.x) <= 3 AND abs(a.y - b.y) <= 3
+        ), counts AS (
+          SELECT pts.k, CAST(coalesce(n.c, 0) AS BIGINT) AS n_nbrs
+          FROM pts LEFT JOIN (
+            SELECT k, COUNT(*) AS c FROM nbrs GROUP BY k) n ON pts.k = n.k
+        ), cores AS (
+          SELECT k FROM counts WHERE n_nbrs >= 3
+        ), borders AS (
+          SELECT DISTINCT nbrs.k FROM nbrs
+          WHERE nbrs.nbr IN (SELECT k FROM cores)
+            AND nbrs.k NOT IN (SELECT k FROM cores)
+        )
+        SELECT counts.k, n_nbrs,
+               CASE WHEN counts.k IN (SELECT k FROM cores) THEN 'core'
+                    WHEN counts.k IN (SELECT k FROM borders) THEN 'border'
+                    ELSE 'noise' END AS role
+        FROM counts ORDER BY counts.k
       """.trim))
   )
 }

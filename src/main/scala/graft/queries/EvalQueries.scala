@@ -2486,6 +2486,71 @@ object EvalQueries {
         FROM scored
         QUALIFY rank <= 3
         ORDER BY probe_id, rank
+      """.trim)),
+
+    // k-NN classifier evaluation — the standard embedding-quality probe:
+    // classify each held-out vector by the majority label of its 5 nearest
+    // neighbors (cosine, self excluded) and score against the true label.
+    // Neighbor retrieval rides the same heap top-k machinery as q26 (the
+    // brute-force oracle-anchored twin of the IVF/SRP scale paths);
+    // majority voting is two hash aggregates with the deterministic
+    // (-votes, label) tie-break stated portably as max-votes-then-min-
+    // label (composite arg_max orderings don't cross engines). Per-query
+    // verdict rows keep the gate sharp: any neighbor-set or tie-break
+    // divergence flips a concrete is_correct bit.
+    Q(
+      "q308_knn_eval",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val probes = e.filter(col("vec_id") % 4 === 0)
+        val nn = Similarity.topKCosine(probes, e, "vec_id", "embedding", k = 5)
+        val votes = nn
+          .join(e.select(col("vec_id").as("neighbor_id"),
+            col("label").as("n_label")).hint("shuffle_hash"), "neighbor_id")
+          .groupBy("query_id", "n_label")
+          .agg(count(lit(1)).as("votes"))
+        val best = votes.groupBy("query_id").agg(max(col("votes")).as("mv"))
+        val pred = votes.join(best, "query_id")
+          .filter(col("votes") === col("mv"))
+          .groupBy("query_id")
+          .agg(min(col("n_label")).cast("int").as("predicted_label"))
+        pred
+          .join(e.select(col("vec_id").as("query_id"),
+            col("label").cast("int").as("true_label")), "query_id")
+          .select(col("query_id"), col("true_label"), col("predicted_label"),
+            when(col("true_label") === col("predicted_label"), 1L).otherwise(0L)
+              .as("is_correct"))
+          .orderBy("query_id")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 sqrt(${duckDot("embedding", "embedding")}) AS nrm
+          FROM embeddings
+        ), nn AS (
+          SELECT q.vec_id AS query_id, c.label AS n_label
+          FROM e q CROSS JOIN e c
+          WHERE q.vec_id % 4 = 0 AND c.vec_id <> q.vec_id
+          QUALIFY row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                     c.vec_id) <= 5
+        ), votes AS (
+          SELECT query_id, n_label, COUNT(*) AS v FROM nn GROUP BY 1, 2
+        ), best AS (
+          SELECT query_id, MAX(v) AS mv FROM votes GROUP BY 1
+        ), pred AS (
+          SELECT votes.query_id,
+                 CAST(MIN(n_label) AS INTEGER) AS predicted_label
+          FROM votes JOIN best ON votes.query_id = best.query_id
+            AND votes.v = best.mv
+          GROUP BY votes.query_id
+        )
+        SELECT pred.query_id, CAST(e.label AS INTEGER) AS true_label,
+               predicted_label,
+               CAST(CASE WHEN e.label = predicted_label THEN 1 ELSE 0 END
+                 AS BIGINT) AS is_correct
+        FROM pred JOIN e ON e.vec_id = pred.query_id
+        ORDER BY pred.query_id
       """.trim))
   )
 }
