@@ -900,6 +900,95 @@ object WarehouseQueries {
                       THEN v * ((n-1)*3%4) END), 0) AS BIGINT)
                  AS q3_quarter_cents
         FROM ranked GROUP BY c_nationkey ORDER BY c_nationkey
+      """.trim)),
+
+    // Wilson lower confidence bound — small-sample-safe rate ranking (the
+    // fix for "1/1 = 100% beats 480/500"): brands rank by the LOWER bound
+    // of their return-rate confidence interval, z = 2 (~97.7%). The bound
+    // is irreducibly floating-point (sqrt), but every input is an exact
+    // integer and both engines evaluate the IDENTICAL expression tree —
+    // +, -, *, /, sqrt are all IEEE correctly-rounded, so the doubles
+    // match bitwise (the q287 z-test precedent). No ranking window: the
+    // bound itself is emitted and the output ordering carries the rank.
+    Q(
+      "q310_wilson_rank",
+      (s, dir) => {
+        val stats = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("s"))
+        stats.select(col("p_brand"), col("n").as("n_trials"),
+            col("s").as("n_returns"),
+            expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)").as("ret_rate"),
+            expr("""
+              (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 2.0 / CAST(n AS DOUBLE)
+                - 2.0 * sqrt(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                    * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(n AS DOUBLE)
+                  + 1.0 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+              / (1.0 + 4.0 / CAST(n AS DOUBLE))""").as("wilson_lcb"))
+          .orderBy(col("wilson_lcb").desc, col("p_brand"))
+      },
+      Some("""
+        WITH stats AS (
+          SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS s
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand
+        )
+        SELECT p_brand, n AS n_trials, s AS n_returns,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ret_rate,
+               (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 2.0 / CAST(n AS DOUBLE)
+                 - 2.0 * sqrt(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                     * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE)
+                   + 1.0 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+               / (1.0 + 4.0 / CAST(n AS DOUBLE)) AS wilson_lcb
+        FROM stats
+        ORDER BY wilson_lcb DESC, p_brand
+      """.trim)),
+
+    // Hierarchical path-prefix rollup — the trie-shaped aggregation behind
+    // "traffic by site section at every depth": each leaf path contributes
+    // one row per ANCESTOR prefix (bounded explode: depth levels, not
+    // corpus size), and one hash aggregate rolls up events and distinct
+    // users per node. The same shape serves URL sections, file-system
+    // usage, and product-category trees; no recursion and no window —
+    // ancestry is materialized by slicing the split path array.
+    Q(
+      "q311_path_rollup",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"),
+            split(concat(col("event_type"),
+              lit("/s"), pmod(col("user_id"), lit(10)),
+              lit("/i"), pmod(col("event_id"), lit(5))), "/").as("parts"))
+        ev.select(col("user_id"), explode(sequence(lit(1), lit(3))).as("d"),
+            col("parts"))
+          .select(col("user_id"), col("d").cast("long").as("depth"),
+            expr("concat_ws('/', slice(parts, 1, d))").as("node"))
+          .groupBy("node", "depth")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("node")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id,
+                 string_split(event_type || '/s' || CAST(user_id % 10 AS VARCHAR)
+                   || '/i' || CAST(event_id % 5 AS VARCHAR), '/') AS parts
+          FROM events
+        ), exploded AS (
+          SELECT user_id, CAST(d AS BIGINT) AS depth,
+                 array_to_string(parts[1:d], '/') AS node
+          FROM ev, generate_series(1, 3) AS t(d)
+        )
+        SELECT node, depth, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM exploded GROUP BY node, depth ORDER BY node
       """.trim))
   )
 }
