@@ -989,6 +989,110 @@ object WarehouseQueries {
         SELECT node, depth, CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM exploded GROUP BY node, depth ORDER BY node
+      """.trim)),
+
+    // Day-of-week mix deviation — the ops-monitoring baseline "is Tuesday
+    // behaving like a Tuesday": per event type, each weekday's share of
+    // events against the uniform 1/7 expectation, in integer basis points
+    // ((dow_count*7*10000) div total − 10000, positive = over-indexed).
+    // Pure integer arithmetic off two hash aggregates joined on the type
+    // key; the 7-row-per-type result shape is value-bounded at any scale.
+    Q(
+      "q312_dow_mix",
+      (s, dir) => {
+        val base = Tables.events(s, dir)
+          .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+        val byDow = base.groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("n"))
+        val byType = base.groupBy("event_type")
+          .agg(count(lit(1)).as("total"))
+        byDow.join(byType.hint("shuffle_hash"), "event_type")
+          .select(col("event_type"), col("dow"), col("n"),
+            expr("(n * 7 * 10000) div total - 10000").as("dev_bp"))
+          .orderBy("event_type", "dow")
+      },
+      Some("""
+        WITH base AS (
+          SELECT event_type,
+                 CAST(dayofweek(ts) + 1 AS BIGINT) AS dow
+          FROM events
+        ), byd AS (
+          SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n
+          FROM base GROUP BY 1, 2
+        ), byt AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS total
+          FROM base GROUP BY 1
+        )
+        SELECT byd.event_type, dow, n,
+               CAST((n * 7 * 10000) // total - 10000 AS BIGINT) AS dev_bp
+        FROM byd JOIN byt ON byd.event_type = byt.event_type
+        ORDER BY byd.event_type, dow
+      """.trim)),
+
+    // Inventory aging — the balance-sheet twin of q304's FIFO drain: the
+    // UNCONSUMED tail of each lot (qty - consumed, value prorated by
+    // integer div) ages into ship-year buckets, answering "how much stock
+    // value sits how old" after demand drains the oldest lots first. Same
+    // closed-form drain (one per-part running sum), one extra rollup.
+    Q(
+      "q313_inventory_aging",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_shipdate"), col("l_quantity").cast("long").as("qty"),
+            cents(col("l_extendedprice")).as("cost_cents"))
+        val lots = li.filter(col("l_orderkey") % 2 === 0)
+        val sold = li.filter(col("l_orderkey") % 2 === 1)
+          .groupBy("l_partkey").agg(sum(col("qty")).as("sold_qty"))
+        val w = Window.partitionBy("l_partkey")
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("qty"), col("cost_cents"))
+        lots
+          .withColumn("cum", sum(col("qty")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .join(sold.hint("shuffle_hash"), Seq("l_partkey"), "left")
+          .na.fill(0L, Seq("sold_qty"))
+          .withColumn("consumed",
+            greatest(lit(0L), least(col("qty"),
+              col("sold_qty") - (col("cum") - col("qty")))))
+          .withColumn("remaining", col("qty") - col("consumed"))
+          .filter(col("remaining") > 0)
+          .withColumn("rem_value",
+            expr("(cost_cents * remaining) div qty"))
+          .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+          .agg(count(lit(1)).as("n_lots"),
+            sum(col("remaining")).cast("long").as("remaining_qty"),
+            sum(col("rem_value")).cast("long").as("remaining_value_cents"))
+          .orderBy("ship_year")
+      },
+      Some(s"""
+        WITH li AS (
+          SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+                 CAST(l_quantity AS BIGINT) AS qty,
+                 ${duckCents("l_extendedprice")} AS cost_cents
+          FROM lineitem
+        ), sold AS (
+          SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sold_qty
+          FROM li WHERE l_orderkey % 2 = 1 GROUP BY l_partkey
+        ), lots AS (
+          SELECT l_partkey, l_shipdate, qty, cost_cents,
+                 SUM(qty) OVER (PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber, qty, cost_cents
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM li WHERE l_orderkey % 2 = 0
+        ), drained AS (
+          SELECT lots.l_partkey, l_shipdate, qty, cost_cents,
+                 qty - greatest(0, least(qty,
+                   coalesce(sold_qty, 0) - (cum - qty))) AS remaining
+          FROM lots LEFT JOIN sold ON lots.l_partkey = sold.l_partkey
+        )
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               CAST(COUNT(*) AS BIGINT) AS n_lots,
+               CAST(SUM(remaining) AS BIGINT) AS remaining_qty,
+               CAST(SUM(cost_cents * remaining // qty) AS BIGINT)
+                 AS remaining_value_cents
+        FROM drained WHERE remaining > 0
+        GROUP BY 1 ORDER BY ship_year
       """.trim))
   )
 }
