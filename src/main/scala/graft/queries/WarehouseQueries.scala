@@ -1093,6 +1093,148 @@ object WarehouseQueries {
                  AS remaining_value_cents
         FROM drained WHERE remaining > 0
         GROUP BY 1 ORDER BY ship_year
+      """.trim)),
+
+    // Join-cardinality audit — size a join WITHOUT running it: for an
+    // equi-join the output cardinality is exactly sum over keys of
+    // cnt_a(k)*cnt_b(k), two per-key count aggregates and a tiny
+    // key-joined product — next to the planner's independence estimate
+    // n_a*n_b/max(d_a,d_b) with its signed error in basis points. The
+    // actual join is ALSO executed on the key columns alone and must
+    // equal the formula — the audit that justifies running the cheap
+    // version before committing a 100 TB shuffle.
+    Q(
+      "q314_join_size_audit",
+      (s, dir) => {
+        val a = Tables.events(s, dir).select(col("user_id").as("k"))
+        val b = Tables.orders(s, dir).select(col("o_custkey").as("k"))
+        val ca = a.groupBy("k").agg(count(lit(1)).as("ca"))
+        val cb = b.groupBy("k").agg(count(lit(1)).as("cb"))
+        val exact = ca.join(cb, "k")
+          .agg(sum(col("ca") * col("cb")).cast("long").as("exact_pairs"))
+        val actual = a.join(b.hint("shuffle_hash"), "k")
+          .agg(count(lit(1)).as("actual_pairs"))
+        val stats = a.agg(count(lit(1)).as("n_a"),
+            countDistinct(col("k")).as("d_a"))
+          .crossJoin(b.agg(count(lit(1)).as("n_b"),
+            countDistinct(col("k")).as("d_b")))
+        stats.crossJoin(broadcast(exact)).crossJoin(broadcast(actual))
+          .withColumn("naive_estimate",
+            expr("(n_a * n_b) div greatest(d_a, d_b)"))
+          .withColumn("estimate_err_bp",
+            expr("((naive_estimate - exact_pairs) * 10000) div exact_pairs"))
+          .select(col("n_a"), col("n_b"), col("d_a"), col("d_b"),
+            col("exact_pairs"), col("actual_pairs"), col("naive_estimate"),
+            col("estimate_err_bp"))
+      },
+      Some("""
+        WITH a AS (SELECT user_id AS k FROM events),
+        b AS (SELECT o_custkey AS k FROM orders),
+        ca AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS ca FROM a GROUP BY k),
+        cb AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS cb FROM b GROUP BY k),
+        ex AS (SELECT CAST(SUM(ca*cb) AS BIGINT) AS exact_pairs
+               FROM ca JOIN cb ON ca.k = cb.k),
+        act AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual_pairs
+                FROM a JOIN b ON a.k = b.k),
+        st AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+                      (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+                      (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) FROM a) AS d_a,
+                      (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) FROM b) AS d_b)
+        SELECT n_a, n_b, d_a, d_b, exact_pairs, actual_pairs,
+               CAST((n_a * n_b) // greatest(d_a, d_b) AS BIGINT) AS naive_estimate,
+               CAST(((n_a * n_b) // greatest(d_a, d_b) - exact_pairs) * 10000
+                 // exact_pairs AS BIGINT) AS estimate_err_bp
+        FROM st, ex, act
+      """.trim)),
+
+    // Near-zero-variance feature screen (the caret nearZeroVar rule): a
+    // feature is degenerate when its most common value dominates the
+    // runner-up (freq ratio > 19) AND few values are distinct (< 10%
+    // unique). Four lineitem columns unpivot map-side into (feature,
+    // value-in-integer-units) rows; per feature the top-2 value counts
+    // come from three portable aggregates (max count, min value at that
+    // count, max count excluding that value — no composite arg_max, no
+    // per-feature window), and the verdict is pure integer arithmetic.
+    Q(
+      "q315_feature_screen",
+      (s, dir) => {
+        val long4 = Tables.lineitem(s, dir).select(
+          col("l_quantity").cast("long").as("quantity"),
+          cents(col("l_extendedprice")).as("price_cents"),
+          (col("l_discount").cast("decimal(8,2)") * 100).cast("long")
+            .as("discount_pct"),
+          (col("l_tax").cast("decimal(8,2)") * 100).cast("long").as("tax_pct"))
+          // whole dollars by integer div of exact cents (decimal->long
+          // rounding conventions differ across engines; cents don't)
+          .withColumn("price_dollars", expr("price_cents div 100"))
+        val unpiv = long4.select(expr(
+          """stack(4, 'quantity', quantity, 'price_dollars', price_dollars,
+             'discount_pct', discount_pct, 'tax_pct', tax_pct)
+             AS (feature, val)"""))
+        val counts = unpiv.groupBy("feature", "val")
+          .agg(count(lit(1)).as("cnt"))
+        val tot = unpiv.groupBy("feature")
+          .agg(count(lit(1)).as("n"), countDistinct(col("val")).as("n_distinct"))
+        val m1 = counts.groupBy("feature").agg(max(col("cnt")).as("top1"))
+        val v1 = counts.join(m1, "feature")
+          .filter(col("cnt") === col("top1"))
+          .groupBy("feature").agg(min(col("val")).as("v1"))
+        val top2 = counts.join(v1, "feature")
+          .filter(col("val") =!= col("v1"))
+          .groupBy("feature").agg(max(col("cnt")).as("top2"))
+        tot.join(m1, "feature").join(top2, "feature")
+          .select(col("feature"), col("n"), col("n_distinct"),
+            col("top1"), col("top2"),
+            expr("(top1 * 10000) div greatest(top2, 1)").as("freq_ratio_bp"),
+            expr("(n_distinct * 10000) div n").as("pct_unique_bp"),
+            when(expr("top1 > 19 * top2") && expr("n_distinct * 10 < n"), 1L)
+              .otherwise(0L).as("near_zero_var"))
+          .orderBy("feature")
+      },
+      Some(s"""
+        WITH unpiv AS (
+          SELECT 'quantity' AS feature, CAST(l_quantity AS BIGINT) AS val
+          FROM lineitem
+          UNION ALL
+          SELECT 'price_dollars', ${duckCents("l_extendedprice")} // 100
+          FROM lineitem
+          UNION ALL
+          SELECT 'discount_pct',
+                 CAST(CAST(l_discount AS DECIMAL(8,2)) * 100 AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'tax_pct', CAST(CAST(l_tax AS DECIMAL(8,2)) * 100 AS BIGINT)
+          FROM lineitem
+        ), counts AS (
+          SELECT feature, val, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM unpiv GROUP BY 1, 2
+        ), tot AS (
+          SELECT feature, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct
+          FROM unpiv GROUP BY 1
+        ), m1 AS (
+          SELECT feature, MAX(cnt) AS top1 FROM counts GROUP BY 1
+        ), v1 AS (
+          SELECT counts.feature, MIN(val) AS v1
+          FROM counts JOIN m1 ON counts.feature = m1.feature
+            AND counts.cnt = m1.top1
+          GROUP BY 1
+        ), t2 AS (
+          SELECT counts.feature, MAX(cnt) AS top2
+          FROM counts JOIN v1 ON counts.feature = v1.feature
+            AND counts.val <> v1.v1
+          GROUP BY 1
+        )
+        SELECT tot.feature, n, n_distinct, top1, top2,
+               CAST((top1 * 10000) // greatest(top2, 1) AS BIGINT)
+                 AS freq_ratio_bp,
+               CAST((n_distinct * 10000) // n AS BIGINT) AS pct_unique_bp,
+               CAST(CASE WHEN top1 > 19 * top2 AND n_distinct * 10 < n
+                 THEN 1 ELSE 0 END AS BIGINT) AS near_zero_var
+        FROM tot
+        JOIN m1 ON tot.feature = m1.feature
+        JOIN t2 ON tot.feature = t2.feature
+        ORDER BY tot.feature
       """.trim))
   )
 }
