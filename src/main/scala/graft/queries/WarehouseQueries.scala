@@ -1235,6 +1235,197 @@ object WarehouseQueries {
         JOIN m1 ON tot.feature = m1.feature
         JOIN t2 ON tot.feature = t2.feature
         ORDER BY tot.feature
+      """.trim)),
+
+    // Hierarchical forecast allocation — a fixed planning total cascades
+    // region -> nation proportionally to historical revenue, with
+    // LARGEST-REMAINDER exactness at BOTH levels so every roll-up
+    // reconciles to the cent (the property top-down planning loses the
+    // moment anyone multiplies by a float share). The 5-region level
+    // ranks remainders via a tiny self-join count (no window at all);
+    // the nation level ranks inside per-region windows (bounded by
+    // nations-per-region). Both reconciliation flags are pinned 1.
+    Q(
+      "q316_forecast_allocation",
+      (s, dir) => {
+        val target = 100000000L // the planning total: 1,000,000.00 in cents
+        val byNation = Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(sum(cents(col("o_totalprice"))).cast("long").as("rev"))
+        val byRegion = byNation.groupBy("r_name")
+          .agg(sum(col("rev")).cast("long").as("rrev"))
+        val total = byRegion.agg(sum(col("rrev")).cast("long").as("trev"))
+        // level 1: regions (5 rows) — remainder rank by self-join count
+        val r0 = byRegion.crossJoin(broadcast(total))
+          .withColumn("base", expr(s"($target * rrev) div trev"))
+          .withColumn("rem", expr(s"($target * rrev) % trev"))
+        val rdef = r0.agg((lit(target) - sum(col("base"))).as("rdeficit"))
+        val rrank = r0.as("a")
+          .join(r0.select(col("r_name").as("rb"), col("rem").as("remb")).as("b"),
+            col("b.remb") > col("a.rem") ||
+              (col("b.remb") === col("a.rem") && col("b.rb") < col("a.r_name")),
+            "left")
+          .groupBy(col("a.r_name").as("r_name"), col("a.base").as("base"),
+            col("a.rem").as("rem"))
+          .agg(count(col("b.rb")).as("ahead"))
+          .crossJoin(broadcast(rdef))
+          .withColumn("region_alloc",
+            col("base") + when(col("ahead") < col("rdeficit"), 1L).otherwise(0L))
+          .select(col("r_name"), col("region_alloc"))
+        // level 2: nations inside each region — per-region window rank
+        val n0 = byNation.join(byRegion, "r_name").join(rrank, "r_name")
+          .withColumn("nbase", expr("(region_alloc * rev) div rrev"))
+          .withColumn("nrem", expr("(region_alloc * rev) % rrev"))
+        val byR = Window.partitionBy("r_name")
+        val alloc = n0
+          .withColumn("ndeficit",
+            col("region_alloc") - sum(col("nbase")).over(byR))
+          .withColumn("nrk", row_number().over(
+            byR.orderBy(col("nrem").desc, col("n_name"))))
+          .withColumn("nation_alloc",
+            col("nbase") + when(col("nrk") <= col("ndeficit"), 1L).otherwise(0L))
+        alloc
+          .withColumn("region_exact",
+            when(sum(col("nation_alloc")).over(byR) === col("region_alloc"), 1L)
+              .otherwise(0L))
+          .select(col("r_name"), col("n_name"), col("nation_alloc"),
+            col("region_alloc"), col("region_exact"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(s"""
+        WITH byn AS (
+          SELECT r_name, n_name,
+                 CAST(SUM(${duckCents("o_totalprice")}) AS BIGINT) AS rev
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2
+        ), byr AS (
+          SELECT r_name, CAST(SUM(rev) AS BIGINT) AS rrev FROM byn GROUP BY 1
+        ), tot AS (
+          SELECT CAST(SUM(rrev) AS BIGINT) AS trev FROM byr
+        ), r0 AS (
+          SELECT r_name, rrev,
+                 CAST(100000000 * rrev // trev AS BIGINT) AS base,
+                 CAST(100000000 * rrev % trev AS BIGINT) AS rem
+          FROM byr, tot
+        ), rdef AS (
+          SELECT 100000000 - CAST(SUM(base) AS BIGINT) AS rdeficit FROM r0
+        ), rrank AS (
+          SELECT a.r_name, a.rrev,
+                 a.base + CASE WHEN (
+                   SELECT COUNT(*) FROM r0 b
+                   WHERE b.rem > a.rem
+                      OR (b.rem = a.rem AND b.r_name < a.r_name)
+                 ) < (SELECT rdeficit FROM rdef) THEN 1 ELSE 0 END
+                   AS region_alloc
+          FROM r0 a
+        ), n0 AS (
+          SELECT byn.r_name, n_name, rev, rrank.rrev, region_alloc,
+                 CAST(region_alloc * rev // rrank.rrev AS BIGINT) AS nbase,
+                 CAST(region_alloc * rev % rrank.rrev AS BIGINT) AS nrem
+          FROM byn JOIN rrank ON byn.r_name = rrank.r_name
+        ), ranked AS (
+          SELECT *,
+                 region_alloc - SUM(nbase) OVER (PARTITION BY r_name)
+                   AS ndeficit,
+                 row_number() OVER (PARTITION BY r_name
+                   ORDER BY nrem DESC, n_name) AS nrk
+          FROM n0
+        ), alloc AS (
+          SELECT r_name, n_name,
+                 CAST(nbase + CASE WHEN nrk <= ndeficit THEN 1 ELSE 0 END
+                   AS BIGINT) AS nation_alloc,
+                 CAST(region_alloc AS BIGINT) AS region_alloc
+          FROM ranked
+        )
+        SELECT r_name, n_name, nation_alloc, region_alloc,
+               CAST(CASE WHEN SUM(nation_alloc) OVER (PARTITION BY r_name)
+                 = region_alloc THEN 1 ELSE 0 END AS BIGINT) AS region_exact
+        FROM alloc ORDER BY r_name, n_name
+      """.trim)),
+
+    // Tukey IQR outlier fences on the exact quarter-cent quartiles (q307
+    // machinery): the classic fence q1 - 1.5*IQR introduces halves, so
+    // everything scales once more to EIGHTH-cents (fence_low_8 =
+    // 2*q1_4 - 3*IQR_4) and the outlier test compares 8*value against
+    // integer fences — box-plot semantics with zero floating point.
+    // Quartiles per nation from partitioned ranks; one join back to the
+    // values to count fence breaches.
+    Q(
+      "q317_iqr_outliers",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+          .select(col("c_nationkey"), cents(col("c_acctbal")).as("v"))
+        val w = Window.partitionBy("c_nationkey").orderBy("v")
+        val ranked = c
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("c_nationkey")))
+        def quart(k: Int, name: String) = {
+          val loIdx = expr(s"((n - 1) * $k) div 4")
+          val r = expr(s"((n - 1) * $k) % 4")
+          max(when(col("rk") === loIdx + 1, col("v") * (lit(4) - r)))
+            .plus(coalesce(max(when(col("rk") === loIdx + 2, col("v") * r)),
+              lit(0L)))
+            .cast("long").as(name)
+        }
+        val quartiles = ranked.groupBy("c_nationkey")
+          .agg(quart(1, "q1_4"), quart(3, "q3_4"))
+          .withColumn("fence_low_8",
+            lit(2L) * col("q1_4") - lit(3L) * (col("q3_4") - col("q1_4")))
+          .withColumn("fence_high_8",
+            lit(2L) * col("q3_4") + lit(3L) * (col("q3_4") - col("q1_4")))
+        c.join(quartiles.hint("shuffle_hash"), "c_nationkey")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"),
+            min(col("q1_4")).as("q1_quarter_cents"),
+            min(col("q3_4")).as("q3_quarter_cents"),
+            sum(when(col("v") * 8 < col("fence_low_8"), 1L).otherwise(0L))
+              .as("n_low_outliers"),
+            sum(when(col("v") * 8 > col("fence_high_8"), 1L).otherwise(0L))
+              .as("n_high_outliers"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT c_nationkey, ${duckCents("c_acctbal")} AS v FROM customer
+        ), ranked AS (
+          SELECT c_nationkey, v,
+                 row_number() OVER (PARTITION BY c_nationkey ORDER BY v) AS rk,
+                 COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+          FROM c
+        ), quartiles AS (
+          SELECT c_nationkey,
+                 CAST(MAX(CASE WHEN rk = (n-1)*1//4 + 1
+                        THEN v * (4 - (n-1)*1%4) END)
+                   + coalesce(MAX(CASE WHEN rk = (n-1)*1//4 + 2
+                        THEN v * ((n-1)*1%4) END), 0) AS BIGINT) AS q1_4,
+                 CAST(MAX(CASE WHEN rk = (n-1)*3//4 + 1
+                        THEN v * (4 - (n-1)*3%4) END)
+                   + coalesce(MAX(CASE WHEN rk = (n-1)*3//4 + 2
+                        THEN v * ((n-1)*3%4) END), 0) AS BIGINT) AS q3_4
+          FROM ranked GROUP BY c_nationkey
+        ), fences AS (
+          SELECT c_nationkey, q1_4, q3_4,
+                 2*q1_4 - 3*(q3_4 - q1_4) AS fence_low_8,
+                 2*q3_4 + 3*(q3_4 - q1_4) AS fence_high_8
+          FROM quartiles
+        )
+        SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(q1_4) AS BIGINT) AS q1_quarter_cents,
+               CAST(MIN(q3_4) AS BIGINT) AS q3_quarter_cents,
+               CAST(SUM(CASE WHEN v * 8 < fence_low_8 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_low_outliers,
+               CAST(SUM(CASE WHEN v * 8 > fence_high_8 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_high_outliers
+        FROM c JOIN fences ON c.c_nationkey = fences.c_nationkey
+        GROUP BY c.c_nationkey ORDER BY c.c_nationkey
       """.trim))
   )
 }
