@@ -1426,6 +1426,102 @@ object WarehouseQueries {
                  AS BIGINT) AS n_high_outliers
         FROM c JOIN fences ON c.c_nationkey = fences.c_nationkey
         GROUP BY c.c_nationkey ORDER BY c.c_nationkey
+      """.trim)),
+
+    // Parquet compression-codec round-trip — the sink option surface a
+    // storage migration actually flips: the same frame lands under gzip,
+    // snappy, and zstd, each read back and content-verified, with the
+    // codec's presence confirmed from the physical file names (Spark
+    // suffixes part files .gz/.snappy/.zstd before .parquet). Values are
+    // codec-invariant — that's the point — so the oracle restates one
+    // aggregate three times; codec_in_filename = 1 pins that the option
+    // actually reached the writer instead of silently defaulting.
+    Q(
+      "q318_codec_roundtrip",
+      (s, dir) => {
+        import graft.engine.Scratch
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey"), cents(col("o_totalprice")).as("__c"))
+        val codecs = Seq(("gzip", ".gz.parquet"), ("snappy", ".snappy.parquet"),
+          ("zstd", ".zstd.parquet"))
+        val frames = codecs.map { case (codec, suffix) =>
+          val path = Scratch.dir(s, dir, s"codec_$codec")
+          base.coalesce(2).write.mode("overwrite")
+            .option("compression", codec).parquet(path)
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val parts = fs.listStatus(p).map(_.getPath.getName)
+            .filter(_.endsWith(".parquet"))
+          val allSuffixed = parts.nonEmpty && parts.forall(_.endsWith(suffix))
+          s.read.parquet(path)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("__c")).cast("long").as("revenue_cents"))
+            .select(lit(codec).as("codec"), col("n_rows"), col("revenue_cents"),
+              lit(if (allSuffixed) 1L else 0L).as("codec_in_filename"))
+        }
+        frames.reduce(_ unionByName _).orderBy("codec")
+      },
+      Some(s"""
+        WITH agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(${duckCents("o_totalprice")}) AS BIGINT)
+                   AS revenue_cents
+          FROM orders
+        )
+        SELECT codec, n_rows, revenue_cents, CAST(1 AS BIGINT)
+                 AS codec_in_filename
+        FROM agg, (VALUES ('gzip'), ('snappy'), ('zstd')) AS t(codec)
+        ORDER BY codec
+      """.trim)),
+
+    // ABC inventory classification — the 80/15/5 concentration cut:
+    // customers rank by revenue and classify by CUMULATIVE share (A while
+    // the running total stays within 80% of the grand total, B to 95%,
+    // C beyond), with the running total from the two-phase scalable
+    // prefix sum (q93's machinery — no single-task window at any
+    // customer count) and the class cuts as pure integer
+    // cross-multiplications (cum*5 <= total*4). Per-class rollup with
+    // share in basis points closes the report.
+    Q(
+      "q319_abc_classification",
+      (s, dir) => {
+        import graft.engine.Keys
+        val rev = Tables.orders(s, dir).groupBy("o_custkey")
+          .agg(sum(cents(col("o_totalprice"))).cast("long").as("rev"))
+        val run = Keys.globalRunningSumBy(rev,
+          Seq(col("rev").desc, col("o_custkey")), "rev", "cum")
+        run
+          .crossJoin(broadcast(rev.agg(sum(col("rev")).cast("long").as("total"))))
+          .withColumn("abc_class",
+            when(col("cum") * 5 <= col("total") * 4, "A")
+              .when(col("cum") * 20 <= col("total") * 19, "B")
+              .otherwise("C"))
+          .groupBy("abc_class")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("rev")).cast("long").as("revenue_cents"),
+            expr("(CAST(SUM(rev) AS BIGINT) * 10000) div MAX(total)")
+              .as("share_bp"))
+          .orderBy("abc_class")
+      },
+      Some(s"""
+        WITH rev AS (
+          SELECT o_custkey,
+                 CAST(SUM(${duckCents("o_totalprice")}) AS BIGINT) AS rev
+          FROM orders GROUP BY 1
+        ), run AS (
+          SELECT o_custkey, rev,
+                 CAST(SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                 (SELECT CAST(SUM(rev) AS BIGINT) FROM rev) AS total
+          FROM rev
+        )
+        SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                    WHEN cum * 20 <= total * 19 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+               CAST(SUM(rev) * 10000 // MAX(total) AS BIGINT) AS share_bp
+        FROM run GROUP BY 1 ORDER BY abc_class
       """.trim))
   )
 }
