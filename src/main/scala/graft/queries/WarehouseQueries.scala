@@ -1522,6 +1522,130 @@ object WarehouseQueries {
                CAST(SUM(rev) AS BIGINT) AS revenue_cents,
                CAST(SUM(rev) * 10000 // MAX(total) AS BIGINT) AS share_bp
         FROM run GROUP BY 1 ORDER BY abc_class
+      """.trim)),
+
+    // p-chart (attribute control chart) — SPC for a rate: weekly return
+    // fractions against control limits p̄ ± 3·sqrt(p̄(1−p̄)/n_week), the
+    // monitoring classic that distinguishes common-cause wiggle from a
+    // signal. Counts are exact integers; the limits are evaluated through
+    // an IDENTICAL IEEE expression tree in both engines (the q310
+    // precedent — +,−,*,/ and sqrt are all correctly rounded), and the
+    // out-of-control verdict is a plain comparison of those
+    // bit-reproducible doubles. Two hash aggregates, one broadcast of the
+    // 1-row center line.
+    Q(
+      "q320_p_chart",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(date_trunc("week", col("l_shipdate")).cast("date").as("week"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+        val weekly = li.groupBy("week")
+          .agg(count(lit(1)).as("n"), sum(col("ret")).as("s"))
+        val center = li.agg(count(lit(1)).as("tn"), sum(col("ret")).as("ts"))
+        weekly.crossJoin(broadcast(center))
+          .withColumn("pbar", expr("CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)"))
+          .withColumn("sigma", expr(
+            """sqrt(CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)
+               * (1.0 - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+               / CAST(n AS DOUBLE))"""))
+          .select(col("week"), col("n"), col("s"),
+            expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)").as("p_week"),
+            col("pbar"),
+            when(expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)")
+              > col("pbar") + lit(3.0) * col("sigma"), 1L)
+              .when(expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)")
+                < col("pbar") - lit(3.0) * col("sigma"), -1L)
+              .otherwise(0L).as("signal"))
+          .orderBy("week")
+      },
+      Some("""
+        WITH li AS (
+          SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+          FROM lineitem
+        ), weekly AS (
+          SELECT week, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(ret) AS BIGINT) AS s
+          FROM li GROUP BY 1
+        ), center AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS tn, CAST(SUM(ret) AS BIGINT) AS ts
+          FROM li
+        )
+        SELECT week, n, s,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p_week,
+               CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE) AS pbar,
+               CAST(CASE
+                 WHEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                   > CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)
+                     + 3.0 * sqrt(CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)
+                         * (1.0 - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+                         / CAST(n AS DOUBLE)) THEN 1
+                 WHEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                   < CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)
+                     - 3.0 * sqrt(CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)
+                         * (1.0 - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+                         / CAST(n AS DOUBLE)) THEN -1
+                 ELSE 0 END AS BIGINT) AS signal
+        FROM weekly CROSS JOIN center
+        ORDER BY week
+      """.trim)),
+
+    // Leakage-safe churn label generation — the supervised-dataset build
+    // step every churn model needs and most get wrong by peeking past the
+    // cutoff: features aggregate STRICTLY BEFORE the cutoff timestamp
+    // (activity counts, 7-day recency window, exact value sum), the
+    // label (inactive ≥ 30 days) comes from the window STRICTLY AFTER,
+    // and a user appears iff they were active before the cutoff. One
+    // filtered aggregate per side of the cut, joined on the user — no
+    // window functions at all, so the shape is two shuffles at any scale.
+    Q(
+      "q321_churn_labels",
+      (s, dir) => {
+        val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+        val horizon = lit("2024-01-30 00:00:00").cast("timestamp")
+        val ev = Tables.events(s, dir)
+        val feat = ev.filter(col("ts") < cutoff)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("ts") >= cutoff - expr("INTERVAL 7 DAYS"), 1L)
+              .otherwise(0L)).as("n_events_7d"),
+            max(col("ts")).as("last_ts"),
+            sum((col("value").cast("decimal(16,6)") * 1000000).cast("long"))
+              .cast("long").as("value_micros"))
+          .withColumn("days_since_last",
+            datediff(cutoff.cast("date"), col("last_ts").cast("date")).cast("long"))
+        val after = ev.filter(col("ts") >= cutoff && col("ts") < horizon)
+          .select(col("user_id")).distinct()
+          .withColumn("active_after", lit(1L))
+        feat.join(after, Seq("user_id"), "left")
+          .select(col("user_id"), col("n_events"), col("n_events_7d"),
+            col("days_since_last"), col("value_micros"),
+            when(col("active_after").isNull, 1L).otherwise(0L).as("churned"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH feat AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                     - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_events_7d,
+                 CAST(date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-01-20')
+                   AS BIGINT) AS days_since_last,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(16,6)) * 1000000
+                   AS BIGINT)) AS BIGINT) AS value_micros
+          FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+          GROUP BY user_id
+        ), after AS (
+          SELECT DISTINCT user_id FROM events
+          WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+            AND ts < TIMESTAMP '2024-01-30 00:00:00'
+        )
+        SELECT feat.user_id, n_events, n_events_7d, days_since_last,
+               value_micros,
+               CAST(CASE WHEN after.user_id IS NULL THEN 1 ELSE 0 END
+                 AS BIGINT) AS churned
+        FROM feat LEFT JOIN after ON feat.user_id = after.user_id
+        ORDER BY feat.user_id
       """.trim))
   )
 }

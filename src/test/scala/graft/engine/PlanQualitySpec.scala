@@ -509,4 +509,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
       s"cold path must keep a shuffle join:\n$plan")
   }
+
+  test("Wilson ranking broadcasts the part dimension into the fact scan") {
+    // q310 joins the 100 TB-shaped fact (lineitem) against the bounded
+    // part dim: the dim must ride broadcast — a shuffled fact for a
+    // dimension lookup is the classic star-join regression.
+    val df = graft.SparkEntry.queries("q310_wilson_rank")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the part dim broadcast in:\n$plan")
+  }
+
+  test("ABC classification plans no WindowExec: the running share is the RDD prefix sum") {
+    // q319's cumulative share must come from Keys.globalRunningSumBy (the
+    // two-phase shuffle-reuse shape), never a single-task running-sum
+    // window over the customer frame.
+    val df = graft.SparkEntry.queries("q319_abc_classification")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"),
+      s"running share must not plan a window:\n$plan")
+  }
+
+  test("forecast allocation: region level is windowless, nation windows are region-partitioned") {
+    // q316's 5-row region remainder rank is a self-join count; the only
+    // Window nodes allowed are the nation-level per-region frames.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val df = graft.SparkEntry.queries("q316_forecast_allocation")(spark, sf0001)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(wins.isEmpty, "region-level allocation must not use a global window")
+    df.collect()
+  }
 }
