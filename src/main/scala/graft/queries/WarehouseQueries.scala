@@ -1646,6 +1646,123 @@ object WarehouseQueries {
                  AS BIGINT) AS churned
         FROM feat LEFT JOIN after ON feat.user_id = after.user_id
         ORDER BY feat.user_id
+      """.trim)),
+
+    // Price-volume bridge — the finance decomposition "how much of the
+    // revenue change was selling MORE vs selling DEARER": per brand,
+    // volume effect = (Q_new − Q_old)·(old revenue rate) in integer
+    // cents, price/mix effect = the EXACT residual, so the two effects
+    // always close to the delta to the cent (float bridges never do; the
+    // residual-closure convention is how real P&L bridges reconcile).
+    // Two filtered aggregates per brand, one join — windowless.
+    Q(
+      "q322_pvm_bridge",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"), year(col("l_shipdate")).as("yr"),
+            col("l_quantity").cast("long").as("q"),
+            cents(col("l_extendedprice")).as("r"))
+        def period(yr: Int, qn: String, rn: String) = li.filter(col("yr") === yr)
+          .groupBy("p_brand")
+          .agg(sum(col("q")).as(qn), sum(col("r")).cast("long").as(rn))
+        period(1996, "q_new", "r_new")
+          .join(period(1995, "q_old", "r_old"), "p_brand")
+          .withColumn("delta_cents", col("r_new") - col("r_old"))
+          .withColumn("volume_effect",
+            expr("((q_new - q_old) * r_old) div q_old"))
+          .withColumn("price_effect", col("delta_cents") - col("volume_effect"))
+          .select(col("p_brand"), col("r_old"), col("r_new"), col("delta_cents"),
+            col("volume_effect"), col("price_effect"))
+          .orderBy("p_brand")
+      },
+      Some(s"""
+        WITH li AS (
+          SELECT p_brand, year(l_shipdate) AS yr,
+                 CAST(l_quantity AS BIGINT) AS q,
+                 ${duckCents("l_extendedprice")} AS r
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), pn AS (
+          SELECT p_brand, CAST(SUM(q) AS BIGINT) AS q_new,
+                 CAST(SUM(r) AS BIGINT) AS r_new
+          FROM li WHERE yr = 1996 GROUP BY 1
+        ), po AS (
+          SELECT p_brand, CAST(SUM(q) AS BIGINT) AS q_old,
+                 CAST(SUM(r) AS BIGINT) AS r_old
+          FROM li WHERE yr = 1995 GROUP BY 1
+        )
+        SELECT pn.p_brand, r_old, r_new,
+               r_new - r_old AS delta_cents,
+               CAST(((q_new - q_old) * r_old) // q_old AS BIGINT)
+                 AS volume_effect,
+               CAST(r_new - r_old - ((q_new - q_old) * r_old) // q_old
+                 AS BIGINT) AS price_effect
+        FROM pn JOIN po ON pn.p_brand = po.p_brand
+        ORDER BY pn.p_brand
+      """.trim)),
+
+    // Duplicate-event detection (idempotency-violation sweep) — the same
+    // logical event recorded twice under different ids within a minute.
+    // The fixture INJECTS the violations (every 97th event cloned with a
+    // shifted id and +3 s timestamp) so the detector has real positives;
+    // candidate generation joins on (user, type, exact value, 60 s time
+    // bucket) with the left side exploded into the 3 adjacent buckets —
+    // pigeonhole-complete for the 60 s window, candidates bounded by
+    // per-bucket multiplicity, never a per-user time cross join. The
+    // oracle states the all-pairs theta join.
+    Q(
+      "q323_duplicate_events",
+      (s, dir) => {
+        val base = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            (col("value").cast("decimal(16,6)") * 1000000).cast("long").as("v"),
+            unix_micros(col("ts")).as("ts_us"))
+        val clones = base.filter(col("event_id") % 97 === 0)
+          .select((col("event_id") + 1000000000L).as("event_id"), col("user_id"),
+            col("event_type"), col("v"), (col("ts_us") + 3000000L).as("ts_us"))
+        val all = base.unionByName(clones)
+          .withColumn("bkt", expr("ts_us div 60000000"))
+        val probes = all.select(col("event_id"), col("user_id"),
+            col("event_type"), col("v"), col("ts_us"),
+            explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+        probes.as("a")
+          .join(all.as("b").hint("shuffle_hash"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") === col("b.event_type") &&
+              col("a.v") === col("b.v") &&
+              col("a.bkt") === col("b.bkt") &&
+              col("a.event_id") < col("b.event_id"))
+          .filter(abs(col("a.ts_us") - col("b.ts_us")) <= 60000000L)
+          .select(col("a.user_id").as("user_id"),
+            col("a.event_type").as("event_type"),
+            col("a.event_id").as("id_a"), col("b.event_id").as("id_b"),
+            abs(col("a.ts_us") - col("b.ts_us")).as("micros_apart"))
+          // each (a,b) pair matches exactly once: only one exploded probe
+          // row of a carries b's bucket value — no dedup needed
+          .orderBy("user_id", "id_a", "id_b")
+      },
+      Some("""
+        WITH base AS (
+          SELECT event_id, user_id, event_type,
+                 CAST(CAST(value AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS v,
+                 epoch_us(ts) AS ts_us
+          FROM events
+        ), all_ev AS (
+          SELECT * FROM base
+          UNION ALL
+          SELECT event_id + 1000000000, user_id, event_type, v,
+                 ts_us + 3000000
+          FROM base WHERE event_id % 97 = 0
+        )
+        SELECT a.user_id, a.event_type,
+               a.event_id AS id_a, b.event_id AS id_b,
+               CAST(abs(a.ts_us - b.ts_us) AS BIGINT) AS micros_apart
+        FROM all_ev a JOIN all_ev b
+          ON a.user_id = b.user_id AND a.event_type = b.event_type
+          AND a.v = b.v AND a.event_id < b.event_id
+        WHERE abs(a.ts_us - b.ts_us) <= 60000000
+        ORDER BY a.user_id, id_a, id_b
       """.trim))
   )
 }
