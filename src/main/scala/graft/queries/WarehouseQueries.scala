@@ -1763,6 +1763,145 @@ object WarehouseQueries {
           AND a.v = b.v AND a.event_id < b.event_id
         WHERE abs(a.ts_us - b.ts_us) <= 60000000
         ORDER BY a.user_id, id_a, id_b
+      """.trim)),
+
+    // Item-to-item recommendations with cold-start fallback — the batch
+    // serving job of a co-purchase recommender: a BOUNDED model (top-50
+    // co-purchase pairs by support, the pruning every production
+    // item-item model ships with) broadcasts against each sampled
+    // customer's owned parts; owned items are excluded by anti-join,
+    // scores sum per candidate, top-3 rank in per-customer windows
+    // (bounded by model size), and customers whose owned set touches no
+    // model pair fall back to the global bestseller list — rec_source
+    // says which path produced each row. Model + fallback are tiny
+    // broadcasts; the only data-sized exchanges are the owned-parts
+    // aggregate and the per-customer rank.
+    Q(
+      "q324_reco_fallback",
+      (s, dir) => {
+        val owned = Tables.orders(s, dir)
+          .filter(col("o_custkey") % 20 === 0)
+          .select(col("o_custkey"), col("o_orderkey"))
+          .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey"), col("l_partkey")).distinct()
+        val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+        val pairs = li.as("a")
+          .join(li.as("b").hint("shuffle_hash"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("support"))
+          .orderBy(col("support").desc, col("pa"), col("pb"))
+          .limit(50)
+        val model = pairs.select(col("pa").as("src"), col("pb").as("dst"), col("support"))
+          .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst"), col("support")))
+        val cands = owned
+          .join(broadcast(model), col("l_partkey") === col("src"))
+          .select(col("o_custkey"), col("dst").as("rec_part"), col("support"))
+          .join(owned.withColumnRenamed("l_partkey", "rec_part"),
+            Seq("o_custkey", "rec_part"), "left_anti")
+          .groupBy("o_custkey", "rec_part")
+          .agg(sum(col("support")).cast("long").as("score"))
+        val byCust = Window.partitionBy("o_custkey")
+        val cf = cands
+          .withColumn("rank", row_number().over(
+            byCust.orderBy(col("score").desc, col("rec_part"))))
+          .filter(col("rank") <= 3)
+          .select(col("o_custkey"), col("rank").cast("long").as("rank"),
+            col("rec_part"), lit("cf").as("rec_source"))
+        // global bestseller rank: limit(3) bounds the set (TakeOrdered, no
+        // window); the rank within 3 rows is a tiny self-join count so no
+        // unpartitioned window appears anywhere in the plan
+        val sellers = li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("l_partkey")).limit(3)
+        val top3 = sellers.as("x")
+          .join(sellers.select(col("l_partkey").as("k2"), col("n").as("n2")).as("y"),
+            col("y.n2") > col("x.n") ||
+              (col("y.n2") === col("x.n") && col("y.k2") < col("x.l_partkey")),
+            "left")
+          .groupBy(col("x.l_partkey").as("rec_part"))
+          .agg((count(col("y.k2")) + 1).cast("long").as("rank"))
+        val coldCusts = owned.select("o_custkey").distinct()
+          .join(cf.select("o_custkey").distinct(), Seq("o_custkey"), "left_anti")
+        val cold = coldCusts.crossJoin(broadcast(top3))
+          .select(col("o_custkey"), col("rank"), col("rec_part"),
+            lit("fallback").as("rec_source"))
+        cf.unionByName(cold).orderBy("o_custkey", "rank")
+      },
+      Some("""
+        WITH owned AS (
+          SELECT DISTINCT o_custkey, l_partkey
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE o_custkey % 20 = 0
+        ), pairs AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                 CAST(COUNT(*) AS BIGINT) AS support
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 ORDER BY support DESC, pa, pb LIMIT 50
+        ), model AS (
+          SELECT pa AS src, pb AS dst, support FROM pairs
+          UNION ALL
+          SELECT pb, pa, support FROM pairs
+        ), cands AS (
+          SELECT o.o_custkey, m.dst AS rec_part,
+                 CAST(SUM(m.support) AS BIGINT) AS score
+          FROM owned o JOIN model m ON o.l_partkey = m.src
+          WHERE NOT EXISTS (
+            SELECT 1 FROM owned ow
+            WHERE ow.o_custkey = o.o_custkey AND ow.l_partkey = m.dst)
+          GROUP BY 1, 2
+        ), cf AS (
+          SELECT o_custkey, CAST(rank AS BIGINT) AS rank, rec_part,
+                 'cf' AS rec_source
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_custkey
+              ORDER BY score DESC, rec_part) AS rank
+            FROM cands)
+          WHERE rank <= 3
+        ), top3 AS (
+          SELECT l_partkey AS rec_part,
+                 CAST(row_number() OVER (ORDER BY COUNT(*) DESC, l_partkey)
+                   AS BIGINT) AS rank
+          FROM lineitem GROUP BY l_partkey
+          ORDER BY COUNT(*) DESC, l_partkey LIMIT 3
+        ), cold AS (
+          SELECT o.o_custkey, t.rank, t.rec_part, 'fallback' AS rec_source
+          FROM (SELECT DISTINCT o_custkey FROM owned
+                WHERE o_custkey NOT IN (SELECT o_custkey FROM cf)) o
+          CROSS JOIN top3 t
+        )
+        SELECT * FROM cf UNION ALL SELECT * FROM cold
+        ORDER BY o_custkey, rank
+      """.trim)),
+
+    // Bucketed-table AGGREGATION gate — q168 gates the shuffle-free
+    // co-bucketed join; this gates the other bucketing payoff: a groupBy
+    // on the bucket column of a bucketed+sorted table needs NO exchange
+    // (the data already lives hash-clustered by the key). Values are
+    // oracle-gated; the plan property itself is asserted in
+    // PlanQualitySpec ("bucketed aggregation plans no exchange").
+    Q(
+      "q325_bucketed_agg_gate",
+      (s, dir) => {
+        import graft.engine.{Scratch, Sinks}
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), cents(col("l_extendedprice")).as("__c"))
+        Sinks.writeBucketedAt(li, "g325_lineitem_b",
+          Some(Scratch.dir(s, dir, "bucketed_li_agg")), Seq("l_orderkey"), 8,
+          Seq("l_orderkey"))
+        s.table("g325_lineitem_b")
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("__c")).cast("long").as("order_cents"))
+          .orderBy("l_orderkey")
+      },
+      Some(s"""
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(${duckCents("l_extendedprice")}) AS BIGINT)
+                 AS order_cents
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
       """.trim))
   )
 }

@@ -543,4 +543,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(wins.isEmpty, "region-level allocation must not use a global window")
     df.collect()
   }
+
+  test("bucketed aggregation plans no exchange before the partial aggregate") {
+    // q325's payoff: a groupBy on the bucket column of a bucketed+sorted
+    // table reads data already hash-clustered by the key — the aggregate
+    // must complete without any shuffle of the fact rows (the only
+    // allowed exchange is the final output range sort).
+    val df = graft.SparkEntry.queries("q325_bucketed_agg_gate")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val nHash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nHash == 0,
+      s"bucketed groupBy must not hash-shuffle the fact rows:\n$plan")
+  }
 }
