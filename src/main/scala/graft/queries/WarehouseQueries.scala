@@ -1902,6 +1902,151 @@ object WarehouseQueries {
                CAST(SUM(${duckCents("l_extendedprice")}) AS BIGINT)
                  AS order_cents
         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+      """.trim)),
+
+    // Decile lift / gains table — the marketer's model readout: users
+    // rank by a score (activity volume), cut into deciles, and each
+    // decile reports its response rate plus CUMULATIVE LIFT over the
+    // baseline ((cum_responders · total_users · 10000) div (cum_users ·
+    // total_responders) — exact integer bp). The decile cut rides the
+    // two-phase scalable rank + explicit ntile rule (no global window at
+    // any user count); the cumulative pass is a 10-row self-join over the
+    // decile aggregate — value-bounded.
+    Q(
+      "q326_lift_gains",
+      (s, dir) => {
+        import graft.engine.Keys
+        val users = Tables.events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("score"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("responder"))
+        val ranked = Keys.rankByScalable(users,
+          Seq(col("score").desc, col("user_id")), "rk")
+        val n = users.agg(count(lit(1)).as("__n"),
+          sum(col("responder")).as("__resp"))
+        val deciles = ranked.crossJoin(broadcast(n))
+          .withColumn("decile",
+            Keys.ntileFromRank(col("rk"), col("__n"), 10).cast("long"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("responder")).cast("long").as("n_responders"),
+            max(col("__n")).as("__n"), max(col("__resp")).cast("long").as("__resp"))
+        val cum = deciles.as("d")
+          .join(deciles.select(col("decile").as("d2"),
+            col("n_users").as("nu2"), col("n_responders").as("nr2")).as("e"),
+            col("e.d2") <= col("d.decile"))
+          .groupBy(col("d.decile").as("decile"), col("d.n_users").as("n_users"),
+            col("d.n_responders").as("n_responders"),
+            col("d.__n").as("__n"), col("d.__resp").as("__resp"))
+          .agg(sum(col("e.nu2")).cast("long").as("cum_users"),
+            sum(col("e.nr2")).cast("long").as("cum_responders"))
+        cum.select(col("decile"), col("n_users"), col("n_responders"),
+            expr("(n_responders * 10000) div n_users").as("response_rate_bp"),
+            expr("(cum_responders * __n * 10000) div (cum_users * __resp)")
+              .as("cum_lift_bp"))
+          .orderBy("decile")
+      },
+      Some("""
+        WITH users AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS score,
+                 CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS responder
+          FROM events GROUP BY user_id
+        ), tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(responder) AS BIGINT) AS resp
+          FROM users
+        ), deciles AS (
+          SELECT CAST(ntile(10) OVER (ORDER BY score DESC, user_id) AS BIGINT)
+                   AS decile,
+                 responder
+          FROM users
+        ), agg AS (
+          SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(responder) AS BIGINT) AS n_responders
+          FROM deciles GROUP BY decile
+        ), cum AS (
+          SELECT a.decile, a.n_users, a.n_responders,
+                 CAST(SUM(b.n_users) AS BIGINT) AS cum_users,
+                 CAST(SUM(b.n_responders) AS BIGINT) AS cum_responders
+          FROM agg a JOIN agg b ON b.decile <= a.decile
+          GROUP BY 1, 2, 3
+        )
+        SELECT decile, n_users, n_responders,
+               CAST((n_responders * 10000) // n_users AS BIGINT)
+                 AS response_rate_bp,
+               CAST((cum_responders * n * 10000) // (cum_users * resp)
+                 AS BIGINT) AS cum_lift_bp
+        FROM cum, tot ORDER BY decile
+      """.trim)),
+
+    // Linear multi-touch attribution with remainder-exact credit: each
+    // purchase's value (exact micros) splits EQUALLY across every view in
+    // the 30 minutes before it, the leftover micros going to the earliest
+    // touches — so per-purchase credits always sum exactly to the
+    // purchase value (q295's largest-remainder discipline applied to
+    // attribution; float splits leak budget). The touch join is per-user
+    // equi + time-range (bounded by the window), the credit rank a
+    // per-purchase window over those bounded touches.
+    Q(
+      "q327_linear_attribution",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            unix_micros(col("ts")).as("pts"),
+            (col("value").cast("decimal(16,6)") * 1000000).cast("long")
+              .as("credit"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            unix_micros(col("ts")).as("vts"))
+        val touches = purchases
+          .join(views.hint("shuffle_hash"), Seq("user_id"))
+          .filter(col("vts") < col("pts") &&
+            col("vts") >= col("pts") - 1800000000L)
+        val byP = Window.partitionBy("purchase_id")
+        touches
+          .withColumn("n_touch", count(lit(1)).over(byP))
+          .withColumn("base", expr("credit div n_touch"))
+          .withColumn("r", row_number().over(
+            byP.orderBy(col("vts"), col("view_id"))))
+          .withColumn("credit_micros",
+            (col("base") + when(col("r") <= col("credit") % col("n_touch"), 1L)
+              .otherwise(0L)).cast("long"))
+          .withColumn("exact_total",
+            when(sum(col("credit_micros")).over(byP) === col("credit"), 1L)
+              .otherwise(0L))
+          .select(col("purchase_id"), col("view_id"), col("credit_micros"),
+            col("exact_total"))
+          .orderBy("purchase_id", "view_id")
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pts,
+                 CAST(CAST(value AS DECIMAL(16,6)) * 1000000 AS BIGINT)
+                   AS credit
+          FROM events WHERE event_type = 'purchase'
+        ), v AS (
+          SELECT user_id, event_id AS view_id, epoch_us(ts) AS vts
+          FROM events WHERE event_type = 'view'
+        ), touches AS (
+          SELECT purchase_id, view_id, credit, vts,
+                 CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+                   AS n_touch,
+                 row_number() OVER (PARTITION BY purchase_id
+                   ORDER BY vts, view_id) AS r
+          FROM p JOIN v ON p.user_id = v.user_id
+          WHERE vts < pts AND vts >= pts - 1800000000
+        )
+        SELECT purchase_id, view_id,
+               CAST(credit // n_touch
+                 + CASE WHEN r <= credit % n_touch THEN 1 ELSE 0 END
+                 AS BIGINT) AS credit_micros,
+               CAST(CASE WHEN SUM(credit // n_touch
+                   + CASE WHEN r <= credit % n_touch THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY purchase_id) = credit
+                 THEN 1 ELSE 0 END AS BIGINT) AS exact_total
+        FROM touches ORDER BY purchase_id, view_id
       """.trim))
   )
 }
