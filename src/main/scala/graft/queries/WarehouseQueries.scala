@@ -2047,6 +2047,102 @@ object WarehouseQueries {
                    OVER (PARTITION BY purchase_id) = credit
                  THEN 1 ELSE 0 END AS BIGINT) AS exact_total
         FROM touches ORDER BY purchase_id, view_id
+      """.trim)),
+
+    // Nested-schema pruning gate — at 100 TB the difference between
+    // reading `meta.lang` and reading the whole `meta` struct (with the
+    // text-sized payload inside it) is the job's IO bill. The fixture
+    // writes documents as a nested struct carrying the full text INSIDE
+    // the struct, then aggregates by one leaf field only; Catalyst's
+    // nested-schema pruning must push the single-leaf ReadSchema into the
+    // parquet scan (plan-pinned in PlanQualitySpec), and the values gate
+    // proves the pruned read still computes the right answer.
+    Q(
+      "q328_nested_pruning",
+      (s, dir) => {
+        import graft.engine.Scratch
+        val path = Scratch.dir(s, dir, "nested_docs")
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            struct(col("lang"), col("source"), col("text"),
+              col("n_chars")).as("meta"))
+          .write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+          .groupBy(col("meta.lang").as("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("meta.n_chars")).cast("long").as("total_chars"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang ORDER BY lang
+      """.trim)),
+
+    // Same-store sales — the retail like-for-like growth discipline:
+    // year-over-year revenue compared ONLY across customers active in
+    // BOTH periods, so the growth number isn't polluted by
+    // acquisition/churn mix (the error plain MoM growth makes). The
+    // comparable cohort is one semi-join each way; growth lands in exact
+    // integer basis points. One output row per nation plus the cohort
+    // size that qualifies it.
+    Q(
+      "q329_same_store",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+            cents(col("o_totalprice")).as("c"))
+        def active(yr: Int) = o.filter(col("yr") === yr)
+          .select("o_custkey").distinct()
+        val comparable = active(1996).join(active(1995), Seq("o_custkey"), "left_semi")
+        val nat = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))
+        def rev(yr: Int, name: String) = o.filter(col("yr") === yr)
+          .join(comparable.hint("shuffle_hash"), Seq("o_custkey"), "left_semi")
+          .join(nat, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(sum(col("c")).cast("long").as(name))
+        rev(1995, "rev_1995")
+          .join(rev(1996, "rev_1996"), "c_nationkey")
+          .join(comparable.join(nat, col("o_custkey") === col("c_custkey"))
+            .groupBy("c_nationkey").agg(count(lit(1)).as("n_comparable")),
+            "c_nationkey")
+          .select(col("c_nationkey"), col("n_comparable"),
+            col("rev_1995"), col("rev_1996"),
+            expr("((rev_1996 - rev_1995) * 10000) div rev_1995")
+              .as("growth_bp"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT o_custkey, year(o_orderdate) AS yr,
+                 ${duckCents("o_totalprice")} AS c
+          FROM orders
+        ), comparable AS (
+          SELECT DISTINCT o_custkey FROM o WHERE yr = 1996
+          AND o_custkey IN (SELECT o_custkey FROM o WHERE yr = 1995)
+        ), r95 AS (
+          SELECT c_nationkey, CAST(SUM(c) AS BIGINT) AS rev_1995
+          FROM o JOIN customer ON o_custkey = c_custkey
+          WHERE yr = 1995 AND o_custkey IN (SELECT o_custkey FROM comparable)
+          GROUP BY 1
+        ), r96 AS (
+          SELECT c_nationkey, CAST(SUM(c) AS BIGINT) AS rev_1996
+          FROM o JOIN customer ON o_custkey = c_custkey
+          WHERE yr = 1996 AND o_custkey IN (SELECT o_custkey FROM comparable)
+          GROUP BY 1
+        ), nc AS (
+          SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_comparable
+          FROM comparable JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1
+        )
+        SELECT r95.c_nationkey, n_comparable, rev_1995, rev_1996,
+               CAST(((rev_1996 - rev_1995) * 10000) // rev_1995 AS BIGINT)
+                 AS growth_bp
+        FROM r95
+        JOIN r96 ON r95.c_nationkey = r96.c_nationkey
+        JOIN nc ON r95.c_nationkey = nc.c_nationkey
+        ORDER BY r95.c_nationkey
       """.trim))
   )
 }

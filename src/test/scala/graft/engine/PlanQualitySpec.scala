@@ -556,4 +556,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(nHash == 0,
       s"bucketed groupBy must not hash-shuffle the fact rows:\n$plan")
   }
+
+  test("nested-schema pruning drops the struct's text payload from the scan") {
+    // q328 aggregates two leaves of a nested struct whose sibling field
+    // carries the document text; the parquet ReadSchema must contain the
+    // pruned struct WITHOUT the text leaf — reading it would multiply
+    // the scan IO by the payload size at 100 TB.
+    val df = graft.SparkEntry.queries("q328_nested_pruning")(spark, sf0001)
+    df.collect()
+    val plan = formattedPlan(df)
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .mkString("\n")
+    assert(readSchema.contains("lang") && readSchema.contains("n_chars"),
+      s"pruned leaves missing from scan schema:\n$readSchema")
+    assert(!readSchema.contains("text"),
+      s"struct text payload must be pruned from the scan:\n$readSchema")
+  }
 }
