@@ -2143,6 +2143,97 @@ object WarehouseQueries {
         JOIN r96 ON r95.c_nationkey = r96.c_nationkey
         JOIN nc ON r95.c_nationkey = nc.c_nationkey
         ORDER BY r95.c_nationkey
+      """.trim)),
+
+    // Dynamic partition pruning gate — the runtime half of partition
+    // pruning (q32 gates the static half): the fact is partitioned by
+    // priority, and which partitions survive is only knowable AFTER the
+    // dimension's filter runs, so Catalyst must inject the dim's filter
+    // result into the fact scan as a runtime partition filter
+    // (DynamicPruningExpression — plan-pinned in PlanQualitySpec). Both
+    // sides land on disk first so neither filter can constant-fold at
+    // plan time; the value gate proves only the dimension-selected
+    // partitions contribute.
+    Q(
+      "q330_dpp_gate",
+      (s, dir) => {
+        import graft.engine.{Scratch, Sinks}
+        val factPath = Scratch.dir(s, dir, "dpp_fact")
+        val dimPath = Scratch.dir(s, dir, "dpp_dim")
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            cents(col("o_totalprice")).as("amount_cents"))
+        Sinks.writePartitioned(o, factPath, Seq("o_orderpriority"))
+        Tables.orders(s, dir).select(col("o_orderpriority")).distinct()
+          .withColumn("urgency",
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+              .otherwise("normal"))
+          .write.mode("overwrite").parquet(dimPath)
+        val fact = s.read.parquet(factPath)
+        val dim = s.read.parquet(dimPath).filter(col("urgency") === "high")
+        fact.join(broadcast(dim), Seq("o_orderpriority"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("amount_cents")).cast("long").as("total_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(${duckCents("o_totalprice")}) AS BIGINT) AS total_cents
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """.trim)),
+
+    // Audience overlap matrix — "how much do the people who VIEW overlap
+    // the people who PURCHASE": pairwise Jaccard between event-type
+    // audiences from one distinct (user, type) presence set self-joined
+    // on the user (types-per-user bounded, never users²), with
+    // per-type audience sizes attached and the Jaccard in exact integer
+    // bp via inter/(na + nb − inter).
+    Q(
+      "q331_audience_overlap",
+      (s, dir) => {
+        val presence = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type")).distinct()
+        val sizes = presence.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val inter = presence.as("a")
+          .join(presence.as("b").hint("shuffle_hash"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(broadcast(sizes.select(col("event_type").as("type_a"),
+            col("n").as("na"))), "type_a")
+          .join(broadcast(sizes.select(col("event_type").as("type_b"),
+            col("n").as("nb"))), "type_b")
+          .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+            col("inter"),
+            expr("(inter * 10000) div (na + nb - inter)").as("jaccard_bp"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""
+        WITH presence AS (
+          SELECT DISTINCT user_id, event_type FROM events
+        ), sizes AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM presence GROUP BY 1
+        ), inter AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM presence a JOIN presence b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, sa.n AS na, sb.n AS nb, inter,
+               CAST((inter * 10000) // (sa.n + sb.n - inter) AS BIGINT)
+                 AS jaccard_bp
+        FROM inter
+        JOIN sizes sa ON sa.event_type = type_a
+        JOIN sizes sb ON sb.event_type = type_b
+        ORDER BY type_a, type_b
       """.trim))
   )
 }

@@ -572,4 +572,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!readSchema.contains("text"),
       s"struct text payload must be pruned from the scan:\n$readSchema")
   }
+
+  test("dynamic partition pruning injects the dim filter into the fact scan") {
+    // q330: which fact partitions survive is only knowable after the dim
+    // filter runs — the scan must carry a DynamicPruningExpression
+    // partition filter instead of reading all partitions.
+    val df = graft.SparkEntry.queries("q330_dpp_gate")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a runtime partition-pruning filter in:\n$plan")
+  }
 }
