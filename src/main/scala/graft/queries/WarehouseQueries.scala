@@ -2234,6 +2234,71 @@ object WarehouseQueries {
         JOIN sizes sa ON sa.event_type = type_a
         JOIN sizes sb ON sb.event_type = type_b
         ORDER BY type_a, type_b
+      """.trim)),
+
+    // SQL-defined scalar function (Spark 4's CREATE FUNCTION ... RETURN):
+    // business logic shared as a CATALOG object instead of a Scala
+    // lambda — unlike a JVM UDF the body is a SQL expression, so Catalyst
+    // inlines it and the call sites stay inside codegen (no serialization
+    // wall). The gate defines a price-banding function, applies it over
+    // orders, and the oracle restates the inlined expression — proving
+    // the function surface and its semantics in one pass.
+    Q(
+      "q332_sql_udf",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g332_orders")
+        s.sql("""
+          CREATE OR REPLACE TEMPORARY FUNCTION g332_band(x DOUBLE)
+          RETURNS STRING
+          RETURN CASE WHEN x < 50000 THEN 'small'
+                      WHEN x < 200000 THEN 'medium'
+                      ELSE 'large' END""")
+        s.sql("""
+          SELECT g332_band(o_totalprice) AS band,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS total_cents
+          FROM g332_orders GROUP BY 1 ORDER BY band""")
+      },
+      Some("""
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                    WHEN o_totalprice < 200000 THEN 'medium'
+                    ELSE 'large' END AS band,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS total_cents
+        FROM orders GROUP BY 1 ORDER BY band
+      """.trim)),
+
+    // Parameterized SQL (named parameter markers) — the injection-safe
+    // templating surface: the query text carries :status / :min_cents
+    // placeholders and the VALUES bind at execution, so the same plan
+    // template serves any parameter set and string concatenation never
+    // touches the SQL. The oracle states the query with the parameters
+    // inlined — same semantics, different binding path.
+    Q(
+      "q333_param_sql",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g333_orders")
+        s.sql(
+          """SELECT o_orderstatus,
+                    CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+             FROM g333_orders
+             WHERE o_orderstatus = :status
+               AND CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 >= :min_cents
+             GROUP BY o_orderstatus""",
+          Map("status" -> "F", "min_cents" -> 10000000L))
+      },
+      Some("""
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+        FROM orders
+        WHERE o_orderstatus = 'F'
+          AND CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            >= 10000000
+        GROUP BY o_orderstatus
       """.trim))
   )
 }
