@@ -2299,6 +2299,135 @@ object WarehouseQueries {
           AND CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
             >= 10000000
         GROUP BY o_orderstatus
+      """.trim)),
+
+    // Cross-device identity stitching — the CDP entity-resolution step:
+    // users sharing a device belong to one identity, and shared devices
+    // CHAIN (a user on two devices merges both groups), so the identity
+    // is the connected component of the user-device bipartite graph —
+    // NearDup's iterative min-label CC machinery (hash-partitioned edge
+    // persist, label-sum convergence, localCheckpoint lineage
+    // truncation) applied to an identity graph instead of a near-dup
+    // graph. The deterministic fixture gives every 3 users a device and
+    // every 10th user a second, adjacent device, so single-device
+    // (size 3) and bridged (size 6) identities both exist. The oracle
+    // computes the same components via a recursive reachability CTE.
+    Q(
+      "q334_identity_stitch",
+      (s, dir) => {
+        import graft.ext.NearDup
+        val users = Tables.events(s, dir).select(col("user_id")).distinct()
+        val dev = users.select(col("user_id"),
+          (lit(1000000L) + expr("user_id div 3")).as("node_b"))
+        val dev2 = users.filter(col("user_id") % 10 === 0)
+          .select(col("user_id"),
+            (lit(1000000L) + expr("user_id div 3") + 1L).as("node_b"))
+        val edges = dev.unionByName(dev2)
+        val cc = NearDup.connectedComponents(edges, "user_id", "node_b")
+        val userCc = cc.filter(col("id") < 1000000L)
+        val sizes = userCc.groupBy("cluster_id")
+          .agg(count(lit(1)).as("identity_size"),
+            min(col("id")).as("identity_id"))
+        userCc.join(sizes.hint("shuffle_hash"), "cluster_id")
+          .select(col("id").as("user_id"), col("identity_id"),
+            col("identity_size"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH RECURSIVE users AS (
+          SELECT DISTINCT user_id FROM events
+        ), edges AS (
+          SELECT user_id AS a, 1000000 + user_id // 3 AS b FROM users
+          UNION ALL
+          SELECT user_id, 1000000 + user_id // 3 + 1 FROM users
+          WHERE user_id % 10 = 0
+        ), undirected AS (
+          SELECT a, b FROM edges UNION SELECT b, a FROM edges
+        ), reach AS (
+          SELECT a AS id, a AS r FROM undirected
+          UNION
+          SELECT u.a, reach.r FROM undirected u JOIN reach ON u.b = reach.id
+        ), comp AS (
+          SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+        ), user_cc AS (
+          SELECT id, cluster_id FROM comp WHERE id < 1000000
+        ), sizes AS (
+          SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS identity_size,
+                 CAST(MIN(id) AS BIGINT) AS identity_id
+          FROM user_cc GROUP BY cluster_id
+        )
+        SELECT CAST(id AS BIGINT) AS user_id, identity_id, identity_size
+        FROM user_cc JOIN sizes ON user_cc.cluster_id = sizes.cluster_id
+        ORDER BY user_id
+      """.trim)),
+
+    // Negation funnel — conversion paths where something did NOT happen:
+    // purchases attributed to a view in the prior 30 minutes, split by
+    // whether any click intervened between that view and the purchase
+    // ("assisted") or none did ("direct"). Sequential-pattern negation
+    // is the funnel variant plain joins get wrong; here the attributed
+    // view comes from a per-purchase bounded window rank and the
+    // negation is one more bounded range join probed as an existence
+    // flag — no correlated subquery per row.
+    Q(
+      "q335_negation_funnel",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        def typed(t: String, idName: String, tsName: String) =
+          ev.filter(col("event_type") === t)
+            .select(col("user_id"), col("event_id").as(idName),
+              unix_micros(col("ts")).as(tsName))
+        val purchases = typed("purchase", "purchase_id", "pts")
+        val views = typed("view", "view_id", "vts")
+        val clicks = typed("click", "click_id", "cts")
+        val byP = Window.partitionBy("purchase_id")
+        val attributed = purchases
+          .join(views.hint("shuffle_hash"), Seq("user_id"))
+          .filter(col("vts") < col("pts") &&
+            col("vts") >= col("pts") - 1800000000L)
+          .withColumn("r", row_number().over(
+            byP.orderBy(col("vts").desc, col("view_id").desc)))
+          .filter(col("r") === 1)
+          .select(col("user_id"), col("purchase_id"), col("pts"),
+            col("view_id"), col("vts"))
+        val assisted = attributed
+          .join(clicks.hint("shuffle_hash"), Seq("user_id"))
+          .filter(col("cts") > col("vts") && col("cts") < col("pts"))
+          .select(col("purchase_id")).distinct()
+          .withColumn("assisted", lit(1L))
+        attributed.join(assisted, Seq("purchase_id"), "left")
+          .select(col("purchase_id"), col("view_id"),
+            when(col("assisted").isNull, "direct").otherwise("assisted")
+              .as("path_type"))
+          .orderBy("purchase_id")
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pts
+          FROM events WHERE event_type = 'purchase'
+        ), v AS (
+          SELECT user_id, event_id AS view_id, epoch_us(ts) AS vts
+          FROM events WHERE event_type = 'view'
+        ), c AS (
+          SELECT user_id, epoch_us(ts) AS cts
+          FROM events WHERE event_type = 'click'
+        ), attributed AS (
+          SELECT p.user_id, purchase_id, pts, view_id, vts
+          FROM p JOIN v ON p.user_id = v.user_id
+          WHERE vts < pts AND vts >= pts - 1800000000
+          QUALIFY row_number() OVER (PARTITION BY purchase_id
+            ORDER BY vts DESC, view_id DESC) = 1
+        ), assisted AS (
+          SELECT DISTINCT purchase_id
+          FROM attributed a JOIN c ON a.user_id = c.user_id
+          WHERE cts > vts AND cts < pts
+        )
+        SELECT a.purchase_id, view_id,
+               CASE WHEN s.purchase_id IS NULL THEN 'direct'
+                    ELSE 'assisted' END AS path_type
+        FROM attributed a LEFT JOIN assisted s
+          ON a.purchase_id = s.purchase_id
+        ORDER BY a.purchase_id
       """.trim))
   )
 }
