@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Operations/monitoring wave: time-sliced distribution bands, forecasting
+  * baselines, and serving-side report shapes. Exactness discipline as
+  * everywhere in the registry: integer micros/cents end-to-end, per-slice
+  * partitioned windows only, divisions stated in integer basis points or
+  * performed once on exact integers.
+  */
+object OpsQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    // Weekly latency percentile bands — the SLO dashboard's p50/p90 over
+    // time, exact: inter-event gaps in integer micros slice into weeks,
+    // and each week's percentiles are EXACT order statistics
+    // (percentile_disc: smallest value whose rank reaches ceil(q·n/100))
+    // picked by conditional aggregation over per-week partitioned ranks.
+    // No sketch error bars, no unpartitioned window, no floating point.
+    Q(
+      "q336_percentile_bands",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gaps = Tables.events(s, dir)
+          .withColumn("prev", lag(unix_micros(col("ts")), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(date_trunc("week", col("ts")).cast("date").as("week"),
+            (unix_micros(col("ts")) - col("prev")).as("gap_us"))
+        val wk = Window.partitionBy("week").orderBy("gap_us")
+        val ranked = gaps
+          .withColumn("rk", row_number().over(wk))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("week")))
+        def pct(q: Int, name: String) =
+          max(when(col("rk") === expr(s"(n * $q + 99) div 100"), col("gap_us")))
+            .cast("long").as(name)
+        ranked.groupBy("week")
+          .agg(count(lit(1)).as("n_gaps"), pct(50, "p50_us"), pct(90, "p90_us"),
+            pct(99, "p99_us"))
+          .orderBy("week")
+      },
+      Some("""
+        WITH gaps AS (
+          SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events
+        ), ranked AS (
+          SELECT week, gap_us,
+                 row_number() OVER (PARTITION BY week ORDER BY gap_us) AS rk,
+                 COUNT(*) OVER (PARTITION BY week) AS n
+          FROM gaps WHERE gap_us IS NOT NULL
+        )
+        SELECT week, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(MAX(CASE WHEN rk = (n * 50 + 99) // 100 THEN gap_us END)
+                 AS BIGINT) AS p50_us,
+               CAST(MAX(CASE WHEN rk = (n * 90 + 99) // 100 THEN gap_us END)
+                 AS BIGINT) AS p90_us,
+               CAST(MAX(CASE WHEN rk = (n * 99 + 99) // 100 THEN gap_us END)
+                 AS BIGINT) AS p99_us
+        FROM ranked GROUP BY week ORDER BY week
+      """.trim)),
+
+    // Seasonal-naive forecast evaluation — before any model ships, beat
+    // the baseline: forecast(day) = actual(same weekday last week), with
+    // the error ratio vs the one-day-naive baseline (the MASE shape) in
+    // exact integer basis points. Alignment is date-arithmetic
+    // SELF-JOINS (day-7 and day-1) — no windows, no gaps-handling
+    // ambiguity: only days with both sides present score, and the counts
+    // of scored days are emitted so the oracle pins coverage too.
+    Q(
+      "q337_seasonal_naive",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        def shifted(days: Int, name: String) = daily.select(col("event_type"),
+          date_add(col("day"), days).as("day"), col("n").as(name))
+        val weekly = daily.join(shifted(7, "n_lastweek"),
+            Seq("event_type", "day"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days_seasonal"),
+            sum(abs(col("n") - col("n_lastweek"))).cast("long").as("seasonal_abs_err"))
+        val naive = daily.join(shifted(1, "n_yesterday"),
+            Seq("event_type", "day"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days_naive"),
+            sum(abs(col("n") - col("n_yesterday"))).cast("long").as("naive_abs_err"))
+        weekly.join(naive, "event_type")
+          .select(col("event_type"), col("n_days_seasonal"), col("n_days_naive"),
+            col("seasonal_abs_err"), col("naive_abs_err"),
+            expr("(seasonal_abs_err * 10000) div greatest(naive_abs_err, 1)")
+              .as("mase_bp"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ), weekly AS (
+          SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_days_seasonal,
+                 CAST(SUM(abs(a.n - b.n)) AS BIGINT) AS seasonal_abs_err
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.day = b.day + 7
+          GROUP BY 1
+        ), naive AS (
+          SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_days_naive,
+                 CAST(SUM(abs(a.n - b.n)) AS BIGINT) AS naive_abs_err
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.day = b.day + 1
+          GROUP BY 1
+        )
+        SELECT weekly.event_type, n_days_seasonal, n_days_naive,
+               seasonal_abs_err, naive_abs_err,
+               CAST((seasonal_abs_err * 10000) // greatest(naive_abs_err, 1)
+                 AS BIGINT) AS mase_bp
+        FROM weekly JOIN naive ON weekly.event_type = naive.event_type
+        ORDER BY weekly.event_type
+      """.trim))
+  )
+}
