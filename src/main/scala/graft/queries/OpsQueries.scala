@@ -119,6 +119,109 @@ object OpsQueries {
                  AS BIGINT) AS mase_bp
         FROM weekly JOIN naive ON weekly.event_type = naive.event_type
         ORDER BY weekly.event_type
+      """.trim)),
+
+    // Sampling-estimator audit — before trusting any sampled dashboard,
+    // price the estimator: a deterministic 10% hash sample (o_orderkey %
+    // 10 = 3 — reproducible, no RNG) scales up by exactly 10x and the
+    // signed error vs ground truth lands in integer basis points, per
+    // priority stratum and overall. The audit shape that tells you
+    // whether sampled metrics are safe to serve — and the exact-integer
+    // twin of what sampling estimators usually report with error bars.
+    Q(
+      "q338_sample_estimator",
+      (s, dir) => {
+        import graft.Tables
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderpriority"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+              .as("c"),
+            col("o_orderkey"))
+        val truth = o.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("true_n"), sum(col("c")).cast("long").as("true_cents"))
+        val est = o.filter(col("o_orderkey") % 10 === 3)
+          .groupBy("o_orderpriority")
+          .agg((count(lit(1)) * 10).as("est_n"),
+            (sum(col("c")) * 10).cast("long").as("est_cents"))
+        truth.join(est, "o_orderpriority")
+          .select(col("o_orderpriority"), col("true_n"), col("est_n"),
+            col("true_cents"), col("est_cents"),
+            expr("((est_cents - true_cents) * 10000) div true_cents")
+              .as("err_bp"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderpriority, o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+          FROM orders
+        ), truth AS (
+          SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS true_n,
+                 CAST(SUM(c) AS BIGINT) AS true_cents
+          FROM o GROUP BY 1
+        ), est AS (
+          SELECT o_orderpriority, CAST(COUNT(*) * 10 AS BIGINT) AS est_n,
+                 CAST(SUM(c) * 10 AS BIGINT) AS est_cents
+          FROM o WHERE o_orderkey % 10 = 3 GROUP BY 1
+        )
+        SELECT truth.o_orderpriority, true_n, est_n, true_cents, est_cents,
+               CAST(((est_cents - true_cents) * 10000) // true_cents AS BIGINT)
+                 AS err_bp
+        FROM truth JOIN est ON truth.o_orderpriority = est.o_orderpriority
+        ORDER BY truth.o_orderpriority
+      """.trim)),
+
+    // Market-concentration index (Herfindahl-Hirschman) — per nation, the
+    // sum of squared customer revenue shares, the antitrust/portfolio
+    // measure of "is this market one whale or many minnows". Shares
+    // square in DOLLAR units so the squared sums stay inside int64, and
+    // the index lands as HHI×10^8 through one integral division of exact
+    // integers (Spark's div accepts decimals, DuckDB's // handles the
+    // widened product) — 10^8 = a single customer owning everything.
+    Q(
+      "q339_hhi_concentration",
+      (s, dir) => {
+        import graft.Tables
+        val rev = Tables.orders(s, dir)
+          .groupBy("o_custkey")
+          .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")).cast("long").as("cents"))
+          // dollars by truncating integer div — decimal scale-down
+          // rounding conventions differ across engines, cents//100 doesn't
+          .select(col("o_custkey"), expr("cents div 100").as("rd"))
+        val byNation = rev
+          .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("rd")).cast("long").as("total_dollars"),
+            sum(col("rd") * col("rd")).cast("decimal(38,0)").as("sumsq"))
+        byNation
+          .select(col("c_nationkey"), col("n_customers"), col("total_dollars"),
+            expr("""CAST((sumsq * 100000000) div
+                    (CAST(total_dollars AS DECIMAL(38,0))
+                     * CAST(total_dollars AS DECIMAL(38,0))) AS BIGINT)""")
+              .as("hhi_e8"))
+          .orderBy("c_nationkey")
+      },
+      Some("""
+        WITH rev AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) // 100 AS rd
+          FROM orders GROUP BY 1
+        ), byn AS (
+          SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                 CAST(SUM(rd) AS BIGINT) AS total_dollars,
+                 SUM(rd * rd) AS sumsq
+          FROM rev JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1
+        )
+        SELECT c_nationkey, n_customers, total_dollars,
+               CAST((sumsq * 100000000)
+                 // (CAST(total_dollars AS HUGEINT) * total_dollars)
+                 AS BIGINT) AS hhi_e8
+        FROM byn ORDER BY c_nationkey
       """.trim))
   )
 }
