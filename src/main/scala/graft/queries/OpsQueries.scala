@@ -222,6 +222,137 @@ object OpsQueries {
                  // (CAST(total_dollars AS HUGEINT) * total_dollars)
                  AS BIGINT) AS hhi_e8
         FROM byn ORDER BY c_nationkey
+      """.trim)),
+
+    // Adversarial CSV quoting round-trip — the ingest hazard q02's clean
+    // fixture never meets: values carrying the delimiter, the quote
+    // character (doubled on write), literal backslashes, and embedded
+    // newlines. The writer must quote/escape them and the multiLine
+    // reader must reassemble the records bit-exactly; the gate
+    // reconstructs the same adversarial strings relationally in the
+    // oracle and hash-compares the round-tripped table. Any quoting
+    // convention drift — the classic silent corruption — breaks the hash.
+    Q(
+      "q340_csv_quoting_roundtrip",
+      (s, dir) => {
+        import graft.engine.Scratch
+        val path = Scratch.dir(s, dir, "csv_quoting")
+        val adversarial = Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            concat(lit("name,\""), col("c_custkey"),
+              lit("\"\nline2\\x of "), col("c_custkey") % 7).as("payload"))
+        adversarial.coalesce(2).write.mode("overwrite")
+          .option("header", "true")
+          .option("quoteAll", "false")
+          .option("escape", "\"")
+          .csv(path)
+        s.read
+          .option("header", "true")
+          .option("multiLine", "true")
+          .option("escape", "\"")
+          .schema("c_custkey LONG, payload STRING")
+          .csv(path)
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey,
+               'name,"' || CAST(c_custkey AS VARCHAR) || '"' || chr(10)
+                 || 'line2\x of ' || CAST(c_custkey % 7 AS VARCHAR) AS payload
+        FROM customer ORDER BY c_custkey
+      """.trim)),
+
+    // Time-decay attribution with EXACT geometric weights: the most
+    // recent touch before a purchase earns weight 2^(n-1), the one
+    // before it 2^(n-2), … — so the credit ratio between adjacent
+    // touches is exactly 2 and every weight is an integer. Credits are
+    // weight_i * value div (2^n - 1) with the remainder going to the
+    // most-recent touches first (q295's largest-remainder closure), so
+    // per-purchase credits sum EXACTLY to the purchase value — the decay
+    // twin of q327's linear split. Touches cap at the 10 most recent
+    // (how attribution is actually configured), which also bounds 2^n and
+    // credit*weight far inside the long at any event density.
+    Q(
+      "q341_decay_attribution",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            unix_micros(col("ts")).as("pts"),
+            (col("value").cast("decimal(16,6)") * 1000000).cast("long")
+              .as("credit"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            unix_micros(col("ts")).as("vts"))
+        val byP = Window.partitionBy("purchase_id")
+        val touches = purchases
+          .join(views.hint("shuffle_hash"), Seq("user_id"))
+          .filter(col("vts") < col("pts") &&
+            col("vts") >= col("pts") - 1800000000L)
+          .withColumn("n", count(lit(1)).over(byP))
+          // r = 1 for the MOST RECENT touch -> weight 2^(n-r)
+          .withColumn("r", row_number().over(
+            byP.orderBy(col("vts").desc, col("view_id").desc)))
+          // last-10-touch cap: keeps 2^n and credit*weight far inside the
+          // long at ANY event density (and matches how attribution is
+          // actually configured)
+          .filter(col("r") <= 10)
+          .withColumn("n_eff", least(col("n"), lit(10L)))
+          .withColumn("weight", expr("CAST(pow(2, n_eff - r) AS BIGINT)"))
+          .withColumn("denom", expr("CAST(pow(2, n_eff) AS BIGINT) - 1"))
+        touches
+          .withColumn("base", expr("(credit * weight) div denom"))
+          .withColumn("rem_total",
+            col("credit") - sum(col("base")).over(byP))
+          .withColumn("credit_micros",
+            (col("base") + when(col("r") <= col("rem_total"), 1L).otherwise(0L))
+              .cast("long"))
+          .withColumn("exact_total",
+            when(sum(col("credit_micros")).over(byP) === col("credit"), 1L)
+              .otherwise(0L))
+          .select(col("purchase_id"), col("view_id"), col("weight"),
+            col("credit_micros"), col("exact_total"))
+          .orderBy("purchase_id", "view_id")
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pts,
+                 CAST(CAST(value AS DECIMAL(16,6)) * 1000000 AS BIGINT)
+                   AS credit
+          FROM events WHERE event_type = 'purchase'
+        ), v AS (
+          SELECT user_id, event_id AS view_id, epoch_us(ts) AS vts
+          FROM events WHERE event_type = 'view'
+        ), touches AS (
+          SELECT purchase_id, view_id, credit, vts,
+                 CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                 row_number() OVER (PARTITION BY purchase_id
+                   ORDER BY vts DESC, view_id DESC) AS r
+          FROM p JOIN v ON p.user_id = v.user_id
+          WHERE vts < pts AND vts >= pts - 1800000000
+          WINDOW w AS (PARTITION BY purchase_id)
+        ), capped AS (
+          SELECT *, least(n, 10) AS n_eff FROM touches WHERE r <= 10
+        ), weighted AS (
+          SELECT *,
+                 CAST(pow(2, n_eff - r) AS BIGINT) AS weight,
+                 CAST(pow(2, n_eff) AS BIGINT) - 1 AS denom
+          FROM capped
+        ), based AS (
+          SELECT *, (credit * weight) // denom AS base
+          FROM weighted
+        ), closed AS (
+          SELECT *,
+                 credit - SUM(base) OVER (PARTITION BY purchase_id)
+                   AS rem_total
+          FROM based
+        )
+        SELECT purchase_id, view_id, weight,
+               CAST(base + CASE WHEN r <= rem_total THEN 1 ELSE 0 END
+                 AS BIGINT) AS credit_micros,
+               CAST(CASE WHEN SUM(base + CASE WHEN r <= rem_total
+                     THEN 1 ELSE 0 END) OVER (PARTITION BY purchase_id)
+                   = credit THEN 1 ELSE 0 END AS BIGINT) AS exact_total
+        FROM closed ORDER BY purchase_id, view_id
       """.trim))
   )
 }
