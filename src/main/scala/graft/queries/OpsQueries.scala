@@ -353,6 +353,220 @@ object OpsQueries {
                      THEN 1 ELSE 0 END) OVER (PARTITION BY purchase_id)
                    = credit THEN 1 ELSE 0 END AS BIGINT) AS exact_total
         FROM closed ORDER BY purchase_id, view_id
+      """.trim)),
+
+    // Quota admission control — multi-tenant fairness in batch form: each
+    // user admits at most N events per day (N from a broadcast per-type
+    // quota table), keeping the HIGHEST-value events first with a
+    // deterministic (value desc, event_id) order. Admission is a rank
+    // inside per-(user, day) windows — frames bounded by daily volume —
+    // and the output reports per-day admitted/rejected counts with the
+    // admitted exact value mass.
+    Q(
+      "q342_quota_admission",
+      (s, dir) => {
+        val quotas = Seq(("view", 40L), ("click", 30L), ("purchase", 50L),
+          ("signup", 20L), ("error", 10L))
+        val quotaDf = { import s.implicits._; quotas.toDF("event_type", "quota") }
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            to_date(col("ts")).as("day"),
+            (col("value").cast("decimal(16,6)") * 1000000).cast("long")
+              .as("v"))
+        val w = Window.partitionBy("user_id", "day", "event_type")
+        val ranked = ev
+          .join(broadcast(quotaDf), "event_type")
+          .withColumn("r", row_number().over(
+            w.orderBy(col("v").desc, col("event_id"))))
+          .withColumn("admitted", when(col("r") <= col("quota"), 1L).otherwise(0L))
+        ranked.groupBy("day", "event_type")
+          .agg(sum(col("admitted")).cast("long").as("n_admitted"),
+            sum(lit(1L) - col("admitted")).cast("long").as("n_rejected"),
+            sum(when(col("admitted") === 1L, col("v")).otherwise(0L))
+              .cast("long").as("admitted_value_micros"))
+          .orderBy("day", "event_type")
+      },
+      Some("""
+        WITH quotas AS (
+          SELECT * FROM (VALUES ('view', 40), ('click', 30), ('purchase', 50),
+            ('signup', 20), ('error', 10)) AS t(event_type, quota)
+        ), ev AS (
+          SELECT user_id, event_type, event_id, CAST(ts AS DATE) AS day,
+                 CAST(CAST(value AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS v
+          FROM events
+        ), ranked AS (
+          SELECT ev.*, quota,
+                 row_number() OVER (PARTITION BY user_id, day, ev.event_type
+                   ORDER BY v DESC, event_id) AS r
+          FROM ev JOIN quotas ON ev.event_type = quotas.event_type
+        )
+        SELECT day, event_type,
+               CAST(SUM(CASE WHEN r <= quota THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_admitted,
+               CAST(SUM(CASE WHEN r <= quota THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_rejected,
+               CAST(SUM(CASE WHEN r <= quota THEN v ELSE 0 END) AS BIGINT)
+                 AS admitted_value_micros
+        FROM ranked GROUP BY day, event_type ORDER BY day, event_type
+      """.trim)),
+
+    // Burst detection — each user's PEAK 5-minute event rate, the
+    // abuse/rate-limit planning statistic: per-user per-minute counts,
+    // then a RANGE window over the integer minute index (rangeBetween
+    // -4..0 — gap-correct where a ROWS frame would silently span hours)
+    // gives every minute its trailing-5-minute total; the per-user peak
+    // keeps the earliest minute on ties via a portable two-step pick.
+    Q(
+      "q343_burst_detection",
+      (s, dir) => {
+        val perMin = Tables.events(s, dir)
+          .groupBy(col("user_id"),
+            expr("unix_micros(ts) div 60000000").as("minute"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("user_id").orderBy("minute")
+          .rangeBetween(-4, 0)
+        val sliding = perMin.withColumn("n5", sum(col("n")).over(w))
+        val peaks = sliding.groupBy("user_id")
+          .agg(max(col("n5")).cast("long").as("peak_5min"))
+        val first = sliding.join(peaks, "user_id")
+          .filter(col("n5") === col("peak_5min"))
+          .groupBy("user_id", "peak_5min")
+          .agg(min(col("minute")).as("peak_minute"))
+        first.select(col("user_id"), col("peak_5min"), col("peak_minute"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH per_min AS (
+          SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ), sliding AS (
+          SELECT user_id, minute,
+                 CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY minute
+                   RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS n5
+          FROM per_min
+        ), peaks AS (
+          SELECT user_id, CAST(MAX(n5) AS BIGINT) AS peak_5min
+          FROM sliding GROUP BY 1
+        )
+        SELECT sliding.user_id, peaks.peak_5min,
+               CAST(MIN(minute) AS BIGINT) AS peak_minute
+        FROM sliding JOIN peaks ON sliding.user_id = peaks.user_id
+          AND sliding.n5 = peaks.peak_5min
+        GROUP BY sliding.user_id, peaks.peak_5min
+        ORDER BY sliding.user_id
+      """.trim)),
+
+    // Redirect-cycle detection — the crawl/link-graph hygiene sweep: in a
+    // materialized single-out-degree redirect table, every chain ends in
+    // a cycle, and chains that LOOP within a few hops are the
+    // misconfigurations to flag. Three self-joins walk f, f², f³ and
+    // classify each node's cycle length (1 = self-redirect, 2 = A↔B,
+    // 3 = triangle, 0 = no short cycle) — bounded-depth graph walking as
+    // plain equi-joins, the same shape at any node count.
+    Q(
+      "q344_redirect_cycles",
+      (s, dir) => {
+        val nodes = Tables.part(s, dir)
+          .select(pmod(col("p_partkey"), lit(100L)).as("node")).distinct()
+        val edges = nodes.select(col("node").as("src"),
+          pmod(col("node") * 7 + 3, lit(100L)).as("dst"))
+        val f1 = edges.select(col("src").as("node"), col("dst").as("f1"))
+        val f2 = f1.join(edges.withColumnRenamed("src", "f1")
+            .withColumnRenamed("dst", "f2").hint("shuffle_hash"), "f1")
+        val f3 = f2.join(edges.withColumnRenamed("src", "f2")
+            .withColumnRenamed("dst", "f3").hint("shuffle_hash"), "f2")
+        f3.select(col("node"), col("f1"), col("f2"), col("f3"),
+            when(col("f1") === col("node"), 1L)
+              .when(col("f2") === col("node"), 2L)
+              .when(col("f3") === col("node"), 3L)
+              .otherwise(0L).as("cycle_len"))
+          .orderBy("node")
+      },
+      Some("""
+        WITH nodes AS (
+          SELECT DISTINCT p_partkey % 100 AS node FROM part
+        ), edges AS (
+          SELECT node AS src, (node * 7 + 3) % 100 AS dst FROM nodes
+        ), walk AS (
+          SELECT e1.src AS node, e1.dst AS f1, e2.dst AS f2, e3.dst AS f3
+          FROM edges e1
+          JOIN edges e2 ON e1.dst = e2.src
+          JOIN edges e3 ON e2.dst = e3.src
+        )
+        SELECT CAST(node AS BIGINT) AS node, CAST(f1 AS BIGINT) AS f1,
+               CAST(f2 AS BIGINT) AS f2, CAST(f3 AS BIGINT) AS f3,
+               CAST(CASE WHEN f1 = node THEN 1
+                         WHEN f2 = node THEN 2
+                         WHEN f3 = node THEN 3
+                         ELSE 0 END AS BIGINT) AS cycle_len
+        FROM walk ORDER BY node
+      """.trim)),
+
+    // Little's-law audit — the queueing invariant as an exact integer
+    // identity: the time-integral of instantaneous concurrency equals the
+    // sum of interval durations (∫L dt = Σ duration, the integral form of
+    // L = λW). Both sides compute INDEPENDENTLY — durations by one map-
+    // side sum; the integral by the sweep-line (+1/−1 deltas, global
+    // prefix sum through the two-phase RDD machinery — no single-task
+    // window — then Σ gap×concurrency) — and the oracle pins their
+    // equality, making the sweep-line implementation self-checking.
+    Q(
+      "q345_littles_law",
+      (s, dir) => {
+        import graft.engine.Keys
+        val ivn = Tables.events(s, dir)
+          .select(unix_micros(col("ts")).as("start_us"), col("event_id"),
+            ((lit(60L) + pmod(col("event_id"), lit(240L))) * lit(1000000L))
+              .as("dur_us"))
+        val totalDur = ivn.agg(sum(col("dur_us")).cast("long").as("total_duration_us"))
+        val pts = ivn.select(col("start_us").as("t"), lit(1L).as("delta"),
+            col("event_id"))
+          .unionByName(ivn.select((col("start_us") + col("dur_us")).as("t"),
+            lit(-1L).as("delta"), (col("event_id") + 10000000L).as("event_id")))
+        val swept = Keys.globalRunningSumBy(pts,
+          Seq(col("t"), col("delta"), col("event_id")), "delta", "conc")
+        // gap to the NEXT sweep point x current concurrency: the global
+        // lead() is restated scale-safely as rank (two-phase, no window)
+        // + a rank-shifted self-join — the lead of row rk is the row at
+        // rk+1, and the integral is one aggregate of gap*conc
+        val ranked = Keys.rankByScalable(swept,
+          Seq(col("t"), col("delta"), col("event_id")), "rk")
+        val nxt = ranked.select((col("rk") - 1L).as("rk"), col("t").as("t_next"))
+        val integral = ranked.join(nxt.hint("shuffle_hash"), Seq("rk"))
+          .select(((col("t_next") - col("t")) * col("conc")).as("area"))
+          .agg(sum(col("area")).cast("long").as("concurrency_integral_us"))
+        totalDur.crossJoin(broadcast(integral))
+          .withColumn("identity_holds",
+            when(col("total_duration_us") === col("concurrency_integral_us"), 1L)
+              .otherwise(0L))
+      },
+      Some("""
+        WITH iv AS (
+          SELECT epoch_us(ts) AS start_us, event_id,
+                 (60 + event_id % 240) * 1000000 AS dur_us
+          FROM events
+        ), total AS (
+          SELECT CAST(SUM(dur_us) AS BIGINT) AS total_duration_us FROM iv
+        ), pts AS (
+          SELECT start_us AS t, 1 AS delta, event_id FROM iv
+          UNION ALL
+          SELECT start_us + dur_us, -1, event_id + 10000000 FROM iv
+        ), swept AS (
+          SELECT t, delta, event_id,
+                 SUM(delta) OVER (ORDER BY t, delta, event_id
+                   ROWS UNBOUNDED PRECEDING) AS conc,
+                 lead(t) OVER (ORDER BY t, delta, event_id) AS t_next
+          FROM pts
+        ), integral AS (
+          SELECT CAST(SUM((t_next - t) * conc) AS BIGINT)
+                   AS concurrency_integral_us
+          FROM swept WHERE t_next IS NOT NULL
+        )
+        SELECT total_duration_us, concurrency_integral_us,
+               CAST(CASE WHEN total_duration_us = concurrency_integral_us
+                 THEN 1 ELSE 0 END AS BIGINT) AS identity_holds
+        FROM total, integral
       """.trim))
   )
 }
