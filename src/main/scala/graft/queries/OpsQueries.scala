@@ -566,7 +566,126 @@ object OpsQueries {
         SELECT total_duration_us, concurrency_integral_us,
                CAST(CASE WHEN total_duration_us = concurrency_integral_us
                  THEN 1 ELSE 0 END AS BIGINT) AS identity_holds
-        FROM total, integral
+      FROM total, integral
+      """.trim)),
+
+    // Pearson correlation matrix — all 6 feature pairs in ONE pass: the
+    // pairs unpivot map-side into (pair, x, y) rows, a single hash
+    // aggregate collects the exact integer power sums (features scaled to
+    // small integer units so n·Sxy stays far inside int64), and the
+    // correlation is the classic (nSxy − SxSy)/√(nSxx−Sx²)/√(nSyy−Sy²)
+    // evaluated through an identical IEEE tree in both engines (q310's
+    // bitwise-reproducibility discipline). No per-pair scan, no
+    // corr()-builtin implementation drift.
+    Q(
+      "q346_pearson_matrix",
+      (s, dir) => {
+        val feats = Tables.lineitem(s, dir).select(
+          col("l_quantity").cast("long").as("qty"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " div 100000").as("price_k"),
+          (col("l_discount").cast("decimal(8,2)") * 100).cast("long").as("disc"),
+          (col("l_tax").cast("decimal(8,2)") * 100).cast("long").as("tax"))
+        val pairs = feats.select(expr(
+          """stack(6,
+             'qty_price', qty, price_k,
+             'qty_disc',  qty, disc,
+             'qty_tax',   qty, tax,
+             'price_disc', price_k, disc,
+             'price_tax',  price_k, tax,
+             'disc_tax',   disc, tax) AS (pair, x, y)"""))
+        pairs.groupBy("pair")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+          .select(col("pair"), col("n").cast("long").as("n"),
+            expr("""(CAST(n * sxy - sx * sy AS DOUBLE))
+                    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                       * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))""")
+              .as("pearson_r"))
+          .orderBy("pair")
+      },
+      Some("""
+        WITH feats AS (
+          SELECT CAST(l_quantity AS BIGINT) AS qty,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   // 100000 AS price_k,
+                 CAST(CAST(l_discount AS DECIMAL(8,2)) * 100 AS BIGINT) AS disc,
+                 CAST(CAST(l_tax AS DECIMAL(8,2)) * 100 AS BIGINT) AS tax
+          FROM lineitem
+        ), pairs AS (
+          SELECT 'qty_price' AS pair, qty AS x, price_k AS y FROM feats
+          UNION ALL SELECT 'qty_disc', qty, disc FROM feats
+          UNION ALL SELECT 'qty_tax', qty, tax FROM feats
+          UNION ALL SELECT 'price_disc', price_k, disc FROM feats
+          UNION ALL SELECT 'price_tax', price_k, tax FROM feats
+          UNION ALL SELECT 'disc_tax', disc, tax FROM feats
+        ), sums AS (
+          SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x*x) AS BIGINT) AS sxx,
+                 CAST(SUM(y*y) AS BIGINT) AS syy,
+                 CAST(SUM(x*y) AS BIGINT) AS sxy
+          FROM pairs GROUP BY pair
+        )
+        SELECT pair, n,
+               (CAST(n * sxy - sx * sy AS DOUBLE))
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
+        FROM sums ORDER BY pair
+      """.trim)),
+
+    // Parquet aggregate pushdown gate — the DSv2 scan can answer
+    // MIN/MAX/COUNT from parquet FOOTER STATISTICS without decoding a
+    // single data page (spark.sql.parquet.aggregatePushdown, v2 path):
+    // at 100 TB that turns a table-wide MIN/MAX audit into a
+    // metadata-only read. The conf flips are scoped-and-restored inside
+    // the builder; the plan must carry PushedAggregation (pinned in
+    // PlanQualitySpec) and the values must equal the decode-path answer
+    // the oracle states.
+    Q(
+      "q347_agg_pushdown_gate",
+      (s, dir) => {
+        import graft.engine.Scratch
+        val path = Scratch.dir(s, dir, "aggpush")
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"))
+          .write.mode("overwrite").parquet(path)
+        val conf = s.conf
+        val keys = Seq("spark.sql.parquet.aggregatePushdown" -> "true",
+          "spark.sql.sources.useV1SourceList" -> "")
+        val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+        keys.foreach { case (k, v) => conf.set(k, v) }
+        // materialize INSIDE the scoped confs (the pushdown decision is
+        // made at execution time — restoring first would silently fall
+        // back to the decode path), assert the plan actually pushed, and
+        // hand back the 1-row result as a local frame
+        val resultRow = try {
+          val df = s.read.parquet(path)
+            .agg(count(lit(1)).as("n_rows"),
+              min(col("cents")).as("min_cents"),
+              max(col("cents")).as("max_cents"))
+          require(df.queryExecution.executedPlan.toString
+              .contains("PushedAggregation: [COUNT(*), MIN(cents), MAX(cents)]"),
+            "parquet aggregate pushdown did not fire")
+          df.collect()(0)
+        } finally saved.foreach {
+          case (k, Some(v)) => conf.set(k, v)
+          case (k, None)    => conf.unset(k)
+        }
+        import s.implicits._
+        Seq((resultRow.getLong(0), resultRow.getLong(1), resultRow.getLong(2)))
+          .toDF("n_rows", "min_cents", "max_cents")
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS min_cents,
+               CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS max_cents
+        FROM orders
       """.trim))
   )
 }
