@@ -686,6 +686,89 @@ object OpsQueries {
                CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
                  AS BIGINT)) AS BIGINT) AS max_cents
         FROM orders
+      """.trim)),
+
+    // Partition discovery / repair — the lake-catalog maintenance op:
+    // partition directories land on disk OUT OF BAND (another writer,
+    // a backfill), and the catalog only serves them after MSCK REPAIR
+    // registers the partitions. The gate writes a priority-partitioned
+    // directory, declares an EXTERNAL partitioned table over it
+    // (initially empty — the catalog knows no partitions), repairs, and
+    // reads back THROUGH THE CATALOG: the per-partition rollup proves
+    // every out-of-band partition was discovered.
+    Q(
+      "q348_partition_discovery",
+      (s, dir) => {
+        import graft.engine.{Scratch, Sinks}
+        val path = Scratch.dir(s, dir, "part_discovery")
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"),
+            col("o_orderpriority"))
+        Sinks.writePartitioned(o, path, Seq("o_orderpriority"))
+        s.sql("DROP TABLE IF EXISTS g348_orders_part")
+        s.sql(s"""
+          CREATE TABLE g348_orders_part (o_orderkey BIGINT, cents BIGINT)
+          USING parquet
+          PARTITIONED BY (o_orderpriority STRING)
+          LOCATION '$path'""")
+        s.sql("MSCK REPAIR TABLE g348_orders_part")
+        s.table("g348_orders_part")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("long").as("total_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS total_cents
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """.trim)),
+
+    // Rounding-convention surface — financial correctness lives or dies
+    // on tie behavior, so the ties are EXACT: v = k + 5/10 built as a
+    // true decimal (never a double, whose nearest representable value is
+    // off the tie). round (HALF_UP), bround (HALF_EVEN banker's
+    // rounding), ceil and floor all evaluate on the same exact ties —
+    // including negatives, where conventions bite — and the oracle
+    // derives every convention ARITHMETICALLY from k (half-up = away
+    // from zero at .5; half-even by parity), trusting no engine builtin.
+    Q(
+      "q349_rounding_conventions",
+      (s, dir) => {
+        val base = Tables.customer(s, dir)
+          .select((pmod(col("c_custkey"), lit(21L)) - 10L).as("k"))
+          .distinct()
+          .withColumn("v", expr("CAST(k AS DECIMAL(10,1)) + CAST(0.5 AS DECIMAL(10,1)) * CASE WHEN k >= 0 THEN 1 ELSE -1 END"))
+        base.select(col("k"), col("v").cast("double").as("v_display"),
+            expr("CAST(round(v, 0) AS BIGINT)").as("round_half_up"),
+            expr("CAST(bround(v, 0) AS BIGINT)").as("round_half_even"),
+            expr("CAST(ceil(v) AS BIGINT)").as("ceil_v"),
+            expr("CAST(floor(v) AS BIGINT)").as("floor_v"))
+          .orderBy("k")
+      },
+      Some("""
+        WITH base AS (
+          SELECT DISTINCT (c_custkey % 21) - 10 AS k FROM customer
+        )
+        SELECT k,
+               CAST(k AS DOUBLE)
+                 + 0.5 * (CASE WHEN k >= 0 THEN 1 ELSE -1 END) AS v_display,
+               -- every v is an exact .5 tie with neighbors (k, k+1) for
+               -- k >= 0 and (k-1, k) for k < 0; each convention derives
+               -- arithmetically from k and its parity
+               CAST(CASE WHEN k >= 0 THEN k + 1 ELSE k - 1 END AS BIGINT)
+                 AS round_half_up,
+               CAST(CASE WHEN k % 2 = 0 THEN k
+                         WHEN k >= 0 THEN k + 1
+                         ELSE k - 1 END AS BIGINT) AS round_half_even,
+               CAST(CASE WHEN k >= 0 THEN k + 1 ELSE k END AS BIGINT)
+                 AS ceil_v,
+               CAST(CASE WHEN k >= 0 THEN k ELSE k - 1 END AS BIGINT)
+                 AS floor_v
+        FROM base ORDER BY k
       """.trim))
   )
 }
