@@ -769,6 +769,93 @@ object OpsQueries {
                CAST(CASE WHEN k >= 0 THEN k ELSE k - 1 END AS BIGINT)
                  AS floor_v
         FROM base ORDER BY k
+      """.trim)),
+
+    // Salted JOIN equivalence — the skew defense q71 proves for
+    // aggregates, proven for joins: a 10-hot-key fact would funnel into
+    // 10 shuffle partitions, so the fact side salts (event_id % 8) and
+    // the small side REPLICATES 8x with every salt value; the join key
+    // becomes (key, salt) and the hot rows spread across 80 tasks. The
+    // oracle is the PLAIN join — bit-identical results are the whole
+    // point of the transform, and the gate hash-pins that equivalence.
+    Q(
+      "q350_salted_join",
+      (s, dir) => {
+        val fact = Tables.events(s, dir)
+          .select(pmod(col("user_id"), lit(10L)).as("hk"), col("event_id"),
+            (col("value").cast("decimal(16,6)") * 1000000).cast("long").as("v"))
+          .withColumn("salt", pmod(col("event_id"), lit(8L)))
+        val dim = { import s.implicits._
+          (0L until 10L).map(k => (k, k * 3 + 1)).toDF("hk", "multiplier") }
+        val saltedDim = dim
+          .select(col("hk"), col("multiplier"),
+            explode(sequence(lit(0L), lit(7L))).as("salt"))
+        fact.join(saltedDim.hint("shuffle_hash"), Seq("hk", "salt"))
+          .groupBy("hk")
+          .agg(count(lit(1)).as("n_events"),
+            max(col("multiplier")).as("multiplier"),
+            sum(col("v") * col("multiplier")).cast("long")
+              .as("weighted_micros"))
+          .orderBy("hk")
+      },
+      Some("""
+        WITH fact AS (
+          SELECT user_id % 10 AS hk,
+                 CAST(CAST(value AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS v
+          FROM events
+        ), dim AS (
+          SELECT k AS hk, k * 3 + 1 AS multiplier
+          FROM generate_series(0, 9) AS t(k)
+        )
+        SELECT fact.hk, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(multiplier) AS BIGINT) AS multiplier,
+               CAST(SUM(v * multiplier) AS BIGINT) AS weighted_micros
+        FROM fact JOIN dim ON fact.hk = dim.hk
+        GROUP BY fact.hk ORDER BY fact.hk
+      """.trim)),
+
+    // MDM code crosswalk — master-data conformance: source systems emit
+    // local status codes, the crosswalk maps them to canonical values,
+    // and codes the crosswalk doesn't know QUARANTINE under an explicit
+    // UNMAPPED bucket instead of silently dropping (the left join +
+    // coalesce discipline). Coverage in integer bp closes the audit:
+    // how much of the source landed on a governed code.
+    Q(
+      "q351_mdm_crosswalk",
+      (s, dir) => {
+        val coded = Tables.supplier(s, dir)
+          .select(col("s_suppkey"), pmod(col("s_suppkey"), lit(13L)).as("code"))
+        val crosswalk = { import s.implicits._
+          (0L until 10L).map(c => (c, s"STATUS_${c % 4}")).toDF("code", "canonical") }
+        val mapped = coded.join(broadcast(crosswalk), Seq("code"), "left")
+          .withColumn("canonical", coalesce(col("canonical"), lit("UNMAPPED")))
+        val total = coded.agg(count(lit(1)).as("__t"))
+        mapped.groupBy("canonical")
+          .agg(count(lit(1)).as("n_suppliers"),
+            countDistinct(col("code")).as("n_source_codes"))
+          .crossJoin(broadcast(total))
+          .withColumn("share_bp", expr("(n_suppliers * 10000) div __t"))
+          .select(col("canonical"), col("n_suppliers"), col("n_source_codes"),
+            col("share_bp"))
+          .orderBy("canonical")
+      },
+      Some("""
+        WITH coded AS (
+          SELECT s_suppkey, s_suppkey % 13 AS code FROM supplier
+        ), crosswalk AS (
+          SELECT c AS code, 'STATUS_' || CAST(c % 4 AS VARCHAR) AS canonical
+          FROM generate_series(0, 9) AS t(c)
+        ), mapped AS (
+          SELECT coalesce(canonical, 'UNMAPPED') AS canonical, code
+          FROM coded LEFT JOIN crosswalk USING (code)
+        ), total AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS t FROM coded
+        )
+        SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(COUNT(DISTINCT code) AS BIGINT) AS n_source_codes,
+               CAST((COUNT(*) * 10000) // t AS BIGINT) AS share_bp
+        FROM mapped, total
+        GROUP BY canonical, t ORDER BY canonical
       """.trim))
   )
 }
