@@ -856,6 +856,113 @@ object OpsQueries {
                CAST((COUNT(*) * 10000) // t AS BIGINT) AS share_bp
         FROM mapped, total
         GROUP BY canonical, t ORDER BY canonical
+      """.trim)),
+
+    // Composite event pattern (the MATCH_RECOGNIZE shape): signup
+    // followed by AT LEAST TWO clicks within 24 hours and a purchase
+    // within 48 — sequence, counting quantifier, and deadline in one
+    // pattern (windows sized to this corpus's event density so the
+    // pattern has a real match population). Each leg is a bounded per-user time-window join
+    // aggregated per signup (count for the quantifier, min for the
+    // earliest qualifying purchase); the pattern verdict is a join of
+    // the legs — no state machine, no per-row recursion, scales as two
+    // window-bounded joins.
+    Q(
+      "q352_cep_pattern",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        def typed(t: String, idName: String, tsName: String) =
+          ev.filter(col("event_type") === t)
+            .select(col("user_id"), col("event_id").as(idName),
+              unix_micros(col("ts")).as(tsName))
+        val signups = typed("signup", "signup_id", "sts")
+        val clicks = typed("click", "click_id", "cts")
+        val purchases = typed("purchase", "purchase_id", "pts")
+        val clickLeg = signups
+          .join(clicks.hint("shuffle_hash"), Seq("user_id"))
+          .filter(col("cts") > col("sts") &&
+            col("cts") <= col("sts") + 86400000000L)
+          .groupBy("user_id", "signup_id", "sts")
+          .agg(count(lit(1)).as("n_clicks_24h"))
+          .filter(col("n_clicks_24h") >= 2)
+        val purchaseLeg = signups
+          .join(purchases.hint("shuffle_hash"), Seq("user_id"))
+          .filter(col("pts") > col("sts") &&
+            col("pts") <= col("sts") + 172800000000L)
+          .groupBy("signup_id")
+          .agg(min(col("purchase_id")).as("first_purchase_id"))
+        clickLeg.join(purchaseLeg, "signup_id")
+          .select(col("user_id"), col("signup_id"), col("n_clicks_24h"),
+            col("first_purchase_id"))
+          .orderBy("signup_id")
+      },
+      Some("""
+        WITH sg AS (
+          SELECT user_id, event_id AS signup_id, epoch_us(ts) AS sts
+          FROM events WHERE event_type = 'signup'
+        ), ck AS (
+          SELECT user_id, epoch_us(ts) AS cts
+          FROM events WHERE event_type = 'click'
+        ), pu AS (
+          SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pts
+          FROM events WHERE event_type = 'purchase'
+        ), click_leg AS (
+          SELECT sg.user_id, signup_id, CAST(COUNT(*) AS BIGINT) AS n_clicks_24h
+          FROM sg JOIN ck ON sg.user_id = ck.user_id
+          WHERE cts > sts AND cts <= sts + 86400000000
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), purchase_leg AS (
+          SELECT signup_id, CAST(MIN(purchase_id) AS BIGINT)
+                   AS first_purchase_id
+          FROM sg JOIN pu ON sg.user_id = pu.user_id
+          WHERE pts > sts AND pts <= sts + 172800000000
+          GROUP BY 1
+        )
+        SELECT user_id, click_leg.signup_id, n_clicks_24h, first_purchase_id
+        FROM click_leg JOIN purchase_leg
+          ON click_leg.signup_id = purchase_leg.signup_id
+        ORDER BY click_leg.signup_id
+      """.trim)),
+
+    // Chunked export manifest — planning a deterministic paged export:
+    // rows rank globally (two-phase scalable rank, no window) and cut
+    // into fixed-size chunks; the manifest rows (chunk, key range, row
+    // count, exact value mass) are what a downstream consumer uses to
+    // fetch pages idempotently and verify each one. Every chunk is
+    // closed [min_key, max_key] with count — resumable export without a
+    // cursor server.
+    Q(
+      "q353_export_manifest",
+      (s, dir) => {
+        import graft.engine.Keys
+        val rows = Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"))
+        val ranked = Keys.rankByScalable(rows, Seq(col("o_orderkey")), "rk")
+        ranked
+          .withColumn("chunk", expr("(rk - 1) div 1000"))
+          .groupBy("chunk")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"),
+            sum(col("cents")).cast("long").as("chunk_cents"))
+          .orderBy("chunk")
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+                 row_number() OVER (ORDER BY o_orderkey) AS rk
+          FROM orders
+        )
+        SELECT CAST((rk - 1) // 1000 AS BIGINT) AS chunk,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+               CAST(SUM(cents) AS BIGINT) AS chunk_cents
+        FROM ranked GROUP BY 1 ORDER BY chunk
       """.trim))
   )
 }
