@@ -963,6 +963,155 @@ object OpsQueries {
                CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
                CAST(SUM(cents) AS BIGINT) AS chunk_cents
         FROM ranked GROUP BY 1 ORDER BY chunk
+      """.trim)),
+
+    // Difference-in-differences — the causal-inference workhorse in exact
+    // integers: treated customers (key % 4 = 0) vs control, order value
+    // before vs after the policy date, and the DiD estimate
+    // (ΔT − ΔC of the per-order means) in integer basis points of the
+    // control baseline. Means stay exact as (cents_sum, n) pairs and
+    // every difference-of-means cross-multiplies into one integral
+    // division at the end — four filtered aggregates, windowless.
+    Q(
+      "q354_diff_in_diff",
+      (s, dir) => {
+        val cut = lit("1998-01-01").cast("date")
+        val o = Tables.orders(s, dir)
+          .select((col("o_custkey") % 4 === 0).cast("int").as("treated"),
+            (to_date(col("o_orderdate")) >= cut).cast("int").as("after"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"))
+        val cells = o.groupBy("treated", "after")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("c"))
+        val wide = cells.groupBy()
+          .pivot(concat(col("treated"), lit("_"), col("after")),
+            Seq("0_0", "0_1", "1_0", "1_1"))
+          .agg(first(struct(col("n"), col("c"))))
+        wide.select(
+            col("`0_0`.n").as("n_c_before"), col("`0_1`.n").as("n_c_after"),
+            col("`1_0`.n").as("n_t_before"), col("`1_1`.n").as("n_t_after"),
+            // DiD of per-order means, exact: each mean is c/n; the DiD in
+            // basis points of the control-before mean =
+            // ((cT1/nT1 - cT0/nT0) - (cC1/nC1 - cC0/nC0)) / (cC0/nC0)
+            // cross-multiplied into integers over the common denominator
+            expr("""(CAST(`1_1`.c AS DECIMAL(38,0)) * `1_0`.n * `0_1`.n * `0_0`.n
+                     - CAST(`1_0`.c AS DECIMAL(38,0)) * `1_1`.n * `0_1`.n * `0_0`.n
+                     - CAST(`0_1`.c AS DECIMAL(38,0)) * `0_0`.n * `1_1`.n * `1_0`.n
+                     + CAST(`0_0`.c AS DECIMAL(38,0)) * `0_1`.n * `1_1`.n * `1_0`.n)
+                    * 10000
+                    div (CAST(`0_0`.c AS DECIMAL(38,0)) * `0_1`.n
+                         * `1_1`.n * `1_0`.n)""").as("did_bp"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT CASE WHEN o_custkey % 4 = 0 THEN 1 ELSE 0 END AS treated,
+                 CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+                      THEN 1 ELSE 0 END AS after,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM orders
+        ), cells AS (
+          SELECT treated, after, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS c
+          FROM o GROUP BY 1, 2
+        ), w AS (
+          SELECT
+            MAX(CASE WHEN treated=0 AND after=0 THEN n END) AS n_c_before,
+            MAX(CASE WHEN treated=0 AND after=0 THEN c END) AS c_c_before,
+            MAX(CASE WHEN treated=0 AND after=1 THEN n END) AS n_c_after,
+            MAX(CASE WHEN treated=0 AND after=1 THEN c END) AS c_c_after,
+            MAX(CASE WHEN treated=1 AND after=0 THEN n END) AS n_t_before,
+            MAX(CASE WHEN treated=1 AND after=0 THEN c END) AS c_t_before,
+            MAX(CASE WHEN treated=1 AND after=1 THEN n END) AS n_t_after,
+            MAX(CASE WHEN treated=1 AND after=1 THEN c END) AS c_t_after
+          FROM cells
+        )
+        SELECT n_c_before, n_c_after, n_t_before, n_t_after,
+               CAST(((CAST(c_t_after AS HUGEINT) * n_t_before * n_c_after * n_c_before
+                      - CAST(c_t_before AS HUGEINT) * n_t_after * n_c_after * n_c_before
+                      - CAST(c_c_after AS HUGEINT) * n_c_before * n_t_after * n_t_before
+                      + CAST(c_c_before AS HUGEINT) * n_c_after * n_t_after * n_t_before)
+                    * 10000)
+                 // (CAST(c_c_before AS HUGEINT) * n_c_after
+                    * n_t_after * n_t_before) AS BIGINT) AS did_bp
+        FROM w
+      """.trim)),
+
+    // Functional-dependency discovery — schema profiling's "does column A
+    // determine column B": A → B holds iff the distinct count of A
+    // equals the distinct count of (A, B). Five candidate dependencies
+    // over the order/customer join audit both true FDs (custkey →
+    // nationkey through the dimension) and false ones (priority ↛
+    // status), each verdict from two cheap distinct aggregates — the
+    // discovery pass that finds denormalization and key candidates in
+    // an unknown table.
+    Q(
+      "q355_fd_discovery",
+      (s, dir) => {
+        val t = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        val cands = Seq(
+          ("o_orderkey->o_custkey", "o_orderkey", "o_custkey"),
+          ("o_custkey->c_nationkey", "o_custkey", "c_nationkey"),
+          ("o_custkey->o_orderstatus", "o_custkey", "o_orderstatus"),
+          ("o_orderpriority->o_orderstatus", "o_orderpriority", "o_orderstatus"),
+          ("c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"))
+        val frames = cands.map { case (name, a, b) =>
+          t.agg(countDistinct(col(a)).as("d_lhs"),
+              countDistinct(col(a), col(b)).as("d_pair"))
+            .select(lit(name).as("candidate"), col("d_lhs"), col("d_pair"),
+              when(col("d_lhs") === col("d_pair"), 1L).otherwise(0L)
+                .as("fd_holds"))
+        }
+        frames.reduce(_ unionByName _).orderBy("candidate")
+      },
+      Some("""
+        WITH t AS (
+          SELECT * FROM orders JOIN customer ON o_custkey = c_custkey
+        )
+        SELECT * FROM (
+          SELECT 'o_orderkey->o_custkey' AS candidate,
+                 CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d_lhs,
+                 CAST(COUNT(DISTINCT (o_orderkey, o_custkey)) AS BIGINT)
+                   AS d_pair,
+                 CAST(CASE WHEN COUNT(DISTINCT o_orderkey)
+                   = COUNT(DISTINCT (o_orderkey, o_custkey)) THEN 1 ELSE 0 END
+                   AS BIGINT) AS fd_holds
+          FROM t
+          UNION ALL
+          SELECT 'o_custkey->c_nationkey',
+                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+                 CAST(COUNT(DISTINCT (o_custkey, c_nationkey)) AS BIGINT),
+                 CAST(CASE WHEN COUNT(DISTINCT o_custkey)
+                   = COUNT(DISTINCT (o_custkey, c_nationkey)) THEN 1 ELSE 0 END
+                   AS BIGINT)
+          FROM t
+          UNION ALL
+          SELECT 'o_custkey->o_orderstatus',
+                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+                 CAST(COUNT(DISTINCT (o_custkey, o_orderstatus)) AS BIGINT),
+                 CAST(CASE WHEN COUNT(DISTINCT o_custkey)
+                   = COUNT(DISTINCT (o_custkey, o_orderstatus)) THEN 1 ELSE 0
+                   END AS BIGINT)
+          FROM t
+          UNION ALL
+          SELECT 'o_orderpriority->o_orderstatus',
+                 CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+                 CAST(COUNT(DISTINCT (o_orderpriority, o_orderstatus))
+                   AS BIGINT),
+                 CAST(CASE WHEN COUNT(DISTINCT o_orderpriority)
+                   = COUNT(DISTINCT (o_orderpriority, o_orderstatus))
+                   THEN 1 ELSE 0 END AS BIGINT)
+          FROM t
+          UNION ALL
+          SELECT 'c_nationkey->c_mktsegment',
+                 CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+                 CAST(COUNT(DISTINCT (c_nationkey, c_mktsegment)) AS BIGINT),
+                 CAST(CASE WHEN COUNT(DISTINCT c_nationkey)
+                   = COUNT(DISTINCT (c_nationkey, c_mktsegment)) THEN 1 ELSE 0
+                   END AS BIGINT)
+          FROM t
+        ) ORDER BY candidate
       """.trim))
   )
 }
