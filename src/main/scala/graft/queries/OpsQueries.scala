@@ -1112,6 +1112,117 @@ object OpsQueries {
                    END AS BIGINT)
           FROM t
         ) ORDER BY candidate
+      """.trim)),
+
+    // Inter-session features — the recency/frequency columns a ranking
+    // model actually trains on: sessions form by the 30-minute gap rule
+    // (per-user windows), aggregate to (start, end, n_events, exact value
+    // micros), and each session attaches its PREDECESSOR's summary via a
+    // per-user lag — gap since last session, previous size — so every
+    // row is a leakage-free "state before this visit" feature vector.
+    Q(
+      "q356_inter_session_features",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val ev = Tables.events(s, dir)
+          .withColumn("prev_ts", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("is_new",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - col("prev_ts") > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_seq", sum(col("is_new")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        val sessions = ev.groupBy("user_id", "session_seq")
+          .agg(min(unix_micros(col("ts"))).as("start_us"),
+            max(unix_micros(col("ts"))).as("end_us"),
+            count(lit(1)).as("n_events"),
+            sum((col("value").cast("decimal(16,6)") * 1000000).cast("long"))
+              .cast("long").as("value_micros"))
+        val ws = Window.partitionBy("user_id").orderBy("session_seq")
+        sessions
+          .withColumn("gap_since_prev_us",
+            col("start_us") - lag(col("end_us"), 1).over(ws))
+          .withColumn("prev_n_events", lag(col("n_events"), 1).over(ws))
+          .select(col("user_id"), col("session_seq"), col("n_events"),
+            col("value_micros"), col("gap_since_prev_us"), col("prev_n_events"))
+          .orderBy("user_id", "session_seq")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+                 CAST(CAST(value AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS v,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), tagged AS (
+          SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM ev
+        ), sessions AS (
+          SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                 MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(SUM(v) AS BIGINT) AS value_micros
+          FROM tagged GROUP BY user_id, session_seq
+        )
+        SELECT user_id, session_seq, n_events, value_micros,
+               CAST(start_us - lag(end_us) OVER ws AS BIGINT)
+                 AS gap_since_prev_us,
+               CAST(lag(n_events) OVER ws AS BIGINT) AS prev_n_events
+        FROM sessions
+        WINDOW ws AS (PARTITION BY user_id ORDER BY session_seq)
+        ORDER BY user_id, session_seq
+      """.trim)),
+
+    // Double-booking detection — overlapping interval PAIRS per resource:
+    // each event opens a deterministic ≤300 s interval, and two intervals
+    // of one user that overlap in time are a conflict. Candidates band on
+    // the 300 s start bucket (interval length ≤ bucket width makes the
+    // 3-adjacent-bucket probe provably complete — q323's pigeonhole, on
+    // intervals), the exact overlap verifies on candidates only, and
+    // each pair emits once with its overlap length in micros.
+    Q(
+      "q357_double_booking",
+      (s, dir) => {
+        val iv = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("start_us"))
+          .withColumn("end_us",
+            col("start_us") + (lit(60L) + pmod(col("event_id"), lit(240L)))
+              * lit(1000000L))
+          .withColumn("bkt", expr("start_us div 300000000"))
+        val probes = iv.select(col("user_id"), col("event_id"),
+            col("start_us"), col("end_us"),
+            explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+        probes.as("a")
+          .join(iv.as("b").hint("shuffle_hash"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.bkt") === col("b.bkt") &&
+              col("a.event_id") < col("b.event_id"))
+          .filter(col("a.start_us") < col("b.end_us") &&
+            col("b.start_us") < col("a.end_us"))
+          .select(col("a.user_id").as("user_id"),
+            col("a.event_id").as("id_a"), col("b.event_id").as("id_b"),
+            (least(col("a.end_us"), col("b.end_us"))
+              - greatest(col("a.start_us"), col("b.start_us")))
+              .as("overlap_us"))
+          .orderBy("user_id", "id_a", "id_b")
+      },
+      Some("""
+        WITH iv AS (
+          SELECT user_id, event_id, epoch_us(ts) AS start_us,
+                 epoch_us(ts) + (60 + event_id % 240) * 1000000 AS end_us
+          FROM events
+        )
+        SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+               CAST(least(a.end_us, b.end_us)
+                 - greatest(a.start_us, b.start_us) AS BIGINT) AS overlap_us
+        FROM iv a JOIN iv b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND a.start_us < b.end_us AND b.start_us < a.end_us
+        ORDER BY a.user_id, id_a, id_b
       """.trim))
   )
 }
