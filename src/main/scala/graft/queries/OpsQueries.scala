@@ -1223,6 +1223,133 @@ object OpsQueries {
           ON a.user_id = b.user_id AND a.event_id < b.event_id
           AND a.start_us < b.end_us AND b.start_us < a.end_us
         ORDER BY a.user_id, id_a, id_b
+      """.trim)),
+
+    // Attribution-window sensitivity — the analyst question behind every
+    // attribution fight: how much does coverage move if the lookback is
+    // 1, 5, or 30 minutes? ONE pass computes each purchase's gap to its
+    // latest prior view (two aggregates, no per-window rescan) and three
+    // conditional counts read the sweep off the same gaps; coverage in
+    // integer bp closes each row. Sensitivity analysis as a single
+    // query instead of three re-runs.
+    Q(
+      "q358_window_sensitivity",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            unix_micros(col("ts")).as("pts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), unix_micros(col("ts")).as("vts"))
+        val gaps = purchases.as("p")
+          // the time predicate lives IN the left join: filtering after it
+          // would drop purchases whose views are all later, not null them
+          .join(views.as("v").hint("shuffle_hash"),
+            col("p.user_id") === col("v.user_id") && col("vts") < col("pts"),
+            "left")
+          .groupBy("purchase_id", "pts")
+          .agg(max(col("vts")).as("last_vts"))
+          .select(col("purchase_id"), (col("pts") - col("last_vts")).as("gap_us"))
+        val total = gaps.count() // deterministic scalar: #purchases
+        val windows = Seq(("w01_1min", 60000000L), ("w05_5min", 300000000L),
+          ("w30_30min", 1800000000L))
+        val frames = windows.map { case (label, w) =>
+          gaps.agg(
+            sum(when(col("gap_us").isNotNull && col("gap_us") <= w, 1L)
+              .otherwise(0L)).cast("long").as("n_attributed"))
+            .select(lit(label).as("win_label"), col("n_attributed"),
+              expr(s"(n_attributed * 10000) div $total").as("coverage_bp"))
+        }
+        frames.reduce(_ unionByName _).orderBy("win_label")
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pts
+          FROM events WHERE event_type = 'purchase'
+        ), v AS (
+          SELECT user_id, epoch_us(ts) AS vts
+          FROM events WHERE event_type = 'view'
+        ), gaps AS (
+          SELECT purchase_id, pts - MAX(vts) AS gap_us
+          FROM p LEFT JOIN v ON p.user_id = v.user_id AND vts < pts
+          GROUP BY purchase_id, pts
+        ), tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS t FROM gaps
+        )
+        SELECT w.win_label,
+               CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= w.us
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+               CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= w.us
+                 THEN 1 ELSE 0 END) * 10000 // MAX(t) AS BIGINT)
+                 AS coverage_bp
+        FROM gaps, tot, (VALUES ('w01_1min', 60000000),
+          ('w05_5min', 300000000), ('w30_30min', 1800000000)) AS w(win_label, us)
+        GROUP BY w.win_label ORDER BY w.win_label
+      """.trim)),
+
+    // Day-of-week ANOVA — how much of daily-volume variance the weekday
+    // explains: the classic SS_between/SS_total decomposition kept EXACT
+    // by clearing denominators (all terms scale by n·L, L = ∏ n_g, so
+    // S_g²·(L/n_g) and S²·(L/n) are integers) and dividing once into
+    // basis points. The 7 weekday cells pivot into one wide row by
+    // conditional aggregation — no window, two hash aggregates, and a
+    // seasonality-strength number no float variance path can disagree on.
+    Q(
+      "q359_anova_dow",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+          .select(dayofweek(col("day")).cast("long").as("dow"), col("x"))
+        val cells = daily.groupBy("dow")
+          .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"),
+            sum(col("x") * col("x")).as("qg"))
+        def c(i: Int, f: String) = s"MAX(CASE WHEN dow = $i THEN $f END)"
+        val terms = (1 to 7)
+        val wide = cells.groupBy()
+          .agg(expr(terms.map(i => c(i, "ng")).mkString("+")).as("n"),
+            expr(terms.map(i => c(i, "sg")).mkString("+")).as("s"),
+            expr(terms.map(i => c(i, "qg")).mkString("+")).as("q"),
+            expr(terms.map(i => c(i, "ng")).mkString("*")).as("l"),
+            expr(terms.map(i =>
+              s"${c(i, "sg")} * ${c(i, "sg")} * (__L div ${c(i, "ng")})")
+              .mkString("+")
+              .replace("__L", terms.map(i => c(i, "ng")).mkString("(", "*", ")")))
+              .as("ssb_l_part"))
+        wide.select(col("n"), col("l"),
+            // widen before scaling: the n·L-cleared terms pass int64 once
+            // daily volumes grow (s²·l·10⁴ ≈ 8e18 already at sf0.1)
+            expr("""(CAST(ssb_l_part AS DECIMAL(38,0)) * n
+                    - CAST(s AS DECIMAL(38,0)) * s * l) * 10000""").as("__num"),
+            expr("""CAST(q AS DECIMAL(38,0)) * n * l
+                    - CAST(s AS DECIMAL(38,0)) * s * l""").as("__den"))
+          .select(col("n").cast("long").as("n_days"),
+            expr("__num div __den").as("seasonality_bp"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1
+        ), cells AS (
+          SELECT CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+                 CAST(COUNT(*) AS BIGINT) AS ng, CAST(SUM(x) AS BIGINT) AS sg,
+                 CAST(SUM(x*x) AS BIGINT) AS qg
+          FROM daily GROUP BY 1
+        ), wide AS (
+          SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS s,
+                 CAST(SUM(qg) AS BIGINT) AS q,
+                 CAST(product(ng) AS BIGINT) AS l,
+                 CAST(SUM(sg * sg * (CAST((SELECT product(ng) FROM cells)
+                   AS BIGINT) // ng)) AS BIGINT) AS ssb_l_part
+          FROM cells
+        )
+        SELECT n AS n_days,
+               CAST(((CAST(ssb_l_part AS HUGEINT) * n
+                      - CAST(s AS HUGEINT) * s * l) * 10000)
+                 // (CAST(q AS HUGEINT) * n * l
+                     - CAST(s AS HUGEINT) * s * l) AS BIGINT)
+                 AS seasonality_bp
+        FROM wide
       """.trim))
   )
 }
