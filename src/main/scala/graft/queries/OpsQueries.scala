@@ -1350,6 +1350,130 @@ object OpsQueries {
                      - CAST(s AS HUGEINT) * s * l) AS BIGINT)
                  AS seasonality_bp
         FROM wide
+      """.trim)),
+
+    // LTV curve — cumulative revenue per acquisition cohort by age: the
+    // growth team's payback chart. Cohort = first order month, age =
+    // months since (exact month arithmetic), revenue accumulates along
+    // age inside per-cohort windows (frames bounded by the calendar, not
+    // the customer count), and the curve value is cumulative cents per
+    // cohort member by integral division — comparable across cohorts of
+    // different sizes.
+    Q(
+      "q360_ltv_curve",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_custkey"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"))
+        val cohort = o.groupBy("o_custkey")
+          .agg(min(col("month")).as("cohort_month"))
+        val sizes = cohort.groupBy("cohort_month")
+          .agg(countDistinct(col("o_custkey")).as("cohort_size"))
+        val aged = o.join(cohort.hint("shuffle_hash"), "o_custkey")
+          .withColumn("age_months",
+            (months_between(col("month"), col("cohort_month"))).cast("long"))
+          .groupBy("cohort_month", "age_months")
+          .agg(sum(col("cents")).cast("long").as("rev_cents"))
+        val wc = Window.partitionBy("cohort_month").orderBy("age_months")
+        aged
+          .withColumn("cum_rev_cents", sum(col("rev_cents")).over(
+            wc.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+          .join(sizes, "cohort_month")
+          .select(col("cohort_month"), col("age_months"), col("cohort_size"),
+            col("cum_rev_cents"),
+            expr("cum_rev_cents div cohort_size").as("ltv_cents_per_user"))
+          .orderBy("cohort_month", "age_months")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE)
+                   AS month,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM orders
+        ), cohort AS (
+          SELECT o_custkey, MIN(month) AS cohort_month FROM o GROUP BY 1
+        ), sizes AS (
+          SELECT cohort_month, CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                   AS cohort_size
+          FROM cohort GROUP BY 1
+        ), aged AS (
+          SELECT cohort_month,
+                 CAST(datediff('month', cohort_month, month) AS BIGINT)
+                   AS age_months,
+                 CAST(SUM(cents) AS BIGINT) AS rev_cents
+          FROM o JOIN cohort USING (o_custkey)
+          GROUP BY 1, 2
+        ), cum AS (
+          SELECT cohort_month, age_months,
+                 CAST(SUM(rev_cents) OVER (PARTITION BY cohort_month
+                   ORDER BY age_months ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_rev_cents
+          FROM aged
+        )
+        SELECT cohort_month, age_months, cohort_size, cum_rev_cents,
+               CAST(cum_rev_cents // cohort_size AS BIGINT)
+                 AS ltv_cents_per_user
+        FROM cum JOIN sizes USING (cohort_month)
+        ORDER BY cohort_month, age_months
+      """.trim)),
+
+    // Transition conformance — lifecycle governance: observed consecutive
+    // event-type transitions (per-user windows) audited against a
+    // broadcast ALLOWED-transition table; everything else is a violation,
+    // counted per (from, to) pair with its share of all transitions in
+    // bp. The left-join + null-check classification means new violation
+    // kinds surface without touching the query.
+    Q(
+      "q361_transition_conformance",
+      (s, dir) => {
+        val allowed = { import s.implicits._
+          Seq(("view", "view"), ("view", "click"), ("click", "view"),
+            ("click", "purchase"), ("signup", "view"), ("view", "signup"),
+            ("purchase", "view"), ("error", "view"))
+            .toDF("from_type", "to_type").withColumn("ok", lit(1L)) }
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val trans = Tables.events(s, dir)
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .select(col("event_type").as("from_type"), col("to_type"))
+        val total = trans.count()
+        trans.join(broadcast(allowed), Seq("from_type", "to_type"), "left")
+          .groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("n"),
+            max(coalesce(col("ok"), lit(0L))).as("is_allowed"))
+          .withColumn("share_bp", expr(s"(n * 10000) div $total"))
+          .filter(col("is_allowed") === 0L)
+          .select(col("from_type"), col("to_type"), col("n"), col("share_bp"))
+          .orderBy(col("n").desc, col("from_type"), col("to_type"))
+      },
+      Some("""
+        WITH allowed AS (
+          SELECT * FROM (VALUES ('view','view'), ('view','click'),
+            ('click','view'), ('click','purchase'), ('signup','view'),
+            ('view','signup'), ('purchase','view'), ('error','view'))
+            AS t(from_type, to_type)
+        ), trans AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_type
+          FROM events
+        ), filtered AS (
+          SELECT from_type, to_type FROM trans WHERE to_type IS NOT NULL
+        ), tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS t FROM filtered
+        )
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST((COUNT(*) * 10000) // MAX(t) AS BIGINT) AS share_bp
+        FROM filtered, tot
+        WHERE NOT EXISTS (
+          SELECT 1 FROM allowed a
+          WHERE a.from_type = filtered.from_type
+            AND a.to_type = filtered.to_type)
+        GROUP BY from_type, to_type
+        ORDER BY n DESC, from_type, to_type
       """.trim))
   )
 }
