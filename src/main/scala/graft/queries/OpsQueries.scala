@@ -1474,6 +1474,137 @@ object OpsQueries {
             AND a.to_type = filtered.to_type)
         GROUP BY from_type, to_type
         ORDER BY n DESC, from_type, to_type
+      """.trim)),
+
+    // Bounce rate — the web-analytics staple on the gap-rule sessions:
+    // a session is a bounce when it contains exactly one event; per day
+    // (of session start), bounce share in integer bp. Session formation
+    // is the per-user 30-minute-gap machinery; everything after is two
+    // hash aggregates.
+    Q(
+      "q362_bounce_rate",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = Tables.events(s, dir)
+          .withColumn("prev_ts", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("is_new",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - col("prev_ts") > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_seq", sum(col("is_new")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_seq")
+          .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start_ts"))
+        sess.groupBy(to_date(col("start_ts")).as("day"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+              .as("n_bounces"))
+          .withColumn("bounce_bp", expr("(n_bounces * 10000) div n_sessions"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), tagged AS (
+          SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM ev
+        ), sess AS (
+          SELECT user_id, session_seq, CAST(COUNT(*) AS BIGINT) AS n_events,
+                 MIN(ts) AS start_ts
+          FROM tagged GROUP BY 1, 2
+        )
+        SELECT CAST(start_ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bounces,
+               CAST((SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000)
+                 // COUNT(*) AS BIGINT) AS bounce_bp
+        FROM sess GROUP BY 1 ORDER BY day
+      """.trim)),
+
+    // SLA breach in BUSINESS days — fulfillment lag measured on the
+    // business calendar (q301's business-day index, broadcast twice) with
+    // a per-priority SLA table: first ship minus order date in business
+    // days, breach iff the lag exceeds the priority's allowance. Calendar
+    // joins broadcast the ~2.4k-row spine; per-priority rollup carries
+    // breach share in bp and the worst lag observed.
+    Q(
+      "q363_sla_breach",
+      (s, dir) => {
+        val spine = graft.engine.DateDim.dateSpine(s, "1995-01-01", "2001-12-31")
+        val isBday = !dayofweek(col("date_id")).isin(1, 7) &&
+          !date_format(col("date_id"), "MM-dd").isin("07-04", "12-25")
+        val cal = spine
+          .withColumn("is_bday", when(isBday, 1L).otherwise(0L))
+          .withColumn("bidx", sum(col("is_bday")).over(
+            Window.orderBy("date_id")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("date_id"), col("bidx"))
+        val sla = { import s.implicits._
+          Seq(("1-URGENT", 35L), ("2-HIGH", 40L), ("3-MEDIUM", 50L),
+            ("4-NOT SPECIFIED", 60L), ("5-LOW", 70L))
+            .toDF("o_orderpriority", "sla_bdays") }
+        val firstShip = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(min(to_date(col("l_shipdate"))).as("ship_date"))
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            to_date(col("o_orderdate")).as("order_date"))
+          .join(firstShip.hint("shuffle_hash"),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(cal.withColumnRenamed("date_id", "order_date")
+            .withColumnRenamed("bidx", "b_order")), "order_date")
+          .join(broadcast(cal.withColumnRenamed("date_id", "ship_date")
+            .withColumnRenamed("bidx", "b_ship")), "ship_date")
+          .withColumn("lag_bdays", col("b_ship") - col("b_order"))
+          .join(broadcast(sla), "o_orderpriority")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(when(col("lag_bdays") > col("sla_bdays"), 1L).otherwise(0L))
+              .as("n_breached"),
+            max(col("lag_bdays")).as("max_lag_bdays"))
+          .withColumn("breach_bp", expr("(n_breached * 10000) div n_orders"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        WITH spine AS (
+          SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+                   DATE '2001-12-31', INTERVAL 1 DAY)) AS DATE) AS d
+        ), cal AS (
+          SELECT d, SUM(CASE WHEN dayofweek(d) IN (0, 6)
+                          OR strftime(d, '%m-%d') IN ('07-04', '12-25')
+                        THEN 0 ELSE 1 END)
+                   OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS bidx
+          FROM spine
+        ), sla AS (
+          SELECT * FROM (VALUES ('1-URGENT', 35), ('2-HIGH', 40),
+            ('3-MEDIUM', 50), ('4-NOT SPECIFIED', 60), ('5-LOW', 70))
+            AS t(o_orderpriority, sla_bdays)
+        ), first_ship AS (
+          SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS ship_date
+          FROM lineitem GROUP BY 1
+        ), lagged AS (
+          SELECT o_orderpriority, sla_bdays,
+                 cs.bidx - co.bidx AS lag_bdays
+          FROM orders
+          JOIN first_ship ON o_orderkey = l_orderkey
+          JOIN cal co ON co.d = CAST(o_orderdate AS DATE)
+          JOIN cal cs ON cs.d = ship_date
+          JOIN sla USING (o_orderpriority)
+        )
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN lag_bdays > sla_bdays THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_breached,
+               CAST(MAX(lag_bdays) AS BIGINT) AS max_lag_bdays,
+               CAST((SUM(CASE WHEN lag_bdays > sla_bdays THEN 1 ELSE 0 END)
+                 * 10000) // COUNT(*) AS BIGINT) AS breach_bp
+        FROM lagged GROUP BY 1 ORDER BY o_orderpriority
       """.trim))
   )
 }

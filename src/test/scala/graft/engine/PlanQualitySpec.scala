@@ -370,9 +370,9 @@ class PlanQualitySpec extends SparkSpec {
     // any scale factor (StarJoin.scala:71).
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
     // q10: ~100 distinct (disc, tax) decode pairs at any scale factor
-    // (StarJoin.scala:71). q301: the business-day index runs over the date
-    // spine — ~2.4k calendar rows regardless of data scale.
-    val bounded = Set("q10_star_fact", "q301_business_days")
+    // (StarJoin.scala:71). q301/q363: the business-day index runs over the
+    // date spine — ~2.5k calendar rows regardless of data scale.
+    val bounded = Set("q10_star_fact", "q301_business_days", "q363_sla_breach")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, mk) =>
         val wins = mk(spark, sf0001).queryExecution.optimizedPlan.collect {
