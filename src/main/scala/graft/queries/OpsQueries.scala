@@ -1605,6 +1605,97 @@ object OpsQueries {
                CAST((SUM(CASE WHEN lag_bdays > sla_bdays THEN 1 ELSE 0 END)
                  * 10000) // COUNT(*) AS BIGINT) AS breach_bp
         FROM lagged GROUP BY 1 ORDER BY o_orderpriority
+      """.trim)),
+
+    // Data-contract diff — breaking-change detection between two schema
+    // versions of a published table: v2 drops a column (BREAKING), adds
+    // one (additive, safe), and retypes another (BREAKING). Both
+    // versions land as real parquet and the diff reads their ACTUAL
+    // file schemas — not the declared intent — classifying every column
+    // into kept/added/removed/retyped with a breaking flag; the oracle
+    // pins the whole classification.
+    Q(
+      "q364_contract_diff",
+      (s, dir) => {
+        import graft.engine.Scratch
+        val p1 = Scratch.dir(s, dir, "contract_v1")
+        val p2 = Scratch.dir(s, dir, "contract_v2")
+        val base = Tables.customer(s, dir).limit(100)
+        base.select(col("c_custkey"), col("c_nationkey"),
+            col("c_acctbal"), col("c_mktsegment"))
+          .write.mode("overwrite").parquet(p1)
+        base.select(col("c_custkey"),
+            col("c_nationkey").cast("string").as("c_nationkey"), // retyped
+            col("c_acctbal"),                                    // kept
+            concat(lit("seg_"), col("c_custkey")).as("c_segment_v2")) // added
+          .write.mode("overwrite").parquet(p2)                   // mktsegment removed
+        val s1 = s.read.parquet(p1).schema.map(f => f.name -> f.dataType.sql).toMap
+        val s2 = s.read.parquet(p2).schema.map(f => f.name -> f.dataType.sql).toMap
+        val rows = (s1.keySet ++ s2.keySet).toSeq.sorted.map { name =>
+          (s1.get(name), s2.get(name)) match {
+            case (Some(a), Some(b)) if a == b => (name, a, b, "kept", 0L)
+            case (Some(a), Some(b))           => (name, a, b, "retyped", 1L)
+            case (Some(a), None)              => (name, a, null, "removed", 1L)
+            case (None, Some(b))              => (name, null, b, "added", 0L)
+            case _ => throw new IllegalStateException("unreachable")
+          }
+        }
+        import s.implicits._
+        rows.toDF("column_name", "v1_type", "v2_type", "change_kind",
+          "breaking").orderBy("column_name")
+      },
+      Some("""
+        SELECT column_name, v1_type, v2_type, change_kind,
+               CAST(breaking AS BIGINT) AS breaking
+        FROM (VALUES
+          ('c_acctbal', 'DOUBLE', 'DOUBLE', 'kept', 0),
+          ('c_custkey', 'BIGINT', 'BIGINT', 'kept', 0),
+          ('c_mktsegment', 'STRING', NULL, 'removed', 1),
+          ('c_nationkey', 'INT', 'STRING', 'retyped', 1),
+          ('c_segment_v2', NULL, 'STRING', 'added', 0))
+          AS t(column_name, v1_type, v2_type, change_kind, breaking)
+        ORDER BY column_name
+      """.trim)),
+
+    // Correlated-subquery surface — the decorrelation path: a correlated
+    // scalar subquery (customer's max order) and a correlated EXISTS
+    // (has any urgent order) in ONE spark.sql statement; Catalyst must
+    // rewrite both into joins (no per-row re-execution exists in a
+    // distributed engine). The oracle runs the same correlated SQL —
+    // both engines decorrelate, and the values must agree.
+    Q(
+      "q365_correlated_subqueries",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g365_orders")
+        Tables.customer(s, dir).createOrReplaceTempView("g365_customer")
+        s.sql("""
+          SELECT c_custkey,
+                 (SELECT CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    * 100 AS BIGINT)) AS BIGINT)
+                  FROM g365_orders WHERE o_custkey = c_custkey)
+                   AS max_order_cents,
+                 CAST(CASE WHEN EXISTS (
+                    SELECT 1 FROM g365_orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+                   THEN 1 ELSE 0 END AS BIGINT) AS has_urgent
+          FROM g365_customer
+          WHERE c_custkey % 10 = 0
+          ORDER BY c_custkey""")
+      },
+      Some("""
+        SELECT c_custkey,
+               (SELECT CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  * 100 AS BIGINT)) AS BIGINT)
+                FROM orders WHERE o_custkey = c_custkey) AS max_order_cents,
+               CAST(CASE WHEN EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+                 THEN 1 ELSE 0 END AS BIGINT) AS has_urgent
+        FROM customer
+        WHERE c_custkey % 10 = 0
+        ORDER BY c_custkey
       """.trim))
   )
 }
