@@ -1696,6 +1696,99 @@ object OpsQueries {
         FROM customer
         WHERE c_custkey % 10 = 0
         ORDER BY c_custkey
+      """.trim)),
+
+    // Outer-join family in SQL form — RIGHT and FULL OUTER with
+    // null-generation on BOTH sides in one statement: suppliers vs the
+    // distinct supplier keys present in lineitem, where some suppliers
+    // never shipped (right-side nulls) and — after the deliberate %7
+    // filter — some shipped keys have no surviving supplier row
+    // (left-side nulls). The classification counts pin all three null
+    // populations; DataFrame-API joins cover inner/left/semi/anti
+    // elsewhere, this gates the SQL-text right/full path.
+    Q(
+      "q366_outer_join_surface",
+      (s, dir) => {
+        Tables.supplier(s, dir).createOrReplaceTempView("g366_supplier")
+        Tables.lineitem(s, dir).createOrReplaceTempView("g366_lineitem")
+        s.sql("""
+          WITH shipped AS (
+            SELECT DISTINCT l_suppkey FROM g366_lineitem
+          ), supp AS (
+            SELECT s_suppkey FROM g366_supplier WHERE s_suppkey % 7 <> 0
+          )
+          SELECT
+            CAST(SUM(CASE WHEN s_suppkey IS NOT NULL AND l_suppkey IS NOT NULL
+              THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+            CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS supplier_only,
+            CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS shipped_only
+          FROM supp FULL OUTER JOIN shipped ON s_suppkey = l_suppkey""")
+      },
+      Some("""
+        WITH shipped AS (
+          SELECT DISTINCT l_suppkey FROM lineitem
+        ), supp AS (
+          SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 <> 0
+        )
+        SELECT
+          CAST(SUM(CASE WHEN s_suppkey IS NOT NULL AND l_suppkey IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+          CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS supplier_only,
+          CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS shipped_only
+        FROM supp FULL OUTER JOIN shipped ON s_suppkey = l_suppkey
+      """.trim)),
+
+    // SQL-text set operations — UNION (distinct), INTERSECT, and EXCEPT
+    // as parsed SQL (the DataFrame API forms are gated at q13/q49): the
+    // nation sets of customers vs suppliers, with each operator's
+    // cardinality and the inclusion-exclusion identity |A∪B| =
+    // |A| + |B| − |A∩B| emitted as a pinned check column.
+    Q(
+      "q367_sql_set_ops",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("g367_customer")
+        Tables.supplier(s, dir).createOrReplaceTempView("g367_supplier")
+        s.sql("""
+          WITH a AS (SELECT DISTINCT c_nationkey AS nk FROM g367_customer
+                     WHERE c_custkey % 3 = 0),
+               b AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nk
+                     FROM g367_supplier WHERE s_suppkey % 2 = 0),
+          u AS (SELECT nk FROM a UNION SELECT nk FROM b),
+          i AS (SELECT nk FROM a INTERSECT SELECT nk FROM b),
+          e AS (SELECT nk FROM a EXCEPT SELECT nk FROM b)
+          SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_union,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM i) AS n_intersect,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_except,
+            CAST(CASE WHEN (SELECT COUNT(*) FROM u)
+                 = (SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b)
+                   - (SELECT COUNT(*) FROM i)
+              THEN 1 ELSE 0 END AS BIGINT) AS inclusion_exclusion_holds""")
+      },
+      Some("""
+        WITH a AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nk
+                   FROM customer WHERE c_custkey % 3 = 0),
+             b AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nk
+                   FROM supplier WHERE s_suppkey % 2 = 0),
+        u AS (SELECT nk FROM a UNION SELECT nk FROM b),
+        i AS (SELECT nk FROM a INTERSECT SELECT nk FROM b),
+        e AS (SELECT nk FROM a EXCEPT SELECT nk FROM b)
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_union,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM i) AS n_intersect,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_except,
+          CAST(CASE WHEN (SELECT COUNT(*) FROM u)
+               = (SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b)
+                 - (SELECT COUNT(*) FROM i)
+            THEN 1 ELSE 0 END AS BIGINT) AS inclusion_exclusion_holds
       """.trim))
   )
 }
