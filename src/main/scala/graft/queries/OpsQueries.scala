@@ -1789,6 +1789,126 @@ object OpsQueries {
                = (SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b)
                  - (SELECT COUNT(*) FROM i)
             THEN 1 ELSE 0 END AS BIGINT) AS inclusion_exclusion_holds
+      """.trim)),
+
+    // Inventory reorder point — the supply-chain formula ROP =
+    // μ_weekly·L + z·σ_weekly·√L (demand over lead time plus safety
+    // stock, z = 2, L = 4 weeks): weekly demand mean and variance come
+    // from exact integer power sums per part-brand, and the ROP
+    // evaluates through the identical-IEEE-tree discipline (sqrt of
+    // exact-integer-derived doubles — q310's precedent), so both engines
+    // produce the same bits. Population variance n·ΣX² − S² keeps the
+    // integer path until the final expression.
+    Q(
+      "q368_reorder_point",
+      (s, dir) => {
+        val weekly = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"),
+            date_trunc("week", col("l_shipdate")).cast("date").as("week"))
+          .agg(sum(col("l_quantity").cast("long")).as("d"))
+        weekly.groupBy("p_brand")
+          .agg(count(lit(1)).as("n"), sum(col("d")).as("s"),
+            sum(col("d") * col("d")).as("q"))
+          .select(col("p_brand"), col("n").cast("long").as("n_weeks"),
+            expr("""CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 4.0
+                    + 2.0 * sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 2.0""")
+              .as("reorder_point"))
+          .orderBy("p_brand")
+      },
+      Some("""
+        WITH weekly AS (
+          SELECT p_brand, CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2
+        ), sums AS (
+          SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(d) AS BIGINT) AS s, CAST(SUM(d*d) AS BIGINT) AS q
+          FROM weekly GROUP BY 1
+        )
+        SELECT p_brand, n AS n_weeks,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 4.0
+                 + 2.0 * sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 2.0
+                 AS reorder_point
+        FROM sums ORDER BY p_brand
+      """.trim)),
+
+    // OR-branch funnel — the pattern variant where the middle step is a
+    // DISJUNCTION: view, then (click OR signup) within 24 h, then
+    // purchase within 48 h of the view. The branch resolves per view as
+    // the EARLIEST qualifying event of either type (a union before the
+    // aggregate — branch logic as data, not query shape), and the
+    // output states which branch won with deterministic tie-breaks.
+    Q(
+      "q369_or_funnel",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        def typed(t: String) = ev.filter(col("event_type") === t)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ets"), lit(t).as("etype"))
+        val views = typed("view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ets").as("vts"))
+        val mids = typed("click").unionByName(typed("signup"))
+        val midPick = views
+          .join(mids.hint("shuffle_hash"), Seq("user_id"))
+          .filter(col("ets") > col("vts") &&
+            col("ets") <= col("vts") + 86400000000L)
+          .groupBy("view_id", "vts")
+          .agg(min(struct(col("ets"), col("event_id"), col("etype")))
+            .as("first_mid"))
+          .select(col("view_id"), col("vts"),
+            col("first_mid.etype").as("branch"),
+            col("first_mid.event_id").as("mid_id"))
+        val purchases = typed("purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ets").as("pts"))
+        val converted = views
+          .join(purchases.hint("shuffle_hash"), Seq("user_id"))
+          .filter(col("pts") > col("vts") &&
+            col("pts") <= col("vts") + 172800000000L)
+          .groupBy("view_id")
+          .agg(min(col("purchase_id")).as("first_purchase_id"))
+        midPick.join(converted, "view_id")
+          .select(col("view_id"), col("branch"), col("mid_id"),
+            col("first_purchase_id"))
+          .orderBy("view_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id, event_id AS view_id, epoch_us(ts) AS vts
+          FROM events WHERE event_type = 'view'
+        ), mids AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ets, event_type AS etype
+          FROM events WHERE event_type IN ('click', 'signup')
+        ), mid_pick0 AS (
+          SELECT view_id,
+                 MIN(struct_pack(ets := ets, event_id := event_id,
+                   etype := etype)) AS fm
+          FROM v JOIN mids ON v.user_id = mids.user_id
+          WHERE ets > vts AND ets <= vts + 86400000000
+          GROUP BY view_id
+        ), mid_pick AS (
+          SELECT view_id, fm.etype AS branch, fm.event_id AS mid_id
+          FROM mid_pick0
+        ), conv AS (
+          SELECT view_id, CAST(MIN(event_id) AS BIGINT) AS first_purchase_id
+          FROM v JOIN (SELECT user_id, event_id, epoch_us(ts) AS pts
+                       FROM events WHERE event_type = 'purchase') p
+            ON v.user_id = p.user_id
+          WHERE pts > vts AND pts <= vts + 172800000000
+          GROUP BY view_id
+        )
+        SELECT mid_pick.view_id, branch, CAST(mid_id AS BIGINT) AS mid_id,
+               first_purchase_id
+        FROM mid_pick JOIN conv ON mid_pick.view_id = conv.view_id
+        ORDER BY mid_pick.view_id
       """.trim))
   )
 }
