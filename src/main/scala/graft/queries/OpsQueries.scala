@@ -1909,6 +1909,90 @@ object OpsQueries {
                first_purchase_id
         FROM mid_pick JOIN conv ON mid_pick.view_id = conv.view_id
         ORDER BY mid_pick.view_id
+      """.trim)),
+
+    // M4 downsampling — the dashboard decimation operator: a time series
+    // reduced to (first, last, min, max) per pixel bucket renders
+    // pixel-identical to the full series at a fraction of the points.
+    // Buckets are integer hour indices; the four anchors per (type,
+    // bucket) come from min/max over value and the portable
+    // min-of-struct picks for the endpoints (time-tie-broken by
+    // event_id) — one hash aggregate, no window, and the oracle pins
+    // every anchor.
+    Q(
+      "q370_m4_downsample",
+      (s, dir) => {
+        val pts = Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("bucket"),
+            unix_micros(col("ts")).as("t"), col("event_id"),
+            (col("value").cast("decimal(16,6)") * 1000000).cast("long").as("v"))
+        pts.groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("n_points"),
+            min(struct(col("t"), col("event_id"), col("v"))).as("__first"),
+            max(struct(col("t"), col("event_id"), col("v"))).as("__last"),
+            min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+          .select(col("event_type"), col("bucket"), col("n_points"),
+            col("__first.v").as("first_v"), col("__last.v").as("last_v"),
+            col("min_v"), col("max_v"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+                 epoch_us(ts) AS t, event_id,
+                 CAST(CAST(value AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS v
+          FROM events
+        ), agg AS (
+          SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n_points,
+                 MIN(struct_pack(t := t, event_id := event_id, v := v))
+                   AS first_s,
+                 MAX(struct_pack(t := t, event_id := event_id, v := v))
+                   AS last_s,
+                 CAST(MIN(v) AS BIGINT) AS min_v,
+                 CAST(MAX(v) AS BIGINT) AS max_v
+          FROM pts GROUP BY 1, 2
+        )
+        SELECT event_type, bucket, n_points,
+               CAST(first_s.v AS BIGINT) AS first_v,
+               CAST(last_s.v AS BIGINT) AS last_v, min_v, max_v
+        FROM agg ORDER BY event_type, bucket
+      """.trim)),
+
+    // 2-D heatmap binning — the day-of-week × hour-of-day activity grid
+    // every ops dashboard renders: counts plus exact value mass per cell,
+    // with cell share of the whole in integer bp. One hash aggregate on
+    // the (dow, hour) pair; the dow convention is reconciled to Spark's
+    // 1-based dayofweek in the oracle.
+    Q(
+      "q371_heatmap_bins",
+      (s, dir) => {
+        val cells = Tables.events(s, dir)
+          .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+            hour(col("ts")).cast("long").as("hour_of_day"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("value").cast("decimal(16,6)") * 1000000).cast("long"))
+              .cast("long").as("value_micros"))
+        val total = cells.agg(sum(col("n")).cast("long").as("__t"))
+        cells.crossJoin(broadcast(total))
+          .select(col("dow"), col("hour_of_day"), col("n"), col("value_micros"),
+            expr("(n * 10000) div __t").as("share_bp"))
+          .orderBy("dow", "hour_of_day")
+      },
+      Some("""
+        WITH cells AS (
+          SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                 CAST(hour(ts) AS BIGINT) AS hour_of_day,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(16,6)) * 1000000
+                   AS BIGINT)) AS BIGINT) AS value_micros
+          FROM events GROUP BY 1, 2
+        ), tot AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS t FROM cells
+        )
+        SELECT dow, hour_of_day, n, value_micros,
+               CAST((n * 10000) // t AS BIGINT) AS share_bp
+        FROM cells, tot ORDER BY dow, hour_of_day
       """.trim))
   )
 }
