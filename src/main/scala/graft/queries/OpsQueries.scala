@@ -1993,6 +1993,104 @@ object OpsQueries {
         SELECT dow, hour_of_day, n, value_micros,
                CAST((n * 10000) // t AS BIGINT) AS share_bp
         FROM cells, tot ORDER BY dow, hour_of_day
+      """.trim)),
+
+    // Top-N + OTHER — the BI reporting idiom that keeps totals honest: the
+    // top-5 brands by revenue get their own rows and EVERYTHING ELSE
+    // collapses into one OTHER bucket, so the report still sums to the
+    // grand total (pinned by the emitted totals_match flag). The top set
+    // comes from TakeOrdered (orderBy + limit — no window), OTHER from a
+    // left-anti join against it.
+    Q(
+      "q372_topn_other",
+      (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")).cast("long").as("rev_cents"))
+        val top5 = rev.orderBy(col("rev_cents").desc, col("p_brand")).limit(5)
+        val other = rev.join(top5.select("p_brand"), Seq("p_brand"), "left_anti")
+          .agg(sum(col("rev_cents")).cast("long").as("rev_cents"))
+          .select(lit("OTHER").as("p_brand"), col("rev_cents"))
+        val report = top5.unionByName(other)
+        val grand = rev.agg(sum(col("rev_cents")).cast("long").as("__g"))
+        val repTotal = report.agg(sum(col("rev_cents")).cast("long").as("__rt"))
+        report.crossJoin(broadcast(grand)).crossJoin(broadcast(repTotal))
+          .withColumn("share_bp", expr("(rev_cents * 10000) div __g"))
+          .withColumn("totals_match",
+            when(col("__rt") === col("__g"), 1L).otherwise(0L))
+          .select(col("p_brand"), col("rev_cents"), col("share_bp"),
+            col("totals_match"))
+          .orderBy(col("rev_cents").desc, col("p_brand"))
+      },
+      Some("""
+        WITH rev AS (
+          SELECT p_brand,
+                 CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS rev_cents
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1
+        ), top5 AS (
+          SELECT p_brand, rev_cents FROM rev
+          ORDER BY rev_cents DESC, p_brand LIMIT 5
+        ), other AS (
+          SELECT 'OTHER' AS p_brand, CAST(SUM(rev_cents) AS BIGINT) AS rev_cents
+          FROM rev WHERE p_brand NOT IN (SELECT p_brand FROM top5)
+        ), report AS (
+          SELECT * FROM top5 UNION ALL SELECT * FROM other
+        ), grand AS (
+          SELECT CAST(SUM(rev_cents) AS BIGINT) AS g FROM rev
+        )
+        SELECT p_brand, rev_cents,
+               CAST((rev_cents * 10000) // g AS BIGINT) AS share_bp,
+               CAST(CASE WHEN (SELECT SUM(rev_cents) FROM report) = g
+                 THEN 1 ELSE 0 END AS BIGINT) AS totals_match
+        FROM report, grand
+        ORDER BY rev_cents DESC, p_brand
+      """.trim)),
+
+    // Null-semantics surface — the aggregate/predicate null rules that
+    // silently differ between naive implementations, pinned on a fixture
+    // with REAL nulls (every 3rd value nulled, one group all-null):
+    // count(*) counts rows, count(col) skips nulls, distinct counts skip
+    // them, sum/avg of an all-null group is NULL (not 0), and
+    // three-valued logic drops NULL comparisons from WHERE. Both engines
+    // must agree on every one of these rows.
+    Q(
+      "q373_null_semantics",
+      (s, dir) => {
+        val f = Tables.customer(s, dir)
+          .select(pmod(col("c_custkey"), lit(5L)).as("grp"),
+            when(col("c_custkey") % 3 === 0, lit(null).cast("long"))
+              .otherwise(col("c_custkey")).as("v"))
+          // group 4 becomes ALL-NULL: the sum/avg-of-nothing probe
+          .withColumn("v", when(col("grp") === 4L, lit(null).cast("long"))
+            .otherwise(col("v")))
+        f.groupBy("grp")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("v")).as("n_nonnull"),
+            countDistinct(col("v")).as("n_distinct"),
+            sum(col("v")).cast("long").as("sum_v"),
+            sum(when(col("v") > 100L, 1L).otherwise(0L)).as("n_gt100"))
+          .orderBy("grp")
+      },
+      Some("""
+        WITH f AS (
+          SELECT c_custkey % 5 AS grp,
+                 CASE WHEN c_custkey % 5 = 4 THEN NULL
+                      WHEN c_custkey % 3 = 0 THEN NULL
+                      ELSE c_custkey END AS v
+          FROM customer
+        )
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(v) AS BIGINT) AS n_nonnull,
+               CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+               CAST(SUM(v) AS BIGINT) AS sum_v,
+               CAST(SUM(CASE WHEN v > 100 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_gt100
+        FROM f GROUP BY grp ORDER BY grp
       """.trim))
   )
 }
