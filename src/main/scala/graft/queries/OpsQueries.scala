@@ -2091,6 +2091,111 @@ object OpsQueries {
                CAST(SUM(CASE WHEN v > 100 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_gt100
         FROM f GROUP BY grp ORDER BY grp
+      """.trim)),
+
+    // Weighted moving average with integer triangular weights — WMA(3) =
+    // (3·x + 2·x₋₁ + 1·x₋₂) div 6 over each user's daily value series:
+    // the smoothing every dashboard applies, kept exact by integer
+    // weights and integral division instead of float multiplication.
+    // Lags ride per-user day-ordered windows; days with an incomplete
+    // history emit the shorter exact average (weights renormalize to
+    // what exists: div 6, div 5, or div 3).
+    Q(
+      "q374_wma3",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sum((col("value").cast("decimal(16,6)") * 1000000).cast("long"))
+            .cast("long").as("v"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+        daily
+          .withColumn("v1", lag(col("v"), 1).over(w))
+          .withColumn("v2", lag(col("v"), 2).over(w))
+          .withColumn("wma_micros",
+            when(col("v2").isNotNull,
+              expr("(3 * v + 2 * v1 + v2) div 6"))
+              .when(col("v1").isNotNull, expr("(3 * v + 2 * v1) div 5"))
+              .otherwise(expr("(3 * v) div 3")))
+          .select(col("user_id"), col("day"), col("v").as("value_micros"),
+            col("wma_micros"))
+          .orderBy("user_id", "day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(16,6)) * 1000000
+                   AS BIGINT)) AS BIGINT) AS v
+          FROM events GROUP BY 1, 2
+        ), lagged AS (
+          SELECT user_id, day, v,
+                 lag(v, 1) OVER w AS v1, lag(v, 2) OVER w AS v2
+          FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        )
+        SELECT user_id, day, v AS value_micros,
+               CAST(CASE WHEN v2 IS NOT NULL THEN (3*v + 2*v1 + v2) // 6
+                         WHEN v1 IS NOT NULL THEN (3*v + 2*v1) // 5
+                         ELSE (3*v) // 3 END AS BIGINT) AS wma_micros
+        FROM lagged ORDER BY user_id, day
+      """.trim)),
+
+    // Tier-migration matrix — "which spend band did last year's customers
+    // move to": customers band by fixed revenue thresholds in 1995 and
+    // 1996 (absent = CHURNED/NEW), and the matrix counts every
+    // (from_tier, to_tier) flow — the BI retention staple that needs a
+    // full-outer join on the customer, never a window. Fixed thresholds
+    // keep banding deterministic; tiers and flows are pinned exactly.
+    Q(
+      "q375_tier_migration",
+      (s, dir) => {
+        def tierOf(c: org.apache.spark.sql.Column) =
+          when(c >= 40000000L, "T1_high")
+            .when(c >= 15000000L, "T2_mid")
+            .otherwise("T3_low")
+        def yearRev(yr: Int) = Tables.orders(s, dir)
+          .filter(year(col("o_orderdate")) === yr)
+          .groupBy("o_custkey")
+          .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")).cast("long").as("rev"))
+        val a = yearRev(1995).select(col("o_custkey"),
+          tierOf(col("rev")).as("from_tier"))
+        val b = yearRev(1996).select(col("o_custkey"),
+          tierOf(col("rev")).as("to_tier"))
+        a.join(b, Seq("o_custkey"), "full_outer")
+          .select(coalesce(col("from_tier"), lit("NEW")).as("from_tier"),
+            coalesce(col("to_tier"), lit("CHURNED")).as("to_tier"))
+          .groupBy("from_tier", "to_tier")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("from_tier", "to_tier")
+      },
+      Some("""
+        WITH rev95 AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS rev
+          FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+        ), rev96 AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS rev
+          FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+        ), a AS (
+          SELECT o_custkey,
+                 CASE WHEN rev >= 40000000 THEN 'T1_high'
+                      WHEN rev >= 15000000 THEN 'T2_mid'
+                      ELSE 'T3_low' END AS from_tier
+          FROM rev95
+        ), b AS (
+          SELECT o_custkey,
+                 CASE WHEN rev >= 40000000 THEN 'T1_high'
+                      WHEN rev >= 15000000 THEN 'T2_mid'
+                      ELSE 'T3_low' END AS to_tier
+          FROM rev96
+        )
+        SELECT coalesce(from_tier, 'NEW') AS from_tier,
+               coalesce(to_tier, 'CHURNED') AS to_tier,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM a FULL OUTER JOIN b USING (o_custkey)
+        GROUP BY 1, 2 ORDER BY from_tier, to_tier
       """.trim))
   )
 }
