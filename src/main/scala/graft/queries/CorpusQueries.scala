@@ -1597,6 +1597,107 @@ object CorpusQueries {
                     WHEN counts.k IN (SELECT k FROM borders) THEN 'border'
                     ELSE 'noise' END AS role
         FROM counts ORDER BY counts.k
+      """.trim)),
+
+    // Language-ID confusion matrix — the eval that closes the loop on
+    // q22's heuristic: predicted language (stopword-profile argmax)
+    // against the corpus's labeled language, as the full (true, pred)
+    // matrix with each cell's share of its TRUE row in bp. The oracle
+    // re-derives the same argmax with the same deterministic tie order,
+    // so the matrix pins both the classifier and its tie-breaking.
+    Q(
+      "q376_langid_confusion",
+      (s, dir) => {
+        val pred = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang").as("true_lang"),
+            TextAnalysis.langId(TextAnalysis.tokens(col("text")))
+              .as("pred_lang"))
+        val cells = pred.groupBy("true_lang", "pred_lang")
+          .agg(count(lit(1)).as("n"))
+        val totals = cells.groupBy("true_lang")
+          .agg(sum(col("n")).cast("long").as("__t"))
+        cells.join(totals.hint("shuffle_hash"), "true_lang")
+          .select(col("true_lang"), col("pred_lang"), col("n"),
+            expr("(n * 10000) div __t").as("row_share_bp"))
+          .orderBy("true_lang", "pred_lang")
+      },
+      Some {
+        val langCounts = TextAnalysis.LangProfiles.map { case (lang, words) =>
+          s"len(list_filter(w, t -> t IN (${words.map(x => s"'$x'").mkString(",")}))) AS c_$lang"
+        }.mkString(",\n                 ")
+        val langs = TextAnalysis.LangProfiles.map(_._1)
+        val langCase = langs.init.zipWithIndex.map { case (lang, i) =>
+          val later = langs.drop(i + 1).map(l => s"c_$lang >= c_$l").mkString(" AND ")
+          s"WHEN $later THEN '$lang'"
+        }.mkString(" ")
+        s"""
+        WITH base AS (
+          SELECT doc_id, lang AS true_lang, $Toks AS w FROM documents
+        ), feat AS (
+          SELECT doc_id, true_lang, $langCounts FROM base
+        ), pred AS (
+          SELECT true_lang, CASE $langCase ELSE '${langs.last}' END AS pred_lang
+          FROM feat
+        ), cells AS (
+          SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pred GROUP BY 1, 2
+        ), totals AS (
+          SELECT true_lang, CAST(SUM(n) AS BIGINT) AS t FROM cells GROUP BY 1
+        )
+        SELECT cells.true_lang, pred_lang, n,
+               CAST((n * 10000) // t AS BIGINT) AS row_share_bp
+        FROM cells JOIN totals ON cells.true_lang = totals.true_lang
+        ORDER BY cells.true_lang, pred_lang
+      """.trim
+      }),
+
+    // Degenerate-text robustness — the text stack's boundary behavior,
+    // pinned: documents clipped to 0/10/20/30 characters push empty and
+    // near-empty strings through tokenize → shingle → fingerprint, and
+    // the gate records exactly what each stage does there (token count
+    // of the empty string, zero 8-shingles, the rolling fingerprint's
+    // documented whole-text fallback). Edge behavior that silently
+    // drifts is how pipelines corrupt their shortest documents.
+    Q(
+      "q377_degenerate_text",
+      (s, dir) => {
+        val clipped = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            expr("substring(text, 1, CAST((doc_id % 4) * 10 AS INT))")
+              .as("text"))
+        clipped
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.tokens(col("text")).as("__toks"))
+          .select(col("doc_id"), col("text"), col("__toks"),
+            NearDup.shingles(col("__toks"), 8).as("__sh8"))
+          .select(col("doc_id"),
+            (col("doc_id") % 4 * 10).as("clip_len"),
+            length(col("text")).cast("long").as("n_chars"),
+            size(col("__toks")).cast("long").as("n_tokens"),
+            size(col("__sh8")).cast("long").as("n_shingles"),
+            TextAnalysis.rollingFingerprint(col("text"), col("__sh8"))
+              .as("roll_fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH clipped AS (
+          SELECT doc_id, substr(text, 1, CAST((doc_id % 4) * 10 AS INTEGER))
+                   AS text
+          FROM documents
+        ), base AS (
+          SELECT doc_id, text, $NormText AS norm, $Toks AS w FROM clipped
+        ), feat AS (
+          SELECT doc_id, text, norm, w, ${duckShingles("w", 8)} AS sh8
+          FROM base
+        )
+        SELECT doc_id, CAST((doc_id % 4) * 10 AS BIGINT) AS clip_len,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(len(sh8) AS BIGINT) AS n_shingles,
+               CASE WHEN len(sh8) = 0 THEN ${graft.ext.TextHash.duckHash60("norm")}
+                    ELSE list_min([${graft.ext.TextHash.duckHash60("x")} FOR x IN sh8])
+               END AS roll_fp
+        FROM feat ORDER BY doc_id
       """.trim))
   )
 }
