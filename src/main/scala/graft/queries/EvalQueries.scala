@@ -2551,6 +2551,75 @@ object EvalQueries {
                  AS BIGINT) AS is_correct
         FROM pred JOIN e ON e.vec_id = pred.query_id
         ORDER BY pred.query_id
+      """.trim)),
+
+    // Embedding centroid drift — the model-monitoring probe "did this
+    // label's representation move between batches": the corpus splits by
+    // vec_id parity, per-(label, half) centroids come from the exact
+    // 2^48-scaled decimal float sums (order-independent means), and the
+    // squared L2 distance between each label's two centroids folds
+    // SEQUENTIALLY over the dim-sorted arrays — the same deterministic
+    // reduction the retrieval oracles use. Zero drift is impossible in
+    // real splits, so magnitudes are the signal; every bit is pinned.
+    Q(
+      "q378_centroid_drift",
+      (s, dir) => {
+        val scale = lit(281474976710656.0) // 2^48
+        val halves = Tables.embeddings(s, dir)
+          .select(col("label"), (col("vec_id") % 2).as("half"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("label", "half", "dim")
+          .agg(count(lit(1)).as("n"),
+            (sum((col("v").cast("double") * scale).cast("decimal(38,0)"))
+              .cast("double") / scale / count(lit(1))).as("mean"))
+        val cents = halves.groupBy("label", "half")
+          .agg(max(col("n")).as("n_vecs"),
+            array_sort(collect_list(struct(col("dim"), col("mean"))))
+              .as("__cm"))
+          .select(col("label"), col("half"), col("n_vecs"),
+            transform(col("__cm"), s => s.getField("mean")).as("centroid"))
+        val a = cents.filter(col("half") === 0)
+          .select(col("label"), col("n_vecs").as("n_even"),
+            col("centroid").as("ca"))
+        val b = cents.filter(col("half") === 1)
+          .select(col("label"), col("n_vecs").as("n_odd"),
+            col("centroid").as("cb"))
+        a.join(b, "label")
+          .select(col("label"), col("n_even"), col("n_odd"),
+            expr("""aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)),
+                    CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)""")
+              .as("drift_dist2"))
+          .orderBy("label")
+      },
+      Some("""
+        WITH halves AS (
+          -- the corpus is fixed 64-dim; a literal series sidesteps
+          -- DuckDB's lateral-parameter limit on generate_series
+          SELECT label, vec_id % 2 AS half, i - 1 AS dim,
+                 CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings, generate_series(1, 64) AS t(i)
+        ), means AS (
+          SELECT label, half, dim, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(v * 281474976710656.0 AS DECIMAL(38,0)))
+                   AS DOUBLE) / 281474976710656.0 / COUNT(*) AS mean
+          FROM halves GROUP BY 1, 2, 3
+        ), cents AS (
+          SELECT label, half, MAX(n) AS n_vecs,
+                 list(mean ORDER BY dim) AS centroid
+          FROM means GROUP BY 1, 2
+        ), a AS (
+          SELECT label, n_vecs AS n_even, centroid AS ca FROM cents
+          WHERE half = 0
+        ), b AS (
+          SELECT label, n_vecs AS n_odd, centroid AS cb FROM cents
+          WHERE half = 1
+        )
+        SELECT a.label, CAST(n_even AS BIGINT) AS n_even,
+               CAST(n_odd AS BIGINT) AS n_odd,
+               list_sum([(ca[i] - cb[i]) * (ca[i] - cb[i])
+                         FOR i IN generate_series(1, len(ca))]) AS drift_dist2
+        FROM a JOIN b ON a.label = b.label
+        ORDER BY a.label
       """.trim))
   )
 }

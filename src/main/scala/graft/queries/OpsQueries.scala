@@ -2196,6 +2196,54 @@ object OpsQueries {
                CAST(COUNT(*) AS BIGINT) AS n_customers
         FROM a FULL OUTER JOIN b USING (o_custkey)
         GROUP BY 1, 2 ORDER BY from_tier, to_tier
+      """.trim)),
+
+    // Prefix-range rewrite — the index-friendly form of a LIKE 'p%'
+    // lookup: prefix match ≡ [p, p+1) range on the sort key, which
+    // parquet min/max stats and clustered layouts can prune where a
+    // LIKE cannot. The gate computes the same lookup BOTH ways over a
+    // derived string key and pins their equality (forms_agree = 1) plus
+    // the shared counts — the rewrite every string-keyed scan should
+    // get.
+    Q(
+      "q379_prefix_range_rewrite",
+      (s, dir) => {
+        val keyed = Tables.customer(s, dir)
+          .select(concat(lit("cust_"), lpad(col("c_custkey").cast("string"),
+            6, "0")).as("k"),
+            (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"))
+        val likeForm = keyed.filter(col("k").like("cust_0012%"))
+          .agg(count(lit(1)).as("n_like"),
+            sum(col("cents")).cast("long").as("cents_like"))
+        val rangeForm = keyed
+          .filter(col("k") >= "cust_0012" && col("k") < "cust_0013")
+          .agg(count(lit(1)).as("n_range"),
+            sum(col("cents")).cast("long").as("cents_range"))
+        likeForm.crossJoin(broadcast(rangeForm))
+          .withColumn("forms_agree",
+            when(col("n_like") === col("n_range") &&
+              col("cents_like") === col("cents_range"), 1L).otherwise(0L))
+      },
+      Some("""
+        WITH keyed AS (
+          SELECT 'cust_' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS k,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM customer
+        ), l AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_like,
+                 CAST(SUM(cents) AS BIGINT) AS cents_like
+          FROM keyed WHERE k LIKE 'cust_0012%'
+        ), r AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_range,
+                 CAST(SUM(cents) AS BIGINT) AS cents_range
+          FROM keyed WHERE k >= 'cust_0012' AND k < 'cust_0013'
+        )
+        SELECT n_like, cents_like, n_range, cents_range,
+               CAST(CASE WHEN n_like = n_range AND cents_like = cents_range
+                 THEN 1 ELSE 0 END AS BIGINT) AS forms_agree
+        FROM l, r
       """.trim))
   )
 }
