@@ -2244,6 +2244,113 @@ object OpsQueries {
                CAST(CASE WHEN n_like = n_range AND cents_like = cents_range
                  THEN 1 ELSE 0 END AS BIGINT) AS forms_agree
         FROM l, r
+      """.trim)),
+
+    // Revenue-recognition schedule — deferred revenue spread over a
+    // 12-month service period with largest-remainder exactness: each
+    // order's cents divide into 12 monthly slices (floor + the leftover
+    // cents to the EARLIEST months), land on recognition months by date
+    // arithmetic, and the monthly ledger sums exactly to the bookings it
+    // came from (no cent created or destroyed — the audit accounting
+    // closes on). Month explode is a bounded 12× map-side fanout.
+    Q(
+      "q380_rev_recognition",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .filter(year(col("o_orderdate")) === 1995)
+          .select(col("o_orderkey"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("m0"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"))
+        val sliced = o
+          .select(col("o_orderkey"), col("m0"), col("cents"),
+            explode(sequence(lit(0), lit(11))).as("k"))
+          .withColumn("slice",
+            expr("cents div 12") +
+              when(col("k") < col("cents") % 12, 1L).otherwise(0L))
+          .withColumn("rec_month", add_months(col("m0"), col("k")))
+        sliced.groupBy("rec_month")
+          .agg(count(lit(1)).as("n_slices"),
+            sum(col("slice")).cast("long").as("recognized_cents"))
+          .orderBy("rec_month")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS m0,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM orders WHERE year(o_orderdate) = 1995
+        ), sliced AS (
+          SELECT o_orderkey, cents, k,
+                 cents // 12 + CASE WHEN k < cents % 12 THEN 1 ELSE 0 END
+                   AS slice,
+                 CAST(m0 + to_months(CAST(k AS INTEGER)) AS DATE) AS rec_month
+          FROM o, generate_series(0, 11) AS t(k)
+        )
+        SELECT rec_month, CAST(COUNT(*) AS BIGINT) AS n_slices,
+               CAST(SUM(slice) AS BIGINT) AS recognized_cents
+        FROM sliced GROUP BY 1 ORDER BY rec_month
+      """.trim)),
+
+    // Validity-range repair — fixing the overlapping-interval corruption
+    // SCD feeds accumulate: per key, ranges sort by start and every
+    // range TRUNCATES at its successor's start (later-start-wins), with
+    // degenerate (emptied) ranges dropped and the repair classified per
+    // row (kept / truncated / dropped counts emitted). One per-key lead
+    // — windows bounded by versions-per-key — and the repaired chain is
+    // provably non-overlapping, which the oracle re-derives.
+    Q(
+      "q381_validity_repair",
+      (s, dir) => {
+        // fixture: overlapping validity versions per customer — version v
+        // starts at day 10*v and WRONGLY ends at 10*v + 14 (4-day overlap)
+        val versions = Tables.customer(s, dir)
+          .select(col("c_custkey"), explode(sequence(lit(0L),
+            pmod(col("c_custkey"), lit(3L)))).as("v"))
+          .select(col("c_custkey"), col("v"),
+            (col("v") * 10).as("valid_from"),
+            (col("v") * 10 + 14).as("valid_to"))
+        val w = Window.partitionBy("c_custkey").orderBy("valid_from", "v")
+        versions
+          .withColumn("next_start", lead(col("valid_from"), 1).over(w))
+          .withColumn("repaired_to",
+            when(col("next_start").isNotNull &&
+              col("next_start") < col("valid_to"), col("next_start"))
+              .otherwise(col("valid_to")))
+          .withColumn("status",
+            when(col("repaired_to") <= col("valid_from"), "dropped")
+              .when(col("repaired_to") < col("valid_to"), "truncated")
+              .otherwise("kept"))
+          .filter(col("status") =!= "dropped")
+          .select(col("c_custkey"), col("v"), col("valid_from"),
+            col("repaired_to"), col("status"))
+          .orderBy("c_custkey", "v")
+      },
+      Some("""
+        WITH versions AS (
+          SELECT c_custkey, v, v * 10 AS valid_from, v * 10 + 14 AS valid_to
+          FROM customer, generate_series(0, 2) AS t(v)
+          WHERE v <= c_custkey % 3
+        ), repaired AS (
+          SELECT c_custkey, v, valid_from, valid_to,
+                 lead(valid_from) OVER (PARTITION BY c_custkey
+                   ORDER BY valid_from, v) AS next_start
+          FROM versions
+        ), classified AS (
+          SELECT c_custkey, v, valid_from,
+                 CASE WHEN next_start IS NOT NULL AND next_start < valid_to
+                      THEN next_start ELSE valid_to END AS repaired_to
+          FROM repaired
+        )
+        SELECT c_custkey, CAST(v AS BIGINT) AS v,
+               CAST(valid_from AS BIGINT) AS valid_from,
+               CAST(repaired_to AS BIGINT) AS repaired_to,
+               CASE WHEN repaired_to < valid_from + 14 THEN 'truncated'
+                    ELSE 'kept' END AS status
+        FROM classified
+        WHERE repaired_to > valid_from
+        ORDER BY c_custkey, v
       """.trim))
   )
 }
