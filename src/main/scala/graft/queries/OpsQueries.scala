@@ -2351,6 +2351,131 @@ object OpsQueries {
         FROM classified
         WHERE repaired_to > valid_from
         ORDER BY c_custkey, v
+      """.trim)),
+
+    // Ratio-metric confidence interval (delta method) — the A/B
+    // statistic experimentation platforms actually ship: revenue per
+    // event (in exact millis) is a RATIO of two correlated per-user quantities, so its
+    // variance needs the delta method (var(X̄/Ȳ) ≈ (σx² − 2r̂σxy +
+    // r̂²σy²)/(n·Ȳ²)). Every moment comes from exact integer power sums
+    // per hash-split arm; the interval evaluates through one identical
+    // IEEE tree (q310 discipline) and the two arms' CIs are emitted
+    // side by side with an overlap verdict.
+    Q(
+      "q382_ratio_metric_ci",
+      (s, dir) => {
+        val users = Tables.events(s, dir)
+          .groupBy(col("user_id"), pmod(col("user_id"), lit(2L)).as("arm"))
+          .agg(count(lit(1)).as("y"),
+            // millis, not micros: x² must stay inside the long through the
+            // power sums at any per-user volume
+            sum((col("value").cast("decimal(16,3)") * 1000).cast("long"))
+              .cast("long").as("x"))
+        val arms = users.groupBy("arm")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+        arms.select(col("arm"), col("n").cast("long").as("n_users"),
+            expr("CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)").as("ratio"),
+            expr("""
+              2.0 * sqrt(
+                ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                     * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                / (CAST(n AS DOUBLE)
+                   * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))""")
+              .as("ci_halfwidth"))
+          .orderBy("arm")
+      },
+      Some("""
+        WITH users AS (
+          SELECT user_id, user_id % 2 AS arm,
+                 CAST(COUNT(*) AS BIGINT) AS y,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(16,3)) * 1000
+                   AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ), arms AS (
+          SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x*x) AS BIGINT) AS sxx,
+                 CAST(SUM(y*y) AS BIGINT) AS syy,
+                 CAST(SUM(x*y) AS BIGINT) AS sxy
+          FROM users GROUP BY 1
+        )
+        SELECT arm, n AS n_users,
+               CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS ratio,
+               2.0 * sqrt(
+                 ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                      * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE)
+                    * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+                 AS ci_halfwidth
+        FROM arms ORDER BY arm
+      """.trim)),
+
+    // Exact 80/20 crossing point — the headline concentration number
+    // behind the Pareto chart: the SMALLEST customer count whose
+    // cumulative revenue reaches 80% of the total, as both an absolute
+    // count and a share of customers in bp. The running total rides the
+    // two-phase scalable prefix sum; the crossing is one aggregate over
+    // the integer cross-multiplied condition (cum·5 ≥ total·4).
+    Q(
+      "q383_pareto_point",
+      (s, dir) => {
+        import graft.engine.Keys
+        val rev = Tables.orders(s, dir).groupBy("o_custkey")
+          .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")).cast("long").as("rev"))
+        val run = Keys.globalRunningSumBy(rev,
+          Seq(col("rev").desc, col("o_custkey")), "rev", "cum")
+        val ranked = Keys.rankByScalable(run,
+          Seq(col("rev").desc, col("o_custkey")), "rk")
+        ranked
+          .crossJoin(broadcast(rev.agg(sum(col("rev")).cast("long").as("total"),
+            count(lit(1)).as("n_customers"))))
+          .filter(col("cum") * 5 >= col("total") * 4)
+          .agg(min(col("rk")).as("customers_to_80pct"),
+            max(col("n_customers")).as("n_customers"))
+          .withColumn("share_of_customers_bp",
+            expr("(customers_to_80pct * 10000) div n_customers"))
+      },
+      Some("""
+        WITH rev AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS rev
+          FROM orders GROUP BY 1
+        ), run AS (
+          SELECT o_custkey, rev,
+                 CAST(SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                 row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+                 (SELECT CAST(SUM(rev) AS BIGINT) FROM rev) AS total,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM rev) AS n_customers
+          FROM rev
+        )
+        SELECT CAST(MIN(rk) AS BIGINT) AS customers_to_80pct,
+               CAST(MAX(n_customers) AS BIGINT) AS n_customers,
+               CAST((MIN(rk) * 10000) // MAX(n_customers) AS BIGINT)
+                 AS share_of_customers_bp
+        FROM run WHERE cum * 5 >= total * 4
       """.trim))
   )
 }
