@@ -2476,6 +2476,55 @@ object OpsQueries {
                CAST((MIN(rk) * 10000) // MAX(n_customers) AS BIGINT)
                  AS share_of_customers_bp
         FROM run WHERE cum * 5 >= total * 4
+      """.trim)),
+
+    // GROUP BY ALL — the analyst-ergonomics syntax both engines added:
+    // every non-aggregate select item groups implicitly, so adding a
+    // dimension to the SELECT list can never silently change grain
+    // through a stale GROUP BY clause. The same query TEXT runs on both
+    // engines; semantics pinned by the shared aggregate.
+    Q(
+      "q384_group_by_all",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g384_orders")
+        s.sql("""
+          SELECT o_orderstatus, o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS total_cents
+          FROM g384_orders
+          GROUP BY ALL
+          ORDER BY o_orderstatus, o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS total_cents
+        FROM orders
+        GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority
+      """.trim)),
+
+    // Star-EXCEPT projection — wide-table ergonomics: project everything
+    // but the sensitive/heavy columns without enumerating the keepers
+    // (Spark spells it `* EXCEPT (...)`, DuckDB `* EXCLUDE (...)` — same
+    // semantics, dialect-local keyword). The gate drops the free-text
+    // and timestamp columns from events and pins that the surviving
+    // schema and values round through exactly.
+    Q(
+      "q385_star_except",
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("g385_events")
+        s.sql("""
+          SELECT * EXCEPT (props, ts, value)
+          FROM g385_events
+          ORDER BY event_id""")
+      },
+      Some("""
+        SELECT * EXCLUDE (props, ts, value)
+        FROM events
+        ORDER BY event_id
       """.trim))
   )
 }
