@@ -2525,6 +2525,99 @@ object OpsQueries {
         SELECT * EXCLUDE (props, ts, value)
         FROM events
         ORDER BY event_id
+      """.trim)),
+
+    // try_cast surface — error-tolerant ingestion under ANSI mode: a
+    // mixed-validity string column (clean integers, padded numbers,
+    // garbage, int64-overflowing literals, empties) goes through
+    // try_cast, which must yield NULL for
+    // every unparseable row where plain CAST would kill the job. The
+    // per-shape verdict rows pin exactly WHICH shapes parse — the
+    // contract a quarantine pipeline is built on.
+    Q(
+      "q386_try_cast",
+      (s, dir) => {
+        val shaped = Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 5 === 0,
+              col("c_custkey").cast("string"))
+              .when(col("c_custkey") % 5 === 1,
+                concat(lit(" "), col("c_custkey"), lit(" ")))
+              .when(col("c_custkey") % 5 === 2,
+                concat(lit("#"), col("c_custkey")))
+              .when(col("c_custkey") % 5 === 3, lit("99999999999999999999"))
+              .otherwise(lit("")).as("raw"))
+        shaped
+          .select((col("c_custkey") % 5).as("shape"),
+            expr("try_cast(raw AS BIGINT)").as("parsed"))
+          .groupBy("shape")
+          .agg(count(lit(1)).as("n"),
+            count(col("parsed")).as("n_parsed"),
+            sum(col("parsed")).cast("long").as("sum_parsed"))
+          .orderBy("shape")
+      },
+      Some("""
+        WITH shaped AS (
+          SELECT c_custkey, c_custkey % 5 AS shape,
+                 CASE WHEN c_custkey % 5 = 0 THEN CAST(c_custkey AS VARCHAR)
+                      WHEN c_custkey % 5 = 1
+                        THEN ' ' || CAST(c_custkey AS VARCHAR) || ' '
+                      WHEN c_custkey % 5 = 2
+                        THEN '#' || CAST(c_custkey AS VARCHAR)
+                      WHEN c_custkey % 5 = 3 THEN '99999999999999999999'
+                      ELSE '' END AS raw
+          FROM customer
+        )
+        SELECT shape, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(try_cast(raw AS BIGINT)) AS BIGINT) AS n_parsed,
+               CAST(SUM(try_cast(raw AS BIGINT)) AS BIGINT) AS sum_parsed
+        FROM shaped GROUP BY shape ORDER BY shape
+      """.trim)),
+
+    // Hash-uniformity audit — the statistical health check on the engine's
+    // own 60-bit content hash (the primitive under fingerprints, MinHash,
+    // pseudonymization): document hashes bucket mod 64 and the spread is
+    // judged by exact integers — max/min bucket counts, their ratio in
+    // bp, and the chi-square statistic vs uniform scaled to integer
+    // thousandths (64·Σ(o−e)²·1000 div total, denominators cleared).
+    // A regressed hash (stuck bits, truncated entropy) fails loudly here
+    // before it silently skews every downstream banding.
+    Q(
+      "q387_hash_uniformity",
+      (s, dir) => {
+        val buckets = Tables.documents(s, dir)
+          .select(pmod(graft.ext.TextHash.hash60(col("text")), lit(64L))
+            .as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+        buckets
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(col("n")).cast("long").as("total"),
+            max(col("n")).as("max_bucket"), min(col("n")).as("min_bucket"),
+            sum(col("n") * col("n")).cast("long").as("sumsq"))
+          .select(col("n_buckets"), col("total"), col("max_bucket"),
+            col("min_bucket"),
+            expr("(max_bucket * 10000) div greatest(min_bucket, 1)")
+              .as("spread_ratio_bp"),
+            // chi2 = Σ(o-e)²/e with e = total/64, cleared of denominators:
+            // chi2*1000 = (64*Σo² - total²)*1000 div total
+            expr("((64 * sumsq - total * total) * 1000) div total")
+              .as("chi2_milli"))
+      },
+      Some(s"""
+        WITH buckets AS (
+          SELECT ${graft.ext.TextHash.duckHash60("text")} % 64 AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(n) AS BIGINT) AS total,
+               CAST(MAX(n) AS BIGINT) AS max_bucket,
+               CAST(MIN(n) AS BIGINT) AS min_bucket,
+               CAST((MAX(n) * 10000) // greatest(MIN(n), 1) AS BIGINT)
+                 AS spread_ratio_bp,
+               CAST(((64 * SUM(n*n) - SUM(n) * SUM(n)) * 1000) // SUM(n)
+                 AS BIGINT) AS chi2_milli
+        FROM buckets
       """.trim))
   )
 }
