@@ -2618,6 +2618,121 @@ object OpsQueries {
                CAST(((64 * SUM(n*n) - SUM(n) * SUM(n)) * 1000) // SUM(n)
                  AS BIGINT) AS chi2_milli
         FROM buckets
+      """.trim)),
+
+    // Column-level drift — the drilldown under q17's row-hash change
+    // detection: WHICH attributes changed between two dimension
+    // versions, as the census of changed-column SETS (balance-only,
+    // segment-only, both, none), so a surprising mass change in one
+    // column reads directly off the report. Deterministic v2 fixture
+    // mutates balance for %3 keys and segment for %5 keys; one join and
+    // one aggregate.
+    Q(
+      "q388_column_drift",
+      (s, dir) => {
+        val v1 = Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+              .as("bal"),
+            col("c_mktsegment").as("seg"))
+        val v2 = v1.select(col("c_custkey"),
+          (col("bal") + when(col("c_custkey") % 3 === 0, 100L).otherwise(0L))
+            .as("bal"),
+          when(col("c_custkey") % 5 === 0, lit("MOVED")).otherwise(col("seg"))
+            .as("seg"))
+        v1.as("a").join(v2.as("b"), "c_custkey")
+          .select(
+            when(col("a.bal") =!= col("b.bal"), 1L).otherwise(0L).as("bal_chg"),
+            when(col("a.seg") =!= col("b.seg"), 1L).otherwise(0L).as("seg_chg"))
+          .groupBy("bal_chg", "seg_chg")
+          .agg(count(lit(1)).as("n_keys"))
+          .orderBy("bal_chg", "seg_chg")
+      },
+      Some("""
+        WITH v1 AS (
+          SELECT c_custkey,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal,
+                 c_mktsegment AS seg
+          FROM customer
+        ), v2 AS (
+          SELECT c_custkey,
+                 bal + CASE WHEN c_custkey % 3 = 0 THEN 100 ELSE 0 END AS bal,
+                 CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE seg END AS seg
+          FROM v1
+        )
+        SELECT CAST(CASE WHEN a.bal <> b.bal THEN 1 ELSE 0 END AS BIGINT)
+                 AS bal_chg,
+               CAST(CASE WHEN a.seg <> b.seg THEN 1 ELSE 0 END AS BIGINT)
+                 AS seg_chg,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM v1 a JOIN v2 b USING (c_custkey)
+        GROUP BY 1, 2 ORDER BY bal_chg, seg_chg
+      """.trim)),
+
+    // Materialized-rollup staleness audit — the freshness check every
+    // serving aggregate needs: a rollup SNAPSHOT built from only the
+    // first half of order time lands on disk, and the audit recounts
+    // from the full base, full-outer-compares per key, and classifies
+    // every group as fresh / stale / missing with the total drift mass —
+    // the report that says "rebuild" before a dashboard serves stale
+    // numbers.
+    Q(
+      "q389_rollup_audit",
+      (s, dir) => {
+        import graft.engine.Scratch
+        val path = Scratch.dir(s, dir, "rollup_snapshot")
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderpriority"), col("o_orderdate"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"))
+        o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("c"))
+          .write.mode("overwrite").parquet(path)
+        val snapshot = s.read.parquet(path)
+          .select(col("o_orderpriority"), col("n").as("snap_n"),
+            col("c").as("snap_cents"))
+        val fresh = o.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("base_n"),
+            sum(col("cents")).cast("long").as("base_cents"))
+        fresh.join(snapshot, Seq("o_orderpriority"), "full_outer")
+          .select(col("o_orderpriority"),
+            coalesce(col("snap_n"), lit(0L)).as("snap_n"),
+            col("base_n"),
+            when(col("snap_n").isNull, "missing")
+              .when(col("snap_n") === col("base_n") &&
+                col("snap_cents") === col("base_cents"), "fresh")
+              .otherwise("stale").as("status"),
+            (col("base_cents") - coalesce(col("snap_cents"), lit(0L)))
+              .as("drift_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderpriority, o_orderdate,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM orders
+        ), snapshot AS (
+          SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS snap_n,
+                 CAST(SUM(cents) AS BIGINT) AS snap_cents
+          FROM base WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY 1
+        ), fresh AS (
+          SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS base_n,
+                 CAST(SUM(cents) AS BIGINT) AS base_cents
+          FROM base GROUP BY 1
+        )
+        SELECT o_orderpriority,
+               CAST(coalesce(snap_n, 0) AS BIGINT) AS snap_n, base_n,
+               CASE WHEN snap_n IS NULL THEN 'missing'
+                    WHEN snap_n = base_n AND snap_cents = base_cents
+                      THEN 'fresh'
+                    ELSE 'stale' END AS status,
+               CAST(base_cents - coalesce(snap_cents, 0) AS BIGINT)
+                 AS drift_cents
+        FROM fresh FULL OUTER JOIN snapshot USING (o_orderpriority)
+        ORDER BY o_orderpriority
       """.trim))
   )
 }
