@@ -2733,6 +2733,107 @@ object OpsQueries {
                  AS drift_cents
         FROM fresh FULL OUTER JOIN snapshot USING (o_orderpriority)
         ORDER BY o_orderpriority
+      """.trim)),
+
+    // Uptime from heartbeat gaps — the SRE availability number computed
+    // from the signal itself: treating each user's events as heartbeats,
+    // any inter-event gap beyond 30 minutes counts as DOWNTIME (minus
+    // the allowance), and availability = 1 − downtime/span in integer
+    // bp. Per-user lag windows, exact micros end-to-end, and the
+    // outage-count column makes the report actionable.
+    Q(
+      "q390_uptime",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gaps = Tables.events(s, dir)
+          .withColumn("prev", lag(unix_micros(col("ts")), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("user_id"),
+            (unix_micros(col("ts")) - col("prev")).as("gap_us"))
+        gaps.groupBy("user_id")
+          .agg((sum(col("gap_us"))).cast("long").as("span_us"),
+            sum(when(col("gap_us") > 1800000000L,
+              col("gap_us") - 1800000000L).otherwise(0L)).cast("long")
+              .as("downtime_us"),
+            sum(when(col("gap_us") > 1800000000L, 1L).otherwise(0L))
+              .as("n_outages"))
+          .withColumn("availability_bp",
+            expr("((span_us - downtime_us) * 10000) div span_us"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH gaps AS (
+          SELECT user_id,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events
+        ), g AS (
+          SELECT user_id, gap_us FROM gaps WHERE gap_us IS NOT NULL
+        )
+        SELECT user_id, CAST(SUM(gap_us) AS BIGINT) AS span_us,
+               CAST(SUM(CASE WHEN gap_us > 1800000000
+                 THEN gap_us - 1800000000 ELSE 0 END) AS BIGINT)
+                 AS downtime_us,
+               CAST(SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_outages,
+               CAST(((SUM(gap_us) - SUM(CASE WHEN gap_us > 1800000000
+                 THEN gap_us - 1800000000 ELSE 0 END)) * 10000)
+                 // SUM(gap_us) AS BIGINT) AS availability_bp
+        FROM g GROUP BY user_id ORDER BY user_id
+      """.trim)),
+
+    // Market-basket LIFT — q92 counts co-purchases; this prices them
+    // against independence: lift = P(a,b)/(P(a)P(b)) stated as exact
+    // integer bp ((support·n_orders·10000) div (cnt_a·cnt_b)), where
+    // lift ≈ 10000 means the pair co-occurs no more than chance and the
+    // interesting pairs tower above it. Pair generation stays bounded by
+    // lines-per-order; singles attach by two broadcast-joined aggregates.
+    Q(
+      "q391_basket_lift",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+        val nOrders = li.select("l_orderkey").distinct().count()
+        val singles = li.distinct().groupBy("l_partkey")
+          .agg(count(lit(1)).as("cnt"))
+        val pairs = li.as("a")
+          .join(li.as("b").hint("shuffle_hash"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(countDistinct(col("a.l_orderkey")).as("support"))
+          .filter(col("support") >= 3)
+        pairs
+          .join(singles.select(col("l_partkey").as("pa"), col("cnt").as("ca")),
+            "pa")
+          .join(singles.select(col("l_partkey").as("pb"), col("cnt").as("cb")),
+            "pb")
+          .select(col("pa"), col("pb"), col("support"), col("ca"), col("cb"),
+            expr(s"(support * $nOrders * 10000) div (ca * cb)").as("lift_bp"))
+          .orderBy(col("lift_bp").desc, col("pa"), col("pb"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), n_orders AS (
+          SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM lineitem
+        ), singles AS (
+          SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM li GROUP BY 1
+        ), pairs AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                 CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS support
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 3
+        )
+        SELECT pa, pb, support, sa.cnt AS ca, sb.cnt AS cb,
+               CAST((support * n * 10000) // (sa.cnt * sb.cnt) AS BIGINT)
+                 AS lift_bp
+        FROM pairs
+        JOIN singles sa ON sa.l_partkey = pa
+        JOIN singles sb ON sb.l_partkey = pb
+        CROSS JOIN n_orders
+        ORDER BY lift_bp DESC, pa, pb
       """.trim))
   )
 }
