@@ -2834,6 +2834,125 @@ object OpsQueries {
         JOIN singles sb ON sb.l_partkey = pb
         CROSS JOIN n_orders
         ORDER BY lift_bp DESC, pa, pb
+      """.trim)),
+
+    // Monthly churn rate — the growth dashboard's counterpart to cohort
+    // retention (q82): of the customers active in month m, how many are
+    // GONE in m+1, as a monthly trend in integer bp. Month presence is
+    // one distinct aggregate; churn is a left-anti-shaped left join
+    // between consecutive months via month arithmetic — windowless at
+    // any history length, same shape as the MoM self-join.
+    Q(
+      "q392_churn_rate",
+      (s, dir) => {
+        val active = Tables.orders(s, dir)
+          .select(col("o_custkey"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+          .distinct()
+        val next = active.select(col("o_custkey"),
+          add_months(col("m"), -1).as("m"), lit(1L).as("active_next"))
+        active.join(next, Seq("o_custkey", "m"), "left")
+          .groupBy("m")
+          .agg(count(lit(1)).as("n_active"),
+            sum(when(col("active_next").isNull, 1L).otherwise(0L))
+              .as("n_churned"))
+          .withColumn("churn_bp", expr("(n_churned * 10000) div n_active"))
+          // the final month has no successor to retain into — drop it
+          .filter(col("m") < lit("2001-08-01").cast("date"))
+          .orderBy("m")
+      },
+      Some("""
+        WITH active AS (
+          SELECT DISTINCT o_custkey,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+          FROM orders
+        )
+        SELECT a.m, CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(SUM(CASE WHEN b.o_custkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_churned,
+               CAST((SUM(CASE WHEN b.o_custkey IS NULL THEN 1 ELSE 0 END)
+                 * 10000) // COUNT(*) AS BIGINT) AS churn_bp
+        FROM active a
+        LEFT JOIN active b
+          ON a.o_custkey = b.o_custkey
+          AND b.m = CAST(a.m + INTERVAL 1 MONTH AS DATE)
+        WHERE a.m < DATE '2001-08-01'
+        GROUP BY a.m ORDER BY a.m
+      """.trim)),
+
+    // Cohort payback period — the unit-economics number the LTV curve
+    // exists for: per acquisition cohort, the FIRST month-age at which
+    // cumulative revenue per member crosses the acquisition-cost
+    // threshold ($500), with never-paying-back cohorts reported as -1.
+    // Rides q360's per-cohort cumulative machinery; the crossing is one
+    // min over the integer condition.
+    Q(
+      "q393_payback_period",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_custkey"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"))
+        val cohort = o.groupBy("o_custkey")
+          .agg(min(col("month")).as("cohort_month"))
+        val sizes = cohort.groupBy("cohort_month")
+          .agg(countDistinct(col("o_custkey")).as("cohort_size"))
+        val aged = o.join(cohort.hint("shuffle_hash"), "o_custkey")
+          .withColumn("age",
+            months_between(col("month"), col("cohort_month")).cast("long"))
+          .groupBy("cohort_month", "age")
+          .agg(sum(col("cents")).cast("long").as("rev"))
+        val wc = Window.partitionBy("cohort_month").orderBy("age")
+        val curve = aged
+          .withColumn("cum", sum(col("rev")).over(
+            wc.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+          .join(sizes, "cohort_month")
+        val crossed = curve
+          .filter(col("cum") >= col("cohort_size") * 50000L)
+          .groupBy("cohort_month")
+          .agg(min(col("age")).as("payback_age"))
+        sizes.join(crossed, Seq("cohort_month"), "left")
+          .select(col("cohort_month"), col("cohort_size"),
+            coalesce(col("payback_age"), lit(-1L)).as("payback_age_months"))
+          .orderBy("cohort_month")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM orders
+        ), cohort AS (
+          SELECT o_custkey, MIN(month) AS cohort_month FROM o GROUP BY 1
+        ), sizes AS (
+          SELECT cohort_month, CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                   AS cohort_size
+          FROM cohort GROUP BY 1
+        ), aged AS (
+          SELECT cohort_month,
+                 CAST(datediff('month', cohort_month, month) AS BIGINT) AS age,
+                 CAST(SUM(cents) AS BIGINT) AS rev
+          FROM o JOIN cohort USING (o_custkey)
+          GROUP BY 1, 2
+        ), curve AS (
+          SELECT cohort_month, age,
+                 CAST(SUM(rev) OVER (PARTITION BY cohort_month ORDER BY age
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM aged
+        ), crossed AS (
+          SELECT curve.cohort_month, CAST(MIN(age) AS BIGINT) AS payback_age
+          FROM curve JOIN sizes ON curve.cohort_month = sizes.cohort_month
+          WHERE cum >= cohort_size * 50000
+          GROUP BY 1
+        )
+        SELECT sizes.cohort_month, cohort_size,
+               CAST(coalesce(payback_age, -1) AS BIGINT)
+                 AS payback_age_months
+        FROM sizes LEFT JOIN crossed
+          ON sizes.cohort_month = crossed.cohort_month
+        ORDER BY sizes.cohort_month
       """.trim))
   )
 }
