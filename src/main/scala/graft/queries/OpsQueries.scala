@@ -2953,6 +2953,123 @@ object OpsQueries {
         FROM sizes LEFT JOIN crossed
           ON sizes.cohort_month = crossed.cohort_month
         ORDER BY sizes.cohort_month
+      """.trim)),
+
+    // Product adoption curve — how fast new items find buyers: each
+    // part's launch is its first ship month, every sale maps to a
+    // month-age since launch, and the curve aggregates ACROSS parts per
+    // age (orders, distinct buyers, exact revenue) with the cumulative
+    // share of all-time volume in bp from a windowless age×age
+    // self-join over the tiny age spine.
+    Q(
+      "q394_adoption_curve",
+      (s, dir) => {
+        val sales = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_partkey"), col("o_custkey"),
+            date_trunc("month", col("l_shipdate")).cast("date").as("m"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"))
+        val launch = sales.groupBy("l_partkey")
+          .agg(min(col("m")).as("launch_m"))
+        val aged = sales.join(launch.hint("shuffle_hash"), "l_partkey")
+          .withColumn("age", months_between(col("m"), col("launch_m"))
+            .cast("long"))
+          .groupBy("age")
+          .agg(count(lit(1)).as("n_sales"),
+            countDistinct(col("o_custkey")).as("n_buyers"),
+            sum(col("cents")).cast("long").as("rev_cents"))
+        val cum = aged.as("a")
+          .join(aged.select(col("age").as("age2"), col("n_sales").as("ns2"))
+            .as("b"), col("b.age2") <= col("a.age"))
+          .groupBy(col("a.age").as("age"), col("a.n_sales").as("n_sales"),
+            col("a.n_buyers").as("n_buyers"), col("a.rev_cents").as("rev_cents"))
+          .agg(sum(col("b.ns2")).cast("long").as("cum_sales"))
+        val total = aged.agg(sum(col("n_sales")).cast("long").as("__t"))
+        cum.crossJoin(broadcast(total))
+          .withColumn("cum_share_bp", expr("(cum_sales * 10000) div __t"))
+          .select(col("age"), col("n_sales"), col("n_buyers"), col("rev_cents"),
+            col("cum_share_bp"))
+          .orderBy("age")
+      },
+      Some("""
+        WITH sales AS (
+          SELECT l_partkey, o_custkey,
+                 CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), launch AS (
+          SELECT l_partkey, MIN(m) AS launch_m FROM sales GROUP BY 1
+        ), aged AS (
+          SELECT CAST(datediff('month', launch_m, m) AS BIGINT) AS age,
+                 CAST(COUNT(*) AS BIGINT) AS n_sales,
+                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_buyers,
+                 CAST(SUM(cents) AS BIGINT) AS rev_cents
+          FROM sales JOIN launch USING (l_partkey)
+          GROUP BY 1
+        ), tot AS (
+          SELECT CAST(SUM(n_sales) AS BIGINT) AS t FROM aged
+        )
+        SELECT a.age, a.n_sales, a.n_buyers, a.rev_cents,
+               CAST((SUM(b.n_sales) * 10000) // MAX(t) AS BIGINT)
+                 AS cum_share_bp
+        FROM aged a JOIN aged b ON b.age <= a.age CROSS JOIN tot
+        GROUP BY a.age, a.n_sales, a.n_buyers, a.rev_cents
+        ORDER BY a.age
+      """.trim)),
+
+    // Return rate by tenure — does behavior change as accounts age: each
+    // line item's return flag attributes to the customer's TENURE AT
+    // ORDER TIME (months since their first order — point-in-time
+    // correct, no future leakage), banded to new/establishing/mature,
+    // with return share per band in bp. Two aggregates and a broadcast
+    // of the first-order map.
+    Q(
+      "q395_tenure_behavior",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+        val first = o.groupBy("o_custkey").agg(min(col("m")).as("first_m"))
+        val banded = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+          .join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .join(first.hint("shuffle_hash"), "o_custkey")
+          .withColumn("tenure_months",
+            months_between(col("m"), col("first_m")).cast("long"))
+          .withColumn("band",
+            when(col("tenure_months") < 6, "0_new")
+              .when(col("tenure_months") < 24, "1_establishing")
+              .otherwise("2_mature"))
+        banded.groupBy("band")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("ret")).cast("long").as("n_returned"))
+          .withColumn("return_bp", expr("(n_returned * 10000) div n_lines"))
+          .orderBy("band")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+          FROM orders
+        ), first AS (
+          SELECT o_custkey, MIN(m) AS first_m FROM o GROUP BY 1
+        ), banded AS (
+          SELECT CASE WHEN datediff('month', first_m, m) < 6 THEN '0_new'
+                      WHEN datediff('month', first_m, m) < 24
+                        THEN '1_establishing'
+                      ELSE '2_mature' END AS band,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+          FROM lineitem
+          JOIN o ON l_orderkey = o_orderkey
+          JOIN first USING (o_custkey)
+        )
+        SELECT band, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(ret) AS BIGINT) AS n_returned,
+               CAST((SUM(ret) * 10000) // COUNT(*) AS BIGINT) AS return_bp
+        FROM banded GROUP BY band ORDER BY band
       """.trim))
   )
 }
