@@ -3070,6 +3070,84 @@ object OpsQueries {
                CAST(SUM(ret) AS BIGINT) AS n_returned,
                CAST((SUM(ret) * 10000) // COUNT(*) AS BIGINT) AS return_bp
         FROM banded GROUP BY band ORDER BY band
+      """.trim)),
+
+    // ARPU trend — the canonical revenue KPI stated exactly: monthly
+    // revenue in cents over monthly active (ordering) customers, as
+    // integer cents-per-user by integral division. One aggregate
+    // produces both numerator and distinct-count denominator; no joins,
+    // no windows, the KPI cannot drift between float implementations.
+    Q(
+      "q396_arpu",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+            .as("month"))
+          .agg(countDistinct(col("o_custkey")).as("active_customers"),
+            sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+              .cast("long").as("revenue_cents"))
+          .withColumn("arpu_cents",
+            expr("revenue_cents div active_customers"))
+          .orderBy("month")
+      },
+      Some("""
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS active_customers,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) // COUNT(DISTINCT o_custkey) AS BIGINT)
+                 AS arpu_cents
+        FROM orders GROUP BY 1 ORDER BY month
+      """.trim)),
+
+    // Basket-size distribution by segment — the order-composition
+    // histogram merchandisers read: lines-per-order counted per order,
+    // then the (segment, basket_size) frequency matrix with each cell's
+    // share of its segment in bp. Two hash aggregates and a broadcast
+    // segment dimension; grain changes (order → distribution cell) stay
+    // explicit at each step.
+    Q(
+      "q397_basket_size_dist",
+      (s, dir) => {
+        val baskets = Tables.lineitem(s, dir)
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("basket_size"))
+        val seg = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_mktsegment"))
+        val cells = baskets
+          .join(seg.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("c_mktsegment", "basket_size")
+          .agg(count(lit(1)).as("n_orders"))
+        val totals = cells.groupBy("c_mktsegment")
+          .agg(sum(col("n_orders")).cast("long").as("__t"))
+        cells.join(broadcast(totals), "c_mktsegment")
+          .select(col("c_mktsegment"), col("basket_size").cast("long")
+            .as("basket_size"), col("n_orders"),
+            expr("(n_orders * 10000) div __t").as("segment_share_bp"))
+          .orderBy("c_mktsegment", "basket_size")
+      },
+      Some("""
+        WITH baskets AS (
+          SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS basket_size
+          FROM lineitem GROUP BY 1
+        ), cells AS (
+          SELECT c_mktsegment, basket_size, CAST(COUNT(*) AS BIGINT)
+                   AS n_orders
+          FROM baskets
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2
+        ), totals AS (
+          SELECT c_mktsegment, CAST(SUM(n_orders) AS BIGINT) AS t
+          FROM cells GROUP BY 1
+        )
+        SELECT cells.c_mktsegment, basket_size, n_orders,
+               CAST((n_orders * 10000) // t AS BIGINT) AS segment_share_bp
+        FROM cells JOIN totals ON cells.c_mktsegment = totals.c_mktsegment
+        ORDER BY cells.c_mktsegment, basket_size
       """.trim))
   )
 }
