@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   *    survives via AQE skew splitting.
   *  - Exact-Jaccard verification runs only on the candidate pairs (two hash
   *    joins back to the per-doc shingle sets).
-  *  - `exactJaccardPairs` (inverted-index join on shared shingles) is the
-  *    small-corpus / oracle-friendly exact path; its shuffle grows with
-  *    sum(df^2) over shingle frequencies, so at 100 TB use minHashNearDupPairs
-  *    and keep this one for verification samples.
+  *  - EVERY candidate generator is bounded in the hottest key: MinHash/SimHash
+  *    band buckets are capped (maxBucket), `exactJaccardPairs` and
+  *    `prefixJaccardPairs` run the threshold-complete prefix filter (~(1-t)
+  *    of the postings, hot-shingle-immune), and `containmentPairs` caps the
+  *    posting-list document frequency (dfCap). Nothing in this file joins an
+  *    unbounded inverted index against itself — the shape whose cost is
+  *    quadratic in a data-dependent hot shingle.
   */
 object NearDup {
 
@@ -187,21 +190,38 @@ object NearDup {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen must be in (0,1]")
     val threshold = tNum.toDouble / tDen
     val sh = withShingles(docs, idCol, textCol, n)
-    // Prefix of the hash-sorted shingle set: length |S| - ceil(t|S|) + 1.
+    verifyJaccard(sh, idCol, prefixCandidates(sh, idCol, tNum, tDen), threshold)
+  }
+
+  /** Prefix-filter candidate core over a [[withShingles]] frame: the
+    * threshold-COMPLETE (id_a, id_b) candidate set for Jaccard >= tNum/tDen.
+    * Prefix of the hash-sorted shingle set has length |S| - ceil(t|S|) + 1;
+    * ceil(num*|S|/den) is computed as floor((num*|S| + den - 1) / den) —
+    * integer arithmetic (a float ceil(t*|A|) can land one above the true
+    * bound and silently drop candidates); the operands stay far below 2^53,
+    * so the double division + floor is integer-exact.
+    */
+  private[ext] def prefixCandidates(sh: DataFrame, idCol: String,
+      tNum: Int, tDen: Int): DataFrame = {
     val sz = size(col("__shingles"))
-    // ceil(num*|S|/den) as floor((num*|S| + den - 1) / den): the operands stay
-    // far below 2^53, so the double division + floor is integer-exact.
     val prefixLen = (sz - floor((sz * tNum + (tDen - 1)) / tDen) + 1).cast("int")
     val prefixes = sh.select(col(idCol),
       explode(slice(sort_array(transform(col("__shingles"), s => TextHash.hash60(s))),
         lit(1), prefixLen)).as("__p"))
-    val cand = prefixes.as("a")
+    prefixes.as("a")
       .join(prefixes.as("b").hint("shuffle_hash"),
         col("a.__p") === col("b.__p") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    // SHUFFLE_HASH: doc-linear shingle frame — same broadcast-build reasoning
-    // as the MinHash verify joins.
+  }
+
+  /** Exact-verify step shared by every exact-pairs plan: join the candidate
+    * (id_a, id_b) pairs back to the full shingle sets and keep those whose
+    * true Jaccard clears the threshold. SHUFFLE_HASH: doc-linear shingle
+    * frame — same broadcast-build reasoning as the MinHash verify joins.
+    */
+  private def verifyJaccard(sh: DataFrame, idCol: String, cand: DataFrame,
+      threshold: Double): DataFrame =
     cand
       .join(sh.select(col(idCol).as("id_a"), col("__shingles").as("__sa")).hint("shuffle_hash"),
         Seq("id_a"))
@@ -209,7 +229,6 @@ object NearDup {
         Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("__sa"), col("__sb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** Per-document duplicate-n-gram coverage: the fraction of a document's
     * distinct n-grams that occur in at least one OTHER document — the
@@ -266,57 +285,87 @@ object NearDup {
         size(col("__fps")).as("n_fps"), array_min(col("__fps")).as("min_fp"))
   }
 
-  /** Exact near-dup pairs via inverted-index join: explode shingles, join on
-    * the shingle, group to intersection counts, verify the Jaccard threshold.
-    * Only pairs sharing >= 1 shingle are ever materialized.
+  /** Exact near-dup pairs at a double threshold: the prefix-filter plan
+    * ([[prefixCandidates]]) with the threshold lowered to the rational
+    * floor(threshold*10^6)/10^6 for the prefix bound — a rational AT OR
+    * BELOW the double threshold only LENGTHENS the prefix, so the candidate
+    * set stays a superset of the threshold-complete one and the output is
+    * IDENTICAL to the naive inverted-index join (which this replaced: an
+    * uncapped posting-list self-join contributes df^2 candidate rows per
+    * shingle, so one stop-phrase trigram at corpus scale degenerates it
+    * into a de facto cartesian — the prefix plan touches ~(1-t) of the
+    * postings and is immune to hot shingles by construction: a
+    * high-frequency shingle sorts anywhere in the hash order, but each doc
+    * exposes only its first |S|-ceil(t|S|)+1 hashes).
     * Output: (id_a, id_b, jaccard) with id_a < id_b.
     */
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame =
-    intersections(docs, idCol, textCol, n)
-      .select(col("id_a"), col("id_b"),
-        (col("__inter").cast("double") /
-          (col("__na") + col("__nb") - col("__inter")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold must be in (0,1]")
+    val tDen = 1000000
+    val tNum = math.floor(threshold * tDen).toInt.max(1)
+    val sh = withShingles(docs, idCol, textCol, n)
+    verifyJaccard(sh, idCol, prefixCandidates(sh, idCol, tNum, tDen), threshold)
+  }
 
   /** Containment near-dup pairs: |A∩B|/|A| and |A∩B|/|B| — the ASYMMETRIC
     * similarity that catches a document embedded inside a larger one (quote
     * inclusion, concatenated crawls), which symmetric Jaccard dilutes (a
     * small doc inside a big one has low Jaccard but containment ~1). A pair
-    * survives when EITHER direction clears the threshold. Same
-    * inverted-index shuffle shape as [[exactJaccardPairs]].
+    * survives when EITHER direction clears the threshold.
+    *
+    * Candidate generation is the df-CAPPED inverted index
+    * ([[cappedIndexCandidates]]): prefix filtering cannot bound a
+    * containment join (the required overlap t*min(|A|,|B|) depends on the
+    * pair, so no per-set prefix is complete), and the uncapped index is
+    * quadratic in the hottest shingle's document frequency. Shingles in
+    * more than `dfCap` documents are excluded from candidate generation
+    * (NOT from verification, which runs on the full shingle sets) — so a
+    * pair is missed only when EVERY shingle it shares is corpus-hot, a
+    * boilerplate-only overlap that containment dedup deliberately ignores
+    * (the standard frequent-bucket suppression recall trade, same as
+    * [[simHashNearDupPairs]]'s maxBucket). Candidate volume is bounded by
+    * dfCap * |postings| — linear in the corpus at fixed cap.
     * Output: (id_a, id_b, containment_a, containment_b), id_a < id_b.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame =
-    intersections(docs, idCol, textCol, n)
-      .select(col("id_a"), col("id_b"),
-        (col("__inter").cast("double") / col("__na").cast("double")).as("containment_a"),
-        (col("__inter").cast("double") / col("__nb").cast("double")).as("containment_b"))
-      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
-
-  /** Shared inverted-index core: for every pair sharing >= 1 shingle,
-    * (id_a, id_b, __inter, __na, __nb) with id_a < id_b.
-    */
-  private def intersections(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+      n: Int, threshold: Double, dfCap: Int = 128): DataFrame = {
     val sh = withShingles(docs, idCol, textCol, n)
-    val sizes = sh.select(col(idCol), size(col("__shingles")).as("__n"))
-    val inv = sh.select(col(idCol), explode(col("__shingles")).as("__s"))
-    val inter = inv.as("a")
-      .join(inv.as("b").hint("shuffle_hash"),
-        col("a.__s") === col("b.__s") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .agg(count(lit(1)).as("__inter"))
-    // SHUFFLE_HASH: the per-doc frames are doc-linear — never broadcastable
-    // at scale, and a broadcast build here would serially re-evaluate the
-    // whole tokenize+shingle pipeline in one thread (parquet stats make the
-    // doc side look tiny, so the planner would pick it as build side).
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")).hint("shuffle_hash"),
+    cappedIndexCandidates(sh, idCol, dfCap)
+      .join(sh.select(col(idCol).as("id_a"), col("__shingles").as("__sa")).hint("shuffle_hash"),
         Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")).hint("shuffle_hash"),
+      .join(sh.select(col(idCol).as("id_b"), col("__shingles").as("__sb")).hint("shuffle_hash"),
         Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("__sa"), col("__sb"))).cast("double")
+          / size(col("__sa")).cast("double")).as("containment_a"),
+        (size(array_intersect(col("__sa"), col("__sb"))).cast("double")
+          / size(col("__sb")).cast("double")).as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+  }
+
+  /** df-capped inverted-index candidates over a [[withShingles]] frame:
+    * (id_a, id_b) for every pair sharing >= 1 shingle whose document
+    * frequency is <= dfCap. The df aggregate and the semi-join both shuffle
+    * on the shingle hash — bounded keys, and the surviving self-join
+    * contributes at most dfCap^2 rows per shingle.
+    */
+  private[ext] def cappedIndexCandidates(sh: DataFrame, idCol: String,
+      dfCap: Int): DataFrame = {
+    require(dfCap >= 2, s"dfCap=$dfCap must be >= 2 (a df-1 shingle pairs nothing)")
+    val inv = sh.select(col(idCol), explode(col("__shingles")).as("__s"))
+    val rare = inv.groupBy("__s").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap).select(col("__s"))
+    // SHUFFLE_HASH everywhere: inv and rare are corpus-linear — never
+    // broadcastable at scale, and a broadcast build would serially
+    // re-evaluate the tokenize+shingle pipeline in one thread (parquet
+    // stats make the doc side look tiny, so the planner would pick it).
+    val capped = inv.join(rare.hint("shuffle_hash"), Seq("__s"))
+    capped.as("a")
+      .join(capped.as("b").hint("shuffle_hash"),
+        col("a.__s") === col("b.__s") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
   }
 
   /** MinHash + banded-LSH near-dup pairs, exact-verified: generate candidate
@@ -411,19 +460,31 @@ object NearDup {
   }
 
   /** Connected components over near-dup pairs: iterative min-label
-    * propagation until fixpoint — the transitive-closure complement to
-    * [[dropNearDuplicates]]'s greedy policy (a~b, b~c clusters all three
-    * even when a and c never pair directly). Each iteration is one join +
-    * one min-aggregate over the (sparse) edge set, all distributed; the
-    * driver only counts label changes. Iterations are bounded by the
-    * largest cluster diameter — tight near-dup clusters converge in 2-3.
-    * Output: one row per node appearing in `pairs`, labeled with the
-    * minimum id of its component (`cluster_id`). Each iteration's label
-    * frame is `localCheckpoint`ed, not merely persisted: the physical plan
-    * stays O(1) deep across iterations instead of accreting the whole join
-    * history, which is what keeps the fixpoint runnable at cluster scale
-    * (a 30-iteration lineage over a 100 TB edge set would otherwise blow
-    * planning time and any lost-executor recomputation).
+    * propagation WITH POINTER HALVING until fixpoint — the
+    * transitive-closure complement to [[dropNearDuplicates]]'s greedy policy
+    * (a~b, b~c clusters all three even when a and c never pair directly).
+    *
+    * Each iteration does two distributed steps:
+    *  1. edge propagation: every node offers its label to its neighbors,
+    *     one join + one min-aggregate over the (sparse) edge set;
+    *  2. pointer halving (the path-compression half of large-star/
+    *     small-star, Kiveris et al. 2014): every node then jumps to its
+    *     LABEL's label — min(l(v), l(l(v))). A label is always the id of a
+    *     node reachable from v (both steps only ever forward reachable
+    *     ids), so correctness is untouched while label chains halve each
+    *     round: convergence drops from O(diameter) iterations to
+    *     O(log diameter) — the difference between 50 rounds and 6 on a
+    *     50-hop chain, and the property that makes the fixpoint viable on
+    *     high-diameter graphs, not just tight near-dup clusters.
+    *
+    * The driver only compares label sums. Output: one row per node
+    * appearing in `pairs`, labeled with the minimum id of its component
+    * (`cluster_id`). Each iteration's frames are `localCheckpoint`ed, not
+    * merely persisted: the physical plan stays O(1) deep across iterations
+    * instead of accreting the whole join history, which is what keeps the
+    * fixpoint runnable at cluster scale (a 30-iteration lineage over a
+    * 100 TB edge set would otherwise blow planning time and any
+    * lost-executor recomputation).
     */
   @volatile private[ext] var lastCCIterations: Int = -1
 
@@ -440,12 +501,12 @@ object NearDup {
       .distinct().repartition(n, col("src")).persist()
     var labels = undirected.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id")).persist()
-    // Convergence via the label-sum invariant: next(id) = min(old(id),
-    // incoming), so labels are monotonically non-increasing and the exact
-    // decimal sum is strictly smaller than the previous one until fixpoint
-    // (equal sums <=> no label moved). One tiny aggregate per iteration —
-    // no second join against the previous labels, and the same action that
-    // checks convergence also materializes the persisted next frame.
+    // Convergence via the label-sum invariant: next(id) = min over
+    // non-increasing updates, so labels are monotonically non-increasing and
+    // the exact decimal sum is strictly smaller than the previous one until
+    // fixpoint (equal sums <=> no label moved). One tiny aggregate per
+    // iteration — no second join against the previous labels, and the same
+    // action that checks convergence also materializes the stored frame.
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       // sum of an EMPTY frame is null — coalesce so a pair-less input
       // converges on the first check instead of NPE-ing the compare
@@ -460,10 +521,37 @@ object NearDup {
         .select(col("dst").as("id"), col("cluster_id"))
       // eager localCheckpoint: materializes AND truncates lineage (replaced
       // frames drop out of driver scope, so the ContextCleaner reclaims
-      // their blocks); the convergence check then reads the stored frame.
-      val next = labels.unionAll(prop)
+      // their blocks). Checkpointing the edge-step result is what lets the
+      // halving step's two consumers (probe + lookup sides) share one
+      // computed frame instead of re-running the propagation join twice.
+      val stepped = labels.unionAll(prop)
         .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint(eager = true)
+      // Pointer halving: l(v) <- min(l(v), l(l(v))). Every label is an id of
+      // a node in the frame (labels start as ids and both steps only forward
+      // existing labels), so the lookup always matches; the join is LEFT
+      // OUTER anyway because an outer join contributes no cross-side
+      // equality/null constraints — an inner join here plants constraints
+      // referencing the lookup side's attrs in the checkpointed frame, and
+      // next iteration's Union chokes rewriting them (attr not in child
+      // output). The label frame is one row per node — this join shuffles
+      // only label-frame bytes, never the edge set.
+      val halved = stepped.as("x")
+        .join(stepped.select(col("id").as("__pid"), col("cluster_id").as("__pl")).as("p"),
+          col("x.cluster_id") === col("__pid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.cluster_id"), coalesce(col("__pl"), col("x.cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(eager = true)
+      // Constraint-free view over the checkpointed blocks: localCheckpoint
+      // preserves the origin plan's CONSTRAINTS on its LogicalRDD, and the
+      // join-derived constraint set makes the NEXT iteration's
+      // union-with-prop crash in Catalyst's constraint rewrite
+      // (UnionBase.rewriteConstraints: join-side attrs that are absent from
+      // the union child's output). createDataFrame over the same RDD keeps
+      // the materialized data and the O(1) plan depth, drops the toxic
+      // constraint baggage.
+      val next = halved.sparkSession.createDataFrame(halved.rdd, halved.schema)
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next

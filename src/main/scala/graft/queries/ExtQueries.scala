@@ -72,8 +72,10 @@ object ExtQueries {
   private[queries] lazy val MinhashPairsCte: String = minhashPairsCteOver("documents")
 
   /** DuckDB oracle for exact trigram-Jaccard pairs at threshold 0.8 — shared
-    * by q23 (inverted-index plan) and q101 (prefix-filtered plan): two
-    * physical strategies, one answer.
+    * by q23 and q101. The oracle keeps the naive inverted-index formulation
+    * (simplest-correct SQL); BOTH Spark plans run the threshold-complete
+    * prefix filter, whose output is provably identical — the strongest
+    * cross-check that prefix candidate generation drops nothing.
     */
   private lazy val ExactJaccardPairsSql: String = s"""
         WITH d AS (
@@ -199,8 +201,10 @@ object ExtQueries {
       """.trim
       }),
 
-    // Exact n-gram-Jaccard near-dup pairs via inverted-index join (the
-    // verification-grade path; MinHash below is the 100 TB path).
+    // Exact n-gram-Jaccard near-dup pairs — threshold-complete prefix-filter
+    // candidates + full-set verify (identical output to the naive
+    // inverted-index join the oracle states, at ~20% of the postings and
+    // immune to hot shingles; MinHash below is the sub-linear-recall path).
     Q(
       "q23_ngram_jaccard",
       (s, dir) => NearDup.exactJaccardPairs(
@@ -1136,31 +1140,43 @@ object ExtQueries {
 
     // Containment pairs: the asymmetric |A∩B|/|A| similarity that catches a
     // doc embedded in a larger one (symmetric Jaccard dilutes those).
+    // Candidate generation is the df-capped inverted index (dfCap=128, the
+    // oracle applies the identical cap): shingles in >128 docs never
+    // generate candidates (boilerplate-only overlaps are deliberately
+    // ignored), verification runs on the FULL shingle sets — the bounded
+    // form of the previously-uncapped self-join whose cost was quadratic in
+    // the hottest shingle's document frequency.
     Q(
       "q74_ngram_containment",
       (s, dir) => NearDup.containmentPairs(
-          Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
+          Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8,
+          dfCap = 128)
         .orderBy("id_a", "id_b"),
       Some(s"""
         WITH d AS (
           SELECT doc_id, ${duckShingles(Toks, 3)} AS sh FROM documents
         ), inv AS (
           SELECT doc_id, unnest(sh) AS s FROM d
-        ), pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        ), sizes AS (
-          SELECT doc_id, len(sh) AS n FROM d
+        ), rare AS (
+          SELECT s FROM inv GROUP BY s HAVING COUNT(*) <= 128
+        ), cinv AS (
+          SELECT doc_id, s FROM inv JOIN rare USING (s)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM cinv a JOIN cinv b ON a.s = b.s AND a.doc_id < b.doc_id
         )
         SELECT id_a, id_b,
-               CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment_a,
-               CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment_b
-        FROM pairs
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE greatest(CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE),
-                       CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.8
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / CAST(len(sa.sh) AS DOUBLE) AS containment_a,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / CAST(len(sb.sh) AS DOUBLE) AS containment_b
+        FROM cand
+        JOIN d sa ON sa.doc_id = id_a
+        JOIN d sb ON sb.doc_id = id_b
+        WHERE greatest(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                         / CAST(len(sa.sh) AS DOUBLE),
+                       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                         / CAST(len(sb.sh) AS DOUBLE)) >= 0.8
         ORDER BY id_a, id_b
       """.trim)),
 
@@ -2620,7 +2636,7 @@ object ExtQueries {
         val mh = NearDup.minHashNearDupPairs(docs, "doc_id", "text",
           n = 3, k = 64, bands = 16, threshold = 0.8).select("id_a", "id_b")
         val cont = NearDup.containmentPairs(docs, "doc_id", "text",
-          n = 3, threshold = 0.8).select("id_a", "id_b")
+          n = 3, threshold = 0.8, dfCap = 128).select("id_a", "id_b")
         val fps = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         val exact = fps.as("a").join(fps.as("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -2636,18 +2652,21 @@ object ExtQueries {
           SELECT doc_id, ${duckShingles(Toks, 3)} AS sh FROM documents
         ), cinv AS (
           SELECT doc_id, unnest(sh) AS s FROM cd
-        ), cpairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-          FROM cinv a JOIN cinv b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        ), csizes AS (
-          SELECT doc_id, len(sh) AS n FROM cd
+        ), crare AS (
+          SELECT s FROM cinv GROUP BY s HAVING COUNT(*) <= 128
+        ), ccapped AS (
+          SELECT doc_id, s FROM cinv JOIN crare USING (s)
+        ), ccand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM ccapped a JOIN ccapped b ON a.s = b.s AND a.doc_id < b.doc_id
         ), cont AS (
-          SELECT id_a, id_b FROM cpairs
-          JOIN csizes sa ON sa.doc_id = id_a
-          JOIN csizes sb ON sb.doc_id = id_b
-          WHERE greatest(CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE),
-                         CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.8
+          SELECT id_a, id_b FROM ccand
+          JOIN cd sa ON sa.doc_id = id_a
+          JOIN cd sb ON sb.doc_id = id_b
+          WHERE greatest(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                           / CAST(len(sa.sh) AS DOUBLE),
+                         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                           / CAST(len(sb.sh) AS DOUBLE)) >= 0.8
         ), xf AS (
           SELECT doc_id, md5($NormText) AS fp FROM documents
         ), xpairs AS (

@@ -162,6 +162,22 @@ class ExtSpec extends SparkSpec {
       s"CC took ${NearDup.lastCCIterations} iterations")
   }
 
+  test("connectedComponents converges logarithmically on a high-diameter path") {
+    import spark.implicits._
+    // 41-node path graph (diameter 40): plain min-label propagation needs
+    // ~diameter rounds (41+ here — it would exhaust the default iteration
+    // budget); pointer halving must close it in O(log2(diameter)) — the
+    // scale property for web-graph-shaped components, where diameter is
+    // NOT the 2-3 hops of tight near-dup clusters.
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = NearDup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === (0L to 40L).map(_ -> 0L).toMap)
+    assert(NearDup.lastCCIterations <= 10,
+      s"CC took ${NearDup.lastCCIterations} iterations on a 40-hop path " +
+        "— pointer halving is not compressing label chains")
+  }
+
   test("connectedComponents on an empty pair set returns an empty labeling") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
@@ -278,19 +294,53 @@ class ExtSpec extends SparkSpec {
     assert(kept > 0.35 && kept < 0.65, s"keep rate $kept far from 0.5")
   }
 
-  test("prefix-filtered Jaccard pairs equal the full inverted-index pairs") {
-    // Completeness of the prefix filter (SSJoin lemma): same output as the
-    // exhaustive inverted-index form on the planted near-dup corpus, at two
-    // thresholds (exercises two different prefix lengths).
+  test("prefix-filtered Jaccard pairs equal the exhaustive all-pairs truth") {
+    // Completeness of the prefix filter (SSJoin lemma), checked against an
+    // INDEPENDENT exhaustive reference: brute-force every document pair
+    // (fine at 500 docs — never in the engine) and compare both prefix
+    // plans (rational-threshold and double-threshold forms) at two
+    // thresholds (two different prefix lengths).
+    val sh = docs.select(col("doc_id"),
+        NearDup.shingles(TextAnalysis.tokens(col("text")), 3).as("sh"))
+      .filter(col("doc_id").isNotNull && size(col("sh")) > 0)
     for ((num, den) <- Seq((4, 5), (3, 5))) {
       val t = num.toDouble / den
+      val truth = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          NearDup.jaccard(col("a.sh"), col("b.sh")).as("j"))
+        .filter(col("j") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val exact = NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val pref = NearDup.prefixJaccardPairs(docs, "doc_id", "text", 3, num, den)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      assert(exact.nonEmpty, "testdata should contain planted near-dup pairs")
-      assert(pref === exact, s"prefix filter must be complete at t=$t")
+      assert(truth.nonEmpty, "testdata should contain planted near-dup pairs")
+      assert(exact === truth, s"exactJaccardPairs must be complete at t=$t")
+      assert(pref === truth, s"prefix filter must be complete at t=$t")
     }
+  }
+
+  test("containment df-cap bounds candidates; rare-shingle pairs survive") {
+    // 14 docs share one corpus-hot trigram; docs 20/21 additionally share
+    // rare content (20 embedded in 21). With dfCap below the hot df, the
+    // hot shingle generates NO candidates (bounding the self-join at
+    // cap^2 rows per shingle) while the rare-overlap pair still pairs —
+    // and the final output is UNCHANGED vs an uncapped run, because
+    // hot-only overlaps could never clear the containment threshold here.
+    val hot = "common header boilerplate"
+    val rows = (1L to 12L).map(i =>
+      (i, s"$hot unique$i filler$i tail$i words$i here$i")) ++ Seq(
+      (20L, s"$hot alpha beta gamma delta epsilon zeta"),
+      (21L, s"$hot alpha beta gamma delta epsilon zeta extra trailing tokens appended here now"))
+    val df = rows.toDF("doc_id", "text")
+    val sh = NearDup.shingleFrame(df, "doc_id", "text", 3)
+    val capped = NearDup.cappedIndexCandidates(sh, "doc_id", dfCap = 5).count()
+    val uncapped = NearDup.cappedIndexCandidates(sh, "doc_id", dfCap = 100).count()
+    assert(capped === 1L, "only the rare-overlap pair may survive the cap")
+    assert(uncapped === (14L * 13L) / 2, "hot shingle alone pairs all 14 docs uncapped")
+    val out = NearDup.containmentPairs(df, "doc_id", "text", 3, 0.8, dfCap = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out === Set((20L, 21L, 1.0)), "doc 20 is fully contained in doc 21")
   }
 
   test("winnowing: shared w+n-1 token run yields a common fingerprint") {
