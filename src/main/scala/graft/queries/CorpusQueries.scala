@@ -1303,9 +1303,12 @@ object CorpusQueries {
     // vs the prior labels? The pair-counting index is kept ENTIRELY in
     // integers via the identity ARI = (2·C·I − 2·A·B) / (C·(A+B) − 2·A·B)
     // with I = Σ C(n_ij,2), A = Σ C(a_i,2), B = Σ C(b_j,2), C = C(n,2) —
-    // one final double division (products stay inside long for any corpus
-    // where C(n,2) · I fits 63 bits; ~3e14 here). Contingency is one
-    // (label × cell) aggregate over the q39 assignment.
+    // one final double division. A/B/C are quadratic in cluster sizes, so
+    // the PRODUCTS (C·I, A·B ~ size^4) leave int64 around 1e5 vectors per
+    // cell: per the repo's early-widening rule they are computed in
+    // DECIMAL(38,0) (exact to ~1e9 vectors per cell; the oracle mirrors
+    // with HUGEINT), and only the final ratio drops to double.
+    // Contingency is one (label × cell) aggregate over the q39 assignment.
     Q(
       "q290_ari_stability",
       (s, dir) => {
@@ -1324,14 +1327,16 @@ object CorpusQueries {
           .agg(sum(choose2(col("ai"))).as("a2"))
         val b2 = cont.groupBy("cell").agg(sum(col("nij")).as("bj"))
           .agg(sum(choose2(col("bj"))).as("b2"))
+        val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
         i2.crossJoin(a2).crossJoin(b2)
           .select(col("n"), col("a2"), col("b2"), col("i2"),
             choose2(col("n")).as("c2"))
           .select(col("n"), col("a2"), col("b2"), col("i2"),
-            ((lit(2L) * col("c2") * col("i2") - lit(2L) * col("a2") * col("b2"))
+            ((lit(2L) * dec(col("c2")) * dec(col("i2"))
+                - lit(2L) * dec(col("a2")) * dec(col("b2")))
               .cast("double") /
-              (col("c2") * (col("a2") + col("b2")) -
-                lit(2L) * col("a2") * col("b2")).cast("double")).as("ari"))
+              (dec(col("c2")) * (dec(col("a2")) + dec(col("b2"))) -
+                lit(2L) * dec(col("a2")) * dec(col("b2"))).cast("double")).as("ari"))
       },
       Some(s"""
         WITH m AS (
@@ -1367,8 +1372,11 @@ object CorpusQueries {
           FROM (SELECT SUM(nij) AS bj FROM cont GROUP BY cell)
         )
         SELECT n, a2, b2, i2,
-               CAST(2 * (n * (n - 1) // 2) * i2 - 2 * a2 * b2 AS DOUBLE)
-                 / CAST((n * (n - 1) // 2) * (a2 + b2) - 2 * a2 * b2 AS DOUBLE)
+               CAST(2 * CAST(n * (n - 1) // 2 AS HUGEINT) * CAST(i2 AS HUGEINT)
+                    - 2 * CAST(a2 AS HUGEINT) * CAST(b2 AS HUGEINT) AS DOUBLE)
+                 / CAST(CAST(n * (n - 1) // 2 AS HUGEINT)
+                        * (CAST(a2 AS HUGEINT) + CAST(b2 AS HUGEINT))
+                        - 2 * CAST(a2 AS HUGEINT) * CAST(b2 AS HUGEINT) AS DOUBLE)
                  AS ari
         FROM tot, am, bm
       """.trim)),

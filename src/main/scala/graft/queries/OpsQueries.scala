@@ -653,17 +653,23 @@ object OpsQueries {
             (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
               .as("cents"))
           .write.mode("overwrite").parquet(path)
-        val conf = s.conf
-        val keys = Seq("spark.sql.parquet.aggregatePushdown" -> "true",
-          "spark.sql.sources.useV1SourceList" -> "")
-        val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
-        keys.foreach { case (k, v) => conf.set(k, v) }
-        // materialize INSIDE the scoped confs (the pushdown decision is
-        // made at execution time — restoring first would silently fall
-        // back to the decode path), assert the plan actually pushed, and
+        // The DSv2 confs live on an ISOLATED child session (newSession:
+        // same SparkContext + catalog, fresh SQLConf): flipping
+        // useV1SourceList on the shared session would silently switch any
+        // co-running query onto DSv2 scan paths — the conf-immutability
+        // invariant documented in Tables.scala. The child session's confs
+        // initialize from the shared SparkConf (all builder-time confs:
+        // shuffle partitions, timezone, rebase mode), and the frame read
+        // below is the locally-written long-typed parquet, so no
+        // runtime-set parent conf is load-bearing here.
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        s2.conf.set("spark.sql.sources.useV1SourceList", "")
+        // materialize on the scoped session (the pushdown decision is
+        // made at execution time), assert the plan actually pushed, and
         // hand back the 1-row result as a local frame
-        val resultRow = try {
-          val df = s.read.parquet(path)
+        val resultRow = {
+          val df = s2.read.parquet(path)
             .agg(count(lit(1)).as("n_rows"),
               min(col("cents")).as("min_cents"),
               max(col("cents")).as("max_cents"))
@@ -671,9 +677,6 @@ object OpsQueries {
               .contains("PushedAggregation: [COUNT(*), MIN(cents), MAX(cents)]"),
             "parquet aggregate pushdown did not fire")
           df.collect()(0)
-        } finally saved.foreach {
-          case (k, Some(v)) => conf.set(k, v)
-          case (k, None)    => conf.unset(k)
         }
         import s.implicits._
         Seq((resultRow.getLong(0), resultRow.getLong(1), resultRow.getLong(2)))
@@ -1803,7 +1806,7 @@ object OpsQueries {
       "q368_reorder_point",
       (s, dir) => {
         val weekly = Tables.lineitem(s, dir)
-          .join(broadcast(Tables.part(s, dir)),
+          .join(Tables.part(s, dir).hint("shuffle_hash"),
             col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"),
             date_trunc("week", col("l_shipdate")).cast("date").as("week"))
@@ -2005,7 +2008,7 @@ object OpsQueries {
       "q372_topn_other",
       (s, dir) => {
         val rev = Tables.lineitem(s, dir)
-          .join(broadcast(Tables.part(s, dir)),
+          .join(Tables.part(s, dir).hint("shuffle_hash"),
             col("l_partkey") === col("p_partkey"))
           .groupBy("p_brand")
           .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
@@ -3148,6 +3151,52 @@ object OpsQueries {
                CAST((n_orders * 10000) // t AS BIGINT) AS segment_share_bp
         FROM cells JOIN totals ON cells.c_mktsegment = totals.c_mktsegment
         ORDER BY cells.c_mktsegment, basket_size
+      """.trim)),
+
+    // Runtime bloom-filter join gate — InjectRuntimeFilter end-to-end with
+    // VALUES, not just a plan pin: a selectively-filtered dim (orders,
+    // status F over 150k) joins the 100 TB-shaped fact (lineitem) as a
+    // SHUFFLE join; Spark builds a bloom filter from the filtered dim and
+    // probes it BELOW the fact-side exchange, so at scale the fact rows
+    // that can't join are dropped before ever shuffling. Cluster-tuned
+    // size thresholds are lowered on an isolated child session (the q347
+    // newSession discipline — the parent's confs are never touched); the
+    // builder REQUIRES the bloom probe in the executed plan, so this gate
+    // can never silently degrade to an unfiltered shuffle, and the DuckDB
+    // oracle checks the joined aggregate values.
+    Q(
+      "q398_bloom_join_gate",
+      (s, dir) => {
+        val s2 = s.newSession()
+        s2.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val dim = Tables.orders(s2, dir)
+          .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 150000.0)
+          .select("o_orderkey", "o_orderpriority")
+        val fact = Tables.lineitem(s2, dir)
+          .select(col("l_orderkey"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"))
+        val df = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("cents")).cast("long").as("rev_cents"))
+          .orderBy("o_orderpriority")
+        require(df.queryExecution.executedPlan.toString.toLowerCase
+            .contains("might_contain"),
+          "runtime bloom filter was not injected below the fact exchange")
+        df
+      },
+      Some("""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
       """.trim))
   )
 }

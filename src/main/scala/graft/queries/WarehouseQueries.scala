@@ -914,7 +914,7 @@ object WarehouseQueries {
       "q310_wilson_rank",
       (s, dir) => {
         val stats = Tables.lineitem(s, dir)
-          .join(broadcast(Tables.part(s, dir)),
+          .join(Tables.part(s, dir).hint("shuffle_hash"),
             col("l_partkey") === col("p_partkey"))
           .groupBy("p_brand")
           .agg(count(lit(1)).as("n"),
@@ -1659,7 +1659,7 @@ object WarehouseQueries {
       "q322_pvm_bridge",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
-          .join(broadcast(Tables.part(s, dir)),
+          .join(Tables.part(s, dir).hint("shuffle_hash"),
             col("l_partkey") === col("p_partkey"))
           .select(col("p_brand"), year(col("l_shipdate")).as("yr"),
             col("l_quantity").cast("long").as("q"),

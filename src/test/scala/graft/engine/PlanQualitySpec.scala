@@ -257,12 +257,12 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("exact-Jaccard plan reuses the shingle exchange across its four consumers") {
-    // exactJaccardPairs consumes the shingle frame 4x: both inverted-index
-    // sides and both size lookups. Same reuse condition as the minhash spec:
-    // identical predicate sets inside withShingles => identical canonical
-    // subtrees => AQE reuses the repartition stage instead of re-running
-    // tokenize+shingle per consumer.
+  test("exact-Jaccard plan reuses the shingle exchange across its consumers") {
+    // exactJaccardPairs consumes the shingle frame 3x: the prefix-posting
+    // generator and both verify-side lookups. Same reuse condition as the
+    // minhash spec: identical predicate sets inside withShingles =>
+    // identical canonical subtrees => AQE reuses the repartition stage
+    // instead of re-running tokenize+shingle per consumer.
     val df = graft.ext.NearDup.exactJaccardPairs(
       graft.Tables.documents(spark, sf0001), "doc_id", "text",
       n = 3, threshold = 0.8)
@@ -510,15 +510,19 @@ class PlanQualitySpec extends SparkSpec {
       s"cold path must keep a shuffle join:\n$plan")
   }
 
-  test("Wilson ranking broadcasts the part dimension into the fact scan") {
-    // q310 joins the 100 TB-shaped fact (lineitem) against the bounded
-    // part dim: the dim must ride broadcast — a shuffled fact for a
-    // dimension lookup is the classic star-join regression.
+  test("Wilson ranking joins part via shuffle hash, never a broadcast of the dim") {
+    // q310 joins the 100 TB-shaped fact (lineitem) against part. part is NOT
+    // a bounded frame — it scales with SF (~200k*SF rows; ~2e10 at the
+    // 100 TB design point), so broadcasting it would OOM the executors at
+    // scale even though it fits at test SF. The scalable shape is a shuffled
+    // hash join on the equi-key; pin that no BroadcastHashJoin sneaks in.
     val df = graft.SparkEntry.queries("q310_wilson_rank")(spark, sf0001)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"expected the part dim broadcast in:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected the part join as ShuffledHashJoin in:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"the SF-scaling part dim must not be broadcast:\n$plan")
   }
 
   test("ABC classification plans no WindowExec: the running share is the RDD prefix sum") {
