@@ -1,5 +1,6 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main (driver contract). Measures full materialization of every
   * registered query via a noop-format write — `.count()` would let Catalyst
@@ -50,11 +51,101 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // Short total-only line FIRST: the driver stores only the tail of the
-    // output, and the per-query map outgrew it in round 3 (BENCH_r03 kept a
-    // truncated JSON with parsed:null). The compact line always survives.
+    // Scale rehearsal: re-time the 10 heaviest queries ONCE against a
+    // deterministically derived 10x dataset — the cheapest empirical check
+    // of the plan pins' 100x-scale claims. A query whose ratio grows far
+    // beyond the data factor is super-linear in a data-dependent hot spot.
+    val scaleup =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALEUP", "1") == "0") ""
+      else try {
+        val factor = 10
+        val dir10 = ScaleData.build(spark, sfDir, factor)
+        val heavy = results.sortBy(-_._2).take(10).map(_._1)
+        val entries = heavy.map { name =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { materializeAt(name, dir10); true }
+            catch { case e: Throwable =>
+              System.err.println(s"SCALE-FAIL $name: $e"); false }
+          val sec = (System.nanoTime() - t0) / 1e9
+          val base = best(name)
+          val ratio = if (base > 0) sec / base else -1.0
+          s"\"" + name + s"\":{\"sf\":$base,\"x$factor\":$sec," +
+            s"\"ratio\":$ratio,\"ok\":$ok}"
+        }
+        s""","scaleup":{"factor":$factor,"queries":${entries.mkString("{", ",", "}")}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"SCALE-REHEARSAL-SKIPPED: $e"); ""
+      }
+    // Emission order matters: the driver stores only the TAIL of the output,
+    // and the per-query map outgrew it in rounds 3 AND 4 (both artifacts kept
+    // a truncated JSON with parsed:null). The compact total-only line goes
+    // BOTH before and — decisively — AFTER the huge per-query line, so the
+    // tail always ends with a parseable total no matter how much the map
+    // truncates.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"$scaleup}""")
     spark.stop()
+  }
+
+  private def materializeAt(name: String, dir: String): Unit = {
+    val spark = SparkSession.active
+    SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+  }
+}
+
+/** Derives a `factor`x dataset from a harness scale dir for the Bench scale
+  * rehearsal (never used by correctness gates — those run only on driver
+  * data). The derivation is deterministic and preserves each table's
+  * STATISTICAL shape without creating cross-copy duplicates, so dedup/ANN
+  * workloads scale the way a genuinely larger corpus would instead of
+  * exploding quadratically on planted copy-pairs:
+  *  - documents: copy k suffixes every token with `_k` — shingle/token
+  *    structure identical within a copy, disjoint across copies (10 shards);
+  *  - embeddings: copy k sign-flips a k-dependent subset of dimensions —
+  *    norms and within-copy geometry identical, cross-copy cosine scattered;
+  *  - lineitem/orders: order keys shifted per copy (join integrity kept);
+  *    customer/part/supplier keys untouched — dims stay fixed, so per-key
+  *    fan-in grows with the factor (the conservative direction for skew);
+  *  - events: event/user ids shifted per copy (factor x users, same window).
+  */
+object ScaleData {
+  private val KeyOff = 1000000000L
+
+  def build(spark: SparkSession, sfDir: String, factor: Int): String = {
+    val out = s"/tmp/graft_scale/${spark.sparkContext.applicationId}/" +
+      s"${new java.io.File(sfDir).getName}_x$factor"
+    def copies(df: DataFrame, derive: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(k => derive(df, k)).reduce(_ unionAll _)
+    def write(name: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(t => write(t, Tables.read(spark, sfDir, t)))
+    write("documents", copies(Tables.read(spark, sfDir, "documents"), (df, k) =>
+      if (k == 0) df
+      else {
+        val text = array_join(
+          transform(split(col("text"), " "), t => concat(t, lit(s"_$k"))), " ")
+        df.select((col("doc_id") + k * KeyOff).as("doc_id"), text.as("text"),
+          col("lang"), col("source"), length(text).cast("long").as("n_chars"))
+      }))
+    write("embeddings", copies(Tables.read(spark, sfDir, "embeddings"), (df, k) =>
+      if (k == 0) df
+      else df.select((col("vec_id") + k * KeyOff).as("vec_id"),
+        transform(col("embedding"),
+          (v, i) => when((i + k) % 3 === 0, -v).otherwise(v))
+          .cast("array<float>").as("embedding"),
+        col("label"))))
+    write("lineitem", copies(Tables.read(spark, sfDir, "lineitem"), (df, k) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + k * KeyOff)))
+    write("orders", copies(Tables.read(spark, sfDir, "orders"), (df, k) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + k * KeyOff)))
+    write("events", copies(Tables.read(spark, sfDir, "events"), (df, k) =>
+      df.withColumn("event_id", col("event_id") + k * KeyOff)
+        .withColumn("user_id", col("user_id") + k * KeyOff)))
+    out
   }
 }

@@ -359,6 +359,71 @@ object CoreQueries {
                MAX(o_orderdate) AS last_order,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS total_sales
         FROM orders
+      """.trim)),
+
+    // SparkSessionExtensions front door (X20), value-gated end-to-end: a
+    // session built with the `GraftExtensions` plugin class (through the
+    // builder's public `withExtensions` hook — the programmatic twin of
+    // `--conf spark.sql.extensions=graft.GraftExtensions`, which is a
+    // STATIC conf and so can only ride a cold JVM start; both feed the same
+    // SparkSessionExtensions object) resolves graft_hash60 / graft_vec_dot
+    // straight from the injected function registry, in SQL text —
+    // GraftFunctions.ensureRegistered is deliberately NOT called on it.
+    // Default/active session are cleared so getOrCreate actually constructs
+    // (and runs the injections on) a fresh session, then restored in the
+    // finally — the same leave-no-trace discipline as the q347/q398
+    // newSession gates. Aggregates are order-free (counts, modular long
+    // sum, min/max of individually-deterministic doubles) so the result is
+    // hash-exact.
+    Q(
+      "q400_extensions_sql_gate",
+      (s, dir) => {
+        import org.apache.spark.sql.SparkSession
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        val s2 = try SparkSession.builder()
+            .withExtensions(new graft.GraftExtensions())
+            .getOrCreate()
+          finally {
+            SparkSession.setDefaultSession(s)
+            SparkSession.setActiveSession(s)
+          }
+        require(s2 ne s, "builder must construct a fresh extension-loaded session")
+        require(s2.sessionState.functionRegistry
+            .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hash60")),
+          "GraftExtensions did not inject graft_hash60")
+        Tables.documents(s2, dir).createOrReplaceTempView("graft_ext_docs")
+        Tables.embeddings(s2, dir).createOrReplaceTempView("graft_ext_embs")
+        s2.sql("""
+          SELECT d.n_docs, d.h60_mod_sum, e.n_vecs, e.max_dot, e.min_dot
+          FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(graft_hash60(text) % 1000000007) AS BIGINT)
+                         AS h60_mod_sum
+                FROM graft_ext_docs) d
+          CROSS JOIN
+               (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                       MAX(graft_vec_dot(embedding, embedding)) AS max_dot,
+                       MIN(graft_vec_dot(embedding, embedding)) AS min_dot
+                FROM graft_ext_embs) e
+        """)
+      },
+      Some(s"""
+        SELECT d.n_docs, d.h60_mod_sum, e.n_vecs, e.max_dot, e.min_dot
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(${graft.ext.TextHash.duckHash60("text")} % 1000000007)
+                       AS BIGINT) AS h60_mod_sum
+              FROM documents) d
+        CROSS JOIN
+             (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                     MAX(list_sum([CAST(embedding[i] AS DOUBLE)
+                                   * CAST(embedding[i] AS DOUBLE)
+                                   FOR i IN generate_series(1, len(embedding))]))
+                       AS max_dot,
+                     MIN(list_sum([CAST(embedding[i] AS DOUBLE)
+                                   * CAST(embedding[i] AS DOUBLE)
+                                   FOR i IN generate_series(1, len(embedding))]))
+                       AS min_dot
+              FROM embeddings) e
       """.trim))
   )
 }

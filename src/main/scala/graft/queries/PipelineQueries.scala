@@ -4274,6 +4274,40 @@ object PipelineQueries {
                CAST(MIN(length(text)) AS INTEGER) AS min_len,
                CAST(MAX(length(text)) AS INTEGER) AS max_len
         FROM documents
+      """.trim)),
+
+    // Typed-Aggregator centroid gate — the programmatic
+    // KeyValueGroupedDataset.agg path (custom UDAF surface) made
+    // hash-comparable: QuantizedCentroidAggregator holds per-dim FIXED-POINT
+    // LONG sums (floor(v * 2^24) — integer addition is merge-order-free, so
+    // any partitioning yields bit-identical buffers), with the single double
+    // division at finish mirrored verbatim by the oracle. This value-gates
+    // the last spec-only compute component (the double-sum CentroidAggregator
+    // stays as the order-dependent contrast, spec-checked within tolerance).
+    Q(
+      "q399_centroid_udaf_gate",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+        val dim = e.select(size(col("embedding"))).head.getInt(0)
+        e.select(col("label"), col("embedding").as("v"))
+          .as[(Int, Seq[Float])]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(new graft.functions.QuantizedCentroidAggregator(dim)
+            .toColumn.name("centroid"))
+          .toDF("label", "centroid")
+          .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "mean")))
+          .orderBy("label", "dim")
+      },
+      Some("""
+        SELECT label, CAST(u.i - 1 AS INTEGER) AS dim,
+               CAST(SUM(CAST(floor(CAST(u.v AS DOUBLE) * 16777216.0) AS BIGINT))
+                 AS DOUBLE) / COUNT(*) / 16777216.0 AS mean
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS v,
+                             generate_subscripts(embedding, 1) AS i) u
+        GROUP BY label, dim ORDER BY label, dim
       """.trim))
   )
 }
