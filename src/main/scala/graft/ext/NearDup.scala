@@ -200,13 +200,22 @@ object NearDup {
     * integer arithmetic (a float ceil(t*|A|) can land one above the true
     * bound and silently drop candidates); the operands stay far below 2^53,
     * so the double division + floor is integer-exact.
+    *
+    * The global shingle order is xxhash64, NOT the engine's md5-based
+    * hash60: the order is purely internal to candidate generation (any
+    * hash shared by all documents yields a complete candidate superset —
+    * a collision merely merges two order positions and can only ADD a
+    * candidate; the exact verify decides the output), and inside the
+    * `transform` lambda the hash evaluates INTERPRETED per shingle —
+    * md5 there measured ~240 CPU-seconds per million documents-worth of
+    * postings, 10x the rest of the plan; xxhash64 is ~50x cheaper.
     */
   private[ext] def prefixCandidates(sh: DataFrame, idCol: String,
       tNum: Int, tDen: Int): DataFrame = {
     val sz = size(col("__shingles"))
     val prefixLen = (sz - floor((sz * tNum + (tDen - 1)) / tDen) + 1).cast("int")
     val prefixes = sh.select(col(idCol),
-      explode(slice(sort_array(transform(col("__shingles"), s => TextHash.hash60(s))),
+      explode(slice(sort_array(transform(col("__shingles"), s => xxhash64(s))),
         lit(1), prefixLen)).as("__p"))
     prefixes.as("a")
       .join(prefixes.as("b").hint("shuffle_hash"),
@@ -314,33 +323,57 @@ object NearDup {
     * small doc inside a big one has low Jaccard but containment ~1). A pair
     * survives when EITHER direction clears the threshold.
     *
-    * Candidate generation is the df-CAPPED inverted index
-    * ([[cappedIndexCandidates]]): prefix filtering cannot bound a
-    * containment join (the required overlap t*min(|A|,|B|) depends on the
-    * pair, so no per-set prefix is complete), and the uncapped index is
-    * quadratic in the hottest shingle's document frequency. Shingles in
-    * more than `dfCap` documents are excluded from candidate generation
-    * (NOT from verification, which runs on the full shingle sets) — so a
-    * pair is missed only when EVERY shingle it shares is corpus-hot, a
-    * boilerplate-only overlap that containment dedup deliberately ignores
-    * (the standard frequent-bucket suppression recall trade, same as
-    * [[simHashNearDupPairs]]'s maxBucket). Candidate volume is bounded by
-    * dfCap * |postings| — linear in the corpus at fixed cap.
+    * Computed entirely within the df-CAPPED shingle universe: shingles in
+    * more than `dfCap` documents are dropped up front, and both the
+    * intersection counts AND the set sizes are taken over the surviving
+    * (discriminative) shingles. Two reasons, and both matter at 100 TB:
+    *  - cost: prefix filtering cannot bound a containment join (the
+    *    required overlap t*min(|A|,|B|) depends on the pair, so no per-set
+    *    prefix is complete), and an uncapped inverted index is quadratic in
+    *    the hottest shingle's document frequency — one stop-phrase trigram
+    *    makes it a de facto cartesian. Capped, the self-join contributes at
+    *    most dfCap^2 rows per shingle, and every joined payload is an
+    *    integer count — no shingle arrays ever shuffle (a full-set verify
+    *    at this candidate volume measured 3.7x slower end-to-end).
+    *  - semantics: corpus-hot shingles are boilerplate (headers, nav
+    *    chrome, license text); counting them inflates containment exactly
+    *    for the small-doc-inside-big-doc case this operator exists for.
+    *    Rare-universe containment is the boilerplate-insensitive form —
+    *    the same reasoning as stopword removal and
+    *    [[simHashNearDupPairs]]'s frequent-bucket suppression.
+    * A pair is emitted iff it shares >= 1 sub-cap shingle and its
+    * rare-universe containment clears the threshold; documents whose every
+    * shingle is hot drop out (no discriminative content to compare).
     * Output: (id_a, id_b, containment_a, containment_b), id_a < id_b.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, dfCap: Int = 128): DataFrame = {
+    require(dfCap >= 2, s"dfCap=$dfCap must be >= 2 (a df-1 shingle pairs nothing)")
     val sh = withShingles(docs, idCol, textCol, n)
-    cappedIndexCandidates(sh, idCol, dfCap)
-      .join(sh.select(col(idCol).as("id_a"), col("__shingles").as("__sa")).hint("shuffle_hash"),
+    val inv = sh.select(col(idCol), explode(col("__shingles")).as("__s"))
+    val rare = inv.groupBy("__s").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap).select(col("__s"))
+    // SHUFFLE_HASH everywhere: inv/rare/sizes are corpus-linear — never
+    // broadcastable at scale, and a broadcast build would serially
+    // re-evaluate the tokenize+shingle pipeline in one thread (parquet
+    // stats make the doc side look tiny, so the planner would pick it).
+    // capped ends in the __s-keyed join, so the pair self-join below reuses
+    // that partitioning; only the size aggregate re-keys (by doc id).
+    val capped = inv.join(rare.hint("shuffle_hash"), Seq("__s"))
+    val sizes = capped.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val inter = capped.as("a")
+      .join(capped.as("b").hint("shuffle_hash"),
+        col("a.__s") === col("b.__s") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")).hint("shuffle_hash"),
         Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("__shingles").as("__sb")).hint("shuffle_hash"),
+      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")).hint("shuffle_hash"),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("__sa"), col("__sb"))).cast("double")
-          / size(col("__sa")).cast("double")).as("containment_a"),
-        (size(array_intersect(col("__sa"), col("__sb"))).cast("double")
-          / size(col("__sb")).cast("double")).as("containment_b"))
+        (col("__inter").cast("double") / col("__na").cast("double")).as("containment_a"),
+        (col("__inter").cast("double") / col("__nb").cast("double")).as("containment_b"))
       .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
   }
 

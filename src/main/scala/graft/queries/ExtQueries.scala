@@ -1140,12 +1140,12 @@ object ExtQueries {
 
     // Containment pairs: the asymmetric |A∩B|/|A| similarity that catches a
     // doc embedded in a larger one (symmetric Jaccard dilutes those).
-    // Candidate generation is the df-capped inverted index (dfCap=128, the
-    // oracle applies the identical cap): shingles in >128 docs never
-    // generate candidates (boilerplate-only overlaps are deliberately
-    // ignored), verification runs on the FULL shingle sets — the bounded
-    // form of the previously-uncapped self-join whose cost was quadratic in
-    // the hottest shingle's document frequency.
+    // Computed over the df-capped DISCRIMINATIVE shingle universe (dfCap=128,
+    // oracle identical): shingles in >128 docs — boilerplate — are excluded
+    // from intersections AND sizes, which both bounds the self-join (at most
+    // cap^2 rows per shingle; the uncapped form was quadratic in the hottest
+    // shingle's df) and stops boilerplate inflating the containment of small
+    // docs. Integer counts only — no shingle arrays ever shuffle.
     Q(
       "q74_ngram_containment",
       (s, dir) => NearDup.containmentPairs(
@@ -1161,22 +1161,21 @@ object ExtQueries {
           SELECT s FROM inv GROUP BY s HAVING COUNT(*) <= 128
         ), cinv AS (
           SELECT doc_id, s FROM inv JOIN rare USING (s)
-        ), cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n FROM cinv GROUP BY doc_id
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
           FROM cinv a JOIN cinv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
         )
         SELECT id_a, id_b,
-               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                 / CAST(len(sa.sh) AS DOUBLE) AS containment_a,
-               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                 / CAST(len(sb.sh) AS DOUBLE) AS containment_b
-        FROM cand
-        JOIN d sa ON sa.doc_id = id_a
-        JOIN d sb ON sb.doc_id = id_b
-        WHERE greatest(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                         / CAST(len(sa.sh) AS DOUBLE),
-                       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                         / CAST(len(sb.sh) AS DOUBLE)) >= 0.8
+               CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment_a,
+               CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment_b
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE greatest(CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE),
+                       CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.8
         ORDER BY id_a, id_b
       """.trim)),
 
@@ -2656,17 +2655,18 @@ object ExtQueries {
           SELECT s FROM cinv GROUP BY s HAVING COUNT(*) <= 128
         ), ccapped AS (
           SELECT doc_id, s FROM cinv JOIN crare USING (s)
-        ), ccand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        ), csizes AS (
+          SELECT doc_id, COUNT(*) AS n FROM ccapped GROUP BY doc_id
+        ), cpairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
           FROM ccapped a JOIN ccapped b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
         ), cont AS (
-          SELECT id_a, id_b FROM ccand
-          JOIN cd sa ON sa.doc_id = id_a
-          JOIN cd sb ON sb.doc_id = id_b
-          WHERE greatest(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                           / CAST(len(sa.sh) AS DOUBLE),
-                         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                           / CAST(len(sb.sh) AS DOUBLE)) >= 0.8
+          SELECT id_a, id_b FROM cpairs
+          JOIN csizes sa ON sa.doc_id = id_a
+          JOIN csizes sb ON sb.doc_id = id_b
+          WHERE greatest(CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE),
+                         CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.8
         ), xf AS (
           SELECT doc_id, md5($NormText) AS fp FROM documents
         ), xpairs AS (

@@ -324,9 +324,10 @@ class ExtSpec extends SparkSpec {
     // 14 docs share one corpus-hot trigram; docs 20/21 additionally share
     // rare content (20 embedded in 21). With dfCap below the hot df, the
     // hot shingle generates NO candidates (bounding the self-join at
-    // cap^2 rows per shingle) while the rare-overlap pair still pairs —
-    // and the final output is UNCHANGED vs an uncapped run, because
-    // hot-only overlaps could never clear the containment threshold here.
+    // cap^2 rows per shingle) while the rare-overlap pair still pairs,
+    // and its rare-universe containment (6 shared discriminative trigrams
+    // over doc 20's 6 discriminative trigrams) is exactly 1.0 — the hot
+    // boilerplate trigram is excluded from numerator AND denominator.
     val hot = "common header boilerplate"
     val rows = (1L to 12L).map(i =>
       (i, s"$hot unique$i filler$i tail$i words$i here$i")) ++ Seq(
