@@ -60,7 +60,12 @@ object Bench {
       else try {
         val factor = 10
         val dir10 = ScaleData.build(spark, sfDir, factor)
-        val heavy = results.sortBy(-_._2).take(10).map(_._1)
+        // Streaming gates are excluded: their cost is watermark/state-bounded
+        // (not scan-bound — exactly what the rehearsal probes), and their
+        // staged checkpoint/input scratch dirs assume the driver-provided
+        // sf dir layout.
+        val heavy = results.filterNot(_._1.contains("stream"))
+          .sortBy(-_._2).take(10).map(_._1)
         val entries = heavy.map { name =>
           val t0 = System.nanoTime()
           val ok =

@@ -38,7 +38,8 @@ object ExtQueries {
     * table-parameterized form lets funnel-style oracles run the same chain
     * over an intermediate CTE (any relation with doc_id + text).
     */
-  private[queries] def minhashPairsCteOver(table: String): String = s"""
+  private[queries] def minhashPairsCteOver(table: String,
+      thresholdSql: String = "0.8"): String = s"""
         WITH d AS (
           SELECT doc_id, ${duckShingles(Toks, 3)} AS sh FROM $table
         ), sigs AS (
@@ -66,7 +67,7 @@ object ExtQueries {
           JOIN sigs sa ON sa.doc_id = id_a
           JOIN sigs sb ON sb.doc_id = id_b
           WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                  / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) >= 0.8
+                  / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) >= $thresholdSql
         )""".stripMargin.trim
 
   private[queries] lazy val MinhashPairsCte: String = minhashPairsCteOver("documents")
@@ -3775,6 +3776,242 @@ object ExtQueries {
                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         FROM c GROUP BY 1 ORDER BY bin
+      """.trim)),
+
+    // IDF-WEIGHTED Jaccard pairs: shingle weight ln(N/df) (integer-
+    // quantized at 1e-6 — the q224/q287 discipline that keeps transcendental
+    // sums merge-order-free and engine-exact), similarity = W(A∩B)/W(A∪B)
+    // over the df-capped discriminative universe. Rare shared phrasing now
+    // counts for more than common phrasing — the similarity that separates
+    // "shares a distinctive paragraph" from "shares frequent trigrams",
+    // which unweighted Jaccard cannot. Same bounded inverted-index shape as
+    // q74: integer weights only, at most cap^2 join rows per shingle.
+    Q(
+      "q401_weighted_jaccard",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sh = NearDup.shingleFrame(docs, "doc_id", "text", 3)
+        val inv = sh.select(col("doc_id"), explode(col("__shingles")).as("__s"))
+        val nDocs = docs.agg(count(lit(1)).as("__nd"))
+        val w = inv.groupBy("__s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= 128)
+          .crossJoin(broadcast(nDocs))
+          .select(col("__s"),
+            round(log(col("__nd").cast("double") / col("__df").cast("double"))
+              * 1000000.0).cast("long").as("__w"))
+        val cw = inv.join(w.hint("shuffle_hash"), Seq("__s"))
+        val sizes = cw.groupBy("doc_id").agg(sum(col("__w")).as("__wt"))
+        val inter = cw.as("a")
+          .join(cw.as("b").hint("shuffle_hash"),
+            col("a.__s") === col("b.__s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(sum(col("a.__w")).as("__iw"))
+        inter
+          .join(sizes.select(col("doc_id").as("id_a"), col("__wt").as("__wa"))
+            .hint("shuffle_hash"), Seq("id_a"))
+          .join(sizes.select(col("doc_id").as("id_b"), col("__wt").as("__wb"))
+            .hint("shuffle_hash"), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (col("__iw").cast("double")
+              / (col("__wa") + col("__wb") - col("__iw")).cast("double"))
+              .as("wjaccard"))
+          .filter(col("wjaccard") >= 0.6)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, ${duckShingles(Toks, 3)} AS sh FROM documents
+        ), inv AS (
+          SELECT doc_id, unnest(sh) AS s FROM d
+        ), nd AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        ), w AS (
+          SELECT s, CAST(round(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+                   * 1000000.0) AS BIGINT) AS w
+          FROM (SELECT s, COUNT(*) AS df FROM inv GROUP BY s
+                HAVING COUNT(*) <= 128) CROSS JOIN nd
+        ), cw AS (
+          SELECT doc_id, inv.s, w FROM inv JOIN w ON inv.s = w.s
+        ), sizes AS (
+          SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wt FROM cw GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(SUM(a.w) AS BIGINT) AS iw
+          FROM cw a JOIN cw b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(iw AS DOUBLE) / CAST(sa.wt + sb.wt - iw AS DOUBLE) AS wjaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(iw AS DOUBLE) / CAST(sa.wt + sb.wt - iw AS DOUBLE) >= 0.6
+        ORDER BY id_a, id_b
+      """.trim)),
+
+    // Dedup yield curve: pair count and docs-dropped at each candidate
+    // threshold from ONE banded-candidate pipeline (verified at the lowest
+    // sweep point; the higher cuts are filters over the same exact jaccard
+    // values) — the tuning report that prices a dedup threshold before
+    // committing a 100 TB pass. The 5-row grid is the only broadcast.
+    Q(
+      "q402_dedup_threshold_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val ts = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+        val pairs = NearDup.minHashNearDupPairs(Tables.documents(s, dir),
+          "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.5)
+        val hits = pairs
+          .select(explode(array(ts.map(lit): _*)).as("threshold"),
+            col("jaccard"), col("id_b"))
+          .filter(col("jaccard") >= col("threshold"))
+          .groupBy("threshold")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("id_b")).as("n_docs_dropped"))
+        broadcast(ts.toDF("threshold"))
+          .join(hits, Seq("threshold"), "left")
+          .select(col("threshold"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"))
+          .orderBy("threshold")
+      },
+      Some(s"""
+        ${minhashPairsCteOver("documents", "0.5")}, grid AS (
+          SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold
+        ), agg AS (
+          SELECT g.threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(COUNT(DISTINCT v.id_b) AS BIGINT) AS n_docs_dropped
+          FROM grid g JOIN verified v ON v.jaccard >= g.threshold
+          GROUP BY 1
+        )
+        SELECT g.threshold AS threshold,
+               COALESCE(n_pairs, 0) AS n_pairs,
+               COALESCE(n_docs_dropped, 0) AS n_docs_dropped
+        FROM grid g LEFT JOIN agg ON g.threshold = agg.threshold
+        ORDER BY g.threshold
+      """.trim)),
+
+    // Source-pair dedup matrix: which FEEDS duplicate each other — verified
+    // near-dup pairs annotated with both sides' sources and rolled up per
+    // (source_a, source_b). The report that catches a mirror site or a
+    // re-crawled feed before it skews mixture weights. Pair generation is
+    // the same banded pipeline (never all-pairs); the source lookups are
+    // doc-linear shuffle-hash joins.
+    Q(
+      "q403_source_dedup_matrix",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val src = docs.select(col("doc_id"), col("source"))
+        NearDup.minHashNearDupPairs(docs, "doc_id", "text",
+            n = 3, k = 64, bands = 16, threshold = 0.8)
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("source_a"))
+            .hint("shuffle_hash"), Seq("id_a"))
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("source_b"))
+            .hint("shuffle_hash"), Seq("id_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""
+        $MinhashPairsCte
+        SELECT da.source AS source_a, db.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM verified v
+        JOIN documents da ON da.doc_id = v.id_a
+        JOIN documents db ON db.doc_id = v.id_b
+        GROUP BY 1, 2 ORDER BY source_a, source_b
+      """.trim)),
+
+    // MinHash estimator calibration: for every verified pair, the
+    // signature-agreement ESTIMATE (matching coordinates / k) beside the
+    // exact Jaccard and the absolute error — the audit that justifies k
+    // (64 here: stderr ~ sqrt(j(1-j)/64) ~ 0.05 at j=0.8). All ratios of
+    // integers; the signature frame is the same one the banding consumed.
+    Q(
+      "q404_minhash_estimate_audit",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sigs = NearDup.minHashSignatureFrame(
+          NearDup.shingleFrame(docs, "doc_id", "text", 3), "doc_id", 64)
+        NearDup.minHashNearDupPairs(docs, "doc_id", "text",
+            n = 3, k = 64, bands = 16, threshold = 0.8)
+          .join(sigs.select(col("doc_id").as("id_a"), col("__sig").as("__siga"))
+            .hint("shuffle_hash"), Seq("id_a"))
+          .join(sigs.select(col("doc_id").as("id_b"), col("__sig").as("__sigb"))
+            .hint("shuffle_hash"), Seq("id_b"))
+          .select(col("id_a"), col("id_b"), col("jaccard"),
+            (size(filter(zip_with(col("__siga"), col("__sigb"),
+              (x, y) => x === y), b => b)).cast("double") / 64.0)
+              .as("est_jaccard"))
+          .withColumn("abs_err", abs(col("jaccard") - col("est_jaccard")))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        $MinhashPairsCte
+        SELECT v.id_a, v.id_b, v.jaccard,
+               CAST(len([i FOR i IN generate_series(1, 64)
+                         IF sa.sig[i] = sb.sig[i]]) AS DOUBLE) / 64.0
+                 AS est_jaccard,
+               abs(v.jaccard
+                   - CAST(len([i FOR i IN generate_series(1, 64)
+                               IF sa.sig[i] = sb.sig[i]]) AS DOUBLE) / 64.0)
+                 AS abs_err
+        FROM verified v
+        JOIN sigs sa ON sa.doc_id = v.id_a
+        JOIN sigs sb ON sb.doc_id = v.id_b
+        ORDER BY id_a, id_b
+      """.trim)),
+
+    // Dedup savings report: per near-dup CLUSTER (transitive closure, the
+    // q61 fixpoint), how many documents collapse and how many training
+    // tokens the canonical-only policy saves — the number a curation run
+    // reports to justify its cost. Token counts join the label frame
+    // doc-linearly; the canonical is the min-id member (cluster_id) by
+    // construction.
+    Q(
+      "q405_cluster_savings",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val labels = NearDup.connectedComponents(
+          NearDup.minHashNearDupPairs(docs, "doc_id", "text",
+            n = 3, k = 64, bands = 16, threshold = 0.8),
+          "id_a", "id_b")
+        val toks = docs.select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+        labels.select(col("id").as("doc_id"), col("cluster_id"))
+          .join(toks.hint("shuffle_hash"), Seq("doc_id"))
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("total_tokens"),
+            sum(when(col("doc_id") === col("cluster_id"), col("n_tok"))
+              .otherwise(0L)).as("kept_tokens"))
+          .select(col("cluster_id"), col("n_docs"), col("total_tokens"),
+            (col("total_tokens") - col("kept_tokens")).as("tokens_saved"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""
+        ${("WITH RECURSIVE " + MinhashPairsCte.stripPrefix("WITH ")).trim}, edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM verified
+        ), nodes AS (
+          SELECT DISTINCT src AS v FROM edges
+        ), reach(v, label) AS (
+          SELECT v, v FROM nodes
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v
+        ), labels AS (
+          SELECT v AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY v
+        ), t AS (
+          SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tok FROM documents
+        )
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_tok) - SUM(CASE WHEN l.doc_id = cluster_id
+                 THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_saved
+        FROM labels l JOIN t USING (doc_id)
+        GROUP BY 1 ORDER BY cluster_id
       """.trim))
   )
 }
