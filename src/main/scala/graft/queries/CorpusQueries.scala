@@ -301,12 +301,15 @@ object CorpusQueries {
           .filter(col("c_custkey") % 97 === 0)
           .select(col("c_custkey").as("del_id"))
         val ev = Tables.events(s, dir)
-        val evAfter = ev.join(broadcast(del), col("user_id") === col("del_id"),
-          "left_anti")
+        // SHUFFLE_HASH: the deletion list is a fixed fraction of the
+        // customer table — data-sized, not a bounded frame (same category
+        // as the part-dim broadcast the round-4 advisor flagged).
+        val evAfter = ev.join(del.hint("shuffle_hash"),
+          col("user_id") === col("del_id"), "left_anti")
         val od = Tables.orders(s, dir)
-        val odAfter = od.join(broadcast(del), col("o_custkey") === col("del_id"),
-          "left_anti")
-        val purgedOrders = od.join(broadcast(del),
+        val odAfter = od.join(del.hint("shuffle_hash"),
+          col("o_custkey") === col("del_id"), "left_anti")
+        val purgedOrders = od.join(del.hint("shuffle_hash"),
             col("o_custkey") === col("del_id"), "left_semi")
           .select(col("o_orderkey"))
         val li = Tables.lineitem(s, dir)

@@ -2416,7 +2416,10 @@ object EvalQueries {
           .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
         val nDocs = docs.agg(count(lit(1)).as("n_docs"))
         val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
-        val w = tf.join(broadcast(dfreq), Seq("t")).crossJoin(broadcast(nDocs))
+        // SHUFFLE_HASH: dfreq is the full vocabulary df table — Heaps-law
+        // corpus-scaling, never broadcastable at 100 TB (the same category
+        // as the part-dim broadcast the round-4 advisor flagged).
+        val w = tf.join(dfreq.hint("shuffle_hash"), Seq("t")).crossJoin(broadcast(nDocs))
           .withColumn("idf_centi",
             round(log(col("n_docs").cast("double") / col("df").cast("double"))
               * lit(100.0)).cast("long"))
@@ -2425,7 +2428,9 @@ object EvalQueries {
           .agg(sum(col("w") * col("w")).as("norm_sq"))
         val probes = w.filter(col("doc_id") % 50 === 0)
           .select(col("t"), col("doc_id").as("probe_id"), col("w").as("wp"))
-        val dots = broadcast(probes)
+        // SHUFFLE_HASH: the probe postings are a fixed FRACTION of the
+        // corpus (every 50th doc) — corpus-linear, not a bounded frame.
+        val dots = probes.hint("shuffle_hash")
           .join(w, Seq("t"))
           .filter(col("doc_id") =!= col("probe_id"))
           .groupBy(col("probe_id"), col("doc_id").as("neighbor_id"))

@@ -1261,9 +1261,15 @@ object WarehouseQueries {
           .agg(sum(col("rev")).cast("long").as("rrev"))
         val total = byRegion.agg(sum(col("rrev")).cast("long").as("trev"))
         // level 1: regions (5 rows) — remainder rank by self-join count
+        // products target*rev are ~1e8 * cents-revenue — past int64 by
+        // sf0.1 (ANSI overflow, observed in BENCH r5); widen to
+        // DECIMAL(38,0) per the repo's early-widening rule (oracle:
+        // HUGEINT), narrowing back to BIGINT after the div/mod.
         val r0 = byRegion.crossJoin(broadcast(total))
-          .withColumn("base", expr(s"($target * rrev) div trev"))
-          .withColumn("rem", expr(s"($target * rrev) % trev"))
+          .withColumn("base", expr(
+            s"CAST((CAST($target AS DECIMAL(38,0)) * rrev) div trev AS BIGINT)"))
+          .withColumn("rem", expr(
+            s"CAST((CAST($target AS DECIMAL(38,0)) * rrev) % trev AS BIGINT)"))
         val rdef = r0.agg((lit(target) - sum(col("base"))).as("rdeficit"))
         val rrank = r0.as("a")
           .join(r0.select(col("r_name").as("rb"), col("rem").as("remb")).as("b"),
@@ -1279,8 +1285,10 @@ object WarehouseQueries {
           .select(col("r_name"), col("region_alloc"))
         // level 2: nations inside each region — per-region window rank
         val n0 = byNation.join(byRegion, "r_name").join(rrank, "r_name")
-          .withColumn("nbase", expr("(region_alloc * rev) div rrev"))
-          .withColumn("nrem", expr("(region_alloc * rev) % rrev"))
+          .withColumn("nbase", expr(
+            "CAST((CAST(region_alloc AS DECIMAL(38,0)) * rev) div rrev AS BIGINT)"))
+          .withColumn("nrem", expr(
+            "CAST((CAST(region_alloc AS DECIMAL(38,0)) * rev) % rrev AS BIGINT)"))
         val byR = Window.partitionBy("r_name")
         val alloc = n0
           .withColumn("ndeficit",
@@ -1312,8 +1320,8 @@ object WarehouseQueries {
           SELECT CAST(SUM(rrev) AS BIGINT) AS trev FROM byr
         ), r0 AS (
           SELECT r_name, rrev,
-                 CAST(100000000 * rrev // trev AS BIGINT) AS base,
-                 CAST(100000000 * rrev % trev AS BIGINT) AS rem
+                 CAST(CAST(100000000 AS HUGEINT) * rrev // trev AS BIGINT) AS base,
+                 CAST(CAST(100000000 AS HUGEINT) * rrev % trev AS BIGINT) AS rem
           FROM byr, tot
         ), rdef AS (
           SELECT 100000000 - CAST(SUM(base) AS BIGINT) AS rdeficit FROM r0
@@ -1328,8 +1336,8 @@ object WarehouseQueries {
           FROM r0 a
         ), n0 AS (
           SELECT byn.r_name, n_name, rev, rrank.rrev, region_alloc,
-                 CAST(region_alloc * rev // rrank.rrev AS BIGINT) AS nbase,
-                 CAST(region_alloc * rev % rrank.rrev AS BIGINT) AS nrem
+                 CAST(CAST(region_alloc AS HUGEINT) * rev // rrank.rrev AS BIGINT) AS nbase,
+                 CAST(CAST(region_alloc AS HUGEINT) * rev % rrank.rrev AS BIGINT) AS nrem
           FROM byn JOIN rrank ON byn.r_name = rrank.r_name
         ), ranked AS (
           SELECT *,
