@@ -2436,11 +2436,13 @@ object EvalQueries {
           .groupBy(col("probe_id"), col("doc_id").as("neighbor_id"))
           .agg(sum(col("wp") * col("w")).as("dot"),
             count(lit(1)).as("n_shared_terms"))
+        // SHUFFLE_HASH: the norm frame is one row per document —
+        // corpus-linear, same no-broadcast rule as dfreq/probes above.
         val scored = dots
           .join(norms.select(col("doc_id").as("probe_id"),
-            col("norm_sq").as("np")), "probe_id")
+            col("norm_sq").as("np")).hint("shuffle_hash"), "probe_id")
           .join(norms.select(col("doc_id").as("neighbor_id"),
-            col("norm_sq").as("nn")), "neighbor_id")
+            col("norm_sq").as("nn")).hint("shuffle_hash"), "neighbor_id")
           .select(col("probe_id"), col("neighbor_id"), col("n_shared_terms"),
             (col("dot").cast("double")
               / (sqrt(col("np").cast("double")) * sqrt(col("nn").cast("double"))))

@@ -525,6 +525,24 @@ class PlanQualitySpec extends SparkSpec {
       s"the SF-scaling part dim must not be broadcast:\n$plan")
   }
 
+  test("corpus-linear frames never ride a broadcast hash join (q264/q271/q401)") {
+    // The round-4 advisor's category, mechanically pinned: the vocabulary
+    // df table (Heaps-law growth, q264), the probe postings (fixed corpus
+    // fraction, q264), the GDPR deletion list (fixed customer fraction,
+    // q271) and the shingle weight/posting frames (q401) are all
+    // data-sized — a BroadcastHashJoin build on any of them OOMs at the
+    // 100 TB design point. Single-row aggregate broadcasts (nDocs, totals)
+    // plan as BroadcastNestedLoopJoin, which stays allowed.
+    for (q <- Seq("q264_sparse_cosine_topk", "q271_gdpr_purge",
+        "q401_weighted_jaccard")) {
+      val df = graft.SparkEntry.queries(q)(spark, sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"$q must not broadcast a corpus-linear frame:\n$plan")
+    }
+  }
+
   test("ABC classification plans no WindowExec: the running share is the RDD prefix sum") {
     // q319's cumulative share must come from Keys.globalRunningSumBy (the
     // two-phase shuffle-reuse shape), never a single-task running-sum
