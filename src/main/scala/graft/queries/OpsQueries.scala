@@ -3197,6 +3197,75 @@ object OpsQueries {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
         GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """.trim)),
+
+    // VARIANT ingestion — Spark 4's semi-structured type: props parses
+    // ONCE into a binary variant (no per-access re-tokenization, unlike
+    // get_json_object chains — the q38 contrast), typed paths come out
+    // via variant_get, and try_variant_get returns NULL for absent paths
+    // instead of erroring under ANSI. At 100 TB the parse-once shape is
+    // the difference between one JSON tokenizer pass and one per
+    // extracted field. Oracle states the same extraction over DuckDB's
+    // native JSON operators.
+    Q(
+      "q406_variant_json",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'int')").as("k"),
+          expr("try_variant_get(v, '$.missing', 'int')").as("miss"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("sum_k"),
+          count(col("miss")).as("n_missing_nonnull"))
+        .orderBy("event_type"),
+      Some("""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+               CAST(0 AS BIGINT) AS n_missing_nonnull
+        FROM events GROUP BY event_type ORDER BY event_type
+      """.trim)),
+
+    // SQL-defined scalar functions (CREATE TEMPORARY FUNCTION ... RETURN
+    // expr — Spark 4 SQL UDFs): the governed way to share business logic
+    // with SQL-only users WITHOUT a runtime UDF — the function body
+    // inlines into the Catalyst plan at resolution (macro expansion), so
+    // codegen/pushdown survive; the builder REQUIREs no ScalaUDF/Python
+    // eval node planned. Registered on an isolated child session (q347
+    // discipline). Oracle inlines the same bodies by hand.
+    Q(
+      "q407_sql_function",
+      (s, dir) => {
+        val s2 = s.newSession()
+        Tables.lineitem(s2, dir).createOrReplaceTempView("li_sqlfn")
+        s2.sql("""CREATE OR REPLACE TEMPORARY FUNCTION cents_of(p DOUBLE)
+                  RETURNS BIGINT
+                  RETURN CAST(CAST(p AS DECIMAL(18,2)) * 100 AS BIGINT)""")
+        s2.sql("""CREATE OR REPLACE TEMPORARY FUNCTION disc_bucket(d DOUBLE)
+                  RETURNS STRING
+                  RETURN CASE WHEN d < 0.03 THEN 'low'
+                              WHEN d < 0.07 THEN 'mid'
+                              ELSE 'high' END""")
+        val df = s2.sql("""
+          SELECT l_returnflag, disc_bucket(l_discount) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cents_of(l_extendedprice)) AS BIGINT) AS rev_cents
+          FROM li_sqlfn GROUP BY 1, 2 ORDER BY 1, 2""")
+        val plan = df.queryExecution.executedPlan.toString
+        require(!plan.contains("BatchEvalPython") &&
+            !plan.toLowerCase.contains("scalaudf"),
+          "SQL function must inline into the plan (no runtime UDF node)")
+        df
+      },
+      Some("""
+        SELECT l_returnflag,
+               CASE WHEN l_discount < 0.03 THEN 'low'
+                    WHEN l_discount < 0.07 THEN 'mid'
+                    ELSE 'high' END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
       """.trim))
   )
 }
