@@ -4012,6 +4012,94 @@ object ExtQueries {
                  THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_saved
         FROM labels l JOIN t USING (doc_id)
         GROUP BY 1 ORDER BY cluster_id
+      """.trim)),
+
+    // Z-ORDER clustering audit: Morton-interleave two key dimensions into
+    // one curve value, bucket the table 16 ways on it, and emit each
+    // bucket's PER-DIMENSION key span next to the same audit for a plain
+    // leading-column sort. The point the numbers make: z-buckets carry
+    // bounded spans on BOTH dimensions (min/max file skipping works for
+    // predicates on either), while linear buckets leave the trailing
+    // dimension's span at the full key range — why lakehouse layouts
+    // z-order multi-predicate tables. Keys are spread over the 16-bit
+    // curve domain with a fixed modulus (SF-independent, deterministic);
+    // all integer arithmetic, oracle verbatim.
+    Q(
+      "q408_zorder_cluster",
+      (s, dir) => {
+        import graft.engine.ZOrder
+        val k = Tables.lineitem(s, dir).select(
+          (pmod(col("l_partkey"), lit(2048L)) * 32).as("a"),
+          (pmod(col("l_suppkey"), lit(2048L)) * 32).as("b"))
+        val z = k.withColumn("z", ZOrder.interleave16(col("a"), col("b")))
+        val zb = z.select(lit("zorder").as("layout"),
+          expr("z div 268435456").as("bucket"), col("a"), col("b"))
+        val lb = z.select(lit("linear").as("layout"),
+          expr("a div 4096").as("bucket"), col("a"), col("b"))
+        zb.unionByName(lb)
+          .groupBy("layout", "bucket")
+          .agg(count(lit(1)).as("n"),
+            (max(col("a")) - min(col("a"))).as("span_a"),
+            (max(col("b")) - min(col("b"))).as("span_b"))
+          .orderBy("layout", "bucket")
+      },
+      Some(s"""
+        WITH k AS (
+          SELECT (l_partkey % 2048) * 32 AS a, (l_suppkey % 2048) * 32 AS b
+          FROM lineitem
+        ), z AS (
+          SELECT a, b, ${graft.engine.ZOrder.duckInterleave16("a", "b")} AS z
+          FROM k
+        ), u AS (
+          SELECT 'zorder' AS layout, z // 268435456 AS bucket, a, b FROM z
+          UNION ALL
+          SELECT 'linear', a // 4096, a, b FROM z
+        )
+        SELECT layout, CAST(bucket AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(a) - MIN(a) AS BIGINT) AS span_a,
+               CAST(MAX(b) - MIN(b) AS BIGINT) AS span_b
+        FROM u GROUP BY 1, 2 ORDER BY layout, bucket
+      """.trim)),
+
+    // Exact embedding Gram matrix (upper triangle): G[i][j] = sum over the
+    // corpus of v_i * v_j — the d x d building block of
+    // whitening/PCA/covariance on the embedding column. One generator
+    // chain (posexplode twice — never a self-join), d^2 rows per vector,
+    // one hash aggregate; per-element products are quantized with the
+    // q399 fixed-point convention (floor(p * 2^24) longs — merge-order
+    // free, 6e-8 quantization, sums fit int64 past 1e9 vectors), and the
+    // single division back to double is mirrored verbatim.
+    Q(
+      "q409_embedding_gram",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val xi = e.select(col("vec_id"), col("embedding"),
+          posexplode(col("embedding")).as(Seq("i", "vi")))
+        xi.select(col("i"), col("vi"),
+            posexplode(col("embedding")).as(Seq("j", "vj")))
+          .filter(col("i") <= col("j"))
+          .select(col("i"), col("j"),
+            floor(col("vi").cast("double") * col("vj").cast("double")
+              * lit(16777216.0)).cast("long").as("pq"))
+          .groupBy("i", "j")
+          .agg(count(lit(1)).as("n"), sum(col("pq")).as("gq"))
+          .select(col("i"), col("j"), col("n"),
+            (col("gq").cast("double") / lit(16777216.0)).as("gram"))
+          .orderBy("i", "j")
+      },
+      Some("""
+        SELECT CAST(u.i - 1 AS INTEGER) AS i, CAST(v.i - 1 AS INTEGER) AS j,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(CAST(u.vi AS DOUBLE) * CAST(v.vj AS DOUBLE)
+                 * 16777216.0) AS BIGINT)) AS DOUBLE) / 16777216.0 AS gram
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS vi,
+                             generate_subscripts(embedding, 1) AS i) u,
+             LATERAL (SELECT unnest(embedding) AS vj,
+                             generate_subscripts(embedding, 1) AS i) v
+        WHERE u.i <= v.i
+        GROUP BY 1, 2 ORDER BY i, j
       """.trim))
   )
 }

@@ -344,6 +344,21 @@ class ExtSpec extends SparkSpec {
     assert(out === Set((20L, 21L, 1.0)), "doc 20 is fully contained in doc 21")
   }
 
+  test("ZOrder.interleave16 matches hand-computed Morton codes") {
+    import graft.engine.ZOrder
+    // a bits land on even positions, b bits on odd: (a=3, b=1) -> 0b0111;
+    // (a=0, b=0) -> 0; (a=1, b=2) -> a0@0 + b1@3 = 0b1001; inputs wrap
+    // mod 2^16 ((65536+3, 1) ~ (3, 1)).
+    val df = Seq((3L, 1L), (0L, 0L), (1L, 2L), (65539L, 1L))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.interleave16(col("a"), col("b")).as("z"))
+    val z = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(z((3L, 1L)) === 7L)
+    assert(z((0L, 0L)) === 0L)
+    assert(z((1L, 2L)) === 9L)
+    assert(z((65539L, 1L)) === 7L)
+  }
+
   test("winnowing: shared w+n-1 token run yields a common fingerprint") {
     // n=4, w=4: any shared run of 7 tokens shares a full window of 4-gram
     // hashes, so the window minimum is a common fingerprint (MOSS guarantee).
