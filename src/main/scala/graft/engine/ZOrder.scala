@@ -42,4 +42,51 @@ object ZOrder {
       s"((($a16 >> $i) & 1) * ${1L << (2 * i)} + (($b16 >> $i) & 1) * ${1L << (2 * i + 1)})"
     }.mkString(" + ")
   }
+
+  /** Hilbert-curve distance of cell (x, y) on an n x n grid (n a power of
+    * two) — the standard bit-level xy→d walk (quadrant digit + rotate).
+    * Unlike Morton order, consecutive Hilbert cells are always GRID
+    * NEIGHBORS, so curve segments that straddle power-of-4 block boundaries
+    * never jump across the key space — tighter per-file key spans when file
+    * boundaries don't align with block sizes.
+    */
+  def hilbertXY2D(n: Int, xIn: Int, yIn: Int): Int = {
+    var x = xIn; var y = yIn; var d = 0
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) { // rotate the quadrant so the sub-curve orients correctly
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  /** Hilbert distances for the 16 x 16 grid, indexed by x*16 + y — folded to
+    * a literal once at plan build (256 entries), so the per-row cost is one
+    * array lookup. 4 bits per dimension is file/bucket-level clustering
+    * granularity (data skipping works on ranges — see class doc).
+    */
+  lazy val Hilbert16: IndexedSeq[Long] =
+    for (x <- 0 until 16; y <- 0 until 16)
+      yield hilbertXY2D(16, x, y).toLong
+
+  /** Hilbert cell index of (a mod 16, b mod 16) via the [[Hilbert16]]
+    * literal lookup table.
+    */
+  def hilbert4(a: Column, b: Column): Column =
+    element_at(typedLit(Hilbert16),
+      (pmod(a.cast("long"), lit(16L)) * 16L + pmod(b.cast("long"), lit(16L)))
+        .cast("int") + 1)
+
+  /** DuckDB VALUES rows (x, y, d) mirroring [[Hilbert16]] — join the key
+    * frame against this to state the same lookup verbatim in the oracle.
+    */
+  lazy val duckHilbert16Values: String =
+    (for (x <- 0 until 16; y <- 0 until 16)
+      yield s"($x,$y,${hilbertXY2D(16, x, y)})").mkString(", ")
 }

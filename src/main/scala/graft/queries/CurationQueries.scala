@@ -1,0 +1,369 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{NearDup, Similarity, TextAnalysis, TextHash}
+
+/** Corpus-curation wave 5: semantic (embedding-space) dedup decisions,
+  * prototype-distance pruning, and lexical-diversity audits — the curation
+  * passes that sit between near-dup detection and final corpus assembly in
+  * an LLM training-data pipeline. Same exactness discipline as the rest of
+  * the registry: fixed-order IEEE double arithmetic mirrored verbatim in
+  * DuckDB, integer counts everywhere else, no unpartitioned windows.
+  */
+object CurationQueries {
+
+  /** DuckDB fragment: normalized text (mirror of Cleaning.normalizeText). */
+  private val NormText = raw"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+  /** DuckDB fragment: whitespace tokens of the normalized text. */
+  private val Toks = s"string_split($NormText, ' ')"
+
+  /** DuckDB fragment: distinct word n-gram shingles of token list `w`. */
+  private def duckShingles(w: String, n: Int): String =
+    s"list_distinct([array_to_string($w[i:i+${n - 1}], ' ') FOR i IN generate_series(1, len($w) - ${n - 1})])"
+
+  /** DuckDB fragment: sequential double dot product of float lists a,b. */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN generate_series(1, len($a))])"
+
+  /** DuckDB CTE body: SRP bucket per vec_id (mirror of
+    * Similarity.hyperplaneBucketFast with `planes` hyperplanes) — the same
+    * sign matrix derived from hash60("p:j") bit 0.
+    */
+  private def duckSrpBucket(planes: Int): String = s"""
+          SELECT vec_id,
+                 CAST(list_sum([
+                   CASE WHEN list_sum([
+                     CAST(embedding[i] AS DOUBLE) *
+                     (CASE WHEN (${TextHash.duckHash60(
+                        "CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} & 1) = 1
+                      THEN 1.0 ELSE -1.0 END)
+                     FOR i IN generate_series(1, len(embedding))]) >= 0
+                   THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END
+                   FOR p IN generate_series(0, ${planes - 1})]) AS BIGINT) AS bucket
+          FROM embeddings""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // SemDeDup (Abbas et al. 2023 shape): semantic dedup DECISIONS over the
+    // embedding column. Candidates come from data-independent SRP buckets
+    // (6 hyperplanes — the sign matrix pre-folded to literals, so bucketing
+    // is map-side codegen'd dots); within a bucket every vector is compared
+    // to its lower-id peers and DROPPED when any prior clears the cosine
+    // threshold — the greedy keep-lowest-id epsilon-ball policy, which keeps
+    // the decision embarrassingly parallel (no transitive closure). Output
+    // is the full per-vector decision log (bucket, best prior cosine, kept/
+    // dropped) — what a curation run persists for audit. Within-bucket
+    // pairing is SemDeDup's inherent cost; the bucket count (plane count)
+    // is the knob that bounds it at corpus scale.
+    Q(
+      "q410_semdedup",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val b = e.select(col("vec_id"), col("embedding"),
+          Similarity.hyperplaneBucketFast(col("embedding"), 6, 64).as("bucket"))
+        val best = Similarity
+          .embeddingNearDupPairs(b, "vec_id", "embedding", "bucket", threshold = -2.0)
+          .groupBy(col("id_b").as("vec_id"))
+          .agg(max(col("cosine")).as("max_prior_cos"))
+        b.select(col("vec_id"), col("bucket"))
+          .join(best.hint("shuffle_hash"), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("bucket"), col("max_prior_cos"),
+            coalesce(col("max_prior_cos") >= lit(0.25), lit(false)).as("dropped"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH sb AS (${duckSrpBucket(6)}
+        ), e AS (
+          SELECT v.vec_id, v.embedding, sb.bucket,
+                 sqrt(${duckDot("v.embedding", "v.embedding")}) AS nrm
+          FROM embeddings v JOIN sb ON v.vec_id = sb.vec_id
+        ), p AS (
+          SELECT b.vec_id,
+                 MAX(${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)) AS max_prior_cos
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          GROUP BY 1
+        )
+        SELECT e.vec_id, e.bucket, p.max_prior_cos,
+               COALESCE(p.max_prior_cos >= 0.25, FALSE) AS dropped
+        FROM e LEFT JOIN p ON e.vec_id = p.vec_id
+        ORDER BY e.vec_id
+      """.trim)),
+
+    // Prototype-distance pruning (D4 / SSL-prototypes shape): the 5 vectors
+    // FARTHEST from their own label's exact centroid, per label — the
+    // "noisy outlier" candidates an embedding-space curation pass removes
+    // before SemDeDup. Centroids are exact label-bounded aggregates
+    // (decimal-quantized element means — merge-order-free), broadcast back;
+    // the squared-L2 ranking runs through the custom heap TopKPerKey (no
+    // per-label sort). Corpus side stays linear; everything broadcast is
+    // label-bounded.
+    Q(
+      "q411_proto_outliers",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
+        val cents = Similarity.exactCentroids(
+          Tables.embeddings(s, dir), "embedding", "label")
+        val dist2 = aggregate(
+          zip_with(col("embedding"), col("centroid"),
+            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, v) => acc + v)
+        graft.plans.TopKPerKey.of(
+            e.join(broadcast(cents), col("label") === col("cell"))
+              .select(col("label"), col("vec_id"), dist2.as("dist2")),
+            keyCols = Seq("label"),
+            order = Seq("dist2" -> false, "vec_id" -> true),
+            k = 5)
+          .select("label", "rank", "vec_id", "dist2")
+          .orderBy("label", "rank")
+      },
+      Some("""
+        WITH m AS (
+          SELECT label, CAST(u.i - 1 AS INTEGER) AS dim,
+                 CAST(SUM(CAST(CAST(u.v AS DOUBLE) * 281474976710656 AS DECIMAL(38,0))) AS DOUBLE)
+                   / 281474976710656 / COUNT(*) AS mean
+          FROM embeddings,
+               LATERAL (SELECT unnest(embedding) AS v,
+                               generate_subscripts(embedding, 1) AS i) u
+          GROUP BY label, dim
+        ), c AS (
+          SELECT label, list(mean ORDER BY dim) AS centroid FROM m GROUP BY label
+        ), p AS (
+          SELECT e.label, e.vec_id,
+                 list_sum([(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                           * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                           FOR i IN generate_series(1, len(e.embedding))]) AS dist2
+          FROM embeddings e JOIN c ON e.label = c.label
+        )
+        SELECT label,
+               CAST(row_number() OVER (PARTITION BY label
+                 ORDER BY dist2 DESC, vec_id) AS INTEGER) AS rank,
+               vec_id, dist2
+        FROM p
+        QUALIFY rank <= 5
+        ORDER BY label, rank
+      """.trim)),
+
+    // Lexical diversity audit: distinct-n / total-n ("type-token ratio" at
+    // n-gram level, n = 1..3) per source — the standard template-spam and
+    // mode-collapse detector over a corpus slice (a source whose trigram
+    // TTR collapses is boilerplate or machine-generated). Totals are pure
+    // arithmetic on token counts (no n-gram materialization); distincts
+    // count 60-bit fingerprints of per-doc distinct shingles — one shuffle
+    // per aggregate, partial-aggregated map-side, never a string-wide
+    // distinct at the reducer.
+    Q(
+      "q412_ngram_diversity",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("source"), TextAnalysis.tokens(col("text")).as("__toks"))
+          .repartition(s.sessionState.conf.numShufflePartitions, col("source"))
+        val perN = (1 to 3).map { n =>
+          docs.select(col("source"), lit(n).as("n"),
+              greatest(size(col("__toks")) - (n - 1), lit(0)).cast("long").as("__tot"),
+              NearDup.shingles(col("__toks"), n).as("__sh"))
+            .select(col("source"), col("n"), col("__tot"),
+              explode_outer(col("__sh")).as("__g"))
+            .select(col("source"), col("n"), col("__tot"),
+              TextHash.hash60(col("__g")).as("__fp"))
+        }.reduce(_ unionByName _)
+        // Totals come from a separate pre-explode aggregate (pure token
+        // arithmetic) — summing the per-gram-repeated __tot would overcount.
+        val totals = (1 to 3).map { n =>
+          docs.select(col("source"), lit(n).as("n"),
+            greatest(size(col("__toks")) - (n - 1), lit(0)).cast("long").as("__tot"))
+        }.reduce(_ unionByName _)
+          .groupBy("source", "n").agg(sum(col("__tot")).as("total_ngrams"))
+        val distincts = perN
+          .groupBy("source", "n")
+          .agg(count_distinct(col("__fp")).as("distinct_ngrams"))
+        totals.join(distincts, Seq("source", "n"), "left")
+          .select(col("source"), col("n"), col("total_ngrams"),
+            coalesce(col("distinct_ngrams"), lit(0L)).as("distinct_ngrams"),
+            when(col("total_ngrams") > 0,
+              coalesce(col("distinct_ngrams"), lit(0L)).cast("double")
+                / col("total_ngrams").cast("double")).as("ttr"))
+          .orderBy("source", "n")
+      },
+      Some({
+        val blocks = (1 to 3).map { n =>
+          s"""
+          SELECT source, $n AS n,
+                 greatest(len(w) - ${n - 1}, 0) AS tot,
+                 ${duckShingles("w", n)} AS sh
+          FROM t"""
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH t AS (
+          SELECT source, $Toks AS w FROM documents
+        ), per AS ($blocks
+        ), tots AS (
+          SELECT source, n, CAST(SUM(tot) AS BIGINT) AS total_ngrams
+          FROM per GROUP BY 1, 2
+        ), dist AS (
+          SELECT source, n,
+                 CAST(COUNT(DISTINCT ${TextHash.duckHash60("g")}) AS BIGINT) AS distinct_ngrams
+          FROM (SELECT source, n, unnest(sh) AS g FROM per)
+          GROUP BY 1, 2
+        )
+        SELECT source, CAST(n AS INTEGER) AS n, total_ngrams,
+               COALESCE(distinct_ngrams, 0) AS distinct_ngrams,
+               CASE WHEN total_ngrams > 0
+                 THEN CAST(COALESCE(distinct_ngrams, 0) AS DOUBLE)
+                        / CAST(total_ngrams AS DOUBLE) END AS ttr
+        FROM tots LEFT JOIN dist USING (source, n)
+        ORDER BY source, n
+      """.trim
+      })),
+
+    // HILBERT-curve clustering audit — the locality upgrade over q408's
+    // Z-order: consecutive Hilbert cells are always grid NEIGHBORS, so
+    // curve segments that straddle power-of-4 block boundaries never jump
+    // across the key space the way Morton segments do. Buckets are 12-cell
+    // curve segments (deliberately NOT a power of 4, so segments straddle
+    // block boundaries — the case where the two curves differ); each
+    // bucket's per-dimension key span is emitted for both layouts. The
+    // 256-cell lookup table is folded to a literal at plan build (one
+    // array lookup per row, map-side); the oracle joins the identical
+    // table as VALUES rows.
+    Q(
+      "q413_hilbert_cluster",
+      (s, dir) => {
+        import graft.engine.ZOrder
+        val k = Tables.lineitem(s, dir).select(
+          pmod(col("l_partkey"), lit(16L)).as("a"),
+          pmod(col("l_suppkey"), lit(16L)).as("b"))
+        val z = k.select(col("a"), col("b"),
+          ZOrder.hilbert4(col("a"), col("b")).as("h"),
+          ZOrder.interleave16(col("a"), col("b")).as("z"))
+        val hb = z.select(lit("hilbert").as("layout"),
+          expr("h div 12").as("bucket"), col("a"), col("b"))
+        val zb = z.select(lit("zorder").as("layout"),
+          expr("z div 12").as("bucket"), col("a"), col("b"))
+        hb.unionByName(zb)
+          .groupBy("layout", "bucket")
+          .agg(count(lit(1)).as("n"),
+            (max(col("a")) - min(col("a"))).as("span_a"),
+            (max(col("b")) - min(col("b"))).as("span_b"))
+          .orderBy("layout", "bucket")
+      },
+      Some(s"""
+        WITH hl(x, y, d) AS (
+          VALUES ${graft.engine.ZOrder.duckHilbert16Values}
+        ), k AS (
+          SELECT l_partkey % 16 AS a, l_suppkey % 16 AS b FROM lineitem
+        ), z AS (
+          SELECT a, b, hl.d AS h,
+                 ${graft.engine.ZOrder.duckInterleave16("a", "b")} AS z
+          FROM k JOIN hl ON hl.x = k.a AND hl.y = k.b
+        ), u AS (
+          SELECT 'hilbert' AS layout, h // 12 AS bucket, a, b FROM z
+          UNION ALL
+          SELECT 'zorder', z // 12, a, b FROM z
+        )
+        SELECT layout, CAST(bucket AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(a) - MIN(a) AS BIGINT) AS span_a,
+               CAST(MAX(b) - MIN(b) AS BIGINT) AS span_b
+        FROM u GROUP BY 1, 2 ORDER BY layout, bucket
+      """.trim)),
+
+    // Corpus-curation END-TO-END gate — the full pipeline a training-data
+    // run executes, composed from the registry's own operators and
+    // value-checked as ONE flow (the corpus analog of q166's medallion
+    // gate): language-ID gate (predicted, not labeled) -> quality-score
+    // gate -> exact dedup (keep-min-id per content fingerprint) -> MinHash
+    // near-dup drop (greedy keep-lowest-id over banded-LSH verified pairs)
+    // -> per-source corpus report. Every stage is the scale shape already
+    // gated in isolation (map-side expressions; one hash shuffle per
+    // dedup; banded candidates, never all-pairs); the mean quality is an
+    // integer-quantized exact aggregate (floor(q * 2^24) micro-units) so
+    // the report hashes bit-identically cross-engine.
+    Q(
+      "q414_curation_e2e",
+      (s, dir) => {
+        val feat = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("source"),
+            TextAnalysis.tokens(col("text")).as("__toks"))
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("doc_id"), col("text"), col("source"),
+            size(col("__toks")).as("__nt"),
+            TextAnalysis.langId(col("__toks")).as("__lang"),
+            TextAnalysis.qualityScore(col("__toks")).as("__q"),
+            TextAnalysis.fingerprint(col("text")).as("__fp"))
+        val gated = feat.filter(col("__lang") === "en" && col("__q") >= 0.4)
+        val exactKept = graft.engine.Dedup.keepFirstByKey(
+          gated, Seq("__fp"), Seq("doc_id"))
+        // Persist the curated intermediate (the "silver" hop of the corpus
+        // medallion, same as q166): the near-dup pass references its input
+        // ~4x (signatures, two verify joins, the anti-join), so running it
+        // over the materialized stage output instead of the live
+        // filter+window pipeline (a) stops the upstream recompute and (b)
+        // keeps the minhash aggregate stage small enough for whole-stage
+        // codegen — measured 6x on this query. Production does exactly
+        // this: each curation stage lands in the lake before the next.
+        val stage = graft.engine.Scratch.dir(s, dir, "curation_silver")
+        exactKept.select("doc_id", "text", "source", "__nt", "__q")
+          .write.mode("overwrite").parquet(stage)
+        s.catalog.clearCache()
+        val silver = s.read.parquet(stage)
+        val survivors = NearDup.dropNearDuplicates(
+          silver, "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.8)
+        survivors
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("__nt").cast("long")).as("total_tokens"),
+            (sum(floor(col("__q") * lit(16777216.0)).cast("long")).cast("double")
+              / lit(16777216.0) / count(lit(1))).as("mean_quality"))
+          .orderBy("source")
+      },
+      Some {
+        val langCounts = TextAnalysis.LangProfiles.map { case (lang, words) =>
+          s"len(list_filter(w, t -> t IN (${words.map(x => s"'$x'").mkString(",")}))) AS c_$lang"
+        }.mkString(", ")
+        val langs = TextAnalysis.LangProfiles.map(_._1)
+        val langCase = langs.init.zipWithIndex.map { case (lang, i) =>
+          val later = langs.drop(i + 1).map(l => s"c_$lang >= c_$l").mkString(" AND ")
+          s"WHEN $later THEN '$lang'"
+        }.mkString(" ")
+        s"""
+        WITH base AS (
+          SELECT doc_id, text, source, $NormText AS norm, $Toks AS w FROM documents
+        ), feat AS (
+          SELECT doc_id, text, source, CAST(len(w) AS INTEGER) AS nt,
+                 md5(norm) AS fp,
+                 len(list_filter(w, t -> t IN (${ExtQueries.StopList}))) AS n_stop,
+                 CAST(list_sum([length(t) FOR t IN w]) AS DOUBLE) AS sum_len,
+                 CAST(len(w) AS INTEGER) AS n_tokens,
+                 $langCounts
+          FROM base
+        ), scored AS (
+          SELECT doc_id, text, source, nt, fp,
+                 0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                   + 0.3 * (CASE WHEN n_tokens = 0 THEN 0.0
+                                 ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END)
+                   + 0.2 * least((CASE WHEN n_tokens = 0 THEN 0.0
+                                       ELSE sum_len / CAST(n_tokens AS DOUBLE) END) / 8.0, 1.0)
+                   AS q,
+                 CASE $langCase ELSE '${langs.last}' END AS pred_lang
+          FROM feat
+        ), gated AS (
+          SELECT * FROM scored WHERE pred_lang = 'en' AND q >= 0.4
+        ), exact_kept AS (
+          SELECT * FROM gated
+          QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        ), ${ExtQueries.minhashPairsCteOver("exact_kept").stripPrefix("WITH ")}, final AS (
+          SELECT * FROM exact_kept
+          WHERE NOT EXISTS (SELECT 1 FROM verified v WHERE v.id_b = exact_kept.doc_id)
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS total_tokens,
+               CAST(SUM(CAST(floor(q * 16777216.0) AS BIGINT)) AS DOUBLE)
+                 / 16777216.0 / COUNT(*) AS mean_quality
+        FROM final GROUP BY source ORDER BY source
+      """.trim
+      })
+  )
+}

@@ -14,7 +14,8 @@ final case class Q(
 object Registry {
   /** All registered queries, contributed per module. */
   def all: Seq[Q] = CoreQueries.qs ++ PipelineQueries.qs ++ ExtQueries.qs ++
-    EvalQueries.qs ++ CorpusQueries.qs ++ WarehouseQueries.qs ++ OpsQueries.qs
+    EvalQueries.qs ++ CorpusQueries.qs ++ WarehouseQueries.qs ++ OpsQueries.qs ++
+    CurationQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
