@@ -364,6 +364,192 @@ object CurationQueries {
                  / 16777216.0 / COUNT(*) AS mean_quality
         FROM final GROUP BY source ORDER BY source
       """.trim
+      }),
+
+    // LSH band-tuning audit — the empirical S-curve behind the (bands x
+    // rows-per-band) choice every MinHash deployment has to make: the SAME
+    // k=64 signatures banded three ways (16x4 recall-leaning, 8x8, 4x16
+    // precision-leaning), each emitting its candidate count, its
+    // exact-verified count at the 0.8 working threshold, and the resulting
+    // candidate precision. Signatures and shingles are computed ONCE and
+    // localCheckpoint'ed (64 min-aggregates are the dominant cost; the
+    // three bandings are cheap bucket joins over the same ~constant-size
+    // frame), so auditing 3 configs costs ~1 pipeline, not 3 — the shape
+    // that makes parameter sweeps affordable at corpus scale. Per-config
+    // global aggregates (never a groupBy on config) so a config with zero
+    // candidates still reports its row.
+    Q(
+      "q415_lsh_tuning",
+      (s, dir) => {
+        val sh = NearDup.shingleFrame(
+          Tables.documents(s, dir), "doc_id", "text", n = 3).localCheckpoint()
+        val sig = NearDup.minHashSignatureFrame(sh, "doc_id", 64).localCheckpoint()
+        val configs = Seq((16, 4), (8, 8), (4, 16))
+        configs.map { case (b, r) =>
+          val banded = sig.select(col("doc_id"),
+              explode(NearDup.bandBuckets(col("__sig"), b, r)).as("__bb"))
+            .select(col("doc_id"), col("__bb.band").as("__band"),
+              col("__bb.bucket").as("__bucket"))
+          val cand = banded.as("a")
+            .join(banded.as("b").hint("shuffle_hash"),
+              col("a.__band") === col("b.__band") &&
+                col("a.__bucket") === col("b.__bucket") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+            .distinct()
+          cand
+            .join(sh.select(col("doc_id").as("id_a"), col("__shingles").as("__sa"))
+              .hint("shuffle_hash"), Seq("id_a"))
+            .join(sh.select(col("doc_id").as("id_b"), col("__shingles").as("__sb"))
+              .hint("shuffle_hash"), Seq("id_b"))
+            .select(NearDup.jaccard(col("__sa"), col("__sb")).as("__j"))
+            .agg(count(lit(1)).as("n_candidates"),
+              sum(when(col("__j") >= 0.8, 1L).otherwise(0L)).as("n_verified"))
+            .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+              col("n_candidates"), col("n_verified"),
+              when(col("n_candidates") > 0,
+                col("n_verified").cast("double") / col("n_candidates").cast("double"))
+                .as("precision"))
+        }.reduce(_ unionByName _).orderBy("bands")
+      },
+      Some {
+        val perConfig = Seq((16, 4), (8, 8), (4, 16)).map { case (b, r) =>
+          s"""banded_$b AS (
+          SELECT doc_id, j AS band,
+                 array_to_string(list_transform(sig[CAST(j*$r+1 AS BIGINT):CAST(j*$r+$r AS BIGINT)],
+                   v -> CAST(v AS VARCHAR)), '_') AS bucket
+          FROM sigs CROSS JOIN range(0, $b) t(j)
+        ), cand_$b AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded_$b a JOIN banded_$b b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ), ver_$b AS (
+          SELECT CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   AS j
+          FROM cand_$b
+          JOIN sigs sa ON sa.doc_id = id_a
+          JOIN sigs sb ON sb.doc_id = id_b
+        )"""
+        }.mkString(", ")
+        val selects = Seq((16, 4), (8, 8), (4, 16)).map { case (b, r) =>
+          s"""SELECT $b AS bands, $r AS rows_per_band,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(COALESCE(SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_verified,
+               CASE WHEN COUNT(*) > 0
+                 THEN CAST(COALESCE(SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END), 0) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE) END AS precision
+             FROM ver_$b"""
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH d AS (
+          SELECT doc_id, ${duckShingles(Toks, 3)} AS sh FROM documents
+        ), sigs AS (
+          SELECT doc_id, sh,
+                 [list_min([((s * 2654435761 % ${NearDup.MinHashP - 1} + 1)
+                             * (${TextHash.duckHash60("x")} % ${NearDup.MinHashP}) + s)
+                            % ${NearDup.MinHashP} FOR x IN sh])
+                  FOR s IN generate_series(0, 63)] AS sig
+          FROM d WHERE len(sh) > 0
+        ), $perConfig
+        SELECT * FROM ($selects) ORDER BY bands
+      """.trim
+      }),
+
+    // PCA top component by POWER ITERATION over the exact corpus Gram
+    // matrix — the spectral step that turns q409's Gram building block into
+    // whitening/PCA. The distributed part is the d x d Gram aggregate
+    // (fixed-point long sums, merge-order-free); the iteration then runs on
+    // the DRIVER over a d x d matrix — O(dim^2) state, bounded by the
+    // embedding dimension, never by corpus size (the legitimate driver-side
+    // shape, like Keys' per-partition offsets). 20 iterations from the
+    // exact-binary start 1/sqrt(64) = 0.125; every fold runs in fixed index
+    // order, so the DuckDB oracle — the same 20 steps unrolled as generated
+    // CTEs over list comprehensions — reproduces component values BITWISE.
+    // Output: the unit eigenvector and its Rayleigh-quotient eigenvalue.
+    Q(
+      "q416_pca_power",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val xi = e.select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "vi")))
+        val rows = xi
+          .select(col("i"), col("vi"), posexplode(col("embedding")).as(Seq("j", "vj")))
+          .select(col("i"), col("j"),
+            floor(col("vi").cast("double") * col("vj").cast("double")
+              * lit(16777216.0)).cast("long").as("pq"))
+          .groupBy("i", "j").agg(sum(col("pq")).as("gq"))
+          .select(col("i"), col("j"),
+            (col("gq").cast("double") / lit(16777216.0)).as("g"))
+          .collect()
+        val d = rows.map(_.getInt(0)).max + 1
+        val g = Array.ofDim[Double](d, d)
+        rows.foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        def matVec(v: Array[Double]): Array[Double] =
+          Array.tabulate(d) { i =>
+            var acc = 0.0; var j = 0
+            while (j < d) { acc += g(i)(j) * v(j); j += 1 }
+            acc
+          }
+        def normOf(w: Array[Double]): Double = {
+          var acc = 0.0; var j = 0
+          while (j < d) { acc += w(j) * w(j); j += 1 }
+          math.sqrt(acc)
+        }
+        var v = Array.fill(d)(0.125) // 1/sqrt(64), exact in binary
+        (1 to 20).foreach { _ =>
+          val w = matVec(v)
+          val nrm = normOf(w)
+          v = w.map(_ / nrm)
+        }
+        val gv = matVec(v)
+        var lambda = 0.0
+        (0 until d).foreach(i => lambda += v(i) * gv(i))
+        import s.implicits._
+        v.zipWithIndex.toSeq
+          .map { case (c, i) => (i, c, lambda) }
+          .toDF("dim", "component", "eigenvalue")
+          .orderBy("dim")
+      },
+      Some {
+        val iters = (1 to 20).map { k =>
+          val prev = if (k == 1) "it0" else s"it${k - 1}"
+          s"""w$k AS (
+          SELECT G, [list_sum([G[i][j] * v[j] FOR j IN generate_series(1, len(v))])
+                     FOR i IN generate_series(1, len(v))] AS w
+          FROM $prev
+        ), it$k AS (
+          SELECT G, [w[i] / sqrt(list_sum([w[j] * w[j] FOR j IN generate_series(1, len(w))]))
+                     FOR i IN generate_series(1, len(w))] AS v
+          FROM w$k
+        )"""
+        }.mkString(", ")
+        s"""
+        WITH gr AS (
+          SELECT CAST(u.i - 1 AS INTEGER) AS i, CAST(v.i - 1 AS INTEGER) AS j,
+                 CAST(SUM(CAST(floor(CAST(u.vi AS DOUBLE) * CAST(v.vj AS DOUBLE)
+                   * 16777216.0) AS BIGINT)) AS DOUBLE) / 16777216.0 AS g
+          FROM embeddings,
+               LATERAL (SELECT unnest(embedding) AS vi,
+                               generate_subscripts(embedding, 1) AS i) u,
+               LATERAL (SELECT unnest(embedding) AS vj,
+                               generate_subscripts(embedding, 1) AS i) v
+          GROUP BY 1, 2
+        ), grow AS (
+          SELECT i, list(g ORDER BY j) AS grow FROM gr GROUP BY i
+        ), it0 AS (
+          SELECT list(grow ORDER BY i) AS G,
+                 [0.125 FOR x IN generate_series(1, (SELECT COUNT(*) FROM grow))] AS v
+          FROM grow
+        ), $iters, ray AS (
+          SELECT v, [list_sum([G[i][j] * v[j] FOR j IN generate_series(1, len(v))])
+                     FOR i IN generate_series(1, len(v))] AS gv
+          FROM it20
+        )
+        SELECT CAST(u.i - 1 AS INTEGER) AS dim, u.c AS component,
+               list_sum([v[i] * gv[i] FOR i IN generate_series(1, len(v))]) AS eigenvalue
+        FROM ray, LATERAL (SELECT unnest(v) AS c, generate_subscripts(v, 1) AS i) u
+        ORDER BY dim
+      """.trim
       })
   )
 }
