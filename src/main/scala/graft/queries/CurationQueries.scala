@@ -550,6 +550,220 @@ object CurationQueries {
         FROM ray, LATERAL (SELECT unnest(v) AS c, generate_subscripts(v, 1) AS i) u
         ORDER BY dim
       """.trim
-      })
+      }),
+
+    // Per-cluster PCA: q416's spectral step grouped by label — one top
+    // component per cluster, the building block of per-cluster whitening
+    // (Mahalanobis-ish scoring inside IVF cells). The distributed aggregate
+    // is labels x d x d Gram cells (bounded by label count x dim^2, never
+    // corpus-linear); the driver iterates each label's d x d matrix in
+    // sorted label order with the same fixed-order folds, so the oracle —
+    // the identical 20 unrolled steps running ROW-WISE over one CTE row
+    // per label — matches bitwise.
+    Q(
+      "q417_grouped_pca",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val xi = e.select(col("label"), col("embedding"),
+          posexplode(col("embedding")).as(Seq("i", "vi")))
+        val rows = xi
+          .select(col("label"), col("i"), col("vi"),
+            posexplode(col("embedding")).as(Seq("j", "vj")))
+          .select(col("label"), col("i"), col("j"),
+            floor(col("vi").cast("double") * col("vj").cast("double")
+              * lit(16777216.0)).cast("long").as("pq"))
+          .groupBy("label", "i", "j").agg(sum(col("pq")).as("gq"))
+          .select(col("label"), col("i"), col("j"),
+            (col("gq").cast("double") / lit(16777216.0)).as("g"))
+          .collect()
+        val byLabel = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        val out = byLabel.flatMap { case (label, cells) =>
+          val d = cells.map(_.getInt(1)).max + 1
+          val g = Array.ofDim[Double](d, d)
+          cells.foreach(r => g(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+          def matVec(v: Array[Double]): Array[Double] =
+            Array.tabulate(d) { i =>
+              var acc = 0.0; var j = 0
+              while (j < d) { acc += g(i)(j) * v(j); j += 1 }
+              acc
+            }
+          var v = Array.fill(d)(0.125)
+          (1 to 20).foreach { _ =>
+            val w = matVec(v)
+            var n2 = 0.0; var j = 0
+            while (j < d) { n2 += w(j) * w(j); j += 1 }
+            val nrm = math.sqrt(n2)
+            v = w.map(_ / nrm)
+          }
+          val gv = matVec(v)
+          var lambda = 0.0
+          (0 until d).foreach(i => lambda += v(i) * gv(i))
+          v.zipWithIndex.map { case (c, i) => (label, i, c, lambda) }
+        }
+        import s.implicits._
+        out.toDF("label", "dim", "component", "eigenvalue")
+          .orderBy("label", "dim")
+      },
+      Some {
+        val iters = (1 to 20).map { k =>
+          val prev = if (k == 1) "it0" else s"it${k - 1}"
+          s"""w$k AS (
+          SELECT label, G,
+                 [list_sum([G[i][j] * v[j] FOR j IN generate_series(1, len(v))])
+                  FOR i IN generate_series(1, len(v))] AS w
+          FROM $prev
+        ), it$k AS (
+          SELECT label, G,
+                 [w[i] / sqrt(list_sum([w[j] * w[j] FOR j IN generate_series(1, len(w))]))
+                  FOR i IN generate_series(1, len(w))] AS v
+          FROM w$k
+        )"""
+        }.mkString(", ")
+        s"""
+        WITH gr AS (
+          SELECT label, CAST(u.i - 1 AS INTEGER) AS i, CAST(v.i - 1 AS INTEGER) AS j,
+                 CAST(SUM(CAST(floor(CAST(u.vi AS DOUBLE) * CAST(v.vj AS DOUBLE)
+                   * 16777216.0) AS BIGINT)) AS DOUBLE) / 16777216.0 AS g
+          FROM embeddings,
+               LATERAL (SELECT unnest(embedding) AS vi,
+                               generate_subscripts(embedding, 1) AS i) u,
+               LATERAL (SELECT unnest(embedding) AS vj,
+                               generate_subscripts(embedding, 1) AS i) v
+          GROUP BY 1, 2, 3
+        ), grow AS (
+          SELECT label, i, list(g ORDER BY j) AS grow FROM gr GROUP BY label, i
+        ), it0 AS (
+          SELECT label, list(grow ORDER BY i) AS G,
+                 [0.125 FOR x IN generate_series(1, CAST(COUNT(*) AS INTEGER))] AS v
+          FROM grow GROUP BY label
+        ), $iters, ray AS (
+          SELECT label, v,
+                 [list_sum([G[i][j] * v[j] FOR j IN generate_series(1, len(v))])
+                  FOR i IN generate_series(1, len(v))] AS gv
+          FROM it20
+        )
+        SELECT label, CAST(u.i - 1 AS INTEGER) AS dim, u.c AS component,
+               list_sum([v[i] * gv[i] FOR i IN generate_series(1, len(v))]) AS eigenvalue
+        FROM ray, LATERAL (SELECT unnest(v) AS c, generate_subscripts(v, 1) AS i) u
+        ORDER BY label, dim
+      """.trim
+      }),
+
+    // Per-dimension embedding standardization audit — the feature-scaling
+    // "fit" pass (and its data-quality census) ahead of ANN/clustering:
+    // exact per-dim mean (2^48 decimal exponent-shift sums — lossless for
+    // floats) and variance from fixed-point second moments (floor(x*x*2^24)
+    // longs), plus a 3-sigma outlier count per dimension via a broadcast of
+    // the dim-bounded stats frame back onto the exploded values (squared
+    // comparison — no sqrt in the predicate). Everything is one explode +
+    // two hash aggregates; corpus-linear, no window.
+    Q(
+      "q418_embed_standardize",
+      (s, dir) => {
+        val shift = lit(281474976710656.0) // 2^48
+        val x = Tables.embeddings(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
+          .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("dim"), col("v").cast("double").as("x"))
+        val stats = x.groupBy("dim")
+          .agg(count(lit(1)).as("n"),
+            (sum((col("x") * shift).cast("decimal(38,0)")).cast("double") / shift)
+              .as("sx"),
+            (sum(floor(col("x") * col("x") * lit(16777216.0)).cast("long"))
+              .cast("double") / lit(16777216.0)).as("sx2"))
+          .select(col("dim"), col("n"),
+            (col("sx") / col("n").cast("double")).as("mean"),
+            (col("sx2") / col("n").cast("double")
+              - (col("sx") / col("n").cast("double"))
+                * (col("sx") / col("n").cast("double"))).as("variance"))
+        x.join(broadcast(stats), Seq("dim"))
+          .groupBy("dim")
+          .agg(first(col("n")).as("n"), first(col("mean")).as("mean"),
+            sqrt(first(col("variance"))).as("std"),
+            sum(when((col("x") - col("mean")) * (col("x") - col("mean"))
+              > lit(9.0) * col("variance"), 1L).otherwise(0L)).as("n_outliers"))
+          .orderBy("dim")
+      },
+      Some("""
+        WITH x AS (
+          SELECT CAST(u.i - 1 AS INTEGER) AS dim, CAST(u.v AS DOUBLE) AS x
+          FROM embeddings,
+               LATERAL (SELECT unnest(embedding) AS v,
+                               generate_subscripts(embedding, 1) AS i) u
+        ), stats AS (
+          SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(x * 281474976710656 AS DECIMAL(38,0))) AS DOUBLE)
+                   / 281474976710656 AS sx,
+                 CAST(SUM(CAST(floor(x * x * 16777216.0) AS BIGINT)) AS DOUBLE)
+                   / 16777216.0 AS sx2
+          FROM x GROUP BY dim
+        ), m AS (
+          SELECT dim, n, sx / CAST(n AS DOUBLE) AS mean,
+                 sx2 / CAST(n AS DOUBLE)
+                   - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)) AS variance
+          FROM stats
+        )
+        SELECT x.dim, m.n, m.mean, sqrt(m.variance) AS std,
+               CAST(SUM(CASE WHEN (x.x - m.mean) * (x.x - m.mean) > 9.0 * m.variance
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM x JOIN m ON x.dim = m.dim
+        GROUP BY x.dim, m.n, m.mean, m.variance
+        ORDER BY x.dim
+      """.trim)),
+
+    // Embedding-space split-leakage matrix — q227's audit (text MinHash
+    // near-dups crossing train/val/test) re-run in EMBEDDING space: a pair
+    // of semantically near-identical vectors split across train and test
+    // inflates eval. Candidates from the same data-independent SRP buckets
+    // as q410; split membership from the deterministic hash split (stable
+    // across runs/engines); the output is the split x split pair matrix
+    // with leakage cells flagged (off-diagonal = contamination).
+    Q(
+      "q419_embed_split_leakage",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"),
+            TextAnalysis.splitAssign(col("vec_id"),
+              Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"),
+            Similarity.hyperplaneBucketFast(col("embedding"), 6, 64).as("bucket"))
+        val splits = e.select(col("vec_id"), col("split"))
+        Similarity
+          .embeddingNearDupPairs(e, "vec_id", "embedding", "bucket", threshold = 0.25)
+          .join(splits.withColumnRenamed("vec_id", "id_a")
+            .withColumnRenamed("split", "__sa").hint("shuffle_hash"), Seq("id_a"))
+          .join(splits.withColumnRenamed("vec_id", "id_b")
+            .withColumnRenamed("split", "__sb").hint("shuffle_hash"), Seq("id_b"))
+          .select(least(col("__sa"), col("__sb")).as("split_lo"),
+            greatest(col("__sa"), col("__sb")).as("split_hi"))
+          .groupBy("split_lo", "split_hi")
+          .agg(count(lit(1)).as("n_pairs"))
+          .select(col("split_lo"), col("split_hi"), col("n_pairs"),
+            (col("split_lo") =!= col("split_hi")).as("is_leakage"))
+          .orderBy("split_lo", "split_hi")
+      },
+      Some(s"""
+        WITH sb AS (${duckSrpBucket(6)}
+        ), sp AS (
+          SELECT vec_id,
+                 CASE WHEN ${TextHash.duckHash60("CAST(vec_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                      WHEN ${TextHash.duckHash60("CAST(vec_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM embeddings
+        ), e AS (
+          SELECT v.vec_id, v.embedding, sb.bucket, sp.split,
+                 sqrt(${duckDot("v.embedding", "v.embedding")}) AS nrm
+          FROM embeddings v
+          JOIN sb ON v.vec_id = sb.vec_id
+          JOIN sp ON v.vec_id = sp.vec_id
+        ), pairs AS (
+          SELECT least(a.split, b.split) AS split_lo,
+                 greatest(a.split, b.split) AS split_hi
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.25
+        )
+        SELECT split_lo, split_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               split_lo <> split_hi AS is_leakage
+        FROM pairs GROUP BY 1, 2 ORDER BY split_lo, split_hi
+      """.trim))
   )
 }
