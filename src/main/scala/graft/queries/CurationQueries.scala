@@ -764,6 +764,202 @@ object CurationQueries {
         SELECT split_lo, split_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
                split_lo <> split_hi AS is_leakage
         FROM pairs GROUP BY 1, 2 ORDER BY split_lo, split_hi
+      """.trim)),
+
+    // Kaplan-Meier survival curve for time-to-conversion — the
+    // product-limit estimator with RIGHT CENSORING (the reason KM exists:
+    // users who never purchase are censored at their last activity and
+    // leave the risk set without an event, which a naive conversion rate
+    // mishandles), in the engine's exact-integer discipline: per-duration
+    // risk sets come from ONE grouped aggregate plus the two-phase global
+    // running sum (no unpartitioned window), and the survival product
+    // becomes an INTEGER sum of micro-nat log terms
+    // (round(ln(1 - d/n)*1e6), the q219 convention), so the cumulative
+    // curve is order-independent and hash-exact; the only doubles are
+    // final divisions. Durations: first event day -> first purchase day
+    // (event) or -> last activity day (censored). Plateau durations (zero
+    // events) and the curve terminus (all remaining convert) carry no log
+    // term and are omitted, mirrored in the oracle.
+    Q(
+      "q420_kaplan_meier",
+      (s, dir) => {
+        import graft.engine.Keys
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+        val u = ev.groupBy("user_id")
+          .agg(min(col("d")).as("first_d"),
+            min(when(col("event_type") === "purchase", col("d"))).as("purchase_d"),
+            max(col("d")).as("last_d"))
+        val users = u.select(
+          datediff(coalesce(col("purchase_d"), col("last_d")), col("first_d"))
+            .cast("long").as("tenure"),
+          col("purchase_d").isNotNull.as("converted"))
+        val byT = users.groupBy("tenure")
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(col("converted"), 1L).otherwise(0L)).as("n_churned"))
+        val total = users.agg(count(lit(1)).as("n_total"))
+        val curve = Keys.globalRunningSumBy(byT, Seq(col("tenure")), "n_users", "cum_users")
+          .crossJoin(broadcast(total))
+          .select(col("tenure"),
+            (col("n_total") - col("cum_users") + col("n_users")).as("n_at_risk"),
+            col("n_churned").as("n_events"))
+          .filter(col("n_events") >= 1 && col("n_at_risk") > col("n_events"))
+          .withColumn("unats",
+            round(log(lit(1.0) - col("n_events").cast("double")
+              / col("n_at_risk").cast("double")) * lit(1000000.0)).cast("long"))
+        Keys.globalRunningSumBy(curve, Seq(col("tenure")), "unats", "cum_unats")
+          .select(col("tenure"), col("n_at_risk"), col("n_events"),
+            col("unats"), col("cum_unats"),
+            (col("cum_unats").cast("double") / lit(1000000.0)).as("log_survival"))
+          .orderBy("tenure")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, event_type FROM events
+        ), u AS (
+          SELECT user_id, MIN(d) AS fd,
+                 MIN(CASE WHEN event_type = 'purchase' THEN d END) AS pd,
+                 MAX(d) AS ld
+          FROM ev GROUP BY 1
+        ), users AS (
+          SELECT date_diff('day', fd, COALESCE(pd, ld)) AS tenure,
+                 pd IS NOT NULL AS converted
+          FROM u
+        ), byt AS (
+          SELECT tenure, COUNT(*) AS n_users,
+                 SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS n_events
+          FROM users GROUP BY 1
+        ), tot AS (
+          SELECT COUNT(*) AS n_total FROM users
+        ), cum AS (
+          SELECT tenure, n_users, n_events,
+                 SUM(n_users) OVER (ORDER BY tenure) AS cum_users
+          FROM byt
+        ), curve AS (
+          SELECT tenure,
+                 n_total - cum_users + n_users AS n_at_risk,
+                 n_events
+          FROM cum CROSS JOIN tot
+          WHERE n_events >= 1 AND n_total - cum_users + n_users > n_events
+        ), c2 AS (
+          SELECT tenure, n_at_risk, n_events,
+                 CAST(round(ln(1.0 - CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+                   * 1000000.0) AS BIGINT) AS unats
+          FROM curve
+        )
+        SELECT CAST(tenure AS BIGINT) AS tenure,
+               CAST(n_at_risk AS BIGINT) AS n_at_risk,
+               CAST(n_events AS BIGINT) AS n_events, unats,
+               CAST(SUM(unats) OVER (ORDER BY tenure) AS BIGINT) AS cum_unats,
+               CAST(SUM(unats) OVER (ORDER BY tenure) AS DOUBLE) / 1000000.0 AS log_survival
+        FROM c2 ORDER BY tenure
+      """.trim)),
+
+    // Source-vocabulary overlap matrix: pairwise token-set Jaccard between
+    // every two sources — the corpus-composition diagnostic that surfaces
+    // mirrored feeds and shared boilerplate before near-dup even runs. The
+    // inverted index (token -> distinct sources) bounds the self-join at
+    // sources^2 rows PER TOKEN (source count is bounded; never
+    // corpus-quadratic), and the vocab frames stay shuffle-joined
+    // (corpus-linear — the no-broadcast rule). Output: one row per
+    // unordered source pair with both vocab sizes and Jaccard.
+    Q(
+      "q421_vocab_overlap",
+      (s, dir) => {
+        val st = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+          .distinct()
+        val sizes = st.groupBy("source").agg(count(lit(1)).as("n_vocab"))
+        val inter = st.as("a")
+          .join(st.as("b").hint("shuffle_hash"),
+            col("a.t") === col("b.t") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        inter
+          .join(sizes.withColumnRenamed("source", "source_a")
+            .withColumnRenamed("n_vocab", "vocab_a").hint("shuffle_hash"), Seq("source_a"))
+          .join(sizes.withColumnRenamed("source", "source_b")
+            .withColumnRenamed("n_vocab", "vocab_b").hint("shuffle_hash"), Seq("source_b"))
+          .select(col("source_a"), col("source_b"), col("vocab_a"), col("vocab_b"),
+            col("n_shared"),
+            (col("n_shared").cast("double")
+              / (col("vocab_a") + col("vocab_b") - col("n_shared")).cast("double"))
+              .as("jaccard"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""
+        WITH st AS (
+          SELECT DISTINCT source, unnest($Toks) AS t FROM documents
+        ), sizes AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vocab FROM st GROUP BY 1
+        ), inter AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT source_a, source_b,
+               sa.n_vocab AS vocab_a, sb.n_vocab AS vocab_b, n_shared,
+               CAST(n_shared AS DOUBLE)
+                 / CAST(sa.n_vocab + sb.n_vocab - n_shared AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.source = source_a
+        JOIN sizes sb ON sb.source = source_b
+        ORDER BY source_a, source_b
+      """.trim)),
+
+    // Sentence segmentation stats — the text-analysis granularity between
+    // tokens (q21) and documents: sentences split on [.!?] runs, per-source
+    // sentence counts and exact mean lengths (integer sums, one final
+    // division). Pure map-side higher-order expressions (split + filter +
+    // per-element token counts folded with a long accumulator) — no
+    // shuffle until the one grouped aggregate; linear at any corpus size.
+    Q(
+      "q422_sentence_stats",
+      (s, dir) => {
+        val sentences = filter(
+          transform(split(col("text"), "[.!?]+"), x => trim(x)),
+          x => x =!= "")
+        val docStats = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("source"), sentences.as("__sents"))
+          .select(col("source"),
+            size(col("__sents")).cast("long").as("__ns"),
+            aggregate(
+              transform(col("__sents"), x => size(split(x, "\\s+")).cast("long")),
+              lit(0L), (acc, v) => acc + v).as("__nt"))
+        docStats.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("__ns")).as("n_sentences"),
+            sum(col("__nt")).as("n_tokens"))
+          .select(col("source"), col("n_docs"), col("n_sentences"), col("n_tokens"),
+            (col("n_sentences").cast("double") / col("n_docs").cast("double"))
+              .as("sentences_per_doc"),
+            when(col("n_sentences") > 0,
+              col("n_tokens").cast("double") / col("n_sentences").cast("double"))
+              .as("tokens_per_sentence"))
+          .orderBy("source")
+      },
+      Some(raw"""
+        WITH d AS (
+          SELECT source,
+                 list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+                   x -> trim(x)), x -> x <> '') AS sents
+          FROM documents
+        ), ds AS (
+          SELECT source, CAST(len(sents) AS BIGINT) AS ns,
+                 CAST(COALESCE(list_sum([len(string_split_regex(x, '\s+'))
+                   FOR x IN sents]), 0) AS BIGINT) AS nt
+          FROM d
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ns) AS BIGINT) AS n_sentences,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens,
+               CAST(SUM(ns) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS sentences_per_doc,
+               CASE WHEN SUM(ns) > 0
+                 THEN CAST(SUM(nt) AS DOUBLE) / CAST(SUM(ns) AS DOUBLE) END AS tokens_per_sentence
+        FROM ds GROUP BY source ORDER BY source
       """.trim))
   )
 }
