@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(GraftFunctions.vecDot)
     extensions.injectFunction(GraftFunctions.hash60)
+    extensions.injectFunction(GraftFunctions.intersectCard)
     extensions.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     extensions.injectOptimizerRule(_ => graft.plans.TopKRankRewrite)
   }

@@ -90,9 +90,22 @@ object NearDup {
         ).as("bucket")))
 
   /** Exact Jaccard similarity of two (distinct-element) shingle arrays, as
-    * the IEEE-exact ratio |a∩b| / (|a|+|b|-|a∩b|).
+    * the IEEE-exact ratio |a∩b| / (|a|+|b|-|a∩b|). The intersection
+    * cardinality is the codegen'd native expression (graft.functions
+    * .IntersectCard — one hash-set pass, no intersection array
+    * materialized); numerically identical to [[jaccardPortable]], asserted
+    * in FunctionsSpec.
     */
   def jaccard(a: Column, b: Column): Column = {
+    val inter = call_function("graft_intersect_card", a, b)
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
+  }
+
+  /** Built-ins-only composition of [[jaccard]] — kept as the cross-check
+    * reference for the native expression (same pattern as
+    * TextHash.hash60Portable).
+    */
+  def jaccardPortable(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
   }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the similarity-search hot loop.
@@ -130,6 +130,80 @@ object Hash60 {
   }
 }
 
+/** Cardinality of the set intersection of two string arrays — the Jaccard
+  * verify's hot term. `size(array_intersect(a, b))` is semantically right
+  * but materializes the intersection ArrayData per pair (and the built-in
+  * walks generic element comparators); candidate-verify stages evaluate it
+  * per candidate pair over ~50-element shingle arrays, so it gets the same
+  * preference-order (b) treatment as the dot product: a codegen'd primitive
+  * that counts matches through one hash set and allocates no output array.
+  *
+  * Exactly `size(array_intersect(a, b))` for every input, including
+  * duplicate elements (left duplicates counted once — a seen-set guards
+  * them) and null elements (counted once when present on BOTH sides,
+  * matching the built-in's null semantics). Asserted in FunctionsSpec.
+  */
+case class IntersectCard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isStringArray(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isStringArray(left.dataType) && isStringArray(right.dataType)) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<string> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_intersect_card"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntersectCard.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.IntersectCard.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCard =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectCard {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val nb = b.numElements()
+    val setB = new java.util.HashSet[UTF8String](math.max(16, nb * 2))
+    var bHasNull = false
+    var i = 0
+    while (i < nb) {
+      if (b.isNullAt(i)) bHasNull = true
+      else setB.add(b.getUTF8String(i))
+      i += 1
+    }
+    val na = a.numElements()
+    val seen = new java.util.HashSet[UTF8String](math.max(16, na * 2))
+    var aNullCounted = false
+    var count = 0
+    i = 0
+    while (i < na) {
+      if (a.isNullAt(i)) {
+        if (bHasNull && !aNullCounted) { count += 1; aNullCounted = true }
+      } else {
+        val v = a.getUTF8String(i)
+        if (setB.contains(v) && seen.add(v)) count += 1
+      }
+      i += 1
+    }
+    count
+  }
+}
+
 object GraftFunctions {
 
   val vecDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -148,7 +222,15 @@ object GraftFunctions {
       Hash60(exprs.head)
     })
 
-  private val all = Seq(vecDot, hash60)
+  val intersectCard: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_intersect_card"),
+    new ExpressionInfo(classOf[IntersectCard].getName, "graft_intersect_card"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "graft_intersect_card takes exactly 2 arguments")
+      IntersectCard(exprs.head, exprs(1))
+    })
+
+  private val all = Seq(vecDot, hash60, intersectCard)
 
   /** Idempotently register the graft functions into an existing session (for
     * sessions not built with `spark.sql.extensions=graft.GraftExtensions`).

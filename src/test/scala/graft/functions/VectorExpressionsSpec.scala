@@ -63,6 +63,64 @@ class VectorExpressionsSpec extends SparkSpec {
       s"expected the projection inside a codegen stage:\n$plan")
   }
 
+  test("graft_intersect_card equals size(array_intersect) incl. dups and nulls") {
+    GraftFunctions.ensureRegistered(spark)
+    // corpus-wide exhaustive check over real shingle sets
+    val sh = graft.ext.NearDup.shingleFrame(
+      Tables.documents(spark, sf0001), "doc_id", "text", 3)
+    val pairs = sh.select(col("doc_id").as("ida"), col("__shingles").as("a"))
+      .crossJoin(sh.select(col("doc_id").as("idb"), col("__shingles").as("b")))
+      .limit(5000)
+    val diff = pairs.select(
+        call_function("graft_intersect_card", col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).as("builtin"))
+      .filter(col("native") =!= col("builtin"))
+      .count()
+    assert(diff === 0)
+    // adversarial cases: duplicates, null elements, null arrays
+    val edge = Seq(
+      (1L, Seq("a", "a", "b", null), Seq("a", null, "c")),
+      (2L, Seq("x"), Seq[String]()),
+      (3L, null, Seq("a"))
+    ).toDF("id", "a", "b")
+    val out = edge.select(col("id"),
+        call_function("graft_intersect_card", col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).as("builtin"))
+      .collect()
+    out.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"nullability for id=${r.getLong(0)}")
+      if (!r.isNullAt(1)) assert(r.getInt(1) === r.getInt(2), s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("NearDup.jaccard (native) is bit-identical to jaccardPortable") {
+    GraftFunctions.ensureRegistered(spark)
+    val sh = graft.ext.NearDup.shingleFrame(
+      Tables.documents(spark, sf0001), "doc_id", "text", 3)
+    val pairs = sh.select(col("doc_id").as("ida"), col("__shingles").as("a"))
+      .crossJoin(sh.select(col("doc_id").as("idb"), col("__shingles").as("b")))
+      .limit(5000)
+    val diff = pairs.select(
+        graft.ext.NearDup.jaccard(col("a"), col("b")).as("native"),
+        graft.ext.NearDup.jaccardPortable(col("a"), col("b")).as("portable"))
+      .filter(col("native") =!= col("portable"))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("graft_intersect_card participates in whole-stage codegen") {
+    GraftFunctions.ensureRegistered(spark)
+    // exchange-free plan: AQE's pre-execution string hides codegen ids
+    // behind AdaptiveSparkPlan, so probe a plain scan+project like the
+    // vec_dot test does
+    val plan = Tables.documents(spark, sf0001)
+      .select(split(col("text"), " ").as("t"))
+      .select(call_function("graft_intersect_card", col("t"), col("t")).as("c"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_intersect_card"),
+      s"expected the projection inside a codegen stage:\n$plan")
+  }
+
   test("GraftExtensions injects graft_vec_dot via spark.sql.extensions") {
     // simulate the injection path directly (a second SparkSession in one JVM
     // shares the context; building a fresh one with the conf is flaky in
