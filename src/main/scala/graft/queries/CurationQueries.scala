@@ -960,6 +960,95 @@ object CurationQueries {
                CASE WHEN SUM(ns) > 0
                  THEN CAST(SUM(nt) AS DOUBLE) / CAST(SUM(ns) AS DOUBLE) END AS tokens_per_sentence
         FROM ds GROUP BY source ORDER BY source
+      """.trim)),
+
+    // Hubness audit — the high-dimensional ANN pathology check: a few
+    // vectors ("hubs") appear in a disproportionate share of other points'
+    // k-NN lists, which skews retrieval diversity and poisons
+    // k-occurrence-based dedup policies. Over a deterministic probe sample
+    // (1 in 5 ids), exact top-10 cosine lists per probe (broadcast probe
+    // set x streamed corpus, heap top-k), then the k-occurrence rollup per
+    // neighbor and the global top-20 hubs via TakeOrdered (never a global
+    // window). At corpus scale the probe set is the sampling knob; the
+    // occurrence aggregate is one hash shuffle.
+    Q(
+      "q423_hubness",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val probes = e.filter(col("vec_id") % 5 === 0)
+        Similarity.topKCosine(probes, e, "vec_id", "embedding", k = 10)
+          .groupBy("neighbor_id")
+          .agg(count(lit(1)).as("k_occurrences"), min(col("rank")).as("best_rank"))
+          .orderBy(col("k_occurrences").desc, col("neighbor_id"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 sqrt(${duckDot("embedding", "embedding")}) AS nrm
+          FROM embeddings
+        ), tk AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                            c.vec_id) AS INTEGER) AS rank
+          FROM e q JOIN e c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id % 5 = 0
+          QUALIFY rank <= 10
+        )
+        SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS k_occurrences,
+               CAST(MIN(rank) AS INTEGER) AS best_rank
+        FROM tk GROUP BY neighbor_id
+        ORDER BY k_occurrences DESC, neighbor_id
+        LIMIT 20
+      """.trim)),
+
+    // Differentially-private-SHAPED count release: per-(lang, source) doc
+    // counts with Laplace(2.0) noise via inverse-CDF sampling. The noise
+    // seed is the deterministic 60-bit hash of the cell key — a documented
+    // STAND-IN for the RNG draw (true DP requires non-reproducible
+    // randomness; a hash-seeded draw makes the release predictable and is
+    // NOT private) so the mechanism's full plumbing — uniform from seed,
+    // signed inverse CDF, noise addition — is value-gated exactly, the
+    // same contract as the multimodal decode stub. Swap the seed for a
+    // true RNG and epsilon accounting to productionize. Pure map-side
+    // expression work over one grouped aggregate.
+    Q(
+      "q424_dp_release",
+      (s, dir) => {
+        val cells = Tables.documents(s, dir)
+          .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        val u = (pmod(TextHash.hash60(concat_ws(":", col("lang"), col("source"))),
+          lit(1048575L)) + 1L).cast("double") / lit(1048576.0)
+        val c = u - lit(0.5)
+        // Micro-unit quantized noise (round(x*1e6), the q219 log
+        // convention): raw ln differs between engines in the last ulp.
+        val noiseMicro = round(lit(-2.0) * signum(c)
+          * log(lit(1.0) - lit(2.0) * abs(c)) * lit(1000000.0)).cast("long")
+        cells
+          .select(col("lang"), col("source"), col("n"),
+            lit(0.5).as("epsilon"), noiseMicro.as("noise_micro"),
+            (col("n").cast("double") + noiseMicro.cast("double") / lit(1000000.0))
+              .as("released"))
+          .orderBy("lang", "source")
+      },
+      Some(s"""
+        WITH cells AS (
+          SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2
+        ), u AS (
+          SELECT lang, source, n,
+                 CAST(${TextHash.duckHash60("lang || ':' || source")} % 1048575 + 1 AS DOUBLE)
+                   / 1048576.0 AS u
+          FROM cells
+        )
+        SELECT lang, source, n, CAST(0.5 AS DOUBLE) AS epsilon,
+               CAST(round(-2.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))
+                 * 1000000.0) AS BIGINT) AS noise_micro,
+               CAST(n AS DOUBLE)
+                 + CAST(CAST(round(-2.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))
+                     * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS released
+        FROM u ORDER BY lang, source
       """.trim))
   )
 }
