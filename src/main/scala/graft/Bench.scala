@@ -66,18 +66,26 @@ object Bench {
         // sf dir layout.
         val heavy = results.filterNot(_._1.contains("stream"))
           .sortBy(-_._2).take(10).map(_._1)
-        val entries = heavy.map { name =>
-          val t0 = System.nanoTime()
-          val ok =
-            try { materializeAt(name, dir10); true }
-            catch { case e: Throwable =>
-              System.err.println(s"SCALE-FAIL $name: $e"); false }
-          val sec = (System.nanoTime() - t0) / 1e9
-          val base = best(name)
-          val ratio = if (base > 0) sec / base else -1.0
-          s"\"" + name + s"\":{\"sf\":$base,\"x$factor\":$sec," +
-            s"\"ratio\":$ratio,\"ok\":$ok}"
-        }
+        // A killed/stopped context (e.g. the harness SIGTERMs the JVM and
+        // Spark's shutdown hook races the main thread — observed once mid-
+        // rehearsal) must not cascade: every remaining query would fast-fail
+        // with "No active or default Spark session". Stop at the first dead
+        // context, keeping completed entries, so the artifact records the
+        // environmental abort rather than N bogus ok:false rows.
+        val entries = heavy.iterator
+          .takeWhile(_ => !spark.sparkContext.isStopped)
+          .map { name =>
+            val t0 = System.nanoTime()
+            val ok =
+              try { materializeAt(spark, name, dir10); true }
+              catch { case e: Throwable =>
+                System.err.println(s"SCALE-FAIL $name: $e"); false }
+            val sec = (System.nanoTime() - t0) / 1e9
+            val base = best(name)
+            val ratio = if (base > 0) sec / base else -1.0
+            s"\"" + name + s"\":{\"sf\":$base,\"x$factor\":$sec," +
+              s"\"ratio\":$ratio,\"ok\":$ok}"
+          }.toSeq
         s""","scaleup":{"factor":$factor,"queries":${entries.mkString("{", ",", "}")}}"""
       } catch { case e: Throwable =>
         System.err.println(s"SCALE-REHEARSAL-SKIPPED: $e"); ""
@@ -94,11 +102,12 @@ object Bench {
     spark.stop()
   }
 
-  private def materializeAt(name: String, dir: String): Unit = {
-    val spark = SparkSession.active
+  // Takes the session explicitly: SparkSession.active is thread-local state
+  // that gate queries (q347/q398/q400) save/restore — holding the handle is
+  // robust where re-resolving it is not.
+  private def materializeAt(spark: SparkSession, name: String, dir: String): Unit =
     SparkEntry.queries(name)(spark, dir)
       .write.format("noop").mode("overwrite").save()
-  }
 }
 
 /** Derives a `factor`x dataset from a harness scale dir for the Bench scale

@@ -2627,6 +2627,114 @@ object EvalQueries {
                          FOR i IN generate_series(1, len(ca))]) AS drift_dist2
         FROM a JOIN b ON a.label = b.label
         ORDER BY a.label
+      """.trim)),
+
+    // Hash-seeded Poisson-bootstrap CI for the mean discounted revenue — the
+    // resampling CI that still works at 100 TB: classic index-resampling
+    // needs global row addressing (a full shuffle per replicate), but the
+    // Poisson(1) approximation gives every row an INDEPENDENT per-replicate
+    // weight computable map-side — deterministic 60-bit hash of
+    // (row id, replicate) -> uniform in [0, 2^60) -> inverse Poisson CDF via
+    // 8 integer threshold compares (P(w > 7) ~ 1e-5 truncated to 0 — part of
+    // the operator definition, mirrored exactly in the oracle). The plan is
+    // explode(R) + ONE partial-aggregating shuffle emitting R rows per map
+    // task — no sort, no window, no driver loop; R=24 here, and R=1000 keeps
+    // the identical shape. Replicate means are decimal-exact (decimal(24,4)
+    // revenue x int weight) with a single final double division quantized to
+    // 1e-4; CI bounds are the 2nd/23rd order statistics of the replicate
+    // means via a constant R^2 rank self-join over the 24-row aggregate
+    // (broadcast: value-bounded by R, never corpus-linear).
+    Q(
+      "q425_bootstrap_ci",
+      (s, dir) => {
+        val R = 24
+        // floor(cdf_Poisson(1)(k) * 2^60) for k = 0..7; weight = #{t <= u}.
+        val ts = Seq(424136118829305344L, 848272237658610688L,
+          1060340297073263360L, 1131029650211480960L, 1148701988496035328L,
+          1152236456152946176L, 1152825534095764608L, 1152909688087595776L)
+        val base = Tables.lineitem(s, dir).select(
+          concat_ws("~", col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string")).as("uid"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(24,4)").as("x"))
+        val u = TextHash.hash60(
+          concat(col("uid"), lit("#boot"), col("rep").cast("string")))
+        val w = ts.map(t => (u >= lit(t)).cast("int")).reduce(_ + _)
+        val rm = base
+          .select(col("uid"), col("x"),
+            explode(sequence(lit(0), lit(R - 1))).as("rep"))
+          .select(col("rep"), col("x"), w.as("w"))
+          .groupBy("rep")
+          .agg(sum(col("w").cast("long")).as("sw"),
+            sum(col("x") * col("w")).as("swx"))
+          .select(col("rep"),
+            round(col("swx").cast("double") / col("sw").cast("double") * 10000)
+              .cast("long").as("mean_c4"))
+        val rk = rm.as("m1")
+          .join(rm.as("m2"),
+            col("m2.mean_c4") < col("m1.mean_c4") ||
+              (col("m2.mean_c4") === col("m1.mean_c4") &&
+                col("m2.rep") <= col("m1.rep")))
+          .groupBy(col("m1.rep"), col("m1.mean_c4"))
+          .agg(count(lit(1)).as("rk"))
+        val point = base.agg(
+          round(sum(col("x")).cast("double") / count(lit(1)) * 10000)
+            .cast("long").as("point_c4"))
+        val boot = rm.agg(
+          round(sum(col("mean_c4")).cast("double") / R).cast("long")
+            .as("boot_c4"))
+        val lo = rk.filter(col("rk") === 2).select(col("mean_c4").as("lo_c4"))
+        val hi = rk.filter(col("rk") === R - 1)
+          .select(col("mean_c4").as("hi_c4"))
+        point.crossJoin(broadcast(boot)).crossJoin(broadcast(lo))
+          .crossJoin(broadcast(hi))
+          .select(lit(R).cast("int").as("n_reps"), col("point_c4"),
+            col("boot_c4"), col("lo_c4"), col("hi_c4"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT CAST(l_orderkey AS VARCHAR) || '~'
+                   || CAST(l_linenumber AS VARCHAR) AS uid,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                   AS DECIMAL(24,4)) AS x
+          FROM lineitem
+        ), reps AS (
+          SELECT uid, x, r.rep
+          FROM base CROSS JOIN (SELECT unnest(range(24)) AS rep) r
+        ), wtd AS (
+          SELECT rep, x,
+                 CAST(u >= 424136118829305344 AS INT)
+                   + CAST(u >= 848272237658610688 AS INT)
+                   + CAST(u >= 1060340297073263360 AS INT)
+                   + CAST(u >= 1131029650211480960 AS INT)
+                   + CAST(u >= 1148701988496035328 AS INT)
+                   + CAST(u >= 1152236456152946176 AS INT)
+                   + CAST(u >= 1152825534095764608 AS INT)
+                   + CAST(u >= 1152909688087595776 AS INT) AS w
+          FROM (SELECT rep, x,
+                  ${TextHash.duckHash60("uid || '#boot' || CAST(rep AS VARCHAR)")} AS u
+                FROM reps)
+        ), rm AS (
+          SELECT rep,
+                 CAST(round(CAST(SUM(x * w) AS DOUBLE)
+                   / CAST(SUM(w) AS DOUBLE) * 10000) AS BIGINT) AS mean_c4
+          FROM wtd GROUP BY rep
+        ), rk AS (
+          SELECT m1.rep, m1.mean_c4, COUNT(*) AS rk
+          FROM rm m1 JOIN rm m2
+            ON (m2.mean_c4 < m1.mean_c4
+                OR (m2.mean_c4 = m1.mean_c4 AND m2.rep <= m1.rep))
+          GROUP BY m1.rep, m1.mean_c4
+        )
+        SELECT CAST(24 AS INT) AS n_reps,
+               (SELECT CAST(round(CAST(SUM(x) AS DOUBLE) / COUNT(*) * 10000)
+                  AS BIGINT) FROM base) AS point_c4,
+               (SELECT CAST(round(CAST(SUM(mean_c4) AS DOUBLE) / 24) AS BIGINT)
+                  FROM rm) AS boot_c4,
+               (SELECT mean_c4 FROM rk WHERE rk = 2) AS lo_c4,
+               (SELECT mean_c4 FROM rk WHERE rk = 23) AS hi_c4
       """.trim))
   )
 }
