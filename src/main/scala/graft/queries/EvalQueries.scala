@@ -2658,6 +2658,12 @@ object EvalQueries {
           (col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1) - col("l_discount").cast("decimal(18,2)")))
             .cast("decimal(24,4)").as("x"))
+          // One cheap shuffle of the 3-column projection before the R-way
+          // explode x hash stage (the q63/q38 `spread` move): a small scan
+          // may arrive as a single split, and without this the R*n hash
+          // evaluations funnel into one task. At real scale the input is
+          // already many splits and this is one extra narrow-row exchange.
+          .repartition(col("uid"))
         val u = TextHash.hash60(
           concat(col("uid"), lit("#boot"), col("rep").cast("string")))
         val w = ts.map(t => (u >= lit(t)).cast("int")).reduce(_ + _)
@@ -2735,6 +2741,121 @@ object EvalQueries {
                   FROM rm) AS boot_c4,
                (SELECT mean_c4 FROM rk WHERE rk = 2) AS lo_c4,
                (SELECT mean_c4 FROM rk WHERE rk = 23) AS hi_c4
+      """.trim)),
+
+    // Hash-seeded permutation test for a two-group mean difference — the
+    // NONPARAMETRIC companion to q287's z-test (no normality or variance
+    // assumptions; the reference distribution is the data's own under label
+    // exchange). True index permutation needs a global shuffle per
+    // permutation; the scalable approximation reassigns each row
+    // independently with the observed group-A rate (binomial randomization —
+    // standard at this n, where the group-size concentration is ~1/sqrt(n)):
+    // per (row, perm), group = hash60(uid, perm) < floor(rate * 2^60), a
+    // map-side integer compare against one broadcast scalar. Plan: explode(P)
+    // + ONE partial-aggregating shuffle of P rows per map task; P=32 here,
+    // P=1000 identical shape. Sums decimal-exact; each |perm diff| >= |obs|
+    // compare happens in quantized 1e-4 space (engine-identical); p-value =
+    // (1 + n_ge) / (P + 1) surfaced as exact integer micro-units.
+    Q(
+      "q426_permutation_test",
+      (s, dir) => {
+        val P = 32
+        val base = Tables.lineitem(s, dir).select(
+          concat_ws("~", col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string")).as("uid"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(24,4)").as("x"),
+          (col("l_returnflag") === "R").cast("int").as("is_a"))
+          // spread before the P-way explode x hash stage (see q425).
+          .repartition(col("uid"))
+        val diffC4 = (sa: Column, ca: Column, sb: Column, cb: Column) =>
+          round((sa.cast("double") / ca.cast("double")
+            - sb.cast("double") / cb.cast("double")) * 10000).cast("long")
+        val stats = base.agg(
+          floor(sum(col("is_a").cast("long")).cast("double")
+            / count(lit(1)).cast("double") * lit(1152921504606846976.0))
+            .cast("long").as("thr"))
+        val obs = base.agg(
+          sum(when(col("is_a") === 1, col("x"))).as("sa"),
+          sum(col("is_a").cast("long")).as("ca"),
+          sum(when(col("is_a") === 0, col("x"))).as("sb"),
+          count(lit(1)).as("cn"))
+          .select(diffC4(col("sa"), col("ca"), col("sb"),
+            col("cn") - col("ca")).as("obs_diff_c4"))
+        // The one-row threshold joins BEFORE the P-way explode: the
+        // nested-loop broadcast join then touches n rows, not n*P, and the
+        // explode -> hash -> partial-agg pipeline downstream stays inside a
+        // single whole-stage-codegen span (measured 4x on the full query).
+        val perms = base
+          .crossJoin(broadcast(stats))
+          .select(col("uid"), col("x"), col("thr"),
+            explode(sequence(lit(0), lit(P - 1))).as("perm"))
+          .select(col("perm"), col("x"),
+            (TextHash.hash60(concat(col("uid"), lit("#perm"),
+              col("perm").cast("string"))) < col("thr")).cast("int").as("pa"))
+          .groupBy("perm")
+          .agg(sum(when(col("pa") === 1, col("x"))).as("sa"),
+            sum(col("pa").cast("long")).as("ca"),
+            sum(when(col("pa") === 0, col("x"))).as("sb"),
+            count(lit(1)).as("cn"))
+          .select(diffC4(col("sa"), col("ca"), col("sb"),
+            col("cn") - col("ca")).as("diff_c4"))
+        perms.crossJoin(broadcast(obs))
+          .agg(first(col("obs_diff_c4")).as("obs_diff_c4"),
+            sum((abs(col("diff_c4")) >= abs(col("obs_diff_c4")))
+              .cast("long")).as("n_ge"))
+          .select(lit(P).cast("int").as("n_perms"), col("obs_diff_c4"),
+            col("n_ge"),
+            expr(s"CAST(((1 + n_ge) * 1000000) DIV ${P + 1} AS BIGINT)")
+              .as("p_micro"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT CAST(l_orderkey AS VARCHAR) || '~'
+                   || CAST(l_linenumber AS VARCHAR) AS uid,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                   AS DECIMAL(24,4)) AS x,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_a
+          FROM lineitem
+        ), st AS (
+          SELECT CAST(floor(CAST(SUM(is_a) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) * 1152921504606846976.0)
+                   AS BIGINT) AS thr
+          FROM base
+        ), obs AS (
+          SELECT CAST(round((CAST(SUM(CASE WHEN is_a = 1 THEN x END) AS DOUBLE)
+                     / CAST(SUM(is_a) AS DOUBLE)
+                   - CAST(SUM(CASE WHEN is_a = 0 THEN x END) AS DOUBLE)
+                     / CAST(COUNT(*) - SUM(is_a) AS DOUBLE)) * 10000)
+                   AS BIGINT) AS obs_diff_c4
+          FROM base
+        ), pr AS (
+          SELECT p.perm, x,
+                 CASE WHEN ${TextHash.duckHash60(
+                     "uid || '#perm' || CAST(p.perm AS VARCHAR)")}
+                      < (SELECT thr FROM st) THEN 1 ELSE 0 END AS pa
+          FROM base CROSS JOIN (SELECT unnest(range(32)) AS perm) p
+        ), pd AS (
+          SELECT perm,
+                 CAST(round((CAST(SUM(CASE WHEN pa = 1 THEN x END) AS DOUBLE)
+                       / CAST(SUM(pa) AS DOUBLE)
+                     - CAST(SUM(CASE WHEN pa = 0 THEN x END) AS DOUBLE)
+                       / CAST(COUNT(*) - SUM(pa) AS DOUBLE)) * 10000)
+                     AS BIGINT) AS diff_c4
+          FROM pr GROUP BY perm
+        ), ge AS (
+          SELECT CAST(SUM(CASE WHEN abs(diff_c4)
+                     >= abs((SELECT obs_diff_c4 FROM obs))
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+          FROM pd
+        )
+        SELECT CAST(32 AS INT) AS n_perms,
+               (SELECT obs_diff_c4 FROM obs) AS obs_diff_c4,
+               (SELECT n_ge FROM ge) AS n_ge,
+               (SELECT CAST((1 + n_ge) * 1000000 // 33 AS BIGINT) FROM ge)
+                 AS p_micro
       """.trim))
   )
 }
