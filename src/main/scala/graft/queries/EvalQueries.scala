@@ -2856,6 +2856,76 @@ object EvalQueries {
                (SELECT n_ge FROM ge) AS n_ge,
                (SELECT CAST((1 + n_ge) * 1000000 // 33 AS BIGINT) FROM ge)
                  AS p_micro
+      """.trim)),
+
+    // Delete-one-block jackknife SE for the mean — the third resampling
+    // primitive beside q425 (bootstrap) and q426 (permutation), and the
+    // CHEAPEST: no row multiplication at all. Rows hash into B=32 blocks,
+    // one partial-aggregating pass produces the B block sums, and every
+    // leave-one-block-out mean is derived from (global - block) arithmetic
+    // over the 32-row frame — the delete-a-group jackknife that estimator
+    // pipelines run per batch at 100 TB because it costs exactly one
+    // aggregation. Leave-out means quantized to 1e-4 BEFORE the variance
+    // fold (doubles never sum); the sum-of-squares runs in decimal(38,0) /
+    // HUGEINT (t^2 ~ 2.5e17, x32 brushes int64 max — the repo widening
+    // rule); one final sqrt of identical doubles.
+    Q(
+      "q427_jackknife_se",
+      (s, dir) => {
+        val B = 32
+        val blocks = Tables.lineitem(s, dir).select(
+          pmod(TextHash.hash60(concat(concat_ws("~",
+            col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string")), lit("#jk"))), lit(B))
+            .as("blk"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(24,4)").as("x"))
+          .groupBy("blk")
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        val global = blocks.agg(
+          sum(col("sx")).as("gs"), sum(col("cnt")).as("gn"))
+        val t = blocks.crossJoin(broadcast(global))
+          .select(round((col("gs") - col("sx")).cast("double")
+              / (col("gn") - col("cnt")).cast("double") * 10000)
+            .cast("decimal(19,0)").as("t"),
+            col("gs"), col("gn"))
+        t.agg(
+          count(lit(1)).cast("int").as("n_blocks"),
+          round(min(col("gs")).cast("double")
+            / min(col("gn")).cast("double") * 10000)
+            .cast("long").as("point_c4"),
+          round(sqrt(
+            (lit(B).cast("decimal(38,0)") * sum(col("t") * col("t"))
+              - sum(col("t")).cast("decimal(19,0)")
+                * sum(col("t")).cast("decimal(19,0)")).cast("double")
+              * lit((B - 1).toDouble) / lit((B * B).toDouble)))
+            .cast("long").as("jk_se_c4"))
+      },
+      Some(s"""
+        WITH blocks AS (
+          SELECT ${TextHash.duckHash60(
+            "CAST(l_orderkey AS VARCHAR) || '~' " +
+              "|| CAST(l_linenumber AS VARCHAR) || '#jk'")} % 32 AS blk,
+                 SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                   AS DECIMAL(24,4))) AS sx,
+                 COUNT(*) AS cnt
+          FROM lineitem GROUP BY 1
+        ), g AS (
+          SELECT SUM(sx) AS gs, SUM(cnt) AS gn FROM blocks
+        ), t AS (
+          SELECT CAST(round(CAST(gs - sx AS DOUBLE)
+                   / CAST(gn - cnt AS DOUBLE) * 10000) AS HUGEINT) AS t,
+                 gs, gn
+          FROM blocks CROSS JOIN g
+        )
+        SELECT CAST(COUNT(*) AS INT) AS n_blocks,
+               CAST(round(CAST(MIN(gs) AS DOUBLE)
+                 / CAST(MIN(gn) AS DOUBLE) * 10000) AS BIGINT) AS point_c4,
+               CAST(round(sqrt(CAST(32 * SUM(t * t) - SUM(t) * SUM(t)
+                 AS DOUBLE) * 31.0 / 1024.0)) AS BIGINT) AS jk_se_c4
+        FROM t
       """.trim))
   )
 }
