@@ -673,9 +673,16 @@ object CurationQueries {
               .cast("double") / lit(16777216.0)).as("sx2"))
           .select(col("dim"), col("n"),
             (col("sx") / col("n").cast("double")).as("mean"),
-            (col("sx2") / col("n").cast("double")
-              - (col("sx") / col("n").cast("double"))
-                * (col("sx") / col("n").cast("double"))).as("variance"))
+            // Clamped at 0: sx2's floor() quantization UNDERestimates the
+            // second moment, so a (near-)constant dimension can land at a
+            // tiny negative variance — Spark's sqrt(neg) yields NaN but
+            // DuckDB's sqrt RAISES, so without the clamp the oracle run
+            // aborts on degenerate data instead of matching.
+            greatest(
+              col("sx2") / col("n").cast("double")
+                - (col("sx") / col("n").cast("double"))
+                  * (col("sx") / col("n").cast("double")),
+              lit(0.0)).as("variance"))
         x.join(broadcast(stats), Seq("dim"))
           .groupBy("dim")
           .agg(first(col("n")).as("n"), first(col("mean")).as("mean"),
@@ -699,8 +706,9 @@ object CurationQueries {
           FROM x GROUP BY dim
         ), m AS (
           SELECT dim, n, sx / CAST(n AS DOUBLE) AS mean,
-                 sx2 / CAST(n AS DOUBLE)
-                   - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)) AS variance
+                 GREATEST(sx2 / CAST(n AS DOUBLE)
+                   - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)),
+                   0.0) AS variance
           FROM stats
         )
         SELECT x.dim, m.n, m.mean, sqrt(m.variance) AS std,
@@ -965,17 +973,27 @@ object CurationQueries {
     // Hubness audit — the high-dimensional ANN pathology check: a few
     // vectors ("hubs") appear in a disproportionate share of other points'
     // k-NN lists, which skews retrieval diversity and poisons
-    // k-occurrence-based dedup policies. Over a deterministic probe sample
-    // (1 in 5 ids), exact top-10 cosine lists per probe (broadcast probe
-    // set x streamed corpus, heap top-k), then the k-occurrence rollup per
-    // neighbor and the global top-20 hubs via TakeOrdered (never a global
-    // window). At corpus scale the probe set is the sampling knob; the
-    // occurrence aggregate is one hash shuffle.
+    // k-occurrence-based dedup policies. The probe set is a FIXED COUNT
+    // (200), not a corpus fraction: topKCosine broadcasts the probe side,
+    // and a 1-in-5 modulus sample grows with the corpus — at 100 TB that
+    // breaks the broadcast limit and makes the pair work O(n^2/5). A
+    // hash-ordered TakeOrdered(200) keeps the probe side value-bounded at
+    // any corpus size (the hash order makes it a pseudo-random sample, not
+    // a prefix of ids), so the statistic stays an unbiased occurrence-rate
+    // estimate while the plan stays broadcast-probe x streamed-corpus.
+    // Then the k-occurrence rollup per neighbor and the global top-20 hubs
+    // via TakeOrdered (never a global window).
     Q(
       "q423_hubness",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-        val probes = e.filter(col("vec_id") % 5 === 0)
+        val probes = e
+          .select(col("vec_id"), col("embedding"),
+            TextHash.hash60(concat(lit("probe#"), col("vec_id").cast("string")))
+              .as("__ord"))
+          .orderBy(col("__ord"), col("vec_id"))
+          .limit(200)
+          .drop("__ord")
         Similarity.topKCosine(probes, e, "vec_id", "embedding", k = 10)
           .groupBy("neighbor_id")
           .agg(count(lit(1)).as("k_occurrences"), min(col("rank")).as("best_rank"))
@@ -987,6 +1005,11 @@ object CurationQueries {
           SELECT vec_id, embedding,
                  sqrt(${duckDot("embedding", "embedding")}) AS nrm
           FROM embeddings
+        ), probes AS (
+          SELECT vec_id FROM embeddings
+          ORDER BY ${TextHash.duckHash60("'probe#' || CAST(vec_id AS VARCHAR)")},
+                   vec_id
+          LIMIT 200
         ), tk AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  CAST(row_number() OVER (
@@ -994,7 +1017,7 @@ object CurationQueries {
                    ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
                             c.vec_id) AS INTEGER) AS rank
           FROM e q JOIN e c ON q.vec_id <> c.vec_id
-          WHERE q.vec_id % 5 = 0
+          WHERE q.vec_id IN (SELECT vec_id FROM probes)
           QUALIFY rank <= 10
         )
         SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS k_occurrences,
@@ -1019,7 +1042,11 @@ object CurationQueries {
       (s, dir) => {
         val cells = Tables.documents(s, dir)
           .groupBy("lang", "source").agg(count(lit(1)).as("n"))
-        val u = (pmod(TextHash.hash60(concat_ws(":", col("lang"), col("source"))),
+        // concat (NOT concat_ws): the oracle seeds from lang || ':' || source,
+        // and || propagates NULL while concat_ws silently skips it — concat
+        // matches || exactly, so a null lang/source yields NULL noise in BOTH
+        // engines instead of a latent cross-engine mismatch.
+        val u = (pmod(TextHash.hash60(concat(col("lang"), lit(":"), col("source"))),
           lit(1048575L)) + 1L).cast("double") / lit(1048576.0)
         val c = u - lit(0.5)
         // Micro-unit quantized noise (round(x*1e6), the q219 log
