@@ -776,8 +776,7 @@ object EvalQueries {
       "q227_split_leakage",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = NearDup.minHashNearDupPairs(docs, "doc_id", "text",
-          n = 3, k = 64, bands = 16, threshold = 0.8)
+        val pairs = SharedFrames.verifiedDocPairs(s, dir)
         val split = docs.select(col("doc_id"),
           TextAnalysis.splitAssign(col("doc_id"),
             Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
@@ -1130,8 +1129,7 @@ object EvalQueries {
     Q(
       "q233_neardup_degrees",
       (s, dir) => {
-        val pairs = NearDup.minHashNearDupPairs(Tables.documents(s, dir),
-          "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.8)
+        val pairs = SharedFrames.verifiedDocPairs(s, dir)
         pairs.select(col("id_a").as("id"))
           .unionAll(pairs.select(col("id_b").as("id")))
           .groupBy("id").agg(count(lit(1)).as("degree"))
@@ -1160,8 +1158,7 @@ object EvalQueries {
       "q234_cluster_sizes",
       (s, dir) => {
         NearDup.connectedComponents(
-            NearDup.minHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
-              n = 3, k = 64, bands = 16, threshold = 0.8),
+            SharedFrames.verifiedDocPairs(s, dir),
             "id_a", "id_b")
           .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
           .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
@@ -2675,8 +2672,14 @@ object EvalQueries {
           .agg(sum(col("w").cast("long")).as("sw"),
             sum(col("x") * col("w")).as("swx"))
           .select(col("rep"),
-            round(col("swx").cast("double") / col("sw").cast("double") * 10000)
-              .cast("long").as("mean_c4"))
+            // sw > 0 guard: a replicate whose Poisson weights all come out 0
+            // (probability ~e^-n — degenerate/tiny inputs only) is 0/0;
+            // Spark's round(NaN).cast(long) silently yields 0 while DuckDB's
+            // CAST(round(nan)) RAISES. The guard makes both engines emit
+            // NULL for such a replicate identically (mirrored in the oracle).
+            when(col("sw") > 0,
+              round(col("swx").cast("double") / col("sw").cast("double") * 10000)
+                .cast("long")).as("mean_c4"))
         val rk = rm.as("m1")
           .join(rm.as("m2"),
             col("m2.mean_c4") < col("m1.mean_c4") ||
@@ -2724,8 +2727,9 @@ object EvalQueries {
                 FROM reps)
         ), rm AS (
           SELECT rep,
-                 CAST(round(CAST(SUM(x * w) AS DOUBLE)
-                   / CAST(SUM(w) AS DOUBLE) * 10000) AS BIGINT) AS mean_c4
+                 CAST(CASE WHEN SUM(w) > 0
+                   THEN round(CAST(SUM(x * w) AS DOUBLE)
+                     / CAST(SUM(w) AS DOUBLE) * 10000) END AS BIGINT) AS mean_c4
           FROM wtd GROUP BY rep
         ), rk AS (
           SELECT m1.rep, m1.mean_c4, COUNT(*) AS rk

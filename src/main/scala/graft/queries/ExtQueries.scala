@@ -250,8 +250,7 @@ object ExtQueries {
     Q(
       "q61_neardup_clusters",
       (s, dir) => NearDup.connectedComponents(
-          NearDup.minHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
-            n = 3, k = 64, bands = 16, threshold = 0.8),
+          SharedFrames.verifiedDocPairs(s, dir),
           "id_a", "id_b")
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id"),
@@ -2633,8 +2632,7 @@ object ExtQueries {
       "q192_ensemble_dedup",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val mh = NearDup.minHashNearDupPairs(docs, "doc_id", "text",
-          n = 3, k = 64, bands = 16, threshold = 0.8).select("id_a", "id_b")
+        val mh = SharedFrames.verifiedDocPairs(s, dir).select("id_a", "id_b")
         val cont = NearDup.containmentPairs(docs, "doc_id", "text",
           n = 3, threshold = 0.8, dfCap = 128).select("id_a", "id_b")
         val fps = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -2823,8 +2821,7 @@ object ExtQueries {
     Q(
       "q195_triangle_count",
       (s, dir) => {
-        val e = NearDup.minHashNearDupPairs(Tables.documents(s, dir),
-            "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.8)
+        val e = SharedFrames.verifiedDocPairs(s, dir)
           .select(col("id_a").as("a"), col("id_b").as("b"))
         val tri = e.as("e1")
           .join(e.as("e2"), col("e1.b") === col("e2.a"))
@@ -2864,8 +2861,7 @@ object ExtQueries {
     Q(
       "q196_pagerank",
       (s, dir) => {
-        val pairs = NearDup.minHashNearDupPairs(Tables.documents(s, dir),
-            "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.8)
+        val pairs = SharedFrames.verifiedDocPairs(s, dir)
         NearDup.pageRankInt(pairs, "id_a", "id_b", iters = 3)
           .select(col("node").as("doc_id"), col("rank").as("pr_nano"))
           .orderBy("doc_id")
@@ -3902,8 +3898,7 @@ object ExtQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val src = docs.select(col("doc_id"), col("source"))
-        NearDup.minHashNearDupPairs(docs, "doc_id", "text",
-            n = 3, k = 64, bands = 16, threshold = 0.8)
+        SharedFrames.verifiedDocPairs(s, dir)
           .join(src.select(col("doc_id").as("id_a"), col("source").as("source_a"))
             .hint("shuffle_hash"), Seq("id_a"))
           .join(src.select(col("doc_id").as("id_b"), col("source").as("source_b"))
@@ -3933,8 +3928,7 @@ object ExtQueries {
         val docs = Tables.documents(s, dir)
         val sigs = NearDup.minHashSignatureFrame(
           NearDup.shingleFrame(docs, "doc_id", "text", 3), "doc_id", 64)
-        NearDup.minHashNearDupPairs(docs, "doc_id", "text",
-            n = 3, k = 64, bands = 16, threshold = 0.8)
+        SharedFrames.verifiedDocPairs(s, dir)
           .join(sigs.select(col("doc_id").as("id_a"), col("__sig").as("__siga"))
             .hint("shuffle_hash"), Seq("id_a"))
           .join(sigs.select(col("doc_id").as("id_b"), col("__sig").as("__sigb"))
@@ -3973,8 +3967,7 @@ object ExtQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val labels = NearDup.connectedComponents(
-          NearDup.minHashNearDupPairs(docs, "doc_id", "text",
-            n = 3, k = 64, bands = 16, threshold = 0.8),
+          SharedFrames.verifiedDocPairs(s, dir),
           "id_a", "id_b")
         val toks = docs.select(col("doc_id"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
