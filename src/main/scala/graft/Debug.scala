@@ -50,8 +50,15 @@ object Debug {
       val c = Keys.surrogateKeysScalable(big, "uid", "sk").select("uid", "sk")
       println(s"KEYS diff catalyst=${a.except(b).count()} zip=${a.except(c).count()}")
     }
+    // GRAFT_SCALE_FACTOR=k: run the named queries against a ScaleData-derived
+    // k-x dataset (the Bench rehearsal's derivation) instead of sfDir —
+    // lets a single query's scale ratio be re-measured without a full bench.
+    val runDir = sys.env.get("GRAFT_SCALE_FACTOR") match {
+      case Some(f) => ScaleData.build(spark, sfDir, f.toInt)
+      case None => sfDir
+    }
     args.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = SparkEntry.queries(name)(spark, runDir)
       val tc = System.nanoTime()
       // GRAFT_DUMP_DIR: write the Verify-shaped parquet for JUST these
       // queries (drop-in refresh of a full Verify out-dir for a targeted

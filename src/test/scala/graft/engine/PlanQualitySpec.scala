@@ -605,4 +605,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"expected a runtime partition-pruning filter in:\n$plan")
   }
+
+  test("LSH tuning audit caps its materialized candidate join by bucket occupancy") {
+    // q270 was the repo's one data-dependent quadratic (BENCH_r05 rehearsal
+    // ratio 19.6 at 10x): its banded candidate self-join ran deliberately
+    // uncapped. The redesigned audit measures the raw candidate volume
+    // ANALYTICALLY (sum of C(occupancy, 2) from one aggregate) and only
+    // materializes pairs from buckets at or below the production cap —
+    // pin that (a) the occupancy cap filter actually guards the pair join
+    // and (b) no corpus-linear frame rides a BroadcastHashJoin (single-row
+    // aggregate crossJoins plan as BroadcastNestedLoopJoin, allowed).
+    val df = graft.SparkEntry.queries("q270_lsh_tuning_eval")(spark, sf0001)
+    df.collect()
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("__occ") && optimized.contains("<= 64"),
+      s"candidate join must be guarded by the bucket-occupancy cap:\n$optimized")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"q270 must not broadcast a corpus-linear frame:\n$plan")
+  }
 }
