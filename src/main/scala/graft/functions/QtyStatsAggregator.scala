@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Typed `Aggregator` over integral quantities: (count, long sum) buffer →
-  * (n, sum, mean). Unlike [[CentroidAggregator]] (double sums, order-
-  * dependent ulps, spec-only), the buffer here is pure INTEGER arithmetic —
+  * (n, sum, mean). Like [[QuantizedCentroidAggregator]] (its vector
+  * companion), the buffer is pure INTEGER arithmetic —
   * associative and commutative bit-exactly — so the typed
   * `KeyValueGroupedDataset.agg` path can go through the DuckDB oracle gate:
   * any partitioning/merge order produces the identical result, and the one

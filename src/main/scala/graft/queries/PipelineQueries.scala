@@ -259,7 +259,7 @@ object PipelineQueries {
 
     // Per-cell centroids over the embedding column: posexplode + EXACT sums
     // per (label, dim) — the expression-level path (the typed Aggregator
-    // variant is spec-gated in CentroidAggregatorSpec). Exactness trick:
+    // variant is q399's QuantizedCentroidAggregator). Exactness trick:
     // scaling a float by 2^48 is a lossless exponent shift and makes every
     // element integral (float mantissas here bottom out at 2^-43), so the
     // decimal cast never rounds — a power-of-TEN scale would hit half-way
@@ -2338,9 +2338,8 @@ object PipelineQueries {
     // Typed Aggregator THROUGH the oracle gate: QtyStatsAggregator keeps a
     // pure-integer (count, sum) buffer, so the programmatic
     // KeyValueGroupedDataset.agg path is bit-exact under ANY merge order —
-    // the one double division happens at finish. (CentroidAggregator stays
-    // spec-only because double sums are order-dependent; this is the
-    // gate-able half of the typed-UDAF surface.)
+    // the one double division happens at finish. (The vector companion is
+    // q399's QuantizedCentroidAggregator, same fixed-point discipline.)
     Q(
       "q137_typed_agg_gate",
       (s, dir) => {
@@ -4282,8 +4281,8 @@ object PipelineQueries {
     // LONG sums (floor(v * 2^24) — integer addition is merge-order-free, so
     // any partitioning yields bit-identical buffers), with the single double
     // division at finish mirrored verbatim by the oracle. This value-gates
-    // the last spec-only compute component (the double-sum CentroidAggregator
-    // stays as the order-dependent contrast, spec-checked within tolerance).
+    // the typed-UDAF vector path; the order-dependent double-sum twin was
+    // retired in round 6 so the gated aggregator is the ONLY centroid UDAF.
     Q(
       "q399_centroid_udaf_gate",
       (s, dir) => {

@@ -7,42 +7,14 @@ import graft.Tables
 class CentroidAggregatorSpec extends SparkSpec {
   import spark.implicits._
 
-  test("typed Aggregator centroids match the exact expression formulation") {
-    val e = Tables.embeddings(spark, sf0001)
-    val dim = e.select(size(col("embedding"))).head.getInt(0)
-
-    val byAgg = e.select(col("label"), col("embedding").as("v"))
-      .as[(Int, Seq[Float])]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(new CentroidAggregator(dim).toColumn.name("centroid"))
-      .collect().toMap
-
-    val byExpr = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy("label", "dim")
-      .agg((sum(col("v").cast("double")) / count(lit(1))).as("mean"))
-      .collect()
-      .groupBy(_.getInt(0))
-      .map { case (l, rows) =>
-        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-      }
-
-    assert(byAgg.keySet === byExpr.keySet)
-    byAgg.foreach { case (label, centroid) =>
-      val expected = byExpr(label)
-      assert(centroid.length === dim)
-      centroid.zip(expected).foreach { case (a, b) =>
-        assert(math.abs(a - b) < 1e-9, s"label $label: $a vs $b")
-      }
-    }
-  }
-
   test("quantized aggregator is bit-identical across partitionings") {
     // The q399 gate's load-bearing property: fixed-point long buffers make
     // the merge associative+commutative, so wildly different partition
     // counts (different merge trees) must produce EXACTLY equal doubles —
-    // no tolerance. The plain double-sum aggregator cannot pass this test.
+    // no tolerance. (A plain double-sum buffer cannot pass this test, which
+    // is why the former double-sum twin of this aggregator was retired: it
+    // was only spec-testable within tolerance and invited accidental use
+    // over the hash-gated path.)
     val e = Tables.embeddings(spark, sf0001)
     val dim = e.select(size(col("embedding"))).head.getInt(0)
     def run(parts: Int): Map[Int, Seq[Double]] =
