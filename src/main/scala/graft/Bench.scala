@@ -51,10 +51,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // Scale rehearsal: re-time the 10 heaviest queries ONCE against a
+    // Scale rehearsal: re-time the 10 heaviest queries against a
     // deterministically derived 10x dataset — the cheapest empirical check
     // of the plan pins' 100x-scale claims. A query whose ratio grows far
     // beyond the data factor is super-linear in a data-dependent hot spot.
+    // MIN OF 2 interleaved passes, same CPU-steal rationale as the main
+    // loop: the single-shot design produced two false alarms (q196 read
+    // 18.8x in an interim round-5 run and re-measured ~1x; q270's 19.6x was
+    // part steal, part structure) — one steal window shorter than a pass
+    // can now inflate at most one timed run of each query.
     val scaleup =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALEUP", "1") == "0") ""
       else try {
@@ -66,30 +71,54 @@ object Bench {
         // sf dir layout.
         val heavy = results.filterNot(_._1.contains("stream"))
           .sortBy(-_._2).take(10).map(_._1)
+        val bestAt10 = scala.collection.mutable.Map.empty[String, Double]
+        val attempted = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
         // A killed/stopped context (e.g. the harness SIGTERMs the JVM and
         // Spark's shutdown hook races the main thread — observed once mid-
         // rehearsal) must not cascade: every remaining query would fast-fail
         // with "No active or default Spark session". Stop at the first dead
         // context, keeping completed entries, so the artifact records the
         // environmental abort rather than N bogus ok:false rows.
-        val entries = heavy.iterator
-          .takeWhile(_ => !spark.sparkContext.isStopped)
-          .map { name =>
-            val t0 = System.nanoTime()
-            val ok =
-              try { materializeAt(spark, name, dir10); true }
-              catch { case e: Throwable =>
-                System.err.println(s"SCALE-FAIL $name: $e"); false }
-            val sec = (System.nanoTime() - t0) / 1e9
-            val base = best(name)
-            val ratio = if (base > 0) sec / base else -1.0
-            s"\"" + name + s"\":{\"sf\":$base,\"x$factor\":$sec," +
-              s"\"ratio\":$ratio,\"ok\":$ok}"
-          }.toSeq
+        (1 to 2).foreach { _ =>
+          heavy.iterator
+            .takeWhile(_ => !spark.sparkContext.isStopped)
+            .foreach { name =>
+              val t0 = System.nanoTime()
+              val ok =
+                try { materializeAt(spark, name, dir10); true }
+                catch { case e: Throwable =>
+                  System.err.println(s"SCALE-FAIL $name: $e"); false }
+              val sec = (System.nanoTime() - t0) / 1e9
+              if (ok)
+                bestAt10(name) =
+                  math.min(bestAt10.getOrElse(name, Double.MaxValue), sec)
+              attempted(name) = attempted.getOrElse(name, false) || ok
+            }
+        }
+        val entries = attempted.map { case (name, ok) =>
+          val base = best(name)
+          val sec = bestAt10.getOrElse(name, -1.0)
+          val ratio = if (base > 0 && ok) sec / base else -1.0
+          s"\"" + name + s"\":{\"sf\":$base,\"x$factor\":$sec," +
+            s"\"ratio\":$ratio,\"ok\":$ok}"
+        }.toSeq
         s""","scaleup":{"factor":$factor,"queries":${entries.mkString("{", ",", "}")}}"""
       } catch { case e: Throwable =>
         System.err.println(s"SCALE-REHEARSAL-SKIPPED: $e"); ""
       }
+    // The full artifact ALSO goes to a repo file: the driver retains only
+    // ~2000 chars of stdout tail, so with 400+ queries the per-query map
+    // never survives in BENCH_r<N>.json (round 5 kept 24 of 427 entries) —
+    // cross-round per-query comparison needs the file, not the tail.
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"$scaleup}"""
+    val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_detail_latest.json")
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(fullJson) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH-DETAIL-WRITE-FAILED $detailPath: $e")
+    }
     // Emission order matters: the driver stores only the TAIL of the output,
     // and the per-query map outgrew it in rounds 3 AND 4 (both artifacts kept
     // a truncated JSON with parsed:null). The compact total-only line goes
@@ -97,7 +126,7 @@ object Bench {
     // tail always ends with a parseable total no matter how much the map
     // truncates.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(fullJson)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"$scaleup}""")
     spark.stop()
   }
