@@ -1,0 +1,51 @@
+package graft.queries
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+import graft.engine.Scratch
+import graft.ext.NearDup
+
+class SharedFramesSpec extends SparkSpec {
+
+  test("materialized pair frame equals the live pipeline and builds only once") {
+    val dir = sf0001
+    val path = Scratch.dir(spark, dir, "mh_pairs_n3_k64_b16_t080")
+
+    val fromHelper = SharedFrames.verifiedDocPairs(spark, dir)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val live = NearDup.minHashNearDupPairs(Tables.documents(spark, dir),
+        "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.8)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // Bit-exact equality including the jaccard doubles: the parquet
+    // round-trip must not change a single value, or the 11 consumers'
+    // oracles (which re-derive the pair set from first principles) drift.
+    assert(fromHelper === live)
+    assert(fromHelper.nonEmpty, "fixture must contain planted near-dup pairs")
+
+    // Second call reads back instead of rebuilding: the _SUCCESS marker's
+    // mtime must not move (a rebuild rewrites the directory).
+    val marker = new File(path, "_SUCCESS")
+    assert(marker.exists, s"expected materialized frame at $path")
+    val mtime = marker.lastModified()
+    val again = SharedFrames.verifiedDocPairs(spark, dir).count()
+    assert(again.toInt === fromHelper.size)
+    assert(marker.lastModified() === mtime,
+      "second call must read the scratch parquet back, not rebuild it")
+  }
+
+  test("pair frames are keyed by scale dir: different dirs never cross-read") {
+    // ScaleData's 10x rehearsal dir and the base dir share a session — the
+    // scratch key must keep them apart (a cross-read would hand the 10x
+    // rehearsal the 1x pair set and silently invalidate its timings).
+    val a = Scratch.dir(spark, "/data/sf0.1", "mh_pairs_n3_k64_b16_t080")
+    val b = Scratch.dir(spark, "/tmp/graft_scale/app/sf0.1_x10",
+      "mh_pairs_n3_k64_b16_t080")
+    assert(a !== b)
+  }
+}
