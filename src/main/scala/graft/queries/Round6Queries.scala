@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Sketches, TextAnalysis, TextHash}
+import graft.ext.{NearDup, Sketches, TextAnalysis, TextHash}
 
 /** Round-6 additions (SURVEY §2.16): the second SparkSessionExtensions seam
   * (the injected optimizer-rule + planner-strategy path, complementing
@@ -136,6 +136,140 @@ object Round6Queries {
         FROM est e JOIN vocab v ON e.token = v.token CROSS JOIN tot t
         WHERE e.cms_est * 100 >= t.n_total
         ORDER BY cms_est DESC, token
+      """.trim)),
+
+    // Cluster-aware leak-free split CONSTRUCTOR: q227/q419 MEASURE how many
+    // near-dup pairs straddle a doc-level hash split; this builds the split
+    // that provably has none — the standard eval-hygiene move (group-aware
+    // splitting): assign train/val/test by hashing the near-dup CLUSTER id
+    // (connected components over the verified pair frame; docs outside any
+    // pair are their own singleton cluster), so both endpoints of every
+    // verified pair land in the same split by construction. The output
+    // carries the per-split census AND the cross-split pair count, which
+    // the oracle gates at exactly 0 — the invariant IS a checked value, not
+    // a comment. Scale shape: CC is the pointer-halved q61 fixpoint over
+    // the materialized pair frame; split assignment is a map-side hash of
+    // the cluster id; the leak audit joins the pair frame to the split
+    // frame shuffle-hash (both corpus-linear, never broadcast).
+    Q(
+      "q430_cluster_safe_split",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = SharedFrames.verifiedDocPairs(s, dir)
+        val cc = NearDup.connectedComponents(pairs, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        val assigned = docs
+          .select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+          .join(cc.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tok"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+          .withColumn("split", TextAnalysis.splitAssign(col("cluster_id"),
+            Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+        val splits = assigned.select(col("doc_id"), col("split"))
+        val leaks = pairs
+          .join(splits.withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("split", "__sa").hint("shuffle_hash"), Seq("id_a"))
+          .join(splits.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("split", "__sb").hint("shuffle_hash"), Seq("id_b"))
+          .agg(sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L))
+            .as("n_cross_split_pairs"))
+        assigned.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster_id")).as("n_clusters"),
+            sum(col("n_tok")).as("n_tokens"))
+          .crossJoin(broadcast(leaks))
+          .orderBy("split")
+      },
+      Some(s"""
+        ${("WITH RECURSIVE " + ExtQueries.MinhashPairsCte.stripPrefix("WITH ")).trim}, edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM verified
+        ), nodes AS (
+          SELECT DISTINCT src AS v FROM edges
+        ), reach(v, label) AS (
+          SELECT v, v FROM nodes
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v
+        ), cc AS (
+          SELECT v AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY v
+        ), assigned AS (
+          SELECT d.doc_id, CAST(len($Toks) AS BIGINT) AS n_tok,
+                 COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+                 CASE WHEN ${TextHash.duckHash60(
+                     "CAST(COALESCE(cc.cluster_id, d.doc_id) AS VARCHAR)")}
+                        % 100 < 80 THEN 'train'
+                      WHEN ${TextHash.duckHash60(
+                     "CAST(COALESCE(cc.cluster_id, d.doc_id) AS VARCHAR)")}
+                        % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+        ), leaks AS (
+          SELECT CAST(COALESCE(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS n_cross_split_pairs
+          FROM verified v
+          JOIN assigned a ON a.doc_id = v.id_a
+          JOIN assigned b ON b.doc_id = v.id_b
+        )
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               (SELECT n_cross_split_pairs FROM leaks) AS n_cross_split_pairs
+        FROM assigned GROUP BY split ORDER BY split
+      """.trim)),
+
+    // Vocabulary coverage estimation per source — the corpus-completeness
+    // question ("how much of this source's vocabulary have we NOT seen
+    // yet?") that sits beside Zipf/Heaps in a curation report: Good-Turing
+    // unseen-mass coverage (1 - f1/N: the probability mass of the next
+    // token being a new type equals the singleton share) and the
+    // bias-corrected Chao1 richness estimate D + f1(f1-1)/(2(f2+1)) from
+    // the frequency-of-frequencies. Two hash aggregates (token counts,
+    // then count-of-counts — the second input is vocabulary-sized); all
+    // integer until the two final divisions, each a single fixed IEEE
+    // tree mirrored verbatim.
+    Q(
+      "q431_vocab_coverage",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
+          .groupBy("source")
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+            sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+          .select(col("source"), col("n_tokens"), col("n_types"), col("f1"),
+            col("f2"),
+            (col("n_types").cast("double")
+              + (col("f1") * (col("f1") - 1)).cast("double")
+                / (lit(2.0) * (col("f2") + 1).cast("double"))).as("chao1_est"),
+            (lit(1.0) - col("f1").cast("double") / col("n_tokens").cast("double"))
+              .as("coverage"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT source, unnest($Toks) AS token FROM documents
+        ), vc AS (
+          SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+               CAST(COUNT(*) AS DOUBLE)
+                 + CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1) AS DOUBLE)
+                   / (2.0 * CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1 AS DOUBLE))
+                 AS chao1_est,
+               1.0 - CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(c) AS DOUBLE) AS coverage
+        FROM vc GROUP BY source ORDER BY source
       """.trim))
   )
 }
