@@ -270,6 +270,68 @@ object Round6Queries {
                1.0 - CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
                  / CAST(SUM(c) AS DOUBLE) AS coverage
         FROM vc GROUP BY source ORDER BY source
+      """.trim)),
+
+    // VARIANT SHREDDED parquet write gate — the storage half of q406's
+    // VARIANT ingestion (the round-5 verdict's "when Spark exposes it"
+    // item; Spark 4.1 does): with writeShredding + inferShreddingSchema
+    // on, common typed paths of a variant column land as real typed parquet
+    // columns (typed_value) beside the binary fallback, which is what lets
+    // footer stats / column pruning work on semi-structured data at 100 TB
+    // instead of every query paying the binary decode. The builder PROVES
+    // shredding happened by inspecting the raw parquet footer schema for
+    // the typed_value group (a plain variant write has only metadata +
+    // value), then reads the file back (allowReadingShredded +
+    // pushVariantIntoScan) and value-gates typed extractions against an
+    // oracle computed from the ORIGINAL columns — exactness across the
+    // JSON round-trip holds because shortest-repr double serialization
+    // parses back bit-identically. Conf flips ride an isolated newSession
+    // (q347 discipline); scratch keyed per session+dir as usual.
+    Q(
+      "q432_variant_shredded_write",
+      (s, dir) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.variant.writeShredding.enabled", "true")
+        s2.conf.set("spark.sql.variant.inferShreddingSchema", "true")
+        s2.conf.set("spark.sql.variant.allowReadingShredded", "true")
+        s2.conf.set("spark.sql.variant.pushVariantIntoScan", "true")
+        val path = graft.engine.Scratch.dir(s, dir, "variant_shred")
+        Tables.orders(s2, dir)
+          .selectExpr("o_orderkey",
+            """parse_json(to_json(named_struct(
+                 'status', o_orderstatus,
+                 'prio', o_orderpriority,
+                 'total', o_totalprice))) AS v""")
+          .write.mode("overwrite").parquet(path)
+        val part = new java.io.File(path).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .head
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+            s.sparkContext.hadoopConfiguration))
+        val schemaStr = try footer.getFooter.getFileMetaData.getSchema.toString
+          finally footer.close()
+        require(schemaStr.contains("typed_value"),
+          s"variant column must be SHREDDED (typed_value group in the footer):\n$schemaStr")
+        s2.read.parquet(path)
+          .select(
+            expr("variant_get(v, '$.status', 'string')").as("status"),
+            expr("variant_get(v, '$.prio', 'string')").as("prio"),
+            expr("variant_get(v, '$.total', 'double')").as("total"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_orders"),
+            countDistinct(col("prio")).as("n_prios"),
+            sum(col("total").cast("decimal(18,2)")).cast("double")
+              .as("total_sales"))
+          .orderBy("status")
+      },
+      Some("""
+        SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_sales
+        FROM orders GROUP BY o_orderstatus ORDER BY status
       """.trim))
   )
 }
