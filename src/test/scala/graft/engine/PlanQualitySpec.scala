@@ -533,8 +533,13 @@ class PlanQualitySpec extends SparkSpec {
     // data-sized — a BroadcastHashJoin build on any of them OOMs at the
     // 100 TB design point. Single-row aggregate broadcasts (nDocs, totals)
     // plan as BroadcastNestedLoopJoin, which stays allowed.
+    // q430: the cluster-label and split frames (corpus-linear) — only the
+    // single-row leak aggregate may broadcast (BroadcastNestedLoopJoin,
+    // allowed). q429 is NOT in this list: its one BroadcastHashJoin is the
+    // depth x width CMS cell table (constant-size by construction — the
+    // legitimate bounded-broadcast category).
     for (q <- Seq("q264_sparse_cosine_topk", "q271_gdpr_purge",
-        "q401_weighted_jaccard")) {
+        "q401_weighted_jaccard", "q430_cluster_safe_split")) {
       val df = graft.SparkEntry.queries(q)(spark, sf0001)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
