@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns with
-  * typed metadata, plus decode / feature-extract / frame-sample operators.
+  * typed metadata, plus decode / feature-extract / resize / frame-sample
+  * operators.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked DETERMINISTIC STUB (`decodeStub`) — but everything Spark
+  * The container has no image/audio codecs, so the decode and resize kernels
+  * are clearly-marked DETERMINISTIC STUBS (`decodeStub`, `resizeStub`) — but
+  * everything Spark
   * owns is real and tested: the schema (binary payload + flat metadata
   * columns), the per-partition batched iteration shape (`mapPartitions` over
   * an Iterator, exactly where a JNI/FFI codec would sit), the partitioning
@@ -128,5 +130,52 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rows, decodedSchema)
+  }
+
+  /** Schema produced by the resize kernel. */
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes_in", IntegerType, nullable = false),
+    StructField("stride", IntegerType, nullable = false),
+    StructField("n_bytes_out", IntegerType, nullable = false),
+    StructField("out_w", IntegerType, nullable = false),
+    StructField("out_h", IntegerType, nullable = false),
+    StructField("payload_out", BinaryType, nullable = false)))
+
+  /** STUB RESIZE — the remaining kernel shape of the multimodal quartet
+    * (decode / feature-extract / frame-sample / RESIZE). Same contract as
+    * [[decodeStub]]: hash-repartition by media id, per-partition batched
+    * kernel over an Iterator, swap the body for a real scaler (libvips /
+    * ffmpeg scale / audio resampler) via JNI/FFI and nothing else changes.
+    * The deterministic fake keeps every k-th payload byte where
+    * k = ceil(n / maxBytes) (so the output is <= maxBytes bytes) and scales
+    * the width/height metadata by the same k (floored, min 1) — pure
+    * integer arithmetic, so the DuckDB oracle reproduces the resized
+    * payload bit-for-bit (the synthesized payloads are ASCII, where a
+    * varchar stride equals the byte stride).
+    */
+  def resizeStub(media: DataFrame, maxBytes: Int = 64, partitions: Int = 0): DataFrame = {
+    require(maxBytes >= 1, s"maxBytes=$maxBytes must be >= 1")
+    val spark = media.sparkSession
+    val n = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    val input = media.select("media_id", "payload", "width", "height")
+      .repartition(n, col("media_id"))
+    val rows = input.queryExecution.toRdd.mapPartitions { it =>
+      it.map { internal =>
+        val mediaId = internal.getLong(0)
+        val bytes = internal.getBinary(1)
+        val w = internal.getInt(2)
+        val h = internal.getInt(3)
+        val len = bytes.length
+        val k = math.max(1, (len + maxBytes - 1) / maxBytes)
+        val out = new Array[Byte]((len + k - 1) / k)
+        var i = 0
+        var j = 0
+        while (i < len) { out(j) = bytes(i); j += 1; i += k }
+        Row(mediaId, len, k, out.length,
+          math.max(1, w / k), math.max(1, h / k), out)
+      }
+    }
+    spark.createDataFrame(rows, resizedSchema)
   }
 }

@@ -332,6 +332,47 @@ object Round6Queries {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                  AS total_sales
         FROM orders GROUP BY o_orderstatus ORDER BY status
+      """.trim)),
+
+    // Multimodal RESIZE kernel gate — completes the decode / feature-extract
+    // / frame-sample / resize quartet (the one kernel shape q28/q68/q145
+    // didn't cover): the stub keeps every k-th payload byte with
+    // k = ceil(n/64) and scales width/height metadata by the same factor —
+    // batched mapPartitions after a hash spread, exactly the seam a real
+    // libvips/ffmpeg scaler drops into. The resized payload itself is
+    // value-gated via its md5 content id (payloads are ASCII, so DuckDB's
+    // varchar stride + md5 reproduces the byte-level kernel bit-for-bit —
+    // the q28 trick); sizes and scaled dimensions are pure integer
+    // arithmetic.
+    Q(
+      "q433_multimodal_resize",
+      (s, dir) => graft.ext.Multimodal.resizeStub(
+          graft.ext.Multimodal.synthesize(Tables.documents(s, dir)),
+          maxBytes = 64)
+        .select(col("media_id"), col("n_bytes_in"), col("stride"),
+          col("n_bytes_out"), col("out_w"), col("out_h"),
+          md5(col("payload_out")).as("content_id"))
+        .orderBy("media_id"),
+      Some("""
+        WITH m AS (
+          SELECT doc_id AS media_id, text,
+                 CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                 CAST((doc_id % 64 + 1) * 16 AS INTEGER) AS width,
+                 CAST((doc_id % 48 + 1) * 16 AS INTEGER) AS height
+          FROM documents
+        ), r AS (
+          SELECT media_id, text, n, width, height,
+                 CAST(GREATEST(1, (n + 63) // 64) AS INTEGER) AS k
+          FROM m
+        )
+        SELECT media_id, n AS n_bytes_in, k AS stride,
+               CAST((n + k - 1) // k AS INTEGER) AS n_bytes_out,
+               CAST(GREATEST(1, width // k) AS INTEGER) AS out_w,
+               CAST(GREATEST(1, height // k) AS INTEGER) AS out_h,
+               md5(array_to_string(
+                 list_transform(range(1, CAST(n AS BIGINT) + 1, CAST(k AS BIGINT)),
+                   i -> text[i:i]), '')) AS content_id
+        FROM r ORDER BY media_id
       """.trim))
   )
 }

@@ -133,6 +133,35 @@ class ExtSpec extends SparkSpec {
     assert(rows.forall(r => r.getSeq[Double](4).length === 4))
   }
 
+  test("resizeStub: byte-budget stride, scaled metadata, partition-independent") {
+    val media = Multimodal.synthesize(docs.limit(20))
+    val out = Multimodal.resizeStub(media, maxBytes = 64, partitions = 3)
+    assert(out.schema === Multimodal.resizedSchema)
+    val rows = out.collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (nIn, k, nOut) = (r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(nOut <= 64, s"resized payload must respect the byte budget, got $nOut")
+      assert(k === math.max(1, (nIn + 63) / 64))
+      assert(nOut === (nIn + k - 1) / k)
+      assert(r.getAs[Array[Byte]](6).length === nOut)
+      assert(r.getInt(4) >= 1 && r.getInt(5) >= 1, "scaled dims floor at 1")
+    }
+    // the kernel keeps exactly bytes 0, k, 2k, ... of the input
+    val payloads = media.select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    rows.foreach { r =>
+      val in = payloads(r.getLong(0))
+      val k = r.getInt(2)
+      val expected = in.indices.collect { case i if i % k == 0 => in(i) }.toArray
+      assert(r.getAs[Array[Byte]](6).toSeq === expected.toSeq)
+    }
+    val again = Multimodal.resizeStub(media, maxBytes = 64, partitions = 5).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](6).toSeq).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) === r.getAs[Array[Byte]](6).toSeq,
+      "resized payload must not depend on partitioning"))
+  }
+
   test("J9 keyOverlapCount matches the distinct-key intersection") {
     val o = Tables.orders(spark, sf0001)
     val c = Tables.customer(spark, sf0001)
