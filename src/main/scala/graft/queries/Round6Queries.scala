@@ -373,6 +373,163 @@ object Round6Queries {
                  list_transform(range(1, CAST(n AS BIGINT) + 1, CAST(k AS BIGINT)),
                    i -> text[i:i]), '')) AS content_id
         FROM r ORDER BY media_id
-      """.trim))
+      """.trim)),
+
+    // Clustering coefficient over the verified near-dup graph — the density
+    // statistic completing the graph-diagnostic set (q61 connectivity, q195
+    // triangles, q196 importance, q233 degrees): local cc = triangles_v /
+    // C(deg_v, 2) tells clique-like duplication families (template farms —
+    // safe to collapse to one canonical) from chain-like ones (drifting
+    // revisions — collapsing loses information); the global transitivity
+    // 3T / sum-of-wedges is the corpus-level version. All-integer: both
+    // ratios are FLOOR micro-units ((x * 1e6) div wedges — integer division
+    // is engine-identical, no rounding-mode exposure). Triangles reuse the
+    // q195 two-hash-join enumeration over the materialized pair frame; the
+    // global couple is a single-row broadcast.
+    Q(
+      "q434_clustering_coefficient",
+      (s, dir) => {
+        val e = SharedFrames.verifiedDocPairs(s, dir)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .join(e.as("e3"),
+            col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+        val tpn = tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("t"))
+        val deg = e.select(col("a").as("doc_id"))
+          .unionAll(e.select(col("b").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+        val global = tri.agg(count(lit(1)).as("__nt"))
+          .crossJoin(deg.agg(
+            sum(shiftright(col("degree") * (col("degree") - 1), 1)).as("__w")))
+          .select(
+            when(col("__w") > 0,
+              expr("(3 * __nt * 1000000) div __w")).otherwise(0L)
+              .as("global_cc_micro"))
+        deg.join(tpn.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("degree"),
+            coalesce(col("t"), lit(0L)).as("n_triangles"),
+            shiftright(col("degree") * (col("degree") - 1), 1).as("n_wedges"))
+          .select(col("doc_id"), col("degree"), col("n_triangles"), col("n_wedges"),
+            when(col("n_wedges") > 0,
+              expr("(n_triangles * 1000000) div n_wedges")).otherwise(0L)
+              .as("local_cc_micro"))
+          .crossJoin(broadcast(global))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        ${ExtQueries.MinhashPairsCte}, e AS (
+          SELECT id_a AS a, id_b AS b FROM verified
+        ), tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e1.b = e2.a
+          JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+        ), tpn AS (
+          SELECT doc_id, COUNT(*) AS t FROM (
+            SELECT x AS doc_id FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+          GROUP BY doc_id
+        ), deg AS (
+          SELECT doc_id, COUNT(*) AS degree FROM (
+            SELECT a AS doc_id FROM e UNION ALL SELECT b AS doc_id FROM e)
+          GROUP BY doc_id
+        ), g AS (
+          SELECT (SELECT COUNT(*) FROM tri) AS nt,
+                 SUM(degree * (degree - 1) // 2) AS w
+          FROM deg
+        )
+        SELECT d.doc_id, CAST(d.degree AS BIGINT) AS degree,
+               CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles,
+               CAST(d.degree * (d.degree - 1) // 2 AS BIGINT) AS n_wedges,
+               CAST(CASE WHEN d.degree >= 2
+                 THEN COALESCE(t.t, 0) * 1000000 // (d.degree * (d.degree - 1) // 2)
+                 ELSE 0 END AS BIGINT) AS local_cc_micro,
+               (SELECT CAST(CASE WHEN w > 0 THEN 3 * nt * 1000000 // w ELSE 0 END
+                  AS BIGINT) FROM g) AS global_cc_micro
+        FROM deg d LEFT JOIN tpn t ON t.doc_id = d.doc_id
+        ORDER BY d.doc_id
+      """.trim)),
+
+    // k-core decomposition (k=2) of the verified near-dup graph — iterative
+    // peeling: repeatedly drop nodes with degree < k and re-restrict the
+    // edge set. The surviving 2-core is the cyclically-duplicated kernel
+    // (template farms / spam rings), vs the tree-like fringe the other
+    // graph diagnostics can't separate — CC finds components, triangles
+    // find closure, the core finds what REMAINS dense under peeling. Fixed
+    // 8 peel rounds (each a degree aggregate + two semi-joins, edge frame
+    // localCheckpoint'ed per round — the q61 CC lineage discipline), with a
+    // CONVERGED flag in the output that the oracle gates at 1: if the
+    // fixpoint ever needed more rounds the value gate itself fails, the
+    // q430 trick. Oracle = the same 8 rounds unrolled as generated CTEs
+    // (the q416 power-iteration convention).
+    Q(
+      "q435_kcore",
+      (s, dir) => {
+        val kMin = 2
+        val rounds = 8
+        def degrees(edges: org.apache.spark.sql.DataFrame) =
+          edges.select(col("a").as("id")).unionAll(edges.select(col("b").as("id")))
+            .groupBy("id").agg(count(lit(1)).as("deg"))
+        var e = SharedFrames.verifiedDocPairs(s, dir)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        for (_ <- 1 to rounds) {
+          val keep = degrees(e).filter(col("deg") >= kMin).select("id")
+          // SHUFFLE_HASH: the surviving-node frame is graph-sized.
+          e = e.join(keep.withColumnRenamed("id", "a").hint("shuffle_hash"),
+              Seq("a"), "left_semi")
+            .join(keep.withColumnRenamed("id", "b").hint("shuffle_hash"),
+              Seq("b"), "left_semi")
+            .localCheckpoint()
+        }
+        val converged = degrees(e)
+          .agg(coalesce(sum(when(col("deg") < kMin, 1L).otherwise(0L)), lit(0L))
+            .as("n_below"))
+          .select(when(col("n_below") === 0, 1L).otherwise(0L).as("converged"))
+        degrees(e)
+          .select(col("id").as("doc_id"), col("deg").as("core_degree"),
+            lit(kMin).as("k"))
+          .crossJoin(broadcast(converged))
+          .orderBy("doc_id")
+      },
+      Some {
+        // Every peel round references its predecessor more than once, so the
+        // chained CTEs MUST be MATERIALIZED — DuckDB's default inlining would
+        // expand e8 into ~3^8 copies of the pair pipeline ("Too many open
+        // files" before it even gets slow).
+        val rounds = 8
+        val sb = new StringBuilder
+        sb ++= s"${ExtQueries.MinhashPairsCte}, e0 AS MATERIALIZED (\n"
+        sb ++= "          SELECT id_a AS a, id_b AS b FROM verified\n        )"
+        for (i <- 1 to rounds) {
+          sb ++= s""", d${i - 1} AS MATERIALIZED (
+          SELECT id, COUNT(*) AS deg FROM (
+            SELECT a AS id FROM e${i - 1} UNION ALL SELECT b AS id FROM e${i - 1})
+          GROUP BY id
+        ), n$i AS MATERIALIZED (
+          SELECT id FROM d${i - 1} WHERE deg >= 2
+        ), e$i AS MATERIALIZED (
+          SELECT e.a, e.b FROM e${i - 1} e
+          JOIN n$i x ON e.a = x.id JOIN n$i y ON e.b = y.id
+        )"""
+        }
+        sb ++= s""", dfin AS (
+          SELECT id, COUNT(*) AS deg FROM (
+            SELECT a AS id FROM e$rounds UNION ALL SELECT b AS id FROM e$rounds)
+          GROUP BY id
+        ), conv AS (
+          SELECT CASE WHEN COALESCE(SUM(CASE WHEN deg < 2 THEN 1 ELSE 0 END), 0) = 0
+            THEN 1 ELSE 0 END AS converged
+          FROM dfin
+        )
+        SELECT id AS doc_id, CAST(deg AS BIGINT) AS core_degree,
+               CAST(2 AS INTEGER) AS k,
+               (SELECT CAST(converged AS BIGINT) FROM conv) AS converged
+        FROM dfin ORDER BY doc_id"""
+        sb.toString.trim
+      })
   )
 }
