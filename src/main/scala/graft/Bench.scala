@@ -95,12 +95,16 @@ object Bench {
               attempted(name) = attempted.getOrElse(name, false) || ok
             }
         }
+        // Never-succeeded entries carry JSON null, not a -1.0 sentinel
+        // (ADVICE_r06): a negative fake wall-clock skews any consumer that
+        // sums or ratios detail files across rounds; `ok` is the validity
+        // signal, null is the honest "no measurement".
         val entries = attempted.map { case (name, ok) =>
           val base = best(name)
-          val sec = bestAt10.getOrElse(name, -1.0)
-          val ratio = if (base > 0 && ok) sec / base else -1.0
-          s"\"" + name + s"\":{\"sf\":$base,\"x$factor\":$sec," +
-            s"\"ratio\":$ratio,\"ok\":$ok}"
+          val sec = bestAt10.get(name).filter(_ => ok)
+          val ratio = sec.collect { case v if base > 0 => v / base }
+          s"\"" + name + s"\":{\"sf\":$base,\"x$factor\":${sec.getOrElse("null")}," +
+            s"\"ratio\":${ratio.getOrElse("null")},\"ok\":$ok}"
         }.toSeq
         s""","scaleup":{"factor":$factor,"queries":${entries.mkString("{", ",", "}")}}"""
       } catch { case e: Throwable =>

@@ -14,6 +14,39 @@ import graft.ext.{NearDup, Sketches, TextAnalysis, TextHash}
   */
 object Round6Queries {
 
+  /** One extension-loaded session per SparkContext, built lazily and REUSED
+    * (ADVICE_r06): the q428 gate used to build a fresh `withExtensions`
+    * session on every invocation and never release it — Bench's min-of-2
+    * passes plus the 10x rehearsal leaked a sessionState (and its temp
+    * view) per run. Sessions can't be closed without killing the shared
+    * context, so the fix is to stop re-creating: one cached session serves
+    * every invocation, and the temp view is re-registered (replaced, not
+    * accumulated) in that single catalog. Rebuilt only if the underlying
+    * context changed (a test suite cycling SparkSessions).
+    */
+  private object ExtSession {
+    @volatile private var cached: Option[org.apache.spark.sql.SparkSession] = None
+    def get(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+      synchronized {
+        import org.apache.spark.sql.SparkSession
+        cached match {
+          case Some(s2) if s2.sparkContext eq s.sparkContext => s2
+          case _ =>
+            SparkSession.clearActiveSession()
+            SparkSession.clearDefaultSession()
+            val s2 = try SparkSession.builder()
+                .withExtensions(new graft.GraftExtensions())
+                .getOrCreate()
+              finally {
+                SparkSession.setDefaultSession(s)
+                SparkSession.setActiveSession(s)
+              }
+            cached = Some(s2)
+            s2
+        }
+      }
+  }
+
   /** DuckDB fragment: normalized text (mirror of Cleaning.normalizeText). */
   private val NormText = raw"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
@@ -38,16 +71,7 @@ object Round6Queries {
     Q(
       "q428_extensions_rule_gate",
       (s, dir) => {
-        import org.apache.spark.sql.SparkSession
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        val s2 = try SparkSession.builder()
-            .withExtensions(new graft.GraftExtensions())
-            .getOrCreate()
-          finally {
-            SparkSession.setDefaultSession(s)
-            SparkSession.setActiveSession(s)
-          }
+        val s2 = ExtSession.get(s)
         require(s2 ne s, "builder must construct a fresh extension-loaded session")
         require(s2.experimental.extraOptimizations.isEmpty
             && s2.experimental.extraStrategies.isEmpty,
@@ -462,10 +486,14 @@ object Round6Queries {
     // find closure, the core finds what REMAINS dense under peeling. Fixed
     // 8 peel rounds (each a degree aggregate + two semi-joins, edge frame
     // localCheckpoint'ed per round — the q61 CC lineage discipline), with a
-    // CONVERGED flag in the output that the oracle gates at 1: if the
-    // fixpoint ever needed more rounds the value gate itself fails, the
-    // q430 trick. Oracle = the same 8 rounds unrolled as generated CTEs
-    // (the q416 power-iteration convention).
+    // CONVERGED flag in the output. The oracle HARDCODES converged = 1 (it
+    // does NOT recompute the flag from its own peel — both engines peel the
+    // same graph, so a mirrored flag would agree even at 0 and gate
+    // nothing): if the Spark fixpoint ever needs more than 8 rounds its
+    // converged=0 hash-mismatches the literal 1, failing the gate — the
+    // q430 trick, enforced rather than merely reported. Oracle = the same
+    // 8 rounds unrolled as generated CTEs (the q416 power-iteration
+    // convention).
     Q(
       "q435_kcore",
       (s, dir) => {
@@ -520,14 +548,10 @@ object Round6Queries {
           SELECT id, COUNT(*) AS deg FROM (
             SELECT a AS id FROM e$rounds UNION ALL SELECT b AS id FROM e$rounds)
           GROUP BY id
-        ), conv AS (
-          SELECT CASE WHEN COALESCE(SUM(CASE WHEN deg < 2 THEN 1 ELSE 0 END), 0) = 0
-            THEN 1 ELSE 0 END AS converged
-          FROM dfin
         )
         SELECT id AS doc_id, CAST(deg AS BIGINT) AS core_degree,
                CAST(2 AS INTEGER) AS k,
-               (SELECT CAST(converged AS BIGINT) FROM conv) AS converged
+               CAST(1 AS BIGINT) AS converged
         FROM dfin ORDER BY doc_id"""
         sb.toString.trim
       })

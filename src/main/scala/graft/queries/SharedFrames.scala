@@ -35,9 +35,27 @@ object SharedFrames {
     * Bench drive queries sequentially, but the lock makes concurrent
     * builders (e.g. a test suite) serialize on the write.
     */
+  /** Scratch location of the materialized pair frame. The key carries a
+    * hash of the FULL canonical sf-dir path, not just its leaf
+    * (ADVICE_r06): two corpora whose directories share a leaf name
+    * ("/a/sf0.1" vs "/b/sf0.1") in one session must not cross-read each
+    * other's cached frame.
+    */
+  private[queries] def pairFramePath(s: SparkSession, dir: String): String = {
+    val canonical = new java.io.File(dir).getCanonicalPath
+    val pathTag = f"${scala.util.hashing.MurmurHash3.stringHash(canonical) & 0xffffffffL}%08x"
+    Scratch.dir(s, dir, s"mh_pairs_n3_k64_b16_t080_$pathTag")
+  }
+
   def verifiedDocPairs(s: SparkSession, dir: String): DataFrame = synchronized {
-    val path = Scratch.dir(s, dir, "mh_pairs_n3_k64_b16_t080")
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+    val path = pairFramePath(s, dir)
+    // Existence goes through the session's Hadoop FileSystem — the same
+    // abstraction the write uses — so the build-once check stays correct if
+    // the scratch root ever moves off the local filesystem (a raw java.io
+    // probe would silently rebuild, or worse, mis-detect).
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
       NearDup.minHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
           n = 3, k = 64, bands = 16, threshold = 0.8)
         .write.mode("overwrite").parquet(path)

@@ -13,7 +13,7 @@ class SharedFramesSpec extends SparkSpec {
 
   test("materialized pair frame equals the live pipeline and builds only once") {
     val dir = sf0001
-    val path = Scratch.dir(spark, dir, "mh_pairs_n3_k64_b16_t080")
+    val path = SharedFrames.pairFramePath(spark, dir)
 
     val fromHelper = SharedFrames.verifiedDocPairs(spark, dir)
       .select("id_a", "id_b", "jaccard").collect()
@@ -43,9 +43,12 @@ class SharedFramesSpec extends SparkSpec {
     // ScaleData's 10x rehearsal dir and the base dir share a session — the
     // scratch key must keep them apart (a cross-read would hand the 10x
     // rehearsal the 1x pair set and silently invalidate its timings).
-    val a = Scratch.dir(spark, "/data/sf0.1", "mh_pairs_n3_k64_b16_t080")
-    val b = Scratch.dir(spark, "/tmp/graft_scale/app/sf0.1_x10",
-      "mh_pairs_n3_k64_b16_t080")
+    val a = SharedFrames.pairFramePath(spark, "/data/sf0.1")
+    val b = SharedFrames.pairFramePath(spark, "/tmp/graft_scale/app/sf0.1_x10")
     assert(a !== b)
+    // ADVICE_r06: the key hashes the FULL canonical path, so two corpora
+    // with IDENTICAL leaf names in one session also stay apart.
+    val c = SharedFrames.pairFramePath(spark, "/other/corpus/sf0.1")
+    assert(a !== c)
   }
 }
