@@ -1,0 +1,901 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.TextAnalysis
+
+/** Round-7 additions: span-level dedup (the ExactSubstr-style TRANSFORM the
+  * document-level pipeline lacked), graph link prediction, Kneser-Ney
+  * continuation smoothing, token-budget corpus selection, l-diversity,
+  * ROUGE pair scoring, sorted-neighborhood linkage, tokenizer fertility.
+  * Same discipline as every other module: deterministic hashes, integer
+  * counts and micro-quantized transcendentals, fixed IEEE trees for the few
+  * final doubles, DuckDB oracle twins derived from first principles.
+  */
+object Round7Queries {
+
+  /** DuckDB fragment: normalized text (mirror of Cleaning.normalizeText). */
+  private val NormText = raw"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+  /** DuckDB fragment: whitespace tokens of the normalized text. */
+  private val Toks = s"string_split($NormText, ' ')"
+
+  /** DuckDB fragment: sequential double dot product of float lists a,b. */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN generate_series(1, len($a))])"
+
+  /** DuckDB CTE chain mirroring the MUTUAL top-3 cosine graph within IVF
+    * cells (q27's gated ANN shape, symmetrized): ends with relation
+    * `mu(id_a, id_b)`, id_a < id_b. Shared by the q437/q445/q446 oracles.
+    */
+  private val MutualKnnCte: String = s"""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 sqrt(${duckDot("embedding", "embedding")}) AS nrm
+          FROM embeddings
+        ), knn AS (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+                     DESC, c.vec_id) AS rank
+          FROM e q JOIN e c ON q.label = c.label AND c.vec_id <> q.vec_id
+          QUALIFY rank <= 3
+        ), mu AS (
+          SELECT a.qid AS id_a, a.nid AS id_b
+          FROM knn a JOIN knn b ON b.qid = a.nid AND b.nid = a.qid
+          WHERE a.qid < a.nid
+        )""".stripMargin.trim
+
+  /** Spark side of [[MutualKnnCte]]: mutual top-3 cosine edges within IVF
+    * cells, (id_a, id_b) with id_a < id_b. Shared by q437/q445/q446.
+    */
+  private def mutualKnnEdges(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val knn = graft.ext.Similarity
+      .annTopKByCell(emb, emb, "vec_id", "embedding", "label", k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    knn.as("a")
+      .join(knn.as("b"),
+        col("a.query_id") === col("b.neighbor_id")
+          && col("a.neighbor_id") === col("b.query_id"))
+      .filter(col("a.query_id") < col("a.neighbor_id"))
+      .select(col("a.query_id").as("id_a"), col("a.neighbor_id").as("id_b"))
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // Duplicate-SPAN scrub — the ExactSubstr-style transform (Lee et al.,
+    // "Deduplicating Training Data Makes Language Models Better"): q102
+    // MEASURES how much of each document is duplicated 8-gram mass; this
+    // REMOVES it — every token position covered by any 8-gram that occurs
+    // more than once corpus-wide is dropped, and the scrubbed text is
+    // re-emitted (value-gated via its md5, so the transform is bit-exact
+    // without shipping megabytes of text through the compare). Distributed
+    // shape: gram extraction is a per-row Generate, the duplicate test is
+    // one hash aggregate on the gram, coverage is a bounded 8x explode of
+    // duplicate starts, and the rebuild is a per-doc sort_array over
+    // position-tagged structs — corpus-linear, no all-pairs anywhere.
+    Q(
+      "q436_dupspan_scrub",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+        val pos = toks.select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tok")))
+        val starts = toks.filter(size(col("w")) >= 8)
+          .select(col("doc_id"), posexplode(col("w")).as(Seq("i", "w1")), col("w"))
+          .filter(col("i") <= size(col("w")) - 8)
+          .select(col("doc_id"), col("i"),
+            array_join(slice(col("w"), col("i") + 1, lit(8)), " ").as("gram"))
+        val dupGrams = starts.groupBy("gram").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).select("gram")
+        val covered = starts
+          .join(dupGrams.hint("shuffle_hash"), Seq("gram"))
+          .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7)).as("p"))
+          .distinct()
+          .withColumn("__cov", lit(1))
+        pos.join(covered.hint("shuffle_hash"), Seq("doc_id", "p"), "left")
+          .select(col("doc_id"), col("p"), col("tok"),
+            when(col("__cov").isNull, 0L).otherwise(1L).as("covered"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("covered")).as("n_covered"),
+            md5(array_join(transform(
+              filter(sort_array(collect_list(struct(col("p"), col("tok"), col("covered")))),
+                r => r.getField("covered") === 0),
+              r => r.getField("tok")), " ")).as("scrubbed_fp"))
+          .select(col("doc_id"), col("n_tokens"), col("n_covered"), col("scrubbed_fp"),
+            ((col("n_tokens") - col("n_covered")).cast("double")
+              / col("n_tokens").cast("double")).as("keep_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, $Toks AS w FROM documents
+        ), st AS (
+          SELECT doc_id, u.i AS i, array_to_string(w[u.i:u.i+7], ' ') AS gram
+          FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) u
+          WHERE len(w) >= 8
+        ), dup AS (
+          SELECT gram FROM st GROUP BY gram HAVING COUNT(*) > 1
+        ), cov AS (
+          SELECT DISTINCT st.doc_id, v.p
+          FROM st JOIN dup ON st.gram = dup.gram,
+               LATERAL (SELECT unnest(generate_series(st.i, st.i + 7)) AS p) v
+        ), pos AS (
+          SELECT doc_id, u.p AS p, u.tok AS tok
+          FROM t, LATERAL (SELECT unnest(w) AS tok, generate_subscripts(w, 1) AS p) u
+        ), fl AS (
+          SELECT pos.doc_id AS doc_id, pos.p AS p, pos.tok AS tok,
+                 CASE WHEN cov.p IS NULL THEN 0 ELSE 1 END AS covered
+          FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(covered) AS BIGINT) AS n_covered,
+               md5(COALESCE(string_agg(tok, ' ' ORDER BY p)
+                 FILTER (WHERE covered = 0), '')) AS scrubbed_fp,
+               CAST(COUNT(*) - SUM(covered) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS keep_frac
+        FROM fl GROUP BY doc_id ORDER BY doc_id
+      """.trim)),
+
+    // Link prediction over the mutual-kNN semantic graph — the "which
+    // vectors are PROBABLY related but unlinked" ranking that turns a
+    // k-NN graph (the SemDeDup / graph-ANN substrate) into a prioritized
+    // re-verification queue: for every non-adjacent pair with at least one
+    // common neighbor, the common-neighbor count, neighborhood-Jaccard
+    // (integer micro floor division), and an Adamic-Adar score where each
+    // common neighbor w contributes round(1e6 / ln(deg_w)) — quantized PER
+    // TERM, so the sum is an order-free integer aggregate (the q194
+    // micro-nat trick). The graph is the MUTUAL top-3 cosine graph within
+    // IVF cells (q27's oracle-gated ANN shape, symmetrized): unlike the
+    // near-dup pair graph — whose planted clusters are complete cliques
+    // with a vacuously empty candidate set — the mutual-kNN graph has the
+    // chain structure link prediction exists to close. Distributed shape:
+    // cell-bounded kNN, one mutuality self-join, one 2-path hash join
+    // (bounded by sum of deg^2, deg <= 3 by construction), one anti join
+    // against the edge set, two degree probes. No all-pairs.
+    Q(
+      "q437_link_prediction",
+      (s, dir) => {
+        val e = mutualKnnEdges(s, dir)
+        val und = e.select(col("id_a").as("u"), col("id_b").as("w"))
+          .unionAll(e.select(col("id_b").as("u"), col("id_a").as("w")))
+        val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+          .withColumnRenamed("u", "n")
+        val paths = und
+          .join(und.select(col("u").as("w"), col("w").as("v")).hint("shuffle_hash"),
+            Seq("w"))
+          .filter(col("u") < col("v"))
+          .join(deg.withColumnRenamed("n", "w").hint("shuffle_hash"), Seq("w"))
+          .withColumn("aa_u",
+            round(lit(1000000.0) / log(col("deg").cast("double"))).cast("long"))
+        val agg = paths.groupBy("u", "v")
+          .agg(count(lit(1)).as("cn"), sum(col("aa_u")).as("aa_micro"))
+        agg
+          .join(e.select(col("id_a").as("u"), col("id_b").as("v")).hint("shuffle_hash"),
+            Seq("u", "v"), "left_anti")
+          .join(deg.select(col("n").as("u"), col("deg").as("du")).hint("shuffle_hash"),
+            Seq("u"))
+          .join(deg.select(col("n").as("v"), col("deg").as("dv")).hint("shuffle_hash"),
+            Seq("v"))
+          .select(col("u").as("id_u"), col("v").as("id_v"), col("cn"),
+            expr("(cn * 1000000) div (du + dv - cn)").as("jaccard_micro"),
+            col("aa_micro"), col("du").as("deg_u"), col("dv").as("deg_v"))
+          .orderBy("id_u", "id_v")
+      },
+      Some(s"""
+        $MutualKnnCte, und AS (
+          SELECT id_a AS u, id_b AS w FROM mu
+          UNION ALL SELECT id_b AS u, id_a AS w FROM mu
+        ), deg AS (
+          SELECT u AS n, COUNT(*) AS deg FROM und GROUP BY u
+        ), paths AS (
+          SELECT l.u AS u, r.w AS v, l.w AS w
+          FROM und l JOIN und r ON l.w = r.u
+          WHERE l.u < r.w
+        ), scored AS (
+          SELECT p.u, p.v,
+                 CAST(round(1000000.0 / ln(CAST(d.deg AS DOUBLE))) AS BIGINT) AS aa_u
+          FROM paths p JOIN deg d ON d.n = p.w
+        ), agg AS (
+          SELECT u, v, COUNT(*) AS cn, SUM(aa_u) AS aa_micro
+          FROM scored GROUP BY u, v
+        ), lp_cand AS (
+          SELECT a.* FROM agg a
+          ANTI JOIN mu e ON e.id_a = a.u AND e.id_b = a.v
+        )
+        SELECT a.u AS id_u, a.v AS id_v, CAST(a.cn AS BIGINT) AS cn,
+               CAST(a.cn * 1000000 // (du.deg + dv.deg - a.cn) AS BIGINT)
+                 AS jaccard_micro,
+               CAST(a.aa_micro AS BIGINT) AS aa_micro,
+               CAST(du.deg AS BIGINT) AS deg_u, CAST(dv.deg AS BIGINT) AS deg_v
+        FROM lp_cand a JOIN deg du ON du.n = a.u JOIN deg dv ON dv.n = a.v
+        ORDER BY id_u, id_v
+      """.trim)),
+
+    // Kneser-Ney continuation smoothing — the bigram LM upgrade over q194's
+    // add-one: interpolated KN with absolute discount D = 0.75 (exact in
+    // binary), where the backoff weight uses the CONTINUATION count
+    // (distinct left contexts of w2, normalized by distinct bigram types) —
+    // the smoothing every serious n-gram quality filter uses because raw
+    // unigram frequency overweights tokens that only ever follow one
+    // context. Everything is integer counts from three hash aggregates; the
+    // only doubles are the final fixed IEEE tree
+    // (c2-D)/c1 + (D*n_follow/c1)*(n_precede/B), mirrored verbatim. Output
+    // restricted to bigrams seen >= 2 times (display bound, stats computed
+    // over the full table).
+    Q(
+      "q438_kneser_ney",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+          .filter(size(col("w")) > 1)
+        val bigrams = toks
+          .select(col("doc_id"), posexplode(col("w")).as(Seq("i", "w1")), col("w"))
+          .filter(col("i") < size(col("w")) - 1)
+          .select(col("w1"), element_at(col("w"), col("i") + 2).as("w2"))
+        val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val c1 = c2.groupBy("w1")
+          .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n_follow"))
+        val np = c2.groupBy("w2").agg(count(lit(1)).as("n_precede"))
+        val b = c2.agg(count(lit(1)).as("n_bigram_types"))
+        c2.join(c1.hint("shuffle_hash"), Seq("w1"))
+          .join(np.hint("shuffle_hash"), Seq("w2"))
+          .crossJoin(broadcast(b))
+          .filter(col("c2") >= 2)
+          .select(col("w1"), col("w2"), col("c2"), col("c1"),
+            col("n_follow"), col("n_precede"),
+            ((col("c2").cast("double") - lit(0.75)) / col("c1").cast("double")
+              + (lit(0.75) * col("n_follow").cast("double") / col("c1").cast("double"))
+                * (col("n_precede").cast("double")
+                  / col("n_bigram_types").cast("double"))).as("p_kn"))
+          .orderBy("w1", "w2")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, $Toks AS w FROM documents
+        ), tt AS (
+          SELECT doc_id, w FROM t WHERE len(w) > 1
+        ), big AS (
+          SELECT unnest([w[i] FOR i IN generate_series(1, len(w) - 1)]) AS w1,
+                 unnest([w[i + 1] FOR i IN generate_series(1, len(w) - 1)]) AS w2
+          FROM tt
+        ), c2 AS (
+          SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2
+        ), c1 AS (
+          SELECT w1, SUM(c2) AS c1, COUNT(*) AS n_follow FROM c2 GROUP BY w1
+        ), np AS (
+          SELECT w2, COUNT(*) AS n_precede FROM c2 GROUP BY w2
+        ), b AS (
+          SELECT COUNT(*) AS n_bigram_types FROM c2
+        )
+        SELECT c2.w1 AS w1, c2.w2 AS w2, CAST(c2.c2 AS BIGINT) AS c2,
+               CAST(c1.c1 AS BIGINT) AS c1,
+               CAST(c1.n_follow AS BIGINT) AS n_follow,
+               CAST(np.n_precede AS BIGINT) AS n_precede,
+               (CAST(c2.c2 AS DOUBLE) - CAST(0.75 AS DOUBLE)) / CAST(c1.c1 AS DOUBLE)
+                 + (CAST(0.75 AS DOUBLE) * CAST(c1.n_follow AS DOUBLE)
+                     / CAST(c1.c1 AS DOUBLE))
+                   * (CAST(np.n_precede AS DOUBLE) / CAST(b.n_bigram_types AS DOUBLE))
+                 AS p_kn
+        FROM c2 JOIN c1 ON c2.w1 = c1.w1 JOIN np ON c2.w2 = np.w2 CROSS JOIN b
+        WHERE c2.c2 >= 2
+        ORDER BY w1, w2
+      """.trim)),
+
+    // Token-budget corpus selection — the "fit the best N tokens" step of
+    // mixture construction: within each source, documents are ranked by
+    // integer-quantized quality (floor(quality * 1e6) — the q90
+    // convention), and the greedy prefix whose CUMULATIVE token count stays
+    // under the source's budget (half its total tokens) is selected. The
+    // running total is an exclusive-preceding-rows window PARTITIONED by
+    // source under a total order (prio desc, doc_id) — deterministic in
+    // both engines; at 100 TB a low-cardinality source partition would move
+    // to the two-phase prefix-sum shape (Keys.scala), same semantics.
+    Q(
+      "q439_budget_select",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("__w"))
+          .select(col("doc_id"), col("source"),
+            size(col("__w")).cast("long").as("n_tok"),
+            floor(TextAnalysis.qualityScore(col("__w")) * 1000000.0).cast("long")
+              .as("prio"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("prio").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val tot = d.groupBy("source").agg(sum(col("n_tok")).as("tot_tok"))
+        d.withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .join(tot.hint("shuffle_hash"), Seq("source"))
+          .select(col("doc_id"), col("source"), col("n_tok"), col("prio"),
+            col("cum_before"), expr("tot_tok div 2").as("budget"),
+            when(col("cum_before") < expr("tot_tok div 2"), 1L).otherwise(0L)
+              .as("selected"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, source, $Toks AS w FROM documents
+        ), feat AS (
+          SELECT doc_id, source,
+                 CAST(len(w) AS BIGINT) AS n_tok,
+                 CAST(len(w) AS INTEGER) AS n_tokens,
+                 len(list_filter(w, t -> t IN (${ExtQueries.StopList}))) AS n_stop,
+                 CAST(list_sum([length(t) FOR t IN w]) AS DOUBLE) AS sum_len
+          FROM base
+        ), d AS (
+          SELECT doc_id, source, n_tok,
+                 CAST(floor((
+                   0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                   + 0.3 * (CASE WHEN n_tokens = 0 THEN 0.0
+                                 ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END)
+                   + 0.2 * least((CASE WHEN n_tokens = 0 THEN 0.0
+                                       ELSE sum_len / CAST(n_tokens AS DOUBLE) END) / 8.0, 1.0)
+                 ) * 1000000.0) AS BIGINT) AS prio
+          FROM feat
+        ), c AS (
+          SELECT doc_id, source, n_tok, prio,
+                 COALESCE(SUM(n_tok) OVER (PARTITION BY source
+                   ORDER BY prio DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM d
+        ), t AS (
+          SELECT source, SUM(n_tok) AS tot_tok FROM d GROUP BY source
+        )
+        SELECT c.doc_id, c.source, c.n_tok, c.prio,
+               CAST(c.cum_before AS BIGINT) AS cum_before,
+               CAST(t.tot_tok // 2 AS BIGINT) AS budget,
+               CAST(CASE WHEN c.cum_before < t.tot_tok // 2 THEN 1 ELSE 0 END
+                 AS BIGINT) AS selected
+        FROM c JOIN t ON t.source = c.source
+        ORDER BY doc_id
+      """.trim)),
+
+    // l-diversity audit — the attribute-disclosure check k-anonymity (q239)
+    // misses: a metadata cell can hold >= k documents yet still leak the
+    // sensitive attribute if they all share one value. Per
+    // (lang, length-band) equivalence class: size k, distinct sensitive
+    // values (source), the 2-diverse flag, and entropy l-diversity with the
+    // per-term micro-nat quantization (round((-c/k)*ln(c/k)*1e6) per
+    // (class, source) — integer before the order-free sum, the q194 trick).
+    // Two hash aggregates plus one class-keyed join; no shuffle hazards.
+    Q(
+      "q440_l_diversity",
+      (s, dir) => {
+        val sc = Tables.documents(s, dir)
+          .select(col("lang"), expr("n_chars div 200").as("len_band"), col("source"))
+          .groupBy("lang", "len_band", "source").agg(count(lit(1)).as("c"))
+        val k = sc.groupBy("lang", "len_band")
+          .agg(sum(col("c")).as("k"), count(lit(1)).as("l_distinct"))
+        sc.join(k.hint("shuffle_hash"), Seq("lang", "len_band"))
+          .withColumn("term",
+            round((lit(0.0) - col("c").cast("double") / col("k").cast("double"))
+              * log(col("c").cast("double") / col("k").cast("double"))
+              * lit(1000000.0)).cast("long"))
+          .groupBy("lang", "len_band")
+          .agg(max(col("k")).as("k"), max(col("l_distinct")).as("l_distinct"),
+            sum(col("term")).as("entropy_micro"))
+          .select(col("lang"), col("len_band"), col("k"), col("l_distinct"),
+            col("entropy_micro"),
+            when(col("l_distinct") >= 2, 1L).otherwise(0L).as("l2_ok"))
+          .orderBy("lang", "len_band")
+      },
+      Some("""
+        WITH sc AS (
+          SELECT lang, n_chars // 200 AS len_band, source, COUNT(*) AS c
+          FROM documents GROUP BY 1, 2, 3
+        ), k AS (
+          SELECT lang, len_band, SUM(c) AS k, COUNT(*) AS l_distinct
+          FROM sc GROUP BY 1, 2
+        ), terms AS (
+          SELECT sc.lang, sc.len_band, k.k, k.l_distinct,
+                 CAST(round((0.0 - CAST(sc.c AS DOUBLE) / CAST(k.k AS DOUBLE))
+                   * ln(CAST(sc.c AS DOUBLE) / CAST(k.k AS DOUBLE))
+                   * 1000000.0) AS BIGINT) AS term
+          FROM sc JOIN k ON sc.lang = k.lang AND sc.len_band = k.len_band
+        )
+        SELECT lang, len_band, CAST(MAX(k) AS BIGINT) AS k,
+               CAST(MAX(l_distinct) AS BIGINT) AS l_distinct,
+               CAST(SUM(term) AS BIGINT) AS entropy_micro,
+               CAST(CASE WHEN MAX(l_distinct) >= 2 THEN 1 ELSE 0 END AS BIGINT)
+                 AS l2_ok
+        FROM terms GROUP BY lang, len_band ORDER BY lang, len_band
+      """.trim)),
+
+    // ROUGE pair scoring — clipped n-gram precision/recall/F1 over the
+    // verified near-dup pairs: the summarization-style overlap metric that
+    // grades HOW documents overlap (verbatim mass vs scattered tokens)
+    // where jaccard only grades THAT they do. Clipped counts are the real
+    // ROUGE definition (per-gram min of the two documents' counts — a
+    // multiset intersection, not the set intersection the dedup path uses).
+    // Work is bounded by the pair set: gram tables are semi-joined to pair
+    // members before the per-pair join; F1 = 2*ov/(ta+tb) needs ONE
+    // division (P and R share numerator). Bigram totals can be zero
+    // (one-token docs) — guarded identically in both engines.
+    Q(
+      "q441_rouge_pairs",
+      (s, dir) => {
+        val pairs = SharedFrames.verifiedDocPairs(s, dir).select("id_a", "id_b")
+        val ids = pairs.select(col("id_a").as("doc_id"))
+          .unionAll(pairs.select(col("id_b").as("doc_id"))).distinct()
+        val toks = Tables.documents(s, dir)
+          .join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+        val uni = toks.select(col("doc_id"), explode(col("w")).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        val bi = toks.filter(size(col("w")) > 1)
+          .select(col("doc_id"), posexplode(col("w")).as(Seq("i", "w1")), col("w"))
+          .filter(col("i") < size(col("w")) - 1)
+          .select(col("doc_id"),
+            concat_ws(" ", col("w1"), element_at(col("w"), col("i") + 2)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        def metrics(gr: DataFrame, pfx: String): DataFrame = {
+          val tot = gr.groupBy("doc_id").agg(sum(col("c")).as("tot"))
+          val ov = pairs
+            .join(gr.select(col("doc_id").as("id_a"), col("g"), col("c").as("ca"))
+              .hint("shuffle_hash"), Seq("id_a"))
+            .join(gr.select(col("doc_id").as("id_b"), col("g"), col("c").as("cb"))
+              .hint("shuffle_hash"), Seq("id_b", "g"))
+            .groupBy("id_a", "id_b").agg(sum(least(col("ca"), col("cb"))).as("ov"))
+          pairs
+            .join(ov.hint("shuffle_hash"), Seq("id_a", "id_b"), "left")
+            .join(tot.select(col("doc_id").as("id_a"), col("tot").as("ta"))
+              .hint("shuffle_hash"), Seq("id_a"), "left")
+            .join(tot.select(col("doc_id").as("id_b"), col("tot").as("tb"))
+              .hint("shuffle_hash"), Seq("id_b"), "left")
+            .select(col("id_a"), col("id_b"),
+              coalesce(col("ov"), lit(0L)).as(s"${pfx}_ov"),
+              coalesce(col("ta"), lit(0L)).as(s"${pfx}_ta"),
+              coalesce(col("tb"), lit(0L)).as(s"${pfx}_tb"))
+        }
+        metrics(uni, "rouge1").join(metrics(bi, "rouge2"), Seq("id_a", "id_b"))
+          .select(col("id_a"), col("id_b"),
+            col("rouge1_ov"), col("rouge1_ta"), col("rouge1_tb"),
+            (col("rouge1_ov").cast("double") / col("rouge1_ta").cast("double"))
+              .as("rouge1_p"),
+            (col("rouge1_ov").cast("double") / col("rouge1_tb").cast("double"))
+              .as("rouge1_r"),
+            ((lit(2L) * col("rouge1_ov")).cast("double")
+              / (col("rouge1_ta") + col("rouge1_tb")).cast("double")).as("rouge1_f"),
+            col("rouge2_ov"),
+            when(col("rouge2_ta") + col("rouge2_tb") > 0,
+              (lit(2L) * col("rouge2_ov")).cast("double")
+                / (col("rouge2_ta") + col("rouge2_tb")).cast("double"))
+              .otherwise(lit(0.0)).as("rouge2_f"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        ${ExtQueries.MinhashPairsCte}, tk AS (
+          SELECT doc_id, $Toks AS w FROM documents
+        ), uni AS (
+          SELECT doc_id, u.tok AS g, COUNT(*) AS c
+          FROM tk, LATERAL (SELECT unnest(w) AS tok) u
+          GROUP BY doc_id, u.tok
+        ), bi AS (
+          SELECT doc_id, u.g AS g, COUNT(*) AS c
+          FROM tk, LATERAL (
+            SELECT unnest([array_to_string(w[i:i+1], ' ')
+                           FOR i IN generate_series(1, len(w) - 1)]) AS g) u
+          WHERE len(w) > 1
+          GROUP BY doc_id, u.g
+        ), ut AS (
+          SELECT doc_id, SUM(c) AS tot FROM uni GROUP BY doc_id
+        ), bt AS (
+          SELECT doc_id, SUM(c) AS tot FROM bi GROUP BY doc_id
+        ), uov AS (
+          SELECT v.id_a, v.id_b, SUM(LEAST(a.c, b.c)) AS ov
+          FROM verified v
+          JOIN uni a ON a.doc_id = v.id_a
+          JOIN uni b ON b.doc_id = v.id_b AND b.g = a.g
+          GROUP BY v.id_a, v.id_b
+        ), bov AS (
+          SELECT v.id_a, v.id_b, SUM(LEAST(a.c, b.c)) AS ov
+          FROM verified v
+          JOIN bi a ON a.doc_id = v.id_a
+          JOIN bi b ON b.doc_id = v.id_b AND b.g = a.g
+          GROUP BY v.id_a, v.id_b
+        )
+        SELECT v.id_a AS id_a, v.id_b AS id_b,
+               CAST(COALESCE(uov.ov, 0) AS BIGINT) AS rouge1_ov,
+               CAST(COALESCE(uta.tot, 0) AS BIGINT) AS rouge1_ta,
+               CAST(COALESCE(utb.tot, 0) AS BIGINT) AS rouge1_tb,
+               CAST(COALESCE(uov.ov, 0) AS DOUBLE)
+                 / CAST(COALESCE(uta.tot, 0) AS DOUBLE) AS rouge1_p,
+               CAST(COALESCE(uov.ov, 0) AS DOUBLE)
+                 / CAST(COALESCE(utb.tot, 0) AS DOUBLE) AS rouge1_r,
+               CAST(2 * COALESCE(uov.ov, 0) AS DOUBLE)
+                 / CAST(COALESCE(uta.tot, 0) + COALESCE(utb.tot, 0) AS DOUBLE)
+                 AS rouge1_f,
+               CAST(COALESCE(bov.ov, 0) AS BIGINT) AS rouge2_ov,
+               CASE WHEN COALESCE(bta.tot, 0) + COALESCE(btb.tot, 0) > 0
+                    THEN CAST(2 * COALESCE(bov.ov, 0) AS DOUBLE)
+                      / CAST(COALESCE(bta.tot, 0) + COALESCE(btb.tot, 0) AS DOUBLE)
+                    ELSE 0.0 END AS rouge2_f
+        FROM verified v
+        LEFT JOIN uov ON uov.id_a = v.id_a AND uov.id_b = v.id_b
+        LEFT JOIN bov ON bov.id_a = v.id_a AND bov.id_b = v.id_b
+        LEFT JOIN ut uta ON uta.doc_id = v.id_a
+        LEFT JOIN ut utb ON utb.doc_id = v.id_b
+        LEFT JOIN bt bta ON bta.doc_id = v.id_a
+        LEFT JOIN bt btb ON btb.doc_id = v.id_b
+        ORDER BY id_a, id_b
+      """.trim)),
+
+    // Sorted-neighborhood linkage — the OTHER classic blocking family:
+    // q86's prefix blocking needs a reliable key; sorted-neighborhood (SNM)
+    // instead sorts by a fuzzy key and compares each record to its next w
+    // neighbors IN SORT ORDER, catching near-matches whose exact block keys
+    // differ. Here: part names sorted within a first-word partition, window
+    // w = 2 via lead() (a PARTITIONED window under a total order —
+    // deterministic, and the partition bounds the sort the way SNM's
+    // sliding window bounds comparisons), Levenshtein verify <= 15. The
+    // per-engine Levenshtein implementations agree exactly (unit-cost
+    // edits), so the distance column itself is hash-gated.
+    Q(
+      "q442_snm_linkage",
+      (s, dir) => {
+        val p = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
+          .withColumn("blk", substring_index(col("p_name"), " ", 1))
+        val w = Window.partitionBy("blk").orderBy(col("p_name"), col("p_partkey"))
+        val nb = p.select(col("p_partkey"), col("p_name"),
+          lead(col("p_partkey"), 1).over(w).as("k1"),
+          lead(col("p_name"), 1).over(w).as("n1"),
+          lead(col("p_partkey"), 2).over(w).as("k2"),
+          lead(col("p_name"), 2).over(w).as("n2"))
+        nb.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
+            col("k1").as("key_b"), col("n1").as("name_b"))
+          .unionAll(nb.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
+            col("k2").as("key_b"), col("n2").as("name_b")))
+          .filter(col("key_b").isNotNull)
+          .select(col("key_a"), col("key_b"),
+            levenshtein(col("name_a"), col("name_b")).as("distance"))
+          .filter(col("distance") <= 15)
+          .orderBy("key_a", "key_b")
+      },
+      Some("""
+        WITH p AS (
+          SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk FROM part
+        ), nb AS (
+          SELECT p_partkey, p_name,
+                 lead(p_partkey, 1) OVER w AS k1, lead(p_name, 1) OVER w AS n1,
+                 lead(p_partkey, 2) OVER w AS k2, lead(p_name, 2) OVER w AS n2
+          FROM p WINDOW w AS (PARTITION BY blk ORDER BY p_name, p_partkey)
+        ), pr AS (
+          SELECT p_partkey AS key_a, p_name AS name_a, k1 AS key_b, n1 AS name_b
+          FROM nb
+          UNION ALL
+          SELECT p_partkey, p_name, k2, n2 FROM nb
+        )
+        SELECT key_a, key_b,
+               CAST(levenshtein(name_a, name_b) AS INTEGER) AS distance
+        FROM pr
+        WHERE key_b IS NOT NULL AND levenshtein(name_a, name_b) <= 15
+        ORDER BY key_a, key_b
+      """.trim)),
+
+    // Tokenizer fertility audit — the "how many model tokens does this
+    // corpus cost" planning number: per source, whitespace-token vs BPE-ish
+    // pre-token counts (the GPT-2 pre-split regex already in
+    // TextAnalysis.bpeTokenCount), byte volume, and the two planning
+    // ratios — fertility (BPE tokens per whitespace token) and bytes per
+    // BPE token. Pure map-side expressions into one hash aggregate;
+    // integer sums, two final fixed divisions.
+    Q(
+      "q443_tokenizer_fertility",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("ws"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe"),
+          octet_length(col("text")).cast("long").as("nb"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+          sum(col("bpe")).as("bpe_tokens"), sum(col("nb")).as("n_bytes"))
+        .select(col("source"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+          col("n_bytes"),
+          (col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+            .as("fertility"),
+          (col("n_bytes").cast("double") / col("bpe_tokens").cast("double"))
+            .as("bytes_per_bpe"))
+        .orderBy("source"),
+      Some(s"""
+        WITH d AS (
+          SELECT source,
+                 CAST(len($Toks) AS BIGINT) AS ws,
+                 CAST(len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS nb
+          FROM documents
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+               CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+               CAST(SUM(nb) AS BIGINT) AS n_bytes,
+               CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS fertility,
+               CAST(SUM(nb) AS DOUBLE) / CAST(SUM(bpe) AS DOUBLE) AS bytes_per_bpe
+        FROM d GROUP BY source ORDER BY source
+      """.trim)),
+
+    // k-truss decomposition (k=3) of the verified near-dup graph — the
+    // EDGE-level peeling that completes q435's node-level k-core: an edge
+    // survives the 3-truss iff it participates in a triangle within the
+    // surviving subgraph (support >= k-2 = 1), under iterative peeling
+    // (removing an edge can orphan others). Cliques keep every edge;
+    // chains and stars keep none — the edge-granular "is this duplication
+    // family structurally dense" signal. Fixed 4 peel rounds (each a
+    // support join bounded by degree like q195's triangle enumeration,
+    // localCheckpoint lineage discipline); output = every ORIGINAL edge
+    // with its initial support and final truss membership, plus a
+    // CONVERGED flag the oracle hardcodes at 1 (the enforced-gate q435
+    // convention). Oracle = 4 unrolled MATERIALIZED rounds.
+    Q(
+      "q444_ktruss",
+      (s, dir) => {
+        val rounds = 4
+        def support(e: DataFrame): DataFrame = {
+          val und = e.select(col("a").as("u"), col("b").as("w"))
+            .unionAll(e.select(col("b").as("u"), col("a").as("w")))
+          e.join(und.select(col("u").as("a"), col("w").as("wa")).hint("shuffle_hash"),
+              Seq("a"))
+            .join(und.select(col("u").as("b"), col("w").as("wb")).hint("shuffle_hash"),
+              Seq("b"))
+            .filter(col("wa") === col("wb"))
+            .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+        }
+        val e0 = SharedFrames.verifiedDocPairs(s, dir)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        var e = e0
+        for (_ <- 1 to rounds)
+          e = e.join(support(e).filter(col("sup") >= 1).select("a", "b")
+              .hint("shuffle_hash"), Seq("a", "b"), "left_semi")
+            .localCheckpoint()
+        val converged = e.join(support(e).filter(col("sup") >= 1).select("a", "b")
+            .hint("shuffle_hash"), Seq("a", "b"), "left_anti")
+          .agg(count(lit(1)).as("n_bad"))
+          .select(when(col("n_bad") === 0, 1L).otherwise(0L).as("converged"))
+        e0.join(support(e0).hint("shuffle_hash"), Seq("a", "b"), "left")
+          .join(e.withColumn("__in", lit(1)).hint("shuffle_hash"),
+            Seq("a", "b"), "left")
+          .select(col("a").as("id_a"), col("b").as("id_b"),
+            coalesce(col("sup"), lit(0L)).as("support0"),
+            when(col("__in").isNull, 0L).otherwise(1L).as("in_truss"))
+          .crossJoin(broadcast(converged))
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val rounds = 4
+        val sb = new StringBuilder
+        sb ++= s"${ExtQueries.MinhashPairsCte}, e0 AS MATERIALIZED (\n"
+        sb ++= "          SELECT id_a AS a, id_b AS b FROM verified\n        )"
+        for (i <- 1 to rounds) {
+          sb ++= s""", u${i - 1} AS MATERIALIZED (
+          SELECT a AS u, b AS w FROM e${i - 1}
+          UNION ALL SELECT b AS u, a AS w FROM e${i - 1}
+        ), e$i AS MATERIALIZED (
+          SELECT e.a, e.b FROM e${i - 1} e
+          JOIN u${i - 1} ua ON ua.u = e.a
+          JOIN u${i - 1} ub ON ub.u = e.b AND ub.w = ua.w
+          GROUP BY e.a, e.b HAVING COUNT(*) >= 1
+        )"""
+        }
+        sb ++= s""", s0 AS (
+          SELECT e.a, e.b, COUNT(*) AS sup FROM e0 e
+          JOIN u0 ua ON ua.u = e.a
+          JOIN u0 ub ON ub.u = e.b AND ub.w = ua.w
+          GROUP BY e.a, e.b
+        )
+        SELECT e0.a AS id_a, e0.b AS id_b,
+               CAST(COALESCE(s0.sup, 0) AS BIGINT) AS support0,
+               CAST(CASE WHEN f.a IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_truss,
+               CAST(1 AS BIGINT) AS converged
+        FROM e0
+        LEFT JOIN s0 ON s0.a = e0.a AND s0.b = e0.b
+        LEFT JOIN e$rounds f ON f.a = e0.a AND f.b = e0.b
+        ORDER BY id_a, id_b"""
+        sb.toString.trim
+      }),
+
+    // Link-prediction HOLDOUT evaluation — the protocol that grades q437's
+    // scores: hold out ~30% of the mutual-kNN edges by deterministic hash,
+    // compute 2-path candidates on the TRAINING graph only, and label each
+    // candidate as a held-out true edge or not; the single-row recall
+    // summary (held-out edges recovered / held-out total) rides a
+    // broadcast. This is the standard graph-ML eval loop expressed as one
+    // deterministic dataflow — no RNG, so the split and therefore every
+    // score is engine-reproducible.
+    Q(
+      "q445_linkpred_holdout",
+      (s, dir) => {
+        val mu = mutualKnnEdges(s, dir).withColumn("__h",
+          pmod(graft.ext.TextHash.hash60(
+            concat_ws(":", col("id_a"), col("id_b"))), lit(10L)))
+        val train = mu.filter(col("__h") >= 3).select("id_a", "id_b")
+        val held = mu.filter(col("__h") < 3).select("id_a", "id_b")
+        val und = train.select(col("id_a").as("u"), col("id_b").as("w"))
+          .unionAll(train.select(col("id_b").as("u"), col("id_a").as("w")))
+        val cand = und
+          .join(und.select(col("u").as("w"), col("w").as("v")).hint("shuffle_hash"),
+            Seq("w"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+          .join(train.select(col("id_a").as("u"), col("id_b").as("v"))
+            .hint("shuffle_hash"), Seq("u", "v"), "left_anti")
+        val labeled = cand
+          .join(held.select(col("id_a").as("u"), col("id_b").as("v"))
+            .withColumn("__t", lit(1)).hint("shuffle_hash"), Seq("u", "v"), "left")
+          .select(col("u").as("id_u"), col("v").as("id_v"), col("cn"),
+            when(col("__t").isNull, 0L).otherwise(1L).as("is_held_edge"))
+        val summary = labeled.agg(
+            count(lit(1)).as("n_candidates"),
+            coalesce(sum(col("is_held_edge")), lit(0L)).as("n_recovered"))
+          .crossJoin(broadcast(held.agg(count(lit(1)).as("n_held"))))
+          .select(col("n_candidates"), col("n_recovered"), col("n_held"),
+            when(col("n_held") > 0,
+              col("n_recovered").cast("double") / col("n_held").cast("double"))
+              .otherwise(lit(0.0)).as("recall"))
+        labeled.crossJoin(broadcast(summary)).orderBy("id_u", "id_v")
+      },
+      Some(s"""
+        $MutualKnnCte, hm AS (
+          SELECT id_a, id_b,
+                 ${graft.ext.TextHash.duckHash60(
+                   "CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR)")} % 10 AS h
+          FROM mu
+        ), train AS (
+          SELECT id_a, id_b FROM hm WHERE h >= 3
+        ), held AS (
+          SELECT id_a, id_b FROM hm WHERE h < 3
+        ), und AS (
+          SELECT id_a AS u, id_b AS w FROM train
+          UNION ALL SELECT id_b AS u, id_a AS w FROM train
+        ), cand AS (
+          SELECT c.u, c.v, c.cn FROM (
+            SELECT l.u AS u, r.w AS v, COUNT(*) AS cn
+            FROM und l JOIN und r ON l.w = r.u
+            WHERE l.u < r.w GROUP BY l.u, r.w) c
+          ANTI JOIN train t ON t.id_a = c.u AND t.id_b = c.v
+        ), labeled AS (
+          SELECT c.u AS id_u, c.v AS id_v, c.cn,
+                 CASE WHEN h.id_a IS NULL THEN 0 ELSE 1 END AS is_held_edge
+          FROM cand c LEFT JOIN held h ON h.id_a = c.u AND h.id_b = c.v
+        ), summary AS (
+          SELECT (SELECT COUNT(*) FROM labeled) AS n_candidates,
+                 (SELECT COALESCE(SUM(is_held_edge), 0) FROM labeled) AS n_recovered,
+                 (SELECT COUNT(*) FROM held) AS n_held
+        )
+        SELECT l.id_u, l.id_v, CAST(l.cn AS BIGINT) AS cn,
+               CAST(l.is_held_edge AS BIGINT) AS is_held_edge,
+               CAST(s.n_candidates AS BIGINT) AS n_candidates,
+               CAST(s.n_recovered AS BIGINT) AS n_recovered,
+               CAST(s.n_held AS BIGINT) AS n_held,
+               CASE WHEN s.n_held > 0
+                    THEN CAST(s.n_recovered AS DOUBLE) / CAST(s.n_held AS DOUBLE)
+                    ELSE 0.0 END AS recall
+        FROM labeled l CROSS JOIN summary s
+        ORDER BY id_u, id_v
+      """.trim)),
+
+    // Neighborhood function N(h) over the mutual-kNN graph — the
+    // ANF/effective-diameter diagnostic: how many vertex pairs are within
+    // h hops, for h = 1..3. A fast-saturating curve means tight semantic
+    // pockets (dedup-friendly); a slow one means drifting chains. The
+    // frontier expansion is bounded by the mutual-kNN degree cap (<= 3),
+    // so each round multiplies reach by at most deg — the shape that
+    // survives scale where a general transitive closure would not; each
+    // round is one hash join + distinct with localCheckpoint lineage
+    // discipline. Oracle = unrolled MATERIALIZED rounds.
+    Q(
+      "q446_neighborhood_function",
+      (s, dir) => {
+        val mu = mutualKnnEdges(s, dir)
+        val und = mu.select(col("id_a").as("u"), col("id_b").as("v"))
+          .unionAll(mu.select(col("id_b").as("u"), col("id_a").as("v")))
+        var reach = und.distinct().localCheckpoint()
+        val counts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        counts += reach.filter(col("u") < col("v"))
+          .agg(count(lit(1)).as("n_pairs")).select(lit(1).as("h"), col("n_pairs"))
+        for (h <- 2 to 3) {
+          reach = reach
+            .unionAll(reach
+              .join(und.select(col("u").as("v"), col("v").as("x"))
+                .hint("shuffle_hash"), Seq("v"))
+              .select(col("u"), col("x").as("v"))
+              .filter(col("u") =!= col("v")))
+            .distinct().localCheckpoint()
+          counts += reach.filter(col("u") < col("v"))
+            .agg(count(lit(1)).as("n_pairs")).select(lit(h).as("h"), col("n_pairs"))
+        }
+        val c = counts.reduce(_ unionAll _)
+        // delta vs h-1 via a 3-row self-join (NOT an unpartitioned window)
+        c.join(c.select((col("h") + 1).as("h"), col("n_pairs").as("__prev")),
+            Seq("h"), "left")
+          .select(col("h"), col("n_pairs"),
+            (col("n_pairs") - coalesce(col("__prev"), lit(0L))).as("n_new_pairs"))
+          .orderBy("h")
+      },
+      Some(s"""
+        $MutualKnnCte, r1 AS MATERIALIZED (
+          SELECT id_a AS u, id_b AS v FROM mu
+          UNION SELECT id_b AS u, id_a AS v FROM mu
+        ), r2 AS MATERIALIZED (
+          SELECT u, v FROM r1
+          UNION
+          SELECT r.u, e.v FROM r1 r JOIN r1 e ON e.u = r.v WHERE r.u <> e.v
+        ), r3 AS MATERIALIZED (
+          SELECT u, v FROM r2
+          UNION
+          SELECT r.u, e.v FROM r2 r JOIN r1 e ON e.u = r.v WHERE r.u <> e.v
+        ), counts AS (
+          SELECT 1 AS h, COUNT(*) AS n_pairs FROM r1 WHERE u < v
+          UNION ALL
+          SELECT 2 AS h, COUNT(*) AS n_pairs FROM r2 WHERE u < v
+          UNION ALL
+          SELECT 3 AS h, COUNT(*) AS n_pairs FROM r3 WHERE u < v
+        )
+        SELECT CAST(c.h AS INTEGER) AS h, CAST(c.n_pairs AS BIGINT) AS n_pairs,
+               CAST(c.n_pairs - COALESCE(p.n_pairs, 0) AS BIGINT) AS n_new_pairs
+        FROM counts c LEFT JOIN counts p ON p.h = c.h - 1
+        ORDER BY h
+      """.trim)),
+
+    // Temperature-sampling mixture weights — the multilingual-pretraining
+    // rebalancing rule (weights proportional to n^(1/T), T = 2 so the
+    // exponent is 1/2 = sqrt, which IEEE 754 defines EXACTLY — the one
+    // fractional power with no transcendental hazard): q204 plans an
+    // equal-share cap; this upsamples low-resource sources smoothly.
+    // Per-source sqrt quantized to integer milli-units BEFORE the
+    // cross-source sum (order-free), one double division for the weight,
+    // planned tokens via floor(weight * budget) in doubles (exact for any
+    // budget < 2^53 — i.e. any real corpus), epochs in integer micro-units.
+    Q(
+      "q447_temperature_mixture",
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+          .groupBy("source").agg(sum(col("n")).as("n_tokens"))
+          .withColumn("sq_milli",
+            round(sqrt(col("n_tokens").cast("double")) * 1000.0).cast("long"))
+        val tot = t.agg(sum(col("sq_milli")).as("tot_sq"),
+          sum(col("n_tokens")).as("total"))
+        t.crossJoin(broadcast(tot))
+          .withColumn("budget", expr("total div 2"))
+          .withColumn("weight",
+            col("sq_milli").cast("double") / col("tot_sq").cast("double"))
+          .withColumn("planned_tokens",
+            floor(col("weight") * col("budget").cast("double")).cast("long"))
+          .select(col("source"), col("n_tokens"), col("sq_milli"), col("budget"),
+            col("weight"), col("planned_tokens"),
+            expr("planned_tokens * 1000000 div n_tokens").as("epochs_micro"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT source, CAST(SUM(len($Toks)) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ), q AS (
+          SELECT source, n_tokens,
+                 CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000.0) AS BIGINT)
+                   AS sq_milli
+          FROM t
+        ), tot AS (
+          SELECT CAST(SUM(sq_milli) AS BIGINT) AS tot_sq,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total
+          FROM q
+        )
+        SELECT source, n_tokens, sq_milli,
+               CAST(total // 2 AS BIGINT) AS budget,
+               CAST(sq_milli AS DOUBLE) / CAST(tot_sq AS DOUBLE) AS weight,
+               CAST(floor((CAST(sq_milli AS DOUBLE) / CAST(tot_sq AS DOUBLE))
+                 * CAST(total // 2 AS DOUBLE)) AS BIGINT) AS planned_tokens,
+               CAST(CAST(floor((CAST(sq_milli AS DOUBLE) / CAST(tot_sq AS DOUBLE))
+                 * CAST(total // 2 AS DOUBLE)) AS BIGINT) * 1000000 // n_tokens
+                 AS BIGINT) AS epochs_micro
+        FROM q CROSS JOIN tot ORDER BY source
+      """.trim))
+  )
+}
