@@ -896,6 +896,259 @@ object Round7Queries {
                  * CAST(total // 2 AS DOUBLE)) AS BIGINT) * 1000000 // n_tokens
                  AS BIGINT) AS epochs_micro
         FROM q CROSS JOIN tot ORDER BY source
+      """.trim)),
+
+
+    // Parquet BLOOM FILTER write gate — the storage-side point-lookup
+    // accelerator (q398 gates the RUNTIME bloom-join seam; this gates the
+    // PERSISTED one): writing with parquet.bloom.filter.enabled#o_custkey
+    // puts a bloom filter in each row group's column chunk, which is what
+    // lets a 100 TB scan skip row groups on key equality without reading
+    // data pages. The builder PROVES the filter landed by inspecting the
+    // raw footer (bloomFilterOffset >= 0 for the column chunk — the q432
+    // footer-proof convention), then value-gates a point-lookup aggregate
+    // over the read-back against the original table.
+    Q(
+      "q448_parquet_bloom_gate",
+      (s, dir) => {
+        val path = graft.engine.Scratch.dir(s, dir, "bloom_gate")
+        Tables.orders(s, dir)
+          .write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#o_custkey", "true")
+          .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+          // parquet-mr skips the bloom filter when the chunk stays fully
+          // dictionary-encoded (the dictionary is already an exact filter);
+          // force the data-page path for this column so the bloom actually
+          // lands — at real scale a 20k-NDV key leaves dictionary encoding
+          // on its own.
+          .option("parquet.enable.dictionary#o_custkey", "false")
+          .parquet(path)
+        val part = new java.io.File(path).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .head
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+            s.sparkContext.hadoopConfiguration))
+        val hasBloom = try {
+          import scala.jdk.CollectionConverters._
+          reader.getRowGroups.asScala.exists(_.getColumns.asScala.exists(c =>
+            c.getPath.toDotString == "o_custkey" && c.getBloomFilterOffset >= 0))
+        } finally reader.close()
+        require(hasBloom,
+          "o_custkey column chunk must carry a persisted bloom filter")
+        s.read.parquet(path)
+          .filter(col("o_custkey").isin(1, 7, 13, 42))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("sales"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+        FROM orders WHERE o_custkey IN (1, 7, 13, 42)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """.trim)),
+
+    // KMV set-intersection ESTIMATE with the exact audit twin — the sketch
+    // version of q331's exact audience overlap (at 100 TB the presence
+    // sets don't fit a self-join; two mergeable k-minimum-values sketches
+    // do): per event-type pair, the union estimate comes from the k-th
+    // smallest hash of the MERGED sketch streams (the standard KMV union),
+    // the intersection by inclusion-exclusion, and the EXACT intersection
+    // rides alongside (q429's is_true/est audit convention) so the
+    // sketch's error is auditable row by row. Deterministic 60-bit hashes
+    // make even the estimates hash-gateable.
+    Q(
+      "q449_kmv_intersect",
+      (s, dir) => {
+        val k = 16
+        val kmvK = lit((k - 1).toDouble) * lit(1152921504606846976L).cast("double")
+        val presence = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type")).distinct()
+        val hashed = presence.select(col("event_type"),
+          graft.ext.TextHash.hash60(
+            concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+        val sk = graft.plans.TopKPerKey.of(hashed,
+          keyCols = Seq("event_type"), order = Seq("h" -> true), k = k)
+        def est(pfx: String) =
+          when(col(s"${pfx}_seen") < k, col(s"${pfx}_seen").cast("double"))
+            .otherwise(kmvK / col(s"${pfx}_hk").cast("double"))
+        val perType = sk.groupBy("event_type")
+          .agg(count(lit(1)).as("a_seen"),
+            max(when(col("rank") === k, col("h"))).as("a_hk"))
+        // pairwise union sketch: merge the two k-min lists, re-rank, take
+        // the k-th smallest of the union (types x types x k rows — bounded)
+        val unionRanked = graft.plans.TopKPerKey.of(
+          sk.select(col("event_type").as("ta"), col("h"))
+            .join(broadcast(sk.select(col("event_type").as("tb")).distinct()),
+              col("ta") =!= col("tb"))
+            .filter(col("ta") < col("tb"))
+            .select(col("ta"), col("tb"), col("h"))
+            .unionAll(
+              sk.select(col("event_type").as("tb"), col("h"))
+                .join(broadcast(sk.select(col("event_type").as("ta")).distinct()),
+                  col("ta") =!= col("tb"))
+                .filter(col("ta") < col("tb"))
+                .select(col("ta"), col("tb"), col("h")))
+            .distinct(),
+          keyCols = Seq("ta", "tb"), order = Seq("h" -> true), k = k)
+        val unionEst = unionRanked.groupBy("ta", "tb")
+          .agg(count(lit(1)).as("u_seen"),
+            max(when(col("rank") === k, col("h"))).as("u_hk"))
+        val exact = presence.as("a")
+          .join(presence.as("b").hint("shuffle_hash"),
+            col("a.user_id") === col("b.user_id")
+              && col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+          .agg(count(lit(1)).as("exact_inter"))
+        unionEst
+          .join(perType.select(col("event_type").as("ta"),
+            col("a_seen"), col("a_hk")).hint("shuffle_hash"), Seq("ta"))
+          .join(perType.select(col("event_type").as("tb"),
+            col("a_seen").as("b_seen"), col("a_hk").as("b_hk"))
+            .hint("shuffle_hash"), Seq("tb"))
+          .join(exact.hint("shuffle_hash"), Seq("ta", "tb"), "left")
+          .select(col("ta"), col("tb"),
+            est("a").as("est_a"), est("b").as("est_b"), est("u").as("est_union"),
+            (est("a") + est("b") - est("u")).as("est_inter"),
+            coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+          .orderBy("ta", "tb")
+      },
+      Some(s"""
+        WITH presence AS (
+          SELECT DISTINCT user_id, event_type FROM events
+        ), h AS (
+          SELECT event_type,
+                 ${graft.ext.TextHash.duckHash60("'kmv:' || CAST(user_id AS VARCHAR)")} AS h
+          FROM presence
+        ), r AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM h
+        ), sk AS (
+          SELECT event_type, h, rn FROM r WHERE rn <= 16
+        ), per AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS seen,
+                 MAX(CASE WHEN rn = 16 THEN h END) AS hk
+          FROM sk GROUP BY event_type
+        ), uni AS (
+          SELECT ta, tb, h, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+          FROM (
+            SELECT DISTINCT p.ta, p.tb, s.h
+            FROM (SELECT a.event_type AS ta, b.event_type AS tb
+                  FROM (SELECT DISTINCT event_type FROM sk) a
+                  JOIN (SELECT DISTINCT event_type FROM sk) b
+                    ON a.event_type < b.event_type) p
+            JOIN sk s ON s.event_type = p.ta OR s.event_type = p.tb)
+        ), ue AS (
+          SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS u_seen,
+                 MAX(CASE WHEN rn = 16 THEN h END) AS u_hk
+          FROM uni WHERE rn <= 16 GROUP BY ta, tb
+        ), ex AS (
+          SELECT a.event_type AS ta, b.event_type AS tb,
+                 CAST(COUNT(*) AS BIGINT) AS exact_inter
+          FROM presence a JOIN presence b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2
+        )
+        SELECT ue.ta AS ta, ue.tb AS tb,
+               CASE WHEN pa.seen < 16 THEN CAST(pa.seen AS DOUBLE)
+                    ELSE 15.0 * CAST(1152921504606846976 AS DOUBLE)
+                         / CAST(pa.hk AS DOUBLE) END AS est_a,
+               CASE WHEN pb.seen < 16 THEN CAST(pb.seen AS DOUBLE)
+                    ELSE 15.0 * CAST(1152921504606846976 AS DOUBLE)
+                         / CAST(pb.hk AS DOUBLE) END AS est_b,
+               CASE WHEN ue.u_seen < 16 THEN CAST(ue.u_seen AS DOUBLE)
+                    ELSE 15.0 * CAST(1152921504606846976 AS DOUBLE)
+                         / CAST(ue.u_hk AS DOUBLE) END AS est_union,
+               (CASE WHEN pa.seen < 16 THEN CAST(pa.seen AS DOUBLE)
+                     ELSE 15.0 * CAST(1152921504606846976 AS DOUBLE)
+                          / CAST(pa.hk AS DOUBLE) END
+                + CASE WHEN pb.seen < 16 THEN CAST(pb.seen AS DOUBLE)
+                       ELSE 15.0 * CAST(1152921504606846976 AS DOUBLE)
+                            / CAST(pb.hk AS DOUBLE) END
+                - CASE WHEN ue.u_seen < 16 THEN CAST(ue.u_seen AS DOUBLE)
+                       ELSE 15.0 * CAST(1152921504606846976 AS DOUBLE)
+                            / CAST(ue.u_hk AS DOUBLE) END) AS est_inter,
+               COALESCE(ex.exact_inter, 0) AS exact_inter
+        FROM ue
+        JOIN per pa ON pa.event_type = ue.ta
+        JOIN per pb ON pb.event_type = ue.tb
+        LEFT JOIN ex ON ex.ta = ue.ta AND ex.tb = ue.tb
+        ORDER BY ta, tb
+      """.trim)),
+
+    // Truncated harmonic centrality over the mutual-kNN graph — per-node
+    // sum of 1/d over nodes first reached at distance d <= 3 (the
+    // ANF-style centrality that, unlike closeness, is defined on
+    // disconnected graphs): hub vectors score high, fringe vectors low —
+    // the per-NODE refinement of q446's global N(h) curve. New-at-hop-d
+    // sets via left_anti against the previous reach (frontier bounded by
+    // the degree cap); the 1/d weights are FIXED integer micro-units
+    // (1e6, 5e5, 333333) so the score is a pure integer expression.
+    Q(
+      "q450_harmonic_centrality",
+      (s, dir) => {
+        val mu = mutualKnnEdges(s, dir)
+        val und = mu.select(col("id_a").as("u"), col("id_b").as("v"))
+          .unionAll(mu.select(col("id_b").as("u"), col("id_a").as("v")))
+        val r1 = und.distinct().localCheckpoint()
+        def expand(r: DataFrame) = r
+          .unionAll(r.join(und.select(col("u").as("v"), col("v").as("x"))
+              .hint("shuffle_hash"), Seq("v"))
+            .select(col("u"), col("x").as("v"))
+            .filter(col("u") =!= col("v")))
+          .distinct().localCheckpoint()
+        val r2 = expand(r1)
+        val r3 = expand(r2)
+        def countNew(r: DataFrame, prev: Option[DataFrame], name: String) = {
+          val fresh = prev.fold(r)(p => r.join(p.hint("shuffle_hash"),
+            Seq("u", "v"), "left_anti"))
+          fresh.groupBy("u").agg(count(lit(1)).as(name))
+        }
+        countNew(r1, None, "n1")
+          .join(countNew(r2, Some(r1), "n2").hint("shuffle_hash"), Seq("u"), "left")
+          .join(countNew(r3, Some(r2), "n3").hint("shuffle_hash"), Seq("u"), "left")
+          .select(col("u").as("vec_id"), col("n1"),
+            coalesce(col("n2"), lit(0L)).as("n2"),
+            coalesce(col("n3"), lit(0L)).as("n3"))
+          .withColumn("harmonic_micro",
+            col("n1") * 1000000L + col("n2") * 500000L + col("n3") * 333333L)
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        $MutualKnnCte, r1 AS MATERIALIZED (
+          SELECT id_a AS u, id_b AS v FROM mu
+          UNION SELECT id_b AS u, id_a AS v FROM mu
+        ), r2 AS MATERIALIZED (
+          SELECT u, v FROM r1
+          UNION
+          SELECT r.u, e.v FROM r1 r JOIN r1 e ON e.u = r.v WHERE r.u <> e.v
+        ), r3 AS MATERIALIZED (
+          SELECT u, v FROM r2
+          UNION
+          SELECT r.u, e.v FROM r2 r JOIN r1 e ON e.u = r.v WHERE r.u <> e.v
+        ), n1 AS (
+          SELECT u, COUNT(*) AS n1 FROM r1 GROUP BY u
+        ), n2 AS (
+          SELECT u, COUNT(*) AS n2 FROM (
+            SELECT u, v FROM r2 EXCEPT SELECT u, v FROM r1) GROUP BY u
+        ), n3 AS (
+          SELECT u, COUNT(*) AS n3 FROM (
+            SELECT u, v FROM r3 EXCEPT SELECT u, v FROM r2) GROUP BY u
+        )
+        SELECT n1.u AS vec_id, CAST(n1.n1 AS BIGINT) AS n1,
+               CAST(COALESCE(n2.n2, 0) AS BIGINT) AS n2,
+               CAST(COALESCE(n3.n3, 0) AS BIGINT) AS n3,
+               CAST(n1.n1 * 1000000 + COALESCE(n2.n2, 0) * 500000
+                 + COALESCE(n3.n3, 0) * 333333 AS BIGINT) AS harmonic_micro
+        FROM n1
+        LEFT JOIN n2 ON n2.u = n1.u
+        LEFT JOIN n3 ON n3.u = n1.u
+        ORDER BY vec_id
       """.trim))
   )
 }
