@@ -1149,6 +1149,285 @@ object Round7Queries {
         LEFT JOIN n2 ON n2.u = n1.u
         LEFT JOIN n3 ON n3.u = n1.u
         ORDER BY vec_id
+      """.trim)),
+
+    // Benford first-digit audit — the classic fabricated-data / corrupted-
+    // feed detector: a naturally-spread monetary column's first significant
+    // digit follows P(d) = log10(1 + 1/d). The nine expected probabilities
+    // are FIXED integer micro-unit literals (they sum to exactly 1e6), so
+    // no engine evaluates a logarithm at runtime; the observed digit comes
+    // from the DECIMAL(18,2) string rendering (both engines print decimals
+    // identically — never the raw double, whose formatting differs), and
+    // the observed share is an integer floor division. Map-side digit
+    // extraction into one 9-row hash aggregate — corpus-linear, and the
+    // single-row total is the broadcast-of-one-aggregate pattern.
+    Q(
+      "q451_benford_audit",
+      (s, dir) => {
+        val digits = Tables.orders(s, dir)
+          .select(regexp_extract(
+            col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            "([1-9])", 1).as("digit"))
+          .filter(col("digit") =!= "")
+        val expected = when(col("digit") === "1", 301030L)
+          .when(col("digit") === "2", 176091L)
+          .when(col("digit") === "3", 124939L)
+          .when(col("digit") === "4", 96910L)
+          .when(col("digit") === "5", 79181L)
+          .when(col("digit") === "6", 66947L)
+          .when(col("digit") === "7", 57992L)
+          .when(col("digit") === "8", 51153L)
+          .otherwise(45757L)
+        digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+          .crossJoin(broadcast(
+            digits.agg(count(lit(1)).as("n_total"))))
+          .withColumn("expected_micro", expected)
+          .withColumn("obs_micro",
+            expr("CAST(n_obs * 1000000 DIV n_total AS BIGINT)"))
+          .withColumn("dev_micro", col("obs_micro") - col("expected_micro"))
+          .select("digit", "n_obs", "expected_micro", "obs_micro", "dev_micro")
+          .orderBy("digit")
+      },
+      Some("""
+        WITH d AS (
+          SELECT regexp_extract(
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '[1-9]')
+            AS digit
+          FROM orders
+        ), f AS (
+          SELECT digit FROM d WHERE digit <> ''
+        ), c AS (
+          SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM f GROUP BY digit
+        ), t AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM f
+        ), e AS (
+          SELECT * FROM (VALUES
+            ('1', 301030), ('2', 176091), ('3', 124939), ('4', 96910),
+            ('5', 79181), ('6', 66947), ('7', 57992), ('8', 51153),
+            ('9', 45757)) v(digit, em)
+        )
+        SELECT c.digit AS digit, c.n_obs AS n_obs,
+               CAST(e.em AS BIGINT) AS expected_micro,
+               CAST(c.n_obs * 1000000 // t.n_total AS BIGINT) AS obs_micro,
+               CAST(c.n_obs * 1000000 // t.n_total - e.em AS BIGINT) AS dev_micro
+        FROM c JOIN e ON e.digit = c.digit, t
+        ORDER BY digit
+      """.trim)),
+
+    // Degree assortativity of the mutual-kNN semantic graph — the single
+    // scalar that says whether hubs link to hubs (assortative, r > 0) or
+    // hubs to fringe (disassortative, r < 0): Pearson correlation of the
+    // endpoint degrees over the DIRECTED edge list (each undirected edge
+    // counted both ways, the standard Newman formulation — which also makes
+    // sum(x)=sum(y) and sum(x^2)=sum(y^2) by symmetry). Degrees are
+    // integers bounded by the kNN cap (<= 3), all five power sums are exact
+    // integer aggregates, and the correlation is ONE final fixed IEEE tree
+    // over them. Degree frame is node-sized (corpus-linear) -> shuffle_hash,
+    // never broadcast.
+    Q(
+      "q452_degree_assortativity",
+      (s, dir) => {
+        val mu = mutualKnnEdges(s, dir)
+        val und = mu.select(col("id_a").as("u"), col("id_b").as("v"))
+          .unionAll(mu.select(col("id_b").as("u"), col("id_a").as("v")))
+        val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+        val xy = und
+          .join(deg.select(col("u"), col("deg").as("dx"))
+            .hint("shuffle_hash"), Seq("u"))
+          .join(deg.select(col("u").as("v"), col("deg").as("dy"))
+            .hint("shuffle_hash"), Seq("v"))
+        xy.agg(count(lit(1)).as("m"),
+            sum(col("dx")).as("sx"),
+            sum(col("dx") * col("dx")).as("sxx"),
+            sum(col("dx") * col("dy")).as("sxy"))
+          .select(col("m"), col("sx"), col("sxx"), col("sxy"),
+            when(col("m") * col("sxx") - col("sx") * col("sx") > 0L,
+              (col("m") * col("sxy") - col("sx") * col("sx")).cast("double")
+                / (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              .otherwise(lit(0.0)).as("assortativity"))
+      },
+      Some(s"""
+        $MutualKnnCte, und AS (
+          SELECT id_a AS u, id_b AS v FROM mu
+          UNION ALL SELECT id_b AS u, id_a AS v FROM mu
+        ), deg AS (
+          SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY u
+        ), xy AS (
+          SELECT d1.deg AS dx, d2.deg AS dy
+          FROM und JOIN deg d1 ON d1.u = und.u JOIN deg d2 ON d2.u = und.v
+        ), sums AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(dx) AS BIGINT) AS sx,
+                 CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+                 CAST(SUM(dx * dy) AS BIGINT) AS sxy
+          FROM xy
+        )
+        SELECT m, sx, sxx, sxy,
+               CASE WHEN m * sxx - sx * sx > 0
+                    THEN CAST(m * sxy - sx * sx AS DOUBLE)
+                         / CAST(m * sxx - sx * sx AS DOUBLE)
+                    ELSE 0.0 END AS assortativity
+        FROM sums
+      """.trim)),
+
+    // Fixed-bin histogram quantile estimator — the mergeable, deterministic
+    // distributed-quantile shape (one min/max pass, then per-partition
+    // 1024-bin counts that merge by addition — the sketch every SQL engine's
+    // approx_percentile hides, made explicit so both engines compute THE
+    // SAME estimate and the result hash-gates, unlike engine-specific
+    // t-digests). Bin edges derive from min/max through an identical IEEE
+    // expression tree; the cut bin for each target percentile is the
+    // smallest bin whose cumulative count reaches ceil(p*n/100) (exact
+    // integer threshold arithmetic). The cumulative scan is a self-join
+    // over <= 1024 bin rows — a DATA-INDEPENDENT bound, not a window and
+    // not corpus-proportional. Output carries the exact rank evidence
+    // (n_le_cut vs target_rank) so the estimate is auditable row by row.
+    Q(
+      "q453_histogram_quantiles",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val stats = o.agg(min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"),
+          count(lit(1)).as("n"))
+        val bins = o.crossJoin(broadcast(stats))
+          .select(when(col("mx") > col("mn"),
+            least(floor(((col("o_totalprice") - col("mn")) * lit(1024.0))
+              / (col("mx") - col("mn"))), lit(1023L)))
+            .otherwise(lit(0L)).as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("c"))
+        val cum = bins.as("a")
+          .join(bins.as("b"), col("b.bin") <= col("a.bin"))
+          .groupBy(col("a.bin").as("bin")).agg(sum(col("b.c")).as("cum"))
+        val targets = s.createDataFrame(
+            Seq(Tuple1(25), Tuple1(50), Tuple1(75), Tuple1(90), Tuple1(99)))
+          .toDF("pct")
+          .crossJoin(broadcast(stats))
+          .select(col("pct"), col("mn"), col("mx"),
+            expr("CAST((pct * n + 99) DIV 100 AS BIGINT)").as("target_rank"))
+        val cut = targets
+          .join(cum, col("cum") >= col("target_rank"))
+          .groupBy("pct", "target_rank", "mn", "mx")
+          .agg(min(col("bin")).as("cut_bin"))
+        cut.join(cum.withColumnRenamed("bin", "cut_bin")
+            .withColumnRenamed("cum", "n_le_cut"), Seq("cut_bin"))
+          .select(col("pct"), col("cut_bin"), col("n_le_cut"),
+            col("target_rank"),
+            (col("mn") + ((col("mx") - col("mn"))
+              * col("cut_bin").cast("double")) / lit(1024.0)).as("est_value"))
+          .orderBy("pct")
+      },
+      Some("""
+        WITH s AS (
+          SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders
+        ), b AS (
+          SELECT CASE WHEN s.mx > s.mn
+                      THEN LEAST(CAST(floor(((o_totalprice - s.mn) * 1024.0)
+                             / (s.mx - s.mn)) AS BIGINT), 1023)
+                      ELSE 0 END AS bin
+          FROM orders, s
+        ), bc AS (
+          SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY bin
+        ), cum AS (
+          SELECT a.bin AS bin, CAST(SUM(b2.c) AS BIGINT) AS cum
+          FROM bc a JOIN bc b2 ON b2.bin <= a.bin GROUP BY a.bin
+        ), t AS (
+          SELECT pct, (pct * s.n + 99) // 100 AS target_rank
+          FROM (VALUES (25), (50), (75), (90), (99)) v(pct), s
+        ), cut AS (
+          SELECT t.pct AS pct, t.target_rank AS target_rank,
+                 MIN(cum.bin) AS cut_bin
+          FROM t JOIN cum ON cum.cum >= t.target_rank
+          GROUP BY 1, 2
+        )
+        SELECT cut.pct AS pct, cut.cut_bin AS cut_bin,
+               cum.cum AS n_le_cut,
+               CAST(cut.target_rank AS BIGINT) AS target_rank,
+               s.mn + ((s.mx - s.mn) * CAST(cut.cut_bin AS DOUBLE)) / 1024.0
+                 AS est_value
+        FROM cut JOIN cum ON cum.bin = cut.cut_bin, s
+        ORDER BY pct
+      """.trim)),
+
+    // Deterministic negative sampling for contrastive training — the
+    // RNG-free twin of word2vec/DPR negative mining: every anchor vector
+    // draws k=4 pseudo-random negatives by hashing (rank, draw-index) into
+    // the global rank space (graft_hash60 keeps it reproducible across
+    // engines AND overflow-free at any corpus size, unlike an LCG whose
+    // rank*multiplier product overflows past ~3e9 rows), joins the sampled
+    // rank back to its vector, scores the pair's cosine in integer
+    // micro-units (hard-negative mining signal), and flags accidental
+    // true-neighbor collisions against the mutual-kNN edge set (the
+    // false-negative audit — those pairs must be dropped or down-weighted
+    // in the loss). Ranks come from the two-phase scalable rank (no global
+    // window); every join is key-equi on rank or id.
+    Q(
+      "q454_negative_sampling",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val ranked = graft.engine.Keys.rankByScalable(
+            emb, Seq(col("vec_id")), "r")
+          .withColumn("r0", col("r") - 1L).drop("r")
+        val n = broadcast(ranked.agg(count(lit(1)).as("n")))
+        val draws = ranked.crossJoin(n)
+          .select(col("vec_id").as("anchor_id"), col("embedding").as("ea"),
+            col("r0"), col("n"),
+            explode(array(lit(1), lit(2), lit(3), lit(4))).as("neg_idx"))
+          .withColumn("nr",
+            graft.ext.TextHash.hash60(concat(lit("neg:"),
+              col("r0").cast("string"), lit(":"),
+              col("neg_idx").cast("string"))) % col("n"))
+          .filter(col("nr") =!= col("r0"))
+        val dotc = graft.ext.Similarity.dot(col("ea"), col("eb"))
+        val pairs = draws.join(
+            ranked.select(col("r0").as("nr"), col("vec_id").as("neg_id"),
+              col("embedding").as("eb")).hint("shuffle_hash"), Seq("nr"))
+          .select(col("anchor_id"), col("neg_idx"), col("neg_id"),
+            round((dotc / (sqrt(graft.ext.Similarity.dot(col("ea"), col("ea")))
+              * sqrt(graft.ext.Similarity.dot(col("eb"), col("eb")))))
+              * lit(1000000.0)).cast("long").as("cos_micro"))
+        val mu = mutualKnnEdges(s, dir)
+        pairs.join(mu.hint("shuffle_hash"),
+            least(col("anchor_id"), col("neg_id")) === col("id_a")
+              && greatest(col("anchor_id"), col("neg_id")) === col("id_b"),
+            "left")
+          .select(col("anchor_id"), col("neg_idx"), col("neg_id"),
+            col("cos_micro"),
+            when(col("id_a").isNull, 0L).otherwise(1L).as("is_knn_edge"))
+          .orderBy("anchor_id", "neg_idx")
+      },
+      Some(s"""
+        $MutualKnnCte, cnt AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+        ), rk AS (
+          SELECT vec_id, embedding,
+                 CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS r0
+          FROM embeddings
+        ), draws AS (
+          SELECT a.vec_id AS anchor_id, a.embedding AS ea, a.r0 AS r0,
+                 i.i AS neg_idx,
+                 ${graft.ext.TextHash.duckHash60(
+                   "'neg:' || CAST(a.r0 AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)")}
+                   % cnt.n AS nr
+          FROM rk a, cnt, (VALUES (1), (2), (3), (4)) i(i)
+        ), pairs AS (
+          SELECT d.anchor_id AS anchor_id, d.neg_idx AS neg_idx,
+                 b.vec_id AS neg_id,
+                 CAST(round((${duckDot("d.ea", "b.embedding")}
+                   / (sqrt(${duckDot("d.ea", "d.ea")})
+                      * sqrt(${duckDot("b.embedding", "b.embedding")})))
+                   * 1000000.0) AS BIGINT) AS cos_micro
+          FROM draws d JOIN rk b ON b.r0 = d.nr
+          WHERE d.nr <> d.r0
+        )
+        SELECT p.anchor_id AS anchor_id, p.neg_idx AS neg_idx,
+               p.neg_id AS neg_id, p.cos_micro AS cos_micro,
+               CAST(CASE WHEN mu.id_a IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                 AS is_knn_edge
+        FROM pairs p
+        LEFT JOIN mu ON mu.id_a = LEAST(p.anchor_id, p.neg_id)
+                    AND mu.id_b = GREATEST(p.anchor_id, p.neg_id)
+        ORDER BY anchor_id, neg_idx
       """.trim))
   )
 }
