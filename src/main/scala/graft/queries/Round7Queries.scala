@@ -1428,6 +1428,291 @@ object Round7Queries {
         LEFT JOIN mu ON mu.id_a = LEAST(p.anchor_id, p.neg_id)
                     AND mu.id_b = GREATEST(p.anchor_id, p.neg_id)
         ORDER BY anchor_id, neg_idx
+      """.trim)),
+
+    // Mann-Kendall trend test per event type — the nonparametric "is this
+    // metric drifting" monitor (no normality assumption, robust to
+    // outliers): S = sum of sign(c_j - c_i) over all day pairs i < j of the
+    // daily event counts, with the exact tie-corrected variance
+    // Var(S) = [n(n-1)(2n+5) - sum t(t-1)(2t+5)] / 18 and the standard
+    // continuity-corrected z. The day-pair self-join is CALENDAR-bounded
+    // (days^2 per type grows with the time span, not the corpus volume —
+    // at 100 TB the daily rollup upstream of it is the corpus-linear part),
+    // S and the 18x-scaled variance stay exact integers, and z is one
+    // final fixed IEEE tree.
+    Q(
+      "q455_mann_kendall",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+          .agg(count(lit(1)).as("c"))
+        val pairs = daily.as("a")
+          .join(daily.as("b").hint("shuffle_hash"),
+            col("a.event_type") === col("b.event_type")
+              && col("a.d") < col("b.d"))
+          .groupBy(col("a.event_type").as("event_type"))
+          .agg(sum(when(col("b.c") > col("a.c"), 1L)
+            .when(col("b.c") < col("a.c"), -1L)
+            .otherwise(0L)).as("s_stat"))
+        val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+        val ties = daily.groupBy("event_type", "c")
+          .agg(count(lit(1)).as("t"))
+          .groupBy("event_type")
+          .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+            .as("tie18"))
+        pairs.join(nd.hint("shuffle_hash"), Seq("event_type"))
+          .join(ties.hint("shuffle_hash"), Seq("event_type"))
+          .withColumn("var18",
+            col("n_days") * (col("n_days") - 1L)
+              * (lit(2L) * col("n_days") + 5L) - col("tie18"))
+          .select(col("event_type"), col("n_days"), col("s_stat"), col("var18"),
+            when(col("var18") <= 0L, lit(0.0))
+              .when(col("s_stat") > 0L,
+                (col("s_stat") - 1L).cast("double")
+                  / sqrt(col("var18").cast("double") / lit(18.0)))
+              .when(col("s_stat") < 0L,
+                (col("s_stat") + 1L).cast("double")
+                  / sqrt(col("var18").cast("double") / lit(18.0)))
+              .otherwise(lit(0.0)).as("z_score"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ), sp AS (
+          SELECT a.event_type AS event_type,
+                 CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                               WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat
+          FROM daily a JOIN daily b
+            ON b.event_type = a.event_type AND a.d < b.d
+          GROUP BY 1
+        ), nd AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+          FROM daily GROUP BY 1
+        ), ties AS (
+          SELECT event_type,
+                 CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+          FROM (SELECT event_type, c, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+          GROUP BY 1
+        ), j AS (
+          SELECT sp.event_type AS event_type, nd.n_days AS n_days,
+                 sp.s_stat AS s_stat,
+                 nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) - ties.tie18
+                   AS var18
+          FROM sp JOIN nd ON nd.event_type = sp.event_type
+          JOIN ties ON ties.event_type = sp.event_type
+        )
+        SELECT event_type, n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+               CASE WHEN var18 <= 0 THEN 0.0
+                    WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                         / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                    WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                         / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                    ELSE 0.0 END AS z_score
+        FROM j ORDER BY event_type
+      """.trim)),
+
+    // Fellegi-Sunter probabilistic linkage scoring — the decision layer on
+    // top of q442's sorted-neighborhood candidate generation: each
+    // candidate pair scores the SUM of per-field agreement log-odds
+    // (ln(m/u) for agreement, ln((1-m)/(1-u)) for disagreement), with the
+    // weights FIXED integer micro-nat literals (they are model parameters,
+    // not data statistics — no runtime transcendental), and the score
+    // thresholded into link / possible / nonlink. Candidates come from the
+    // same linear SNM shape (blocked window, lead w=2), so the pair count
+    // is 2n, never quadratic; every output column is an integer or string.
+    Q(
+      "q456_fellegi_sunter",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_name"), col("c_custkey"))
+        def led(n: Int) = struct(
+          lead(col("c_custkey"), n).over(w).as("key_b"),
+          lead(col("c_name"), n).over(w).as("name_b"),
+          lead(col("c_mktsegment"), n).over(w).as("seg_b"),
+          lead(col("c_acctbal"), n).over(w).as("bal_b"))
+        val nb = c.select(col("c_custkey").as("key_a"), col("c_name").as("name_a"),
+          col("c_mktsegment").as("seg_a"), col("c_acctbal").as("bal_a"),
+          led(1).as("p1"), led(2).as("p2"))
+        val cand = nb.select(col("key_a"), col("name_a"), col("seg_a"),
+            col("bal_a"), col("p1.*"))
+          .unionAll(nb.select(col("key_a"), col("name_a"), col("seg_a"),
+            col("bal_a"), col("p2.*")))
+          .filter(col("key_b").isNotNull)
+        val segA = (col("seg_a") === col("seg_b")).cast("long")
+        val bandA = (floor(col("bal_a") / lit(1000.0))
+          === floor(col("bal_b") / lit(1000.0))).cast("long")
+        val nameA = (levenshtein(col("name_a"), col("name_b")) <= 10).cast("long")
+        cand.select(col("key_a"), col("key_b"),
+            segA.as("seg_agree"), bandA.as("band_agree"), nameA.as("name_agree"))
+          .withColumn("score_micro",
+            when(col("seg_agree") === 1L, 1386294L).otherwise(-1203973L)
+              + when(col("band_agree") === 1L, 2079442L).otherwise(-356675L)
+              + when(col("name_agree") === 1L, 2944439L).otherwise(-693147L))
+          .withColumn("decision",
+            when(col("score_micro") >= 3000000L, lit("link"))
+              .when(col("score_micro") >= 0L, lit("possible"))
+              .otherwise(lit("nonlink")))
+          .orderBy("key_a", "key_b")
+      },
+      Some("""
+        WITH nb AS (
+          SELECT c_custkey AS key_a, c_name AS name_a, c_mktsegment AS seg_a,
+                 c_acctbal AS bal_a,
+                 lead(c_custkey, 1) OVER w AS k1, lead(c_name, 1) OVER w AS n1,
+                 lead(c_mktsegment, 1) OVER w AS s1, lead(c_acctbal, 1) OVER w AS b1,
+                 lead(c_custkey, 2) OVER w AS k2, lead(c_name, 2) OVER w AS n2,
+                 lead(c_mktsegment, 2) OVER w AS s2, lead(c_acctbal, 2) OVER w AS b2
+          FROM customer
+          WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_name, c_custkey)
+        ), cand AS (
+          SELECT key_a, name_a, seg_a, bal_a,
+                 k1 AS key_b, n1 AS name_b, s1 AS seg_b, b1 AS bal_b FROM nb
+          UNION ALL
+          SELECT key_a, name_a, seg_a, bal_a, k2, n2, s2, b2 FROM nb
+        ), f AS (
+          SELECT key_a, key_b,
+                 CAST(CASE WHEN seg_a = seg_b THEN 1 ELSE 0 END AS BIGINT)
+                   AS seg_agree,
+                 CAST(CASE WHEN CAST(floor(bal_a / 1000.0) AS BIGINT)
+                             = CAST(floor(bal_b / 1000.0) AS BIGINT)
+                           THEN 1 ELSE 0 END AS BIGINT) AS band_agree,
+                 CAST(CASE WHEN levenshtein(name_a, name_b) <= 10
+                           THEN 1 ELSE 0 END AS BIGINT) AS name_agree
+          FROM cand WHERE key_b IS NOT NULL
+        ), sc AS (
+          SELECT *,
+                 CAST(CASE WHEN seg_agree = 1 THEN 1386294 ELSE -1203973 END
+                   + CASE WHEN band_agree = 1 THEN 2079442 ELSE -356675 END
+                   + CASE WHEN name_agree = 1 THEN 2944439 ELSE -693147 END
+                   AS BIGINT) AS score_micro
+          FROM f
+        )
+        SELECT key_a, key_b, seg_agree, band_agree, name_agree, score_micro,
+               CASE WHEN score_micro >= 3000000 THEN 'link'
+                    WHEN score_micro >= 0 THEN 'possible'
+                    ELSE 'nonlink' END AS decision
+        FROM sc ORDER BY key_a, key_b
+      """.trim)),
+
+    // Stratified k-fold rotation audit — the cross-validation protocol
+    // view the split family (q419 leakage, q430 cluster-aware, q445
+    // holdout) still lacked: every document lands in fold = hash60(doc_id)
+    // mod 5, and for EACH fold the query reports the test side (that fold)
+    // against its complementary training side (everything else, derived by
+    // subtracting the fold aggregate from the broadcast single-row total —
+    // no second scan, no 5x re-read). Balance is auditable from exact
+    // integer token sums; the two means are integer floor divisions in
+    // micro-units.
+    Q(
+      "q457_kfold_rotation",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(graft.ext.TextHash.hash60(
+              concat(lit("fold:"), col("doc_id").cast("string"))).%(5)
+              .cast("int").as("fold"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+        val per = d.groupBy("fold")
+          .agg(count(lit(1)).as("n_test"), sum(col("nt")).as("tok_test"))
+        val tot = d.agg(count(lit(1)).as("n_all"), sum(col("nt")).as("tok_all"))
+        per.crossJoin(broadcast(tot))
+          .select(col("fold"), col("n_test"),
+            (col("n_all") - col("n_test")).as("n_train"),
+            expr("CAST(tok_test * 1000000 DIV n_test AS BIGINT)")
+              .as("test_mean_micro"),
+            expr("CAST((tok_all - tok_test) * 1000000 DIV (n_all - n_test) AS BIGINT)")
+              .as("train_mean_micro"))
+          .withColumn("skew_micro",
+            col("test_mean_micro") - col("train_mean_micro"))
+          .orderBy("fold")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT CAST(${graft.ext.TextHash.duckHash60(
+            "'fold:' || CAST(doc_id AS VARCHAR)")} % 5 AS INTEGER) AS fold,
+                 CAST(len($Toks) AS BIGINT) AS nt
+          FROM documents
+        ), per AS (
+          SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_test,
+                 CAST(SUM(nt) AS BIGINT) AS tok_test
+          FROM d GROUP BY fold
+        ), tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+                 CAST(SUM(nt) AS BIGINT) AS tok_all
+          FROM d
+        )
+        SELECT fold, n_test, n_all - n_test AS n_train,
+               CAST(tok_test * 1000000 // n_test AS BIGINT) AS test_mean_micro,
+               CAST((tok_all - tok_test) * 1000000 // (n_all - n_test) AS BIGINT)
+                 AS train_mean_micro,
+               CAST(tok_test * 1000000 // n_test
+                 - (tok_all - tok_test) * 1000000 // (n_all - n_test) AS BIGINT)
+                 AS skew_micro
+        FROM per, tot ORDER BY fold
+      """.trim)),
+
+    // CDC apply with tombstones — the change-data-capture MERGE the upsert
+    // family (q109 keyed upsert, q17 SCD2) still lacked: a deterministic
+    // I/U/D change log (insert for every key, an update for keys where
+    // hash60 % 3 = 0, a delete tombstone where hash60 % 7 = 0) collapses
+    // to the final snapshot by LAST-WRITER-WINS on (key, max op_seq), with
+    // tombstoned keys DROPPED — exactly the Debezium/Delta apply contract.
+    // Shape: one hash aggregate for the frontier, one equi-join back on
+    // (key, seq) — out-of-order and duplicate delivery land on the same
+    // frontier, which is what makes the operator exactly-once-insensitive
+    // at 100 TB.
+    Q(
+      "q458_cdc_apply",
+      (s, dir) => {
+        val keys = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val uh = graft.ext.TextHash.hash60(
+          concat(lit("cdc-u:"), col("o_orderkey").cast("string")))
+        val dh = graft.ext.TextHash.hash60(
+          concat(lit("cdc-d:"), col("o_orderkey").cast("string")))
+        val log = keys.select(col("o_orderkey"), lit(1L).as("op_seq"),
+            lit("I").as("op"), col("o_totalprice").as("price"))
+          .unionAll(keys.filter(uh % 3 === 0)
+            .select(col("o_orderkey"), lit(2L).as("op_seq"), lit("U").as("op"),
+              (col("o_totalprice") + lit(10.0)).as("price")))
+          .unionAll(keys.filter(dh % 7 === 0)
+            .select(col("o_orderkey"), lit(3L).as("op_seq"), lit("D").as("op"),
+              lit(0.0).as("price")))
+        val frontier = log.groupBy("o_orderkey")
+          .agg(max(col("op_seq")).as("op_seq"), count(lit(1)).as("n_ops"))
+        log.join(frontier.hint("shuffle_hash"), Seq("o_orderkey", "op_seq"))
+          .filter(col("op") =!= "D")
+          .select(col("o_orderkey"), col("op").as("last_op"),
+            col("op_seq").as("last_seq"), col("n_ops"), col("price"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""
+        WITH k AS (
+          SELECT o_orderkey, o_totalprice FROM orders
+        ), log AS (
+          SELECT o_orderkey, 1 AS op_seq, 'I' AS op, o_totalprice AS price FROM k
+          UNION ALL
+          SELECT o_orderkey, 2, 'U', o_totalprice + 10.0 FROM k
+          WHERE ${graft.ext.TextHash.duckHash60(
+            "'cdc-u:' || CAST(o_orderkey AS VARCHAR)")} % 3 = 0
+          UNION ALL
+          SELECT o_orderkey, 3, 'D', 0.0 FROM k
+          WHERE ${graft.ext.TextHash.duckHash60(
+            "'cdc-d:' || CAST(o_orderkey AS VARCHAR)")} % 7 = 0
+        ), frontier AS (
+          SELECT o_orderkey, CAST(MAX(op_seq) AS BIGINT) AS op_seq,
+                 CAST(COUNT(*) AS BIGINT) AS n_ops
+          FROM log GROUP BY o_orderkey
+        )
+        SELECT l.o_orderkey AS o_orderkey, l.op AS last_op,
+               f.op_seq AS last_seq, f.n_ops AS n_ops, l.price AS price
+        FROM log l JOIN frontier f
+          ON f.o_orderkey = l.o_orderkey AND f.op_seq = l.op_seq
+        WHERE l.op <> 'D'
+        ORDER BY o_orderkey
       """.trim))
   )
 }
