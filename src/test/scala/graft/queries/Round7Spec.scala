@@ -118,4 +118,97 @@ class Round7Spec extends graft.SparkSpec {
     // both classes must occur, or the gate degenerates
     assert(rows.exists(_.getLong(6) == 1L) && rows.exists(_.getLong(6) == 0L))
   }
+
+  test("q451 Benford expectations are a complete exact-1e6 distribution") {
+    val rows = run("q451_benford_audit").collect()
+    assert(rows.map(_.getString(0)).sorted === (1 to 9).map(_.toString))
+    assert(rows.map(_.getLong(2)).sum === 1000000L, "P(d) literals must sum to 1")
+    val nOrders = spark.read.parquet(s"$sf0001/orders.parquet").count()
+    assert(rows.map(_.getLong(1)).sum === nOrders, "every order must contribute a digit")
+    rows.foreach(r => assert(r.getLong(4) === r.getLong(3) - r.getLong(2)))
+  }
+
+  test("q452 assortativity is a bounded correlation over the doubled edge list") {
+    val row = run("q452_degree_assortativity").collect().head
+    val (m, r) = (row.getLong(0), row.getDouble(4))
+    assert(m > 0 && m % 2 == 0, "directed edge list doubles every undirected edge")
+    assert(r >= -1.0 && r <= 1.0)
+  }
+
+  test("q453 histogram quantile cuts are rank-feasible and monotone") {
+    val rows = run("q453_histogram_quantiles").collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq === Seq(25, 50, 75, 90, 99))
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(3), "cum count at the cut must reach the target rank")
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 1023L)
+    }
+    assert(rows.map(_.getLong(1)).toSeq === rows.map(_.getLong(1)).toSeq.sorted,
+      "cut bins must be nondecreasing in the percentile")
+    assert(rows.map(_.getDouble(4)).toSeq === rows.map(_.getDouble(4)).toSeq.sorted)
+  }
+
+  test("q454 negative samples avoid self-pairs and respect the draw budget") {
+    val rows = run("q454_negative_sampling").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) !== r.getLong(2), "anchor must never sample itself")
+      assert(r.getLong(3) >= -1000001L && r.getLong(3) <= 1000001L)
+      assert(r.getLong(4) == 0L || r.getLong(4) == 1L)
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (a, g) =>
+      assert(g.length <= 4, s"anchor $a exceeded the k=4 draw budget")
+      assert(g.map(_.getInt(1)).distinct.length === g.length)
+    }
+  }
+
+  test("q455 Mann-Kendall statistics satisfy the combinatorial bounds") {
+    val rows = run("q455_mann_kendall").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sStat, var18, z) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(math.abs(sStat) <= n * (n - 1) / 2, "S is bounded by the pair count")
+      assert(var18 >= 0L)
+      if (var18 > 0L) assert(z.sign == 0.0 || z.sign == math.signum(sStat.toDouble))
+    }
+  }
+
+  test("q456 Fellegi-Sunter scores decompose into the fixed field weights") {
+    val rows = run("q456_fellegi_sunter").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val score = (if (r.getLong(2) == 1L) 1386294L else -1203973L) +
+        (if (r.getLong(3) == 1L) 2079442L else -356675L) +
+        (if (r.getLong(4) == 1L) 2944439L else -693147L)
+      assert(r.getLong(5) === score)
+      val want = if (score >= 3000000L) "link"
+        else if (score >= 0L) "possible" else "nonlink"
+      assert(r.getString(6) === want)
+    }
+  }
+
+  test("q457 k-fold rotation partitions the corpus exactly") {
+    val rows = run("q457_kfold_rotation").collect()
+    assert(rows.map(_.getInt(0)).sorted === (0 to 4).toArray)
+    val total = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === total)
+      assert(r.getLong(5) === r.getLong(3) - r.getLong(4))
+    }
+    assert(rows.map(_.getLong(1)).sum === total, "folds must tile the corpus")
+  }
+
+  test("q458 CDC apply honors tombstones and last-writer-wins") {
+    val rows = run("q458_cdc_apply").collect()
+    assert(rows.nonEmpty)
+    val nOrders = spark.read.parquet(s"$sf0001/orders.parquet").count()
+    assert(rows.length < nOrders, "some keys must have been tombstoned")
+    rows.foreach { r =>
+      assert(r.getLong(2) == 1L || r.getLong(2) == 2L,
+        "surviving frontier is the insert or the update, never the delete")
+      assert(r.getString(1) === (if (r.getLong(2) == 1L) "I" else "U"))
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= 3L)
+    }
+    assert(rows.exists(_.getLong(2) == 2L), "fixture must exercise updates")
+  }
 }
