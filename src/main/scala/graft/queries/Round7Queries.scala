@@ -1713,6 +1713,260 @@ object Round7Queries {
           ON f.o_orderkey = l.o_orderkey AND f.op_seq = l.op_seq
         WHERE l.op <> 'D'
         ORDER BY o_orderkey
+      """.trim)),
+
+    // BPE merge learning — the tokenizer TRAINING step (Sennrich et al.)
+    // the tokenization family (q443 fertility, X429) consumes but never
+    // produced: over the WORD-TYPE table (vocabulary-sized — Heaps-law
+    // sublinear in the corpus, which is why real BPE trainers operate on
+    // it), learn the highest-weight adjacent character pair, APPLY the
+    // merge with exact greedy-leftmost semantics, and emit the post-merge
+    // pair ranking (iteration 2's input). Greedy overlap resolution is
+    // done RELATIONALLY: match positions group into consecutive runs
+    // (j - rank), and every odd-indexed position within a run is selected
+    // — provably identical to the sequential left-to-right scan, with no
+    // UDF and no driver loop. All windows are partitioned by word.
+    Q(
+      "q459_bpe_merge",
+      (s, dir) => {
+        val words = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+          .filter(length(col("word")).between(2, 20))
+          .groupBy("word").agg(count(lit(1)).as("c"))
+        val pairs0 = words
+          .select(col("word"), col("c"),
+            explode(sequence(lit(1), length(col("word")) - 1)).as("j"))
+          .select(col("word"), col("c"), col("j"),
+            expr("substring(word, j, 1)").as("a"),
+            expr("substring(word, j + 1, 1)").as("b"))
+        val top1 = pairs0.groupBy("a", "b").agg(sum(col("c")).as("pc"))
+          .orderBy(col("pc").desc, col("a"), col("b")).limit(1)
+          .select(col("a").as("ma"), col("b").as("mb"))
+        val wWord = Window.partitionBy("word").orderBy("j")
+        val runs = pairs0.crossJoin(broadcast(top1))
+          .filter(col("a") === col("ma") && col("b") === col("mb"))
+          .withColumn("grp", col("j") - row_number().over(wWord))
+        val wRun = Window.partitionBy("word", "grp").orderBy("j")
+        val sel = runs.withColumn("rr", row_number().over(wRun))
+          .filter(col("rr") % 2 === 1)
+          .select(col("word"), col("j"))
+        val pos = words
+          .select(col("word"), col("c"),
+            explode(sequence(lit(1), length(col("word")))).as("p"))
+          .withColumn("sym", expr("substring(word, p, 1)"))
+        val rebuilt = pos
+          .join(sel.select(col("word"), col("j").as("p"), lit(1L).as("m1"))
+            .hint("shuffle_hash"), Seq("word", "p"), "left")
+          .join(sel.select(col("word"), (col("j") + 1).as("p"), lit(1L).as("m2"))
+            .hint("shuffle_hash"), Seq("word", "p"), "left")
+          .filter(col("m2").isNull)
+          .crossJoin(broadcast(top1))
+          .select(col("word"), col("c"), col("p"),
+            when(col("m1") === 1L, concat(col("ma"), col("mb")))
+              .otherwise(col("sym")).as("sym"))
+        val wPos = Window.partitionBy("word").orderBy("p")
+        rebuilt.withColumn("b2", lead(col("sym"), 1).over(wPos))
+          .filter(col("b2").isNotNull)
+          .groupBy(col("sym").as("a"), col("b2").as("b"))
+          .agg(sum(col("c")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("a"), col("b")).limit(10)
+          .crossJoin(broadcast(top1))
+          .select(col("ma").as("merge_a"), col("mb").as("merge_b"),
+            col("a"), col("b"), col("pair_count"))
+          .orderBy(col("pair_count").desc, col("a"), col("b"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT unnest($Toks) AS word FROM documents)
+          WHERE length(word) BETWEEN 2 AND 20
+          GROUP BY word
+        ), p0 AS (
+          SELECT word, c, u.j AS j, substring(word, u.j, 1) AS a,
+                 substring(word, u.j + 1, 1) AS b
+          FROM w, LATERAL (SELECT unnest(generate_series(1, length(word) - 1))
+                           AS j) u
+        ), top1 AS (
+          SELECT a AS ma, b AS mb FROM (
+            SELECT a, b, SUM(c) AS pc FROM p0 GROUP BY a, b
+            ORDER BY pc DESC, a, b LIMIT 1)
+        ), runs AS (
+          SELECT p0.word AS word, p0.j AS j,
+                 p0.j - row_number() OVER (PARTITION BY p0.word ORDER BY p0.j)
+                   AS grp
+          FROM p0, top1 WHERE p0.a = top1.ma AND p0.b = top1.mb
+        ), sel AS (
+          SELECT word, j FROM (
+            SELECT word, j,
+                   row_number() OVER (PARTITION BY word, grp ORDER BY j) AS rr
+            FROM runs)
+          WHERE rr % 2 = 1
+        ), pos AS (
+          SELECT word, c, u.p AS p, substring(word, u.p, 1) AS sym
+          FROM w, LATERAL (SELECT unnest(generate_series(1, length(word)))
+                           AS p) u
+        ), reb AS (
+          SELECT pos.word AS word, pos.c AS c, pos.p AS p,
+                 CASE WHEN s1.j IS NOT NULL THEN top1.ma || top1.mb
+                      ELSE pos.sym END AS sym
+          FROM pos CROSS JOIN top1
+          LEFT JOIN sel s1 ON s1.word = pos.word AND s1.j = pos.p
+          LEFT JOIN sel s2 ON s2.word = pos.word AND s2.j + 1 = pos.p
+          WHERE s2.j IS NULL
+        ), nx AS (
+          SELECT word, c, sym,
+                 lead(sym) OVER (PARTITION BY word ORDER BY p) AS b2
+          FROM reb
+        ), pc1 AS (
+          SELECT sym AS a, b2 AS b, CAST(SUM(c) AS BIGINT) AS pair_count
+          FROM nx WHERE b2 IS NOT NULL GROUP BY 1, 2
+          ORDER BY pair_count DESC, a, b LIMIT 10
+        )
+        SELECT top1.ma AS merge_a, top1.mb AS merge_b, pc1.a AS a, pc1.b AS b,
+               pc1.pair_count AS pair_count
+        FROM pc1, top1 ORDER BY pair_count DESC, a, b
+      """.trim)),
+
+    // Deterministic token-dropout augmentation — the EDA-style data
+    // augmentation transform (each document re-emitted with ~10% of token
+    // positions dropped), RNG-free: the drop decision is hash60(doc, pos)
+    // mod 10, so the augmented corpus is bit-reproducible across runs and
+    // engines — the property that makes augmented training sets cacheable
+    // and auditable. Value-gated via the md5 of the augmented text (the
+    // q436 convention: gate the transform bit-exactly without shipping
+    // text); map-side explode + one per-doc rebuild aggregate,
+    // corpus-linear.
+    Q(
+      "q460_token_dropout",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+        toks
+          .select(col("doc_id"),
+            explode(sequence(lit(1), size(col("w")))).as("p"), col("w"))
+          .select(col("doc_id"), col("p"),
+            element_at(col("w"), col("p")).as("tok"))
+          .withColumn("dropped",
+            (graft.ext.TextHash.hash60(concat(lit("aug:"),
+              col("doc_id").cast("string"), lit(":"),
+              col("p").cast("string"))) % 10 === 0).cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("dropped")).as("n_dropped"),
+            md5(array_join(transform(
+              filter(sort_array(collect_list(
+                struct(col("p"), col("tok"), col("dropped")))),
+                r => r.getField("dropped") === 0L),
+              r => r.getField("tok")), " ")).as("aug_fp"))
+          .select(col("doc_id"), col("n_tokens"), col("n_dropped"), col("aug_fp"),
+            ((col("n_tokens") - col("n_dropped")).cast("double")
+              / col("n_tokens").cast("double")).as("keep_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, $Toks AS w FROM documents
+        ), pos AS (
+          SELECT doc_id, u.p AS p, u.tok AS tok
+          FROM t, LATERAL (SELECT unnest(w) AS tok,
+                           generate_subscripts(w, 1) AS p) u
+        ), fl AS (
+          SELECT doc_id, p, tok,
+                 CASE WHEN ${graft.ext.TextHash.duckHash60(
+                   "'aug:' || CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)")}
+                   % 10 = 0 THEN 1 ELSE 0 END AS dropped
+          FROM pos
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+               md5(COALESCE(string_agg(tok, ' ' ORDER BY p)
+                 FILTER (WHERE dropped = 0), '')) AS aug_fp,
+               CAST(COUNT(*) - SUM(dropped) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS keep_frac
+        FROM fl GROUP BY doc_id ORDER BY doc_id
+      """.trim)),
+
+    // Curriculum ordering — the "present easy documents first" training
+    // schedule: a total-order difficulty key (token count scaled to micro
+    // plus doc_id as the unique tie-break), the GLOBAL curriculum rank
+    // from the two-phase scalable rank (no single-task window at any
+    // corpus size), and the 4-stage equi-depth bucket via the explicit
+    // ntile size rule (Keys.ntileFromRank) — both engines compute the
+    // bucket from (rank, n) arithmetic, trusting no engine ntile.
+    Q(
+      "q461_curriculum_order",
+      (s, dir) => {
+        val scored = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            (size(TextAnalysis.tokens(col("text"))).cast("long") * 1000000L
+              + col("doc_id")).as("difficulty_micro"))
+        val ranked = graft.engine.Keys.rankByScalable(
+          scored, Seq(col("difficulty_micro")), "curriculum_rank")
+        ranked.crossJoin(broadcast(ranked.agg(count(lit(1)).as("n"))))
+          .select(col("doc_id"), col("difficulty_micro"), col("curriculum_rank"),
+            graft.engine.Keys.ntileFromRank(
+              col("curriculum_rank"), col("n"), 4).as("stage"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len($Toks) AS BIGINT) * 1000000 + doc_id
+                   AS difficulty_micro
+          FROM documents
+        ), r AS (
+          SELECT doc_id, difficulty_micro,
+                 CAST(row_number() OVER (ORDER BY difficulty_micro) AS BIGINT)
+                   AS curriculum_rank,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n
+          FROM d
+        )
+        SELECT doc_id, difficulty_micro, curriculum_rank,
+               CAST(CASE WHEN curriculum_rank <= (n % 4) * (n // 4 + 1)
+                    THEN (curriculum_rank - 1) // (n // 4 + 1)
+                    ELSE (n % 4) + (curriculum_rank - (n % 4) * (n // 4 + 1) - 1)
+                         // (n // 4)
+                    END + 1 AS INTEGER) AS stage
+        FROM r ORDER BY doc_id
+      """.trim)),
+
+    // observe() metrics gate — Spark's zero-extra-pass pipeline
+    // instrumentation (CollectMetricsExec): the row-count and exact
+    // decimal revenue total are OBSERVED on the scan feeding a group-by,
+    // and the builder REQUIRES the observed values to equal the aggregate
+    // recomputed from the gated output and an independent total — proving
+    // the metrics seam reports the true stream, not a sample. This is the
+    // production SLO-counter surface (rows read, bytes billed, sum checks)
+    // that otherwise costs a second scan at 100 TB. The returned frame is
+    // the plain aggregate, value-gated by the oracle as usual.
+    Q(
+      "q462_observe_metrics",
+      (s, dir) => {
+        val observed = Tables.orders(s, dir).observe("q462_metrics",
+          count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total_dec"))
+        val gate = observed.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("sales_dec"))
+        val local = gate.collect()
+        val metrics = gate.queryExecution.observedMetrics.get("q462_metrics")
+        require(metrics.isDefined, "observe() metrics must be collected")
+        val m = metrics.get
+        require(m.getAs[Long]("n_rows")
+          == local.map(_.getAs[Long]("n_orders")).sum,
+          "observed row count must equal the aggregated total")
+        val sumDec = local.map(r => BigDecimal(r.getAs[java.math.BigDecimal](
+          "sales_dec"))).sum
+        require(BigDecimal(m.getAs[java.math.BigDecimal]("total_dec")) == sumDec,
+          "observed decimal revenue must equal the aggregated total")
+        gate.select(col("o_orderstatus"), col("n_orders"),
+            col("sales_dec").cast("double").as("sales"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
       """.trim))
   )
 }
