@@ -211,4 +211,69 @@ class Round7Spec extends graft.SparkSpec {
     }
     assert(rows.exists(_.getLong(2) == 2L), "fixture must exercise updates")
   }
+
+  test("q459 BPE merge matches the sequential left-to-right reference scan") {
+    // The relational run-alternation formulation must equal the classic
+    // sequential greedy apply. Recompute everything with plain Scala.
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val wordCounts = texts
+      .flatMap(_.toLowerCase.trim.replaceAll("\\s+", " ").split(" ", -1))
+      .filter(w => w.length >= 2 && w.length <= 20)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def pairCounts(seqs: Map[Seq[String], Long]): Map[(String, String), Long] =
+      seqs.toSeq.flatMap { case (syms, c) =>
+        syms.zip(syms.tail).map(p => p -> c)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val seqs0: Map[Seq[String], Long] = wordCounts
+      .groupBy(_._1.map(_.toString).toList: Seq[String])
+      .view.mapValues(_.values.sum).toMap
+    val pc0 = pairCounts(seqs0)
+    val (ma, mb) = pc0.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+    // sequential greedy leftmost apply
+    def applyMerge(s: Seq[String]): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == ma && s(i + 1) == mb) {
+          out += (ma + mb); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val pc1 = pairCounts(seqs0.toSeq.map { case (k, v) => applyMerge(k) -> v }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap)
+    val want = pc1.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.take(10)
+      .map { case ((a, b), c) => (ma, mb, a, b, c) }
+    val got = run("q459_bpe_merge").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got === want)
+    assert(pc1.keys.exists(p => p._1 == ma + mb || p._2 == ma + mb),
+      "fixture must produce at least one post-merge pair involving the new symbol")
+  }
+
+  test("q460 token dropout drops ~10% and changes the fingerprint") {
+    val rows = run("q460_token_dropout").collect()
+    assert(rows.nonEmpty)
+    val (tot, dropped) =
+      (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    val rate = dropped.toDouble / tot
+    assert(rate > 0.05 && rate < 0.15, s"drop rate $rate must be near 1/10")
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("q461 curriculum stages are equi-depth and ranks are a permutation") {
+    val rows = run("q461_curriculum_order").collect()
+    val n = rows.length
+    assert(rows.map(_.getLong(2)).sorted === (1L to n.toLong).toArray,
+      "curriculum ranks must be the exact permutation 1..n")
+    val sizes = rows.groupBy(_.getInt(3)).view.mapValues(_.length).toMap
+    assert(sizes.keySet === Set(1, 2, 3, 4))
+    assert(sizes.values.max - sizes.values.min <= 1, s"equi-depth violated: $sizes")
+    // harder documents must never precede easier ones
+    val byRank = rows.sortBy(_.getLong(2)).map(_.getLong(1))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a < b })
+  }
 }
