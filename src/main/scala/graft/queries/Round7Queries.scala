@@ -1967,6 +1967,185 @@ object Round7Queries {
         SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """.trim)),
+
+    // NOT IN null-trap gate — the ANSI three-valued-logic hazard that
+    // silently empties production anti-joins: `x NOT IN (subquery)` is
+    // UNKNOWN for every x once the subquery contains a single NULL, so the
+    // filter drops ALL rows — while `NOT EXISTS` (Spark's left_anti) keeps
+    // its meaning. The query emits all three counts from the SAME probe
+    // set: the null-poisoned NOT IN (gated at 0 — the planner must
+    // implement null-aware anti-join semantics, not rewrite to left_anti),
+    // the null-free NOT IN, and NOT EXISTS (which must agree). Exercises
+    // Spark's null-aware anti join path, which the DataFrame API cannot
+    // declare.
+    Q(
+      "q463_not_in_null_trap",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("q463_orders")
+        Tables.customer(s, dir).createOrReplaceTempView("q463_customer")
+        s.sql(s"""
+          WITH probe AS (
+            SELECT o_custkey FROM q463_orders
+            WHERE CAST(CONV(SUBSTRING(md5('ninp:' || CAST(o_orderkey AS STRING)),
+              1, 15), 16, 10) AS BIGINT) % 5 = 0
+            UNION ALL SELECT CAST(NULL AS BIGINT)
+          )
+          SELECT
+            CAST((SELECT COUNT(*) FROM q463_customer
+                  WHERE c_custkey NOT IN (SELECT o_custkey FROM probe))
+              AS BIGINT) AS n_not_in_poisoned,
+            CAST((SELECT COUNT(*) FROM q463_customer
+                  WHERE c_custkey NOT IN (SELECT o_custkey FROM probe
+                                          WHERE o_custkey IS NOT NULL))
+              AS BIGINT) AS n_not_in_nullfree,
+            CAST((SELECT COUNT(*) FROM q463_customer c
+                  WHERE NOT EXISTS (SELECT 1 FROM probe p
+                                    WHERE p.o_custkey = c.c_custkey))
+              AS BIGINT) AS n_not_exists
+        """)
+      },
+      Some(s"""
+        WITH probe AS (
+          SELECT o_custkey FROM orders
+          WHERE ${graft.ext.TextHash.duckHash60(
+            "'ninp:' || CAST(o_orderkey AS VARCHAR)")} % 5 = 0
+          UNION ALL SELECT CAST(NULL AS BIGINT)
+        )
+        SELECT
+          -- HARDCODED 0 (q435 enforced-gate convention): ANSI three-valued
+          -- logic REQUIRES the null-poisoned NOT IN to drop every row; a
+          -- Spark deviation fails the hash gate instead of being mirrored.
+          CAST(0 AS BIGINT) AS n_not_in_poisoned,
+          CAST((SELECT COUNT(*) FROM customer
+                WHERE c_custkey NOT IN (SELECT o_custkey FROM probe
+                                        WHERE o_custkey IS NOT NULL))
+            AS BIGINT) AS n_not_in_nullfree,
+          CAST((SELECT COUNT(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM probe p
+                                  WHERE p.o_custkey = c.c_custkey))
+            AS BIGINT) AS n_not_exists
+      """.trim)),
+
+    // Metadata-column file census — Spark's hidden `_metadata` struct (the
+    // DSv2 file-provenance surface): after a controlled single-partition
+    // write with maxRecordsPerFile=1000, the reader groups by
+    // _metadata.file_name and proves the writer's file-splitting contract
+    // from INSIDE the query layer — file count = ceil(n/1000), no file
+    // over the cap, no row lost. At 100 TB this column is how lineage,
+    // quarantine-by-file, and bad-file re-processing work without a
+    // filesystem listing. File names are nondeterministic, so only
+    // name-free aggregates are emitted.
+    Q(
+      "q464_metadata_file_census",
+      (s, dir) => {
+        val path = graft.engine.Scratch.dir(s, dir, "meta_census")
+        Tables.orders(s, dir).repartition(1)
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", "1000").parquet(path)
+        val census = s.read.parquet(path)
+          .select(col("_metadata.file_name").as("fn"))
+          .groupBy("fn").agg(count(lit(1)).as("c"))
+        census.agg(count(lit(1)).as("n_files"), sum(col("c")).as("n_rows"),
+            max(col("c")).as("max_rows_per_file"))
+          .select(col("n_files"), col("n_rows"), col("max_rows_per_file"),
+            (col("max_rows_per_file") <= 1000L).cast("long").as("cap_held"))
+      },
+      Some("""
+        SELECT CAST((COUNT(*) + 999) // 1000 AS BIGINT) AS n_files,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(LEAST(COUNT(*), 1000) AS BIGINT) AS max_rows_per_file,
+               CAST(1 AS BIGINT) AS cap_held
+        FROM orders
+      """.trim)),
+
+    // Typed cogroup reconciliation — the KeyValueGroupedDataset.cogroup
+    // surface (the typed twin of a full-outer join + two aggregates, and
+    // the shape custom per-key reconciliation logic takes when it outgrows
+    // SQL): orders and customers cogrouped on the key, each group reduced
+    // with ORDER-FREE exact arithmetic (count + exact BigDecimal sum with
+    // the same HALF_UP scale-2 quantization as CAST(x AS DECIMAL(18,2)) —
+    // group iterators carry no deterministic order, so only commutative
+    // folds are legal inside). Like X24's typed Aggregator, this
+    // deliberately exercises the typed API; the JVM lambda is a typed
+    // operator, not a udf() registration.
+    Q(
+      "q465_typed_cogroup",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_acctbal")).as[(Long, Double)]
+        o.groupByKey(_._1).cogroup(c.groupByKey(_._1)) { (k, os, cs) =>
+          var n = 0L
+          var sales = BigDecimal(0)
+          os.foreach { t =>
+            n += 1
+            sales += BigDecimal(t._2)
+              .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          }
+          val cl = cs.toList
+          Iterator((k, n, sales.toDouble, cl.size.toLong,
+            cl.headOption.map(_._2).getOrElse(0.0)))
+        }.toDF("custkey", "n_orders", "sales", "n_customer_rows", "acctbal")
+          .orderBy("custkey")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sales
+          FROM orders GROUP BY 1
+        ), c AS (
+          SELECT c_custkey AS custkey, CAST(COUNT(*) AS BIGINT)
+                   AS n_customer_rows,
+                 MAX(c_acctbal) AS acctbal
+          FROM customer GROUP BY 1
+        )
+        SELECT COALESCE(o.custkey, c.custkey) AS custkey,
+               COALESCE(o.n_orders, 0) AS n_orders,
+               COALESCE(o.sales, 0.0) AS sales,
+               COALESCE(c.n_customer_rows, 0) AS n_customer_rows,
+               COALESCE(c.acctbal, 0.0) AS acctbal
+        FROM o FULL JOIN c ON c.custkey = o.custkey
+        ORDER BY custkey
+      """.trim)),
+
+    // Correlated scalar subqueries — the per-row-aggregate SQL surface the
+    // planner must DECORRELATE into joins (a nested-loop execution would
+    // be quadratic at any scale): customers above their nation's mean
+    // balance, with the mean comparison kept EXACT by cross-multiplying
+    // decimals (bal * n > sum) instead of dividing — no double mean, no
+    // rounding-mode exposure. Two correlated scalars per row, both
+    // decorrelated to one grouped aggregate each.
+    Q(
+      "q466_correlated_scalar",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("q466_customer")
+        s.sql("""
+          SELECT c_custkey, c_nationkey,
+                 CAST(c_acctbal AS DOUBLE) AS acctbal
+          FROM q466_customer c
+          WHERE CAST(c_acctbal AS DECIMAL(18,2))
+                * (SELECT COUNT(*) FROM q466_customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+              > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+                 FROM q466_customer c2
+                 WHERE c2.c_nationkey = c.c_nationkey)
+          ORDER BY c_custkey
+        """)
+      },
+      Some("""
+        SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS acctbal
+        FROM customer c
+        WHERE CAST(c_acctbal AS DECIMAL(18,2))
+              * (SELECT COUNT(*) FROM customer c2
+                 WHERE c2.c_nationkey = c.c_nationkey)
+            > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+               FROM customer c2
+               WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey
       """.trim))
   )
 }
