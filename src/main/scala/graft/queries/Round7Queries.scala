@@ -2146,6 +2146,124 @@ object Round7Queries {
                FROM customer c2
                WHERE c2.c_nationkey = c.c_nationkey)
         ORDER BY c_custkey
+      """.trim)),
+
+    // from_json schema-first parsing — the classic typed-JSON-column
+    // surface (the pre-VARIANT path q347/X-variant complement): the props
+    // string parses against an EXPLICIT schema (the production contract —
+    // schema inference on a 100 TB column is a full extra scan), and the
+    // same field extracted via get_json_object (the schemaless probe API)
+    // must agree — both sums emitted and gated equal. Malformed documents
+    // land as NULL, counted not dropped (PERMISSIVE mode semantics).
+    Q(
+      "q467_from_json_parse",
+      (s, dir) => {
+        val parsed = Tables.events(s, dir)
+          .select(col("event_type"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+              .getField("k").as("k_typed"),
+            get_json_object(col("props"), "$.k").cast("int").as("k_probe"))
+        parsed.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("k_typed").cast("long")).as("sum_k"),
+            sum(col("k_probe").cast("long")).as("sum_k_probe"),
+            sum(col("k_typed").isNull.cast("long")).as("n_unparsed"))
+          .withColumn("paths_agree",
+            (col("sum_k") === col("sum_k_probe")).cast("long"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+               CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k_probe,
+               CAST(SUM(CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_unparsed,
+               CAST(1 AS BIGINT) AS paths_agree
+        FROM events GROUP BY event_type ORDER BY event_type
+      """.trim)),
+
+    // Batch session_window — Spark's built-in gap-based sessionization in
+    // BATCH mode (the declarative twin of ST3's stateful streaming
+    // sessionizer and of the relational gaps-and-islands form): one
+    // groupBy(session_window(ts, '30 minutes'), user) — no window
+    // function, no state store — then a per-user rollup. The oracle
+    // derives the same sessions from first principles (new session iff
+    // the gap from the previous event is >= 30 minutes, microsecond-exact
+    // interval compare), so the builtin's merge semantics are value-gated
+    // against the definition rather than mirrored.
+    Q(
+      "q468_session_window_batch",
+      (s, dir) => {
+        val sessions = Tables.events(s, dir)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        sessions.groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_events")).as("n_events"),
+            max(col("n_events")).as("max_session_events"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        IS NULL THEN 1
+                      WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        >= INTERVAL '30 minutes' THEN 1
+                      ELSE 0 END AS new_s
+          FROM events
+        ), sess AS (
+          SELECT user_id,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged
+        ), per AS (
+          SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM sess GROUP BY 1, 2
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(MAX(n_events) AS BIGINT) AS max_session_events
+        FROM per GROUP BY user_id ORDER BY user_id
+      """.trim)),
+
+    // Higher-order-function algebra — the array-lambda surface (filter /
+    // exists / forall / transform / aggregate) exercised as one gate over
+    // the token arrays: these are the codegen-friendly per-row kernels
+    // that replace UDFs in the zero-UDF discipline, so their exact
+    // semantics (null handling, empty arrays, short-circuit) deserve a
+    // value gate of their own. The oracle restates each lambda
+    // relationally (list_filter / EXISTS-style length tests / list
+    // arithmetic), trusting no shared implementation.
+    Q(
+      "q469_hof_algebra",
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+        t.select(col("doc_id"),
+            size(col("w")).cast("long").as("n_tokens"),
+            size(filter(col("w"), x => length(x) > 5)).cast("long").as("n_long"),
+            exists(col("w"), x => x === "hash").cast("long").as("has_hash"),
+            forall(col("w"), x => length(x) <= 12).cast("long").as("all_short"),
+            aggregate(transform(col("w"), x => length(x).cast("long")),
+              lit(0L), (acc, x) => acc + x).as("total_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, $Toks AS w FROM documents
+        )
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(w, x -> length(x) > 5)) AS BIGINT)
+                 AS n_long,
+               CAST(CASE WHEN len(list_filter(w, x -> x = 'hash')) > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS has_hash,
+               CAST(CASE WHEN len(list_filter(w, x -> length(x) > 12)) = 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS all_short,
+               CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+                 AS total_chars
+        FROM t ORDER BY doc_id
       """.trim))
   )
 }
