@@ -2264,6 +2264,115 @@ object Round7Queries {
                CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
                  AS total_chars
         FROM t ORDER BY doc_id
+      """.trim)),
+
+    // Functional-dependency discovery — the schema-profiling operator
+    // (Metanome-style, restricted to a fixed candidate set): for each
+    // candidate FD lhs -> rhs, one hash aggregate counts the lhs groups
+    // with more than one distinct rhs value; holds iff none violate.
+    // This is how silent denormalization drift (a "dimension" column that
+    // stopped being functionally determined) gets caught in a 100 TB
+    // warehouse — each candidate costs one groupBy, never a self-join.
+    // The fixture set mixes true FDs (key -> attribute) with false ones,
+    // so both verdicts are exercised.
+    Q(
+      "q470_fd_discovery",
+      (s, dir) => {
+        def fd(df: DataFrame, lhs: String, rhs: String): DataFrame = df
+          .groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("nd"))
+          .agg(count(lit(1)).as("n_lhs"),
+            sum((col("nd") > 1L).cast("long")).as("n_violating"))
+          .select(lit(s"$lhs->$rhs").as("fd"), col("n_lhs"), col("n_violating"),
+            (col("n_violating") === 0L).cast("long").as("holds"))
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        fd(o, "o_orderkey", "o_custkey")
+          .unionAll(fd(o, "o_custkey", "o_orderstatus"))
+          .unionAll(fd(o, "o_orderdate", "o_orderpriority"))
+          .unionAll(fd(c, "c_custkey", "c_nationkey"))
+          .unionAll(fd(c, "c_nationkey", "c_mktsegment"))
+          .orderBy("fd")
+      },
+      Some("""
+        WITH cand AS (
+          SELECT 'o_orderkey->o_custkey' AS fd, CAST(o_orderkey AS VARCHAR)
+                   AS lhs, CAST(o_custkey AS VARCHAR) AS rhs FROM orders
+          UNION ALL
+          SELECT 'o_custkey->o_orderstatus', CAST(o_custkey AS VARCHAR),
+                 o_orderstatus FROM orders
+          UNION ALL
+          SELECT 'o_orderdate->o_orderpriority', CAST(o_orderdate AS VARCHAR),
+                 o_orderpriority FROM orders
+          UNION ALL
+          SELECT 'c_custkey->c_nationkey', CAST(c_custkey AS VARCHAR),
+                 CAST(c_nationkey AS VARCHAR) FROM customer
+          UNION ALL
+          SELECT 'c_nationkey->c_mktsegment', CAST(c_nationkey AS VARCHAR),
+                 c_mktsegment FROM customer
+        ), g AS (
+          SELECT fd, lhs, COUNT(DISTINCT rhs) AS nd
+          FROM cand GROUP BY fd, lhs
+        )
+        SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_lhs,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violating,
+               CAST(CASE WHEN SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS holds
+        FROM g GROUP BY fd ORDER BY fd
+      """.trim)),
+
+    // Keyspace gap audit — sequence-completeness profiling for surrogate /
+    // source keys (TPC-H orderkeys are deliberately sparse): per 1000-wide
+    // key bucket, the present count, the missing count against the bucket's
+    // in-range span, and the largest internal gap (lead over a PARTITIONED
+    // window — bucket-local, never a global sort). The global frontier
+    // (min/max) rides the broadcast single-row aggregate. This is the
+    // "did the loader drop a range" audit that otherwise needs a full
+    // sort at 100 TB; bucketing keeps every operator hash-partitioned.
+    Q(
+      "q471_keyspace_gap_audit",
+      (s, dir) => {
+        val k = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"),
+            expr("o_orderkey DIV 1000").as("bucket"))
+        val frontier = k.agg(min(col("k")).as("kmin"), max(col("k")).as("kmax"))
+        val wB = Window.partitionBy("bucket").orderBy("k")
+        val gaps = k.withColumn("nk", lead(col("k"), 1).over(wB))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_present"),
+            min(col("k")).as("bmin"), max(col("k")).as("bmax"),
+            max(when(col("nk").isNotNull, col("nk") - col("k") - 1L))
+              .as("max_internal_gap"))
+        gaps.crossJoin(broadcast(frontier))
+          .select(col("bucket"), col("n_present"),
+            (least(col("bucket") * 1000L + 999L, col("kmax"))
+              - greatest(col("bucket") * 1000L, col("kmin")) + 1L
+              - col("n_present")).as("n_missing_in_range"),
+            coalesce(col("max_internal_gap"), lit(0L)).as("max_internal_gap"))
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH k AS (
+          SELECT o_orderkey AS k, o_orderkey // 1000 AS bucket FROM orders
+        ), f AS (
+          SELECT MIN(k) AS kmin, MAX(k) AS kmax FROM k
+        ), g AS (
+          SELECT bucket, k,
+                 lead(k) OVER (PARTITION BY bucket ORDER BY k) AS nk
+          FROM k
+        ), b AS (
+          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_present,
+                 MAX(CASE WHEN nk IS NOT NULL THEN nk - k - 1 END)
+                   AS max_internal_gap
+          FROM g GROUP BY bucket
+        )
+        SELECT bucket, n_present,
+               CAST(LEAST(bucket * 1000 + 999, f.kmax)
+                 - GREATEST(bucket * 1000, f.kmin) + 1
+                 - n_present AS BIGINT) AS n_missing_in_range,
+               CAST(COALESCE(max_internal_gap, 0) AS BIGINT)
+                 AS max_internal_gap
+        FROM b, f ORDER BY bucket
       """.trim))
   )
 }
