@@ -2322,17 +2322,21 @@ object Round7Queries {
       """.trim)),
 
     // Keyspace gap audit — sequence-completeness profiling for surrogate /
-    // source keys (TPC-H orderkeys are deliberately sparse): per 1000-wide
-    // key bucket, the present count, the missing count against the bucket's
-    // in-range span, and the largest internal gap (lead over a PARTITIONED
-    // window — bucket-local, never a global sort). The global frontier
-    // (min/max) rides the broadcast single-row aggregate. This is the
-    // "did the loader drop a range" audit that otherwise needs a full
-    // sort at 100 TB; bucketing keeps every operator hash-partitioned.
+    // source keys: per 1000-wide key bucket, the present count, the missing
+    // count against the bucket's in-range span, and the largest internal
+    // gap (lead over a PARTITIONED window — bucket-local, never a global
+    // sort). The global frontier (min/max) rides the broadcast single-row
+    // aggregate. This is the "did the loader drop a range" audit that
+    // otherwise needs a full sort at 100 TB; bucketing keeps every operator
+    // hash-partitioned. The fixture keyspace is dense, so a deterministic
+    // 2%-loss fault (hash60 % 50 = 0) is injected upstream — the audit must
+    // localize every injected hole.
     Q(
       "q471_keyspace_gap_audit",
       (s, dir) => {
         val k = Tables.orders(s, dir)
+          .filter(graft.ext.TextHash.hash60(concat(lit("loss:"),
+            col("o_orderkey").cast("string"))) % 50 =!= 0)
           .select(col("o_orderkey").as("k"),
             expr("o_orderkey DIV 1000").as("bucket"))
         val frontier = k.agg(min(col("k")).as("kmin"), max(col("k")).as("kmax"))
@@ -2351,9 +2355,11 @@ object Round7Queries {
             coalesce(col("max_internal_gap"), lit(0L)).as("max_internal_gap"))
           .orderBy("bucket")
       },
-      Some("""
+      Some(s"""
         WITH k AS (
           SELECT o_orderkey AS k, o_orderkey // 1000 AS bucket FROM orders
+          WHERE ${graft.ext.TextHash.duckHash60(
+            "'loss:' || CAST(o_orderkey AS VARCHAR)")} % 50 <> 0
         ), f AS (
           SELECT MIN(k) AS kmin, MAX(k) AS kmax FROM k
         ), g AS (

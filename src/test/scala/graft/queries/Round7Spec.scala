@@ -276,4 +276,74 @@ class Round7Spec extends graft.SparkSpec {
     val byRank = rows.sortBy(_.getLong(2)).map(_.getLong(1))
     assert(byRank.zip(byRank.tail).forall { case (a, b) => a < b })
   }
+
+  test("q463 the null-poisoned NOT IN empties while NOT EXISTS agrees with the null-free form") {
+    val r = run("q463_not_in_null_trap").collect().head
+    assert(r.getLong(0) === 0L, "ANSI: one NULL must empty the NOT IN")
+    assert(r.getLong(1) === r.getLong(2),
+      "null-free NOT IN and NOT EXISTS must agree")
+    assert(r.getLong(2) > 0L, "fixture must leave unmatched customers")
+  }
+
+  test("q468 session_window matches a sequential gap-scan sessionization") {
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("user_id", "ts").collect()
+      .map { r =>
+        val micros = r.get(1) match {
+          case t: java.sql.Timestamp =>
+            t.getTime * 1000L + t.getNanos / 1000 % 1000
+          case d: java.time.LocalDateTime =>
+            d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+              d.getNano / 1000
+        }
+        (r.getLong(0), micros)
+      }
+    val want = events.groupBy(_._1).map { case (u, es) =>
+      val ts = es.map(_._2).sorted
+      val sizes = scala.collection.mutable.ArrayBuffer[Long](0L)
+      var prev = Long.MinValue
+      ts.foreach { t =>
+        if (prev != Long.MinValue && t - prev >= 30L * 60 * 1000000) sizes += 0L
+        sizes(sizes.length - 1) += 1
+        prev = t
+      }
+      u -> ((sizes.length.toLong, ts.length.toLong, sizes.max))
+    }
+    val got = run("q468_session_window_batch").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (u, w) => assert(got(u) === w, s"user $u") }
+    assert(want.values.exists(_._1 > 1), "fixture must contain multi-session users")
+  }
+
+  test("q470 FD discovery renders the expected verdicts") {
+    val verdicts = run("q470_fd_discovery").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(verdicts("o_orderkey->o_custkey") === 1L, "a key determines everything")
+    assert(verdicts("c_custkey->c_nationkey") === 1L)
+    assert(verdicts("o_custkey->o_orderstatus") === 0L,
+      "a repeat customer with two statuses must violate")
+    assert(verdicts("c_nationkey->c_mktsegment") === 0L)
+  }
+
+  test("q471 gap accounting reconciles with the true (fault-injected) keyspace") {
+    def hash60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(15), 16)
+    val keys = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey").collect().map(_.getLong(0))
+      .filter(k => hash60(s"loss:$k") % 50 != 0).sorted
+    val rows = run("q471_keyspace_gap_audit").collect()
+    assert(rows.map(_.getLong(1)).sum === keys.length.toLong)
+    val span = keys.last - keys.head + 1
+    assert(rows.map(_.getLong(2)).sum === span - keys.length,
+      "per-bucket missing counts must sum to the global hole count")
+    rows.foreach(r => assert(r.getLong(2) >= 0L && r.getLong(3) >= 0L))
+    assert(rows.exists(_.getLong(2) > 0L),
+      "the injected 2% loss must surface as holes")
+    assert(rows.exists(_.getLong(3) > 0L),
+      "at least one internal gap must be localized")
+  }
 }
