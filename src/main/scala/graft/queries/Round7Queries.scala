@@ -2379,6 +2379,229 @@ object Round7Queries {
                CAST(COALESCE(max_internal_gap, 0) AS BIGINT)
                  AS max_internal_gap
         FROM b, f ORDER BY bucket
+      """.trim)),
+
+    // Difference-in-differences estimator — the workhorse causal-inference
+    // layout (2x2 treatment x period cell means, the parallel-trends
+    // counterfactual) beside the associational stats (q287 z-test, q426
+    // permutation): treatment by deterministic user hash, period by the
+    // calendar cut, per-cell EXACT decimal sums and integer counts
+    // emitted as auditable cents/counts, and the DiD itself ONE shared
+    // fixed IEEE tree over the four exact-ratio means (quantized to 1e-4).
+    // One conditional-aggregation pass — four cells, no joins.
+    Q(
+      "q472_did_estimator",
+      (s, dir) => {
+        val base = Tables.events(s, dir).select(
+          (graft.ext.TextHash.hash60(concat(lit("did:"),
+            col("user_id").cast("string"))) % 2 === 1).cast("int").as("t"),
+          (col("ts").cast("date") >= lit("2024-04-01").cast("date"))
+            .cast("int").as("post"),
+          col("value").cast("decimal(18,2)").as("v"))
+        def cell(tv: Int, pv: Int, sfx: String) = Seq(
+          sum(when(col("t") === tv && col("post") === pv, col("v")))
+            .cast("decimal(18,2)").as(s"s_$sfx"),
+          sum(when(col("t") === tv && col("post") === pv, 1L).otherwise(0L))
+            .as(s"n_$sfx"))
+        val allCells = cell(1, 1, "t_post") ++ cell(1, 0, "t_pre") ++
+          cell(0, 1, "c_post") ++ cell(0, 0, "c_pre")
+        val cells = base.agg(allCells.head, allCells.tail: _*)
+        def mean(sfx: String) =
+          col(s"s_$sfx").cast("double") / col(s"n_$sfx").cast("double")
+        cells.select(
+          (col("s_t_post") * 100).cast("long").as("cents_t_post"),
+          col("n_t_post"),
+          (col("s_t_pre") * 100).cast("long").as("cents_t_pre"),
+          col("n_t_pre"),
+          (col("s_c_post") * 100).cast("long").as("cents_c_post"),
+          col("n_c_post"),
+          (col("s_c_pre") * 100).cast("long").as("cents_c_pre"),
+          col("n_c_pre"),
+          when(least(col("n_t_post"), col("n_t_pre"), col("n_c_post"),
+              col("n_c_pre")) > 0L,
+            round(((mean("t_post") - mean("t_pre"))
+              - (mean("c_post") - mean("c_pre"))) * 10000).cast("long"))
+            .otherwise(0L).as("did_c4"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT CASE WHEN ${graft.ext.TextHash.duckHash60(
+              "'did:' || CAST(user_id AS VARCHAR)")} % 2 = 1
+                 THEN 1 ELSE 0 END AS t,
+                 CASE WHEN CAST(ts AS DATE) >= DATE '2024-04-01'
+                 THEN 1 ELSE 0 END AS post,
+                 CAST(value AS DECIMAL(18,2)) AS v
+          FROM events
+        ), cells AS (
+          SELECT
+            CAST(SUM(CASE WHEN t = 1 AND post = 1 THEN v END)
+              AS DECIMAL(18,2)) AS s_t_post,
+            CAST(SUM(CASE WHEN t = 1 AND post = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_t_post,
+            CAST(SUM(CASE WHEN t = 1 AND post = 0 THEN v END)
+              AS DECIMAL(18,2)) AS s_t_pre,
+            CAST(SUM(CASE WHEN t = 1 AND post = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_t_pre,
+            CAST(SUM(CASE WHEN t = 0 AND post = 1 THEN v END)
+              AS DECIMAL(18,2)) AS s_c_post,
+            CAST(SUM(CASE WHEN t = 0 AND post = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_c_post,
+            CAST(SUM(CASE WHEN t = 0 AND post = 0 THEN v END)
+              AS DECIMAL(18,2)) AS s_c_pre,
+            CAST(SUM(CASE WHEN t = 0 AND post = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_c_pre
+          FROM base
+        )
+        SELECT CAST(s_t_post * 100 AS BIGINT) AS cents_t_post, n_t_post,
+               CAST(s_t_pre * 100 AS BIGINT) AS cents_t_pre, n_t_pre,
+               CAST(s_c_post * 100 AS BIGINT) AS cents_c_post, n_c_post,
+               CAST(s_c_pre * 100 AS BIGINT) AS cents_c_pre, n_c_pre,
+               CASE WHEN LEAST(n_t_post, n_t_pre, n_c_post, n_c_pre) > 0
+                    THEN CAST(round(((CAST(s_t_post AS DOUBLE)
+                             / CAST(n_t_post AS DOUBLE)
+                           - CAST(s_t_pre AS DOUBLE)
+                             / CAST(n_t_pre AS DOUBLE))
+                          - (CAST(s_c_post AS DOUBLE)
+                             / CAST(n_c_post AS DOUBLE)
+                           - CAST(s_c_pre AS DOUBLE)
+                             / CAST(n_c_pre AS DOUBLE))) * 10000) AS BIGINT)
+                    ELSE 0 END AS did_c4
+        FROM cells
+      """.trim)),
+
+    // Benjamini-Hochberg FDR correction — the multiple-comparison layer
+    // q426's single permutation test lacks: one permutation test PER
+    // event type (even-vs-odd-user mean difference, P=32 hash-seeded
+    // label exchanges, the q426 binomial-randomization shape), p-values
+    // kept as EXACT rationals (1 + n_ge) / 33, and the BH step-up rule
+    // evaluated by integer cross-multiplication (p <= k*alpha/m iff
+    // p_num*100 <= k*33 at alpha=.05, m=5) — no floating p anywhere. The
+    // per-type rank is a 5-row self-join, the step-up frontier one
+    // broadcast aggregate.
+    Q(
+      "q473_bh_fdr",
+      (s, dir) => {
+        val P = 32
+        val base = Tables.events(s, dir).select(
+          col("event_type"),
+          concat(col("user_id").cast("string"), lit("@"),
+            col("event_id").cast("string")).as("uid"),
+          col("value").cast("decimal(18,2)").as("x"),
+          (col("user_id") % 2 === 0).cast("int").as("is_a"))
+          .repartition(col("uid"))
+        val diffC4 = (sa: org.apache.spark.sql.Column,
+            ca: org.apache.spark.sql.Column, sb: org.apache.spark.sql.Column,
+            cb: org.apache.spark.sql.Column) =>
+          round((sa.cast("double") / ca.cast("double")
+            - sb.cast("double") / cb.cast("double")) * 10000).cast("long")
+        val thr = base.groupBy("event_type").agg(
+          floor(sum(col("is_a").cast("long")).cast("double")
+            / count(lit(1)).cast("double") * lit(1152921504606846976.0))
+            .cast("long").as("thr"))
+        val obs = base.groupBy("event_type").agg(
+          sum(when(col("is_a") === 1, col("x"))).as("sa"),
+          sum(col("is_a").cast("long")).as("ca"),
+          sum(when(col("is_a") === 0, col("x"))).as("sb"),
+          count(lit(1)).as("cn"))
+          .select(col("event_type"), diffC4(col("sa"), col("ca"), col("sb"),
+            col("cn") - col("ca")).as("obs_c4"))
+        val perms = base
+          .join(broadcast(thr), Seq("event_type"))
+          .select(col("event_type"), col("uid"), col("x"), col("thr"),
+            explode(sequence(lit(0), lit(P - 1))).as("perm"))
+          .select(col("event_type"), col("perm"), col("x"),
+            (graft.ext.TextHash.hash60(concat(col("uid"), lit("#bh"),
+              col("perm").cast("string"))) < col("thr")).cast("int").as("pa"))
+          .groupBy("event_type", "perm")
+          .agg(sum(when(col("pa") === 1, col("x"))).as("sa"),
+            sum(col("pa").cast("long")).as("ca"),
+            sum(when(col("pa") === 0, col("x"))).as("sb"),
+            count(lit(1)).as("cn"))
+          .select(col("event_type"), diffC4(col("sa"), col("ca"), col("sb"),
+            col("cn") - col("ca")).as("diff_c4"))
+        val pvals = perms.join(obs.hint("shuffle_hash"), Seq("event_type"))
+          .groupBy("event_type")
+          .agg((lit(1L) + sum((abs(col("diff_c4")) >= abs(col("obs_c4")))
+            .cast("long"))).as("p_num"))
+        val ranked = pvals.as("a").join(pvals.as("b"),
+            col("b.p_num") < col("a.p_num")
+              || (col("b.p_num") === col("a.p_num")
+                && col("b.event_type") <= col("a.event_type")), "left")
+          .groupBy(col("a.event_type").as("event_type"),
+            col("a.p_num").as("p_num"))
+          .agg(count(col("b.event_type")).as("rank"))
+          .withColumn("bh_ok",
+            (col("p_num") * 100L <= col("rank") * 33L).cast("long"))
+        val kmax = ranked.agg(
+          coalesce(max(when(col("bh_ok") === 1L, col("rank"))), lit(0L))
+            .as("kmax"))
+        ranked.crossJoin(broadcast(kmax))
+          .select(col("event_type"), col("p_num"), col("rank"), col("bh_ok"),
+            (col("rank") <= col("kmax")).cast("long").as("rejected"))
+          .orderBy("event_type")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT event_type,
+                 CAST(user_id AS VARCHAR) || '@' || CAST(event_id AS VARCHAR)
+                   AS uid,
+                 CAST(value AS DECIMAL(18,2)) AS x,
+                 CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+          FROM events
+        ), thr AS (
+          SELECT event_type,
+                 CAST(floor(CAST(SUM(is_a) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) * 1152921504606846976.0)
+                   AS BIGINT) AS thr
+          FROM base GROUP BY event_type
+        ), obs AS (
+          SELECT event_type,
+                 CAST(round((CAST(SUM(CASE WHEN is_a = 1 THEN x END) AS DOUBLE)
+                       / CAST(SUM(is_a) AS DOUBLE)
+                     - CAST(SUM(CASE WHEN is_a = 0 THEN x END) AS DOUBLE)
+                       / CAST(COUNT(*) - SUM(is_a) AS DOUBLE)) * 10000)
+                     AS BIGINT) AS obs_c4
+          FROM base GROUP BY event_type
+        ), pr AS (
+          SELECT b.event_type, p.perm, b.x,
+                 CASE WHEN ${graft.ext.TextHash.duckHash60(
+                   "b.uid || '#bh' || CAST(p.perm AS VARCHAR)")}
+                      < thr.thr THEN 1 ELSE 0 END AS pa
+          FROM base b
+          JOIN thr ON thr.event_type = b.event_type
+          CROSS JOIN (SELECT unnest(range(32)) AS perm) p
+        ), pd AS (
+          SELECT event_type, perm,
+                 CAST(round((CAST(SUM(CASE WHEN pa = 1 THEN x END) AS DOUBLE)
+                       / CAST(SUM(pa) AS DOUBLE)
+                     - CAST(SUM(CASE WHEN pa = 0 THEN x END) AS DOUBLE)
+                       / CAST(COUNT(*) - SUM(pa) AS DOUBLE)) * 10000)
+                     AS BIGINT) AS diff_c4
+          FROM pr GROUP BY event_type, perm
+        ), pv AS (
+          SELECT pd.event_type AS event_type,
+                 1 + CAST(SUM(CASE WHEN abs(pd.diff_c4) >= abs(obs.obs_c4)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS p_num
+          FROM pd JOIN obs ON obs.event_type = pd.event_type
+          GROUP BY pd.event_type
+        ), rk AS (
+          SELECT a.event_type AS event_type, a.p_num AS p_num,
+                 CAST(COUNT(b.event_type) AS BIGINT) AS rank,
+                 CAST(CASE WHEN a.p_num * 100 <= COUNT(b.event_type) * 33
+                   THEN 1 ELSE 0 END AS BIGINT) AS bh_ok
+          FROM pv a LEFT JOIN pv b
+            ON b.p_num < a.p_num
+            OR (b.p_num = a.p_num AND b.event_type <= a.event_type)
+          GROUP BY a.event_type, a.p_num
+        ), km AS (
+          SELECT COALESCE(MAX(CASE WHEN bh_ok = 1 THEN rank END), 0) AS kmax
+          FROM rk
+        )
+        SELECT rk.event_type AS event_type, rk.p_num AS p_num,
+               rk.rank AS rank, rk.bh_ok AS bh_ok,
+               CAST(CASE WHEN rk.rank <= km.kmax THEN 1 ELSE 0 END AS BIGINT)
+                 AS rejected
+        FROM rk, km ORDER BY event_type
       """.trim))
   )
 }
