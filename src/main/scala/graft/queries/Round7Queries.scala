@@ -2395,7 +2395,7 @@ object Round7Queries {
         val base = Tables.events(s, dir).select(
           (graft.ext.TextHash.hash60(concat(lit("did:"),
             col("user_id").cast("string"))) % 2 === 1).cast("int").as("t"),
-          (col("ts").cast("date") >= lit("2024-04-01").cast("date"))
+          (col("ts").cast("date") >= lit("2024-01-16").cast("date"))
             .cast("int").as("post"),
           col("value").cast("decimal(18,2)").as("v"))
         def cell(tv: Int, pv: Int, sfx: String) = Seq(
@@ -2428,7 +2428,7 @@ object Round7Queries {
           SELECT CASE WHEN ${graft.ext.TextHash.duckHash60(
               "'did:' || CAST(user_id AS VARCHAR)")} % 2 = 1
                  THEN 1 ELSE 0 END AS t,
-                 CASE WHEN CAST(ts AS DATE) >= DATE '2024-04-01'
+                 CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
                  THEN 1 ELSE 0 END AS post,
                  CAST(value AS DECIMAL(18,2)) AS v
           FROM events

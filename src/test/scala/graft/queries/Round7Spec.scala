@@ -346,4 +346,33 @@ class Round7Spec extends graft.SparkSpec {
     assert(rows.exists(_.getLong(3) > 0L),
       "at least one internal gap must be localized")
   }
+
+  test("q472 DiD cells tile the event table and the estimate recomputes") {
+    val r = run("q472_did_estimator").collect().head
+    val total = spark.read.parquet(s"$sf0001/events.parquet").count()
+    val ns = Seq(1, 3, 5, 7).map(r.getLong)
+    assert(ns.sum === total, "the four cells must partition all events")
+    assert(ns.forall(_ > 0L), "every 2x2 cell must be populated")
+    def mean(i: Int) = r.getLong(i).toDouble / 100.0 / r.getLong(i + 1)
+    val did = math.round(((mean(0) - mean(2)) - (mean(4) - mean(6))) * 10000)
+    assert(r.getLong(8) === did, "DiD must recompute from the emitted cells")
+  }
+
+  test("q473 BH rejections form a prefix of the p-value ranking") {
+    val rows = run("q473_bh_fdr").collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getLong(2)).sorted === (1L to 5L).toArray,
+      "ranks must be the permutation 1..m")
+    val byRank = rows.sortBy(_.getLong(2))
+    // p-values nondecreasing in rank; rejected set closed downward
+    assert(byRank.map(_.getLong(1)).sliding(2).forall(p =>
+      p.length < 2 || p(0) <= p(1)))
+    val rej = byRank.map(_.getLong(4))
+    assert(rej.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "a rejected test can never rank above an accepted one")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 33L,
+        "p numerator must lie in [1, P+1]")
+    }
+  }
 }
