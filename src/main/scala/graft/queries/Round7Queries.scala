@@ -2602,6 +2602,76 @@ object Round7Queries {
                CAST(CASE WHEN rk.rank <= km.kmax THEN 1 ELSE 0 END AS BIGINT)
                  AS rejected
         FROM rk, km ORDER BY event_type
+      """.trim)),
+
+    // Edge embeddedness & local bridges — Granovetter tie-strength over
+    // the mutual-kNN graph, the EDGE-level complement of q437 (which
+    // scores NON-edges by the same common-neighborhood signal): per edge,
+    // embeddedness = |N(u) & N(v)| (triangle support), local-bridge flag
+    // (embeddedness 0 — removing the edge pushes u,v at least 3 hops
+    // apart, the weak ties that connect duplication communities), and the
+    // neighborhood-Jaccard tie strength in integer micro floor units.
+    // One 2-path hash join bounded by the degree cap, two degree probes —
+    // the q195 triangle discipline on the kNN substrate.
+    Q(
+      "q474_edge_embeddedness",
+      (s, dir) => {
+        val mu = mutualKnnEdges(s, dir)
+        val und = mu.select(col("id_a").as("u"), col("id_b").as("v"))
+          .unionAll(mu.select(col("id_b").as("u"), col("id_a").as("v")))
+        val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+        val common = mu
+          .join(und.select(col("u").as("id_a"), col("v").as("w"))
+            .hint("shuffle_hash"), Seq("id_a"))
+          .join(und.select(col("u").as("id_b"), col("v").as("w"))
+            .hint("shuffle_hash"), Seq("id_b", "w"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("emb"))
+        mu.join(common.hint("shuffle_hash"), Seq("id_a", "id_b"), "left")
+          .join(deg.select(col("u").as("id_a"), col("deg").as("da"))
+            .hint("shuffle_hash"), Seq("id_a"))
+          .join(deg.select(col("u").as("id_b"), col("deg").as("db"))
+            .hint("shuffle_hash"), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            coalesce(col("emb"), lit(0L)).as("embeddedness"),
+            col("da"), col("db"))
+          .withColumn("is_local_bridge",
+            (col("embeddedness") === 0L).cast("long"))
+          .withColumn("jaccard_micro",
+            // an isolated edge (both endpoints degree 1) has an empty
+            // neighborhood union — guard the division in BOTH engines
+            expr("CAST(CASE WHEN da + db - 2 - embeddedness > 0 THEN " +
+              "embeddedness * 1000000 DIV (da + db - 2 - embeddedness) " +
+              "ELSE 0 END AS BIGINT)"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        $MutualKnnCte, und AS (
+          SELECT id_a AS u, id_b AS v FROM mu
+          UNION ALL SELECT id_b AS u, id_a AS v FROM mu
+        ), deg AS (
+          SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY u
+        ), cm AS (
+          SELECT mu.id_a AS id_a, mu.id_b AS id_b,
+                 CAST(COUNT(*) AS BIGINT) AS emb
+          FROM mu
+          JOIN und a ON a.u = mu.id_a
+          JOIN und b ON b.u = mu.id_b AND b.v = a.v
+          GROUP BY mu.id_a, mu.id_b
+        )
+        SELECT mu.id_a AS id_a, mu.id_b AS id_b,
+               COALESCE(cm.emb, 0) AS embeddedness,
+               d1.deg AS da, d2.deg AS db,
+               CAST(CASE WHEN COALESCE(cm.emb, 0) = 0 THEN 1 ELSE 0 END
+                 AS BIGINT) AS is_local_bridge,
+               CAST(CASE WHEN d1.deg + d2.deg - 2 - COALESCE(cm.emb, 0) > 0
+                    THEN COALESCE(cm.emb, 0) * 1000000
+                         // (d1.deg + d2.deg - 2 - COALESCE(cm.emb, 0))
+                    ELSE 0 END AS BIGINT) AS jaccard_micro
+        FROM mu
+        LEFT JOIN cm ON cm.id_a = mu.id_a AND cm.id_b = mu.id_b
+        JOIN deg d1 ON d1.u = mu.id_a
+        JOIN deg d2 ON d2.u = mu.id_b
+        ORDER BY id_a, id_b
       """.trim))
   )
 }
