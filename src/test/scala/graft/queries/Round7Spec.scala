@@ -375,4 +375,40 @@ class Round7Spec extends graft.SparkSpec {
         "p numerator must lie in [1, P+1]")
     }
   }
+
+  test("q450 harmonic centrality decomposes into its hop counts") {
+    val rows = run("q450_harmonic_centrality").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n1, n2, n3, h) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n1 >= 1L && n1 <= 3L, "hop-1 reach is the degree, capped at k=3")
+      assert(h === n1 * 1000000L + n2 * 500000L + n3 * 333333L)
+    }
+  }
+
+  test("q449 KMV estimates carry their exact audit") {
+    val rows = run("q449_kmv_intersect").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0.0 && r.getDouble(3) > 0.0 &&
+        r.getDouble(4) > 0.0, "set-size estimates must be positive")
+      assert(r.getLong(6) >= 0L)
+    }
+    assert(rows.exists(_.getLong(6) > 0L),
+      "fixture must contain genuinely overlapping presence sets")
+  }
+
+  test("q474 embeddedness is bounded by the smaller open neighborhood") {
+    val rows = run("q474_edge_embeddedness").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (emb, da, db) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(emb <= math.min(da, db) - 1,
+        "common neighbors exclude the edge partner itself")
+      assert(r.getLong(5) === (if (emb == 0L) 1L else 0L))
+    }
+    assert(rows.exists(_.getLong(5) == 1L) && rows.exists(_.getLong(5) == 0L),
+      "fixture must contain both bridges and embedded ties")
+  }
 }
