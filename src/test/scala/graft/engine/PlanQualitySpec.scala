@@ -629,4 +629,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastHashJoin"),
       s"q270 must not broadcast a corpus-linear frame:\n$plan")
   }
+
+  test("batch sessionization plans Spark's session-window aggregate, not a window function") {
+    // q468 gates the BUILT-IN session_window operator; if someone rewrites
+    // it to a lag/running-sum window chain the value gate still passes
+    // (same semantics), so pin the plan: a session-window aggregate node
+    // and zero WindowExec.
+    val df = graft.SparkEntry.queries("q468_session_window_batch")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("session_window"),
+      s"expected the native session-window aggregate in:\n$plan")
+    assert(!plan.contains("Window "), s"no window function expected in:\n$plan")
+  }
+
+  test("negative sampling joins the rank frame by shuffle, never broadcast") {
+    // q454's rank frame is corpus-linear (one row per embedding): the
+    // negative-draw join (on nr) and the kNN-edge audit join (on the
+    // least/greatest pair key) must both stay shuffle-side. The bounded
+    // broadcasts INSIDE annTopKByCell (cell-restricted probe frames) are
+    // that operator's own gated design and are exempt here.
+    val df = graft.SparkEntry.queries("q454_negative_sampling")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin [nr#"),
+      s"the negative-draw rank join must be shuffle-side:\n$plan")
+    assert(plan.contains("ShuffledHashJoin [least(anchor_id"),
+      s"the kNN-edge audit join must be shuffle-side:\n$plan")
+  }
 }
