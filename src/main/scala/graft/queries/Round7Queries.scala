@@ -2672,6 +2672,108 @@ object Round7Queries {
         JOIN deg d1 ON d1.u = mu.id_a
         JOIN deg d2 ON d2.u = mu.id_b
         ORDER BY id_a, id_b
+      """.trim)),
+
+    // Exact Mann-Whitney AUC — the rank statistic behind both the
+    // Wilcoxon test and classifier ROC-AUC ("does value separate
+    // purchases from the rest"), computed EXACTLY with midrank tie
+    // handling and zero floating ranks: doubled midrank per tied value
+    // group = min_rank + max_rank (integers from the two-phase scalable
+    // global rank), 2U = sum over positives of (min+max) - n1(n1+1), and
+    // AUC in micro units by one integer floor division. Values quantized
+    // to cents first (they are stored money), so the tie groups are
+    // engine-identical. No window: ranks ride rankByScalable, the tie
+    // rollup is one hash aggregate.
+    Q(
+      "q475_mann_whitney_auc",
+      (s, dir) => {
+        val base = Tables.events(s, dir).select(
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+          (col("event_type") === "purchase").cast("long").as("pos"))
+        val ranked = graft.engine.Keys.rankByScalable(
+          base, Seq(col("cents"), col("pos")), "r")
+        val groups = ranked.groupBy("cents")
+          .agg(min(col("r")).as("rmin"), max(col("r")).as("rmax"),
+            sum(col("pos")).as("c1"), count(lit(1)).as("ct"))
+        val sums = groups.agg(
+          sum(col("c1") * (col("rmin") + col("rmax"))).as("r2_pos"),
+          sum(col("c1")).as("n1"), sum(col("ct")).as("n"))
+        sums.select(col("n1"), (col("n") - col("n1")).as("n0"),
+            (col("r2_pos") - col("n1") * (col("n1") + 1L)).as("u2"))
+          .select(col("n1"), col("n0"), col("u2"),
+            expr("CAST(u2 * 1000000 DIV (2 * n1 * n0) AS BIGINT)")
+              .as("auc_micro"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+          FROM events
+        ), ranked AS (
+          SELECT cents, pos,
+                 CAST(row_number() OVER (ORDER BY cents, pos) AS BIGINT) AS r
+          FROM base
+        ), groups AS (
+          SELECT cents, MIN(r) AS rmin, MAX(r) AS rmax,
+                 CAST(SUM(pos) AS BIGINT) AS c1, COUNT(*) AS ct
+          FROM ranked GROUP BY cents
+        ), sums AS (
+          SELECT CAST(SUM(c1 * (rmin + rmax)) AS BIGINT) AS r2_pos,
+                 CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(ct) AS BIGINT) AS n
+          FROM groups
+        )
+        SELECT n1, n - n1 AS n0,
+               r2_pos - n1 * (n1 + 1) AS u2,
+               CAST((r2_pos - n1 * (n1 + 1)) * 1000000
+                 // (2 * n1 * (n - n1)) AS BIGINT) AS auc_micro
+        FROM sums
+      """.trim)),
+
+    // Calibration curve (reliability diagram) — the model-eval companion
+    // to q475's discrimination: a deterministic [0,1] score (value/100,
+    // clamped) against the purchase outcome across 10 FIXED bins; per bin
+    // the exact count, mean predicted score in micro units (integer cents
+    // arithmetic), observed positive rate in micro units, and the signed
+    // calibration gap — all integer floor divisions, no floating mean.
+    // Fixed-width bins make the sketch mergeable (the q453 discipline).
+    Q(
+      "q476_calibration_curve",
+      (s, dir) => {
+        val base = Tables.events(s, dir).select(
+          least((col("value").cast("decimal(18,2)") * 100).cast("long"),
+            lit(9999L)).as("score_c4"),
+          (col("event_type") === "purchase").cast("long").as("pos"))
+        base
+          .withColumn("bin", expr("CAST(score_c4 DIV 1000 AS INT)"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum(col("score_c4")).as("s_c4"),
+            sum(col("pos")).as("n_pos"))
+          .select(col("bin"), col("n"),
+            expr("CAST(s_c4 * 100 DIV n AS BIGINT)").as("mean_score_micro"),
+            expr("CAST(n_pos * 1000000 DIV n AS BIGINT)").as("pos_rate_micro"))
+          .withColumn("gap_micro",
+            col("pos_rate_micro") - col("mean_score_micro"))
+          .orderBy("bin")
+      },
+      Some("""
+        WITH base AS (
+          SELECT LEAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+                   9999) AS score_c4,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+          FROM events
+        ), b AS (
+          SELECT CAST(score_c4 // 1000 AS INTEGER) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(score_c4) AS BIGINT) AS s_c4,
+                 CAST(SUM(pos) AS BIGINT) AS n_pos
+          FROM base GROUP BY 1
+        )
+        SELECT bin, n,
+               CAST(s_c4 * 100 // n AS BIGINT) AS mean_score_micro,
+               CAST(n_pos * 1000000 // n AS BIGINT) AS pos_rate_micro,
+               CAST(n_pos * 1000000 // n - s_c4 * 100 // n AS BIGINT)
+                 AS gap_micro
+        FROM b ORDER BY bin
       """.trim))
   )
 }
