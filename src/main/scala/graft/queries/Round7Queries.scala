@@ -2774,6 +2774,67 @@ object Round7Queries {
                CAST(n_pos * 1000000 // n - s_c4 * 100 // n AS BIGINT)
                  AS gap_micro
         FROM b ORDER BY bin
+      """.trim)),
+
+    // Sliding-window chunking with overlap — the RAG/embedding chunker
+    // (window 32, stride 24, overlap 8) beside q128's disjoint chunks:
+    // per document, the chunk census (ceil(n/24) windows), the exact
+    // overlap mass (total chunk tokens minus n — the embedding-cost tax
+    // of the overlap), and the ROUND-TRIP proof: dropping the first 8
+    // tokens of every non-first chunk and reassembling in chunk order
+    // must rebuild the document bit-exactly (md5 value gate; the match
+    // flag is HARDCODED 1 in the oracle, so a boundary error fails the
+    // hash, q435 convention). Bounded explode (ceil(n/24) per doc), one
+    // per-doc rebuild aggregate — corpus-linear.
+    Q(
+      "q477_overlap_chunking",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+          .withColumn("n", size(col("w")).cast("long"))
+        val chunks = toks
+          .select(col("doc_id"), col("w"), col("n"),
+            explode(sequence(lit(0L), expr("(n - 1) DIV 24"))).as("idx"))
+          .withColumn("s0", col("idx") * 24L)
+          .withColumn("full_len",
+            least(lit(32L), col("n") - col("s0")))
+          .withColumn("kept",
+            expr("slice(w, CAST(s0 + 1 + IF(idx > 0, 8, 0) AS INT), " +
+              "CAST(IF(idx > 0, 24, 32) AS INT))"))
+        chunks.groupBy("doc_id")
+          .agg(max(col("n")).as("n_tokens"),
+            count(lit(1)).as("n_chunks"),
+            sum(col("full_len")).as("chunk_token_mass"),
+            md5(array_join(flatten(transform(
+              filter(sort_array(collect_list(struct(col("idx"), col("kept")))),
+                r => size(r.getField("kept")) > 0),
+              r => r.getField("kept"))), " ")).as("reassembled_fp"),
+            // w is constant within the doc group, so first() is deterministic
+            md5(array_join(first(col("w")), " ")).as("orig_fp"))
+          .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+            (col("chunk_token_mass") - col("n_tokens")).as("overlap_tokens"),
+            (col("reassembled_fp") === col("orig_fp")).cast("long")
+              .as("roundtrip_ok"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, $Toks AS w, CAST(len($Toks) AS BIGINT) AS n
+          FROM documents
+        ), ch AS (
+          SELECT doc_id, n, u.idx AS idx,
+                 LEAST(32, n - u.idx * 24) AS full_len
+          FROM t, LATERAL (SELECT unnest(generate_series(0, (n - 1) // 24))
+                           AS idx) u
+        )
+        SELECT ch.doc_id AS doc_id, CAST(MAX(ch.n) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(ch.full_len) - MAX(ch.n) AS BIGINT) AS overlap_tokens,
+               -- HARDCODED 1 (q435 enforced-gate convention): the
+               -- stride/window arithmetic GUARANTEES exact reassembly; a
+               -- Spark-side boundary bug must fail the gate, not mirror it
+               CAST(1 AS BIGINT) AS roundtrip_ok
+        FROM ch GROUP BY ch.doc_id ORDER BY doc_id
       """.trim))
   )
 }
