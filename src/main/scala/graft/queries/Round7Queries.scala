@@ -2835,6 +2835,129 @@ object Round7Queries {
                -- Spark-side boundary bug must fail the gate, not mirror it
                CAST(1 AS BIGINT) AS roundtrip_ok
         FROM ch GROUP BY ch.doc_id ORDER BY doc_id
+      """.trim)),
+
+    // Cohen's kappa — inter-annotator agreement for labeling pipelines
+    // (the QA statistic every human-label or LLM-judge workflow reports
+    // before trusting its labels): two deterministic binary annotators
+    // over events (a value rule and a props rule), the full 2x2 confusion
+    // as exact integers, and kappa = (po - pe) / (1 - pe) cleared of
+    // denominators into pure integer cross-products — kappa_micro =
+    // (n*(a+d) - E) * 1e6 div (n*n - E) with E = (a+b)(a+c) + (c+d)(b+d).
+    // One conditional-aggregation pass.
+    Q(
+      "q478_cohens_kappa",
+      (s, dir) => {
+        val base = Tables.events(s, dir).select(
+          (col("value").cast("decimal(18,2)") >= 20).cast("long").as("ra"),
+          (get_json_object(col("props"), "$.k").cast("int") >= 50)
+            .cast("long").as("rb"))
+        base.agg(
+            sum(when(col("ra") === 1L && col("rb") === 1L, 1L).otherwise(0L)).as("a"),
+            sum(when(col("ra") === 1L && col("rb") === 0L, 1L).otherwise(0L)).as("b"),
+            sum(when(col("ra") === 0L && col("rb") === 1L, 1L).otherwise(0L)).as("c"),
+            sum(when(col("ra") === 0L && col("rb") === 0L, 1L).otherwise(0L)).as("d"))
+          .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+          .withColumn("e_num",
+            (col("a") + col("b")) * (col("a") + col("c"))
+              + (col("c") + col("d")) * (col("b") + col("d")))
+          .select(col("a"), col("b"), col("c"), col("d"),
+            expr("CAST(CASE WHEN n * n - e_num > 0 THEN " +
+              "(n * (a + d) - e_num) * 1000000 DIV (n * n - e_num) " +
+              "ELSE 0 END AS BIGINT)").as("kappa_micro"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CASE WHEN CAST(value AS DECIMAL(18,2)) >= 20
+                 THEN 1 ELSE 0 END AS ra,
+                 CASE WHEN CAST(props->>'k' AS INTEGER) >= 50
+                 THEN 1 ELSE 0 END AS rb
+          FROM events
+        ), m AS (
+          SELECT CAST(SUM(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS a,
+                 CAST(SUM(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b,
+                 CAST(SUM(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c,
+                 CAST(SUM(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS d
+          FROM base
+        )
+        SELECT a, b, c, d,
+               CAST(CASE WHEN (a + b + c + d) * (a + b + c + d)
+                      - ((a + b) * (a + c) + (c + d) * (b + d)) > 0
+                    THEN ((a + b + c + d) * (a + d)
+                        - ((a + b) * (a + c) + (c + d) * (b + d))) * 1000000
+                      // ((a + b + c + d) * (a + b + c + d)
+                        - ((a + b) * (a + c) + (c + d) * (b + d)))
+                    ELSE 0 END AS BIGINT) AS kappa_micro
+        FROM m
+      """.trim)),
+
+    // Thresholded classification report — precision / recall / F1 at
+    // three fixed operating points over the same score/outcome pair as
+    // q475/q476 (the deployment-decision table that follows the AUC):
+    // per threshold, exact TP/FP/FN counts and the three ratios in
+    // integer micro floor units; F1 from the cleared form 2*tp*1e6 div
+    // (2*tp + fp + fn) — no intermediate floating precision/recall.
+    // One pass per threshold over a 3-row literal grid (broadcast), one
+    // hash aggregate.
+    Q(
+      "q479_classification_report",
+      (s, dir) => {
+        val base = Tables.events(s, dir).select(
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("score_c4"),
+          (col("event_type") === "purchase").cast("long").as("pos"))
+        val thresholds = s.createDataFrame(
+          Seq(Tuple1(1000L), Tuple1(2000L), Tuple1(4000L))).toDF("thr_c4")
+        base.crossJoin(broadcast(thresholds))
+          .withColumn("pred", (col("score_c4") >= col("thr_c4")).cast("long"))
+          .groupBy("thr_c4")
+          .agg(
+            sum(when(col("pred") === 1L && col("pos") === 1L, 1L)
+              .otherwise(0L)).as("tp"),
+            sum(when(col("pred") === 1L && col("pos") === 0L, 1L)
+              .otherwise(0L)).as("fp"),
+            sum(when(col("pred") === 0L && col("pos") === 1L, 1L)
+              .otherwise(0L)).as("fn"))
+          .select(col("thr_c4"), col("tp"), col("fp"), col("fn"),
+            expr("CAST(CASE WHEN tp + fp > 0 THEN tp * 1000000 DIV (tp + fp) " +
+              "ELSE 0 END AS BIGINT)").as("precision_micro"),
+            expr("CAST(CASE WHEN tp + fn > 0 THEN tp * 1000000 DIV (tp + fn) " +
+              "ELSE 0 END AS BIGINT)").as("recall_micro"),
+            expr("CAST(CASE WHEN 2 * tp + fp + fn > 0 THEN " +
+              "2 * tp * 1000000 DIV (2 * tp + fp + fn) ELSE 0 END AS BIGINT)")
+              .as("f1_micro"))
+          .orderBy("thr_c4")
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS score_c4,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+          FROM events
+        ), g AS (
+          SELECT t.thr_c4,
+                 CAST(SUM(CASE WHEN score_c4 >= t.thr_c4 AND pos = 1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(SUM(CASE WHEN score_c4 >= t.thr_c4 AND pos = 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(SUM(CASE WHEN score_c4 < t.thr_c4 AND pos = 1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS fn
+          FROM base CROSS JOIN (SELECT CAST(unnest([1000, 2000, 4000])
+                                AS BIGINT) AS thr_c4) t
+          GROUP BY t.thr_c4
+        )
+        SELECT thr_c4, tp, fp, fn,
+               CAST(CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp)
+                    ELSE 0 END AS BIGINT) AS precision_micro,
+               CAST(CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn)
+                    ELSE 0 END AS BIGINT) AS recall_micro,
+               CAST(CASE WHEN 2 * tp + fp + fn > 0
+                    THEN 2 * tp * 1000000 // (2 * tp + fp + fn)
+                    ELSE 0 END AS BIGINT) AS f1_micro
+        FROM g ORDER BY thr_c4
       """.trim))
   )
 }
