@@ -411,4 +411,52 @@ class Round7Spec extends graft.SparkSpec {
     assert(rows.exists(_.getLong(5) == 1L) && rows.exists(_.getLong(5) == 0L),
       "fixture must contain both bridges and embedded ties")
   }
+
+  test("q475 AUC matches a brute-force pairwise comparison") {
+    val data = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("value", "event_type").collect()
+      .map(r => (BigDecimal(r.getDouble(0)).setScale(2,
+        scala.math.BigDecimal.RoundingMode.HALF_UP) * 100,
+        if (r.getString(1) == "purchase") 1 else 0))
+    val pos = data.filter(_._2 == 1).map(_._1)
+    val neg = data.filter(_._2 == 0).map(_._1)
+    // 2U = #{pos > neg}*2 + #{ties} over all cross pairs
+    var u2 = 0L
+    for (p <- pos; n <- neg)
+      u2 += (if (p > n) 2L else if (p == n) 1L else 0L)
+    val r = run("q475_mann_whitney_auc").collect().head
+    assert(r.getLong(0) === pos.length.toLong)
+    assert(r.getLong(1) === neg.length.toLong)
+    assert(r.getLong(2) === u2, "rank-form 2U must equal the pairwise count")
+    assert(r.getLong(3) === u2 * 1000000L / (2L * pos.length * neg.length))
+  }
+
+  test("q477 chunk census and overlap mass follow the stride arithmetic") {
+    val rows = run("q477_overlap_chunking").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, chunks, overlap, ok) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(chunks === (n - 1) / 24 + 1, s"chunk count for n=$n")
+      // overlap = sum over non-first chunks of min(8, tokens they re-cover)
+      val expected = (1L until chunks).map(i => math.min(32L, n - i * 24L))
+        .sum + math.min(32L, n) - n
+      assert(overlap === expected, s"overlap mass for n=$n")
+      assert(ok === 1L, "round-trip must hold for every document")
+    }
+  }
+
+  test("q479 report rows degrade monotonically with the threshold") {
+    val rows = run("q479_classification_report").collect().sortBy(_.getLong(0))
+    assert(rows.length === 3)
+    // raising the threshold can only shrink the predicted-positive set
+    val tps = rows.map(_.getLong(1))
+    assert(tps.zip(tps.tail).forall { case (a, b) => a >= b })
+    val recalls = rows.map(_.getLong(5))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getLong(4) <= 1000000L && r.getLong(5) <= 1000000L
+        && r.getLong(6) <= 1000000L)
+    }
+  }
 }
