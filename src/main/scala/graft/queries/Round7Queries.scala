@@ -2958,6 +2958,167 @@ object Round7Queries {
                     THEN 2 * tp * 1000000 // (2 * tp + fp + fn)
                     ELSE 0 END AS BIGINT) AS f1_micro
         FROM g ORDER BY thr_c4
+      """.trim)),
+
+    // Two-group log-rank test — the hypothesis test completing q420's
+    // Kaplan-Meier estimate (do the two cohorts' survival curves differ?):
+    // per distinct event day, exact at-risk and death counts for both
+    // groups (a users x event-days join, CALENDAR-bounded at <= 31 days —
+    // linear in users); the hypergeometric E and V terms are quantized to
+    // integer micro PER EVENT TIME (the q194 order-free-sum trick; both
+    // engines' integer division is truncation, documented at q478), and
+    // the z statistic is one final fixed IEEE tree. Duration = observed
+    // span in days, death = the user purchased, group = user parity.
+    Q(
+      "q480_logrank_test",
+      (s, dir) => {
+        val users = Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg((datediff(max(col("ts").cast("date")),
+            min(col("ts").cast("date"))) + 1).cast("long").as("dur"),
+            max((col("event_type") === "purchase").cast("long")).as("death"))
+          .withColumn("g1", (col("user_id") % 2 === 0).cast("long"))
+        val times = users.filter(col("death") === 1L)
+          .select(col("dur").as("t")).distinct()
+        val atRisk = users.join(times.hint("shuffle_hash"),
+            col("dur") >= col("t"))
+          .groupBy("t")
+          .agg(sum(col("g1")).as("n1"), count(lit(1)).as("n"),
+            sum(when(col("dur") === col("t"), col("death") * col("g1"))
+              .otherwise(0L)).as("d1"),
+            sum(when(col("dur") === col("t"), col("death")).otherwise(0L))
+              .as("d"))
+        val sums = atRisk.filter(col("d") > 0L).agg(
+          sum(col("d1")).as("o1"),
+          sum(expr("d * n1 * 1000000 DIV n")).as("e1_micro"),
+          sum(expr("CASE WHEN n > 1 THEN d * (n - d) * n1 * (n - n1) * 1000000 " +
+            "DIV (n * n * (n - 1)) ELSE 0 END")).as("v_micro"))
+        sums.select(col("o1"), col("e1_micro"), col("v_micro"),
+          when(col("v_micro") > 0L,
+            (col("o1") * 1000000L - col("e1_micro")).cast("double")
+              / (lit(1000.0) * sqrt(col("v_micro").cast("double"))))
+            .otherwise(lit(0.0)).as("z_score"))
+      },
+      Some("""
+        WITH users AS (
+          SELECT user_id,
+                 CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                   MAX(CAST(ts AS DATE))) + 1 AS BIGINT) AS dur,
+                 CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS death,
+                 CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g1
+          FROM events GROUP BY user_id
+        ), times AS (
+          SELECT DISTINCT dur AS t FROM users WHERE death = 1
+        ), ar AS (
+          SELECT times.t AS t, CAST(SUM(u.g1) AS BIGINT) AS n1,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN u.dur = times.t THEN u.death * u.g1
+                   ELSE 0 END) AS BIGINT) AS d1,
+                 CAST(SUM(CASE WHEN u.dur = times.t THEN u.death ELSE 0 END)
+                   AS BIGINT) AS d
+          FROM users u JOIN times ON u.dur >= times.t
+          GROUP BY times.t
+        ), sums AS (
+          SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+                 CAST(SUM(d * n1 * 1000000 // n) AS BIGINT) AS e1_micro,
+                 CAST(SUM(CASE WHEN n > 1
+                   THEN d * (n - d) * n1 * (n - n1) * 1000000
+                        // (n * n * (n - 1))
+                   ELSE 0 END) AS BIGINT) AS v_micro
+          FROM ar WHERE d > 0
+        )
+        SELECT o1, e1_micro, v_micro,
+               CASE WHEN v_micro > 0
+                    THEN CAST(o1 * 1000000 - e1_micro AS DOUBLE)
+                         / (1000.0 * sqrt(CAST(v_micro AS DOUBLE)))
+                    ELSE 0.0 END AS z_score
+        FROM sums
+      """.trim)),
+
+    // Cumulative gains / lift chart — the campaign-targeting view of the
+    // q475 score ("contact the top decile, capture X% of purchasers"):
+    // score-DESCENDING deciles from the two-phase scalable rank + the
+    // explicit ntile rule, cumulative positives via a 10-row self-join
+    // (never a window), gain and lift in integer micro floor units from
+    // exact counts. The decile assignment is the q461 equi-depth
+    // discipline pointed at a model score.
+    Q(
+      "q481_gain_chart",
+      (s, dir) => {
+        val base = Tables.events(s, dir).select(
+          col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("score_c4"),
+          (col("event_type") === "purchase").cast("long").as("pos"))
+        val ranked = graft.engine.Keys.rankByScalable(
+          base, Seq(col("score_c4").desc, col("event_id")), "r")
+        val tot = ranked.agg(count(lit(1)).as("n_all"),
+          sum(col("pos")).as("pos_all"))
+        val dec = ranked.crossJoin(broadcast(tot))
+          .withColumn("decile",
+            graft.engine.Keys.ntileFromRank(col("r"), col("n_all"), 10))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+            max(col("n_all")).as("n_all"), max(col("pos_all")).as("pos_all"))
+        dec.as("a")
+          .join(dec.as("b"), col("b.decile") <= col("a.decile"))
+          .groupBy(col("a.decile").as("decile"), col("a.n").as("n"),
+            col("a.n_pos").as("n_pos"), col("a.n_all").as("n_all"),
+            col("a.pos_all").as("pos_all"))
+          .agg(sum(col("b.n")).as("cum_n"), sum(col("b.n_pos")).as("cum_pos"))
+          .select(col("decile"), col("n"), col("n_pos"), col("cum_pos"),
+            expr("CAST(CASE WHEN pos_all > 0 THEN cum_pos * 1000000 DIV pos_all " +
+              "ELSE 0 END AS BIGINT)").as("gain_micro"),
+            expr("CAST(CASE WHEN pos_all * cum_n > 0 THEN " +
+              "cum_pos * n_all * 1000000 DIV (pos_all * cum_n) " +
+              "ELSE 0 END AS BIGINT)").as("lift_micro"))
+          .orderBy("decile")
+      },
+      Some("""
+        WITH base AS (
+          SELECT event_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS score_c4,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+          FROM events
+        ), ranked AS (
+          SELECT pos,
+                 CAST(row_number() OVER (ORDER BY score_c4 DESC, event_id)
+                   AS BIGINT) AS r,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n_all
+          FROM base
+        ), dec AS (
+          SELECT CAST(CASE WHEN r <= (n_all % 10) * (n_all // 10 + 1)
+                   THEN (r - 1) // (n_all // 10 + 1)
+                   ELSE (n_all % 10) + (r - (n_all % 10) * (n_all // 10 + 1) - 1)
+                        // (n_all // 10)
+                   END + 1 AS INTEGER) AS decile,
+                 pos, n_all
+          FROM ranked
+        ), g AS (
+          SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(pos) AS BIGINT) AS n_pos,
+                 CAST(MAX(n_all) AS BIGINT) AS n_all
+          FROM dec GROUP BY decile
+        ), t AS (
+          SELECT CAST(SUM(n_pos) AS BIGINT) AS pos_all FROM g
+        ), c AS (
+          SELECT a.decile AS decile, a.n AS n, a.n_pos AS n_pos,
+                 a.n_all AS n_all,
+                 CAST(SUM(b.n) AS BIGINT) AS cum_n,
+                 CAST(SUM(b.n_pos) AS BIGINT) AS cum_pos
+          FROM g a JOIN g b ON b.decile <= a.decile
+          GROUP BY a.decile, a.n, a.n_pos, a.n_all
+        )
+        SELECT c.decile AS decile, c.n AS n, c.n_pos AS n_pos,
+               c.cum_pos AS cum_pos,
+               CAST(CASE WHEN t.pos_all > 0
+                 THEN c.cum_pos * 1000000 // t.pos_all ELSE 0 END AS BIGINT)
+                 AS gain_micro,
+               CAST(CASE WHEN t.pos_all * c.cum_n > 0
+                 THEN c.cum_pos * c.n_all * 1000000 // (t.pos_all * c.cum_n)
+                 ELSE 0 END AS BIGINT) AS lift_micro
+        FROM c, t ORDER BY decile
       """.trim))
   )
 }
