@@ -3119,6 +3119,137 @@ object Round7Queries {
                  THEN c.cum_pos * c.n_all * 1000000 // (t.pos_all * c.cum_n)
                  ELSE 0 END AS BIGINT) AS lift_micro
         FROM c, t ORDER BY decile
+      """.trim)),
+
+    // t-closeness audit — the third rung of the disclosure-risk ladder
+    // (k-anonymity q239 -> l-diversity q440 -> t-closeness): per
+    // (lang, len_band) equivalence class, the total-variation distance
+    // between the class's sensitive-attribute (source) distribution and
+    // the corpus-global one, kept EXACT by cross-multiplication:
+    // TV = sum_s |cnt_cs*N - g_s*N_c| / (2*N_c*N), emitted in micro floor
+    // units with the t=0.3 release flag. The class x source grid is
+    // (classes x bounded source domain) — the same constant-domain
+    // broadcast exemption as event types.
+    Q(
+      "q482_t_closeness",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("lang"), expr("n_chars DIV 200").as("len_band"),
+            col("source"))
+        val cellCnt = docs.groupBy("lang", "len_band", "source")
+          .agg(count(lit(1)).as("cnt"))
+        val classTot = docs.groupBy("lang", "len_band")
+          .agg(count(lit(1)).as("n_c"))
+        val globTot = docs.groupBy("source").agg(count(lit(1)).as("g_s"))
+        val n = docs.agg(count(lit(1)).as("n_all"))
+        classTot.crossJoin(broadcast(globTot)).crossJoin(broadcast(n))
+          .join(cellCnt.hint("shuffle_hash"),
+            Seq("lang", "len_band", "source"), "left")
+          .withColumn("term",
+            abs(coalesce(col("cnt"), lit(0L)) * col("n_all")
+              - col("g_s") * col("n_c")))
+          .groupBy("lang", "len_band", "n_c", "n_all")
+          .agg(sum(col("term")).as("tv_num"))
+          .select(col("lang"), col("len_band"), col("n_c").as("n_class"),
+            expr("CAST(tv_num * 1000000 DIV (2 * n_c * n_all) AS BIGINT)")
+              .as("tv_micro"))
+          .withColumn("t_ok", (col("tv_micro") <= 300000L).cast("long"))
+          .orderBy("lang", "len_band")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT lang, n_chars // 200 AS len_band, source FROM documents
+        ), cell AS (
+          SELECT lang, len_band, source, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM docs GROUP BY 1, 2, 3
+        ), cls AS (
+          SELECT lang, len_band, CAST(COUNT(*) AS BIGINT) AS n_c
+          FROM docs GROUP BY 1, 2
+        ), gt AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS g_s FROM docs GROUP BY 1
+        ), n AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM docs
+        ), terms AS (
+          SELECT cls.lang AS lang, cls.len_band AS len_band, cls.n_c AS n_c,
+                 n.n_all AS n_all,
+                 abs(COALESCE(cell.cnt, 0) * n.n_all - gt.g_s * cls.n_c)
+                   AS term
+          FROM cls CROSS JOIN gt CROSS JOIN n
+          LEFT JOIN cell ON cell.lang = cls.lang
+            AND cell.len_band = cls.len_band AND cell.source = gt.source
+        ), tv AS (
+          SELECT lang, len_band, n_c, n_all,
+                 CAST(SUM(term) AS BIGINT) AS tv_num
+          FROM terms GROUP BY 1, 2, 3, 4
+        )
+        SELECT lang, len_band, n_c AS n_class,
+               CAST(tv_num * 1000000 // (2 * n_c * n_all) AS BIGINT)
+                 AS tv_micro,
+               CAST(CASE WHEN tv_num * 1000000 // (2 * n_c * n_all) <= 300000
+                 THEN 1 ELSE 0 END AS BIGINT) AS t_ok
+        FROM tv ORDER BY lang, len_band
+      """.trim)),
+
+    // Partition modularity of the near-dup clustering — the quality score
+    // for the connected-components partition (q61/q233): with every edge
+    // intra-community by construction, Q = 1 - sum_c (d_c / 2m)^2 — low Q
+    // flags a giant component swallowing the graph (the classic over-merge
+    // failure of transitive-closure dedup). Per-community degree masses
+    // are exact integers; each (d_c^2 * 1e6) div (4m^2) term is micro-
+    // quantized before the order-free sum (q194; safe under ~1.5e6 edges
+    // per partition — beyond that the term needs DECIMAL, noted). Reuses
+    // the materialized pair frame and pointer-halving CC.
+    Q(
+      "q483_modularity",
+      (s, dir) => {
+        val pairs = SharedFrames.verifiedDocPairs(s, dir)
+        val cc = graft.ext.NearDup.connectedComponents(pairs, "id_a", "id_b")
+        val deg = pairs.select(col("id_a").as("id"))
+          .unionAll(pairs.select(col("id_b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+        val m = pairs.agg(count(lit(1)).as("m"))
+        val dc = deg.join(cc.hint("shuffle_hash"), Seq("id"))
+          .groupBy("cluster_id").agg(sum(col("deg")).as("d_c"))
+        dc.crossJoin(broadcast(m))
+          .select(col("cluster_id"),
+            expr("CAST(d_c * d_c * 1000000 DIV (4 * m * m) AS BIGINT)")
+              .as("pen_micro"))
+          .agg(count(lit(1)).as("n_communities"),
+            sum(col("pen_micro")).as("pen_sum"))
+          .crossJoin(broadcast(m))
+          .select(col("m").as("n_edges"), col("n_communities"),
+            (lit(1000000L) - col("pen_sum")).as("q_micro"))
+      },
+      Some(s"""
+        ${("WITH RECURSIVE " + ExtQueries.MinhashPairsCte.stripPrefix("WITH ")).trim}, edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM verified
+        ), nodes AS (
+          SELECT DISTINCT src AS v FROM edges
+        ), reach(v, label) AS (
+          SELECT v, v FROM nodes
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v
+        ), lab AS (
+          SELECT v, MIN(label) AS cluster_id FROM reach GROUP BY v
+        ), m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS m FROM verified
+        ), deg AS (
+          SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM edges GROUP BY src
+        ), dc AS (
+          SELECT lab.cluster_id, CAST(SUM(deg.deg) AS BIGINT) AS d_c
+          FROM deg JOIN lab ON lab.v = deg.v GROUP BY lab.cluster_id
+        ), pen AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+                 CAST(SUM(d_c * d_c * 1000000 // (4 * m.m * m.m)) AS BIGINT)
+                   AS pen_sum
+          FROM dc, m
+        )
+        SELECT m.m AS n_edges, pen.n_communities AS n_communities,
+               CAST(1000000 - pen.pen_sum AS BIGINT) AS q_micro
+        FROM pen, m
       """.trim))
   )
 }
