@@ -3250,6 +3250,126 @@ object Round7Queries {
         SELECT m.m AS n_edges, pen.n_communities AS n_communities,
                CAST(1000000 - pen.pen_sum AS BIGINT) AS q_micro
         FROM pen, m
+      """.trim)),
+
+    // UNPIVOT / melt — the wide-to-long relational operator (the inverse
+    // of q155's fixed-width pivot): a per-status metrics row (count, sum,
+    // min, max in exact cents) melts into (status, metric, value) rows
+    // through Spark's DataFrame.unpivot — same semantics as SQL UNPIVOT
+    // and DuckDB's UNPIVOT ... INTO NAME/VALUE. All melted values share
+    // BIGINT so no implicit casts ride the melt; metric names become data
+    // and are part of the hash gate.
+    Q(
+      "q484_unpivot_melt",
+      (s, dir) => {
+        val wide = Tables.orders(s, dir)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long")).as("sum_cents"),
+            min((col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long")).as("min_cents"),
+            max((col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long")).as("max_cents"))
+        wide.unpivot(
+            Array(col("o_orderstatus")),
+            Array(col("n_orders"), col("sum_cents"), col("min_cents"),
+              col("max_cents")),
+            "metric", "value")
+          .orderBy("o_orderstatus", "metric")
+      },
+      Some("""
+        WITH wide AS (
+          SELECT o_orderstatus,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS sum_cents,
+                 CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS min_cents,
+                 CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS max_cents
+          FROM orders GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, metric, value
+        FROM wide
+        UNPIVOT (value FOR metric IN (n_orders, sum_cents, min_cents,
+          max_cents))
+        ORDER BY o_orderstatus, metric
+      """.trim)),
+
+    // try_* error-tolerant arithmetic — the ANSI-mode escape hatches
+    // (try_divide / try_add / try_multiply return NULL where strict ANSI
+    // raises): division by zero, BIGINT overflow on add and multiply,
+    // each exercised per event type with the NULL outcomes COUNTED (the
+    // q386 try_cast convention extended to arithmetic). The oracle
+    // restates each guard as an explicit CASE — DuckDB has no try_
+    // arithmetic, which is exactly why the semantics deserve a
+    // cross-engine value gate.
+    Q(
+      "q485_try_arithmetic",
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("q485_events")
+        s.sql("""
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN try_divide(value, value - value) IS NULL
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_div0_null,
+                 CAST(SUM(CASE WHEN try_add(9223372036854775807,
+                     CAST(event_id % 2 AS BIGINT)) IS NULL
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_add_overflow,
+                 CAST(SUM(CASE WHEN try_multiply(4611686018427387904,
+                     CAST(event_id % 4 AS BIGINT)) IS NULL
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_mul_overflow,
+                 CAST(floor(try_divide(
+                   SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)),
+                   COUNT(*)) * 10000) AS BIGINT) AS mean_micro
+          FROM q485_events
+          GROUP BY event_type ORDER BY event_type
+        """)
+      },
+      Some("""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN value - value = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_div0_null,
+               CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_add_overflow,
+               CAST(SUM(CASE WHEN event_id % 4 >= 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_mul_overflow,
+               CAST(floor(CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) * 10000) AS BIGINT) AS mean_micro
+        FROM events
+        GROUP BY event_type ORDER BY event_type
+      """.trim)),
+
+    // Native percentile_disc — the ANSI inverse-distribution aggregate
+    // (WITHIN GROUP ordered-set syntax): the discrete percentile returns
+    // an ACTUAL data element (the first value whose cumulative
+    // distribution reaches p), so both engines' built-ins must agree
+    // bit-for-bit with each other AND with q336's hand-rolled rank
+    // selection — three independent implementations of one ANSI
+    // definition under a single hash gate.
+    Q(
+      "q486_percentile_disc",
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("q486_events")
+        s.sql("""
+          SELECT event_type,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+                 percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+                 percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99
+          FROM q486_events
+          GROUP BY event_type ORDER BY event_type
+        """)
+      },
+      Some("""
+        SELECT event_type,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99
+        FROM events
+        GROUP BY event_type ORDER BY event_type
       """.trim))
   )
 }
