@@ -3370,6 +3370,89 @@ object Round7Queries {
                percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99
         FROM events
         GROUP BY event_type ORDER BY event_type
+      """.trim)),
+
+    // RAKE keyword extraction — the classic unsupervised keyphrase
+    // operator (Rose et al.): candidate phrases are maximal stopword-free
+    // token runs (run id = position minus the doc-partitioned non-stop
+    // rank — the q459 run trick), each word scores deg/freq over ALL
+    // phrase occurrences (deg = sum of containing-phrase lengths), a
+    // phrase scores the sum of its members' scores, and the corpus-level
+    // top-20 keyphrases are ranked under a total order. All integer
+    // micro arithmetic (deg*1e6 div freq summed per phrase); the word
+    // frame is vocabulary-sized, the joins key-equi. The stopword list is
+    // the fixed 11-word ExtQueries.StopList.
+    Q(
+      "q487_rake_keywords",
+      (s, dir) => {
+        val stops = Seq("the", "a", "an", "of", "and", "to", "in", "is",
+          "for", "on", "with")
+        val pos = Tables.documents(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+          .select(col("doc_id"),
+            explode(sequence(lit(1), size(col("w")))).as("p"), col("w"))
+          .select(col("doc_id"), col("p"),
+            element_at(col("w"), col("p")).as("tok"))
+          .filter(!col("tok").isin(stops: _*))
+        val wDoc = Window.partitionBy("doc_id").orderBy("p")
+        val members = pos
+          .withColumn("grp", col("p") - row_number().over(wDoc))
+        val phraseLen = members.groupBy("doc_id", "grp")
+          .agg(count(lit(1)).as("plen"))
+        val withLen = members.join(phraseLen.hint("shuffle_hash"),
+          Seq("doc_id", "grp"))
+        val wordStats = withLen.groupBy("tok")
+          .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        val scored = withLen.join(wordStats.hint("shuffle_hash"), Seq("tok"))
+          .withColumn("wscore", expr("deg * 1000000 DIV freq"))
+        val phrases = scored.groupBy("doc_id", "grp")
+          .agg(sum(col("wscore")).as("score_micro"),
+            array_join(transform(
+              sort_array(collect_list(struct(col("p"), col("tok")))),
+              r => r.getField("tok")), " ").as("phrase"))
+        phrases.groupBy("phrase")
+          .agg(count(lit(1)).as("n_occurrences"),
+            max(col("score_micro")).as("score_micro"))
+          .orderBy(col("score_micro").desc, col("phrase"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH pos AS (
+          SELECT doc_id, u.p AS p, u.tok AS tok
+          FROM (SELECT doc_id, $Toks AS w FROM documents),
+               LATERAL (SELECT unnest(w) AS tok,
+                        generate_subscripts(w, 1) AS p) u
+        ), ns AS (
+          SELECT doc_id, p, tok,
+                 p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+                   AS grp
+          FROM pos
+          WHERE tok NOT IN (${ExtQueries.StopList})
+        ), pl AS (
+          SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS plen
+          FROM ns GROUP BY 1, 2
+        ), wl AS (
+          SELECT ns.doc_id AS doc_id, ns.grp AS grp, ns.p AS p,
+                 ns.tok AS tok, pl.plen AS plen
+          FROM ns JOIN pl ON pl.doc_id = ns.doc_id AND pl.grp = ns.grp
+        ), ws AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+                 CAST(SUM(plen) AS BIGINT) AS deg
+          FROM wl GROUP BY tok
+        ), sc AS (
+          SELECT wl.doc_id AS doc_id, wl.grp AS grp, wl.p AS p,
+                 wl.tok AS tok, ws.deg * 1000000 // ws.freq AS wscore
+          FROM wl JOIN ws ON ws.tok = wl.tok
+        ), ph AS (
+          SELECT doc_id, grp, CAST(SUM(wscore) AS BIGINT) AS score_micro,
+                 string_agg(tok, ' ' ORDER BY p) AS phrase
+          FROM sc GROUP BY 1, 2
+        )
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MAX(score_micro) AS BIGINT) AS score_micro
+        FROM ph GROUP BY phrase
+        ORDER BY score_micro DESC, phrase LIMIT 20
       """.trim))
   )
 }
