@@ -3453,6 +3453,119 @@ object Round7Queries {
                CAST(MAX(score_micro) AS BIGINT) AS score_micro
         FROM ph GROUP BY phrase
         ORDER BY score_micro DESC, phrase LIMIT 20
+      """.trim)),
+
+    // Jensen-Shannon divergence — the SYMMETRIC, always-finite drift
+    // metric completing the KL/PSI family (KL blows up on zero cells; JSD
+    // is bounded by ln 2): per source, JSD between its language
+    // distribution and the corpus-global one. Each term
+    // 0.5*(p*ln(p/m) + q*ln(q/m)) is computed from EXACT integer-derived
+    // ratios and quantized to micro-nats PER (source, lang) CELL before
+    // the order-free sum (the q194 discipline); zero cells contribute the
+    // exact limit 0 for p=0 and the finite q-side term otherwise.
+    Q(
+      "q488_jsd_drift",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("source"), col("lang"))
+        val cell = docs.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+        val srcTot = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+        val langTot = docs.groupBy("lang").agg(count(lit(1)).as("g_l"))
+        val n = docs.agg(count(lit(1)).as("n_all"))
+        val grid = srcTot.crossJoin(broadcast(langTot)).crossJoin(broadcast(n))
+          .join(cell.hint("shuffle_hash"), Seq("source", "lang"), "left")
+          .withColumn("p_num", coalesce(col("cnt"), lit(0L)))
+        // p = p_num/n_s, q = g_l/n_all, m = (p+q)/2; term ratios as one
+        // shared double tree from exact integers
+        val p = col("p_num").cast("double") / col("n_s").cast("double")
+        val q = col("g_l").cast("double") / col("n_all").cast("double")
+        val m = (p + q) / lit(2.0)
+        val term =
+          when(col("p_num") > 0L, p * log(p / m)).otherwise(lit(0.0)) + q * log(q / m)
+        grid
+          .withColumn("term_micro",
+            round(term * lit(500000.0)).cast("long"))
+          .groupBy("source")
+          .agg(sum(col("term_micro")).as("jsd_micro"),
+            count(lit(1)).as("n_langs"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT source, lang FROM documents
+        ), cell AS (
+          SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM docs GROUP BY 1, 2
+        ), st AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM docs GROUP BY 1
+        ), lt AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS g_l FROM docs GROUP BY 1
+        ), n AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM docs
+        ), grid AS (
+          SELECT st.source AS source, lt.lang AS lang, st.n_s AS n_s,
+                 lt.g_l AS g_l, n.n_all AS n_all,
+                 COALESCE(cell.cnt, 0) AS p_num
+          FROM st CROSS JOIN lt CROSS JOIN n
+          LEFT JOIN cell ON cell.source = st.source AND cell.lang = lt.lang
+        ), terms AS (
+          SELECT source,
+                 CAST(round((CASE WHEN p_num > 0
+                     THEN (CAST(p_num AS DOUBLE) / CAST(n_s AS DOUBLE))
+                          * ln((CAST(p_num AS DOUBLE) / CAST(n_s AS DOUBLE))
+                            / (((CAST(p_num AS DOUBLE) / CAST(n_s AS DOUBLE))
+                              + (CAST(g_l AS DOUBLE) / CAST(n_all AS DOUBLE)))
+                              / 2.0))
+                     ELSE 0.0 END
+                   + (CAST(g_l AS DOUBLE) / CAST(n_all AS DOUBLE))
+                     * ln((CAST(g_l AS DOUBLE) / CAST(n_all AS DOUBLE))
+                       / (((CAST(p_num AS DOUBLE) / CAST(n_s AS DOUBLE))
+                         + (CAST(g_l AS DOUBLE) / CAST(n_all AS DOUBLE)))
+                         / 2.0))) * 500000.0) AS BIGINT) AS term_micro
+          FROM grid
+        )
+        SELECT source, CAST(SUM(term_micro) AS BIGINT) AS jsd_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_langs
+        FROM terms GROUP BY source ORDER BY source
+      """.trim)),
+
+    // Herfindahl-Hirschman concentration index — the market-concentration
+    // scalar beside Gini (q222): HHI = sum of squared shares, exactly
+    // (sum cnt^2) * 1e6 div N^2 — ONE integer formula, no per-term
+    // rounding at all. Reported per dimension (source shares of documents,
+    // event-type shares of events) so corpus-mix collapse (one source
+    // swallowing the training mix) trips a single gated number.
+    Q(
+      "q489_hhi_concentration",
+      (s, dir) => {
+        def hhi(df: DataFrame, dim: String, label: String): DataFrame = df
+          .groupBy(col(dim)).agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt") * col("cnt")).as("ss"),
+            sum(col("cnt")).as("n"), count(lit(1)).as("n_groups"))
+          .select(lit(label).as("dimension"), col("n_groups"),
+            expr("CAST(ss * 1000000 DIV (n * n) AS BIGINT)").as("hhi_micro"))
+        hhi(Tables.documents(s, dir), "source", "doc_source")
+          .unionAll(hhi(Tables.documents(s, dir), "lang", "doc_lang"))
+          .unionAll(hhi(Tables.events(s, dir), "event_type", "event_type"))
+          .orderBy("dimension")
+      },
+      Some("""
+        WITH a AS (
+          SELECT 'doc_source' AS dimension, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY source
+        ), b AS (
+          SELECT 'doc_lang', CAST(COUNT(*) AS BIGINT) FROM documents
+          GROUP BY lang
+        ), c AS (
+          SELECT 'event_type', CAST(COUNT(*) AS BIGINT) FROM events
+          GROUP BY event_type
+        ), u AS (
+          SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL
+          SELECT * FROM c
+        )
+        SELECT dimension, CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(cnt * cnt) * 1000000
+                 // (SUM(cnt) * SUM(cnt)) AS BIGINT) AS hhi_micro
+        FROM u GROUP BY dimension ORDER BY dimension
       """.trim))
   )
 }
