@@ -459,4 +459,73 @@ class Round7Spec extends graft.SparkSpec {
         && r.getLong(6) <= 1000000L)
     }
   }
+
+  test("q484 melt emits one row per (status, metric) and preserves values") {
+    val rows = run("q484_unpivot_melt").collect()
+    val statuses = rows.map(_.getString(0)).distinct.sorted
+    val metrics = rows.map(_.getString(1)).distinct.sorted
+    assert(rows.length === statuses.length * metrics.length)
+    assert(metrics === Array("max_cents", "min_cents", "n_orders", "sum_cents"))
+    val byKey = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    statuses.foreach { st =>
+      assert(byKey((st, "min_cents")) <= byKey((st, "max_cents")))
+      assert(byKey((st, "n_orders")) > 0L)
+    }
+  }
+
+  test("q485 try arithmetic null outcomes match their algebraic conditions") {
+    val rows = run("q485_try_arithmetic").collect()
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      assert(r.getLong(2) === n, "value/0 must be NULL for every row")
+      assert(r.getLong(3) <= n && r.getLong(4) <= n)
+      assert(r.getLong(3) > 0L, "odd event_ids must overflow the add")
+    }
+  }
+
+  test("q486 percentile_disc returns ordered actual data elements") {
+    val values = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).toSet).toMap
+    val rows = run("q486_percentile_disc").collect()
+    rows.foreach { r =>
+      val (t, p50, p90, p99) =
+        (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p50 <= p90 && p90 <= p99)
+      assert(values(t).contains(p50) && values(t).contains(p90)
+        && values(t).contains(p99), "discrete percentiles must be data elements")
+    }
+  }
+
+  test("q487 RAKE keyphrases exclude stopwords and score positively") {
+    val stops = Set("the", "a", "an", "of", "and", "to", "in", "is",
+      "for", "on", "with")
+    val rows = run("q487_rake_keywords").collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getString(0).split(" ").forall(w => !stops.contains(w)),
+        s"phrase '${r.getString(0)}' leaked a stopword")
+      assert(r.getLong(2) > 0L)
+    }
+  }
+
+  test("q488 JSD is bounded by [0, ln 2] up to per-term rounding") {
+    val rows = run("q488_jsd_drift").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (jsd, nl) = (r.getLong(1), r.getLong(2))
+      assert(jsd >= -nl, s"JSD must be nonnegative up to rounding: $jsd")
+      assert(jsd <= 693148L + nl, s"JSD is bounded by ln 2: $jsd")
+    }
+  }
+
+  test("q489 HHI lies between perfect balance and monopoly") {
+    val rows = run("q489_hhi_concentration").collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val (g, hhi) = (r.getLong(1), r.getLong(2))
+      assert(hhi >= 1000000L / g - 1, s"HHI below the equal-share floor: $hhi")
+      assert(hhi <= 1000000L)
+    }
+  }
 }
