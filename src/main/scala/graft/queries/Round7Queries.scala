@@ -3566,6 +3566,209 @@ object Round7Queries {
                CAST(SUM(cnt * cnt) * 1000000
                  // (SUM(cnt) * SUM(cnt)) AS BIGINT) AS hhi_micro
         FROM u GROUP BY dimension ORDER BY dimension
+      """.trim)),
+
+    // Kendall tau-b — the OTHER rank correlation beside Spearman (q104),
+    // with full tie correction: over each event type's daily series,
+    // concordant/discordant day pairs between event volume and distinct
+    // active users, tie counts for both margins, and tau-b =
+    // (C - D) / sqrt((n0 - n1)(n0 - n2)) as one fixed IEEE tree over
+    // exact integers. The day-pair join is calendar-bounded (the q455
+    // discipline); the daily rollup upstream is the corpus-linear part.
+    Q(
+      "q490_kendall_tau",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+          .agg(count(lit(1)).as("x"), countDistinct(col("user_id")).as("y"))
+        val pairs = daily.as("a")
+          .join(daily.as("b").hint("shuffle_hash"),
+            col("a.event_type") === col("b.event_type")
+              && col("a.d") < col("b.d"))
+          .select(col("a.event_type").as("event_type"),
+            (col("b.x") - col("a.x")).as("dx"),
+            (col("b.y") - col("a.y")).as("dy"))
+        val sums = pairs.groupBy("event_type").agg(
+          count(lit(1)).as("n0"),
+          sum(when(col("dx") * col("dy") > 0L, 1L).otherwise(0L)).as("c"),
+          sum(when(col("dx") * col("dy") < 0L, 1L).otherwise(0L)).as("d"),
+          sum(when(col("dx") === 0L, 1L).otherwise(0L)).as("tx"),
+          sum(when(col("dy") === 0L, 1L).otherwise(0L)).as("ty"))
+        sums.select(col("event_type"), col("n0"), col("c"), col("d"),
+            when((col("n0") - col("tx")) * (col("n0") - col("ty")) > 0L,
+              (col("c") - col("d")).cast("double")
+                / sqrt(((col("n0") - col("tx"))
+                  * (col("n0") - col("ty"))).cast("double")))
+              .otherwise(lit(0.0)).as("tau_b"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS dd,
+                 CAST(COUNT(*) AS BIGINT) AS x,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ), pairs AS (
+          SELECT a.event_type AS event_type, b.x - a.x AS dx, b.y - a.y AS dy
+          FROM daily a JOIN daily b
+            ON b.event_type = a.event_type AND a.dd < b.dd
+        ), sums AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n0,
+                 CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c,
+                 CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d,
+                 CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tx,
+                 CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ty
+          FROM pairs GROUP BY event_type
+        )
+        SELECT event_type, n0, c, d,
+               CASE WHEN (n0 - tx) * (n0 - ty) > 0
+                    THEN CAST(c - d AS DOUBLE)
+                         / sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE))
+                    ELSE 0.0 END AS tau_b
+        FROM sums ORDER BY event_type
+      """.trim)),
+
+    // Lag-k autocorrelation — the ACF(1..3) of each event type's daily
+    // volume (the dependence structure every forecasting and anomaly
+    // layer assumes away until it bites): the lag join is an equi-join on
+    // (type, day + k), the five sums over the OVERLAP window are exact
+    // integers, and each r_k is Pearson's cleared form in one fixed IEEE
+    // tree — n*Sxy - Sx*Sy over the two cleared standard deviations.
+    Q(
+      "q491_acf",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+          .agg(count(lit(1)).as("x"))
+        val lags = s.createDataFrame(Seq(Tuple1(1), Tuple1(2), Tuple1(3)))
+          .toDF("k")
+        val joined = daily.crossJoin(broadcast(lags))
+          .withColumn("d2", date_add(col("d"), col("k")))
+          .as("a")
+          .join(daily.select(col("event_type"), col("d").as("d2"),
+            col("x").as("x2")).hint("shuffle_hash"), Seq("event_type", "d2"))
+        val sums = joined.groupBy("event_type", "k").agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("x2")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x2") * col("x2")).as("syy"),
+          sum(col("x") * col("x2")).as("sxy"))
+        sums.select(col("event_type"), col("k"), col("n"),
+            when((col("n") * col("sxx") - col("sx") * col("sx")) > 0L
+                && (col("n") * col("syy") - col("sy") * col("sy")) > 0L,
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+                / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                    .cast("double"))
+                  * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                    .cast("double"))))
+              .otherwise(lit(0.0)).as("acf"))
+          .orderBy("event_type", "k")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS dd,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ), joined AS (
+          SELECT a.event_type AS event_type, l.k AS k, a.x AS x, b.x AS x2
+          FROM daily a
+          CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) l
+          JOIN daily b ON b.event_type = a.event_type
+            AND b.dd = a.dd + CAST(l.k AS INTEGER)
+        ), sums AS (
+          SELECT event_type, k, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x2) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x2 * x2) AS BIGINT) AS syy,
+                 CAST(SUM(x * x2) AS BIGINT) AS sxy
+          FROM joined GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(k AS INTEGER) AS k, n,
+               CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                    ELSE 0.0 END AS acf
+        FROM sums ORDER BY event_type, k
+      """.trim)),
+
+    // Day-of-week seasonality strength — how much of each event type's
+    // daily variance the weekly cycle explains: 1 - SS_within / SS_total
+    // with the rational group terms (S_d^2 / c_d and S^2 / n)
+    // micro-quantized via integer floor division BEFORE the subtraction
+    // (both engines truncate identically, q478 note) — the decomposition
+    // stays order-free and engine-exact, with one final double ratio.
+    Q(
+      "q492_dow_seasonality",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("dow", dayofweek(col("d")).cast("long"))
+        val byDow = daily.groupBy("event_type", "dow")
+          .agg(sum(col("x")).as("s_d"), count(lit(1)).as("c_d"))
+          .withColumn("dow_term_micro", expr("s_d * s_d * 1000000 DIV c_d"))
+          .groupBy("event_type")
+          .agg(sum(col("dow_term_micro")).as("within_num"),
+            count(lit(1)).as("n_dows"))
+        val tot = daily.groupBy("event_type")
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("tot_term_micro", expr("s * s * 1000000 DIV n"))
+        tot.join(byDow.hint("shuffle_hash"), Seq("event_type"))
+          .select(col("event_type"), col("n"), col("n_dows"),
+            (col("sxx") * 1000000L - col("within_num")).as("ss_within_micro"),
+            (col("sxx") * 1000000L - col("tot_term_micro")).as("ss_total_micro"))
+          .withColumn("strength",
+            when(col("ss_total_micro") > 0L,
+              greatest(lit(0.0), lit(1.0)
+                - col("ss_within_micro").cast("double")
+                / col("ss_total_micro").cast("double")))
+              .otherwise(lit(0.0)))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS dd,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ), dw AS (
+          SELECT event_type, dd, x,
+                 CAST(dayofweek(dd) + 1 AS BIGINT) AS dow
+          FROM daily
+        ), bydow AS (
+          SELECT event_type,
+                 CAST(SUM(term) AS BIGINT) AS within_num,
+                 CAST(COUNT(*) AS BIGINT) AS n_dows
+          FROM (
+            SELECT event_type, dow,
+                   SUM(x) * SUM(x) * 1000000 // COUNT(*) AS term
+            FROM dw GROUP BY event_type, dow)
+          GROUP BY event_type
+        ), tot AS (
+          SELECT event_type, CAST(SUM(x) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM dw GROUP BY event_type
+        )
+        SELECT tot.event_type AS event_type, tot.n AS n,
+               bydow.n_dows AS n_dows,
+               CAST(tot.sxx * 1000000 - bydow.within_num AS BIGINT)
+                 AS ss_within_micro,
+               CAST(tot.sxx * 1000000 - tot.s * tot.s * 1000000 // tot.n
+                 AS BIGINT) AS ss_total_micro,
+               CASE WHEN tot.sxx * 1000000 - tot.s * tot.s * 1000000 // tot.n > 0
+                    THEN GREATEST(0.0, 1.0
+                      - CAST(tot.sxx * 1000000 - bydow.within_num AS DOUBLE)
+                        / CAST(tot.sxx * 1000000
+                          - tot.s * tot.s * 1000000 // tot.n AS DOUBLE))
+                    ELSE 0.0 END AS strength
+        FROM tot JOIN bydow ON bydow.event_type = tot.event_type
+        ORDER BY event_type
       """.trim))
   )
 }
