@@ -3769,6 +3769,148 @@ object Round7Queries {
                     ELSE 0.0 END AS strength
         FROM tot JOIN bydow ON bydow.event_type = tot.event_type
         ORDER BY event_type
+      """.trim)),
+
+    // Cross-type lead-lag correlation — does one event stream LEAD
+    // another (clicks today -> purchases tomorrow)? For every ordered
+    // type pair and lag 0..2, the Pearson correlation of the two daily
+    // series with the second shifted — the q491 ACF machinery pointed
+    // across series. Pairs x lags is a bounded grid (k types -> k^2*3
+    // cells); the lag join stays equi on (day + lag); five exact integer
+    // sums per cell, one fixed tree.
+    Q(
+      "q493_cross_correlation",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+          .agg(count(lit(1)).as("x"))
+        val lags = s.createDataFrame(Seq(Tuple1(0), Tuple1(1), Tuple1(2)))
+          .toDF("lag")
+        val joined = daily.crossJoin(broadcast(lags))
+          .withColumn("d2", date_add(col("d"), col("lag")))
+          .select(col("event_type").as("lead_type"), col("lag"),
+            col("d2"), col("x"))
+          .join(daily.select(col("event_type").as("follow_type"),
+            col("d").as("d2"), col("x").as("x2")).hint("shuffle_hash"),
+            Seq("d2"))
+          .filter(col("lead_type") =!= col("follow_type"))
+        val sums = joined.groupBy("lead_type", "follow_type", "lag").agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("x2")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x2") * col("x2")).as("syy"),
+          sum(col("x") * col("x2")).as("sxy"))
+        sums.select(col("lead_type"), col("follow_type"), col("lag"), col("n"),
+            when((col("n") * col("sxx") - col("sx") * col("sx")) > 0L
+                && (col("n") * col("syy") - col("sy") * col("sy")) > 0L,
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+                / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                    .cast("double"))
+                  * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                    .cast("double"))))
+              .otherwise(lit(0.0)).as("xcorr"))
+          .orderBy("lead_type", "follow_type", "lag")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS dd,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ), joined AS (
+          SELECT a.event_type AS lead_type, b.event_type AS follow_type,
+                 l.lag AS lag, a.x AS x, b.x AS x2
+          FROM daily a
+          CROSS JOIN (SELECT unnest([0, 1, 2]) AS lag) l
+          JOIN daily b ON b.dd = a.dd + CAST(l.lag AS INTEGER)
+          WHERE a.event_type <> b.event_type
+        ), sums AS (
+          SELECT lead_type, follow_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x2) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x2 * x2) AS BIGINT) AS syy,
+                 CAST(SUM(x * x2) AS BIGINT) AS sxy
+          FROM joined GROUP BY 1, 2, 3
+        )
+        SELECT lead_type, follow_type, CAST(lag AS INTEGER) AS lag, n,
+               CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                    ELSE 0.0 END AS xcorr
+        FROM sums ORDER BY lead_type, follow_type, lag
+      """.trim)),
+
+    // SES forecast backtest — simple exponential smoothing (alpha = 1/2)
+    // one-step-ahead over each type's daily series, EXACT end-to-end:
+    // with binary alpha the smoothed level is a rational with a
+    // power-of-two denominator, s_t = B_t / 2^(t-1) where
+    // B_t = x_1 + sum_{i=2..t} x_i*2^(i-1) is a pure integer running sum
+    // (the repo's EWMA powers-of-two discipline — no quantization needed
+    // until the final MAE division). Per-day absolute errors
+    // |x_{t+1}*2^(t-1) - B_t| * 1e6 div 2^(t-1) stay integers; windows
+    // are type-partitioned; the month-long series caps 2^(t-1) at 2^30.
+    Q(
+      "q494_ses_forecast_eval",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+          .agg(count(lit(1)).as("x"))
+        val wT = Window.partitionBy("event_type").orderBy("d")
+        val idx = daily.withColumn("i", row_number().over(wT).cast("long"))
+          .withColumn("w", when(col("i") === 1L, 1L)
+            .otherwise(expr("CAST(pow(2.0, CAST(i AS INT) - 2) AS BIGINT)")))
+        val cum = idx.withColumn("b",
+          sum(col("x") * col("w")).over(
+            Window.partitionBy("event_type").orderBy("i")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val errs = cum
+          .withColumn("b_prev", lag(col("b"), 1).over(wT))
+          .withColumn("i_prev", col("i") - 1L)
+          .filter(col("b_prev").isNotNull)
+          .withColumn("den", expr("CAST(pow(2.0, CAST(i_prev AS INT) - 1) AS BIGINT)"))
+          .withColumn("err_micro",
+            expr("abs(x * den - b_prev) * 1000000 DIV den"))
+        errs.groupBy("event_type")
+          .agg(count(lit(1)).as("n_forecasts"),
+            sum(col("err_micro")).as("sum_err_micro"))
+          .withColumn("mae_micro",
+            expr("CAST(sum_err_micro DIV n_forecasts AS BIGINT)"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS dd,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ), idx AS (
+          SELECT event_type, dd, x,
+                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY dd)
+                   AS BIGINT) AS i
+          FROM daily
+        ), wts AS (
+          SELECT event_type, dd, x, i,
+                 CASE WHEN i = 1 THEN 1
+                      ELSE CAST(pow(2.0, CAST(i AS INTEGER) - 2) AS BIGINT)
+                 END AS w
+          FROM idx
+        ), cum AS (
+          SELECT event_type, dd, x, i,
+                 SUM(x * w) OVER (PARTITION BY event_type ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b
+          FROM wts
+        ), errs AS (
+          SELECT event_type, x, i,
+                 lag(b) OVER (PARTITION BY event_type ORDER BY i) AS b_prev,
+                 CAST(pow(2.0, CAST(i AS INTEGER) - 2) AS BIGINT) AS den
+          FROM cum
+        )
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+               CAST(SUM(abs(x * den - b_prev) * 1000000 // den) AS BIGINT)
+                 AS sum_err_micro,
+               CAST(SUM(abs(x * den - b_prev) * 1000000 // den)
+                 // COUNT(*) AS BIGINT) AS mae_micro
+        FROM errs WHERE b_prev IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
       """.trim))
   )
 }
