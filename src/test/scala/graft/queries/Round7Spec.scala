@@ -528,4 +528,43 @@ class Round7Spec extends graft.SparkSpec {
       assert(hhi <= 1000000L)
     }
   }
+
+  test("q490/q491/q493 correlation statistics stay in [-1, 1]") {
+    run("q490_kendall_tau").collect().foreach { r =>
+      assert(math.abs(r.getDouble(4)) <= 1.0)
+      assert(r.getLong(2) + r.getLong(3) <= r.getLong(1),
+        "C + D cannot exceed the pair count")
+    }
+    run("q491_acf").collect().foreach(r =>
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-12))
+    run("q493_cross_correlation").collect().foreach(r =>
+      assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-12))
+  }
+
+  test("q494 SES errors match the sequential half-alpha recursion") {
+    val daily = spark.read.parquet(s"$sf0001/events.parquet")
+      .groupBy(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("ts").cast("date").as("d"))
+      .count().collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getLong(2)))
+    val want = daily.groupBy(_._1).map { case (t, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      var s = xs.head.toDouble
+      var errSum = 0L
+      xs.tail.foreach { x =>
+        // forecast is s; error in micro units with exact binary arithmetic
+        errSum += math.round(math.abs(x - s) * 1000000).toLong
+        s = (x + s) / 2.0
+      }
+      t -> ((xs.length - 1).toLong, errSum)
+    }
+    val got = run("q494_ses_forecast_eval").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    want.foreach { case (t, (n, errSum)) =>
+      assert(got(t)._1 === n, s"forecast count for $t")
+      // the query floors each per-day error; the double recursion is exact
+      // for binary alpha, so totals agree within n forecasts of slack
+      assert(math.abs(got(t)._2 - errSum) <= n, s"error mass for $t")
+    }
+  }
 }
