@@ -50,20 +50,14 @@ object Round7Queries {
         )""".stripMargin.trim
 
   /** Spark side of [[MutualKnnCte]]: mutual top-3 cosine edges within IVF
-    * cells, (id_a, id_b) with id_a < id_b. Shared by q437/q445/q446.
+    * cells, (id_a, id_b) with id_a < id_b. Shared by q437/q445/q446 —
+    * the reusable operator is [[graft.ext.Similarity.mutualKnnGraph]]
+    * (graduated from a private helper here in round 8; spec-pinned in
+    * ExtSpec, plan-pinned in PlanQualitySpec).
     */
-  private def mutualKnnEdges(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val knn = graft.ext.Similarity
-      .annTopKByCell(emb, emb, "vec_id", "embedding", "label", k = 3)
-      .select(col("query_id"), col("neighbor_id"))
-    knn.as("a")
-      .join(knn.as("b"),
-        col("a.query_id") === col("b.neighbor_id")
-          && col("a.neighbor_id") === col("b.query_id"))
-      .filter(col("a.query_id") < col("a.neighbor_id"))
-      .select(col("a.query_id").as("id_a"), col("a.neighbor_id").as("id_b"))
-  }
+  private def mutualKnnEdges(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Similarity.mutualKnnGraph(
+      Tables.embeddings(s, dir), "vec_id", "embedding", "label", k = 3)
 
   val qs: Seq[Q] = Seq(
 
@@ -456,12 +450,21 @@ object Round7Queries {
         metrics(uni, "rouge1").join(metrics(bi, "rouge2"), Seq("id_a", "id_b"))
           .select(col("id_a"), col("id_b"),
             col("rouge1_ov"), col("rouge1_ta"), col("rouge1_tb"),
-            (col("rouge1_ov").cast("double") / col("rouge1_ta").cast("double"))
-              .as("rouge1_p"),
-            (col("rouge1_ov").cast("double") / col("rouge1_tb").cast("double"))
-              .as("rouge1_r"),
-            ((lit(2L) * col("rouge1_ov")).cast("double")
-              / (col("rouge1_ta") + col("rouge1_tb")).cast("double")).as("rouge1_f"),
+            // Zero guards on ALL the divisions, not just rouge2_f: a
+            // zero-token side is unreachable with minhash-verified pairs,
+            // but NaN-in-Spark vs NULL-in-DuckDB is exactly the latent
+            // divergence class the guard-identically discipline exists for
+            // (ADVICE r7).
+            when(col("rouge1_ta") > 0,
+              col("rouge1_ov").cast("double") / col("rouge1_ta").cast("double"))
+              .otherwise(lit(0.0)).as("rouge1_p"),
+            when(col("rouge1_tb") > 0,
+              col("rouge1_ov").cast("double") / col("rouge1_tb").cast("double"))
+              .otherwise(lit(0.0)).as("rouge1_r"),
+            when(col("rouge1_ta") + col("rouge1_tb") > 0,
+              (lit(2L) * col("rouge1_ov")).cast("double")
+                / (col("rouge1_ta") + col("rouge1_tb")).cast("double"))
+              .otherwise(lit(0.0)).as("rouge1_f"),
             col("rouge2_ov"),
             when(col("rouge2_ta") + col("rouge2_tb") > 0,
               (lit(2L) * col("rouge2_ov")).cast("double")
@@ -504,13 +507,18 @@ object Round7Queries {
                CAST(COALESCE(uov.ov, 0) AS BIGINT) AS rouge1_ov,
                CAST(COALESCE(uta.tot, 0) AS BIGINT) AS rouge1_ta,
                CAST(COALESCE(utb.tot, 0) AS BIGINT) AS rouge1_tb,
-               CAST(COALESCE(uov.ov, 0) AS DOUBLE)
-                 / CAST(COALESCE(uta.tot, 0) AS DOUBLE) AS rouge1_p,
-               CAST(COALESCE(uov.ov, 0) AS DOUBLE)
-                 / CAST(COALESCE(utb.tot, 0) AS DOUBLE) AS rouge1_r,
-               CAST(2 * COALESCE(uov.ov, 0) AS DOUBLE)
-                 / CAST(COALESCE(uta.tot, 0) + COALESCE(utb.tot, 0) AS DOUBLE)
-                 AS rouge1_f,
+               CASE WHEN COALESCE(uta.tot, 0) > 0
+                    THEN CAST(COALESCE(uov.ov, 0) AS DOUBLE)
+                      / CAST(COALESCE(uta.tot, 0) AS DOUBLE)
+                    ELSE 0.0 END AS rouge1_p,
+               CASE WHEN COALESCE(utb.tot, 0) > 0
+                    THEN CAST(COALESCE(uov.ov, 0) AS DOUBLE)
+                      / CAST(COALESCE(utb.tot, 0) AS DOUBLE)
+                    ELSE 0.0 END AS rouge1_r,
+               CASE WHEN COALESCE(uta.tot, 0) + COALESCE(utb.tot, 0) > 0
+                    THEN CAST(2 * COALESCE(uov.ov, 0) AS DOUBLE)
+                      / CAST(COALESCE(uta.tot, 0) + COALESCE(utb.tot, 0) AS DOUBLE)
+                    ELSE 0.0 END AS rouge1_f,
                CAST(COALESCE(bov.ov, 0) AS BIGINT) AS rouge2_ov,
                CASE WHEN COALESCE(bta.tot, 0) + COALESCE(btb.tot, 0) > 0
                     THEN CAST(2 * COALESCE(bov.ov, 0) AS DOUBLE)
@@ -2792,9 +2800,14 @@ object Round7Queries {
         val toks = Tables.documents(s, dir)
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
           .withColumn("n", size(col("w")).cast("long"))
+        // greatest(n-1, 0): makes the zero-token edge explicit (one empty
+        // chunk in BOTH engines) instead of leaning on the engines' shared
+        // truncate-toward-zero integer division for the n=0 case (ADVICE
+        // r7; both DO truncate — DuckDB (-1)//24 = 0, re-verified — but
+        // the guard removes the dependence).
         val chunks = toks
           .select(col("doc_id"), col("w"), col("n"),
-            explode(sequence(lit(0L), expr("(n - 1) DIV 24"))).as("idx"))
+            explode(sequence(lit(0L), expr("greatest(n - 1, 0L) DIV 24"))).as("idx"))
           .withColumn("s0", col("idx") * 24L)
           .withColumn("full_len",
             least(lit(32L), col("n") - col("s0")))
@@ -2824,7 +2837,7 @@ object Round7Queries {
         ), ch AS (
           SELECT doc_id, n, u.idx AS idx,
                  LEAST(32, n - u.idx * 24) AS full_len
-          FROM t, LATERAL (SELECT unnest(generate_series(0, (n - 1) // 24))
+          FROM t, LATERAL (SELECT unnest(generate_series(0, GREATEST(n - 1, 0) // 24))
                            AS idx) u
         )
         SELECT ch.doc_id AS doc_id, CAST(MAX(ch.n) AS BIGINT) AS n_tokens,
@@ -2848,10 +2861,15 @@ object Round7Queries {
     Q(
       "q478_cohens_kappa",
       (s, dir) => {
+        // coalesce(_, 0): a missing/unparseable props.k (or a NULL value)
+        // yields a NULL comparison — the DuckDB oracle's CASE falls to
+        // ELSE 0, so the Spark side must count the row as rb=0 too, not
+        // silently drop it from all four confusion cells (ADVICE r7).
         val base = Tables.events(s, dir).select(
-          (col("value").cast("decimal(18,2)") >= 20).cast("long").as("ra"),
-          (get_json_object(col("props"), "$.k").cast("int") >= 50)
-            .cast("long").as("rb"))
+          coalesce((col("value").cast("decimal(18,2)") >= 20).cast("long"),
+            lit(0L)).as("ra"),
+          coalesce((get_json_object(col("props"), "$.k").cast("int") >= 50)
+            .cast("long"), lit(0L)).as("rb"))
         base.agg(
             sum(when(col("ra") === 1L && col("rb") === 1L, 1L).otherwise(0L)).as("a"),
             sum(when(col("ra") === 1L && col("rb") === 0L, 1L).otherwise(0L)).as("b"),

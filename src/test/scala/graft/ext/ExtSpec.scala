@@ -89,6 +89,23 @@ class ExtSpec extends SparkSpec {
     assert(out === Set(1L, 2L))
   }
 
+  test("mutualKnnGraph keeps exactly the reciprocated in-cell kNN links, canonically ordered") {
+    val e = Tables.embeddings(spark, sf0001)
+    val edges = Similarity.mutualKnnGraph(e, "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    // canonical orientation, no duplicate edges
+    assert(edges.forall { case (a, b) => a < b })
+    assert(edges.distinct.length === edges.length)
+    // first-principles recomputation: an edge exists iff BOTH directed
+    // top-3 lists (within the shared cell) contain the other endpoint
+    val knn = Similarity.annTopKByCell(e, e, "vec_id", "embedding", "label", k = 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = knn.filter { case (q, n) => q < n && knn.contains((n, q)) }
+    assert(edges.toSet === expected)
+  }
+
   test("annTopKMultiProbe with nprobe = all cells equals brute-force top-k") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter(col("vec_id") % 50 === 0)
