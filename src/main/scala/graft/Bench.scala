@@ -27,6 +27,22 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     // Warm-up: JIT/codegen/session init on a real query, unmeasured.
     try materialize("q01_pricing_summary") catch { case _: Throwable => () }
+    // Cross-round drift calibration (VERDICT r7 #7): a fixed CONSTANT-WORK,
+    // no-IO workload timed with the same min-of-2 discipline. Same-plan
+    // bench totals drifted +8.7% between rounds 6 and 7 — plausibly CPU
+    // steal on this shared VM, but unprovable without a workload whose cost
+    // cannot change with the code under test. 64M xxhash64+sum over an
+    // in-memory range is pure codegen CPU: divide any cross-round total
+    // ratio by the calibration ratio to normalize out the box.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      // & 0xFFFFFFFF: full-range hash longs overflow the ANSI sum at 64M rows
+      spark.range(0, 64000000L, 1, 32)
+        .select(sum(xxhash64(col("id")).bitwiseAND(lit(0xFFFFFFFFL))).as("h"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    var calibration = Double.MaxValue
     // Min over 2 INTERLEAVED full passes: this box is a shared VM and
     // CPU-steal windows randomly inflate single-shot wall-clock by 10x+
     // (observed: the same query at 2.5s and 50s across consecutive runs,
@@ -38,6 +54,7 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best = scala.collection.mutable.Map.empty[String, Double]
     (1 to 2).foreach { _ =>
+      calibration = math.min(calibration, calibrate())
       names.foreach { name =>
         val t0 = System.nanoTime()
         try materialize(name) catch {
@@ -68,9 +85,15 @@ object Bench {
         // Streaming gates are excluded: their cost is watermark/state-bounded
         // (not scan-bound — exactly what the rehearsal probes), and their
         // staged checkpoint/input scratch dirs assume the driver-provided
-        // sf dir layout.
-        val heavy = results.filterNot(_._1.contains("stream"))
-          .sortBy(-_._2).take(10).map(_._1)
+        // sf dir layout. PINNED entries (VERDICT r7 #4): the heaviest-10
+        // selection never sampled the round-7 mutual-kNN graph family, so
+        // the corpus-as-queries ANN path went scale-unmeasured — q437
+        // (link prediction over the mutual-kNN graph) and q446 (ANF over
+        // the same substrate) always get a rehearsal slot now.
+        val pinned = Seq("q437_link_prediction", "q446_neighborhood_function")
+          .filter(best.contains)
+        val heavy = (pinned ++ results.filterNot(_._1.contains("stream"))
+          .sortBy(-_._2).take(10).map(_._1)).distinct
         val bestAt10 = scala.collection.mutable.Map.empty[String, Double]
         val attempted = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
         // A killed/stopped context (e.g. the harness SIGTERMs the JVM and
@@ -114,8 +137,10 @@ object Bench {
     // ~2000 chars of stdout tail, so with 400+ queries the per-query map
     // never survives in BENCH_r<N>.json (round 5 kept 24 of 427 entries) —
     // cross-round per-query comparison needs the file, not the tail.
+    val calib =
+      if (calibration == Double.MaxValue) "" else s""","calibration_sec":$calibration"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"$scaleup}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"$calib$scaleup}"""
     val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_detail_latest.json")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
@@ -129,9 +154,9 @@ object Bench {
     // BOTH before and — decisively — AFTER the huge per-query line, so the
     // tail always ends with a parseable total no matter how much the map
     // truncates.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"$calib}""")
     println(fullJson)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"$scaleup}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"$calib$scaleup}""")
     spark.stop()
   }
 
@@ -152,7 +177,13 @@ object Bench {
   *  - documents: copy k suffixes every token with `_k` — shingle/token
   *    structure identical within a copy, disjoint across copies (10 shards);
   *  - embeddings: copy k sign-flips a k-dependent subset of dimensions —
-  *    norms and within-copy geometry identical, cross-copy cosine scattered;
+  *    norms and within-copy geometry identical, cross-copy cosine scattered
+  *    — and shifts the label space per copy (label + k*10): the label
+  *    column stands in for an IVF cell assignment, and a production index
+  *    REFIT to a factor-x corpus grows cell COUNT, bounding cell SIZE — a
+  *    fixed 10-cell space at 10x data would rehearse a pathologically
+  *    under-fit index (cells 10x denser, cell joins 100x the pairs) that
+  *    no deployment would run;
   *  - lineitem/orders: order keys shifted per copy (join integrity kept);
   *    customer/part/supplier keys untouched — dims stay fixed, so per-key
   *    fan-in grows with the factor (the conservative direction for skew);
@@ -185,7 +216,7 @@ object ScaleData {
         transform(col("embedding"),
           (v, i) => when((i + k) % 3 === 0, -v).otherwise(v))
           .cast("array<float>").as("embedding"),
-        col("label"))))
+        (col("label") + k * 10).as("label"))))
     write("lineitem", copies(Tables.read(spark, sfDir, "lineitem"), (df, k) =>
       df.withColumn("l_orderkey", col("l_orderkey") + k * KeyOff)))
     write("orders", copies(Tables.read(spark, sfDir, "orders"), (df, k) =>
