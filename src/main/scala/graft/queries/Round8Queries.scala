@@ -11,12 +11,13 @@ import graft.ext.{Similarity, TextHash}
   * -> per-cell residual -> product-quantized codes -> ADC shortlist ->
   * exact re-rank), the memory layout billion-scale deployments actually
   * run (FAISS IVFPQ; Jégou et al., "Product Quantization for Nearest
-  * Neighbor Search", TPAMI 2011). Same determinism discipline as the rest
-  * of the registry: residuals quantized to integer micro-units before any
-  * aggregation, codebook means from exact integer sums with one final
-  * double division, every distance a fixed-order sequential sum, every
-  * tie broken by a total order, DuckDB oracle twin derived from first
-  * principles.
+  * Neighbor Search", TPAMI 2011), plus its recall audit against the
+  * brute-force ground truth (the q97 pattern pointed at the compressed
+  * index). Same determinism discipline as the rest of the registry:
+  * residuals quantized to integer micro-units before any aggregation,
+  * codebook means from exact integer sums with one final double division,
+  * every distance a fixed-order sequential sum, every tie broken by a
+  * total order, DuckDB oracle twin derived from first principles.
   */
 object Round8Queries {
 
@@ -38,159 +39,133 @@ object Round8Queries {
     aggregate(zip_with(r, c, (x, cw) => (x.cast("double") - cw) * (x.cast("double") - cw)),
       lit(0.0), (acc, v) => acc + v)
 
-  val qs: Seq[Q] = Seq(
+  /** The IVF-PQ index pipeline shared by q495 (search) and q496 (recall
+    * audit): `probes` = the fixed 50 hash-ordered query vectors
+    * (query_id, qv); `short` = per query the ADC top-40 candidate
+    * shortlist (query_id, neighbor_id, adc). Stages, each in its scale
+    * shape:
+    *   1. coarse quantizer: exact per-label centroids (cell-bounded,
+    *      broadcast);
+    *   2. corpus residuals vs the OWN cell centroid, quantized to integer
+    *      MICRO units (round(r*1e6) — the house recipe; all later sums
+    *      are exact integers);
+    *   3. global PQ codebooks: 4 subspaces x 16 dims, 32 codewords each
+    *      (5-bit codes), seeded by the residual's sign pattern over dims
+    *      1-5 and refined one Lloyd step (mean of pattern members from
+    *      exact integer sums, one final double division) — deterministic,
+    *      k-means-shaped, 128 rows total (broadcast);
+    *   4. corpus codes: nearest codeword per (vector, subspace), ties to
+    *      the lowest codeword id — 4 small ints per vector, the 16-byte-
+    *      per-vector layout that lets 100 TB of vectors live in RAM;
+    *   5. queries: FIXED 50 hash-ordered probes (q423 convention), each
+    *      probing its nprobe=4 nearest cells; per probed cell the QUERY
+    *      residual is taken against THAT cell's centroid (the defining
+    *      IVF-PQ move) and expanded into a 50x4x4x32 ADC distance table
+    *      (bounded, broadcast);
+    *   6. ADC scoring: candidates = corpus codes in probed cells; each
+    *      candidate's approximate distance is four table lookups folded
+    *      in a FIXED tree ((d0+d1)+d2)+d3 — never a merge-order
+    *      relational SUM of doubles; top-40 shortlist per query via the
+    *      TopKPerKey heap (a wide shortlist is the standard counter to
+    *      ADC rank noise — the exact re-rank pays for it only over 40
+    *      rows/query).
+    */
+  private final case class IvfPqIndex(probes: DataFrame, short: DataFrame)
 
-    // IVF-PQ residual search — the composite the similarity surface lacked
-    // (q27/q44 = IVF cells, q119/q183 = PQ + ADC on RAW vectors; production
-    // indexes quantize the RESIDUAL v - centroid(cell), which is the whole
-    // reason IVF-PQ beats flat PQ: residual energy is a fraction of vector
-    // energy, so the same code budget buys finer cells). Stages, each in
-    // its scale shape:
-    //   1. coarse quantizer: exact per-label centroids (cell-bounded,
-    //      broadcast);
-    //   2. corpus residuals, quantized to integer MICRO units (round(r*1e6)
-    //      — the house recipe; all later sums are exact integers);
-    //   3. global PQ codebooks: 4 subspaces x 16 dims, 8 codewords each,
-    //      seeded by the residual's sign octant (dims 1-3) and refined one
-    //      Lloyd step (mean of octant members from exact integer sums, one
-    //      final double division) — deterministic, k-means-shaped, 32 rows
-    //      total (broadcast);
-    //   4. corpus codes: nearest codeword per (vector, subspace), ties to
-    //      the lowest codeword id — 4 small ints per vector, the 16-byte-
-    //      per-vector layout that lets 100 TB of vectors live in RAM;
-    //   5. queries: FIXED 50 hash-ordered probes (q423 convention), each
-    //      probing its nprobe=2 nearest cells; per probed cell the QUERY
-    //      residual is taken against THAT cell's centroid (the defining
-    //      IVF-PQ move) and expanded into a 50x2x4x8 ADC distance table
-    //      (bounded, broadcast);
-    //   6. ADC scoring: candidates = corpus codes in probed cells; each
-    //      candidate's approximate distance is four table lookups folded in
-    //      a FIXED tree ((d0+d1)+d2)+d3 — never a merge-order relational
-    //      SUM of doubles; top-10 shortlist per query via the TopKPerKey
-    //      heap;
-    //   7. exact re-rank: true cosine on the original float vectors over
-    //      the shortlist only, top-3 out.
-    // The output carries both the ADC estimate and the exact cosine, so
-    // the oracle hash-gates the compression quality end to end.
-    Q(
-      "q495_ivfpq_search",
-      (s, dir) => {
-        graft.functions.GraftFunctions.ensureRegistered(s)
-        val e = Tables.embeddings(s, dir)
-        val M = 4
-        val sub = 16
+  private def ivfpq(s: SparkSession, dir: String): IvfPqIndex = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = Tables.embeddings(s, dir)
+    val M = 4
+    val sub = 16
 
-        // 1. coarse centroids (cell-bounded -> broadcast below)
-        val cents = Similarity.exactCentroids(e, "embedding", "label")
+    val cents = Similarity.exactCentroids(e, "embedding", "label")
 
-        // 2. corpus residual micro-vectors vs the OWN cell centroid
-        val rv = e.join(broadcast(cents), col("label") === col("cell"))
-          .select(col("vec_id"), col("label"),
-            zip_with(col("embedding"), col("centroid"),
-              (x, c) => round((x.cast("double") - c) * lit(1000000.0)).cast("long"))
-              .as("rmicro"))
-        val parts = rv.select(col("vec_id"), col("label"),
-            explode(array((0 until M).map(m =>
-              struct(lit(m).as("m"),
-                slice(col("rmicro"), m * sub + 1, sub).as("r"))): _*)).as("p"))
-          .select(col("vec_id"), col("label"), col("p.m").as("m"), col("p.r").as("r"))
+    val rv = e.join(broadcast(cents), col("label") === col("cell"))
+      .select(col("vec_id"), col("label"),
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => round((x.cast("double") - c) * lit(1000000.0)).cast("long"))
+          .as("rmicro"))
+    val parts = rv.select(col("vec_id"), col("label"),
+        explode(array((0 until M).map(m =>
+          struct(lit(m).as("m"),
+            slice(col("rmicro"), m * sub + 1, sub).as("r"))): _*)).as("p"))
+      .select(col("vec_id"), col("label"), col("p.m").as("m"), col("p.r").as("r"))
 
-        // 3. octant-seeded codebooks: 8 codewords per subspace, mean of
-        //    octant members (exact integer sums, ONE double division/dim)
-        def octant(r: Column): Column =
-          (r.getItem(0) >= 0L).cast("int") * 4 +
-            (r.getItem(1) >= 0L).cast("int") * 2 +
-            (r.getItem(2) >= 0L).cast("int")
-        val octs = parts.withColumn("g", octant(col("r")))
-        val cw = octs
-          .select(col("m"), col("g"), posexplode(col("r")).as(Seq("dim", "v")))
-          .groupBy("m", "g", "dim")
-          .agg((sum(col("v")).cast("double") / count(lit(1)).cast("double")).as("cwv"))
-          .groupBy("m", "g")
-          .agg(array_sort(collect_list(struct(col("dim"), col("cwv")))).as("__cd"))
-          .select(col("m"), col("g"),
-            transform(col("__cd"), s0 => s0.getField("cwv")).as("cwvec"))
+    def signSeed(r: Column): Column =
+      (0 until 5).map(i =>
+        (r.getItem(i) >= 0L).cast("int") * (1 << (4 - i)) ).reduce(_ + _)
+    val octs = parts.withColumn("g", signSeed(col("r")))
+    val cw = octs
+      .select(col("m"), col("g"), posexplode(col("r")).as(Seq("dim", "v")))
+      .groupBy("m", "g", "dim")
+      .agg((sum(col("v")).cast("double") / count(lit(1)).cast("double")).as("cwv"))
+      .groupBy("m", "g")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cwv")))).as("__cd"))
+      .select(col("m"), col("g"),
+        transform(col("__cd"), s0 => s0.getField("cwv")).as("cwvec"))
 
-        // 4. corpus codes: nearest codeword per (vector, subspace)
-        val cassign = graft.plans.TopKPerKey.of(
-            octs.drop("g").join(broadcast(cw), Seq("m"))
-              .select(col("vec_id"), col("label"), col("m"), col("g"),
-                d2(col("r"), col("cwvec")).as("cd2")),
-            keyCols = Seq("vec_id", "m"),
-            order = Seq("cd2" -> true, "g" -> true), k = 1)
-          .select(col("vec_id"), col("label"), col("m"), col("g"))
+    val cassign = graft.plans.TopKPerKey.of(
+        octs.drop("g").join(broadcast(cw), Seq("m"))
+          .select(col("vec_id"), col("label"), col("m"), col("g"),
+            d2(col("r"), col("cwvec")).as("cd2")),
+        keyCols = Seq("vec_id", "m"),
+        order = Seq("cd2" -> true, "g" -> true), k = 1)
+      .select(col("vec_id"), col("label"), col("m"), col("g"))
 
-        // 5. bounded probe set + nprobe=2 cells + ADC distance table
-        val probes = e
-          .withColumn("__ord",
-            TextHash.hash60(concat(lit("ivfpq#"), col("vec_id").cast("string"))))
-          .orderBy(col("__ord"), col("vec_id")).limit(50)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-        val qc = graft.plans.TopKPerKey.of(
-            probes.crossJoin(broadcast(cents))
-              .select(col("query_id"), col("qv"), col("cell"), col("centroid"),
-                d2(col("qv"), col("centroid")).as("qd2")),
-            keyCols = Seq("query_id"),
-            order = Seq("qd2" -> true, "cell" -> true), k = 2)
-          .select(col("query_id"), col("qv"), col("cell"), col("centroid"))
-        val qparts = qc
-          .select(col("query_id"), col("cell"),
-            zip_with(col("qv"), col("centroid"),
-              (x, c) => round((x.cast("double") - c) * lit(1000000.0)).cast("long"))
-              .as("rqmicro"))
-          .select(col("query_id"), col("cell"),
-            explode(array((0 until M).map(m =>
-              struct(lit(m).as("m"),
-                slice(col("rqmicro"), m * sub + 1, sub).as("rq"))): _*)).as("p"))
-          .select(col("query_id"), col("cell"), col("p.m").as("m"), col("p.rq").as("rq"))
-        val dt = qparts.join(broadcast(cw), Seq("m"))
-          .select(col("query_id"), col("cell"), col("m"), col("g"),
-            d2(col("rq"), col("cwvec")).as("dd"))
+    val probes = e
+      .withColumn("__ord",
+        TextHash.hash60(concat(lit("ivfpq#"), col("vec_id").cast("string"))))
+      .orderBy(col("__ord"), col("vec_id")).limit(50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val qc = graft.plans.TopKPerKey.of(
+        probes.crossJoin(broadcast(cents))
+          .select(col("query_id"), col("qv"), col("cell"), col("centroid"),
+            d2(col("qv"), col("centroid")).as("qd2")),
+        keyCols = Seq("query_id"),
+        order = Seq("qd2" -> true, "cell" -> true), k = 4)
+      .select(col("query_id"), col("qv"), col("cell"), col("centroid"))
+    val qparts = qc
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qv"), col("centroid"),
+          (x, c) => round((x.cast("double") - c) * lit(1000000.0)).cast("long"))
+          .as("rqmicro"))
+      .select(col("query_id"), col("cell"),
+        explode(array((0 until M).map(m =>
+          struct(lit(m).as("m"),
+            slice(col("rqmicro"), m * sub + 1, sub).as("rq"))): _*)).as("p"))
+      .select(col("query_id"), col("cell"), col("p.m").as("m"), col("p.rq").as("rq"))
+    val dt = qparts.join(broadcast(cw), Seq("m"))
+      .select(col("query_id"), col("cell"), col("m"), col("g"),
+        d2(col("rq"), col("cwvec")).as("dd"))
 
-        // 6. ADC scoring + shortlist (dt is 50*2*4*8 rows — bounded,
-        //    broadcast; the corpus code frame streams through it)
-        val contrib = cassign
-          .join(broadcast(dt),
-            col("cell") === col("label") && dt("m") === cassign("m")
-              && dt("g") === cassign("g"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            cassign("m").as("cm"), col("dd"))
-        val adc = contrib
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .groupBy("query_id", "neighbor_id")
-          .agg(
-            max(when(col("cm") === 0, col("dd"))).as("d0"),
-            max(when(col("cm") === 1, col("dd"))).as("d1"),
-            max(when(col("cm") === 2, col("dd"))).as("d2"),
-            max(when(col("cm") === 3, col("dd"))).as("d3"))
-          .select(col("query_id"), col("neighbor_id"),
-            (((col("d0") + col("d1")) + col("d2")) + col("d3")).as("adc"))
-        val short = graft.plans.TopKPerKey.of(adc,
-            keyCols = Seq("query_id"),
-            order = Seq("adc" -> true, "neighbor_id" -> true), k = 10)
-          .select("query_id", "neighbor_id", "adc")
+    val contrib = cassign
+      .join(broadcast(dt),
+        col("cell") === col("label") && dt("m") === cassign("m")
+          && dt("g") === cassign("g"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cassign("m").as("cm"), col("dd"))
+    val adc = contrib
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(
+        max(when(col("cm") === 0, col("dd"))).as("d0"),
+        max(when(col("cm") === 1, col("dd"))).as("d1"),
+        max(when(col("cm") === 2, col("dd"))).as("d2"),
+        max(when(col("cm") === 3, col("dd"))).as("d3"))
+      .select(col("query_id"), col("neighbor_id"),
+        (((col("d0") + col("d1")) + col("d2")) + col("d3")).as("adc"))
+    val short = graft.plans.TopKPerKey.of(adc,
+        keyCols = Seq("query_id"),
+        order = Seq("adc" -> true, "neighbor_id" -> true), k = 40)
+      .select("query_id", "neighbor_id", "adc")
+    IvfPqIndex(probes, short)
+  }
 
-        // 7. exact cosine re-rank over the shortlist only
-        val en = e.select(col("vec_id"), col("embedding"),
-          sqrt(Similarity.nativeDot(col("embedding"), col("embedding"))).as("nrm"))
-        // query vectors re-attach from the BOUNDED probe frame (50 rows) —
-        // never a broadcast of the corpus-linear `en`
-        val qn = probes.select(col("query_id"), col("qv").as("pqv"),
-          sqrt(Similarity.nativeDot(col("qv"), col("qv"))).as("qn"))
-        val rer = short
-          .join(en.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-            col("nrm").as("cn")).hint("shuffle_hash"), Seq("neighbor_id"))
-          .join(broadcast(qn), Seq("query_id"))
-          .select(col("query_id"), col("neighbor_id"), col("adc"),
-            (Similarity.nativeDot(col("pqv"), col("cv")) / (col("qn") * col("cn")))
-              .as("cosine"))
-        graft.plans.TopKPerKey.of(rer,
-            keyCols = Seq("query_id"),
-            order = Seq("cosine" -> false, "neighbor_id" -> true), k = 3)
-          .select("query_id", "rank", "neighbor_id", "adc", "cosine")
-          .orderBy("query_id", "rank")
-      },
-      Some(s"""
+  /** DuckDB mirror of [[ivfpq]]: the WITH chain ending in relations
+    * `probes(query_id, qv)`, `short(query_id, neighbor_id, adc)` and
+    * `en(vec_id, embedding, nrm)`. Shared by the q495/q496 oracles.
+    */
+  private val IvfPqCte: String = s"""
         WITH cm AS (
           SELECT label AS cell, CAST(u.i - 1 AS INTEGER) AS dim,
                  CAST(SUM(CAST(CAST(u.v AS DOUBLE) * 281474976710656 AS DECIMAL(38,0))) AS DOUBLE)
@@ -212,9 +187,11 @@ object Round8Queries {
           FROM rv CROSS JOIN range(0, 4) t(m)
         ), octs AS (
           SELECT vec_id, label, m, r,
-                 (CASE WHEN r[1] >= 0 THEN 4 ELSE 0 END
-                  + CASE WHEN r[2] >= 0 THEN 2 ELSE 0 END
-                  + CASE WHEN r[3] >= 0 THEN 1 ELSE 0 END) AS g
+                 (CASE WHEN r[1] >= 0 THEN 16 ELSE 0 END
+                  + CASE WHEN r[2] >= 0 THEN 8 ELSE 0 END
+                  + CASE WHEN r[3] >= 0 THEN 4 ELSE 0 END
+                  + CASE WHEN r[4] >= 0 THEN 2 ELSE 0 END
+                  + CASE WHEN r[5] >= 0 THEN 1 ELSE 0 END) AS g
           FROM parts
         ), cwd AS (
           SELECT m, g, u.i AS dim,
@@ -245,7 +222,7 @@ object Round8Queries {
                        * (CAST(p.qv[i] AS DOUBLE) - c.centroid[i])
                        FOR i IN generate_series(1, 64)]), c.cell) AS rn
             FROM probes p CROSS JOIN cents c)
-          WHERE rn <= 2
+          WHERE rn <= 4
         ), qparts AS (
           SELECT query_id, cell, t.m AS m,
                  [CAST(round((CAST(qv[i] AS DOUBLE) - centroid[i]) * 1000000.0) AS BIGINT)
@@ -271,12 +248,50 @@ object Round8Queries {
                    row_number() OVER (PARTITION BY query_id
                      ORDER BY adc, neighbor_id) AS rn
             FROM adc)
-          WHERE rn <= 10
+          WHERE rn <= 40
         ), en AS (
           SELECT vec_id, embedding,
                  sqrt(${duckDot("embedding", "embedding")}) AS nrm
           FROM embeddings
-        )
+        )""".stripMargin.trim
+
+  val qs: Seq[Q] = Seq(
+
+    // IVF-PQ residual search — the composite the similarity surface lacked
+    // (q27/q44 = IVF cells, q119/q183 = PQ + ADC on RAW vectors; production
+    // indexes quantize the RESIDUAL v - centroid(cell), which is the whole
+    // reason IVF-PQ beats flat PQ: residual energy is a fraction of vector
+    // energy, so the same code budget buys finer cells). Index pipeline in
+    // [[ivfpq]]; here stage 7: exact cosine re-rank on the original float
+    // vectors over the ADC top-40 shortlist only, top-3 out. The output
+    // carries both the ADC estimate and the exact cosine, so the oracle
+    // hash-gates the compression quality end to end.
+    Q(
+      "q495_ivfpq_search",
+      (s, dir) => {
+        val ix = ivfpq(s, dir)
+        val e = Tables.embeddings(s, dir)
+        val en = e.select(col("vec_id"), col("embedding"),
+          sqrt(Similarity.nativeDot(col("embedding"), col("embedding"))).as("nrm"))
+        // query vectors re-attach from the BOUNDED probe frame (50 rows) —
+        // never a broadcast of the corpus-linear `en`
+        val qn = ix.probes.select(col("query_id"), col("qv").as("pqv"),
+          sqrt(Similarity.nativeDot(col("qv"), col("qv"))).as("qn"))
+        val rer = ix.short
+          .join(en.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+            col("nrm").as("cn")).hint("shuffle_hash"), Seq("neighbor_id"))
+          .join(broadcast(qn), Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id"), col("adc"),
+            (Similarity.nativeDot(col("pqv"), col("cv")) / (col("qn") * col("cn")))
+              .as("cosine"))
+        graft.plans.TopKPerKey.of(rer,
+            keyCols = Seq("query_id"),
+            order = Seq("cosine" -> false, "neighbor_id" -> true), k = 3)
+          .select("query_id", "rank", "neighbor_id", "adc", "cosine")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        $IvfPqCte
         SELECT query_id,
                CAST(row_number() OVER (PARTITION BY query_id
                  ORDER BY ${duckDot("q.embedding", "n.embedding")} / (q.nrm * n.nrm)
@@ -288,6 +303,66 @@ object Round8Queries {
         JOIN en n ON n.vec_id = s.neighbor_id
         QUALIFY rank <= 3
         ORDER BY query_id, rank
+      """.trim)),
+
+    // IVF-PQ recall audit — q97's index-quality gate pointed at the
+    // compressed index: per probe, how many of the TRUE top-3 cosine
+    // neighbors (brute force over the full corpus, self excluded) survive
+    // into the ADC top-40 shortlist. Measured operating point on the
+    // near-random synthetic embeddings: ~36% end-to-end (the nprobe=4/10
+    // cell restriction caps it at ~51% here; real deployments run cell
+    // counts ORDERS more numerous, making nprobe/cells tiny) — the point
+    // of the audit is that this number is MEASURED and gated, not assumed. This is THE acceptance metric for a
+    // quantized ANN deployment (it prices what compression + nprobe lose
+    // before the re-rank can recover anything); recall in integer micro
+    // floor units. Brute truth rides topKCosine's bounded-probe broadcast
+    // baseline (50 probes); the shortlist join is a semi join on the
+    // (query, neighbor) pair key.
+    Q(
+      "q496_ivfpq_recall",
+      (s, dir) => {
+        val ix = ivfpq(s, dir)
+        val e = Tables.embeddings(s, dir)
+        val brute = Similarity.topKCosine(
+            ix.probes.select(col("query_id").as("vec_id"), col("qv").as("embedding")),
+            e, "vec_id", "embedding", k = 3)
+          .select("query_id", "neighbor_id")
+        val hits = brute
+          .join(ix.short.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        brute.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_true"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .withColumn("recall_micro",
+            expr("n_hits * 1000000 DIV n_true"))
+          .orderBy("query_id")
+      },
+      Some(s"""
+        $IvfPqCte, brute AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                     ORDER BY ${duckDot("p.qv", "c.embedding")} / (pq.nrm * c.nrm)
+                       DESC, c.vec_id) AS rn
+            FROM probes p
+            JOIN en pq ON pq.vec_id = p.query_id
+            JOIN en c ON c.vec_id <> p.query_id)
+          WHERE rn <= 3
+        ), hits AS (
+          SELECT b.query_id, COUNT(*) AS n_hits
+          FROM brute b
+          JOIN short s ON s.query_id = b.query_id
+                      AND s.neighbor_id = b.neighbor_id
+          GROUP BY b.query_id
+        )
+        SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(COALESCE(MAX(h.n_hits), 0) AS BIGINT) AS n_hits,
+               CAST(COALESCE(MAX(h.n_hits), 0) * 1000000 // COUNT(*) AS BIGINT)
+                 AS recall_micro
+        FROM brute b LEFT JOIN hits h ON h.query_id = b.query_id
+        GROUP BY b.query_id ORDER BY b.query_id
       """.trim))
   )
 }

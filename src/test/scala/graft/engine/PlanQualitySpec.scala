@@ -664,6 +664,26 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ search plans heap top-k everywhere and no unpartitioned window") {
+    // q495/q496: every ranking step (codeword argmin, nprobe cell pick,
+    // ADC shortlist, cosine re-rank, brute truth) must ride the TopKPerKey
+    // heap — a WindowExec anywhere means a per-key sort crept in; a
+    // CartesianProduct means a probe/codebook attach lost its broadcast
+    // (bounded crossJoins plan as BroadcastNestedLoopJoin, which is fine).
+    // The shortlist's corpus-side re-attach must stay shuffle-side.
+    for (q <- Seq("q495_ivfpq_search", "q496_ivfpq_recall")) {
+      val df = graft.SparkEntry.queries(q)(spark, sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"),
+        s"$q: expected the heap top-k operator in:\n$plan")
+      assert(!plan.contains("WindowExec"),
+        s"$q: no window-sort ranking allowed:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: bounded attaches must broadcast, not cartesian:\n$plan")
+    }
+  }
+
   test("negative sampling joins the rank frame by shuffle, never broadcast") {
     // q454's rank frame is corpus-linear (one row per embedding): the
     // negative-draw join (on nr) and the kNN-edge audit join (on the
