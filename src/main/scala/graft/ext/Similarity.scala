@@ -60,6 +60,22 @@ object Similarity {
   private def spread(df: DataFrame, idCol: String): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
 
+  /** Fixed-size hash-ordered probe sample — the bounded-probe convention
+    * (q423, registry-wide since round 8): a modulus sample (`id % k == 0`)
+    * GROWS with the corpus, so any operator that broadcasts the probe side
+    * (the brute-force top-k family) or pairs probes against the corpus
+    * turns O(n^2/k) at scale. A hash-ordered LIMIT stays value-bounded at
+    * any corpus size while remaining a pseudo-random pick (the hash order
+    * decorrelates it from id assignment order). `tag` seeds the hash so
+    * different call sites draw independent samples.
+    */
+  def hashOrderedProbes(df: DataFrame, idCol: String, tag: String, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.withColumn("__ord",
+        TextHash.hash60(concat(lit(tag + "#"), col(idCol).cast("string"))))
+      .orderBy(col("__ord"), col(idCol)).limit(n).drop("__ord")
+  }
+
   /** Brute-force per-query top-k cosine neighbors.
     *
     * `queries` and `corpus` both carry (idCol, vecCol); self-pairs are

@@ -1439,11 +1439,13 @@ object EvalQueries {
         val e = Tables.embeddings(s, dir)
         val b = e.select(col("vec_id"), col("embedding"),
           Similarity.hyperplaneBucketFast(col("embedding"), 6, 64).as("bucket"))
-        val probes = b.filter(col("vec_id") % 20 === 0)
+        // FIXED 50 hash-ordered probes (bounded-probe convention, r8
+        // sweep), the SAME set on the indexed and brute-truth side
+        val probes = Similarity.hashOrderedProbes(b, "vec_id", "probe", 50)
         val ann = Similarity.annTopKByCell(probes, b, "vec_id", "embedding", "bucket", k = 3)
           .select(col("query_id"), col("neighbor_id"), col("rank").as("ra"))
         val truth = Similarity.topKCosine(
-            e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding", k = 3)
+            probes.drop("bucket"), e, "vec_id", "embedding", k = 3)
           .select(col("query_id"), col("neighbor_id"), col("rank").as("rb"))
         val matched = ann.join(truth, Seq("query_id", "neighbor_id"))
           .withColumn("rmax", greatest(col("ra"), col("rb")))
@@ -1484,7 +1486,7 @@ object EvalQueries {
                      ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
                               c.vec_id) AS rnk
             FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-            WHERE q.vec_id % 20 = 0)
+            WHERE q.vec_id IN ${ExtQueries.duckProbes("embeddings", "vec_id", "probe", 50)})
           WHERE rnk <= 3
         ), brute AS (
           SELECT query_id, neighbor_id, rnk AS rb FROM (
@@ -1494,7 +1496,8 @@ object EvalQueries {
                      ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
                               c.vec_id) AS rnk
             FROM e q CROSS JOIN e c
-            WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id)
+            WHERE q.vec_id IN ${ExtQueries.duckProbes("embeddings", "vec_id", "probe", 50)}
+              AND c.vec_id <> q.vec_id)
           WHERE rnk <= 3
         ), m AS (
           SELECT a.query_id,
@@ -1512,7 +1515,7 @@ object EvalQueries {
                COALESCE(x1, 0) AS x1, COALESCE(x2, 0) AS x2, COALESCE(x3, 0) AS x3,
                CAST(12 * COALESCE(x1, 0) + 3 * COALESCE(x2, 0) + COALESCE(x3, 0)
                  AS DOUBLE) / 24.0 AS rbo3
-        FROM (SELECT vec_id FROM embeddings WHERE vec_id % 20 = 0) p
+        FROM ${ExtQueries.duckProbes("embeddings", "vec_id", "probe", 50)} p
         LEFT JOIN m ON m.query_id = p.vec_id
         ORDER BY query_id
       """.trim)),
@@ -2531,7 +2534,10 @@ object EvalQueries {
       "q308_knn_eval",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-        val probes = e.filter(col("vec_id") % 4 === 0)
+        // FIXED 100 hash-ordered probes (bounded-probe convention, r8
+        // sweep — a 1-in-4 modulus sample made the broadcast brute-force
+        // pair work O(n^2/4) at scale)
+        val probes = Similarity.hashOrderedProbes(e, "vec_id", "knn", 100)
         val nn = Similarity.topKCosine(probes, e, "vec_id", "embedding", k = 5)
         val votes = nn
           .join(e.select(col("vec_id").as("neighbor_id"),
@@ -2559,7 +2565,8 @@ object EvalQueries {
         ), nn AS (
           SELECT q.vec_id AS query_id, c.label AS n_label
           FROM e q CROSS JOIN e c
-          WHERE q.vec_id % 4 = 0 AND c.vec_id <> q.vec_id
+          WHERE q.vec_id IN ${ExtQueries.duckProbes("embeddings", "vec_id", "knn", 100)}
+            AND c.vec_id <> q.vec_id
           QUALIFY row_number() OVER (PARTITION BY q.vec_id
             ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
                      c.vec_id) <= 5

@@ -31,6 +31,17 @@ object ExtQueries {
 
   private[queries] val StopList = "'the','a','an','of','and','to','in','is','for','on','with'"
 
+  /** DuckDB mirror of Similarity.hashOrderedProbes over a vec_id table:
+    * a scalar IN-list subquery of the n hash-ordered ids. The bounded-probe
+    * convention (q423, registry-wide since round 8) — a modulus probe set
+    * grows with the corpus and turns every broadcast-probe brute-force
+    * operator O(n^2/k) at scale.
+    */
+  private[queries] def duckProbes(table: String, idCol: String, tag: String, n: Int): String =
+    s"""(SELECT $idCol FROM $table
+           ORDER BY ${graft.ext.TextHash.duckHash60(s"'$tag#' || CAST($idCol AS VARCHAR)")}, $idCol
+           LIMIT $n)"""
+
   /** DuckDB CTE chain mirroring NearDup.minHashNearDupPairs (k=64, b=16,
     * r=4, n=3, threshold 0.8): shingles -> universal-hash MinHash signatures
     * -> band buckets -> candidate pairs -> exact-Jaccard-verified `verified`
@@ -360,12 +371,16 @@ object ExtQueries {
         + "\nORDER BY doc_id")),
 
     // Brute-force top-k cosine: broadcast the probe set, stream the corpus.
+    // The probe set is a FIXED 50 hash-ordered ids (bounded-probe
+    // convention, r8 sweep): a modulus sample grows with the corpus and
+    // makes the broadcast pair work O(n^2/20) at scale.
     Q(
       "q26_cosine_topk",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
         Similarity.topKCosine(
-            e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding", k = 5)
+            Similarity.hashOrderedProbes(e, "vec_id", "probe", 50),
+            e, "vec_id", "embedding", k = 5)
           .orderBy("query_id", "rank")
       },
       Some(s"""
@@ -381,7 +396,8 @@ object ExtQueries {
                           c.vec_id) AS INTEGER) AS rank,
                ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
         FROM e q CROSS JOIN e c
-        WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id
+        WHERE q.vec_id IN ${duckProbes("embeddings", "vec_id", "probe", 50)}
+          AND c.vec_id <> q.vec_id
         QUALIFY rank <= 5
         ORDER BY query_id, rank
       """.trim)),
@@ -1306,11 +1322,13 @@ object ExtQueries {
         val e = Tables.embeddings(s, dir)
         val b = e.select(col("vec_id"), col("embedding"),
           Similarity.hyperplaneBucketFast(col("embedding"), 6, 64).as("bucket"))
-        val probes = b.filter(col("vec_id") % 20 === 0)
+        // FIXED 50 hash-ordered probes (bounded-probe convention, r8
+        // sweep), the SAME set on both the indexed and brute side
+        val probes = Similarity.hashOrderedProbes(b, "vec_id", "probe", 50)
         val ann = Similarity.annTopKByCell(probes, b, "vec_id", "embedding", "bucket", k = 3)
           .select("query_id", "neighbor_id")
         val brute = Similarity.topKCosine(
-            e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding", k = 3)
+            probes.drop("bucket"), e, "vec_id", "embedding", k = 3)
           .select("query_id", "neighbor_id")
         val base = brute.groupBy("query_id").agg(count(lit(1)).as("n_true"))
         val hits = brute.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
@@ -1347,7 +1365,7 @@ object ExtQueries {
                      ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
                               c.vec_id) AS rnk
             FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-            WHERE q.vec_id % 20 = 0)
+            WHERE q.vec_id IN ${duckProbes("embeddings", "vec_id", "probe", 50)})
           WHERE rnk <= 3
         ), brute AS (
           SELECT query_id, neighbor_id FROM (
@@ -1357,7 +1375,8 @@ object ExtQueries {
                      ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
                               c.vec_id) AS rnk
             FROM e q CROSS JOIN e c
-            WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id)
+            WHERE q.vec_id IN ${duckProbes("embeddings", "vec_id", "probe", 50)}
+              AND c.vec_id <> q.vec_id)
           WHERE rnk <= 3
         ), hits AS (
           SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
@@ -1918,7 +1937,8 @@ object ExtQueries {
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
         val hits = Similarity.topKCosine(
-          e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding", k = 5)
+          Similarity.hashOrderedProbes(e, "vec_id", "probe", 50),
+          e, "vec_id", "embedding", k = 5)
         val qual = Tables.documents(s, dir).select(col("doc_id"),
           TextAnalysis.qualityScore(TextAnalysis.tokens(col("text"))).as("quality"))
         val scored = hits.join(qual, hits("neighbor_id") === qual("doc_id"))
@@ -1951,7 +1971,8 @@ object ExtQueries {
                    ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
                             c.vec_id) AS r
           FROM e q CROSS JOIN e c
-          WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id
+          WHERE q.vec_id IN ${duckProbes("embeddings", "vec_id", "probe", 50)}
+            AND c.vec_id <> q.vec_id
           QUALIFY r <= 5
         ), qual AS (
           SELECT doc_id, $quality AS quality
@@ -2015,7 +2036,8 @@ object ExtQueries {
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
         Similarity.maxSimTopK(
-            e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding",
+            Similarity.hashOrderedProbes(e, "vec_id", "maxsim", 20),
+            e, "vec_id", "embedding",
             subs = 4, subDim = 16, k = 3)
           .orderBy("query_id", "rank")
       },
@@ -2036,7 +2058,9 @@ object ExtQueries {
                  sq.si AS qi, sc.si AS cj,
                  ${subDot("q", "c", "sq.si", "sc.si")} / (sq.nrm * sc.nrm) AS cos
           FROM embeddings q
-          JOIN embeddings c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+          JOIN embeddings c
+            ON q.vec_id IN ${duckProbes("embeddings", "vec_id", "maxsim", 20)}
+           AND c.vec_id <> q.vec_id
           JOIN sub sq ON sq.vec_id = q.vec_id
           JOIN sub sc ON sc.vec_id = c.vec_id
         ), best AS (
@@ -2070,7 +2094,8 @@ object ExtQueries {
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
         Similarity.matryoshkaTopK(
-            e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding",
+            Similarity.hashOrderedProbes(e, "vec_id", "mrl", 50),
+            e, "vec_id", "embedding",
             prefixDim = 16, shortlist = 20, k = 5)
           .orderBy("query_id", "rank")
       },
@@ -2088,7 +2113,9 @@ object ExtQueries {
                    list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
                              FOR i IN generate_series(1, 16)]) / (q.hn * c.hn) DESC,
                    c.vec_id) AS r1
-          FROM h q JOIN h c ON q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id
+          FROM h q JOIN h c
+            ON q.vec_id IN ${duckProbes("embeddings", "vec_id", "mrl", 50)}
+           AND c.vec_id <> q.vec_id
           QUALIFY r1 <= 20
         )
         SELECT query_id, neighbor_id,
@@ -2110,11 +2137,17 @@ object ExtQueries {
     Q(
       "q157_hybrid_rrf",
       (s, dir) => {
-        val probeFilter = col("doc_id") % 100 === 0
+        // FIXED 20 hash-ordered probes per modality (bounded-probe
+        // convention, r8 sweep — a %100 modulus fraction made the lexical
+        // postings join and the brute cosine O(n^2/100) at scale); the
+        // shared "rrf" tag picks the SAME ids where the id domains
+        // coincide (doc_id == vec_id links the modalities)
+        val probeIds = Similarity.hashOrderedProbes(
+            Tables.documents(s, dir).select("doc_id"), "doc_id", "rrf", 20)
         val toks = Tables.documents(s, dir)
           .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
           .select(col("doc_id"), explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
-        val lexPairs = toks.filter(probeFilter).withColumnRenamed("doc_id", "query_id")
+        val lexPairs = toks.join(broadcast(probeIds), Seq("doc_id")).withColumnRenamed("doc_id", "query_id")
           .join(toks.withColumnRenamed("doc_id", "neighbor_id").hint("shuffle_hash"), Seq("tok"))
           .filter(col("query_id") =!= col("neighbor_id"))
           .groupBy("query_id", "neighbor_id")
@@ -2125,7 +2158,8 @@ object ExtQueries {
           .select(col("query_id"), col("neighbor_id"), col("rank").as("r_lex"))
         val e = Tables.embeddings(s, dir)
         val vec = Similarity.topKCosine(
-            e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding", k = 10)
+            Similarity.hashOrderedProbes(e, "vec_id", "rrf", 20),
+            e, "vec_id", "embedding", k = 10)
           .select(col("query_id"), col("neighbor_id"), col("rank").as("r_vec"))
         val fused = lex.join(vec, Seq("query_id", "neighbor_id"), "full_outer")
           .select(col("query_id"), col("neighbor_id"),
@@ -2145,7 +2179,7 @@ object ExtQueries {
                  row_number() OVER (PARTITION BY q.doc_id
                    ORDER BY COUNT(*) DESC, c.doc_id) AS r_lex
           FROM toks q JOIN toks c ON q.tok = c.tok AND q.doc_id <> c.doc_id
-          WHERE q.doc_id % 100 = 0
+          WHERE q.doc_id IN ${duckProbes("documents", "doc_id", "rrf", 20)}
           GROUP BY q.doc_id, c.doc_id
           QUALIFY r_lex <= 10
         ), e AS (
@@ -2158,7 +2192,8 @@ object ExtQueries {
                    ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
                             c.vec_id) AS r_vec
           FROM e q CROSS JOIN e c
-          WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+          WHERE q.vec_id IN ${duckProbes("embeddings", "vec_id", "rrf", 20)}
+            AND c.vec_id <> q.vec_id
           QUALIFY r_vec <= 10
         ), fused AS (
           SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
@@ -2326,7 +2361,10 @@ object ExtQueries {
             .select(col("vec_id"), col("cell").as(out))
         val coded = codes("s0", cent0, "code0")
           .join(codes("s1", cent1, "code1"), Seq("vec_id"))
-        val probes = parts.filter(col("vec_id") % 50 === 0)
+        // FIXED 20 hash-ordered probes (bounded-probe convention, r8
+        // sweep): the ADC distance tables are broadcast, so the probe
+        // frame must be value-bounded, not a corpus fraction
+        val probes = Similarity.hashOrderedProbes(parts, "vec_id", "adc", 20)
         def dtable(pcol: String, cent: org.apache.spark.sql.DataFrame,
             cCol: String, dCol: String) = {
           val d2 = aggregate(
@@ -2378,7 +2416,7 @@ object ExtQueries {
                            * (CAST(e.embedding[i + ${lo - 1}] AS DOUBLE) - c.centroid[i])
                            FOR i IN generate_series(1, 32)]) AS d$j
           FROM embeddings e CROSS JOIN c$j c
-          WHERE e.vec_id % 50 = 0
+          WHERE e.vec_id IN ${duckProbes("embeddings", "vec_id", "adc", 20)}
         )"""
         }
         s"""
@@ -3011,7 +3049,8 @@ object ExtQueries {
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
         Similarity.hardNegativeTopK(
-            e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding",
+            Similarity.hashOrderedProbes(e, "vec_id", "hardneg", 50),
+            e, "vec_id", "embedding",
             "label", k = 3)
           .orderBy("query_id", "rank")
       },
@@ -3025,7 +3064,7 @@ object ExtQueries {
                  ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
           FROM nrm q JOIN nrm c
             ON c.vec_id <> q.vec_id AND c.label <> q.label
-          WHERE q.vec_id % 20 = 0
+          WHERE q.vec_id IN ${duckProbes("embeddings", "vec_id", "hardneg", 50)}
         )
         SELECT query_id, neighbor_id,
                CAST(row_number() OVER (PARTITION BY query_id
@@ -3586,11 +3625,13 @@ object ExtQueries {
         val e = Tables.embeddings(s, dir)
         val b = e.select(col("vec_id"), col("embedding"),
           Similarity.hyperplaneBucketFast(col("embedding"), 6, 64).as("bucket"))
-        val probes = b.filter(col("vec_id") % 20 === 0)
+        // FIXED 50 hash-ordered probes (bounded-probe convention, r8
+        // sweep), the SAME set on the indexed and brute-truth side
+        val probes = Similarity.hashOrderedProbes(b, "vec_id", "probe", 50)
         val ann = Similarity.annTopKByCell(probes, b, "vec_id", "embedding", "bucket", k = 3)
           .select("query_id", "neighbor_id", "rank")
         val truth = Similarity.topKCosine(
-            e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding", k = 3)
+            probes.drop("bucket"), e, "vec_id", "embedding", k = 3)
           .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
         val agg = ann.join(truth, Seq("query_id", "neighbor_id"), "left")
           .na.fill(0L, Seq("hit"))
@@ -3639,7 +3680,7 @@ object ExtQueries {
                      ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
                               c.vec_id) AS rnk
             FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-            WHERE q.vec_id % 20 = 0)
+            WHERE q.vec_id IN ${duckProbes("embeddings", "vec_id", "probe", 50)})
           WHERE rnk <= 3
         ), brute AS (
           SELECT query_id, neighbor_id FROM (
@@ -3649,7 +3690,8 @@ object ExtQueries {
                      ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
                               c.vec_id) AS rnk
             FROM e q CROSS JOIN e c
-            WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id)
+            WHERE q.vec_id IN ${duckProbes("embeddings", "vec_id", "probe", 50)}
+              AND c.vec_id <> q.vec_id)
           WHERE rnk <= 3
         ), agg AS (
           SELECT a.query_id,
