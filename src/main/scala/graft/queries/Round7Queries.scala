@@ -29,9 +29,10 @@ object Round7Queries {
 
   /** DuckDB CTE chain mirroring the MUTUAL top-3 cosine graph within IVF
     * cells (q27's gated ANN shape, symmetrized): ends with relation
-    * `mu(id_a, id_b)`, id_a < id_b. Shared by the q437/q445/q446 oracles.
+    * `mu(id_a, id_b)`, id_a < id_b. Shared by the q437/q445/q446 oracles
+    * and round 8's graph-walk ANN (q497).
     */
-  private val MutualKnnCte: String = s"""
+  private[queries] val MutualKnnCte: String = s"""
         WITH e AS (
           SELECT vec_id, label, embedding,
                  sqrt(${duckDot("embedding", "embedding")}) AS nrm

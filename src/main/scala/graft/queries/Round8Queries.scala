@@ -363,6 +363,127 @@ object Round8Queries {
                  AS recall_micro
         FROM brute b LEFT JOIN hits h ON h.query_id = b.query_id
         GROUP BY b.query_id ORDER BY b.query_id
-      """.trim))
+      """.trim)),
+
+    // Graph-walk ANN — the THIRD production ANN family (HNSW / DiskANN /
+    // NSG search): greedy beam search over a proximity graph instead of
+    // cell restriction or compression. The substrate is the oracle-gated
+    // mutual-kNN graph (Similarity.mutualKnnGraph, q437's edge set); the
+    // search is the standard best-first beam relationally UNROLLED to a
+    // fixed 3 hops: frontier_{i+1} = top-B (B=4) by exact cosine over
+    // frontier_i UNION its graph neighbors, starting from 2 fixed
+    // hash-ordered entry points per query; after the last hop the top-3
+    // survivors are emitted. Every per-hop structure is bounded — frontier
+    // = 20 queries x B, fan-out = B x max-degree (<= k=3 by graph
+    // construction) — so each hop is a broadcast-frontier probe against
+    // the corpus-linear edge/vector frames, never a corpus shuffle per
+    // hop. (At production scale the edge frame is a materialized artifact
+    // — SharedFrames territory — and hops stream against it the same
+    // way.) Determinism: exact cosines via the codegen'd dot, total-order
+    // tie-breaks (cosine DESC, node ASC) at every beam cut, fixed hop
+    // count — the oracle replays the identical walk in three unrolled
+    // CTEs. Convergence behavior (does 3 hops reach the true neighbors of
+    // a chain-structured graph?) is exactly what the gated output records.
+    Q(
+      "q497_graph_beam_search",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val e = Tables.embeddings(s, dir)
+        val B = 4
+        val mu = Similarity.mutualKnnGraph(e, "vec_id", "embedding", "label", k = 3)
+        val und = mu.select(col("id_a").as("u"), col("id_b").as("w"))
+          .unionAll(mu.select(col("id_b").as("u"), col("id_a").as("w")))
+        val en = e.select(col("vec_id"), col("embedding"),
+          sqrt(Similarity.nativeDot(col("embedding"), col("embedding"))).as("nrm"))
+        val probes = Similarity.hashOrderedProbes(e, "vec_id", "beam", 20)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+          .withColumn("qn", sqrt(Similarity.nativeDot(col("qv"), col("qv"))))
+        val entries = Similarity.hashOrderedProbes(
+            e.select("vec_id"), "vec_id", "entry", 2)
+          .select(col("vec_id").as("node"))
+        val f0 = probes.select("query_id").crossJoin(broadcast(entries))
+        // one beam hop: expand the frontier by its graph neighbors, score
+        // exact cosine, keep the per-query top-B (heap, total order)
+        def hop(frontier: DataFrame): DataFrame = {
+          val f = frontier.select("query_id", "node")
+          val expanded = f
+            .unionAll(und.join(broadcast(f.withColumnRenamed("node", "u")),
+                Seq("u"))
+              .select(col("query_id"), col("w").as("node")))
+            .distinct()
+            .filter(col("node") =!= col("query_id"))
+          val scored = en.select(col("vec_id").as("node"), col("embedding").as("cv"),
+              col("nrm").as("cn"))
+            .join(broadcast(expanded), Seq("node"))
+            .join(broadcast(probes), Seq("query_id"))
+            .select(col("query_id"), col("node"),
+              (Similarity.nativeDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+                .as("cosine"))
+          graft.plans.TopKPerKey.of(scored,
+              keyCols = Seq("query_id"),
+              order = Seq("cosine" -> false, "node" -> true), k = B)
+            .select("query_id", "node", "cosine")
+        }
+        val f3 = hop(hop(hop(f0)))
+        graft.plans.TopKPerKey.of(f3,
+            keyCols = Seq("query_id"),
+            order = Seq("cosine" -> false, "node" -> true), k = 3)
+          .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
+            col("cosine"))
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        def hopCte(prev: String, cur: String): String = s"""
+        ${cur}c AS (
+          SELECT DISTINCT query_id, node FROM (
+            SELECT query_id, node FROM $prev
+            UNION ALL
+            SELECT f.query_id, u.w AS node
+            FROM $prev f JOIN und u ON u.u = f.node)
+          WHERE node <> query_id
+        ), $cur AS (
+          SELECT query_id, node, cosine FROM (
+            SELECT c.query_id, c.node,
+                   ${duckDot("q.qv", "n.embedding")} / (q.qn * n.nrm) AS cosine,
+                   row_number() OVER (PARTITION BY c.query_id
+                     ORDER BY ${duckDot("q.qv", "n.embedding")} / (q.qn * n.nrm)
+                       DESC, c.node) AS rn
+            FROM ${cur}c c
+            JOIN bprobes q ON q.query_id = c.query_id
+            JOIN ben n ON n.vec_id = c.node)
+          WHERE rn <= 4
+        )"""
+        s"""
+        ${Round7Queries.MutualKnnCte}, und AS (
+          SELECT id_a AS u, id_b AS w FROM mu
+          UNION ALL SELECT id_b AS u, id_a AS w FROM mu
+        ), ben AS (
+          SELECT vec_id, embedding,
+                 sqrt(${duckDot("embedding", "embedding")}) AS nrm
+          FROM embeddings
+        ), bprobes AS (
+          SELECT vec_id AS query_id, embedding AS qv,
+                 sqrt(${duckDot("embedding", "embedding")}) AS qn
+          FROM embeddings
+          ORDER BY ${TextHash.duckHash60("'beam#' || CAST(vec_id AS VARCHAR)")},
+                   vec_id
+          LIMIT 20
+        ), entries AS (
+          SELECT vec_id AS node FROM embeddings
+          ORDER BY ${TextHash.duckHash60("'entry#' || CAST(vec_id AS VARCHAR)")},
+                   vec_id
+          LIMIT 2
+        ), f0 AS (
+          SELECT p.query_id, e.node FROM bprobes p CROSS JOIN entries e
+        ), ${hopCte("f0", "f1")}, ${hopCte("f1", "f2")}, ${hopCte("f2", "f3")}
+        SELECT query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, node) AS INTEGER) AS rank,
+               node AS neighbor_id, cosine
+        FROM f3
+        QUALIFY rank <= 3
+        ORDER BY query_id, rank
+      """.trim
+      })
   )
 }

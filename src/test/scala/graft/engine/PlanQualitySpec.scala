@@ -671,7 +671,8 @@ class PlanQualitySpec extends SparkSpec {
     // CartesianProduct means a probe/codebook attach lost its broadcast
     // (bounded crossJoins plan as BroadcastNestedLoopJoin, which is fine).
     // The shortlist's corpus-side re-attach must stay shuffle-side.
-    for (q <- Seq("q495_ivfpq_search", "q496_ivfpq_recall")) {
+    for (q <- Seq("q495_ivfpq_search", "q496_ivfpq_recall",
+        "q497_graph_beam_search")) {
       val df = graft.SparkEntry.queries(q)(spark, sf0001)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
