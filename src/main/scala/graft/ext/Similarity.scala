@@ -182,6 +182,63 @@ object Similarity {
       .select(col("a.query_id").as("id_a"), col("a.neighbor_id").as("id_b"))
   }
 
+  /** Graph-walk ANN (the HNSW / DiskANN / NSG search shape): greedy beam
+    * search over a proximity graph, relationally UNROLLED to a fixed hop
+    * count — frontier_{i+1} = per-query top-`beam` by exact cosine over
+    * frontier_i UNION its graph neighbors, starting from the given entry
+    * nodes; after the last hop the per-query top-k survivors are emitted
+    * as (query_id, rank, neighbor_id, cosine).
+    *
+    * `edges` is an undirected edge list (id_a, id_b) — typically
+    * [[mutualKnnGraph]]'s output or a materialized artifact; `queries` and
+    * `entries` must be BOUNDED frames (they broadcast into each hop's
+    * probe joins). Every per-hop frame is beam-bounded (queries x beam x
+    * max-degree), so each hop streams the corpus-linear edge/vector frames
+    * past a broadcast frontier — never a per-hop corpus shuffle. All beam
+    * cuts ride the TopKPerKey heap under the total (cosine desc, node asc)
+    * order, so the walk is deterministic and an engine-independent oracle
+    * can replay it hop by hop.
+    */
+  def graphBeamSearch(corpus: DataFrame, edges: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, entries: DataFrame,
+      hops: Int, beam: Int, k: Int): DataFrame = {
+    require(hops >= 1, "graphBeamSearch needs at least one hop")
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val und = edges.select(col("id_a").as("u"), col("id_b").as("w"))
+      .unionAll(edges.select(col("id_b").as("u"), col("id_a").as("w")))
+    val en = corpus.select(col(idCol).as("node"), col(vecCol).as("__cv"),
+      sqrt(nativeDot(col(vecCol), col(vecCol))).as("__cn"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", sqrt(nativeDot(col("__qv"), col("__qv"))))
+    def hop(frontier: DataFrame): DataFrame = {
+      val f = frontier.select("query_id", "node")
+      val expanded = f
+        .unionAll(und.join(broadcast(f.withColumnRenamed("node", "u")), Seq("u"))
+          .select(col("query_id"), col("w").as("node")))
+        .distinct()
+        .filter(col("node") =!= col("query_id"))
+      val scored = en
+        .join(broadcast(expanded), Seq("node"))
+        .join(broadcast(probes), Seq("query_id"))
+        .select(col("query_id"), col("node"),
+          (nativeDot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+            .as("cosine"))
+      graft.plans.TopKPerKey.of(scored,
+          keyCols = Seq("query_id"),
+          order = Seq("cosine" -> false, "node" -> true), k = beam)
+        .select("query_id", "node", "cosine")
+    }
+    val f0 = probes.select("query_id")
+      .crossJoin(broadcast(entries.select(col(entries.columns.head).as("node"))))
+    val last = (1 to hops).foldLeft(f0: DataFrame)((f, _) => hop(f))
+    graft.plans.TopKPerKey.of(last,
+        keyCols = Seq("query_id"),
+        order = Seq("cosine" -> false, "node" -> true), k = k)
+      .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
+        col("cosine"))
+  }
+
   /** Multi-probe IVF ANN: each query probes its `nprobe` nearest cells by
     * centroid distance (not just its own cell, which is `annTopKByCell`'s
     * recall floor), then ranks exact cosine within the probed candidates.

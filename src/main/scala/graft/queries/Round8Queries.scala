@@ -369,8 +369,9 @@ object Round8Queries {
     // NSG search): greedy beam search over a proximity graph instead of
     // cell restriction or compression. The substrate is the oracle-gated
     // mutual-kNN graph (Similarity.mutualKnnGraph, q437's edge set); the
-    // search is the standard best-first beam relationally UNROLLED to a
-    // fixed 3 hops: frontier_{i+1} = top-B (B=4) by exact cosine over
+    // walk is the reusable Similarity.graphBeamSearch operator (chain-
+    // convergence spec-pinned in ExtSpec) — the standard best-first beam
+    // relationally UNROLLED to a fixed 3 hops: frontier_{i+1} = top-B (B=4) by exact cosine over
     // frontier_i UNION its graph neighbors, starting from 2 fixed
     // hash-ordered entry points per query; after the last hop the top-3
     // survivors are emitted. Every per-hop structure is bounded — frontier
@@ -387,49 +388,15 @@ object Round8Queries {
     Q(
       "q497_graph_beam_search",
       (s, dir) => {
-        graft.functions.GraftFunctions.ensureRegistered(s)
         val e = Tables.embeddings(s, dir)
-        val B = 4
-        val mu = Similarity.mutualKnnGraph(e, "vec_id", "embedding", "label", k = 3)
-        val und = mu.select(col("id_a").as("u"), col("id_b").as("w"))
-          .unionAll(mu.select(col("id_b").as("u"), col("id_a").as("w")))
-        val en = e.select(col("vec_id"), col("embedding"),
-          sqrt(Similarity.nativeDot(col("embedding"), col("embedding"))).as("nrm"))
-        val probes = Similarity.hashOrderedProbes(e, "vec_id", "beam", 20)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-          .withColumn("qn", sqrt(Similarity.nativeDot(col("qv"), col("qv"))))
-        val entries = Similarity.hashOrderedProbes(
-            e.select("vec_id"), "vec_id", "entry", 2)
-          .select(col("vec_id").as("node"))
-        val f0 = probes.select("query_id").crossJoin(broadcast(entries))
-        // one beam hop: expand the frontier by its graph neighbors, score
-        // exact cosine, keep the per-query top-B (heap, total order)
-        def hop(frontier: DataFrame): DataFrame = {
-          val f = frontier.select("query_id", "node")
-          val expanded = f
-            .unionAll(und.join(broadcast(f.withColumnRenamed("node", "u")),
-                Seq("u"))
-              .select(col("query_id"), col("w").as("node")))
-            .distinct()
-            .filter(col("node") =!= col("query_id"))
-          val scored = en.select(col("vec_id").as("node"), col("embedding").as("cv"),
-              col("nrm").as("cn"))
-            .join(broadcast(expanded), Seq("node"))
-            .join(broadcast(probes), Seq("query_id"))
-            .select(col("query_id"), col("node"),
-              (Similarity.nativeDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-                .as("cosine"))
-          graft.plans.TopKPerKey.of(scored,
-              keyCols = Seq("query_id"),
-              order = Seq("cosine" -> false, "node" -> true), k = B)
-            .select("query_id", "node", "cosine")
-        }
-        val f3 = hop(hop(hop(f0)))
-        graft.plans.TopKPerKey.of(f3,
-            keyCols = Seq("query_id"),
-            order = Seq("cosine" -> false, "node" -> true), k = 3)
-          .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
-            col("cosine"))
+        Similarity.graphBeamSearch(
+            corpus = e,
+            edges = Similarity.mutualKnnGraph(e, "vec_id", "embedding", "label", k = 3),
+            queries = Similarity.hashOrderedProbes(e, "vec_id", "beam", 20),
+            idCol = "vec_id", vecCol = "embedding",
+            entries = Similarity.hashOrderedProbes(
+              e.select("vec_id"), "vec_id", "entry", 2),
+            hops = 3, beam = 4, k = 3)
           .orderBy("query_id", "rank")
       },
       Some {

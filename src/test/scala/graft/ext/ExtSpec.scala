@@ -106,6 +106,29 @@ class ExtSpec extends SparkSpec {
     assert(edges.toSet === expected)
   }
 
+  test("graphBeamSearch walks a planted chain to the far end, hop-bounded") {
+    // Five unit vectors fanned at 15-degree steps form a cosine chain;
+    // edges connect consecutive nodes only. A query pointing at node 4,
+    // entered at node 0 with beam 2, must need the hops to get there:
+    // after 1 hop the frontier can only have reached node 1; after 4 hops
+    // the walk converges and node 4 ranks first.
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    val corpus = (0 to 4).map(i => (i.toLong, v(i * 15.0))).toDF("vec_id", "embedding")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val query = Seq((100L, v(60.0))).toDF("vec_id", "embedding")
+    val entry = Seq(Tuple1(0L)).toDF("node")
+    def walk(hops: Int) = Similarity.graphBeamSearch(
+        corpus, edges, query, "vec_id", "embedding", entry,
+        hops = hops, beam = 2, k = 2)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val short = walk(1)
+    assert(!short.values.toSet.contains(4L),
+      "one hop from node 0 must not reach node 4")
+    val full = walk(4)
+    assert(full(1) === 4L, s"expected node 4 at rank 1 after 4 hops, got $full")
+  }
+
   test("annTopKMultiProbe with nprobe = all cells equals brute-force top-k") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter(col("vec_id") % 50 === 0)
