@@ -106,6 +106,23 @@ class ExtSpec extends SparkSpec {
     assert(edges.toSet === expected)
   }
 
+  test("hashOrderedProbes is deterministic, size-bounded, and tag-decorrelated") {
+    val e = Tables.embeddings(spark, sf0001)
+    def ids(tag: String, n: Int) = Similarity.hashOrderedProbes(e, "vec_id", tag, n)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val a = ids("probe", 50)
+    assert(a.length === 50)
+    assert(a === ids("probe", 50), "same tag and n must reproduce the same probe set")
+    // growing n extends the sample without reshuffling the prefix
+    assert(ids("probe", 100).take(50) === a,
+      "the hash order must make samples nested across sizes")
+    // a different tag draws an effectively independent sample
+    val b = ids("entry", 50)
+    assert(a.toSet !== b.toSet, "different tags should decorrelate the draw")
+    // and it is not an id-ordered prefix (the whole point vs LIMIT on ids)
+    assert(a !== a.sorted, "hash order must differ from id order")
+  }
+
   test("graphBeamSearch walks a planted chain to the far end, hop-bounded") {
     // Five unit vectors fanned at 15-degree steps form a cosine chain;
     // edges connect consecutive nodes only. A query pointing at node 4,
