@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
 import graft.engine.Scratch
-import graft.ext.NearDup
+import graft.ext.{IvfPq, NearDup}
 
 /** Cross-query materialized intermediates.
   *
@@ -61,5 +61,40 @@ object SharedFrames {
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
+  }
+
+  /** The materialized IVF-PQ index over `embeddings` (VERDICT_r08 #1 —
+    * the index LIFECYCLE): centroids, codebooks and per-vector codes are
+    * built ONCE per (session, corpus dir), persisted as three parquet
+    * artifacts, and every search (q495/q496/q498) reads the artifact back
+    * instead of rebuilding — the production build-once/search-many shape.
+    * Correctness is unchanged by the round-trip: all three frames are
+    * exactly parquet-representable (double arrays, longs/ints), and every
+    * consumer's DuckDB oracle still derives the identical index from first
+    * principles, so the artifact content itself stays hash-gated.
+    */
+  private[queries] def ivfPqIndexPath(s: SparkSession, dir: String): String = {
+    val canonical = new java.io.File(dir).getCanonicalPath
+    val pathTag = f"${scala.util.hashing.MurmurHash3.stringHash(canonical) & 0xffffffffL}%08x"
+    Scratch.dir(s, dir, s"ivfpq_m4x16_cw32_$pathTag")
+  }
+
+  def ivfPqIndex(s: SparkSession, dir: String): IvfPq.Index = synchronized {
+    val base = ivfPqIndexPath(s, dir)
+    val conf = s.sparkContext.hadoopConfiguration
+    def ready(part: String): Boolean = {
+      val marker = new org.apache.hadoop.fs.Path(s"$base/$part", "_SUCCESS")
+      marker.getFileSystem(conf).exists(marker)
+    }
+    if (!(ready("cents") && ready("cw") && ready("codes"))) {
+      val ix = IvfPq.buildIndex(Tables.embeddings(s, dir), "vec_id", "embedding", "label")
+      ix.cents.write.mode("overwrite").parquet(s"$base/cents")
+      ix.cw.write.mode("overwrite").parquet(s"$base/cw")
+      ix.codes.write.mode("overwrite").parquet(s"$base/codes")
+    }
+    IvfPq.Index(
+      cents = s.read.parquet(s"$base/cents"),
+      cw = s.read.parquet(s"$base/cw"),
+      codes = s.read.parquet(s"$base/codes"))
   }
 }
