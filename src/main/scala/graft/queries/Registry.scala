@@ -15,7 +15,8 @@ object Registry {
   /** All registered queries, contributed per module. */
   def all: Seq[Q] = CoreQueries.qs ++ PipelineQueries.qs ++ ExtQueries.qs ++
     EvalQueries.qs ++ CorpusQueries.qs ++ WarehouseQueries.qs ++ OpsQueries.qs ++
-    CurationQueries.qs ++ Round6Queries.qs ++ Round7Queries.qs ++ Round8Queries.qs
+    CurationQueries.qs ++ Round6Queries.qs ++ Round7Queries.qs ++ Round8Queries.qs ++
+    Round9Queries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

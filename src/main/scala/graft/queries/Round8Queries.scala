@@ -155,6 +155,67 @@ object Round8Queries {
           FROM embeddings
         )""".stripMargin.trim
 
+  private def hopCte(prev: String, cur: String, beam: Int): String = s"""
+        ${cur}c AS (
+          SELECT DISTINCT query_id, node FROM (
+            SELECT query_id, node FROM $prev
+            UNION ALL
+            SELECT f.query_id, u.w AS node
+            FROM $prev f JOIN und u ON u.u = f.node)
+          WHERE node <> query_id
+        ), $cur AS (
+          SELECT query_id, node, cosine FROM (
+            SELECT c.query_id, c.node,
+                   ${duckDot("q.qv", "n.embedding")} / (q.qn * n.nrm) AS cosine,
+                   row_number() OVER (PARTITION BY c.query_id
+                     ORDER BY ${duckDot("q.qv", "n.embedding")} / (q.qn * n.nrm)
+                       DESC, c.node) AS rn
+            FROM ${cur}c c
+            JOIN bprobes q ON q.query_id = c.query_id
+            JOIN ben n ON n.vec_id = c.node)
+          WHERE rn <= $beam
+        )"""
+
+  /** The beam walk as a PARAMETERIZED oracle CTE chain: mutual-kNN graph
+    * (Round7Queries.MutualKnnCte) -> undirected edges -> normed corpus
+    * `ben` -> `probeN` hash-ordered probes `bprobes` -> `entryN`
+    * hash-ordered entry points -> `hops` unrolled beam-`beam` hops ending
+    * in relation `f$hops(query_id, node, cosine)`. Instantiated at
+    * (20, 2, 3, 4) by q497 (the walk's gated top-3 — the minimal
+    * convergence-pinning point) and at (20, 32, 4, 8) by round 9's q500
+    * (the recall-audited operating point).
+    */
+  private[queries] def beamWalkCte(probeN: Int, entryN: Int, hops: Int,
+      beam: Int): String = {
+    val hopChain = (1 to hops)
+      .map(i => hopCte(s"f${i - 1}", s"f$i", beam)).mkString(", ")
+    s"""
+        ${Round7Queries.MutualKnnCte}, und AS (
+          SELECT id_a AS u, id_b AS w FROM mu
+          UNION ALL SELECT id_b AS u, id_a AS w FROM mu
+        ), ben AS (
+          SELECT vec_id, embedding,
+                 sqrt(${duckDot("embedding", "embedding")}) AS nrm
+          FROM embeddings
+        ), bprobes AS (
+          SELECT vec_id AS query_id, embedding AS qv,
+                 sqrt(${duckDot("embedding", "embedding")}) AS qn
+          FROM embeddings
+          ORDER BY ${TextHash.duckHash60("'beam#' || CAST(vec_id AS VARCHAR)")},
+                   vec_id
+          LIMIT $probeN
+        ), entries AS (
+          SELECT vec_id AS node FROM embeddings
+          ORDER BY ${TextHash.duckHash60("'entry#' || CAST(vec_id AS VARCHAR)")},
+                   vec_id
+          LIMIT $entryN
+        ), f0 AS (
+          SELECT p.query_id, e.node FROM bprobes p CROSS JOIN entries e
+        ), $hopChain""".stripMargin.trim
+  }
+
+  private[queries] val BeamWalkCte: String = beamWalkCte(20, 2, 3, 4)
+
   val qs: Seq[Q] = Seq(
 
     // IVF-PQ residual search — the composite the similarity surface lacked
@@ -299,50 +360,8 @@ object Round8Queries {
             hops = 3, beam = 4, k = 3)
           .orderBy("query_id", "rank")
       },
-      Some {
-        def hopCte(prev: String, cur: String): String = s"""
-        ${cur}c AS (
-          SELECT DISTINCT query_id, node FROM (
-            SELECT query_id, node FROM $prev
-            UNION ALL
-            SELECT f.query_id, u.w AS node
-            FROM $prev f JOIN und u ON u.u = f.node)
-          WHERE node <> query_id
-        ), $cur AS (
-          SELECT query_id, node, cosine FROM (
-            SELECT c.query_id, c.node,
-                   ${duckDot("q.qv", "n.embedding")} / (q.qn * n.nrm) AS cosine,
-                   row_number() OVER (PARTITION BY c.query_id
-                     ORDER BY ${duckDot("q.qv", "n.embedding")} / (q.qn * n.nrm)
-                       DESC, c.node) AS rn
-            FROM ${cur}c c
-            JOIN bprobes q ON q.query_id = c.query_id
-            JOIN ben n ON n.vec_id = c.node)
-          WHERE rn <= 4
-        )"""
-        s"""
-        ${Round7Queries.MutualKnnCte}, und AS (
-          SELECT id_a AS u, id_b AS w FROM mu
-          UNION ALL SELECT id_b AS u, id_a AS w FROM mu
-        ), ben AS (
-          SELECT vec_id, embedding,
-                 sqrt(${duckDot("embedding", "embedding")}) AS nrm
-          FROM embeddings
-        ), bprobes AS (
-          SELECT vec_id AS query_id, embedding AS qv,
-                 sqrt(${duckDot("embedding", "embedding")}) AS qn
-          FROM embeddings
-          ORDER BY ${TextHash.duckHash60("'beam#' || CAST(vec_id AS VARCHAR)")},
-                   vec_id
-          LIMIT 20
-        ), entries AS (
-          SELECT vec_id AS node FROM embeddings
-          ORDER BY ${TextHash.duckHash60("'entry#' || CAST(vec_id AS VARCHAR)")},
-                   vec_id
-          LIMIT 2
-        ), f0 AS (
-          SELECT p.query_id, e.node FROM bprobes p CROSS JOIN entries e
-        ), ${hopCte("f0", "f1")}, ${hopCte("f1", "f2")}, ${hopCte("f2", "f3")}
+      Some(s"""
+        $BeamWalkCte
         SELECT query_id,
                CAST(row_number() OVER (PARTITION BY query_id
                  ORDER BY cosine DESC, node) AS INTEGER) AS rank,
@@ -350,7 +369,7 @@ object Round8Queries {
         FROM f3
         QUALIFY rank <= 3
         ORDER BY query_id, rank
-      """.trim
-      })
+      """.trim))
   )
+
 }

@@ -1,0 +1,301 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{IvfPq, Similarity, TextHash}
+
+/** Round-9 additions — the ANN index LIFECYCLE (VERDICT_r08 "next round"
+  * items 1 and 5): the IVF-PQ index is now a persisted artifact
+  * (SharedFrames.ivfPqIndex; centroids + codebooks + codes as parquet,
+  * built once per session+corpus), and this module gates the three
+  * lifecycle moments a production deployment lives by:
+  *   - q498: the artifact ROUND-TRIP — the read-back codes table equals a
+  *     from-first-principles rebuild (the oracle re-derives the whole
+  *     index; hash equality proves persist/read lost nothing);
+  *   - q499: INCREMENTAL MAINTENANCE — a delta batch of new vectors is
+  *     assigned to the FROZEN base cells/codebooks (no retrain), and the
+  *     gated output measures code agreement against a full refit, for the
+  *     delta batch and for the unchanged base portion;
+  *   - q500: the graph-walk RECALL AUDIT — q496's acceptance-metric
+  *     pattern pointed at the third ANN family (how many true top-3
+  *     survive q497's 3-hop beam walk).
+  * Same determinism discipline as the whole registry: integer-micro
+  * residuals, exact integer codebook sums with one final double division,
+  * fixed-order distance folds, total-order ties, DuckDB oracle twins from
+  * first principles.
+  */
+object Round9Queries {
+
+  /** DuckDB fragment: sequential double dot product of float lists a,b. */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN generate_series(1, len($a))])"
+
+  /** Sequential-order squared L2 between a BIGINT micro-residual list and a
+    * DOUBLE codeword list, both length 16 (DuckDB side).
+    */
+  private def duckD2(r: String, c: String): String =
+    s"""list_sum([(CAST($r[i] AS DOUBLE) - $c[i]) * (CAST($r[i] AS DOUBLE) - $c[i])
+                 FOR i IN generate_series(1, 16)])"""
+
+  /** Parameterized DuckDB mirror of [[IvfPq.buildIndex]] over
+    * `embeddings WHERE pred`: emits the CTE chain `{p}src -> {p}cm ->
+    * {p}cents -> {p}rv -> {p}parts -> {p}octs -> {p}cwd -> {p}cw ->
+    * {p}cassign(vec_id, label, m, g)` — the same stages as round 8's
+    * IvfPqCte, source-parameterized so q499 can build the BASE index
+    * (delta held out) and the FULL refit from one generator.
+    */
+  private def pqCte(p: String, pred: String): String = s"""
+        ${p}src AS (
+          SELECT vec_id, label, embedding FROM embeddings WHERE $pred
+        ), ${p}cm AS (
+          SELECT label AS cell, CAST(u.i - 1 AS INTEGER) AS dim,
+                 CAST(SUM(CAST(CAST(u.v AS DOUBLE) * 281474976710656 AS DECIMAL(38,0))) AS DOUBLE)
+                   / 281474976710656 / COUNT(*) AS mean
+          FROM ${p}src,
+               LATERAL (SELECT unnest(embedding) AS v,
+                               generate_subscripts(embedding, 1) AS i) u
+          GROUP BY label, dim
+        ), ${p}cents AS (
+          SELECT cell, list(mean ORDER BY dim) AS centroid FROM ${p}cm GROUP BY cell
+        ), ${p}rv AS (
+          SELECT e.vec_id, e.label,
+                 [CAST(round((CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) * 1000000.0) AS BIGINT)
+                  FOR i IN generate_series(1, 64)] AS rmicro
+          FROM ${p}src e JOIN ${p}cents c ON c.cell = e.label
+        ), ${p}parts AS (
+          SELECT vec_id, label, t.m AS m,
+                 rmicro[CAST(t.m*16+1 AS BIGINT):CAST(t.m*16+16 AS BIGINT)] AS r
+          FROM ${p}rv CROSS JOIN range(0, 4) t(m)
+        ), ${p}octs AS (
+          SELECT vec_id, label, m, r,
+                 (CASE WHEN r[1] >= 0 THEN 16 ELSE 0 END
+                  + CASE WHEN r[2] >= 0 THEN 8 ELSE 0 END
+                  + CASE WHEN r[3] >= 0 THEN 4 ELSE 0 END
+                  + CASE WHEN r[4] >= 0 THEN 2 ELSE 0 END
+                  + CASE WHEN r[5] >= 0 THEN 1 ELSE 0 END) AS g
+          FROM ${p}parts
+        ), ${p}cwd AS (
+          SELECT m, g, u.i AS dim,
+                 CAST(SUM(u.v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS cwv
+          FROM ${p}octs, LATERAL (SELECT unnest(r) AS v,
+                                         generate_subscripts(r, 1) AS i) u
+          GROUP BY m, g, u.i
+        ), ${p}cw AS (
+          SELECT m, g, list(cwv ORDER BY dim) AS cwvec FROM ${p}cwd GROUP BY m, g
+        ), ${p}cassign AS (
+          SELECT vec_id, label, m, g FROM (
+            SELECT o.vec_id, o.label, o.m, c.g,
+                   row_number() OVER (PARTITION BY o.vec_id, o.m
+                     ORDER BY ${duckD2("o.r", "c.cwvec")}, c.g) AS rn
+            FROM ${p}octs o JOIN ${p}cw c ON c.m = o.m)
+          WHERE rn = 1
+        )""".stripMargin.trim
+
+  /** The q499 delta split: a fixed pseudo-random ~1/8 of the corpus by the
+    * shared 60-bit hash — a PARTITION of the corpus (every row lands in
+    * exactly one side), not a probe sample, so a fraction is the right
+    * bound here: the delta batch of a real ingest grows with the corpus.
+    */
+  private val DeltaPredDuck =
+    s"${TextHash.duckHash60("'ixdelta#' || CAST(vec_id AS VARCHAR)")} % 8 = 0"
+
+  private def deltaPredSpark =
+    pmod(TextHash.hash60(concat(lit("ixdelta#"), col("vec_id").cast("string"))),
+      lit(8L)) === 0L
+
+  val qs: Seq[Q] = Seq(
+
+    // IVF-PQ index artifact round-trip — the persistence half of
+    // VERDICT_r08 #1. Spark side: read the codes table BACK from the
+    // parquet artifact (SharedFrames.ivfPqIndex builds it once per
+    // session+corpus) and pivot to one row per vector (cell + the four
+    // subspace codes — the 16-byte RAM layout, human-readable). Oracle:
+    // re-derive the ENTIRE index from first principles. Hash equality =
+    // the persisted artifact is bit-identical to a rebuild, so every
+    // artifact consumer (q495/q496/q499) searches exactly what a fresh
+    // build would produce.
+    Q(
+      "q498_ivfpq_index_roundtrip",
+      (s, dir) => {
+        val codes = SharedFrames.ivfPqIndex(s, dir).codes
+        codes.groupBy(col("id"), col("cell"))
+          .agg(
+            max(when(col("m") === 0, col("g"))).as("__c0"),
+            max(when(col("m") === 1, col("g"))).as("__c1"),
+            max(when(col("m") === 2, col("g"))).as("__c2"),
+            max(when(col("m") === 3, col("g"))).as("__c3"))
+          .select(col("id").as("vec_id"), col("cell").cast("long").as("cell"),
+            col("__c0").cast("long").as("c0"), col("__c1").cast("long").as("c1"),
+            col("__c2").cast("long").as("c2"), col("__c3").cast("long").as("c3"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH ${pqCte("f", "TRUE")}
+        SELECT vec_id, CAST(label AS BIGINT) AS cell,
+               CAST(MAX(CASE WHEN m = 0 THEN g END) AS BIGINT) AS c0,
+               CAST(MAX(CASE WHEN m = 1 THEN g END) AS BIGINT) AS c1,
+               CAST(MAX(CASE WHEN m = 2 THEN g END) AS BIGINT) AS c2,
+               CAST(MAX(CASE WHEN m = 3 THEN g END) AS BIGINT) AS c3
+        FROM fcassign
+        GROUP BY vec_id, label
+        ORDER BY vec_id
+      """.trim)),
+
+    // IVF-PQ incremental maintenance — VERDICT_r08 #1's delta-upsert gate.
+    // A fixed hash-partitioned ~1/8 of the corpus plays the DELTA batch;
+    // the rest is the BASE snapshot the index was trained on. The
+    // incremental path assigns delta vectors to the FROZEN base
+    // centroids/codebooks (IvfPq.assignCodes — residual vs the base cell
+    // centroid, nearest base codeword; no retrain, the production ingest
+    // move). The audit compares codes against the FULL REFIT (the
+    // persisted artifact, built over base+delta): per subspace,
+    //   n_delta / delta_same — how many delta vectors get the refit's code
+    //     from the frozen index (assignment transfer quality), and
+    //   n_base / base_same — how many BASE codes the refit would change
+    //     (the drift a rebuild-free deployment accumulates; refit moves
+    //     centroids and codebook means, so this prices the staleness).
+    // Both measured and hash-gated, not assumed. Scale shape: the frozen
+    // index frames are cell-/codebook-bounded broadcasts; delta and base
+    // code frames are corpus-linear and only ever shuffle on (id, m).
+    Q(
+      "q499_ivfpq_delta_upsert",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val e = Tables.embeddings(s, dir)
+        val base = e.filter(!deltaPredSpark)
+        val delta = e.filter(deltaPredSpark)
+        val bCents = Similarity.exactCentroids(base, "embedding", "label")
+        val bParts = IvfPq.residualParts(base, bCents, "vec_id", "embedding", "label")
+        val bCw = IvfPq.trainCodebooks(bParts)
+        val bCodes = IvfPq.assignCodes(bParts, bCw)
+        val dCodes = IvfPq.assignCodes(
+          IvfPq.residualParts(delta, bCents, "vec_id", "embedding", "label"), bCw)
+        val refit = SharedFrames.ivfPqIndex(s, dir).codes
+          .select(col("id"), col("m"), col("g").as("__fg"))
+        def agree(codes: DataFrame, nCol: String, sameCol: String): DataFrame =
+          codes.join(refit, Seq("id", "m"))
+            .groupBy("m")
+            .agg(count(lit(1)).as(nCol),
+              sum(when(col("g") === col("__fg"), 1L).otherwise(0L)).as(sameCol))
+        agree(dCodes, "n_delta", "delta_same")
+          .join(agree(bCodes, "n_base", "base_same"), Seq("m"))
+          .select(col("m").cast("long").as("m"), col("n_delta"), col("delta_same"),
+            col("n_base"), col("base_same"))
+          .orderBy("m")
+      },
+      Some(s"""
+        WITH ${pqCte("f", "TRUE")}, ${pqCte("b", s"NOT ($DeltaPredDuck)")}, dsrc AS (
+          SELECT vec_id, label, embedding FROM embeddings WHERE $DeltaPredDuck
+        ), drv AS (
+          SELECT e.vec_id, e.label,
+                 [CAST(round((CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) * 1000000.0) AS BIGINT)
+                  FOR i IN generate_series(1, 64)] AS rmicro
+          FROM dsrc e JOIN bcents c ON c.cell = e.label
+        ), dparts AS (
+          SELECT vec_id, label, t.m AS m,
+                 rmicro[CAST(t.m*16+1 AS BIGINT):CAST(t.m*16+16 AS BIGINT)] AS r
+          FROM drv CROSS JOIN range(0, 4) t(m)
+        ), dassign AS (
+          SELECT vec_id, label, m, g FROM (
+            SELECT p.vec_id, p.label, p.m, c.g,
+                   row_number() OVER (PARTITION BY p.vec_id, p.m
+                     ORDER BY ${duckD2("p.r", "c.cwvec")}, c.g) AS rn
+            FROM dparts p JOIN bcw c ON c.m = p.m)
+          WHERE rn = 1
+        ), dcmp AS (
+          SELECT d.m, COUNT(*) AS n_delta,
+                 SUM(CASE WHEN d.g = f.g THEN 1 ELSE 0 END) AS delta_same
+          FROM dassign d JOIN fcassign f ON f.vec_id = d.vec_id AND f.m = d.m
+          GROUP BY d.m
+        ), bcmp AS (
+          SELECT b.m, COUNT(*) AS n_base,
+                 SUM(CASE WHEN b.g = f.g THEN 1 ELSE 0 END) AS base_same
+          FROM bcassign b JOIN fcassign f ON f.vec_id = b.vec_id AND f.m = b.m
+          GROUP BY b.m
+        )
+        SELECT CAST(d.m AS BIGINT) AS m,
+               CAST(d.n_delta AS BIGINT) AS n_delta,
+               CAST(d.delta_same AS BIGINT) AS delta_same,
+               CAST(b.n_base AS BIGINT) AS n_base,
+               CAST(b.base_same AS BIGINT) AS base_same
+        FROM dcmp d JOIN bcmp b ON b.m = d.m
+        ORDER BY m
+      """.trim)),
+
+    // Graph-walk beam-search recall audit — VERDICT_r08 #5: q496's
+    // acceptance-metric pattern pointed at the THIRD ANN family. Per
+    // probe (the same 20 hash-ordered probes as q497), how many of the
+    // true top-3 cosine neighbors (brute force over the full corpus,
+    // self excluded) survive the beam walk's final top-3 — the
+    // entry/hops/beam operating point is accepted or rejected on THIS
+    // number, measured and hash-gated. The audited point is
+    // entries=32/hops=4/beam=8, NOT q497's minimal convergence-pinning
+    // point (2/3/4): the mutual-kNN substrate here fragments into 46
+    // components over 500 vectors, so recall is ENTRY-COVERAGE-bound —
+    // the audit measured 0% at 2 entries, 8% at 8, 20% at 32, 42% at 64
+    // (sweep in SURVEY §2.19); 32 fixed entries keeps the HNSW lesson
+    // (entry/connectivity dominates) while staying a bounded count at
+    // any corpus size. Truth rides topKCosine's bounded-probe broadcast
+    // baseline; the survivor join is a semi join on the (query, neighbor)
+    // pair key.
+    Q(
+      "q500_beam_search_recall",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val probes = Similarity.hashOrderedProbes(e, "vec_id", "beam", 20)
+        val walk = Similarity.graphBeamSearch(
+            corpus = e,
+            edges = Similarity.mutualKnnGraph(e, "vec_id", "embedding", "label", k = 3),
+            queries = probes,
+            idCol = "vec_id", vecCol = "embedding",
+            entries = Similarity.hashOrderedProbes(
+              e.select("vec_id"), "vec_id", "entry", 32),
+            hops = 4, beam = 8, k = 3)
+          .select("query_id", "neighbor_id")
+        val brute = Similarity.topKCosine(probes, e, "vec_id", "embedding", k = 3)
+          .select("query_id", "neighbor_id")
+        val hits = brute
+          .join(walk, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        brute.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_true"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .withColumn("recall_micro",
+            expr("n_hits * 1000000 DIV n_true"))
+          .orderBy("query_id")
+      },
+      Some(s"""
+        ${Round8Queries.beamWalkCte(20, 32, 4, 8)}, walk AS (
+          SELECT query_id, node AS neighbor_id FROM (
+            SELECT query_id, node,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, node) AS rn
+            FROM f4)
+          WHERE rn <= 3
+        ), brute AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                     ORDER BY ${duckDot("p.qv", "c.embedding")} / (p.qn * c.nrm)
+                       DESC, c.vec_id) AS rn
+            FROM bprobes p JOIN ben c ON c.vec_id <> p.query_id)
+          WHERE rn <= 3
+        ), hits AS (
+          SELECT b.query_id, COUNT(*) AS n_hits
+          FROM brute b
+          JOIN walk w ON w.query_id = b.query_id
+                     AND w.neighbor_id = b.neighbor_id
+          GROUP BY b.query_id
+        )
+        SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(COALESCE(MAX(h.n_hits), 0) AS BIGINT) AS n_hits,
+               CAST(COALESCE(MAX(h.n_hits), 0) * 1000000 // COUNT(*) AS BIGINT)
+                 AS recall_micro
+        FROM brute b LEFT JOIN hits h ON h.query_id = b.query_id
+        GROUP BY b.query_id ORDER BY b.query_id
+      """.trim))
+  )
+}
