@@ -146,6 +146,35 @@ class ExtSpec extends SparkSpec {
     assert(full(1) === 4L, s"expected node 4 at rank 1 after 4 hops, got $full")
   }
 
+  test("graphBeamSearch rejects corpus-shaped (unbounded) query/entry frames at plan time") {
+    // The round-7 annTopKByCell defect class: a corpus-linear frame on the
+    // broadcast side of an iterated probe join. The contract is now CODE,
+    // not doc — a frame whose logical plan carries no row bound (any scan)
+    // is refused at construction, before a single job runs.
+    val e = Tables.embeddings(spark, sf0001)
+    val entries = Similarity.hashOrderedProbes(e.select("vec_id"), "vec_id", "entry", 2)
+    val edges = Similarity.mutualKnnGraph(e, "vec_id", "embedding", "label", k = 3)
+    val exQ = intercept[IllegalArgumentException] {
+      Similarity.graphBeamSearch(e, edges, e, "vec_id", "embedding", entries,
+        hops = 2, beam = 2, k = 2)
+    }
+    assert(exQ.getMessage.contains("queries"))
+    val exE = intercept[IllegalArgumentException] {
+      Similarity.graphBeamSearch(e, edges, e.limit(5), "vec_id", "embedding",
+        e.select("vec_id"), hops = 2, beam = 2, k = 2)
+    }
+    assert(exE.getMessage.contains("entries"))
+    // an over-cap LIMIT is also refused; a within-cap LIMIT passes
+    val exBig = intercept[IllegalArgumentException] {
+      Similarity.graphBeamSearch(e, edges,
+        e.limit(Similarity.MaxBoundedProbeRows.toInt + 1), "vec_id", "embedding",
+        entries, hops = 2, beam = 2, k = 2)
+    }
+    assert(exBig.getMessage.contains("queries"))
+    Similarity.graphBeamSearch(e, edges, e.limit(5), "vec_id", "embedding",
+      entries, hops = 2, beam = 2, k = 2) // constructs fine
+  }
+
   test("annTopKMultiProbe with nprobe = all cells equals brute-force top-k") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter(col("vec_id") % 50 === 0)
