@@ -89,8 +89,12 @@ object Bench {
         // selection never sampled the round-7 mutual-kNN graph family, so
         // the corpus-as-queries ANN path went scale-unmeasured — q437
         // (link prediction over the mutual-kNN graph) and q446 (ANF over
-        // the same substrate) always get a rehearsal slot now.
-        val pinned = Seq("q437_link_prediction", "q446_neighborhood_function")
+        // the same substrate) always get a rehearsal slot now; q495
+        // (VERDICT r8 #6) pins the IVF-PQ family the same way — its
+        // artifact builds once per (session, dir), so min-of-2 measures
+        // the production search-from-artifact cost, pass 1 the build.
+        val pinned = Seq("q437_link_prediction", "q446_neighborhood_function",
+            "q495_ivfpq_search")
           .filter(best.contains)
         val heavy = (pinned ++ results.filterNot(_._1.contains("stream"))
           .sortBy(-_._2).take(10).map(_._1)).distinct
@@ -122,14 +126,17 @@ object Bench {
         // (ADVICE_r06): a negative fake wall-clock skews any consumer that
         // sums or ratios detail files across rounds; `ok` is the validity
         // signal, null is the honest "no measurement".
+        val ratios = attempted.collect { case (name, true) =>
+          bestAt10.get(name).collect { case v if best(name) > 0 => name -> v / best(name) }
+        }.flatten.toMap
         val entries = attempted.map { case (name, ok) =>
           val base = best(name)
           val sec = bestAt10.get(name).filter(_ => ok)
-          val ratio = sec.collect { case v if base > 0 => v / base }
           s"\"" + name + s"\":{\"sf\":$base,\"x$factor\":${sec.getOrElse("null")}," +
-            s"\"ratio\":${ratio.getOrElse("null")},\"ok\":$ok}"
+            s"\"ratio\":${ratios.get(name).getOrElse("null")},\"ok\":$ok}"
         }.toSeq
-        s""","scaleup":{"factor":$factor,"queries":${entries.mkString("{", ",", "}")}}"""
+        s""","scaleup":{"factor":$factor,"queries":${entries.mkString("{", ",", "}")}${
+          ratioGrowth(ratios)}}"""
       } catch { case e: Throwable =>
         System.err.println(s"SCALE-REHEARSAL-SKIPPED: $e"); ""
       }
@@ -158,6 +165,46 @@ object Bench {
     println(fullJson)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"$calib$scaleup}""")
     spark.stop()
+  }
+
+  /** VERDICT r8 #4 — the automated watch rule: the rehearsal's regression
+    * signal is ratio GROWTH round-over-round at fixed code, not ratio level
+    * (SURVEY §2.18: corpus-linear ops legitimately read 2-4x at sf0.1 from
+    * fixed overhead). Compares this run's scaleup ratios against the
+    * previous round's detail artifact (the committed
+    * BENCH_detail_latest.json, read before this run overwrites it;
+    * override with GRAFT_BENCH_PREV) and flags growth > 20%. Emitted
+    * inside the scaleup section so BENCH_r<N> carries the comparison —
+    * a flagged entry demands a fix or an explanation, not silence.
+    */
+  private def ratioGrowth(cur: Map[String, Double]): String = {
+    val prevPath = sys.env.getOrElse("GRAFT_BENCH_PREV",
+      sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_detail_latest.json"))
+    val prev: Map[String, Double] = try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(prevPath))
+      val it = root.path("scaleup").path("queries").fields()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) {
+        val e = it.next()
+        val r = e.getValue.path("ratio")
+        if (r.isNumber) b += e.getKey -> r.asDouble
+      }
+      b.result()
+    } catch { case e: Throwable =>
+      System.err.println(s"RATIO-GROWTH-SKIPPED $prevPath: $e"); Map.empty
+    }
+    val shared = cur.keys.filter(prev.contains).toSeq.sorted
+    if (shared.isEmpty) ""
+    else {
+      def growth(n: String): Double = cur(n) / prev(n)
+      val entries = shared.map(n =>
+        s"\"" + n + s"\":{\"prev\":${prev(n)},\"cur\":${cur(n)}," +
+          s"\"growth\":${growth(n)},\"flag\":${growth(n) > 1.2}}")
+      val flagged = shared.filter(growth(_) > 1.2).map("\"" + _ + "\"")
+      s""","ratio_growth":{"prev_artifact":"$prevPath","entries":${
+        entries.mkString("{", ",", "}")},"flagged":${flagged.mkString("[", ",", "]")}}"""
+    }
   }
 
   // Takes the session explicitly: SparkSession.active is thread-local state

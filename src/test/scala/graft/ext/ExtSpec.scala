@@ -146,6 +146,35 @@ class ExtSpec extends SparkSpec {
     assert(full(1) === 4L, s"expected node 4 at rank 1 after 4 hops, got $full")
   }
 
+  test("cell-join salt adapts to the distinct-cell/partition ratio; results are salt-invariant") {
+    val e = Tables.embeddings(spark, sf0001)
+    // 10 labels >= the suite's 4 shuffle partitions -> the salt buys
+    // nothing and drops to 1 (the 100 TB regime: cells >> partitions)
+    assert(Similarity.saltFor(e, "label") === 1)
+    // 2 cells < 4 partitions -> salt 8 spreads each cell's work
+    val few = e.withColumn("cell2", pmod(col("label"), lit(2)).cast("int"))
+    assert(Similarity.saltFor(few, "cell2") === 8)
+    // the decision shapes only the physical plan: identical output rows
+    // under both regimes (partitions=1 flips the same frame to salt=1)
+    def topk() = Similarity.annTopKByCell(few, few, "vec_id", "embedding", "cell2", k = 3)
+    def run() = topk()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    // both regimes keep the shuffled-hash cell join (the r8 plan pin) —
+    // the salt only changes the key's fan-out, never the join strategy
+    def planOf() = topk().queryExecution.executedPlan.toString
+    assert(planOf().contains("ShuffledHashJoin"))
+    assert(!planOf().contains("BroadcastHashJoin"))
+    val salted = run()
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      assert(Similarity.saltFor(few, "cell2") === 1)
+      assert(planOf().contains("ShuffledHashJoin"))
+      assert(!planOf().contains("BroadcastHashJoin"))
+      assert(run() === salted)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+
   test("graphBeamSearch rejects corpus-shaped (unbounded) query/entry frames at plan time") {
     // The round-7 annTopKByCell defect class: a corpus-linear frame on the
     // broadcast side of an iterated probe join. The contract is now CODE,
