@@ -20,7 +20,11 @@ import graft.ext.{IvfPq, Similarity, TextHash}
   *     delta batch and for the unchanged base portion;
   *   - q500: the graph-walk RECALL AUDIT — q496's acceptance-metric
   *     pattern pointed at the third ANN family (how many true top-3
-  *     survive q497's 3-hop beam walk).
+  *     survive the audited beam walk);
+  *   - q501: STREAMING INGEST — arrivals on a file stream are coded
+  *     against the frozen index per micro-batch and keyed-upsert into
+  *     the code table (EventStreams.startVectorIngest), gated equal to
+  *     the batch incremental path.
   * Same determinism discipline as the whole registry: integer-micro
   * residuals, exact integer codebook sums with one final double division,
   * fixed-order distance folds, total-order ties, DuckDB oracle twins from
@@ -105,6 +109,34 @@ object Round9Queries {
     pmod(TextHash.hash60(concat(lit("ixdelta#"), col("vec_id").cast("string"))),
       lit(8L)) === 0L
 
+  /** DuckDB mirror of the FROZEN-index delta assignment (the incremental
+    * path of [[IvfPq.assignCodes]]): delta vectors -> residuals vs the
+    * BASE centroids -> nearest BASE codeword. Emits `dsrc -> drv ->
+    * dparts -> dassign(vec_id, label, m, g)`; requires `bcents`/`bcw`
+    * (the `pqCte("b", ...)` chain) in scope. Shared by q499 (refit
+    * agreement audit) and q501 (streaming ingest gate).
+    */
+  private val DeltaAssignCte: String = s"""
+        dsrc AS (
+          SELECT vec_id, label, embedding FROM embeddings WHERE $DeltaPredDuck
+        ), drv AS (
+          SELECT e.vec_id, e.label,
+                 [CAST(round((CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) * 1000000.0) AS BIGINT)
+                  FOR i IN generate_series(1, 64)] AS rmicro
+          FROM dsrc e JOIN bcents c ON c.cell = e.label
+        ), dparts AS (
+          SELECT vec_id, label, t.m AS m,
+                 rmicro[CAST(t.m*16+1 AS BIGINT):CAST(t.m*16+16 AS BIGINT)] AS r
+          FROM drv CROSS JOIN range(0, 4) t(m)
+        ), dassign AS (
+          SELECT vec_id, label, m, g FROM (
+            SELECT p.vec_id, p.label, p.m, c.g,
+                   row_number() OVER (PARTITION BY p.vec_id, p.m
+                     ORDER BY ${duckD2("p.r", "c.cwvec")}, c.g) AS rn
+            FROM dparts p JOIN bcw c ON c.m = p.m)
+          WHERE rn = 1
+        )""".stripMargin.trim
+
   val qs: Seq[Q] = Seq(
 
     // IVF-PQ index artifact round-trip — the persistence half of
@@ -186,25 +218,8 @@ object Round9Queries {
           .orderBy("m")
       },
       Some(s"""
-        WITH ${pqCte("f", "TRUE")}, ${pqCte("b", s"NOT ($DeltaPredDuck)")}, dsrc AS (
-          SELECT vec_id, label, embedding FROM embeddings WHERE $DeltaPredDuck
-        ), drv AS (
-          SELECT e.vec_id, e.label,
-                 [CAST(round((CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) * 1000000.0) AS BIGINT)
-                  FOR i IN generate_series(1, 64)] AS rmicro
-          FROM dsrc e JOIN bcents c ON c.cell = e.label
-        ), dparts AS (
-          SELECT vec_id, label, t.m AS m,
-                 rmicro[CAST(t.m*16+1 AS BIGINT):CAST(t.m*16+16 AS BIGINT)] AS r
-          FROM drv CROSS JOIN range(0, 4) t(m)
-        ), dassign AS (
-          SELECT vec_id, label, m, g FROM (
-            SELECT p.vec_id, p.label, p.m, c.g,
-                   row_number() OVER (PARTITION BY p.vec_id, p.m
-                     ORDER BY ${duckD2("p.r", "c.cwvec")}, c.g) AS rn
-            FROM dparts p JOIN bcw c ON c.m = p.m)
-          WHERE rn = 1
-        ), dcmp AS (
+        WITH ${pqCte("f", "TRUE")}, ${pqCte("b", s"NOT ($DeltaPredDuck)")},
+        $DeltaAssignCte, dcmp AS (
           SELECT d.m, COUNT(*) AS n_delta,
                  SUM(CASE WHEN d.g = f.g THEN 1 ELSE 0 END) AS delta_same
           FROM dassign d JOIN fcassign f ON f.vec_id = d.vec_id AND f.m = d.m
@@ -296,6 +311,74 @@ object Round9Queries {
                  AS recall_micro
         FROM brute b LEFT JOIN hits h ON h.query_id = b.query_id
         GROUP BY b.query_id ORDER BY b.query_id
+      """.trim)),
+
+    // Streaming ANN ingest THROUGH the gate — VERDICT_r08 #7, the index
+    // lifecycle end to end: the BASE snapshot's codes seed the parquet
+    // code table; the held-out delta vectors are staged as arrival files
+    // and consumed by a file-stream (3 files, maxFilesPerTrigger=1 ->
+    // three micro-batches, so the upsert's idempotent-by-key contract is
+    // actually exercised across batches); each micro-batch is
+    // residual-encoded against the FROZEN broadcast centroids/codebooks
+    // (EventStreams.startVectorIngest) and keyed-upsert into the table.
+    // The gate reads the final table back and pivots per vector; the
+    // oracle derives base-build ∪ frozen-delta-assignment from first
+    // principles — hash equality proves the streamed ingest lands
+    // EXACTLY the codes the batch incremental path (q499) computes.
+    Q(
+      "q501_stream_ann_ingest_gate",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val base = graft.engine.Scratch.dir(s, dir, "stream_ann_ingest")
+        val src = base + "_src"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        Seq(base, base + "_ckpt", base + "__upsert_tmp", src)
+          .foreach(p => rm(new java.io.File(p)))
+        val e = Tables.embeddings(s, dir)
+        val baseCorpus = e.filter(!deltaPredSpark)
+        val delta = e.filter(deltaPredSpark)
+        val bCents = Similarity.exactCentroids(baseCorpus, "embedding", "label")
+        val bParts = IvfPq.residualParts(baseCorpus, bCents, "vec_id", "embedding", "label")
+        val bCw = IvfPq.trainCodebooks(bParts)
+        // seed the code table with the base snapshot's codes
+        IvfPq.assignCodes(bParts, bCw).write.parquet(base)
+        // stage arrivals as three files -> three rate-limited micro-batches
+        delta.repartition(3).write.parquet(src)
+        val arrivals = s.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val q = graft.streaming.EventStreams.startVectorIngest(
+          arrivals, bCents, bCw, "vec_id", "embedding", "label",
+          base, base + "_ckpt")
+        q.awaitTermination()
+        s.read.parquet(base)
+          .groupBy(col("id"), col("cell"))
+          .agg(
+            max(when(col("m") === 0, col("g"))).as("__c0"),
+            max(when(col("m") === 1, col("g"))).as("__c1"),
+            max(when(col("m") === 2, col("g"))).as("__c2"),
+            max(when(col("m") === 3, col("g"))).as("__c3"))
+          .select(col("id").as("vec_id"), col("cell").cast("long").as("cell"),
+            col("__c0").cast("long").as("c0"), col("__c1").cast("long").as("c1"),
+            col("__c2").cast("long").as("c2"), col("__c3").cast("long").as("c3"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH ${pqCte("b", s"NOT ($DeltaPredDuck)")}, $DeltaAssignCte, u AS (
+          SELECT vec_id, label, m, g FROM bcassign
+          UNION ALL
+          SELECT vec_id, label, m, g FROM dassign
+        )
+        SELECT vec_id, CAST(label AS BIGINT) AS cell,
+               CAST(MAX(CASE WHEN m = 0 THEN g END) AS BIGINT) AS c0,
+               CAST(MAX(CASE WHEN m = 1 THEN g END) AS BIGINT) AS c1,
+               CAST(MAX(CASE WHEN m = 2 THEN g END) AS BIGINT) AS c2,
+               CAST(MAX(CASE WHEN m = 3 THEN g END) AS BIGINT) AS c3
+        FROM u
+        GROUP BY vec_id, label
+        ORDER BY vec_id
       """.trim))
   )
 }

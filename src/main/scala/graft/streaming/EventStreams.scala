@@ -197,6 +197,35 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Streaming ANN ingest — the index lifecycle's last leg (round 9;
+    * composes the ST1 file source, IvfPq's frozen-index assignment and the
+    * keyed-upsert sink): each micro-batch of ARRIVING vectors is
+    * residual-encoded against the FROZEN index — `cents`/`cw` are the
+    * broadcast centroid/codebook artifacts; no retrain on the hot path,
+    * the production ingest contract (q499 prices the staleness this
+    * accrues) — and upserted into the parquet code table by vector id, so
+    * checkpoint-replayed batches land idempotently. AvailableNow trigger:
+    * the ingest drains whatever arrivals are staged and terminates
+    * (callers awaitTermination); a continuous deployment would swap the
+    * trigger, nothing else.
+    */
+  def startVectorIngest(vecs: DataFrame, cents: DataFrame, cw: DataFrame,
+      idCol: String, vecCol: String, cellCol: String,
+      outDir: String, checkpointDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.engine.Sinks.upsertParquet(
+          graft.ext.IvfPq.assignCodes(
+            graft.ext.IvfPq.residualParts(batch, cents, idCol, vecCol, cellCol),
+            cw),
+          outDir, "id")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Keyed-upsert sink via foreachBatch (update output mode): each
     * micro-batch's rows replace same-key rows of the parquet target
     * (graft.engine.Sinks.upsertParquet), so state-store re-emissions and
