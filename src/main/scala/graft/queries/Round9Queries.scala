@@ -206,8 +206,9 @@ object Round9Queries {
           IvfPq.residualParts(delta, bCents, "vec_id", "embedding", "label"), bCw)
         val refit = SharedFrames.ivfPqIndex(s, dir).codes
           .select(col("id"), col("m"), col("g").as("__fg"))
+        // both sides are corpus-linear code frames -> pinned shuffle join
         def agree(codes: DataFrame, nCol: String, sameCol: String): DataFrame =
-          codes.join(refit, Seq("id", "m"))
+          codes.join(refit.hint("shuffle_hash"), Seq("id", "m"))
             .groupBy("m")
             .agg(count(lit(1)).as(nCol),
               sum(when(col("g") === col("__fg"), 1L).otherwise(0L)).as(sameCol))
