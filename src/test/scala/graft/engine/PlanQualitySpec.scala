@@ -685,6 +685,30 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("index lifecycle gates: heap top-k, shuffle-side code joins, no window ranking") {
+    // Round-9 lifecycle queries inherit the q495 discipline. q499's
+    // frozen-vs-refit agreement joins two corpus-linear code frames —
+    // pinned shuffle-side (a broadcast build there OOMs at scale even
+    // though test-SF sizes would auto-broadcast); its assignment argmins
+    // ride TopKPerKey, so no WindowExec anywhere. q498 is a read-back
+    // pivot: one hash aggregate, no joins, no window.
+    val d499 = graft.SparkEntry.queries("q499_ivfpq_delta_upsert")(spark, sf0001)
+    d499.collect()
+    val p499 = d499.queryExecution.executedPlan.toString
+    // (the centroid/codebook attaches DO broadcast — cell-/128-row-bounded
+    // frames, the operator's design — so no blanket BroadcastHashJoin ban
+    // here; the corpus-linear x corpus-linear joins are the ones pinned)
+    assert("ShuffledHashJoin \\[id#".r.findAllIn(p499).size >= 2,
+      s"q499: both code-agreement joins must be shuffle-side on (id, m):\n$p499")
+    assert(p499.contains("TopKPerKey") && !p499.contains("WindowExec"),
+      s"q499: assignment argmin must be the heap, not a window:\n$p499")
+    val d498 = graft.SparkEntry.queries("q498_ivfpq_index_roundtrip")(spark, sf0001)
+    d498.collect()
+    val p498 = d498.queryExecution.executedPlan.toString
+    assert(!p498.contains("WindowExec") && !p498.contains("Join"),
+      s"q498: read-back pivot must be a single hash aggregate:\n$p498")
+  }
+
   test("negative sampling joins the rank frame by shuffle, never broadcast") {
     // q454's rank frame is corpus-linear (one row per embedding): the
     // negative-draw join (on nr) and the kNN-edge audit join (on the
