@@ -51,12 +51,19 @@ object Round7Queries {
         )""".stripMargin.trim
 
   /** Spark side of [[MutualKnnCte]]: mutual top-3 cosine edges within IVF
-    * cells, (id_a, id_b) with id_a < id_b. Shared by q437/q445/q446 —
-    * the reusable operator is [[graft.ext.Similarity.mutualKnnGraph]]
-    * (graduated from a private helper here in round 8; spec-pinned in
-    * ExtSpec, plan-pinned in PlanQualitySpec).
+    * cells, (id_a, id_b) with id_a < id_b — the reusable operator is
+    * [[graft.ext.Similarity.mutualKnnGraph]] (graduated from a private
+    * helper here in round 8; spec-pinned in ExtSpec, plan-pinned in
+    * PlanQualitySpec). Round 9: reads the MATERIALIZED edge artifact
+    * (SharedFrames.mutualKnnEdges — build once per session+corpus, the
+    * near-dup-pair precedent); q437 alone keeps computing the
+    * construction LIVE via [[mutualKnnEdgesLive]] so the cell-join value
+    * gate, plan pin and 10x rehearsal probe stay on the real build.
     */
   private def mutualKnnEdges(s: SparkSession, dir: String): DataFrame =
+    SharedFrames.mutualKnnEdges(s, dir)
+
+  private def mutualKnnEdgesLive(s: SparkSession, dir: String): DataFrame =
     graft.ext.Similarity.mutualKnnGraph(
       Tables.embeddings(s, dir), "vec_id", "embedding", "label", k = 3)
 
@@ -156,7 +163,7 @@ object Round7Queries {
     Q(
       "q437_link_prediction",
       (s, dir) => {
-        val e = mutualKnnEdges(s, dir)
+        val e = mutualKnnEdgesLive(s, dir)
         val und = e.select(col("id_a").as("u"), col("id_b").as("w"))
           .unionAll(e.select(col("id_b").as("u"), col("id_a").as("w")))
         val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))

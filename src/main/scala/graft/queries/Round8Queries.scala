@@ -329,7 +329,8 @@ object Round8Queries {
     // Graph-walk ANN — the THIRD production ANN family (HNSW / DiskANN /
     // NSG search): greedy beam search over a proximity graph instead of
     // cell restriction or compression. The substrate is the oracle-gated
-    // mutual-kNN graph (Similarity.mutualKnnGraph, q437's edge set); the
+    // mutual-kNN graph (Similarity.mutualKnnGraph — q437's edge set, read
+    // from the materialized SharedFrames artifact since round 9); the
     // walk is the reusable Similarity.graphBeamSearch operator (chain-
     // convergence spec-pinned in ExtSpec) — the standard best-first beam
     // relationally UNROLLED to a fixed 3 hops: frontier_{i+1} = top-B (B=4) by exact cosine over
@@ -352,7 +353,7 @@ object Round8Queries {
         val e = Tables.embeddings(s, dir)
         Similarity.graphBeamSearch(
             corpus = e,
-            edges = Similarity.mutualKnnGraph(e, "vec_id", "embedding", "label", k = 3),
+            edges = SharedFrames.mutualKnnEdges(s, dir),
             queries = Similarity.hashOrderedProbes(e, "vec_id", "beam", 20),
             idCol = "vec_id", vecCol = "embedding",
             entries = Similarity.hashOrderedProbes(

@@ -263,7 +263,7 @@ object Round9Queries {
         val probes = Similarity.hashOrderedProbes(e, "vec_id", "beam", 20)
         val walk = Similarity.graphBeamSearch(
             corpus = e,
-            edges = Similarity.mutualKnnGraph(e, "vec_id", "embedding", "label", k = 3),
+            edges = SharedFrames.mutualKnnEdges(s, dir),
             queries = probes,
             idCol = "vec_id", vecCol = "embedding",
             entries = Similarity.hashOrderedProbes(

@@ -63,6 +63,37 @@ object SharedFrames {
     s.read.parquet(path)
   }
 
+  /** The materialized mutual-kNN edge set over `embeddings` (round 9 —
+    * the round-8 scaladoc's own "at production scale the edge frame is a
+    * materialized artifact" promise, kept): nine graph consumers (q437/
+    * q445/q446/q450/q452/q454/q474/q497/q500) all walk the SAME
+    * oracle-gated mutual top-3 cosine graph, and before round 9 each
+    * rebuilt it — the full salted cell join — per query. q437 DELIBERATELY
+    * keeps computing the construction LIVE (it is the edge set's value
+    * gate, the ShuffledHashJoin plan pin, and the 10x rehearsal's probe of
+    * the cell-join construction cost — exactly the q24 near-dup
+    * precedent); the other eight read this artifact. (id_a, id_b) longs
+    * round-trip parquet exactly, and every consumer's oracle still derives
+    * the edges from first principles, so nothing weakens.
+    */
+  private[queries] def mutualKnnPath(s: SparkSession, dir: String): String = {
+    val canonical = new java.io.File(dir).getCanonicalPath
+    val pathTag = f"${scala.util.hashing.MurmurHash3.stringHash(canonical) & 0xffffffffL}%08x"
+    Scratch.dir(s, dir, s"mknn_cell_k3_$pathTag")
+  }
+
+  def mutualKnnEdges(s: SparkSession, dir: String): DataFrame = synchronized {
+    val path = mutualKnnPath(s, dir)
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      graft.ext.Similarity.mutualKnnGraph(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label", k = 3)
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** The materialized IVF-PQ index over `embeddings` (VERDICT_r08 #1 —
     * the index LIFECYCLE): centroids, codebooks and per-vector codes are
     * built ONCE per (session, corpus dir), persisted as three parquet

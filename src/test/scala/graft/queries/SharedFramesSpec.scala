@@ -39,6 +39,23 @@ class SharedFramesSpec extends SparkSpec {
       "second call must read the scratch parquet back, not rebuild it")
   }
 
+  test("materialized mutual-kNN edges equal the live construction and build only once") {
+    val dir = sf0001
+    val fromHelper = SharedFrames.mutualKnnEdges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val live = graft.ext.Similarity.mutualKnnGraph(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromHelper === live)
+    assert(fromHelper.nonEmpty)
+    val marker = new File(SharedFrames.mutualKnnPath(spark, dir), "_SUCCESS")
+    assert(marker.exists)
+    val mtime = marker.lastModified()
+    assert(SharedFrames.mutualKnnEdges(spark, dir).count().toInt === fromHelper.size)
+    assert(marker.lastModified() === mtime,
+      "second call must read the artifact back, not rebuild it")
+  }
+
   test("pair frames are keyed by scale dir: different dirs never cross-read") {
     // ScaleData's 10x rehearsal dir and the base dir share a session — the
     // scratch key must keep them apart (a cross-read would hand the 10x
