@@ -86,6 +86,7 @@ object Similarity {
     */
   def topKCosine(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    requireBounded(queries, "topKCosine", "queries")
     val q = withNorm(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("__norm").as("__qn"))
     val c = withNorm(spread(corpus, idCol), vecCol)
@@ -105,6 +106,7 @@ object Similarity {
     */
   def hardNegativeTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, labelCol: String, k: Int): DataFrame = {
+    requireBounded(queries, "hardNegativeTopK", "queries")
     val q = withNorm(queries, vecCol)
       .select(col(idCol).as("query_id"), col(labelCol).as("__ql"),
         col(vecCol).as("__qv"), col("__norm").as("__qn"))
@@ -116,30 +118,35 @@ object Similarity {
         col("query_id") =!= col("neighbor_id") && col("__ql") =!= col("__cl")), k)
   }
 
-  /** Hard cap on frames that BROADCAST into iterated probe joins
-    * ([[graphBeamSearch]]'s queries/entries — they re-broadcast every
-    * hop). 4096 rows of (id, vec) is a few MB at any realistic dim —
-    * comfortably under executor broadcast budgets — while every
-    * legitimate caller (fixed hash-ordered probe/entry sets) sits orders
-    * below it.
+  /** Hard cap on frames that BROADCAST as probe sides (the brute-force
+    * top-k family's query frames; [[graphBeamSearch]]'s queries/entries,
+    * which re-broadcast every hop). 4096 rows of (id, vec) is a few MB at
+    * any realistic dim — comfortably under executor broadcast budgets —
+    * while every legitimate caller (fixed hash-ordered probe/entry sets)
+    * sits orders below it.
     */
   val MaxBoundedProbeRows = 4096L
 
   /** ENFORCED bounded-frame contract (round 9; the round-8 judge flagged
     * the doc-only contract as one unchecked caller away from the round-7
-    * `annTopKByCell` broadcast defect recurring): the frame's LOGICAL
-    * plan must carry a row bound — `maxRows` is populated by LIMIT (so
-    * [[hashOrderedProbes]] output passes) and by local literal frames,
-    * and is None for any corpus-shaped scan. A plan-time check, not a
-    * count job: rejecting at construction costs nothing and cannot be
-    * raced by data growth — a corpus-sized frame is refused even if
-    * today's corpus happens to be small.
+    * `annTopKByCell` broadcast defect recurring — applied to EVERY
+    * operator that broadcasts its probe side, not just the beam walk):
+    * the frame's LOGICAL plan must carry a row bound — `maxRows` is
+    * populated by LIMIT (so [[hashOrderedProbes]] output passes) and
+    * propagates through Project/Filter and local literal frames, and is
+    * None for any corpus-shaped scan. A plan-time check, not a count job:
+    * rejecting at construction costs nothing and cannot be raced by data
+    * growth — a corpus-sized frame is refused even if today's corpus
+    * happens to be small. The shuffled-join operators (annTopKByCell /
+    * annTopKMultiProbe / embeddingNearDupPairs) stay deliberately
+    * UNguarded: their probe sides shuffle, so corpus-as-queries is legal
+    * and load-bearing (mutualKnnGraph, SemDeDup).
     */
-  private def requireBounded(df: DataFrame, what: String): Unit = {
+  private def requireBounded(df: DataFrame, op: String, what: String): Unit = {
     val max = df.queryExecution.analyzed.maxRows
     require(max.exists(_ <= MaxBoundedProbeRows),
-      s"graphBeamSearch '$what' must be a BOUNDED frame — it broadcasts into " +
-        s"every hop. Its plan ${max.fold("carries no row bound (corpus-shaped scan?)")(n =>
+      s"$op '$what' must be a BOUNDED frame — it rides a broadcast. " +
+        s"Its plan ${max.fold("carries no row bound (corpus-shaped scan?)")(n =>
           s"is bounded at $n rows, over the $MaxBoundedProbeRows cap")}; " +
         "route it through Similarity.hashOrderedProbes(df, idCol, tag, n) or .limit(n).")
   }
@@ -247,8 +254,8 @@ object Similarity {
       idCol: String, vecCol: String, entries: DataFrame,
       hops: Int, beam: Int, k: Int): DataFrame = {
     require(hops >= 1, "graphBeamSearch needs at least one hop")
-    requireBounded(queries, "queries")
-    requireBounded(entries, "entries")
+    requireBounded(queries, "graphBeamSearch", "queries")
+    requireBounded(entries, "graphBeamSearch", "entries")
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val und = edges.select(col("id_a").as("u"), col("id_b").as("w"))
       .unionAll(edges.select(col("id_b").as("u"), col("id_a").as("w")))
@@ -350,6 +357,7 @@ object Similarity {
     */
   def maxSimTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, subs: Int, subDim: Int, k: Int): DataFrame = {
+    requireBounded(queries, "maxSimTopK", "queries")
     graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
     def subFrame(df: DataFrame, outId: String, iCol: String, vCol: String,
         nCol: String): DataFrame =
@@ -387,6 +395,7 @@ object Similarity {
     */
   def matryoshkaTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, prefixDim: Int, shortlist: Int, k: Int): DataFrame = {
+    requireBounded(queries, "matryoshkaTopK", "queries")
     graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
     def headFrame(df: DataFrame, outId: String, pvCol: String, pnCol: String): DataFrame =
       df.select(col(idCol).as(outId), slice(col(vecCol), 1, prefixDim).as(pvCol))

@@ -178,7 +178,7 @@ class PlanQualitySpec extends SparkSpec {
     // while the corpus side streams; ranking goes through TopKPerKeyExec.
     val e = graft.Tables.embeddings(spark, sf0001)
     val df = graft.ext.Similarity.maxSimTopK(
-      e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding",
+      e.filter(col("vec_id") % 100 === 0).limit(50), e, "vec_id", "embedding",
       subs = 4, subDim = 16, k = 3)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin BuildRight"),
@@ -192,7 +192,7 @@ class PlanQualitySpec extends SparkSpec {
     // exactly ONE nested-loop join may appear in the whole plan.
     val e = graft.Tables.embeddings(spark, sf0001)
     val df = graft.ext.Similarity.matryoshkaTopK(
-      e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding",
+      e.filter(col("vec_id") % 20 === 0).limit(50), e, "vec_id", "embedding",
       prefixDim = 16, shortlist = 20, k = 5)
     val plan = df.queryExecution.executedPlan.toString
     assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 1,

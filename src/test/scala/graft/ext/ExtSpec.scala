@@ -202,11 +202,22 @@ class ExtSpec extends SparkSpec {
     assert(exBig.getMessage.contains("queries"))
     Similarity.graphBeamSearch(e, edges, e.limit(5), "vec_id", "embedding",
       entries, hops = 2, beam = 2, k = 2) // constructs fine
+    // the same contract guards every broadcast-probe operator
+    val exT = intercept[IllegalArgumentException] {
+      Similarity.topKCosine(e, e, "vec_id", "embedding", k = 3)
+    }
+    assert(exT.getMessage.contains("topKCosine"))
+    val exM = intercept[IllegalArgumentException] {
+      Similarity.maxSimTopK(e, e, "vec_id", "embedding", subs = 4, subDim = 16, k = 3)
+    }
+    assert(exM.getMessage.contains("maxSimTopK"))
   }
 
   test("annTopKMultiProbe with nprobe = all cells equals brute-force top-k") {
     val e = Tables.embeddings(spark, sf0001)
-    val q = e.filter(col("vec_id") % 50 === 0)
+    // .limit bounds the probe plan (topKCosine's enforced contract); the
+    // filter matches a single row at this SF so the limit drops nothing
+    val q = e.filter(col("vec_id") % 50 === 0).limit(50)
     val cells = e.select("label").distinct().count().toInt
     val multi = Similarity.annTopKMultiProbe(q, e, "vec_id", "embedding", "label",
       nprobe = cells, k = 3)
