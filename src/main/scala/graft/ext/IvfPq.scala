@@ -155,7 +155,18 @@ object IvfPq {
     val dt = qparts.join(broadcast(ix.cw), Seq("m"))
       .select(col("query_id"), col("cell"), col("m"), col("g"),
         d2(col("rq"), col("cwvec")).as("dd"))
-    val codes = ix.codes
+    // The IVF search-coordinator move: the probed cell list is KNOWN and
+    // bounded (probes x nprobe rows) before any corpus IO — collect it and
+    // push it into the codes scan as a STATIC partition filter, so the
+    // cell-partitioned artifact (SharedFrames.ivfPqIndex) reads ONLY the
+    // probed cells' files — FAISS-style inverted-list IO, sublinear in
+    // storage, not just compute. (Dynamic partition pruning cannot derive
+    // this: the cell pick flows through the custom heap top-k node, which
+    // the DPP selectivity heuristics don't see through.) The collect is a
+    // bounded single-small-frame gate, the repo's allowed pattern; values
+    // are unchanged — the join's cell equality already implied the filter.
+    val probedCells = qc.select("cell").distinct().collect().map(_.get(0)).toSeq
+    val codes = ix.codes.filter(col("cell").isInCollection(probedCells))
     val contrib = codes
       .join(broadcast(dt),
         dt("cell") === codes("cell") && dt("m") === codes("m")

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.Tables
 import graft.engine.Scratch
@@ -121,11 +122,27 @@ object SharedFrames {
       val ix = IvfPq.buildIndex(Tables.embeddings(s, dir), "vec_id", "embedding", "label")
       ix.cents.write.mode("overwrite").parquet(s"$base/cents")
       ix.cw.write.mode("overwrite").parquet(s"$base/cw")
-      ix.codes.write.mode("overwrite").parquet(s"$base/codes")
+      // The codes table is PARTITIONED BY CELL — the on-disk layout that
+      // makes IVF search sublinear in STORAGE, not just compute: the
+      // search coordinator (IvfPq.adcShortlist) pushes its bounded probed-
+      // cell list into the scan as a static partition filter, so only the
+      // probed cells' files (nprobe x probes directories out of the full
+      // cell space at 100 TB) are ever read. Cluster by cell BEFORE the
+      // partitioned write: without it every upstream task writes its own
+      // sliver into every cell directory (tasks x cells tiny files — the
+      // classic partitionBy small-files explosion); with it each cell's
+      // inverted list lands as one compact file per shuffle partition,
+      // which is also the layout a FAISS-style list scan wants. Search-plan
+      // pinned in PlanQualitySpec.
+      ix.codes.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$base/codes")
     }
     IvfPq.Index(
       cents = s.read.parquet(s"$base/cents"),
       cw = s.read.parquet(s"$base/cw"),
-      codes = s.read.parquet(s"$base/codes"))
+      // restore the build's column order: a partitioned read-back appends
+      // the partition column last, and positional consumers (except-based
+      // specs) must see the same shape a live build produces
+      codes = s.read.parquet(s"$base/codes").select("id", "cell", "m", "g"))
   }
 }

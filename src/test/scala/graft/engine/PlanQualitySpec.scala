@@ -682,6 +682,16 @@ class PlanQualitySpec extends SparkSpec {
         s"$q: no window-sort ranking allowed:\n$plan")
       assert(!plan.contains("CartesianProduct"),
         s"$q: bounded attaches must broadcast, not cartesian:\n$plan")
+      // Inverted-list IO: the codes artifact is partitioned by cell and the
+      // search coordinator pushes its bounded probed-cell list into the scan
+      // as a STATIC partition filter — only the probed cells' files are ever
+      // read (sublinear in storage at the 100 TB design point, where the
+      // cell space is much larger than nprobe x probes). q497 walks the
+      // graph artifact instead of the codes table, so the pin covers the
+      // two ADC searchers.
+      if (q != "q497_graph_beam_search")
+        assert(plan.contains("PartitionFilters: [cell#"),
+          s"$q: the codes scan must carry the probed-cell partition filter:\n$plan")
     }
   }
 
