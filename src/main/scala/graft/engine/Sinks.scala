@@ -47,10 +47,30 @@ object Sinks {
     * directories at planning time (PartitionFilters in the scan) — the
     * reference writes unpartitioned directories (SURVEY.md section 4), but at
     * 100 TB date/tenant partitioning is what makes selective scans feasible.
+    *
+    * Rows are CLUSTERED by the partition columns before the write: a naive
+    * `partitionBy` has every upstream task write its own sliver into every
+    * partition directory — tasks x partitions tiny files, the classic
+    * small-files explosion (at 1000 tasks x 365 date partitions, 365k
+    * files). After the one hash shuffle each partition value lands in
+    * exactly one task, so each directory holds one compact file (plus
+    * maxRecordsPerFile splits). `writersPerPartition` > 1 salts the
+    * clustering for SKEWED partition values — a hot tenant/date then fans
+    * out over that many writers instead of serializing through one, at the
+    * cost of that many files per directory (still bounded by the salt, not
+    * by the task count). The salt is a deterministic row hash, so reruns
+    * produce identical layouts.
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
-      maxRecordsPerFile: Long = 0L): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+      maxRecordsPerFile: Long = 0L, writersPerPartition: Int = 1): Unit = {
+    require(writersPerPartition >= 1, s"writersPerPartition must be >= 1, got $writersPerPartition")
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val keys = partitionCols.map(col)
+    val clustered =
+      if (writersPerPartition == 1) df.repartition(keys: _*)
+      else df.repartition(
+        (keys :+ pmod(xxhash64(df.columns.map(col): _*), lit(writersPerPartition))): _*)
+    val w = clustered.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
     val w2 = if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w
     w2.parquet(path)
   }
@@ -81,11 +101,15 @@ object Sinks {
     */
   def overwritePartitionsDynamic(df: DataFrame, path: String,
       partitionCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     val key = "spark.sql.sources.partitionOverwriteMode"
     val saved = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
-    try df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+    // same clustering as writePartitioned: one compact file per replaced
+    // partition instead of a sliver from every upstream task
+    try df.repartition(partitionCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
     finally saved match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
@@ -111,7 +135,15 @@ object Sinks {
   def writeBucketedAt(df: DataFrame, table: String, path: Option[String],
       bucketCols: Seq[String], numBuckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
-    val w0 = df.write.mode(SaveMode.Overwrite)
+    import org.apache.spark.sql.functions.col
+    // Cluster into the buckets BEFORE the write: a naive bucketBy has every
+    // upstream task write a file for every bucket it holds — tasks x buckets
+    // small files. repartition(numBuckets, cols) assigns rows by the SAME
+    // pmod(murmur3, numBuckets) expression Spark derives bucket ids from
+    // (HashPartitioning.partitionIdExpression), so after the shuffle each
+    // task holds exactly one bucket and each bucket lands as one file.
+    val clustered = df.repartition(numBuckets, bucketCols.map(col): _*)
+    val w0 = clustered.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     val w1 = path.fold(w0)(p => w0.option("path", p))
     val w2 = if (sortCols.nonEmpty) w1.sortBy(sortCols.head, sortCols.tail: _*) else w1

@@ -156,6 +156,58 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === df.count())
   }
 
+  test("writePartitioned clusters by the partition key: one file per directory") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority").as("p"))
+    def partDirs(dir: String) =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("p=")).toSeq
+    def filesIn(d: java.io.File) = d.listFiles().count(_.getName.endsWith(".parquet"))
+    // naive partitionBy would write (upstream tasks) x (5 priorities) sliver
+    // files; the clustering shuffle must land each value in exactly one task
+    val one = Files.createTempDirectory("graft_partwrite").toString + "/one"
+    Sinks.writePartitioned(df, one, Seq("p"))
+    val dirs = partDirs(one)
+    assert(dirs.size == 5, s"expected 5 priority directories, got ${dirs.size}")
+    dirs.foreach(d => assert(filesIn(d) == 1,
+      s"clustered write must put ONE file in ${d.getName}, got ${filesIn(d)}"))
+    // salted fan-out for skew: at most writersPerPartition files per dir,
+    // more than one for a value large enough to spread over the salt. At
+    // test sizes AQE coalesces the salted shuffle back into one task (the
+    // right call on small data — it merges the salt slivers away), so pin
+    // the fan-out with AQE off, the shape a genuinely hot partition sees.
+    val fan = Files.createTempDirectory("graft_partwrite").toString + "/fan"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val savedAqe = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try Sinks.writePartitioned(df, fan, Seq("p"), writersPerPartition = 3)
+    finally spark.conf.set(aqeKey, savedAqe)
+    val fanCounts = partDirs(fan).map(filesIn)
+    assert(fanCounts.forall(_ <= 3), s"salt must bound files per dir at 3: $fanCounts")
+    assert(fanCounts.exists(_ > 1), s"expected some fan-out under the salt: $fanCounts")
+    // layout is invisible to readers: same rows either way
+    val a = spark.read.parquet(one)
+    val b = spark.read.parquet(fan)
+    assert(a.count() === df.count())
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
+  test("writeBucketedAt lands exactly one file per bucket") {
+    val dir = Files.createTempDirectory("graft_bucketlayout").toString + "/t"
+    val df = graft.Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
+    try {
+      Sinks.writeBucketedAt(df, "g_layout_probe", Some(dir), Seq("o_orderkey"),
+        numBuckets = 4, sortCols = Seq("o_orderkey"))
+      // naive bucketBy writes (upstream tasks) x 4 files; the pre-shuffle
+      // must land each bucket as one compact file
+      val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 4, s"expected one file per bucket (4), got $files")
+      val back = spark.table("g_layout_probe")
+      assert(back.count() === df.count())
+      assert(back.except(df).count() === 0 && df.except(back).count() === 0)
+    } finally spark.sql("DROP TABLE IF EXISTS g_layout_probe")
+  }
+
   test("overwritePartitionsDynamic replaces only the written partitions") {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = Files.createTempDirectory("graft_dynpart").toString + "/out"
