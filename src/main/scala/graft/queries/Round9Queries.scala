@@ -24,7 +24,10 @@ import graft.ext.{IvfPq, Similarity, TextHash}
   *   - q501: STREAMING INGEST — arrivals on a file stream are coded
   *     against the frozen index per micro-batch and keyed-upsert into
   *     the code table (EventStreams.startVectorIngest), gated equal to
-  *     the batch incremental path.
+  *     the batch incremental path;
+  *   - q502: INDEX HEALTH — the monitor/decide step: cell-occupancy
+  *     balance and incremental-ingest share measured from the persisted
+  *     artifact, folded into a pinned rebuild decision.
   * Same determinism discipline as the whole registry: integer-micro
   * residuals, exact integer codebook sums with one final double division,
   * fixed-order distance folds, total-order ties, DuckDB oracle twins from
@@ -380,6 +383,73 @@ object Round9Queries {
         FROM u
         GROUP BY vec_id, label
         ORDER BY vec_id
+      """.trim)),
+
+    // Index HEALTH monitor — the decide step that closes the lifecycle
+    // loop (build -> persist -> search -> delta -> ingest -> MONITOR).
+    // Production IVF deployments watch two dials and trigger a retrain
+    // when either crosses its threshold:
+    //   - ingest share: how much of the index arrived through the
+    //     incremental path (q499/q501's delta) since the last full train —
+    //     codebooks were never trained on those vectors, so staleness
+    //     (priced by q499) accrues with this share;
+    //   - cell balance: the largest inverted list vs the fair share — a
+    //     hot cell degrades every search that probes it (the FAISS
+    //     imbalance_factor dial) and signals the coarse quantizer no
+    //     longer fits the data.
+    // Measured FROM the persisted artifact (one codes scan, m=0 rows are
+    // one-per-vector and the filter pushes to the scan), per-cell rows +
+    // 1-row global aggregates broadcast back — no window, no corpus-side
+    // join. The rebuild decision: delta share >= 10% OR max cell >= 2x
+    // fair share; thresholds mirrored in both engines (the q169/q499
+    // envelope pattern — the measured VALUES are the deliverable, the
+    // flag is a pinned function of them). At sf0.01 the ~1/8 delta split
+    // fires the ingest-share trigger (delta_share 10.8% >= 10%), so the
+    // gate exercises the rebuild=1 branch.
+    Q(
+      "q502_ivfpq_index_health",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val codes = SharedFrames.ivfPqIndex(s, dir).codes
+          .filter(col("m") === 0).select(col("id"), col("cell"))
+        val occ = codes.groupBy(col("cell").cast("long").as("cell"))
+          .agg(count(lit(1)).as("n_vecs"))
+        val tot = occ.agg(sum(col("n_vecs")).as("n_total"),
+          max(col("n_vecs")).as("max_vecs"), count(lit(1)).as("n_cells"))
+        val del = codes.filter(
+            pmod(TextHash.hash60(concat(lit("ixdelta#"), col("id").cast("string"))),
+              lit(8L)) === 0L)
+          .agg(count(lit(1)).as("n_delta"))
+        occ.crossJoin(broadcast(tot)).crossJoin(broadcast(del))
+          .select(col("cell"), col("n_vecs"),
+            expr("n_vecs * 1000000 DIV n_total").as("share_micro"),
+            expr("max_vecs * 1000000 DIV n_total").as("max_share_micro"),
+            expr("n_delta * 1000000 DIV n_total").as("delta_share_micro"),
+            when(col("n_delta") * 10 >= col("n_total")
+                || col("max_vecs") * col("n_cells") >= col("n_total") * 2,
+              lit(1L)).otherwise(lit(0L)).as("rebuild"))
+          .orderBy("cell")
+      },
+      Some(s"""
+        WITH src AS (SELECT vec_id, label FROM embeddings),
+        occ AS (
+          SELECT CAST(label AS BIGINT) AS cell, COUNT(*) AS n_vecs
+          FROM src GROUP BY label
+        ), tot AS (
+          SELECT SUM(n_vecs) AS n_total, MAX(n_vecs) AS max_vecs,
+                 COUNT(*) AS n_cells
+          FROM occ
+        ), del AS (
+          SELECT COUNT(*) AS n_delta FROM src WHERE $DeltaPredDuck
+        )
+        SELECT o.cell, CAST(o.n_vecs AS BIGINT) AS n_vecs,
+               CAST(o.n_vecs * 1000000 // t.n_total AS BIGINT) AS share_micro,
+               CAST(t.max_vecs * 1000000 // t.n_total AS BIGINT) AS max_share_micro,
+               CAST(d.n_delta * 1000000 // t.n_total AS BIGINT) AS delta_share_micro,
+               CAST(CASE WHEN d.n_delta * 10 >= t.n_total
+                           OR t.max_vecs * t.n_cells >= 2 * t.n_total
+                         THEN 1 ELSE 0 END AS BIGINT) AS rebuild
+        FROM occ o CROSS JOIN tot t CROSS JOIN del d ORDER BY cell
       """.trim))
   )
 }
