@@ -134,6 +134,14 @@ object IvfPq {
     */
   def adcShortlist(ix: Index, probes: DataFrame, nprobe: Int,
       shortlist: Int): DataFrame = {
+    // Same ENFORCED bounded-frame contract as the Similarity broadcast-probe
+    // family (q497's round-9 guard, extended here): `probes` rides two
+    // broadcasts (the centroid crossJoin and the ADC distance table) and
+    // feeds the probed-cell collect — a corpus-shaped probe frame would
+    // broadcast corpus-linear state and collect an unbounded cell list.
+    // Plan-time maxRows check; corpus-as-queries callers must sample via
+    // hashOrderedProbes/LIMIT like every other broadcast-probe operator.
+    Similarity.requireBounded(probes, "adcShortlist", "probes")
     graft.functions.GraftFunctions.ensureRegistered(probes.sparkSession)
     val qc = graft.plans.TopKPerKey.of(
         probes.crossJoin(broadcast(ix.cents))

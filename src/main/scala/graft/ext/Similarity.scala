@@ -142,7 +142,7 @@ object Similarity {
     * UNguarded: their probe sides shuffle, so corpus-as-queries is legal
     * and load-bearing (mutualKnnGraph, SemDeDup).
     */
-  private def requireBounded(df: DataFrame, op: String, what: String): Unit = {
+  private[ext] def requireBounded(df: DataFrame, op: String, what: String): Unit = {
     val max = df.queryExecution.analyzed.maxRows
     require(max.exists(_ <= MaxBoundedProbeRows),
       s"$op '$what' must be a BOUNDED frame — it rides a broadcast. " +

@@ -58,4 +58,20 @@ class IvfPqSpec extends SparkSpec {
     SharedFrames.ivfPqIndex(spark, sf0001).codes.count()
     assert(dir.lastModified() === before, "second access must not rebuild")
   }
+
+  test("adcShortlist rejects a corpus-shaped (unbounded) probe frame at plan time") {
+    // The search coordinator broadcasts two probe-derived frames and
+    // collects the probed-cell list — the same footgun class as the
+    // round-7 annTopKByCell defect, guarded the same way as the rest of
+    // the broadcast-probe family: a frame whose logical plan carries no
+    // row bound is refused at construction, before a single job runs.
+    val ix = SharedFrames.ivfPqIndex(spark, sf0001)
+    val corpusProbes = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val ex = intercept[IllegalArgumentException] {
+      IvfPq.adcShortlist(ix, corpusProbes, nprobe = 2, shortlist = 5)
+    }
+    assert(ex.getMessage.contains("adcShortlist"))
+    // a LIMIT-bounded probe frame constructs fine
+    IvfPq.adcShortlist(ix, corpusProbes.limit(5), nprobe = 2, shortlist = 5)
+  }
 }
