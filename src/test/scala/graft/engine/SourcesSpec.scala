@@ -119,6 +119,41 @@ class SourcesSpec extends SparkSpec {
     assert(got === Map(1L -> "a", 2L -> "B", 3L -> "c"))
   }
 
+  test("upsertParquetPartitioned rewrites touched partitions only — untouched files byte-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_p").toString + "/t"
+    Sinks.writePartitioned(
+      Seq((1L, "a", 10), (2L, "b", 10), (3L, "c", 20), (4L, "d", 30))
+        .toDF("k", "v", "p"),
+      dir, Seq("p"))
+    // fingerprint a partition directory: (name, length, mtime) per file —
+    // equality means the upsert never rewrote, truncated or re-committed it
+    def files(p: Int): Set[(String, Long, Long)] =
+      new java.io.File(s"$dir/p=$p").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    val p20Before = files(20)
+    val p30Before = files(30)
+    assert(p20Before.nonEmpty && p30Before.nonEmpty)
+    // batch touches ONLY p=10: replaces key 2, inserts key 9
+    Sinks.upsertParquetPartitioned(
+      Seq((2L, "B", 10), (9L, "z", 10)).toDF("k", "v", "p"), dir, "k", Seq("p"))
+    assert(files(20) === p20Before,
+      "untouched partition p=20 must keep its exact files")
+    assert(files(30) === p30Before,
+      "untouched partition p=30 must keep its exact files")
+    val got = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("k") -> (r.getAs[String]("v"), r.getAs[Int]("p"))).toMap
+    assert(got === Map(1L -> ("a", 10), 2L -> ("B", 10), 9L -> ("z", 10),
+      3L -> ("c", 20), 4L -> ("d", 30)))
+    // first write to a missing target lays down the partitioned table
+    val fresh = java.nio.file.Files.createTempDirectory("graft_upsert_p2").toString + "/t"
+    Sinks.upsertParquetPartitioned(
+      Seq((7L, "q", 40)).toDF("k", "v", "p"), fresh, "k", Seq("p"))
+    assert(new java.io.File(s"$fresh/p=40").exists())
+    assert(spark.read.parquet(fresh).count() === 1L)
+  }
+
   test("compactParquet collapses a many-file directory, preserving rows") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/out"
     val df = graft.Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
