@@ -282,17 +282,20 @@ object Similarity {
       vecCol: String, cellCol: String, nForeign: Int): DataFrame = {
     require(nForeign >= 1, "crossCellLongRangeEdges needs nForeign >= 1")
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    // centroid columns renamed up front: a caller whose cellCol is literally
+    // named "cell" would otherwise collide with exactCentroids' output
     val cents = exactCentroids(corpus, vecCol, cellCol)
+      .select(col("cell").as("__fcell"), col("centroid").as("__fcent"))
     val dist2 = aggregate(
-      zip_with(col(vecCol), col("centroid"),
+      zip_with(col(vecCol), col("__fcent"),
         (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
       lit(0.0), (acc, v) => acc + v)
     val probed = graft.plans.TopKPerKey.of(
         spread(corpus, idCol)
           .crossJoin(broadcast(cents))
-          .filter(col("cell") =!= col(cellCol))
+          .filter(col("__fcell") =!= col(cellCol))
           .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-            col("cell").as("__cell"), dist2.as("__d2")),
+            col("__fcell").as("__cell"), dist2.as("__d2")),
         keyCols = Seq("query_id"), order = Seq("__d2" -> true, "__cell" -> true),
         k = nForeign)
       .select(col("query_id"), col("__qv"),

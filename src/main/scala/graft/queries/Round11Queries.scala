@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{IvfPq, Similarity, TextHash}
+
+/** Round-11 additions — closing VERDICT_r10's two open lifecycle loops:
+  *   - q503: the graph-walk recall DEFECT FIX — q500 measured 20% recall
+  *     and diagnosed it as entry-coverage-bound; re-measurement showed the
+  *     real cap is NAVIGABILITY (51/60 true neighbors live in a different
+  *     IVF cell than their query, and the mutual-kNN substrate has no
+  *     cross-cell edges — seeding every component's representative still
+  *     reads 20%). The fix is the NSW move, cross-cell long-range edges
+  *     ([[graft.ext.Similarity.crossCellLongRangeEdges]]); the SAME walk
+  *     budget as q500 (entries=32, hops=4, beam=8) then reads 65%
+  *     measured recall at sf0.01 — audited and hash-gated here.
+  *   - q504: the index-health decide -> ACT loop — q502 computes a pinned
+  *     rebuild flag that nothing consumed; this gate measures health from
+  *     a stale artifact (frozen-index delta ingest + its ingest ledger),
+  *     ACTS on the fired flag (full refit, atomically swapped over the
+  *     live artifact, ledger reset), and re-measures health from the
+  *     swapped artifact: delta share back to zero, flag cleared, artifact
+  *     bit-equal to a from-first-principles refit.
+  * Same determinism discipline as the whole registry: exact-decimal
+  * centroids, sequential-fold distances, total-order ties, integer-micro
+  * ratios, DuckDB oracle twins from first principles.
+  */
+object Round11Queries {
+
+  /** DuckDB fragment: sequential double dot product of float lists a,b. */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN generate_series(1, len($a))])"
+
+  /** The navigable proximity graph as a CTE chain: the mutual-kNN pairs
+    * (`mu`, from Round7Queries.MutualKnnCte — which also defines the
+    * normed corpus `e`) UNION one long-range edge per (vector, foreign
+    * cell): each vector's 2 nearest FOREIGN cells by exact centroid L2
+    * (`ccents` mirrors Similarity.exactCentroids: exact decimal mean,
+    * 2^48 scaling), then the highest-cosine vector within each — the
+    * DuckDB twin of [[graft.ext.Similarity.crossCellLongRangeEdges]].
+    * Ends with relation `nav(id_a, id_b)`.
+    */
+  private val NavGraphCte: String = s"""
+        ${Round7Queries.MutualKnnCte}, ccm AS (
+          SELECT label AS cell, CAST(u.i - 1 AS INTEGER) AS dim,
+                 CAST(SUM(CAST(CAST(u.v AS DOUBLE) * 281474976710656 AS DECIMAL(38,0))) AS DOUBLE)
+                   / 281474976710656 / COUNT(*) AS mean
+          FROM embeddings,
+               LATERAL (SELECT unnest(embedding) AS v,
+                               generate_subscripts(embedding, 1) AS i) u
+          GROUP BY label, dim
+        ), ccents AS (
+          SELECT cell, list(mean ORDER BY dim) AS centroid FROM ccm GROUP BY cell
+        ), fcell AS (
+          SELECT vec_id, qv, qn, cell FROM (
+            SELECT q.vec_id, q.embedding AS qv, q.nrm AS qn, c.cell,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     list_sum([(CAST(q.embedding[i] AS DOUBLE) - c.centroid[i])
+                               * (CAST(q.embedding[i] AS DOUBLE) - c.centroid[i])
+                               FOR i IN generate_series(1, len(q.embedding))]),
+                     c.cell) AS rn
+            FROM e q JOIN ccents c ON c.cell <> q.label)
+          WHERE rn <= 2
+        ), lre AS (
+          SELECT DISTINCT LEAST(vec_id, nid) AS id_a, GREATEST(vec_id, nid) AS id_b
+          FROM (
+            SELECT f.vec_id, n.vec_id AS nid,
+                   row_number() OVER (PARTITION BY f.vec_id, f.cell
+                     ORDER BY ${duckDot("f.qv", "n.embedding")} / (f.qn * n.nrm)
+                       DESC, n.vec_id) AS rn
+            FROM fcell f JOIN e n ON n.label = f.cell)
+          WHERE rn = 1
+        ), nav AS (
+          SELECT id_a, id_b FROM mu UNION SELECT id_a, id_b FROM lre
+        )""".stripMargin.trim
+
+  /** q504's delta split: identical to q499/q501/q502's — the same fixed
+    * pseudo-random ~1/8 of the corpus plays the incrementally-ingested
+    * batch, so q504's pre-rebuild dials line up with q502's monitor.
+    */
+  private val DeltaPredDuck =
+    s"${TextHash.duckHash60("'ixdelta#' || CAST(vec_id AS VARCHAR)")} % 8 = 0"
+
+  private def deltaPredSpark =
+    pmod(TextHash.hash60(concat(lit("ixdelta#"), col("vec_id").cast("string"))),
+      lit(8L)) === 0L
+
+  val qs: Seq[Q] = Seq(
+
+    // Navigable-graph beam-search recall — the q500 defect FIXED at the
+    // SAME walk budget. q500's audit read 20% and SURVEY blamed entry
+    // coverage; the round-11 re-measurement (all 19 non-singleton
+    // components seeded: still 20%; all graph nodes seeded: 95%) showed
+    // the cap is CROSS-CELL NAVIGABILITY — 51/60 true top-3 neighbors are
+    // in a different IVF cell, and the mutual-kNN graph has no cross-cell
+    // edges, so the beam can never walk toward them. The NSW fix: augment
+    // with crossCellLongRangeEdges (2 nearest foreign cells per vector,
+    // highest-cosine node in each). Entries/hops/beam are UNCHANGED from
+    // q500 (32/4/8), so the two gates are an apples-to-apples before/after
+    // of the edge set alone: 20% -> 65% measured at sf0.01. Truth rides
+    // the same bounded-probe brute-force baseline.
+    Q(
+      "q503_navigable_beam_recall",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val probes = Similarity.hashOrderedProbes(e, "vec_id", "beam", 20)
+        val edges = SharedFrames.mutualKnnEdges(s, dir).select("id_a", "id_b")
+          .union(Similarity.crossCellLongRangeEdges(
+            e, "vec_id", "embedding", "label", nForeign = 2))
+          .distinct()
+        val walk = Similarity.graphBeamSearch(
+            corpus = e,
+            edges = edges,
+            queries = probes,
+            idCol = "vec_id", vecCol = "embedding",
+            entries = Similarity.hashOrderedProbes(
+              e.select("vec_id"), "vec_id", "entry", 32),
+            hops = 4, beam = 8, k = 3)
+          .select("query_id", "neighbor_id")
+        val brute = Similarity.topKCosine(probes, e, "vec_id", "embedding", k = 3)
+          .select("query_id", "neighbor_id")
+        val hits = brute
+          .join(walk, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        brute.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_true"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .withColumn("recall_micro",
+            expr("n_hits * 1000000 DIV n_true"))
+          .orderBy("query_id")
+      },
+      Some(s"""
+        ${Round8Queries.beamWalkCteOver(20, 32, 4, 8, NavGraphCte, "nav")}, walk AS (
+          SELECT query_id, node AS neighbor_id FROM (
+            SELECT query_id, node,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, node) AS rn
+            FROM f4)
+          WHERE rn <= 3
+        ), brute AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                     ORDER BY ${duckDot("p.qv", "c.embedding")} / (p.qn * c.nrm)
+                       DESC, c.vec_id) AS rn
+            FROM bprobes p JOIN ben c ON c.vec_id <> p.query_id)
+          WHERE rn <= 3
+        ), hits AS (
+          SELECT b.query_id, COUNT(*) AS n_hits
+          FROM brute b
+          JOIN walk w ON w.query_id = b.query_id
+                     AND w.neighbor_id = b.neighbor_id
+          GROUP BY b.query_id
+        )
+        SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(COALESCE(MAX(h.n_hits), 0) AS BIGINT) AS n_hits,
+               CAST(COALESCE(MAX(h.n_hits), 0) * 1000000 // COUNT(*) AS BIGINT)
+                 AS recall_micro
+        FROM brute b LEFT JOIN hits h ON h.query_id = b.query_id
+        GROUP BY b.query_id ORDER BY b.query_id
+      """.trim)),
+
+    // Index-health decide -> ACT loop — q502's rebuild flag finally
+    // CONSUMED (VERDICT_r10 next #4). The gate stages the stale lifecycle
+    // state q501 ends in (cell-partitioned codes = base build ∪ frozen-
+    // index delta assignment, plus an INGEST LEDGER — the ids that arrived
+    // through the incremental path since the last full train; production
+    // monitors count against a ledger, not a data predicate, because the
+    // artifact itself cannot know which rows were trained), measures the
+    // q502 health dials from the artifact (delta share fires: ~12.5% >=
+    // 10%), then ACTS on the fired flag: full refit (IvfPq.buildIndex over
+    // the current corpus), ATOMIC artifact swap (compactParquet's
+    // temp-then-rename pattern — readers never see a half-written index),
+    // ledger reset. The post row re-measures from the SWAPPED artifact:
+    // delta share back to 0, flag cleared, and the swapped codes agree
+    // with an independent in-memory refit on every (id, m) — the measured
+    // proof the act landed the rebuild, not just deleted the flag.
+    // stale_diff on the pre row prices what the rebuild fixes (the frozen-
+    // index codes a refit would change, q499's staleness made actionable).
+    // Scale shape: health is one m=0 scan of the codes artifact + a
+    // 1-row ledger count; the refit is the build path (cell-bounded
+    // broadcasts, corpus-linear code frames on pinned shuffles); the swap
+    // is two filesystem renames.
+    Q(
+      "q504_ivfpq_rebuild_loop",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val scr = graft.engine.Scratch.dir(s, dir, "ivfpq_rebuild_loop")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(scr))
+        val codesPath = s"$scr/codes"
+        val ledgerPath = s"$scr/ledger"
+        val e = Tables.embeddings(s, dir)
+        val base = e.filter(!deltaPredSpark)
+        val delta = e.filter(deltaPredSpark)
+        // stale artifact: base-trained index, delta coded against it (the
+        // q499/q501 incremental path), ledger = the delta arrivals
+        val bCents = Similarity.exactCentroids(base, "embedding", "label")
+        val bParts = IvfPq.residualParts(base, bCents, "vec_id", "embedding", "label")
+        val bCw = IvfPq.trainCodebooks(bParts)
+        graft.engine.Sinks.writePartitioned(
+          IvfPq.assignCodes(bParts, bCw).unionByName(
+            IvfPq.assignCodes(
+              IvfPq.residualParts(delta, bCents, "vec_id", "embedding", "label"), bCw)),
+          codesPath, Seq("cell"))
+        graft.engine.Sinks.writeParquet(
+          delta.select(col("vec_id").as("id")), ledgerPath)
+        // the refit the audit prices against — and, on a fired flag, the
+        // artifact the act installs; deterministic, so the in-memory frame
+        // and the swapped read-back must agree code-for-code
+        val refit = IvfPq.buildIndex(e, "vec_id", "embedding", "label")
+        val refitCodes = refit.codes.select(col("id"), col("m"), col("g").as("__fg"))
+        def healthRow(phase: String): DataFrame = {
+          val artifact = s.read.parquet(codesPath)
+          val occ = artifact.filter(col("m") === 0)
+            .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+          val tot = occ.agg(sum(col("n_vecs")).as("n_total"),
+            max(col("n_vecs")).as("max_vecs"), count(lit(1)).as("n_cells"))
+          val led = s.read.parquet(ledgerPath).agg(count(lit(1)).as("n_delta"))
+          // both code frames are corpus-linear -> pinned shuffle join
+          val dif = artifact.select(col("id"), col("m"), col("g"))
+            .join(refitCodes.hint("shuffle_hash"), Seq("id", "m"))
+            .agg(sum(when(col("g") =!= col("__fg"), 1L).otherwise(0L))
+              .as("stale_diff"))
+          tot.crossJoin(led).crossJoin(dif)
+            .select(lit(phase).as("phase"),
+              col("n_total").cast("long").as("n_total"),
+              expr("max_vecs * 1000000 DIV n_total").as("max_share_micro"),
+              expr("n_delta * 1000000 DIV n_total").as("delta_share_micro"),
+              col("stale_diff"),
+              when(col("n_delta") * 10 >= col("n_total")
+                  || col("max_vecs") * col("n_cells") >= col("n_total") * 2,
+                lit(1L)).otherwise(lit(0L)).as("rebuild"))
+        }
+        // MATERIALIZE the pre row before acting: the swap below replaces
+        // the very files a lazy pre frame would re-read
+        val pre = graft.engine.Sinks.writeAndReadBack(
+          s, healthRow("pre"), s"$scr/health_pre")
+        val flag = pre.head().getAs[Long]("rebuild") // 1-row bounded gate
+        if (flag == 1L) {
+          // ACT: full refit, staged then atomically swapped over the live
+          // artifact; the ledger resets — everything is trained again
+          val tmp = codesPath + "__rebuild_tmp"
+          graft.engine.Sinks.writePartitioned(refit.codes, tmp, Seq("cell"))
+          val hp = new org.apache.hadoop.fs.Path(codesPath)
+          val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(hp, true)
+          require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hp),
+            s"rebuild swap failed for $codesPath")
+          s.catalog.clearCache()
+          graft.engine.Sinks.writeParquet(
+            delta.select(col("vec_id").as("id")).filter(lit(false)), ledgerPath)
+        }
+        pre.unionByName(healthRow("post")).orderBy("phase")
+      },
+      Some(s"""
+        WITH ${Round9Queries.pqCte("f", "TRUE")}, ${Round9Queries.pqCte("b", s"NOT ($DeltaPredDuck)")},
+        ${Round9Queries.DeltaAssignCte}, stale AS (
+          SELECT vec_id, m, g FROM bcassign
+          UNION ALL
+          SELECT vec_id, m, g FROM dassign
+        ), sdiff AS (
+          SELECT COUNT(*) AS n FROM stale s
+          JOIN fcassign f ON f.vec_id = s.vec_id AND f.m = s.m
+          WHERE s.g <> f.g
+        ), occ AS (
+          SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label
+        ), tot AS (
+          SELECT SUM(n_vecs) AS n_total, MAX(n_vecs) AS max_vecs,
+                 COUNT(*) AS n_cells
+          FROM occ
+        ), del AS (
+          SELECT COUNT(*) AS n_delta FROM embeddings WHERE $DeltaPredDuck
+        )
+        SELECT 'pre' AS phase, CAST(t.n_total AS BIGINT) AS n_total,
+               CAST(t.max_vecs * 1000000 // t.n_total AS BIGINT) AS max_share_micro,
+               CAST(d.n_delta * 1000000 // t.n_total AS BIGINT) AS delta_share_micro,
+               CAST(s.n AS BIGINT) AS stale_diff,
+               CAST(CASE WHEN d.n_delta * 10 >= t.n_total
+                           OR t.max_vecs * t.n_cells >= 2 * t.n_total
+                         THEN 1 ELSE 0 END AS BIGINT) AS rebuild
+        FROM tot t CROSS JOIN del d CROSS JOIN sdiff s
+        UNION ALL
+        -- post-act invariants (q430/q435 precedent): a completed rebuild
+        -- has, BY DEFINITION, an empty ledger and a refit-identical
+        -- artifact; the Spark side MEASURES both from the swapped files
+        SELECT 'post', CAST(t.n_total AS BIGINT),
+               CAST(t.max_vecs * 1000000 // t.n_total AS BIGINT),
+               0, 0,
+               CAST(CASE WHEN t.max_vecs * t.n_cells >= 2 * t.n_total
+                         THEN 1 ELSE 0 END AS BIGINT)
+        FROM tot t
+        ORDER BY phase
+      """.trim))
+  )
+}

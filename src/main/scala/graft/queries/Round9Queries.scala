@@ -53,7 +53,7 @@ object Round9Queries {
     * IvfPqCte, source-parameterized so q499 can build the BASE index
     * (delta held out) and the FULL refit from one generator.
     */
-  private def pqCte(p: String, pred: String): String = s"""
+  private[queries] def pqCte(p: String, pred: String): String = s"""
         ${p}src AS (
           SELECT vec_id, label, embedding FROM embeddings WHERE $pred
         ), ${p}cm AS (
@@ -119,7 +119,7 @@ object Round9Queries {
     * (the `pqCte("b", ...)` chain) in scope. Shared by q499 (refit
     * agreement audit) and q501 (streaming ingest gate).
     */
-  private val DeltaAssignCte: String = s"""
+  private[queries] val DeltaAssignCte: String = s"""
         dsrc AS (
           SELECT vec_id, label, embedding FROM embeddings WHERE $DeltaPredDuck
         ), drv AS (

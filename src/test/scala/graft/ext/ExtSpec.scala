@@ -175,6 +175,29 @@ class ExtSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
   }
 
+  test("crossCellLongRangeEdges links each vector to the best node of its nearest foreign cell") {
+    // three 2-cell-apart clusters on the unit circle; nForeign=1 must pick,
+    // per vector, the angularly nearest OTHER cluster's centroid and then
+    // the highest-cosine node inside it — hand-derivable end to end
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    val corpus = Seq(
+      (0L, 0, v(0)), (1L, 0, v(10)),
+      (10L, 1, v(60)), (11L, 1, v(70)),
+      (20L, 2, v(120)), (21L, 2, v(130))
+    ).toDF("vec_id", "cell", "embedding")
+    val edges = Similarity.crossCellLongRangeEdges(
+        corpus, "vec_id", "embedding", "cell", nForeign = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 0,1 (cell 0) -> cell 1, best node 10 (60 deg); 10 -> cell 0, best 1;
+    // 11 -> cell 2, best 20; 20,21 (cell 2) -> cell 1, best 11
+    assert(edges === Set((0L, 10L), (1L, 10L), (11L, 20L), (11L, 21L)))
+    // every edge crosses cells by construction (the own cell is filtered
+    // before the probe), and the edge count is bounded by nForeign * n
+    val cellOf = Map(0L -> 0, 1L -> 0, 10L -> 1, 11L -> 1, 20L -> 2, 21L -> 2)
+    assert(edges.forall { case (a, b) => cellOf(a) != cellOf(b) })
+  }
+
   test("salt decision runs NO corpus-side job once the cell count is cached") {
     // VERDICT_r10 weak #2: saltFor used to run an approx_count_distinct scan
     // over the corpus-linear cell column before EVERY cell join it decided
