@@ -199,11 +199,24 @@ object NearDup {
     * Output: (id_a, id_b, jaccard) with id_a < id_b.
     */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, tNum: Int, tDen: Int): DataFrame = {
+      n: Int, tNum: Int, tDen: Int): DataFrame =
+    prefixJaccardPairsFromShingles(
+      withShingles(docs, idCol, textCol, n), idCol, tNum, tDen)
+
+  /** [[prefixJaccardPairs]] over a PRECOMPUTED shingle frame (idCol,
+    * __shingles) — a [[shingleFrame]] or its materialized read-back
+    * (SharedFrames.docShingles): at corpus scale the tokenize+shingle pass
+    * is the dominant shared cost across the exact-pair operators, and a
+    * persisted postings artifact amortizes it across queries the way the
+    * near-dup pair set and mutual-kNN edges already do. Every step here is
+    * order-insensitive in the array (hash-sorted prefixes, set Jaccard),
+    * so the artifact round-trip cannot change output.
+    */
+  def prefixJaccardPairsFromShingles(sh: DataFrame, idCol: String,
+      tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen must be in (0,1]")
-    val threshold = tNum.toDouble / tDen
-    val sh = withShingles(docs, idCol, textCol, n)
-    verifyJaccard(sh, idCol, prefixCandidates(sh, idCol, tNum, tDen), threshold)
+    verifyJaccard(sh, idCol, prefixCandidates(sh, idCol, tNum, tDen),
+      tNum.toDouble / tDen)
   }
 
   /** Prefix-filter candidate core over a [[withShingles]] frame: the
@@ -360,9 +373,19 @@ object NearDup {
     * Output: (id_a, id_b, containment_a, containment_b), id_a < id_b.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, dfCap: Int = 128): DataFrame = {
+      n: Int, threshold: Double, dfCap: Int = 128): DataFrame =
+    containmentPairsFromShingles(
+      withShingles(docs, idCol, textCol, n), idCol, threshold, dfCap)
+
+  /** [[containmentPairs]] over a PRECOMPUTED shingle frame (idCol,
+    * __shingles) — see [[prefixJaccardPairsFromShingles]] for the artifact
+    * rationale; the df-cap, sizes and intersections are all counts over
+    * the exploded postings, insensitive to array order and to the parquet
+    * round-trip.
+    */
+  def containmentPairsFromShingles(sh: DataFrame, idCol: String,
+      threshold: Double, dfCap: Int = 128): DataFrame = {
     require(dfCap >= 2, s"dfCap=$dfCap must be >= 2 (a df-1 shingle pairs nothing)")
-    val sh = withShingles(docs, idCol, textCol, n)
     val inv = sh.select(col(idCol), explode(col("__shingles")).as("__s"))
     val rare = inv.groupBy("__s").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= dfCap).select(col("__s"))

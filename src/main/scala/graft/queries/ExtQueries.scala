@@ -1164,8 +1164,11 @@ object ExtQueries {
     // docs. Integer counts only — no shingle arrays ever shuffle.
     Q(
       "q74_ngram_containment",
-      (s, dir) => NearDup.containmentPairs(
-          Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8,
+      // reads the materialized n=3 shingle frame (round 11 — this query was
+      // the rehearsal's worst 10x ratio at 2.41, mostly the per-query
+      // tokenize+shingle recompute); construction stays live-gated in q23/q24
+      (s, dir) => NearDup.containmentPairsFromShingles(
+          SharedFrames.docShingles(s, dir, 3), "doc_id", threshold = 0.8,
           dfCap = 128)
         .orderBy("id_a", "id_b"),
       Some(s"""
@@ -1402,8 +1405,10 @@ object ExtQueries {
     // plan; identical output proves the prefix filter loses nothing.
     Q(
       "q101_prefix_jaccard",
-      (s, dir) => NearDup.prefixJaccardPairs(
-          Tables.documents(s, dir), "doc_id", "text", n = 3, tNum = 4, tDen = 5)
+      // shares q74's materialized n=3 shingle frame (round 11); the prefix
+      // filter + exact verify run unchanged over the read-back postings
+      (s, dir) => NearDup.prefixJaccardPairsFromShingles(
+          SharedFrames.docShingles(s, dir, 3), "doc_id", tNum = 4, tDen = 5)
         .orderBy("id_a", "id_b"),
       Some(ExactJaccardPairsSql)),
 

@@ -56,6 +56,29 @@ class SharedFramesSpec extends SparkSpec {
       "second call must read the artifact back, not rebuild it")
   }
 
+  test("materialized shingle frame equals the live construction and builds only once") {
+    val dir = sf0001
+    def asSets(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val fromHelper = asSets(SharedFrames.docShingles(spark, dir, 3))
+    val live = asSets(NearDup.shingleFrame(
+      Tables.documents(spark, dir), "doc_id", "text", 3))
+    // SET equality per doc: every consumer (containment, prefix filter,
+    // Jaccard verify) is order-insensitive in the array, so the set is the
+    // contract the parquet round-trip must preserve.
+    assert(fromHelper === live)
+    assert(fromHelper.nonEmpty)
+    val marker = new File(SharedFrames.docShinglesPath(spark, dir, 3), "_SUCCESS")
+    assert(marker.exists)
+    val mtime = marker.lastModified()
+    assert(SharedFrames.docShingles(spark, dir, 3).count().toInt === fromHelper.size)
+    assert(marker.lastModified() === mtime,
+      "second call must read the artifact back, not rebuild it")
+    // n participates in the key: the n=8 frame is a different artifact
+    assert(SharedFrames.docShinglesPath(spark, dir, 8)
+      !== SharedFrames.docShinglesPath(spark, dir, 3))
+  }
+
   test("pair frames are keyed by scale dir: different dirs never cross-read") {
     // ScaleData's 10x rehearsal dir and the base dir share a session — the
     // scratch key must keep them apart (a cross-read would hand the 10x
