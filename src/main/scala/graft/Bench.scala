@@ -136,7 +136,7 @@ object Bench {
             s"\"ratio\":${ratios.get(name).getOrElse("null")},\"ok\":$ok}"
         }.toSeq
         s""","scaleup":{"factor":$factor,"queries":${entries.mkString("{", ",", "}")}${
-          ratioGrowth(ratios)}}"""
+          ratioGrowth(ratios, calibration)}}"""
       } catch { case e: Throwable =>
         System.err.println(s"SCALE-REHEARSAL-SKIPPED: $e"); ""
       }
@@ -144,8 +144,17 @@ object Bench {
     // ~2000 chars of stdout tail, so with 400+ queries the per-query map
     // never survives in BENCH_r<N>.json (round 5 kept 24 of 427 entries) —
     // cross-round per-query comparison needs the file, not the tail.
+    // Cross-round NORMALIZED total (VERDICT_r10 next #6): total scaled by
+    // ref_calibration / calibration cancels the shared-VM speed of the box
+    // the round happened to run on, so round-over-round totals compare like
+    // for like. The reference point is the round-8 snapshot's calibration
+    // (BENCH_detail_r08.json, committed), overridable for re-baselining.
+    val refCalibration = sys.env.get("GRAFT_BENCH_REF_CALIB").map(_.toDouble)
+      .getOrElse(0.239411813)
     val calib =
-      if (calibration == Double.MaxValue) "" else s""","calibration_sec":$calibration"""
+      if (calibration == Double.MaxValue) ""
+      else s""","calibration_sec":$calibration,"ref_calibration_sec":$refCalibration,"value_normalized":${
+        total * refCalibration / calibration}"""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"$calib$scaleup}"""
     val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_detail_latest.json")
@@ -176,13 +185,35 @@ object Bench {
     * override with GRAFT_BENCH_PREV) and flags growth > 20%. Emitted
     * inside the scaleup section so BENCH_r<N> carries the comparison —
     * a flagged entry demands a fix or an explanation, not silence.
+    *
+    * FLAG HISTORY (VERDICT_r10 next #5): flags have been observed FLAPPING
+    * on CPU-steal noise at fixed code (q495 measured 1.24/1.35/1.55/2.00
+    * across same-code runs), so the adjudication rule — "a flag that
+    * REPEATS at comparable calibration is code, a one-off on a slow box is
+    * noise" — needs the prior round's flags and both calibrations IN the
+    * artifact to be machine-checkable, not reconstructed from prose. The
+    * section now carries `prev_flagged` + `prev_calibration_sec` +
+    * `cur_calibration_sec` verbatim from/for the compared artifacts, and
+    * `repeat_flagged` = flagged now AND flagged last round — the entries
+    * that demand a code diagnosis rather than a re-run.
     */
-  private def ratioGrowth(cur: Map[String, Double]): String = {
+  private def ratioGrowth(cur: Map[String, Double], curCalibration: Double): String = {
     val prevPath = sys.env.getOrElse("GRAFT_BENCH_PREV",
       sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_detail_latest.json"))
+    var prevCalib: Option[Double] = None
+    var prevFlagged: Seq[String] = Nil
     val prev: Map[String, Double] = try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(new java.io.File(prevPath))
+      val pc = root.path("calibration_sec")
+      if (pc.isNumber) prevCalib = Some(pc.asDouble)
+      val pf = root.path("scaleup").path("ratio_growth").path("flagged")
+      if (pf.isArray) {
+        val fit = pf.elements()
+        val fb = Seq.newBuilder[String]
+        while (fit.hasNext) fb += fit.next().asText()
+        prevFlagged = fb.result()
+      }
       val it = root.path("scaleup").path("queries").fields()
       val b = Map.newBuilder[String, Double]
       while (it.hasNext) {
@@ -201,9 +232,19 @@ object Bench {
       val entries = shared.map(n =>
         s"\"" + n + s"\":{\"prev\":${prev(n)},\"cur\":${cur(n)}," +
           s"\"growth\":${growth(n)},\"flag\":${growth(n) > 1.2}}")
-      val flagged = shared.filter(growth(_) > 1.2).map("\"" + _ + "\"")
-      s""","ratio_growth":{"prev_artifact":"$prevPath","entries":${
-        entries.mkString("{", ",", "}")},"flagged":${flagged.mkString("[", ",", "]")}}"""
+      val flaggedNames = shared.filter(growth(_) > 1.2)
+      val flagged = flaggedNames.map("\"" + _ + "\"")
+      val repeat = flaggedNames.filter(prevFlagged.contains)
+        .map("\"" + _ + "\"")
+      val prevFlaggedJson = prevFlagged.map("\"" + _ + "\"")
+      val calibs =
+        s""""prev_calibration_sec":${prevCalib.getOrElse("null")},""" +
+          s""""cur_calibration_sec":${
+            if (curCalibration == Double.MaxValue) "null" else curCalibration}"""
+      s""","ratio_growth":{"prev_artifact":"$prevPath",$calibs,"prev_flagged":${
+        prevFlaggedJson.mkString("[", ",", "]")},"entries":${
+        entries.mkString("{", ",", "}")},"flagged":${flagged.mkString("[", ",", "]")},"repeat_flagged":${
+        repeat.mkString("[", ",", "]")}}"""
     }
   }
 
