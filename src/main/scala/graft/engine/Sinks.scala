@@ -252,22 +252,29 @@ object Sinks {
     val dest = new Path(path)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dest)) { writePartitioned(batch, path, partitionCols); return }
-    val touched = batch.select(partitionCols.map(col): _*).distinct().collect()
-    if (touched.isEmpty) return
-    val touchedPred = touched.map(row =>
-        partitionCols.zipWithIndex.map { case (c, i) => col(c) <=> lit(row.get(i)) }
-          .reduce(_ && _))
-      .reduce(_ || _)
-    val existing = spark.read.parquet(path).filter(touchedPred)
-    val merged = existing
-      .join(batch.select(key), Seq(key), "left_anti")
-      .unionByName(batch)
-    val tmp = new Path(path + "__upsert_tmp")
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    try overwritePartitionsDynamic(
-      spark.read.parquet(tmp.toString), path, partitionCols)
-    finally fs.delete(tmp, true)
-    spark.catalog.clearCache()
+    // the batch plan feeds three consumers (touched-value collect, the
+    // anti-join key side, the union arm) — persist it across the call so
+    // an expensive upstream (e.g. the streaming ingest's residual-encode
+    // pipeline) computes once per micro-batch, not three times
+    val b = batch.persist()
+    try {
+      val touched = b.select(partitionCols.map(col): _*).distinct().collect()
+      if (touched.isEmpty) return
+      val touchedPred = touched.map(row =>
+          partitionCols.zipWithIndex.map { case (c, i) => col(c) <=> lit(row.get(i)) }
+            .reduce(_ && _))
+        .reduce(_ || _)
+      val existing = spark.read.parquet(path).filter(touchedPred)
+      val merged = existing
+        .join(b.select(key), Seq(key), "left_anti")
+        .unionByName(b)
+      val tmp = new Path(path + "__upsert_tmp")
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      try overwritePartitionsDynamic(
+        spark.read.parquet(tmp.toString), path, partitionCols)
+      finally fs.delete(tmp, true)
+      spark.catalog.clearCache()
+    } finally batch.unpersist()
   }
 
   /** S5 warehouse sink abstraction. */

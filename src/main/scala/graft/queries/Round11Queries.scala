@@ -163,6 +163,76 @@ object Round11Queries {
         GROUP BY b.query_id ORDER BY b.query_id
       """.trim)),
 
+    // The recall/cost FRONTIER's second audited point: same navigable
+    // graph, same entries/hops, beam WIDENED 8 -> 16 — the one knob left
+    // after q503 fixed navigability (the offline sweep reads 77-78% at
+    // beam 12-16 vs 65-70% at 8; hops saturate at 4). Gating two points
+    // pins the operating CURVE, not a single number: a deployment picks
+    // beam by recall target, and both ends of that dial are now
+    // hash-audited. Per-hop cost scales linearly in beam (the frontier is
+    // beam-bounded), so this is the measured price of +8-13 points of
+    // recall.
+    Q(
+      "q505_beam_width_recall",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val probes = Similarity.hashOrderedProbes(e, "vec_id", "beam", 20)
+        // reads the materialized navigable graph; q503 keeps the union's
+        // construction live as the long-range operator's value gate
+        val edges = SharedFrames.navEdges(s, dir)
+        val walk = Similarity.graphBeamSearch(
+            corpus = e,
+            edges = edges,
+            queries = probes,
+            idCol = "vec_id", vecCol = "embedding",
+            entries = Similarity.hashOrderedProbes(
+              e.select("vec_id"), "vec_id", "entry", 32),
+            hops = 4, beam = 16, k = 3)
+          .select("query_id", "neighbor_id")
+        val brute = Similarity.topKCosine(probes, e, "vec_id", "embedding", k = 3)
+          .select("query_id", "neighbor_id")
+        val hits = brute
+          .join(walk, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        brute.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_true"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .withColumn("recall_micro",
+            expr("n_hits * 1000000 DIV n_true"))
+          .orderBy("query_id")
+      },
+      Some(s"""
+        ${Round8Queries.beamWalkCteOver(20, 32, 4, 16, NavGraphCte, "nav")}, walk AS (
+          SELECT query_id, node AS neighbor_id FROM (
+            SELECT query_id, node,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, node) AS rn
+            FROM f4)
+          WHERE rn <= 3
+        ), brute AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                     ORDER BY ${duckDot("p.qv", "c.embedding")} / (p.qn * c.nrm)
+                       DESC, c.vec_id) AS rn
+            FROM bprobes p JOIN ben c ON c.vec_id <> p.query_id)
+          WHERE rn <= 3
+        ), hits AS (
+          SELECT b.query_id, COUNT(*) AS n_hits
+          FROM brute b
+          JOIN walk w ON w.query_id = b.query_id
+                     AND w.neighbor_id = b.neighbor_id
+          GROUP BY b.query_id
+        )
+        SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(COALESCE(MAX(h.n_hits), 0) AS BIGINT) AS n_hits,
+               CAST(COALESCE(MAX(h.n_hits), 0) * 1000000 // COUNT(*) AS BIGINT)
+                 AS recall_micro
+        FROM brute b LEFT JOIN hits h ON h.query_id = b.query_id
+        GROUP BY b.query_id ORDER BY b.query_id
+      """.trim)),
+
     // Index-health decide -> ACT loop — q502's rebuild flag finally
     // CONSUMED (VERDICT_r10 next #4). The gate stages the stale lifecycle
     // state q501 ends in (cell-partitioned codes = base build ∪ frozen-

@@ -95,6 +95,35 @@ object SharedFrames {
     s.read.parquet(path)
   }
 
+  /** The materialized NAVIGABLE proximity graph over `embeddings` (round
+    * 11): mutual-kNN edges ∪ cross-cell long-range edges (nForeign=2) —
+    * the substrate both beam-walk recall gates audit. q503 DELIBERATELY
+    * constructs the union LIVE (it is the long-range operator's value
+    * gate, the q24/q437 one-live-consumer precedent); q505 (the beam-width
+    * point on the same graph) reads this artifact. (id_a, id_b) longs
+    * round-trip parquet exactly and both consumers' oracles re-derive the
+    * edges from first principles.
+    */
+  private[queries] def navEdgesPath(s: SparkSession, dir: String): String = {
+    val canonical = new java.io.File(dir).getCanonicalPath
+    val pathTag = f"${scala.util.hashing.MurmurHash3.stringHash(canonical) & 0xffffffffL}%08x"
+    Scratch.dir(s, dir, s"nav_mknn3_lre2_$pathTag")
+  }
+
+  def navEdges(s: SparkSession, dir: String): DataFrame = synchronized {
+    val path = navEdgesPath(s, dir)
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      mutualKnnEdges(s, dir).select("id_a", "id_b")
+        .union(graft.ext.Similarity.crossCellLongRangeEdges(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label", nForeign = 2))
+        .distinct()
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** The materialized per-document shingle frame (doc_id, __shingles) over
     * `documents` (round 11 — VERDICT_r10 next #7): the tokenize+shingle
     * pass is the dominant shared cost of the exact-pair family, and before

@@ -235,16 +235,27 @@ object EventStreams {
       .start()
 
   /** Keyed-upsert sink via foreachBatch (update output mode): each
-    * micro-batch's rows replace same-key rows of the parquet target
-    * (graft.engine.Sinks.upsertParquet), so state-store re-emissions and
-    * replayed batches land idempotently — the exactly-once-per-key pattern
-    * for aggregation streams writing to a lake table.
+    * micro-batch's rows replace same-key rows of the parquet target, so
+    * state-store re-emissions and replayed batches land idempotently — the
+    * exactly-once-per-key pattern for aggregation streams writing to a
+    * lake table. `partitionCols` selects the merge scope: non-empty routes
+    * through the PARTITION-SCOPED upsert (only the directories the batch
+    * touches are read and rewritten — the 100 TB contract; requires each
+    * key's partition values to be final, e.g. a window-start date column);
+    * empty keeps the whole-table form for small unpartitioned targets
+    * (bounded-key aggregate tables), where partition directories would
+    * cost more than they save.
     */
   def startUpsertSink(df: DataFrame, outDir: String, checkpointDir: String,
-      key: String): org.apache.spark.sql.streaming.StreamingQuery =
+      key: String, partitionCols: Seq[String] = Nil):
+      org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.engine.Sinks.upsertParquet(batch, outDir, key)
+        if (partitionCols.isEmpty)
+          graft.engine.Sinks.upsertParquet(batch, outDir, key)
+        else
+          graft.engine.Sinks.upsertParquetPartitioned(
+            batch, outDir, key, partitionCols)
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Update)

@@ -147,6 +147,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startUpsertSink partition-scoped: merges per key, leaves untouched partitions' files alone") {
+    import org.apache.spark.sql.functions.{count, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_ps").toString
+    val in = MemoryStream[Event](spark)
+    // per-(event_type, user) counts, partitioned by event_type — a key's
+    // partition value is final, the partition-scoped contract
+    val counts = in.toDF().groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n"))
+    val q = EventStreams.startUpsertSink(
+      counts, s"$dir/out", s"$dir/ckpt", "user_id", partitionCols = Seq("event_type"))
+    try {
+      in.addData(Event(1L, ts(0), 7L, "click", 1.0), Event(2L, ts(1), 8L, "view", 2.0))
+      q.processAllAvailable()
+      def files(p: String): Set[(String, Long)] =
+        new java.io.File(s"$dir/out/event_type=$p").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet
+      val viewBefore = files("view")
+      in.addData(Event(3L, ts(2), 7L, "click", 1.0)) // only the click partition re-emits
+      q.processAllAvailable()
+      assert(files("view") === viewBefore,
+        "a batch touching only event_type=click must not rewrite event_type=view")
+      val out = spark.read.parquet(s"$dir/out")
+        .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id")) ->
+          r.getAs[Long]("n")).toMap
+      assert(out === Map(("click", 7L) -> 2L, ("view", 8L) -> 1L), s"got $out")
+    } finally q.stop()
+  }
+
   test("intervalJoinStream matches only in-lookback same-user pairs") {
     val clicks = MemoryStream[Event](spark)
     val buys = MemoryStream[Event](spark)
