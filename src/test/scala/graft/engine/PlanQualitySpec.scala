@@ -719,6 +719,44 @@ class PlanQualitySpec extends SparkSpec {
       s"q498: read-back pivot must be a single hash aggregate:\n$p498")
   }
 
+  test("round-11 gates: navigable-walk heap discipline, live long-range cell join, q504 pushed health filter") {
+    // q503 constructs the long-range edges LIVE: the foreign-cell pick and
+    // the per-(vector, cell) best-neighbor pick must ride the TopKPerKey
+    // heap, the in-cell candidate join must be the salted shuffled cell
+    // join (corpus-as-queries — a broadcast build is the round-7 defect),
+    // and no ranking may fall back to a window sort. q505 walks the
+    // materialized navigable artifact — same walk discipline, no live
+    // construction to pin.
+    for (q <- Seq("q503_navigable_beam_recall", "q505_beam_width_recall")) {
+      val df = graft.SparkEntry.queries(q)(spark, sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"),
+        s"$q: expected the heap top-k operator in:\n$plan")
+      assert(!plan.contains("WindowExec"),
+        s"$q: no window-sort ranking allowed:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: bounded attaches must broadcast, not cartesian:\n$plan")
+      if (q == "q503_navigable_beam_recall")
+        assert(plan.contains("ShuffledHashJoin [__"),
+          s"$q: the live long-range cell join must be shuffled, both sides:\n$plan")
+    }
+    // q504's returned frame carries the POST health re-measure (the pre row
+    // is a materialized read-back by design): the occupancy scan must push
+    // the m=0 filter to the artifact parquet, the refit-agreement join must
+    // stay shuffle-side on (id, m) — both frames are corpus-linear — and
+    // the refit's assignment argmins must be heaps, not windows.
+    val d = graft.SparkEntry.queries("q504_ivfpq_rebuild_loop")(spark, sf0001)
+    d.collect()
+    val p = d.queryExecution.executedPlan.toString
+    assert(p.contains("EqualTo(m,0)"),
+      s"q504: the health scan must push the m=0 filter:\n$p")
+    assert(p.contains("ShuffledHashJoin [id#"),
+      s"q504: the refit-agreement code join must be shuffle-side:\n$p")
+    assert(p.contains("TopKPerKey") && !p.contains("WindowExec"),
+      s"q504: assignment argmin must be the heap, not a window:\n$p")
+  }
+
   test("negative sampling joins the rank frame by shuffle, never broadcast") {
     // q454's rank frame is corpus-linear (one row per embedding): the
     // negative-draw join (on nr) and the kNN-edge audit join (on the
