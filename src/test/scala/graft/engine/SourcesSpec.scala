@@ -154,6 +154,34 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(fresh).count() === 1L)
   }
 
+  test("upsertParquetPartitioned handles multi-column and NULL partition values") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_mc").toString + "/t"
+    // two partition levels, one row with a NULL partition value (lands in
+    // the Hive default-partition directory; the touched-value predicate
+    // must match it via null-safe equality, not drop it)
+    val base = Seq(
+      (1L, "a", Some(10), "x"), (2L, "b", Some(10), "y"),
+      (3L, "c", Some(20), "x"), (4L, "d", None: Option[Int], "x"))
+      .toDF("k", "v", "p1", "p2")
+    Sinks.writePartitioned(base, dir, Seq("p1", "p2"))
+    def files(sub: String): Set[String] =
+      Option(new java.io.File(s"$dir/$sub").listFiles()).fold(Set.empty[String])(
+        _.filter(_.getName.endsWith(".parquet")).map(_.getName).toSet)
+    val untouched = files("p1=10/p2=y")
+    assert(untouched.nonEmpty)
+    // batch replaces the NULL-partition row and one (10, x) row
+    val batch = Seq(
+      (4L, "D", None: Option[Int], "x"), (1L, "A", Some(10), "x"))
+      .toDF("k", "v", "p1", "p2")
+    Sinks.upsertParquetPartitioned(batch, dir, "k", Seq("p1", "p2"))
+    assert(files("p1=10/p2=y") === untouched,
+      "the (10, y) partition was not in the batch and must keep its files")
+    val got = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(got === Map(1L -> "A", 2L -> "b", 3L -> "c", 4L -> "D"))
+  }
+
   test("compactParquet collapses a many-file directory, preserving rows") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/out"
     val df = graft.Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
