@@ -237,7 +237,10 @@ object Sinks {
     * rides [[overwritePartitionsDynamic]] — untouched sibling partitions
     * keep their files byte-for-byte (spec-pinned by file-list equality).
     * The merged rows are staged to a temp directory first: the dynamic
-    * overwrite must never scan the very partitions it is replacing.
+    * overwrite must never scan the very partitions it is replacing, and
+    * the staging's extra IO is bounded by the TOUCHED partitions (delta-
+    * sized), the price of never reading and replacing the same files
+    * inside one job.
     * Requires key-unique `batch` rows whose partition-column values are
     * final (a row MOVING partitions would leave its old copy behind — the
     * IVF codes table assigns each vector id to exactly one frozen cell, and
@@ -260,10 +263,20 @@ object Sinks {
     try {
       val touched = b.select(partitionCols.map(col): _*).distinct().collect()
       if (touched.isEmpty) return
-      val touchedPred = touched.map(row =>
-          partitionCols.zipWithIndex.map { case (c, i) => col(c) <=> lit(row.get(i)) }
-            .reduce(_ && _))
-        .reduce(_ || _)
+      // single-column, null-free touched sets take the compact
+      // isInCollection form (one set-membership node however many
+      // partitions the batch spans — at 100 TB a batch can touch thousands
+      // of cells, and an OR-of-equalities tree that size bloats planning);
+      // multi-column or null-bearing sets fall back to OR-of-null-safe-ANDs
+      // (IN never matches NULL, <=> does — the Hive default partition must
+      // stay replaceable). Both forms prune at planning time.
+      val touchedPred =
+        if (partitionCols.size == 1 && !touched.exists(_.isNullAt(0)))
+          col(partitionCols.head).isInCollection(touched.map(_.get(0)).toSeq)
+        else touched.map(row =>
+            partitionCols.zipWithIndex.map { case (c, i) => col(c) <=> lit(row.get(i)) }
+              .reduce(_ && _))
+          .reduce(_ || _)
       val existing = spark.read.parquet(path).filter(touchedPred)
       val merged = existing
         .join(b.select(key), Seq(key), "left_anti")
