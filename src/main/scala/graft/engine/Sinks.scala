@@ -180,6 +180,64 @@ object Sinks {
     spark.catalog.clearCache()
   }
 
+  /** Partition-scoped compaction (round 11 — the maintenance op the
+    * partition-scoped upsert creates a need for): every micro-batch upsert
+    * rewrites its touched partitions as fresh files, so HOT partitions
+    * fragment over time; [[compactParquet]] heals that by rewriting the
+    * WHOLE table, which at 100 TB is the same full-table IO the scoped
+    * upsert exists to avoid. This walks the partition directories (a
+    * bounded listing — partition count, never row count), finds the leaves
+    * holding more than `minFiles` parquet files, and rewrites ONLY those,
+    * each with [[compactParquet]]'s read -> repartition -> temp-swap (the
+    * partition VALUE lives in the directory name, not the files, so a
+    * per-directory rewrite of the data columns preserves it; a partitioned
+    * read-back sees identical rows). IO is bounded by the fragmented
+    * partitions; untouched directories keep their files byte-for-byte
+    * (spec-pinned). One small job per fragmented leaf — a production
+    * scheduler spreads these across a maintenance window; the point is
+    * that table size never enters the cost.
+    * Returns the number of directories compacted.
+    */
+  def compactPartitions(spark: SparkSession, path: String,
+      targetFiles: Int, minFiles: Int): Int = {
+    require(targetFiles > 0 && minFiles > targetFiles,
+      s"need minFiles ($minFiles) > targetFiles ($targetFiles) > 0 — " +
+        "compacting at-or-below-target directories would churn files for nothing")
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    // leaf partition dirs: directories that directly hold parquet files
+    // (handles any partition nesting depth)
+    def leaves(dir: Path): Seq[Path] = {
+      val entries = fs.listStatus(dir).toSeq
+      val subdirs = entries.filter(_.isDirectory).map(_.getPath)
+        // skip hidden/metadata dirs and any crashed-run staging leftovers —
+        // the same names Spark's own file index ignores
+        .filterNot(p => p.getName.startsWith(".") || p.getName.startsWith("_"))
+      val holdsParquet = entries.exists(e =>
+        e.isFile && e.getPath.getName.endsWith(".parquet"))
+      (if (holdsParquet) Seq(dir) else Nil) ++ subdirs.flatMap(leaves)
+    }
+    val fragmented = leaves(root).filter { d =>
+      fs.listStatus(d).count(e =>
+        e.isFile && e.getPath.getName.endsWith(".parquet")) > minFiles
+    }
+    // per-leaf temp-swap like [[compactParquet]], but the staging dir is
+    // DOT-prefixed: Spark's partition discovery ignores `.`/`_` names, so a
+    // concurrent reader of the table root never sees a transient directory
+    // that would parse as a bogus partition value
+    fragmented.foreach { d =>
+      val tmp = new Path(d.getParent, "." + d.getName + "__compact_tmp")
+      spark.read.parquet(d.toString).repartition(targetFiles)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(d, true)
+      require(fs.rename(tmp, d), s"compaction swap failed for $d")
+    }
+    if (fragmented.nonEmpty) spark.catalog.clearCache()
+    fragmented.size
+  }
+
   /** Observed write: attach `observe()` metrics to the frame and write it —
     * the Spark-native data-quality instrumentation (metrics are computed by
     * the SAME job that writes, no second scan) — and return the observed

@@ -367,6 +367,75 @@ object Round11Queries {
                          THEN 1 ELSE 0 END AS BIGINT)
         FROM tot t
         ORDER BY phase
+      """.trim)),
+
+    // Hot-partition compaction THROUGH the gate — the maintenance op the
+    // incremental-ingest story needs healed: append-churned hot cells
+    // accumulate small files (per-file open cost + task-per-file
+    // scheduling dominate scans at 100 TB), and the existing whole-table
+    // compaction (q298's compactParquet) heals them at full-table IO —
+    // the same scale-killer shape the partition-scoped upsert just
+    // removed from the write path. Sinks.compactPartitions walks the
+    // bounded partition-directory listing, rewrites ONLY the leaves over
+    // the file threshold (dot-prefixed staging, per-leaf temp swap), and
+    // leaves compact siblings byte-identical (SourcesSpec). The gate
+    // seeds the full stale code table (base ∪ frozen-delta, q501's
+    // content) FRAGMENTED via a small per-file row cap, heals it, and
+    // hash-gates the read-back pivot against the same from-first-
+    // principles oracle as q501 — content provably untouched by layout
+    // maintenance at every SF.
+    Q(
+      "q506_hot_partition_compaction",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val scr = graft.engine.Scratch.dir(s, dir, "hot_cell_compaction")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(scr))
+        val codes = s"$scr/codes"
+        val e = Tables.embeddings(s, dir)
+        val base = e.filter(!deltaPredSpark)
+        val delta = e.filter(deltaPredSpark)
+        val bCents = Similarity.exactCentroids(base, "embedding", "label")
+        val bParts = IvfPq.residualParts(base, bCents, "vec_id", "embedding", "label")
+        val bCw = IvfPq.trainCodebooks(bParts)
+        // the ingest-churned state: full code content, tiny files per cell
+        graft.engine.Sinks.writePartitioned(
+          IvfPq.assignCodes(bParts, bCw).unionByName(
+            IvfPq.assignCodes(
+              IvfPq.residualParts(delta, bCents, "vec_id", "embedding", "label"), bCw)),
+          codes, Seq("cell"), maxRecordsPerFile = 64L)
+        // heal: only over-threshold cell directories rewrite
+        graft.engine.Sinks.compactPartitions(s, codes, targetFiles = 1, minFiles = 2)
+        s.read.parquet(codes)
+          .groupBy(col("id"), col("cell"))
+          .agg(
+            max(when(col("m") === 0, col("g"))).as("__c0"),
+            max(when(col("m") === 1, col("g"))).as("__c1"),
+            max(when(col("m") === 2, col("g"))).as("__c2"),
+            max(when(col("m") === 3, col("g"))).as("__c3"))
+          .select(col("id").as("vec_id"), col("cell").cast("long").as("cell"),
+            col("__c0").cast("long").as("c0"), col("__c1").cast("long").as("c1"),
+            col("__c2").cast("long").as("c2"), col("__c3").cast("long").as("c3"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH ${Round9Queries.pqCte("b", s"NOT ($DeltaPredDuck)")},
+        ${Round9Queries.DeltaAssignCte}, u AS (
+          SELECT vec_id, label, m, g FROM bcassign
+          UNION ALL
+          SELECT vec_id, label, m, g FROM dassign
+        )
+        SELECT vec_id, CAST(label AS BIGINT) AS cell,
+               CAST(MAX(CASE WHEN m = 0 THEN g END) AS BIGINT) AS c0,
+               CAST(MAX(CASE WHEN m = 1 THEN g END) AS BIGINT) AS c1,
+               CAST(MAX(CASE WHEN m = 2 THEN g END) AS BIGINT) AS c2,
+               CAST(MAX(CASE WHEN m = 3 THEN g END) AS BIGINT) AS c3
+        FROM u
+        GROUP BY vec_id, label
+        ORDER BY vec_id
       """.trim))
   )
 }

@@ -182,6 +182,35 @@ class SourcesSpec extends SparkSpec {
     assert(got === Map(1L -> "A", 2L -> "b", 3L -> "c", 4L -> "D"))
   }
 
+  test("compactPartitions rewrites only fragmented partitions, preserving rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_p").toString + "/t"
+    // p=10 fragments into many files (per-row cap); p=20 stays compact
+    Sinks.writePartitioned(
+      (1L to 40L).map(k => (k, s"v$k", 10)).toDF("k", "v", "p"),
+      dir, Seq("p"), maxRecordsPerFile = 5L)
+    Sinks.overwritePartitionsDynamic(
+      Seq((100L, "w", 20)).toDF("k", "v", "p"), dir, Seq("p"))
+    def files(p: Int): Set[(String, Long)] =
+      new java.io.File(s"$dir/p=$p").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    assert(files(10).size > 4, s"fixture must start fragmented, got ${files(10).size}")
+    val compactBefore = files(20)
+    val before = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"), r.getAs[Int]("p"))).toSet
+    val n = Sinks.compactPartitions(spark, dir, targetFiles = 1, minFiles = 2)
+    assert(n === 1, s"exactly the fragmented p=10 should compact, got $n")
+    assert(files(10).size === 1, s"p=10 should be one file, got ${files(10).size}")
+    assert(files(20) === compactBefore,
+      "the already-compact partition must keep its exact files")
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"), r.getAs[Int]("p"))).toSet
+    assert(after === before, "compaction must not change a single row")
+    // idempotent: nothing left over the threshold
+    assert(Sinks.compactPartitions(spark, dir, targetFiles = 1, minFiles = 2) === 0)
+  }
+
   test("compactParquet collapses a many-file directory, preserving rows") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/out"
     val df = graft.Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
