@@ -335,11 +335,18 @@ object NearDup {
     * Output: (id_a, id_b, jaccard) with id_a < id_b.
     */
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double): DataFrame =
+    exactJaccardPairsFromShingles(
+      withShingles(docs, idCol, textCol, n), idCol, threshold)
+
+  /** [[exactJaccardPairs]] over a PRECOMPUTED shingle frame — see
+    * [[prefixJaccardPairsFromShingles]] for the artifact rationale.
+    */
+  def exactJaccardPairsFromShingles(sh: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold must be in (0,1]")
     val tDen = 1000000
     val tNum = math.floor(threshold * tDen).toInt.max(1)
-    val sh = withShingles(docs, idCol, textCol, n)
     verifyJaccard(sh, idCol, prefixCandidates(sh, idCol, tNum, tDen), threshold)
   }
 

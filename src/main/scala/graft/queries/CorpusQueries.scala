@@ -262,8 +262,11 @@ object CorpusQueries {
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .distinct()
-        val truth = NearDup.exactJaccardPairs(docs, "doc_id", "text",
-            n = 3, threshold = 0.8)
+        // ground truth from the materialized shingle frame (round 11):
+        // the exact-pair verify is what this eval audits the LSH against,
+        // and its shingle construction stays live-gated in q23
+        val truth = NearDup.exactJaccardPairsFromShingles(
+            SharedFrames.docShingles(s, dir, 3), "doc_id", threshold = 0.8)
           .select("id_a", "id_b")
         val hits = cand.join(truth.hint("shuffle_hash"), Seq("id_a", "id_b"),
           "left_semi")

