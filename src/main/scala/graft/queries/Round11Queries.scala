@@ -401,12 +401,18 @@ object Round11Queries {
         val bCents = Similarity.exactCentroids(base, "embedding", "label")
         val bParts = IvfPq.residualParts(base, bCents, "vec_id", "embedding", "label")
         val bCw = IvfPq.trainCodebooks(bParts)
-        // the ingest-churned state: full code content, tiny files per cell
+        // the ingest-churned state: full code content at a SCALE-STABLE
+        // fragmentation degree — target ~64 files across the table (a few
+        // per cell) at ANY corpus size, so the rehearsal probes the heal
+        // operator, not a fixture whose file count grows with the data
+        // (a fixed 64-rows-per-file cap at 10x wrote 31k files and read as
+        // a bogus 6x ratio: all fixture, no operator)
+        val capRows = math.max(4L * e.count() / 64L, 1L)
         graft.engine.Sinks.writePartitioned(
           IvfPq.assignCodes(bParts, bCw).unionByName(
             IvfPq.assignCodes(
               IvfPq.residualParts(delta, bCents, "vec_id", "embedding", "label"), bCw)),
-          codes, Seq("cell"), maxRecordsPerFile = 64L)
+          codes, Seq("cell"), maxRecordsPerFile = capRows)
         // heal: only over-threshold cell directories rewrite
         graft.engine.Sinks.compactPartitions(s, codes, targetFiles = 1, minFiles = 2)
         s.read.parquet(codes)
