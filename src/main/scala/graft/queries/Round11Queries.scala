@@ -23,6 +23,12 @@ import graft.ext.{IvfPq, Similarity, TextHash}
   *     live artifact, ledger reset), and re-measures health from the
   *     swapped artifact: delta share back to zero, flag cleared, artifact
   *     bit-equal to a from-first-principles refit.
+  * Plus the round's later additions: q505 (the beam-width end of the
+  * recall/cost curve), q506 (hot-partition compaction heal), q507
+  * (streaming ANN SERVING — queries answered from the persisted artifact
+  * per micro-batch, the lifecycle's last leg) and q508 (mixture-weighted
+  * interleave — the deterministic stride schedule that executes q204's
+  * mixture plan).
   * Same determinism discipline as the whole registry: exact-decimal
   * centroids, sequential-fold distances, total-order ties, integer-micro
   * ratios, DuckDB oracle twins from first principles.
@@ -442,6 +448,120 @@ object Round11Queries {
         FROM u
         GROUP BY vec_id, label
         ORDER BY vec_id
+      """.trim)),
+
+    // Streaming ANN SERVING — the lifecycle's last missing leg. q501
+    // streams vectors INTO the index and q504 rebuilds it; this gate
+    // streams queries AGAINST it: the q495 probe set arrives as three
+    // files -> three rate-limited micro-batches, each answered from the
+    // PERSISTED cell-partitioned artifact via the batch search
+    // coordinator (nprobe=4, shortlist=40 — q495's audited operating
+    // point) and appended to a batch_id-partitioned serving log through
+    // the dynamic partition overwrite (a replayed batch rewrites its own
+    // directory — exactly-once without a keyed merge; see
+    // EventStreams.startAnnServe). The gate reads the log back, drops the
+    // batch column and hash-compares against the from-first-principles
+    // ADC oracle — proof the streamed serving path answers EXACTLY what
+    // the batch path (q495) answers, however the arrivals were batched.
+    // Scale shape per micro-batch: bounded probes broadcast, probed-cell
+    // static partition filter on the codes scan (k cells touched -> k
+    // inverted lists read), one new log directory written.
+    Q(
+      "q507_stream_ann_serve",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val base = graft.engine.Scratch.dir(s, dir, "stream_ann_serve")
+        val src = base + "_src"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        Seq(base, base + "_ckpt", src).foreach(p => rm(new java.io.File(p)))
+        val ix = SharedFrames.ivfPqIndex(s, dir)
+        val probes = Similarity.hashOrderedProbes(
+            Tables.embeddings(s, dir), "vec_id", "ivfpq", 50)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        // stage arrivals as three files -> three micro-batches (the same
+        // rate-limited shape as q501's ingest, so the per-batch overwrite
+        // discipline is exercised across batches, not once)
+        probes.repartition(3).write.parquet(src)
+        val arrivals = s.readStream.schema(probes.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val q = graft.streaming.EventStreams.startAnnServe(
+          arrivals, ix, "query_id", "qv", base, base + "_ckpt",
+          nprobe = 4, shortlist = 40)
+        q.awaitTermination()
+        s.read.parquet(base)
+          .select(col("query_id"), col("neighbor_id"), col("adc"))
+          .orderBy("query_id", "neighbor_id")
+      },
+      Some(s"""
+        ${Round8Queries.IvfPqCte}
+        SELECT query_id, neighbor_id, adc FROM short
+        ORDER BY query_id, neighbor_id
+      """.trim)),
+
+    // Mixture-weighted interleave SCHEDULE — the op that EXECUTES the
+    // training mixture q204 only plans: given per-domain stride weights
+    // (en 4 : de/es/fr 2 : zh 1), emit the deterministic global training
+    // order in which domains appear in proportion to their weights
+    // (stride scheduling: domain position r is served at integer virtual
+    // time r*1e6 DIV w, and the schedule is the total order over
+    // (vt, lang, doc_id) — a weight-4 domain lands 4x as often per unit
+    // of virtual time as a weight-1 domain). The within-domain order is a
+    // seeded hash of the doc id — the epoch shuffle: a different seed
+    // re-deals every domain's order AND the interleave, so epoch N is one
+    // literal away. Scale shape: NO per-domain window (at 100 TB one
+    // domain is most of the corpus — Window.partitionBy(lang) would
+    // funnel it through one task). Instead one two-phase global rank
+    // ordered (lang, h, doc_id) makes domains contiguous, a
+    // domain-bounded min-aggregate broadcasts each domain's base rank
+    // back, and dom_pos is their difference; the schedule position is a
+    // second two-phase rank over the virtual-time order. Both ranks are
+    // range-partition + local-sort + zipWithIndex (Keys.rankByScalable) —
+    // no single-task sort anywhere.
+    Q(
+      "q508_mixture_interleave",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+          .withColumn("h",
+            TextHash.hash60(concat(lit("mix1#"), col("doc_id").cast("string"))))
+        val ranked = graft.engine.Keys.rankByScalable(
+          docs, Seq(col("lang"), col("h"), col("doc_id")), "gpos")
+        val bases = ranked.groupBy("lang").agg(min(col("gpos")).as("lang_base"))
+        val vt = ranked.join(broadcast(bases), Seq("lang"))
+          .withColumn("dom_pos", col("gpos") - col("lang_base") + lit(1L))
+          .withColumn("w",
+            when(col("lang") === "en", lit(4L))
+              .when(col("lang") === "zh", lit(1L))
+              .otherwise(lit(2L)))
+          .withColumn("vt", expr("dom_pos * 1000000 DIV w"))
+          .select(col("doc_id"), col("lang"), col("dom_pos"), col("vt"))
+        graft.engine.Keys.rankByScalable(
+            vt, Seq(col("vt"), col("lang"), col("doc_id")), "sched_pos")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 ${TextHash.duckHash60("'mix1#' || CAST(doc_id AS VARCHAR)")} AS h
+          FROM documents
+        ), r AS (
+          SELECT doc_id, lang,
+                 CAST(row_number() OVER (
+                   PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS dom_pos
+          FROM d
+        ), v AS (
+          SELECT doc_id, lang, dom_pos,
+                 CAST(dom_pos * 1000000 // (CASE lang WHEN 'en' THEN 4
+                   WHEN 'zh' THEN 1 ELSE 2 END) AS BIGINT) AS vt
+          FROM r
+        )
+        SELECT doc_id, lang, dom_pos, vt,
+               CAST(row_number() OVER (ORDER BY vt, lang, doc_id) AS BIGINT)
+                 AS sched_pos
+        FROM v ORDER BY doc_id
       """.trim))
   )
 }

@@ -65,7 +65,7 @@ object Round8Queries {
     * `probes(query_id, qv)`, `short(query_id, neighbor_id, adc)` and
     * `en(vec_id, embedding, nrm)`. Shared by the q495/q496 oracles.
     */
-  private val IvfPqCte: String = s"""
+  private[queries] val IvfPqCte: String = s"""
         WITH cm AS (
           SELECT label AS cell, CAST(u.i - 1 AS INTEGER) AS dim,
                  CAST(SUM(CAST(CAST(u.v AS DOUBLE) * 281474976710656 AS DECIMAL(38,0))) AS DOUBLE)

@@ -234,6 +234,51 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming ANN SERVING — the lifecycle leg q501 (ingest) and q504
+    * (rebuild) leave implicit: queries arriving on a stream are ANSWERED
+    * per micro-batch against the PERSISTED index artifact, and the answers
+    * land in an append-style serving log. Each batch rides the batch
+    * search coordinator ([[graft.ext.IvfPq.adcShortlist]]) unchanged —
+    * nprobe nearest cells per query, ADC over the probed cells' codes only
+    * (the static partition filter reads just those cell directories of the
+    * cell-partitioned artifact), so a batch touching k cells scans k
+    * inverted lists, never the corpus. The micro-batch frame carries no
+    * row bound, and the coordinator's bounded-probe contract is enforced
+    * at plan time — `batchCap` re-asserts the bound via LIMIT (a serving
+    * batch is bounded by construction; the cap makes that visible to the
+    * plan, rows are never dropped below it and the default sits under
+    * Similarity.MaxBoundedProbeRows).
+    *
+    * Exactly-once without a keyed merge: results are written PARTITIONED
+    * BY batch_id through the dynamic partition overwrite, so a checkpoint-
+    * replayed batch rewrites its own `batch_id=N` directory in place —
+    * idempotent, and untouched batches' files are never rewritten (the
+    * same partition-scoped discipline as the ingest sink, but append-
+    * shaped: a serving log never updates old answers, so a keyed upsert
+    * would price a read-merge the semantics don't need). AvailableNow
+    * trigger, as the other lifecycle sinks: drain staged arrivals and
+    * terminate; a continuous deployment swaps the trigger only.
+    */
+  def startAnnServe(queries: DataFrame, ix: graft.ext.IvfPq.Index,
+      idCol: String, vecCol: String,
+      outDir: String, checkpointDir: String,
+      nprobe: Int, shortlist: Int, batchCap: Int = 1024):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val probes = batch
+          .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+          .limit(batchCap)
+        graft.engine.Sinks.overwritePartitionsDynamic(
+          graft.ext.IvfPq.adcShortlist(ix, probes, nprobe, shortlist)
+            .withColumn("batch_id", lit(batchId)),
+          outDir, Seq("batch_id"))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Keyed-upsert sink via foreachBatch (update output mode): each
     * micro-batch's rows replace same-key rows of the parquet target, so
     * state-store re-emissions and replayed batches land idempotently — the

@@ -220,6 +220,54 @@ class EventStreamsSpec extends SparkSpec {
     assert(n === graft.Tables.events(spark, sf0001).count())
   }
 
+  test("ANN serve stream answers the batch coordinator exactly; batch replay is idempotent") {
+    // The serving-path contract (q507's substrate): micro-batched queries
+    // against the persisted index must answer EXACTLY what one batch call
+    // answers, and a checkpoint-replayed batch must land in place (its
+    // batch_id directory rewritten, total row count unchanged) — the
+    // exactly-once story of the batch_id-partitioned dynamic overwrite.
+    import org.apache.spark.sql.functions._
+    val base = "/tmp/graft_scratch/ann_serve_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(base))
+    val out = s"$base/log"; val ckpt = s"$base/ckpt"; val src = s"$base/src"
+    val ix = graft.queries.SharedFrames.ivfPqIndex(spark, sf0001)
+    val probes = graft.ext.Similarity.hashOrderedProbes(
+        graft.Tables.embeddings(spark, sf0001), "vec_id", "ivfpq", 6)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batchAnswers = graft.ext.IvfPq.adcShortlist(ix, probes, nprobe = 2, shortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    probes.repartition(2).write.parquet(src)
+    val arrivals = spark.readStream.schema(probes.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = EventStreams.startAnnServe(
+      arrivals, ix, "query_id", "qv", out, ckpt, nprobe = 2, shortlist = 10)
+    q.awaitTermination()
+    val served = spark.read.parquet(out)
+    assert(served.select("batch_id").distinct().count() === 2L,
+      "expected one log partition per micro-batch")
+    val servedSet = served.select("query_id", "neighbor_id", "adc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(servedSet === batchAnswers,
+      "streamed serving must answer exactly the batch coordinator's shortlist")
+    // replay batch 0's write verbatim (what a checkpoint recovery does):
+    // the batch_id=0 directory is rewritten, nothing duplicates. The
+    // replay frame is materialized driver-side first — a lazy frame over
+    // the log would be a read-from-overwrite-target plan, which a real
+    // replay (recomputing from the source batch) never has.
+    val before = served.count()
+    val replayRows = served.filter(col("batch_id") === 0L).collect().toSeq
+    graft.engine.Sinks.overwritePartitionsDynamic(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(replayRows, 1), served.schema),
+      out, Seq("batch_id"))
+    assert(spark.read.parquet(out).count() === before,
+      "a replayed batch must overwrite its own partition, not append")
+  }
+
   test("checkpoint restart resumes exactly-once: old files skipped, new file processed") {
     // The recovery contract a 100 TB landing zone depends on: a stopped
     // query restarted against the SAME checkpoint must process only files
