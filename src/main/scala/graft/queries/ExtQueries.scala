@@ -3837,7 +3837,10 @@ object ExtQueries {
       "q401_weighted_jaccard",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val sh = NearDup.shingleFrame(docs, "doc_id", "text", 3)
+        // shared corpus shingle artifact (R11.7) — the per-query
+        // tokenize+shingle recompute was most of this gate's cost and its
+        // 10x rehearsal ratio
+        val sh = SharedFrames.docShingles(s, dir, 3)
         val inv = sh.select(col("doc_id"), explode(col("__shingles")).as("__s"))
         val nDocs = docs.agg(count(lit(1)).as("__nd"))
         val w = inv.groupBy("__s").agg(count(lit(1)).as("__df"))
@@ -3976,9 +3979,7 @@ object ExtQueries {
     Q(
       "q404_minhash_estimate_audit",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val sigs = NearDup.minHashSignatureFrame(
-          NearDup.shingleFrame(docs, "doc_id", "text", 3), "doc_id", 64)
+        val sigs = SharedFrames.minhashSigs(s, dir)
         SharedFrames.verifiedDocPairs(s, dir)
           .join(sigs.select(col("doc_id").as("id_a"), col("__sig").as("__siga"))
             .hint("shuffle_hash"), Seq("id_a"))

@@ -79,6 +79,26 @@ class SharedFramesSpec extends SparkSpec {
       !== SharedFrames.docShinglesPath(spark, dir, 3))
   }
 
+  test("materialized minhash signatures equal the live construction and build only once") {
+    val dir = sf0001
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val fromHelper = asMap(SharedFrames.minhashSigs(spark, dir))
+    val live = asMap(NearDup.minHashSignatureFrame(
+      NearDup.shingleFrame(Tables.documents(spark, dir), "doc_id", "text", 3),
+      "doc_id", k = 64))
+    // EXACT per-slot equality: the signature array is positional (slot
+    // index), so the parquet round-trip must preserve order, not just sets.
+    assert(fromHelper === live)
+    assert(fromHelper.nonEmpty)
+    val marker = new File(SharedFrames.minhashSigsPath(spark, dir), "_SUCCESS")
+    assert(marker.exists)
+    val mtime = marker.lastModified()
+    assert(SharedFrames.minhashSigs(spark, dir).count().toInt === fromHelper.size)
+    assert(marker.lastModified() === mtime,
+      "second call must read the artifact back, not rebuild it")
+  }
+
   test("pair frames are keyed by scale dir: different dirs never cross-read") {
     // ScaleData's 10x rehearsal dir and the base dir share a session — the
     // scratch key must keep them apart (a cross-read would hand the 10x
