@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{IvfPq, Similarity, TextHash}
+import graft.ext.{IvfPq, NearDup, Similarity, TextHash}
 
 /** Round-11 additions — closing VERDICT_r10's two open lifecycle loops:
   *   - q503: the graph-walk recall DEFECT FIX — q500 measured 20% recall
@@ -26,9 +26,11 @@ import graft.ext.{IvfPq, Similarity, TextHash}
   * Plus the round's later additions: q505 (the beam-width end of the
   * recall/cost curve), q506 (hot-partition compaction heal), q507
   * (streaming ANN SERVING — queries answered from the persisted artifact
-  * per micro-batch, the lifecycle's last leg) and q508 (mixture-weighted
+  * per micro-batch, the lifecycle's last leg), q508 (mixture-weighted
   * interleave — the deterministic stride schedule that executes q204's
-  * mixture plan).
+  * mixture plan) and q509 (leakage-free train/val/test split — the split
+  * unit is the near-dup connected component, with the zero-leakage
+  * guarantee measured, not just argued).
   * Same determinism discipline as the whole registry: exact-decimal
   * centroids, sequential-fold distances, total-order ties, integer-micro
   * ratios, DuckDB oracle twins from first principles.
@@ -562,6 +564,88 @@ object Round11Queries {
                CAST(row_number() OVER (ORDER BY vt, lang, doc_id) AS BIGINT)
                  AS sched_pos
         FROM v ORDER BY doc_id
+      """.trim)),
+
+    // LEAKAGE-FREE train/val/test split — the assignment step every
+    // training pipeline runs after dedup, with the contamination failure
+    // mode designed out: a near-duplicate pair straddling train and test
+    // silently inflates eval, so the split unit is the near-dup CONNECTED
+    // COMPONENT, not the document. Components come from the verified
+    // MinHash pair set (the materialized q24-grade edges); every doc not
+    // in any pair is its own component; the component's seeded hash picks
+    // the split 80/10/10. Leakage is then zero BY CONSTRUCTION (split is
+    // a function of the component), and the gate MEASURES it anyway:
+    // n_leaky_pairs joins every verified pair against both endpoints'
+    // splits and counts disagreements — pinned 0, and any regression to
+    // doc-level hashing fails the value, not just the argument. Scale
+    // shape: the CC fixpoint is the q61 pointer-halving loop (edge set
+    // shuffles once, O(log diameter) rounds); the split map is one hash
+    // over a corpus-linear frame; the audit is a bounded pair frame
+    // joined twice shuffle-side; the 1-row audit scalar broadcasts back.
+    Q(
+      "q509_leakage_free_split",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val docs = Tables.documents(s, dir).select("doc_id")
+        val pairs = SharedFrames.verifiedDocPairs(s, dir).select("id_a", "id_b")
+        val cc = NearDup.connectedComponents(pairs, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        val comp = docs.join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("component"))
+        val split = comp
+          .withColumn("__b",
+            pmod(TextHash.hash60(
+              concat(lit("split#"), col("component").cast("string"))), lit(10L)))
+          .withColumn("split",
+            when(col("__b") <= 7, lit("train"))
+              .when(col("__b") === 8, lit("val"))
+              .otherwise(lit("test")))
+          .drop("__b")
+        val leak = pairs
+          .join(split.select(col("doc_id").as("id_a"), col("split").as("__sa"))
+            .hint("shuffle_hash"), Seq("id_a"))
+          .join(split.select(col("doc_id").as("id_b"), col("split").as("__sb"))
+            .hint("shuffle_hash"), Seq("id_b"))
+          .agg(coalesce(sum(when(col("__sa") =!= col("__sb"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_leaky_pairs"))
+        split.crossJoin(broadcast(leak)).orderBy("doc_id")
+      },
+      Some(s"""
+        ${("WITH RECURSIVE " + ExtQueries.MinhashPairsCte.stripPrefix("WITH ")).trim}, e2 AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM verified
+        ), vnodes AS (
+          SELECT DISTINCT src AS v FROM e2
+        ), reach(v, label) AS (
+          SELECT v, v FROM vnodes
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN e2 e ON e.src = r.v
+        ), cc AS (
+          SELECT v AS doc_id, CAST(MIN(label) AS BIGINT) AS component
+          FROM reach GROUP BY v
+        ), comp AS (
+          SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
+          FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+        ), sp AS (
+          SELECT doc_id, component,
+                 CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (
+            SELECT doc_id, component,
+                   ${TextHash.duckHash60("'split#' || CAST(component AS VARCHAR)")}
+                     % 10 AS b
+            FROM comp)
+        ), leak AS (
+          SELECT CAST(COALESCE(SUM(CASE WHEN sa.split <> sb.split
+                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_leaky_pairs
+          FROM verified x
+          JOIN sp sa ON sa.doc_id = x.id_a
+          JOIN sp sb ON sb.doc_id = x.id_b
+        )
+        SELECT doc_id, component, split, n_leaky_pairs
+        FROM sp CROSS JOIN leak ORDER BY doc_id
       """.trim))
   )
 }
