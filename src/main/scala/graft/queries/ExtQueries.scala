@@ -16,7 +16,7 @@ import graft.ext._
 object ExtQueries {
 
   /** DuckDB fragment: normalized text (mirror of Cleaning.normalizeText). */
-  private val NormText = raw"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+  private[queries] val NormText = raw"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
   /** DuckDB fragment: whitespace tokens of the normalized text. */
   private val Toks = s"string_split($NormText, ' ')"

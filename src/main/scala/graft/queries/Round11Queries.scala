@@ -646,6 +646,67 @@ object Round11Queries {
         )
         SELECT doc_id, component, split, n_leaky_pairs
         FROM sp CROSS JOIN leak ORDER BY doc_id
+      """.trim)),
+
+    // Corpus SNAPSHOT DIFF — the data-ops primitive behind every
+    // incremental path (q499/q501's delta ingest, q29-family incremental
+    // dedup, SCD2 merges): a new corpus version arrives and the pipeline
+    // needs the CHANGE SET by content, not a full rescan. Version B is
+    // staged deterministically from the fixture (hash bucket 0 of 10
+    // removed, bucket 1 content-revised, bucket 2 cloned to new ids —
+    // every class populated at every SF), both sides fingerprint in the
+    // scan projection, and engine/Snapshot.diff classifies each id with
+    // ONE co-partitioned full-outer join: added / removed / changed /
+    // unchanged. 100 TB: two content-column scans + one shuffle on the
+    // id; consumers filter to the non-unchanged slice before acting.
+    Q(
+      "q510_snapshot_diff",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val docs = Tables.documents(s, dir)
+        def bucket = pmod(TextHash.hash60(
+          concat(lit("snap#"), col("doc_id").cast("string"))), lit(10L))
+        val a = docs.select(col("doc_id"),
+          graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
+        val bSrc = docs.withColumn("__b", bucket)
+          .filter(col("__b") =!= 0)
+          .select(col("doc_id"),
+            when(col("__b") === 1, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.withColumn("__b", bucket)
+            .filter(col("__b") === 2)
+            .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+              concat(col("text"), lit(" new")).as("text")))
+        val b = bSrc.select(col("doc_id"),
+          graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
+        graft.engine.Snapshot.diff(a, b, "doc_id", "fp")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH hb AS (
+          SELECT doc_id, text,
+                 ${TextHash.duckHash60("'snap#' || CAST(doc_id AS VARCHAR)")}
+                   % 10 AS b
+          FROM documents
+        ), a AS (
+          SELECT doc_id, md5(${ExtQueries.NormText}) AS fp FROM documents
+        ), bsrc AS (
+          SELECT doc_id,
+                 CASE WHEN b = 1 THEN text || ' rev2' ELSE text END AS text
+          FROM hb WHERE b <> 0
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+          FROM hb WHERE b = 2
+        ), b2 AS (
+          SELECT doc_id, md5(${ExtQueries.NormText}) AS fp FROM bsrc
+        )
+        SELECT COALESCE(a.doc_id, b2.doc_id) AS doc_id,
+               CASE WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN b2.doc_id IS NULL THEN 'removed'
+                    WHEN a.fp <> b2.fp THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM a FULL OUTER JOIN b2 ON b2.doc_id = a.doc_id
+        ORDER BY doc_id
       """.trim))
   )
 }
