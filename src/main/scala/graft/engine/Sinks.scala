@@ -348,6 +348,59 @@ object Sinks {
     } finally batch.unpersist()
   }
 
+  /** Partition-scoped CHANGE-SET application — [[upsertParquetPartitioned]]
+    * generalized with deletions, the shape a snapshot diff (Snapshot.diff)
+    * produces: `deletes` keys are REMOVED from the table and `upserts`
+    * rows inserted or replaced by key, touching only affected partition
+    * directories. Deletions are what the keyed upsert cannot express (a
+    * key absent from the batch is left alone there, by design), and they
+    * carry one extra contract: each delete row must NAME the partition its
+    * key currently lives in (the caller knows the old row — a diff has
+    * both sides) — locating deleted keys by table scan would be the full
+    * read the partition scoping exists to avoid. A partition whose rows
+    * are ALL deleted is removed at the directory level: the dynamic
+    * overwrite only replaces partitions it writes, so an emptied partition
+    * would otherwise keep its stale files silently. Single partition
+    * column (the bucketed-membership layout); the touched-value collect is
+    * bounded by the partition count, the merge reads only touched
+    * directories, and untouched siblings keep their files byte-for-byte.
+    */
+  def applyChangesPartitioned(spark: SparkSession, path: String,
+      deletes: DataFrame, upserts: DataFrame, key: String,
+      partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.hadoop.fs.Path
+    val dest = new Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dest)) { writePartitioned(upserts, path, Seq(partitionCol)); return }
+    val del = deletes.persist(); val up = upserts.persist()
+    try {
+      val touched = (del.select(col(partitionCol)) unionByName
+          up.select(col(partitionCol))).distinct().collect().map(_.get(0)).toSeq
+      if (touched.isEmpty) return
+      val existing = spark.read.parquet(path)
+        .filter(col(partitionCol).isInCollection(touched))
+      val goneKeys = del.select(key).unionByName(up.select(key)).distinct()
+      val merged = existing.join(goneKeys, Seq(key), "left_anti").unionByName(up)
+      val tmp = new Path(path + "__changes_tmp")
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val staged = spark.read.parquet(tmp.toString)
+      try {
+        // directories the change set EMPTIES: touched but absent from the
+        // merged result — must be deleted explicitly, the dynamic overwrite
+        // never visits them
+        val remaining = staged.select(col(partitionCol)).distinct()
+          .collect().map(_.get(0)).toSet
+        touched.filterNot(remaining).foreach { v =>
+          fs.delete(new Path(dest, s"$partitionCol=$v"), true): Unit
+        }
+        if (remaining.nonEmpty)
+          overwritePartitionsDynamic(staged, path, Seq(partitionCol))
+      } finally fs.delete(tmp, true)
+      spark.catalog.clearCache()
+    } finally { del.unpersist(); up.unpersist(): Unit }
+  }
+
   /** S5 warehouse sink abstraction. */
   trait WarehouseSink {
     def save(df: DataFrame, table: String): Unit

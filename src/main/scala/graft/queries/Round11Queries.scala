@@ -707,6 +707,94 @@ object Round11Queries {
                     ELSE 'unchanged' END AS status
         FROM a FULL OUTER JOIN b2 ON b2.doc_id = a.doc_id
         ORDER BY doc_id
+      """.trim)),
+
+    // INCREMENTAL exact-dedup maintenance = the q510 change set CONSUMED:
+    // the dedup state is a membership table (doc_id, fp) PARTITIONED into
+    // 16 fingerprint buckets; when version B arrives, only the change set
+    // flows — removed/changed ids are DELETED (each delete names the
+    // bucket its old fingerprint lives in, known from the diff's A side),
+    // added/changed rows upserted — through the partition-scoped change
+    // sink (Sinks.applyChangesPartitioned): touched buckets rewrite,
+    // untouched buckets keep their files, an emptied bucket's directory
+    // is removed outright. The gate then elects keep-first survivors from
+    // the MAINTAINED table and hash-compares against from-scratch dedup
+    // of version B — incremental ≡ full, the equivalence that lets a
+    // 100 TB pipeline process the 1% change set instead of re-shuffling
+    // the unchanged 99% every snapshot.
+    Q(
+      "q511_incremental_dedup",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val scr = graft.engine.Scratch.dir(s, dir, "inc_dedup")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(scr))
+        val mPath = s"$scr/members"
+        val docs = Tables.documents(s, dir)
+        def snapB = pmod(TextHash.hash60(
+          concat(lit("snap#"), col("doc_id").cast("string"))), lit(10L))
+        def fpb(c: org.apache.spark.sql.Column) =
+          pmod(TextHash.hash60(c), lit(16L))
+        val aFp = docs.select(col("doc_id"),
+          graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
+        graft.engine.Sinks.writePartitioned(
+          aFp.withColumn("fpb", fpb(col("fp"))), mPath, Seq("fpb"))
+        // version B: q510's staging (bucket 0 removed, 1 revised, 2 cloned)
+        val bSrc = docs.withColumn("__b", snapB)
+          .filter(col("__b") =!= 0)
+          .select(col("doc_id"),
+            when(col("__b") === 1, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.withColumn("__b", snapB)
+            .filter(col("__b") === 2)
+            .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+              concat(col("text"), lit(" new")).as("text")))
+        val bFp = bSrc.select(col("doc_id"),
+          graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
+        val d = graft.engine.Snapshot.diff(aFp, bFp, "doc_id", "fp")
+        val deletes = d.filter(col("status").isin("removed", "changed"))
+          .select("doc_id")
+          .join(aFp, Seq("doc_id"))
+          .select(col("doc_id"), fpb(col("fp")).as("fpb"))
+        val upserts = bFp
+          .join(d.filter(col("status").isin("added", "changed"))
+            .select("doc_id"), Seq("doc_id"))
+          .withColumn("fpb", fpb(col("fp")))
+        graft.engine.Sinks.applyChangesPartitioned(
+          s, mPath, deletes, upserts, "doc_id", "fpb")
+        val m = s.read.parquet(mPath)
+        val canon = m.groupBy("fp").agg(min(col("doc_id")).as("canonical_id"))
+        m.join(canon, Seq("fp"))
+          .select(col("doc_id"), col("canonical_id"),
+            (col("doc_id") === col("canonical_id")).cast("int").as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH hb AS (
+          SELECT doc_id, text,
+                 ${TextHash.duckHash60("'snap#' || CAST(doc_id AS VARCHAR)")}
+                   % 10 AS b
+          FROM documents
+        ), bsrc AS (
+          SELECT doc_id,
+                 CASE WHEN b = 1 THEN text || ' rev2' ELSE text END AS text
+          FROM hb WHERE b <> 0
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+          FROM hb WHERE b = 2
+        ), b2 AS (
+          SELECT doc_id, md5(${ExtQueries.NormText}) AS fp FROM bsrc
+        ), canon AS (
+          SELECT fp, MIN(doc_id) AS canonical_id FROM b2 GROUP BY fp
+        )
+        SELECT b2.doc_id, canonical_id,
+               CAST(CASE WHEN b2.doc_id = canonical_id THEN 1 ELSE 0 END
+                 AS INTEGER) AS is_canonical
+        FROM b2 JOIN canon USING (fp)
+        ORDER BY doc_id
       """.trim))
   )
 }

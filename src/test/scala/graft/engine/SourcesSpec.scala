@@ -154,6 +154,34 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(fresh).count() === 1L)
   }
 
+  test("applyChangesPartitioned deletes, upserts, prunes untouched buckets and removes emptied ones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_changes_p").toString + "/t"
+    Sinks.writePartitioned(
+      Seq((1L, "a", 10), (2L, "b", 10), (3L, "c", 20), (4L, "d", 30))
+        .toDF("k", "v", "p"),
+      dir, Seq("p"))
+    def files(p: Int): Set[(String, Long, Long)] =
+      Option(new java.io.File(s"$dir/p=$p").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    val p30Before = files(30)
+    assert(p30Before.nonEmpty)
+    // change set: delete k=1 (p=10 keeps k=2), delete k=3 (EMPTIES p=20),
+    // replace k=2's value, insert k=9 into a new bucket p=40; p=30 untouched
+    Sinks.applyChangesPartitioned(spark, dir,
+      deletes = Seq((1L, 10), (3L, 20)).toDF("k", "p"),
+      upserts = Seq((2L, "B", 10), (9L, "z", 40)).toDF("k", "v", "p"),
+      key = "k", partitionCol = "p")
+    assert(files(30) === p30Before,
+      "untouched partition p=30 must keep its exact files")
+    assert(!new java.io.File(s"$dir/p=20").exists(),
+      "a partition emptied by deletes must lose its directory, not keep stale files")
+    val got = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("k") -> (r.getAs[String]("v"), r.getAs[Int]("p"))).toMap
+    assert(got === Map(2L -> ("B", 10), 9L -> ("z", 40), 4L -> ("d", 30)))
+  }
+
   test("upsertParquetPartitioned handles multi-column and NULL partition values") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_mc").toString + "/t"
