@@ -795,6 +795,106 @@ object Round11Queries {
                  AS INTEGER) AS is_canonical
         FROM b2 JOIN canon USING (fp)
         ORDER BY doc_id
+      """.trim)),
+
+    // INCREMENTAL near-dup (MinHash/LSH) maintenance — the q511 argument
+    // lifted from exact dedup to the banded pipeline, which is what a
+    // daily 100 TB dedup job actually re-runs: when version B arrives,
+    // only the CHANGE SLICE is shingled, signed and banded; the maintained
+    // pair set is
+    //   - kept: version-A verified pairs whose BOTH endpoints are
+    //     unchanged (pair relations between unchanged docs cannot move);
+    //   - regenerated: the new slice's band-buckets joined against the
+    //     surviving bucket table (unchanged ∪ new — removed/changed docs'
+    //     buckets filtered out), verified by exact Jaccard on shingle
+    //     sets (unchanged side from the materialized artifact, new side
+    //     fresh).
+    // Candidacy is equivalent to from-scratch by construction: a B pair
+    // collides in a band iff it collides here (unchanged-unchanged pairs
+    // keep their A collision; any pair with a new endpoint is found by
+    // the new-side bucket join). The gate hash-compares the maintained
+    // set against from-scratch LSH over version B — same pairs, same
+    // exact-Jaccard values. Scale: everything corpus-sized is an artifact
+    // read-back or an anti-join; everything recomputed is change-slice-
+    // sized; the candidate join is bucket-keyed, never all-pairs.
+    Q(
+      "q512_incremental_lsh",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val docs = Tables.documents(s, dir)
+        def snapB = pmod(TextHash.hash60(
+          concat(lit("snap#"), col("doc_id").cast("string"))), lit(10L))
+        // version B staging (q510's change classes)
+        val bSrc = docs.withColumn("__b", snapB)
+          .filter(col("__b") =!= 0)
+          .select(col("doc_id"),
+            when(col("__b") === 1, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.withColumn("__b", snapB)
+            .filter(col("__b") === 2)
+            .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+              concat(col("text"), lit(" new")).as("text")))
+        // the change set: removed/changed ids leave the state, added/
+        // changed rows are the only ones re-processed
+        val gone = docs.withColumn("__b", snapB)
+          .filter(col("__b").isin(0L, 1L)).select("doc_id")
+        val fresh = bSrc.withColumn("__b",
+            pmod(TextHash.hash60(
+              concat(lit("snap#"), col("doc_id").cast("string"))), lit(10L)))
+          .filter(col("__b") === 1 || col("doc_id") >= 1000000L)
+          .select("doc_id", "text")
+        // A-state artifacts: verified pairs, signatures, shingles
+        val oldPairs = SharedFrames.verifiedDocPairs(s, dir)
+        val kept = oldPairs
+          .join(gone.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
+          .join(gone.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
+          .select("id_a", "id_b", "jaccard")
+        val unchangedSigs = SharedFrames.minhashSigs(s, dir)
+          .join(gone, Seq("doc_id"), "left_anti")
+        val freshSh = NearDup.shingleFrame(fresh, "doc_id", "text", 3)
+        val freshSigs = NearDup.minHashSignatureFrame(freshSh, "doc_id", 64)
+        def buckets(sigs: DataFrame): DataFrame = sigs
+          .select(col("doc_id"),
+            explode(NearDup.bandBuckets(col("__sig"), 16, 4)).as("__bb"))
+          .select(col("doc_id"), col("__bb.band").as("__band"),
+            col("__bb.bucket").as("__bucket"))
+        val allBuckets = buckets(unchangedSigs).unionByName(buckets(freshSigs))
+        val cand = buckets(freshSigs).as("a")
+          .join(allBuckets.as("b").hint("shuffle_hash"),
+            col("a.__band") === col("b.__band") &&
+              col("a.__bucket") === col("b.__bucket") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+          .distinct()
+        val allSh = SharedFrames.docShingles(s, dir, 3)
+          .join(gone, Seq("doc_id"), "left_anti")
+          .unionByName(freshSh)
+        val regenerated = cand
+          .join(allSh.select(col("doc_id").as("id_a"), col("__shingles").as("__sa"))
+            .hint("shuffle_hash"), Seq("id_a"))
+          .join(allSh.select(col("doc_id").as("id_b"), col("__shingles").as("__sb"))
+            .hint("shuffle_hash"), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            NearDup.jaccard(col("__sa"), col("__sb")).as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+        kept.unionByName(regenerated).orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH hb AS (
+          SELECT doc_id, text,
+                 ${TextHash.duckHash60("'snap#' || CAST(doc_id AS VARCHAR)")}
+                   % 10 AS b
+          FROM documents
+        ), bsrc AS (
+          SELECT doc_id,
+                 CASE WHEN b = 1 THEN text || ' rev2' ELSE text END AS text
+          FROM hb WHERE b <> 0
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+          FROM hb WHERE b = 2
+        ), ${ExtQueries.minhashPairsCteOver("bsrc").stripPrefix("WITH ")}
+        SELECT id_a, id_b, jaccard FROM verified ORDER BY id_a, id_b
       """.trim))
   )
 }
