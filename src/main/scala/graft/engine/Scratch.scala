@@ -15,4 +15,15 @@ object Scratch {
   def dir(s: SparkSession, sfDir: String, tag: String): String =
     s"/tmp/graft_scratch/${s.sparkContext.applicationId}/" +
       s"${new java.io.File(sfDir).getName}_$tag"
+
+  /** Recursive local delete for staged scratch paths — the one shared copy
+    * of the helper the write-path gates each used to re-declare inline.
+    */
+  def rm(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(go))
+      f.delete(): Unit
+    }
+    go(new java.io.File(path))
+  }
 }

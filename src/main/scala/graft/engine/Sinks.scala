@@ -378,8 +378,18 @@ object Sinks {
       val touched = (del.select(col(partitionCol)) unionByName
           up.select(col(partitionCol))).distinct().collect().map(_.get(0)).toSeq
       if (touched.isEmpty) return
-      val existing = spark.read.parquet(path)
-        .filter(col(partitionCol).isInCollection(touched))
+      // NULL-safe touched predicate, same contract as the sibling upsert:
+      // IN never matches NULL, so a null partition value (Hive default
+      // partition) needs its own isNull arm or its rows silently survive
+      // the delete
+      val nonNull = touched.filter(_ != null)
+      val touchedPred = {
+        val in =
+          if (nonNull.isEmpty) org.apache.spark.sql.functions.lit(false)
+          else col(partitionCol).isInCollection(nonNull)
+        if (nonNull.size == touched.size) in else in || col(partitionCol).isNull
+      }
+      val existing = spark.read.parquet(path).filter(touchedPred)
       val goneKeys = del.select(key).unionByName(up.select(key)).distinct()
       val merged = existing.join(goneKeys, Seq(key), "left_anti").unionByName(up)
       val tmp = new Path(path + "__changes_tmp")
@@ -388,11 +398,18 @@ object Sinks {
       try {
         // directories the change set EMPTIES: touched but absent from the
         // merged result — must be deleted explicitly, the dynamic overwrite
-        // never visits them
+        // never visits them. Directory names go through the same Hive path
+        // escaping the write side uses (a raw "$col=$v" misses both the
+        // __HIVE_DEFAULT_PARTITION__ null encoding and URL-escaped values
+        // like "2024/01")
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        def dirName(v: Any): String =
+          ExternalCatalogUtils.getPartitionPathString(
+            partitionCol, if (v == null) null else v.toString)
         val remaining = staged.select(col(partitionCol)).distinct()
           .collect().map(_.get(0)).toSet
         touched.filterNot(remaining).foreach { v =>
-          fs.delete(new Path(dest, s"$partitionCol=$v"), true): Unit
+          fs.delete(new Path(dest, dirName(v)), true): Unit
         }
         if (remaining.nonEmpty)
           overwritePartitionsDynamic(staged, path, Seq(partitionCol))

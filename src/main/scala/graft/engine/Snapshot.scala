@@ -23,16 +23,21 @@ object Snapshot {
 
   /** Classify every id across two snapshot frames that already carry a
     * content fingerprint column `fpCol`: `added` (only in `b`), `removed`
-    * (only in `a`), `changed` (both, fingerprints differ), `unchanged`.
+    * (only in `a`), `changed` (both, fingerprints distinct), `unchanged`.
+    * Presence is tracked by explicit markers, NOT fingerprint nullability
+    * (a null fingerprint — e.g. the content column itself was null — is a
+    * legal value on a PRESENT row), and the change test is null-safe
+    * (`NOT <=>`, i.e. IS DISTINCT FROM): null-vs-value reads `changed`,
+    * null-vs-null `unchanged`.
     */
   def diff(a: DataFrame, b: DataFrame, idCol: String, fpCol: String): DataFrame = {
-    val av = a.select(col(idCol), col(fpCol).as("__fp_a"))
-    val bv = b.select(col(idCol), col(fpCol).as("__fp_b"))
+    val av = a.select(col(idCol), col(fpCol).as("__fp_a"), lit(true).as("__in_a"))
+    val bv = b.select(col(idCol), col(fpCol).as("__fp_b"), lit(true).as("__in_b"))
     av.join(bv, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__fp_a").isNull, lit("added"))
-          .when(col("__fp_b").isNull, lit("removed"))
-          .when(col("__fp_a") =!= col("__fp_b"), lit("changed"))
+        when(col("__in_a").isNull, lit("added"))
+          .when(col("__in_b").isNull, lit("removed"))
+          .when(!(col("__fp_a") <=> col("__fp_b")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
 }

@@ -371,11 +371,12 @@ object CurationQueries {
     // k=64 signatures banded three ways (16x4 recall-leaning, 8x8, 4x16
     // precision-leaning), each emitting its candidate count, its
     // exact-verified count at the 0.8 working threshold, and the resulting
-    // candidate precision. Signatures and shingles are computed ONCE and
-    // localCheckpoint'ed (64 min-aggregates are the dominant cost; the
-    // three bandings are cheap bucket joins over the same ~constant-size
-    // frame), so auditing 3 configs costs ~1 pipeline, not 3 — the shape
-    // that makes parameter sweeps affordable at corpus scale. Per-config
+    // candidate precision. Signatures and shingles come from the shared
+    // parquet artifacts (64 min-aggregates are the dominant cost, paid
+    // once per session; the three bandings are cheap bucket joins over the
+    // same ~constant-size frame), so auditing 3 configs costs ~1 read, not
+    // 3 pipelines — the shape that makes parameter sweeps affordable at
+    // corpus scale. Per-config
     // global aggregates (never a groupBy on config) so a config with zero
     // candidates still reports its row.
     Q(

@@ -2542,12 +2542,8 @@ object ExtQueries {
       (s, dir) => {
         val base = Scratch.dir(s, dir, "stream_content_dedup")
         val src = base + "_src"
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
         Seq(base, base + "_ckpt", base + "__upsert_tmp", src, src + "_tmp")
-          .foreach(p => rm(new java.io.File(p)))
+          .foreach(graft.engine.Scratch.rm)
         new java.io.File(src).mkdirs(): Unit
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(dir, "documents.parquet"),
@@ -2560,7 +2556,7 @@ object ExtQueries {
           .find(_.getName.endsWith(".parquet")).get
         java.nio.file.Files.move(part.toPath,
           java.nio.file.Paths.get(src, "docs2_recrawl.parquet")): Unit
-        rm(new java.io.File(src + "_tmp"))
+        graft.engine.Scratch.rm(src + "_tmp")
         val stream = s.readStream.schema(docs.schema).parquet(src)
           .withColumn("ts", expr("timestamp_micros(1000000 * doc_id)"))
         val deduped = graft.streaming.EventStreams

@@ -180,11 +180,7 @@ object PipelineQueries {
       "q30_scd2_bootstrap",
       (s, dir) => {
         val missing = Scratch.dir(s, dir, "no_such_dim")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(missing))
+        graft.engine.Scratch.rm(missing)
         val base = Tables.customer(s, dir).select(
           col("c_custkey"), col("c_name"),
           col("c_acctbal").cast("double").as("bal"))
@@ -1748,11 +1744,7 @@ object PipelineQueries {
       "q109_upsert_roundtrip",
       (s, dir) => {
         val path = Scratch.dir(s, dir, "upsert_tgt")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(path)); rm(new java.io.File(path + "__upsert_tmp"))
+        graft.engine.Scratch.rm(path); graft.engine.Scratch.rm(path + "__upsert_tmp")
         val base = Tables.orders(s, dir).select(
           col("o_orderkey"), col("o_orderstatus").as("status"),
           col("o_totalprice").cast("double").as("price"))
@@ -1979,12 +1971,8 @@ object PipelineQueries {
       "q121_stream_rollup_gate",
       (s, dir) => {
         val base = Scratch.dir(s, dir, "stream_gate")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(base)); rm(new java.io.File(base + "_ckpt"))
-        rm(new java.io.File(base + "__upsert_tmp"))
+        graft.engine.Scratch.rm(base); graft.engine.Scratch.rm(base + "_ckpt")
+        graft.engine.Scratch.rm(base + "__upsert_tmp")
         val agg = graft.streaming.EventStreams.streamingEvents(s, dir)
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n_events"), Exact.sumD(col("value"), 6).as("sum_value"))
@@ -2227,12 +2215,8 @@ object PipelineQueries {
       "q131_stream_dedup_gate",
       (s, dir) => {
         val base = Scratch.dir(s, dir, "stream_dedup")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(base)); rm(new java.io.File(base + "_ckpt"))
-        rm(new java.io.File(base + "__upsert_tmp"))
+        graft.engine.Scratch.rm(base); graft.engine.Scratch.rm(base + "_ckpt")
+        graft.engine.Scratch.rm(base + "__upsert_tmp")
         val deduped = graft.streaming.EventStreams.dedupStream(
             graft.streaming.EventStreams.streamingEvents(s, dir),
             Seq("user_id", "event_type"))
@@ -2677,11 +2661,7 @@ object PipelineQueries {
       "q153_stream_enrich_gate",
       (s, dir) => {
         val base = Scratch.dir(s, dir, "stream_enrich")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(base)); rm(new java.io.File(base + "_ckpt"))
+        graft.engine.Scratch.rm(base); graft.engine.Scratch.rm(base + "_ckpt")
         val dim = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
         val enriched = graft.streaming.EventStreams.enrichStream(
           graft.streaming.EventStreams.streamingEvents(s, dir)
@@ -3291,12 +3271,8 @@ object PipelineQueries {
         import graft.streaming.EventStreams
         val base = Scratch.dir(s, dir, "stream_sessions")
         val src = base + "_src"
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
         Seq(base, base + "_ckpt", base + "__upsert_tmp", src, src + "_tmp")
-          .foreach(p => rm(new java.io.File(p)))
+          .foreach(graft.engine.Scratch.rm)
         new java.io.File(src).mkdirs(): Unit
         // Source file 1: the events table verbatim (raw nanos-long ts).
         java.nio.file.Files.copy(
@@ -3324,7 +3300,7 @@ object PipelineQueries {
           .find(_.getName.endsWith(".parquet")).get
         java.nio.file.Files.move(part.toPath,
           java.nio.file.Paths.get(src, "sentinel.parquet")): Unit
-        rm(new java.io.File(src + "_tmp"))
+        graft.engine.Scratch.rm(src + "_tmp")
         // Stream: file source over the two files -> sessionize -> upsert.
         import s.implicits._
         val events = graft.Tables.normalizeTs(
@@ -3380,12 +3356,8 @@ object PipelineQueries {
       "q173_stream_interval_join_gate",
       (s, dir) => {
         val base = Scratch.dir(s, dir, "stream_ivjoin")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
         Seq(base, base + "_ckpt", base + "__upsert_tmp")
-          .foreach(p => rm(new java.io.File(p)))
+          .foreach(graft.engine.Scratch.rm)
         val ev = graft.streaming.EventStreams.streamingEvents(s, dir)
         val joined = graft.streaming.EventStreams.intervalJoinStream(
             ev.filter(col("event_type") === "purchase"),

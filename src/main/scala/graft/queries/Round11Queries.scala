@@ -95,6 +95,64 @@ object Round11Queries {
     pmod(TextHash.hash60(concat(lit("ixdelta#"), col("vec_id").cast("string"))),
       lit(8L)) === 0L
 
+  /** The version-B snapshot staging shared by q510/q511/q512 — ONE source
+    * of truth for the change classes (hash bucket 0 of 10 removed, bucket 1
+    * content-revised, bucket 2 cloned to a new id), in both engines. Clone
+    * ids are NEGATIVE (`-doc_id - 1`): disjoint from the fixture's
+    * non-negative id space at ANY corpus size, where an additive offset
+    * collides once the corpus outgrows it (the q506 fixture-stability
+    * lesson, and the 10x rehearsal offsets replica ids by k*1e9).
+    */
+  private def snapBucket = pmod(TextHash.hash60(
+    concat(lit("snap#"), col("doc_id").cast("string"))), lit(10L))
+
+  /** Version B of the corpus: (doc_id, text). */
+  private def stagedB(docs: DataFrame): DataFrame =
+    docs.withColumn("__b", snapBucket)
+      .filter(col("__b") =!= 0)
+      .select(col("doc_id"),
+        when(col("__b") === 1, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.withColumn("__b", snapBucket)
+        .filter(col("__b") === 2)
+        .select((-col("doc_id") - lit(1L)).as("doc_id"),
+          concat(col("text"), lit(" new")).as("text")))
+
+  /** Ids leaving the version-A state (removed + changed originals). */
+  private def goneIds(docs: DataFrame): DataFrame =
+    docs.withColumn("__b", snapBucket)
+      .filter(col("__b").isin(0L, 1L)).select("doc_id")
+
+  /** The change slice of version B (revised originals + clones) — built
+    * from the staging's own construction, never inferred from id ranges.
+    */
+  private def freshSlice(docs: DataFrame): DataFrame =
+    docs.withColumn("__b", snapBucket)
+      .filter(col("__b") === 1)
+      .select(col("doc_id"), concat(col("text"), lit(" rev2")).as("text"))
+      .unionByName(docs.withColumn("__b", snapBucket)
+        .filter(col("__b") === 2)
+        .select((-col("doc_id") - lit(1L)).as("doc_id"),
+          concat(col("text"), lit(" new")).as("text")))
+
+  /** DuckDB twin of [[stagedB]]: CTEs `hb(doc_id, text, b)` and
+    * `bsrc(doc_id, text)`.
+    */
+  private val SnapshotBCte: String = s"""
+        hb AS (
+          SELECT doc_id, text,
+                 ${TextHash.duckHash60("'snap#' || CAST(doc_id AS VARCHAR)")}
+                   % 10 AS b
+          FROM documents
+        ), bsrc AS (
+          SELECT doc_id,
+                 CASE WHEN b = 1 THEN text || ' rev2' ELSE text END AS text
+          FROM hb WHERE b <> 0
+          UNION ALL
+          SELECT -doc_id - 1 AS doc_id, text || ' new' AS text
+          FROM hb WHERE b = 2
+        )""".stripMargin.trim
+
   val qs: Seq[Q] = Seq(
 
     // Navigable-graph beam-search recall — the q500 defect FIXED at the
@@ -267,11 +325,7 @@ object Round11Queries {
       (s, dir) => {
         graft.functions.GraftFunctions.ensureRegistered(s)
         val scr = graft.engine.Scratch.dir(s, dir, "ivfpq_rebuild_loop")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(scr))
+        graft.engine.Scratch.rm(scr)
         val codesPath = s"$scr/codes"
         val ledgerPath = s"$scr/ledger"
         val e = Tables.embeddings(s, dir)
@@ -397,11 +451,7 @@ object Round11Queries {
       (s, dir) => {
         graft.functions.GraftFunctions.ensureRegistered(s)
         val scr = graft.engine.Scratch.dir(s, dir, "hot_cell_compaction")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(scr))
+        graft.engine.Scratch.rm(scr)
         val codes = s"$scr/codes"
         val e = Tables.embeddings(s, dir)
         val base = e.filter(!deltaPredSpark)
@@ -474,11 +524,7 @@ object Round11Queries {
         graft.functions.GraftFunctions.ensureRegistered(s)
         val base = graft.engine.Scratch.dir(s, dir, "stream_ann_serve")
         val src = base + "_src"
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        Seq(base, base + "_ckpt", src).foreach(p => rm(new java.io.File(p)))
+        Seq(base, base + "_ckpt", src).foreach(graft.engine.Scratch.rm)
         val ix = SharedFrames.ivfPqIndex(s, dir)
         val probes = Similarity.hashOrderedProbes(
             Tables.embeddings(s, dir), "vec_id", "ivfpq", 50)
@@ -593,15 +639,12 @@ object Round11Queries {
         val comp = docs.join(cc, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("cluster_id"), col("doc_id")).as("component"))
-        val split = comp
-          .withColumn("__b",
-            pmod(TextHash.hash60(
-              concat(lit("split#"), col("component").cast("string"))), lit(10L)))
-          .withColumn("split",
-            when(col("__b") <= 7, lit("train"))
-              .when(col("__b") === 8, lit("val"))
-              .otherwise(lit("test")))
-          .drop("__b")
+        // the registry's ONE split function (TextAnalysis.splitAssign, the
+        // q40/q430 primitive) applied at component granularity — not a
+        // second hand-rolled hash formula for the same concept
+        val split = comp.withColumn("split",
+          graft.ext.TextAnalysis.splitAssign(col("component"),
+            Seq("train" -> 80, "val" -> 10, "test" -> 10)))
         val leak = pairs
           .join(split.select(col("doc_id").as("id_a"), col("split").as("__sa"))
             .hint("shuffle_hash"), Seq("id_a"))
@@ -630,13 +673,12 @@ object Round11Queries {
           FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
         ), sp AS (
           SELECT doc_id, component,
-                 CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+                 CASE WHEN ${TextHash.duckHash60("CAST(component AS VARCHAR)")}
+                        % 100 < 80 THEN 'train'
+                      WHEN ${TextHash.duckHash60("CAST(component AS VARCHAR)")}
+                        % 100 < 90 THEN 'val'
                       ELSE 'test' END AS split
-          FROM (
-            SELECT doc_id, component,
-                   ${TextHash.duckHash60("'split#' || CAST(component AS VARCHAR)")}
-                     % 10 AS b
-            FROM comp)
+          FROM comp
         ), leak AS (
           SELECT CAST(COALESCE(SUM(CASE WHEN sa.split <> sb.split
                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_leaky_pairs
@@ -664,46 +706,23 @@ object Round11Queries {
       (s, dir) => {
         graft.functions.GraftFunctions.ensureRegistered(s)
         val docs = Tables.documents(s, dir)
-        def bucket = pmod(TextHash.hash60(
-          concat(lit("snap#"), col("doc_id").cast("string"))), lit(10L))
         val a = docs.select(col("doc_id"),
           graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
-        val bSrc = docs.withColumn("__b", bucket)
-          .filter(col("__b") =!= 0)
-          .select(col("doc_id"),
-            when(col("__b") === 1, concat(col("text"), lit(" rev2")))
-              .otherwise(col("text")).as("text"))
-          .unionByName(docs.withColumn("__b", bucket)
-            .filter(col("__b") === 2)
-            .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-              concat(col("text"), lit(" new")).as("text")))
-        val b = bSrc.select(col("doc_id"),
+        val b = stagedB(docs).select(col("doc_id"),
           graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
         graft.engine.Snapshot.diff(a, b, "doc_id", "fp")
           .orderBy("doc_id")
       },
       Some(s"""
-        WITH hb AS (
-          SELECT doc_id, text,
-                 ${TextHash.duckHash60("'snap#' || CAST(doc_id AS VARCHAR)")}
-                   % 10 AS b
-          FROM documents
-        ), a AS (
+        WITH $SnapshotBCte, a AS (
           SELECT doc_id, md5(${ExtQueries.NormText}) AS fp FROM documents
-        ), bsrc AS (
-          SELECT doc_id,
-                 CASE WHEN b = 1 THEN text || ' rev2' ELSE text END AS text
-          FROM hb WHERE b <> 0
-          UNION ALL
-          SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
-          FROM hb WHERE b = 2
         ), b2 AS (
           SELECT doc_id, md5(${ExtQueries.NormText}) AS fp FROM bsrc
         )
         SELECT COALESCE(a.doc_id, b2.doc_id) AS doc_id,
                CASE WHEN a.doc_id IS NULL THEN 'added'
                     WHEN b2.doc_id IS NULL THEN 'removed'
-                    WHEN a.fp <> b2.fp THEN 'changed'
+                    WHEN a.fp IS DISTINCT FROM b2.fp THEN 'changed'
                     ELSE 'unchanged' END AS status
         FROM a FULL OUTER JOIN b2 ON b2.doc_id = a.doc_id
         ORDER BY doc_id
@@ -727,32 +746,16 @@ object Round11Queries {
       (s, dir) => {
         graft.functions.GraftFunctions.ensureRegistered(s)
         val scr = graft.engine.Scratch.dir(s, dir, "inc_dedup")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(scr))
+        graft.engine.Scratch.rm(scr)
         val mPath = s"$scr/members"
         val docs = Tables.documents(s, dir)
-        def snapB = pmod(TextHash.hash60(
-          concat(lit("snap#"), col("doc_id").cast("string"))), lit(10L))
         def fpb(c: org.apache.spark.sql.Column) =
           pmod(TextHash.hash60(c), lit(16L))
         val aFp = docs.select(col("doc_id"),
           graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
         graft.engine.Sinks.writePartitioned(
           aFp.withColumn("fpb", fpb(col("fp"))), mPath, Seq("fpb"))
-        // version B: q510's staging (bucket 0 removed, 1 revised, 2 cloned)
-        val bSrc = docs.withColumn("__b", snapB)
-          .filter(col("__b") =!= 0)
-          .select(col("doc_id"),
-            when(col("__b") === 1, concat(col("text"), lit(" rev2")))
-              .otherwise(col("text")).as("text"))
-          .unionByName(docs.withColumn("__b", snapB)
-            .filter(col("__b") === 2)
-            .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-              concat(col("text"), lit(" new")).as("text")))
-        val bFp = bSrc.select(col("doc_id"),
+        val bFp = stagedB(docs).select(col("doc_id"),
           graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
         val d = graft.engine.Snapshot.diff(aFp, bFp, "doc_id", "fp")
         val deletes = d.filter(col("status").isin("removed", "changed"))
@@ -773,19 +776,7 @@ object Round11Queries {
           .orderBy("doc_id")
       },
       Some(s"""
-        WITH hb AS (
-          SELECT doc_id, text,
-                 ${TextHash.duckHash60("'snap#' || CAST(doc_id AS VARCHAR)")}
-                   % 10 AS b
-          FROM documents
-        ), bsrc AS (
-          SELECT doc_id,
-                 CASE WHEN b = 1 THEN text || ' rev2' ELSE text END AS text
-          FROM hb WHERE b <> 0
-          UNION ALL
-          SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
-          FROM hb WHERE b = 2
-        ), b2 AS (
+        WITH $SnapshotBCte, b2 AS (
           SELECT doc_id, md5(${ExtQueries.NormText}) AS fp FROM bsrc
         ), canon AS (
           SELECT fp, MIN(doc_id) AS canonical_id FROM b2 GROUP BY fp
@@ -822,27 +813,14 @@ object Round11Queries {
       (s, dir) => {
         graft.functions.GraftFunctions.ensureRegistered(s)
         val docs = Tables.documents(s, dir)
-        def snapB = pmod(TextHash.hash60(
-          concat(lit("snap#"), col("doc_id").cast("string"))), lit(10L))
-        // version B staging (q510's change classes)
-        val bSrc = docs.withColumn("__b", snapB)
-          .filter(col("__b") =!= 0)
-          .select(col("doc_id"),
-            when(col("__b") === 1, concat(col("text"), lit(" rev2")))
-              .otherwise(col("text")).as("text"))
-          .unionByName(docs.withColumn("__b", snapB)
-            .filter(col("__b") === 2)
-            .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-              concat(col("text"), lit(" new")).as("text")))
-        // the change set: removed/changed ids leave the state, added/
-        // changed rows are the only ones re-processed
-        val gone = docs.withColumn("__b", snapB)
-          .filter(col("__b").isin(0L, 1L)).select("doc_id")
-        val fresh = bSrc.withColumn("__b",
-            pmod(TextHash.hash60(
-              concat(lit("snap#"), col("doc_id").cast("string"))), lit(10L)))
-          .filter(col("__b") === 1 || col("doc_id") >= 1000000L)
-          .select("doc_id", "text")
+        // the change set: removed/changed ids leave the state; the fresh
+        // slice (revised originals + clones) is the only text re-processed
+        // — both come from the staging helpers' own construction, never
+        // inferred from id ranges (an id-range sentinel breaks on any
+        // corpus whose real ids overlap it, e.g. the 10x rehearsal's
+        // offset replicas)
+        val gone = goneIds(docs)
+        val fresh = freshSlice(docs)
         // A-state artifacts: verified pairs, signatures, shingles
         val oldPairs = SharedFrames.verifiedDocPairs(s, dir)
         val kept = oldPairs
@@ -851,8 +829,13 @@ object Round11Queries {
           .select("id_a", "id_b", "jaccard")
         val unchangedSigs = SharedFrames.minhashSigs(s, dir)
           .join(gone, Seq("doc_id"), "left_anti")
+        // the fresh slice feeds three consumers (bucket probe side, the
+        // union arm, the verify shingle side) — localCheckpoint so the
+        // tokenize+shingle+64-min pipeline runs once per gate, not thrice
         val freshSh = NearDup.shingleFrame(fresh, "doc_id", "text", 3)
+          .localCheckpoint()
         val freshSigs = NearDup.minHashSignatureFrame(freshSh, "doc_id", 64)
+          .localCheckpoint()
         def buckets(sigs: DataFrame): DataFrame = sigs
           .select(col("doc_id"),
             explode(NearDup.bandBuckets(col("__sig"), 16, 4)).as("__bb"))
@@ -881,19 +864,8 @@ object Round11Queries {
         kept.unionByName(regenerated).orderBy("id_a", "id_b")
       },
       Some(s"""
-        WITH hb AS (
-          SELECT doc_id, text,
-                 ${TextHash.duckHash60("'snap#' || CAST(doc_id AS VARCHAR)")}
-                   % 10 AS b
-          FROM documents
-        ), bsrc AS (
-          SELECT doc_id,
-                 CASE WHEN b = 1 THEN text || ' rev2' ELSE text END AS text
-          FROM hb WHERE b <> 0
-          UNION ALL
-          SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
-          FROM hb WHERE b = 2
-        ), ${ExtQueries.minhashPairsCteOver("bsrc").stripPrefix("WITH ")}
+        WITH $SnapshotBCte,
+        ${ExtQueries.minhashPairsCteOver("bsrc").stripPrefix("WITH ")}
         SELECT id_a, id_b, jaccard FROM verified ORDER BY id_a, id_b
       """.trim))
   )

@@ -335,12 +335,8 @@ object Round9Queries {
         graft.functions.GraftFunctions.ensureRegistered(s)
         val base = graft.engine.Scratch.dir(s, dir, "stream_ann_ingest")
         val src = base + "_src"
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
         Seq(base, base + "_ckpt", base + "__upsert_tmp", src)
-          .foreach(p => rm(new java.io.File(p)))
+          .foreach(graft.engine.Scratch.rm)
         val e = Tables.embeddings(s, dir)
         val baseCorpus = e.filter(!deltaPredSpark)
         val delta = e.filter(deltaPredSpark)

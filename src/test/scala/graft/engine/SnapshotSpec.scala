@@ -22,6 +22,21 @@ class SnapshotSpec extends SparkSpec {
       1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("diff is null-safe: null fingerprints mark presence, not absence") {
+    // a present row with a NULL fingerprint (null content) must classify by
+    // presence + IS-DISTINCT-FROM, never read as a missing side
+    val a = Seq((1L, Some("x")), (2L, None), (3L, None))
+      .toDF("id", "fp").select(col("id"), col("fp").as("fp"))
+    val b = Seq((1L, None: Option[String]), (2L, None), (3L, Some("y")))
+      .toDF("id", "fp")
+    val got = Snapshot.diff(a, b, "id", "fp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "changed",   // value -> null is a content change
+      2L -> "unchanged", // null on both sides is not
+      3L -> "changed"))  // null -> value is a content change
+  }
+
   test("diff against an empty side degrades to all-added / all-removed") {
     val a = fp(Seq((1L, "x"), (2L, "y")).toDF("id", "content"))
     val empty = fp(Seq.empty[(Long, String)].toDF("id", "content"))

@@ -182,6 +182,29 @@ class SourcesSpec extends SparkSpec {
     assert(got === Map(2L -> ("B", 10), 9L -> ("z", 40), 4L -> ("d", 30)))
   }
 
+  test("applyChangesPartitioned handles NULL and escape-needing partition values") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_changes_n").toString + "/t"
+    Sinks.writePartitioned(
+      Seq((1L, "a", Some("x y")), (2L, "b", None: Option[String]), (3L, "c", Some("x y")))
+        .toDF("k", "v", "p"),
+      dir, Seq("p"))
+    assert(new java.io.File(s"$dir/p=__HIVE_DEFAULT_PARTITION__").exists,
+      "fixture must land a Hive default (null) partition")
+    // delete k=2 — EMPTIES the null partition (IN-only pruning would never
+    // read it and the raw-name delete would miss its directory); replace
+    // k=1 inside the escape-needing "x y" partition
+    Sinks.applyChangesPartitioned(spark, dir,
+      deletes = Seq((2L, None: Option[String])).toDF("k", "p"),
+      upserts = Seq((1L, "A", Some("x y"))).toDF("k", "v", "p"),
+      key = "k", partitionCol = "p")
+    assert(!new java.io.File(s"$dir/p=__HIVE_DEFAULT_PARTITION__").exists,
+      "an emptied null partition must lose its directory")
+    val got = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("k") -> (r.getAs[String]("v"), r.getAs[String]("p"))).toMap
+    assert(got === Map(1L -> ("A", "x y"), 3L -> ("c", "x y")))
+  }
+
   test("upsertParquetPartitioned handles multi-column and NULL partition values") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_mc").toString + "/t"
