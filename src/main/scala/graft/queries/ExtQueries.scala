@@ -19,7 +19,7 @@ object ExtQueries {
   private[queries] val NormText = raw"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
   /** DuckDB fragment: whitespace tokens of the normalized text. */
-  private val Toks = s"string_split($NormText, ' ')"
+  private[queries] val Toks = s"string_split($NormText, ' ')"
 
   /** DuckDB fragment: distinct word n-gram shingles of token list `w`. */
   private def duckShingles(w: String, n: Int): String =

@@ -135,6 +135,32 @@ object Round11Queries {
         .select((-col("doc_id") - lit(1L)).as("doc_id"),
           concat(col("text"), lit(" new")).as("text")))
 
+  /** The q508 mixture-interleave schedule: (doc_id, lang, dom_pos, vt,
+    * sched_pos) — shared by q508 (the gated schedule itself) and q513
+    * (token-budget shard packing over it). Two two-phase global ranks
+    * plus a domain-bounded offset broadcast; see q508's gate comment for
+    * the full scale rationale.
+    */
+  private def mixtureSchedule(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .withColumn("h",
+        TextHash.hash60(concat(lit("mix1#"), col("doc_id").cast("string"))))
+    val ranked = graft.engine.Keys.rankByScalable(
+      docs, Seq(col("lang"), col("h"), col("doc_id")), "gpos")
+    val bases = ranked.groupBy("lang").agg(min(col("gpos")).as("lang_base"))
+    val vt = ranked.join(broadcast(bases), Seq("lang"))
+      .withColumn("dom_pos", col("gpos") - col("lang_base") + lit(1L))
+      .withColumn("w",
+        when(col("lang") === "en", lit(4L))
+          .when(col("lang") === "zh", lit(1L))
+          .otherwise(lit(2L)))
+      .withColumn("vt", expr("dom_pos * 1000000 DIV w"))
+      .select(col("doc_id"), col("lang"), col("dom_pos"), col("vt"))
+    graft.engine.Keys.rankByScalable(
+      vt, Seq(col("vt"), col("lang"), col("doc_id")), "sched_pos")
+  }
+
   /** DuckDB twin of [[stagedB]]: CTEs `hb(doc_id, text, b)` and
     * `bsrc(doc_id, text)`.
     */
@@ -570,26 +596,7 @@ object Round11Queries {
     // no single-task sort anywhere.
     Q(
       "q508_mixture_interleave",
-      (s, dir) => {
-        graft.functions.GraftFunctions.ensureRegistered(s)
-        val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
-          .withColumn("h",
-            TextHash.hash60(concat(lit("mix1#"), col("doc_id").cast("string"))))
-        val ranked = graft.engine.Keys.rankByScalable(
-          docs, Seq(col("lang"), col("h"), col("doc_id")), "gpos")
-        val bases = ranked.groupBy("lang").agg(min(col("gpos")).as("lang_base"))
-        val vt = ranked.join(broadcast(bases), Seq("lang"))
-          .withColumn("dom_pos", col("gpos") - col("lang_base") + lit(1L))
-          .withColumn("w",
-            when(col("lang") === "en", lit(4L))
-              .when(col("lang") === "zh", lit(1L))
-              .otherwise(lit(2L)))
-          .withColumn("vt", expr("dom_pos * 1000000 DIV w"))
-          .select(col("doc_id"), col("lang"), col("dom_pos"), col("vt"))
-        graft.engine.Keys.rankByScalable(
-            vt, Seq(col("vt"), col("lang"), col("doc_id")), "sched_pos")
-          .orderBy("doc_id")
-      },
+      (s, dir) => mixtureSchedule(s, dir).orderBy("doc_id"),
       Some(s"""
         WITH d AS (
           SELECT doc_id, lang,
@@ -867,6 +874,86 @@ object Round11Queries {
         WITH $SnapshotBCte,
         ${ExtQueries.minhashPairsCteOver("bsrc").stripPrefix("WITH ")}
         SELECT id_a, id_b, jaccard FROM verified ORDER BY id_a, id_b
+      """.trim)),
+
+    // Training SHARD manifest — the delivery step that closes the data
+    // loop plan -> order -> pack: q204 plans the mixture, q508 emits the
+    // stride-interleaved global order, and this gate PACKS that order
+    // into fixed 2048-token shards (the trainer's unit of work), emitting
+    // the per-shard manifest: doc count, token fill, schedule span and
+    // the per-domain doc mix inside each shard — the row a data loader
+    // reads to plan epoch IO and the audit that the stride interleave
+    // actually delivers the mixture INSIDE every shard, not just
+    // globally. Scale shape: the schedule is q508's two-phase ranks; the
+    // cumulative token position rides the two-phase prefix sum
+    // (Keys.globalRunningSum over sched_pos order — no single-task
+    // window); shard stats are one hash aggregate, manifest rows =
+    // total_tokens / 2048, corpus-dwarfed.
+    Q(
+      "q513_schedule_shards",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val sched = mixtureSchedule(s, dir)
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long")
+              .as("n_tokens"))
+          .filter(col("n_tokens") > 0)
+        val ordered = sched.join(toks, Seq("doc_id"))
+        val packed = graft.engine.Keys.globalRunningSum(
+            ordered, "sched_pos", "n_tokens", "cum")
+          .withColumn("shard", expr("(cum - n_tokens) div 2048"))
+        packed.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            min(col("sched_pos")).as("first_pos"),
+            max(col("sched_pos")).as("last_pos"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+            sum(when(col("lang") === "zh", 1L).otherwise(0L)).as("n_zh"))
+          .orderBy("shard")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 ${TextHash.duckHash60("'mix1#' || CAST(doc_id AS VARCHAR)")} AS h
+          FROM documents
+        ), r AS (
+          SELECT doc_id, lang,
+                 CAST(row_number() OVER (
+                   PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS dom_pos
+          FROM d
+        ), v AS (
+          SELECT doc_id, lang, dom_pos,
+                 CAST(dom_pos * 1000000 // (CASE lang WHEN 'en' THEN 4
+                   WHEN 'zh' THEN 1 ELSE 2 END) AS BIGINT) AS vt
+          FROM r
+        ), sched AS (
+          SELECT doc_id, lang,
+                 CAST(row_number() OVER (ORDER BY vt, lang, doc_id) AS BIGINT)
+                   AS sched_pos
+          FROM v
+        ), toks AS (
+          SELECT doc_id, CAST(len(${ExtQueries.Toks}) AS BIGINT) AS n_tokens
+          FROM documents
+        ), ordered AS (
+          SELECT s.doc_id, s.lang, s.sched_pos, t.n_tokens
+          FROM sched s JOIN toks t ON t.doc_id = s.doc_id
+          WHERE t.n_tokens > 0
+        ), packed AS (
+          SELECT lang, sched_pos, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY sched_pos
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM ordered
+        )
+        SELECT CAST((cum - n_tokens) // 2048 AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               MIN(sched_pos) AS first_pos, MAX(sched_pos) AS last_pos,
+               CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN 1 END), 0)
+                 AS BIGINT) AS n_en,
+               CAST(COALESCE(SUM(CASE WHEN lang = 'zh' THEN 1 END), 0)
+                 AS BIGINT) AS n_zh
+        FROM packed GROUP BY 1 ORDER BY shard
       """.trim))
   )
 }
