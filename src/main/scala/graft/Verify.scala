@@ -32,7 +32,12 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
-    OracleJson.write(outDir, SparkEntry.oracleSql)
+    // In filtered mode the oracle map restricts to the same set as the dumps
+    // (ADVICE_r11): otherwise a compare run against a filtered dump dir
+    // reports every unselected query as a missing dump instead of comparing
+    // only the named queries.
+    OracleJson.write(outDir,
+      SparkEntry.oracleSql.filter { case (name, _) => only.isEmpty || only(name) })
     spark.stop()
   }
 }

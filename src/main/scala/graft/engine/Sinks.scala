@@ -273,7 +273,7 @@ object Sinks {
     val merged = spark.read.parquet(path)
       .join(batch.select(key), Seq(key), "left_anti")
       .unionByName(batch)
-    val tmp = new Path(path + "__upsert_tmp")
+    val tmp = new Path(stagingDir(path, "upsert", spark))
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     fs.delete(dest, true)
     require(fs.rename(tmp, dest), s"upsert swap failed for $path")
@@ -339,7 +339,7 @@ object Sinks {
       val merged = existing
         .join(b.select(key), Seq(key), "left_anti")
         .unionByName(b)
-      val tmp = new Path(path + "__upsert_tmp")
+      val tmp = new Path(stagingDir(path, "upsert", spark))
       merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       try overwritePartitionsDynamic(
         spark.read.parquet(tmp.toString), path, partitionCols)
@@ -390,9 +390,25 @@ object Sinks {
         if (nonNull.size == touched.size) in else in || col(partitionCol).isNull
       }
       val existing = spark.read.parquet(path).filter(touchedPred)
+      // Delete-contract assert (ADVICE_r11): each delete row must name the
+      // partition its key currently lives in. A delete naming a stale/wrong
+      // partition would silently no-op — the key's real directory is never
+      // read — and if the same key is then upserted into a new partition the
+      // old row survives as a silent duplicate. The cheap structural check:
+      // every delete key must be FOUND in the touched-partition read (a key
+      // living in an untouched partition, or absent entirely, fails here
+      // instead of corrupting the table). Cost is one anti-join of the
+      // delta-sized delete keys against the already-pruned `existing`.
+      val missed = del.select(key).distinct()
+        .join(existing.select(key), Seq(key), "left_anti").count()
+      require(missed == 0L,
+        s"applyChangesPartitioned: $missed delete key(s) not found in their " +
+          s"named partitions of $path — each delete must carry the partition " +
+          "value its key currently lives in (stale or wrong partition values " +
+          "would silently leave the old rows in place)")
       val goneKeys = del.select(key).unionByName(up.select(key)).distinct()
       val merged = existing.join(goneKeys, Seq(key), "left_anti").unionByName(up)
-      val tmp = new Path(path + "__changes_tmp")
+      val tmp = new Path(stagingDir(path, "changes", spark))
       merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val staged = spark.read.parquet(tmp.toString)
       try {
@@ -417,6 +433,21 @@ object Sinks {
       spark.catalog.clearCache()
     } finally { del.unpersist(); up.unpersist(): Unit }
   }
+
+  /** Per-call staging directory for the merge sinks (VERDICT_r11 next #8):
+    * the fixed `path + "__upsert_tmp"` sibling was a CONCURRENT-WRITER race
+    * — two drivers upserting disjoint partitions of the SAME table would
+    * stage into one shared directory and clobber each other's merge before
+    * the dynamic overwrite. The applicationId scopes staging per driver,
+    * the UUID per call (two in-flight upserts of one table inside a single
+    * app — e.g. two streaming queries — stay disjoint too). Each call
+    * renames its staging into place or deletes it before returning, so
+    * orphans only survive a crashed JVM; they are sibling directories
+    * (never inside the table root), invisible to partition discovery and
+    * readers.
+    */
+  private def stagingDir(path: String, op: String, spark: SparkSession): String =
+    s"${path}__${op}_tmp_${spark.sparkContext.applicationId}_${java.util.UUID.randomUUID()}"
 
   /** S5 warehouse sink abstraction. */
   trait WarehouseSink {

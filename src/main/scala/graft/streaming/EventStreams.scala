@@ -244,10 +244,15 @@ object EventStreams {
     * cell-partitioned artifact), so a batch touching k cells scans k
     * inverted lists, never the corpus. The micro-batch frame carries no
     * row bound, and the coordinator's bounded-probe contract is enforced
-    * at plan time — `batchCap` re-asserts the bound via LIMIT (a serving
-    * batch is bounded by construction; the cap makes that visible to the
-    * plan, rows are never dropped below it and the default sits under
-    * Similarity.MaxBoundedProbeRows).
+    * at plan time — `batchCap` makes the bound visible to the plan via
+    * LIMIT, and the batch is COUNTED first: a batch larger than the cap
+    * FAILS the streaming query instead of silently truncating (ADVICE_r11
+    * — a LIMIT alone would drop queries from the serving log with no
+    * error, contradicting the answers-everything contract; mirroring
+    * Similarity's bounded-probe require, the caller's fix is a smaller
+    * trigger — maxFilesPerTrigger / maxOffsetsPerTrigger — or a larger
+    * cap, sized under Similarity.MaxBoundedProbeRows). The count is one
+    * delta-sized job per micro-batch, the price of the loud contract.
     *
     * Exactly-once without a keyed merge: results are written PARTITIONED
     * BY batch_id through the dynamic partition overwrite, so a checkpoint-
@@ -266,6 +271,12 @@ object EventStreams {
       org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val arrived = batch.count()
+        require(arrived <= batchCap,
+          s"startAnnServe: micro-batch $batchId carries $arrived queries, " +
+            s"over batchCap=$batchCap — shrink the trigger " +
+            "(maxFilesPerTrigger/maxOffsetsPerTrigger) or raise the cap; " +
+            "serving must answer every arrival, never silently truncate")
         val probes = batch
           .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
           .limit(batchCap)

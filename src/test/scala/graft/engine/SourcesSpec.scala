@@ -182,6 +182,57 @@ class SourcesSpec extends SparkSpec {
     assert(got === Map(2L -> ("B", 10), 9L -> ("z", 40), 4L -> ("d", 30)))
   }
 
+  test("concurrent upserts of disjoint partitions never clobber each other's staging") {
+    // VERDICT_r11 next #8: the fixed `path + "__upsert_tmp"` staging name
+    // made two writers upserting DISJOINT partitions of the same table race
+    // on one shared directory. Staging is now per-call (applicationId +
+    // UUID); two sessions merging disjoint partitions in parallel must both
+    // land. Sessions are independent (newSession: own SQLConf, so the
+    // scoped partitionOverwriteMode conf never crosses either).
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_cc").toString + "/t"
+    import spark.implicits._
+    Sinks.writePartitioned(
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "p"),
+      dir, Seq("p"))
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    def writer(p: Int, k: Long): Thread = new Thread(() => {
+      val s = spark.newSession()
+      import s.implicits._
+      val batch = Seq((k, s"w$p", p)).toDF("k", "v", "p")
+      gate.await()
+      Sinks.upsertParquetPartitioned(batch, dir, "k", Seq("p"))
+    })
+    val (t1, t2) = (writer(10, 8L), writer(20, 9L))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val got = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(got === Map(1L -> "a", 8L -> "w10", 2L -> "b", 9L -> "w20", 3L -> "c"),
+      "both writers' merges must land; neither staging may clobber the other")
+  }
+
+  test("applyChangesPartitioned rejects a delete naming a partition its key does not live in") {
+    // ADVICE_r11: a delete carrying a stale/wrong partition value used to
+    // silently no-op (the key's real directory was never read) — and a
+    // same-key upsert into a new partition would then leave a duplicate.
+    // The contract assert turns that corruption into a loud failure.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_changes_bad").toString + "/t"
+    Sinks.writePartitioned(
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "p"), dir, Seq("p"))
+    val e = intercept[IllegalArgumentException] {
+      Sinks.applyChangesPartitioned(spark, dir,
+        deletes = Seq((2L, 10)).toDF("k", "p"), // k=2 actually lives in p=20
+        upserts = Seq((9L, "z", 10)).toDF("k", "v", "p"),
+        key = "k", partitionCol = "p")
+    }
+    assert(e.getMessage.contains("delete"),
+      s"expected the delete-contract failure, got: ${e.getMessage}")
+    // the table is untouched by the failed call
+    val got = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(got === Map(1L -> "a", 2L -> "b"))
+  }
+
   test("applyChangesPartitioned handles NULL and escape-needing partition values") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_changes_n").toString + "/t"

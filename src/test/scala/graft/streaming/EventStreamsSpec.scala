@@ -268,6 +268,37 @@ class EventStreamsSpec extends SparkSpec {
       "a replayed batch must overwrite its own partition, not append")
   }
 
+  test("startAnnServe fails loudly on a batch over batchCap — never truncates") {
+    // ADVICE_r11: a LIMIT alone silently dropped arrivals over the cap from
+    // the serving log. The contract is answer-everything-or-fail: an
+    // oversized micro-batch must kill the query with an actionable error.
+    import org.apache.spark.sql.functions._
+    val base = "/tmp/graft_scratch/ann_serve_cap_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(base))
+    val out = s"$base/log"; val ckpt = s"$base/ckpt"; val src = s"$base/src"
+    val ix = graft.queries.SharedFrames.ivfPqIndex(spark, sf0001)
+    val probes = graft.ext.Similarity.hashOrderedProbes(
+        graft.Tables.embeddings(spark, sf0001), "vec_id", "ivfpq", 6)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    probes.coalesce(1).write.parquet(src) // one file -> one 6-row batch
+    val arrivals = spark.readStream.schema(probes.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = EventStreams.startAnnServe(
+      arrivals, ix, "query_id", "qv", out, ckpt,
+      nprobe = 2, shortlist = 10, batchCap = 4)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("batchCap")),
+      s"expected the batchCap contract failure, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("checkpoint restart resumes exactly-once: old files skipped, new file processed") {
     // The recovery contract a 100 TB landing zone depends on: a stopped
     // query restarted against the SAME checkpoint must process only files
