@@ -100,16 +100,22 @@ object Sinks {
     * this write and restored after.
     */
   def overwritePartitionsDynamic(df: DataFrame, path: String,
-      partitionCols: Seq[String]): Unit = {
+      partitionCols: Seq[String], maxRecordsPerFile: Long = 0L): Unit = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     val key = "spark.sql.sources.partitionOverwriteMode"
     val saved = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
     // same clustering as writePartitioned: one compact file per replaced
-    // partition instead of a sliver from every upstream task
-    try df.repartition(partitionCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+    // partition instead of a sliver from every upstream task; the optional
+    // rows-per-file cap is the same S4 contract as writeParquet (replaced
+    // partitions land as ceil(rows/cap) files from their single writer)
+    try {
+      val w = df.repartition(partitionCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+      val w2 = if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+      w2.parquet(path)
+    }
     finally saved match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)

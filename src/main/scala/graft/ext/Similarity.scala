@@ -279,8 +279,27 @@ object Similarity {
     * per vector.
     */
   def crossCellLongRangeEdges(corpus: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, nForeign: Int): DataFrame =
+    bestInPickedCells(foreignCellPicks(corpus, idCol, vecCol, cellCol, nForeign),
+        corpus, idCol, vecCol, cellCol)
+      .select(least(col("query_id"), col("neighbor_id")).as("id_a"),
+        greatest(col("query_id"), col("neighbor_id")).as("id_b"))
+      .distinct()
+
+  /** The foreign-cell PICK stage of [[crossCellLongRangeEdges]], exposed
+    * for incremental maintenance (round 12): each vector's `nForeign`
+    * nearest FOREIGN cells by exact centroid L2 (own cell excluded, ties
+    * to the lower cell id), as (query_id, __qv, __qn, __cell). This stage
+    * is a narrow corpus-linear map against BOUNDED centroid metadata (the
+    * crossJoin broadcasts cells, the heap cut emits nForeign rows per
+    * vector) — cheap enough that maintenance recomputes it corpus-wide,
+    * the same unavoidable floor as a snapshot diff's fingerprint scan;
+    * the expensive stage is the in-cell join ([[bestInPickedCells]]),
+    * which maintenance scopes to changed picks only.
+    */
+  def foreignCellPicks(corpus: DataFrame, idCol: String,
       vecCol: String, cellCol: String, nForeign: Int): DataFrame = {
-    require(nForeign >= 1, "crossCellLongRangeEdges needs nForeign >= 1")
+    require(nForeign >= 1, "foreignCellPicks needs nForeign >= 1")
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     // centroid columns renamed up front: a caller whose cellCol is literally
     // named "cell" would otherwise collide with exactCentroids' output
@@ -290,7 +309,7 @@ object Similarity {
       zip_with(col(vecCol), col("__fcent"),
         (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
       lit(0.0), (acc, v) => acc + v)
-    val probed = graft.plans.TopKPerKey.of(
+    graft.plans.TopKPerKey.of(
         spread(corpus, idCol)
           .crossJoin(broadcast(cents))
           .filter(col("__fcell") =!= col(cellCol))
@@ -300,6 +319,20 @@ object Similarity {
         k = nForeign)
       .select(col("query_id"), col("__qv"),
         sqrt(nativeDot(col("__qv"), col("__qv"))).as("__qn"), col("__cell"))
+  }
+
+  /** The in-cell best-neighbor stage of [[crossCellLongRangeEdges]]: for
+    * each pick row (query_id, __qv, __qn, __cell) the single highest-
+    * cosine corpus vector WITHIN the picked cell, as (query_id, cell,
+    * neighbor_id) — the salted shuffled cell join with a per-(vector,
+    * cell) heap top-1, the operator family's expensive stage. `corpus`
+    * may be pre-filtered to the union of the picks' cells (the
+    * incremental redo path — a bounded cell list pushes into the scan as
+    * a pruned filter); each picked cell's membership must be complete or
+    * the top-1 is meaningless.
+    */
+  def bestInPickedCells(picks: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, cellCol: String): DataFrame = {
     val salt = saltFor(corpus, cellCol)
     val c = saltedC(withNorm(corpus, vecCol)
       .select(col(cellCol).as("__ccell"), col(idCol).as("neighbor_id"),
@@ -307,17 +340,67 @@ object Similarity {
     // per-(vector, foreign cell) top-1: the probed cell is foreign, so the
     // self-pair cannot occur and needs no exclusion predicate
     graft.plans.TopKPerKey.of(
-        c.join(saltedQ(probed, salt).hint("shuffle_hash"),
+        c.join(saltedQ(picks, salt).hint("shuffle_hash"),
           col("__cell") === col("__ccell") && col("__salt") === col("__csalt"))
           .select(col("query_id"), col("neighbor_id"), col("__cell"),
             cosineWithNorms(nativeDot(col("__qv"), col("__cv")),
               col("__qn"), col("__cn")).as("__cos")),
         keyCols = Seq("query_id", "__cell"),
         order = Seq("__cos" -> false, "neighbor_id" -> true), k = 1)
-      .select(least(col("query_id"), col("neighbor_id")).as("id_a"),
-        greatest(col("query_id"), col("neighbor_id")).as("id_b"))
-      .distinct()
+      .select(col("query_id"), col("__cell").as("cell"), col("neighbor_id"))
   }
+
+  /** Per-cell medoid entry points (round 12 — the recall frontier's
+    * non-beam knob): for every cell, the vector closest to the cell's
+    * exact centroid (squared L2, ties to the lowest id) — one navigation
+    * seed per cell, the IVF-graph-hybrid move (DiskANN-style cluster
+    * entry points): hash-random entries leave whole cells many hops from
+    * any seed, while a medoid seed per cell starts the walk inside every
+    * cell's local edge structure. Output (cell, idCol), cell-ordered and
+    * LIMIT-bounded so the frame carries the plan-time row bound the walk's
+    * broadcast contract requires (cells are bounded metadata; the limit
+    * only asserts the broadcast budget, it never truncates a real index's
+    * cell space at the operating points gated here).
+    */
+  def cellMedoids(corpus: DataFrame, idCol: String, vecCol: String,
+      cellCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val cents = exactCentroids(corpus, vecCol, cellCol)
+      .select(col("cell").as("__mcell"), col("centroid").as("__mcent"))
+    val dist2 = aggregate(
+      zip_with(col(vecCol), col("__mcent"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, v) => acc + v)
+    graft.plans.TopKPerKey.of(
+        spread(corpus, idCol)
+          .join(broadcast(cents), col(cellCol) === col("__mcell"))
+          .select(col("__mcell").as("cell"), col(idCol), dist2.as("__d2")),
+        keyCols = Seq("cell"), order = Seq("__d2" -> true, idCol -> true), k = 1)
+      .select(col("cell"), col(idCol))
+      .orderBy("cell").limit(MaxBoundedProbeRows.toInt)
+  }
+
+  /** Degree-ranked entry seeds for [[graphBeamSearch]] (round 12 — the
+    * recall frontier's ENTRY-QUALITY knob): the `n` highest-degree nodes of
+    * an undirected edge list (ties to the lower id). Measured on the
+    * navigable graph at the q503 budget (hops=4, beam=8), swapping 32
+    * hash-random entries for 64 top-degree seeds moved recall 70% -> 90% —
+    * past the beam-16 point (81.7%) without touching beam — because a
+    * high-degree seed starts the walk where the graph is most navigable,
+    * while hash entries regularly land on leaf nodes whose whole
+    * neighborhood the first cut discards (the medoid alternative measured
+    * WORSE than hash, 33%: cell-central vectors are exactly the hubs
+    * mutual-kNN strips, so they sit poorly connected). Cost: one degree
+    * aggregate over the edge artifact (edge-linear, corpus-dwarfed) + a
+    * top-n heap; the LIMIT gives the plan the row bound the walk's
+    * broadcast contract requires.
+    */
+  def topDegreeNodes(edges: DataFrame, n: Int): DataFrame =
+    edges.select(col("id_a").as("node"))
+      .unionAll(edges.select(col("id_b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__deg"))
+      .orderBy(col("__deg").desc, col("node")).limit(n)
+      .select("node")
 
   /** Graph-walk ANN (the HNSW / DiskANN / NSG search shape): greedy beam
     * search over a proximity graph, relationally UNROLLED to a fixed hop

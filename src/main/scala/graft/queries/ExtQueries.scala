@@ -50,33 +50,33 @@ object ExtQueries {
     * over an intermediate CTE (any relation with doc_id + text).
     */
   private[queries] def minhashPairsCteOver(table: String,
-      thresholdSql: String = "0.8"): String = s"""
-        WITH d AS (
+      thresholdSql: String = "0.8", prefix: String = ""): String = s"""
+        WITH ${prefix}d AS (
           SELECT doc_id, ${duckShingles(Toks, 3)} AS sh FROM $table
-        ), sigs AS (
+        ), ${prefix}sigs AS (
           SELECT doc_id, sh,
                  [list_min([((s * 2654435761 % ${NearDup.MinHashP - 1} + 1)
                              * (${TextHash.duckHash60("x")} % ${NearDup.MinHashP}) + s)
                             % ${NearDup.MinHashP} FOR x IN sh])
                   FOR s IN generate_series(0, 63)] AS sig
-          FROM d WHERE len(sh) > 0
-        ), banded AS (
+          FROM ${prefix}d WHERE len(sh) > 0
+        ), ${prefix}banded AS (
           SELECT doc_id, j AS band,
                  array_to_string(list_transform(sig[CAST(j*4+1 AS BIGINT):CAST(j*4+4 AS BIGINT)],
                    v -> CAST(v AS VARCHAR)), '_') AS bucket
-          FROM sigs CROSS JOIN range(0, 16) t(j)
-        ), cand AS (
+          FROM ${prefix}sigs CROSS JOIN range(0, 16) t(j)
+        ), ${prefix}cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM banded a JOIN banded b
+          FROM ${prefix}banded a JOIN ${prefix}banded b
             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        ), verified AS (
+        ), ${prefix}verified AS (
           SELECT id_a, id_b,
                  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
                    / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
                    AS jaccard
-          FROM cand
-          JOIN sigs sa ON sa.doc_id = id_a
-          JOIN sigs sb ON sb.doc_id = id_b
+          FROM ${prefix}cand
+          JOIN ${prefix}sigs sa ON sa.doc_id = id_a
+          JOIN ${prefix}sigs sb ON sb.doc_id = id_b
           WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
                   / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) >= $thresholdSql
         )""".stripMargin.trim

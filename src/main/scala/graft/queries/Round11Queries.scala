@@ -103,11 +103,11 @@ object Round11Queries {
     * collides once the corpus outgrows it (the q506 fixture-stability
     * lesson, and the 10x rehearsal offsets replica ids by k*1e9).
     */
-  private def snapBucket = pmod(TextHash.hash60(
+  private[queries] def snapBucket = pmod(TextHash.hash60(
     concat(lit("snap#"), col("doc_id").cast("string"))), lit(10L))
 
   /** Version B of the corpus: (doc_id, text). */
-  private def stagedB(docs: DataFrame): DataFrame =
+  private[queries] def stagedB(docs: DataFrame): DataFrame =
     docs.withColumn("__b", snapBucket)
       .filter(col("__b") =!= 0)
       .select(col("doc_id"),
@@ -135,15 +135,119 @@ object Round11Queries {
         .select((-col("doc_id") - lit(1L)).as("doc_id"),
           concat(col("text"), lit(" new")).as("text")))
 
+  /** The q511 incremental-dedup maintenance path, factored for reuse
+    * (round 12 — q517 drives the same machinery inside the end-to-end
+    * chain): builds the version-A membership table (doc_id, fp) in 16
+    * fingerprint-bucket partitions under the given scratch name, flows the
+    * q510 change set through the delete-capable partition-scoped change
+    * sink, and returns the MAINTAINED table read back from disk. Every
+    * call re-stages from scratch (gates must be rerunnable).
+    */
+  private[queries] def incrementalMembers(s: SparkSession, dir: String,
+      scrName: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val scr = graft.engine.Scratch.dir(s, dir, scrName)
+    graft.engine.Scratch.rm(scr)
+    val mPath = s"$scr/members"
+    val docs = Tables.documents(s, dir)
+    def fpb(c: org.apache.spark.sql.Column) =
+      pmod(TextHash.hash60(c), lit(16L))
+    val aFp = docs.select(col("doc_id"),
+      graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
+    graft.engine.Sinks.writePartitioned(
+      aFp.withColumn("fpb", fpb(col("fp"))), mPath, Seq("fpb"))
+    val bFp = stagedB(docs).select(col("doc_id"),
+      graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
+    val d = graft.engine.Snapshot.diff(aFp, bFp, "doc_id", "fp")
+    val deletes = d.filter(col("status").isin("removed", "changed"))
+      .select("doc_id")
+      .join(aFp, Seq("doc_id"))
+      .select(col("doc_id"), fpb(col("fp")).as("fpb"))
+    val upserts = bFp
+      .join(d.filter(col("status").isin("added", "changed"))
+        .select("doc_id"), Seq("doc_id"))
+      .withColumn("fpb", fpb(col("fp")))
+    graft.engine.Sinks.applyChangesPartitioned(
+      s, mPath, deletes, upserts, "doc_id", "fpb")
+    s.read.parquet(mPath)
+  }
+
+  /** The q512 incremental-LSH maintenance path, factored for reuse (round
+    * 12 — q515/q517 consume the maintained version-B pair set): kept
+    * unchanged-unchanged pairs from the version-A artifact plus the fresh
+    * slice's bucket-joined, exact-verified regenerated pairs. Returns
+    * (id_a, id_b, jaccard).
+    */
+  private[queries] def incrementalBPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val docs = Tables.documents(s, dir)
+    // the change set: removed/changed ids leave the state; the fresh
+    // slice (revised originals + clones) is the only text re-processed
+    // — both come from the staging helpers' own construction, never
+    // inferred from id ranges (an id-range sentinel breaks on any
+    // corpus whose real ids overlap it, e.g. the 10x rehearsal's
+    // offset replicas)
+    val gone = goneIds(docs)
+    val fresh = freshSlice(docs)
+    // A-state artifacts: verified pairs, signatures, shingles
+    val oldPairs = SharedFrames.verifiedDocPairs(s, dir)
+    val kept = oldPairs
+      .join(gone.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(gone.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
+      .select("id_a", "id_b", "jaccard")
+    val unchangedSigs = SharedFrames.minhashSigs(s, dir)
+      .join(gone, Seq("doc_id"), "left_anti")
+    // the fresh slice feeds three consumers (bucket probe side, the
+    // union arm, the verify shingle side) — localCheckpoint so the
+    // tokenize+shingle+64-min pipeline runs once per gate, not thrice
+    val freshSh = NearDup.shingleFrame(fresh, "doc_id", "text", 3)
+      .localCheckpoint()
+    val freshSigs = NearDup.minHashSignatureFrame(freshSh, "doc_id", 64)
+      .localCheckpoint()
+    def buckets(sigs: DataFrame): DataFrame = sigs
+      .select(col("doc_id"),
+        explode(NearDup.bandBuckets(col("__sig"), 16, 4)).as("__bb"))
+      .select(col("doc_id"), col("__bb.band").as("__band"),
+        col("__bb.bucket").as("__bucket"))
+    val allBuckets = buckets(unchangedSigs).unionByName(buckets(freshSigs))
+    val cand = buckets(freshSigs).as("a")
+      .join(allBuckets.as("b").hint("shuffle_hash"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__bucket") === col("b.__bucket") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .distinct()
+    val allSh = SharedFrames.docShingles(s, dir, 3)
+      .join(gone, Seq("doc_id"), "left_anti")
+      .unionByName(freshSh)
+    val regenerated = cand
+      .join(allSh.select(col("doc_id").as("id_a"), col("__shingles").as("__sa"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(allSh.select(col("doc_id").as("id_b"), col("__shingles").as("__sb"))
+        .hint("shuffle_hash"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        NearDup.jaccard(col("__sa"), col("__sb")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+    kept.unionByName(regenerated)
+  }
+
   /** The q508 mixture-interleave schedule: (doc_id, lang, dom_pos, vt,
     * sched_pos) — shared by q508 (the gated schedule itself) and q513
     * (token-budget shard packing over it). Two two-phase global ranks
     * plus a domain-bounded offset broadcast; see q508's gate comment for
     * the full scale rationale.
     */
-  private def mixtureSchedule(s: SparkSession, dir: String): DataFrame = {
+  private def mixtureSchedule(s: SparkSession, dir: String): DataFrame =
+    mixtureScheduleOver(s, Tables.documents(s, dir))
+
+  /** [[mixtureSchedule]] generalized over the document set (round 12 —
+    * q517 schedules the version-B TRAIN corpus): any frame carrying
+    * (doc_id, lang).
+    */
+  private[queries] def mixtureScheduleOver(s: SparkSession, srcDocs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val docs = srcDocs.select(col("doc_id"), col("lang"))
       .withColumn("h",
         TextHash.hash60(concat(lit("mix1#"), col("doc_id").cast("string"))))
     val ranked = graft.engine.Keys.rankByScalable(
@@ -164,7 +268,7 @@ object Round11Queries {
   /** DuckDB twin of [[stagedB]]: CTEs `hb(doc_id, text, b)` and
     * `bsrc(doc_id, text)`.
     */
-  private val SnapshotBCte: String = s"""
+  private[queries] val SnapshotBCte: String = s"""
         hb AS (
           SELECT doc_id, text,
                  ${TextHash.duckHash60("'snap#' || CAST(doc_id AS VARCHAR)")}
@@ -751,31 +855,7 @@ object Round11Queries {
     Q(
       "q511_incremental_dedup",
       (s, dir) => {
-        graft.functions.GraftFunctions.ensureRegistered(s)
-        val scr = graft.engine.Scratch.dir(s, dir, "inc_dedup")
-        graft.engine.Scratch.rm(scr)
-        val mPath = s"$scr/members"
-        val docs = Tables.documents(s, dir)
-        def fpb(c: org.apache.spark.sql.Column) =
-          pmod(TextHash.hash60(c), lit(16L))
-        val aFp = docs.select(col("doc_id"),
-          graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
-        graft.engine.Sinks.writePartitioned(
-          aFp.withColumn("fpb", fpb(col("fp"))), mPath, Seq("fpb"))
-        val bFp = stagedB(docs).select(col("doc_id"),
-          graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
-        val d = graft.engine.Snapshot.diff(aFp, bFp, "doc_id", "fp")
-        val deletes = d.filter(col("status").isin("removed", "changed"))
-          .select("doc_id")
-          .join(aFp, Seq("doc_id"))
-          .select(col("doc_id"), fpb(col("fp")).as("fpb"))
-        val upserts = bFp
-          .join(d.filter(col("status").isin("added", "changed"))
-            .select("doc_id"), Seq("doc_id"))
-          .withColumn("fpb", fpb(col("fp")))
-        graft.engine.Sinks.applyChangesPartitioned(
-          s, mPath, deletes, upserts, "doc_id", "fpb")
-        val m = s.read.parquet(mPath)
+        val m = incrementalMembers(s, dir, "inc_dedup")
         val canon = m.groupBy("fp").agg(min(col("doc_id")).as("canonical_id"))
         m.join(canon, Seq("fp"))
           .select(col("doc_id"), col("canonical_id"),
@@ -817,59 +897,7 @@ object Round11Queries {
     // sized; the candidate join is bucket-keyed, never all-pairs.
     Q(
       "q512_incremental_lsh",
-      (s, dir) => {
-        graft.functions.GraftFunctions.ensureRegistered(s)
-        val docs = Tables.documents(s, dir)
-        // the change set: removed/changed ids leave the state; the fresh
-        // slice (revised originals + clones) is the only text re-processed
-        // — both come from the staging helpers' own construction, never
-        // inferred from id ranges (an id-range sentinel breaks on any
-        // corpus whose real ids overlap it, e.g. the 10x rehearsal's
-        // offset replicas)
-        val gone = goneIds(docs)
-        val fresh = freshSlice(docs)
-        // A-state artifacts: verified pairs, signatures, shingles
-        val oldPairs = SharedFrames.verifiedDocPairs(s, dir)
-        val kept = oldPairs
-          .join(gone.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
-          .join(gone.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
-          .select("id_a", "id_b", "jaccard")
-        val unchangedSigs = SharedFrames.minhashSigs(s, dir)
-          .join(gone, Seq("doc_id"), "left_anti")
-        // the fresh slice feeds three consumers (bucket probe side, the
-        // union arm, the verify shingle side) — localCheckpoint so the
-        // tokenize+shingle+64-min pipeline runs once per gate, not thrice
-        val freshSh = NearDup.shingleFrame(fresh, "doc_id", "text", 3)
-          .localCheckpoint()
-        val freshSigs = NearDup.minHashSignatureFrame(freshSh, "doc_id", 64)
-          .localCheckpoint()
-        def buckets(sigs: DataFrame): DataFrame = sigs
-          .select(col("doc_id"),
-            explode(NearDup.bandBuckets(col("__sig"), 16, 4)).as("__bb"))
-          .select(col("doc_id"), col("__bb.band").as("__band"),
-            col("__bb.bucket").as("__bucket"))
-        val allBuckets = buckets(unchangedSigs).unionByName(buckets(freshSigs))
-        val cand = buckets(freshSigs).as("a")
-          .join(allBuckets.as("b").hint("shuffle_hash"),
-            col("a.__band") === col("b.__band") &&
-              col("a.__bucket") === col("b.__bucket") &&
-              col("a.doc_id") =!= col("b.doc_id"))
-          .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
-            greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
-          .distinct()
-        val allSh = SharedFrames.docShingles(s, dir, 3)
-          .join(gone, Seq("doc_id"), "left_anti")
-          .unionByName(freshSh)
-        val regenerated = cand
-          .join(allSh.select(col("doc_id").as("id_a"), col("__shingles").as("__sa"))
-            .hint("shuffle_hash"), Seq("id_a"))
-          .join(allSh.select(col("doc_id").as("id_b"), col("__shingles").as("__sb"))
-            .hint("shuffle_hash"), Seq("id_b"))
-          .select(col("id_a"), col("id_b"),
-            NearDup.jaccard(col("__sa"), col("__sb")).as("jaccard"))
-          .filter(col("jaccard") >= 0.8)
-        kept.unionByName(regenerated).orderBy("id_a", "id_b")
-      },
+      (s, dir) => incrementalBPairs(s, dir).orderBy("id_a", "id_b"),
       Some(s"""
         WITH $SnapshotBCte,
         ${ExtQueries.minhashPairsCteOver("bsrc").stripPrefix("WITH ")}

@@ -196,7 +196,22 @@ object Round8Queries {
     * by q503.
     */
   private[queries] def beamWalkCteOver(probeN: Int, entryN: Int, hops: Int,
-      beam: Int, pairCtes: String, pairRel: String): String = {
+      beam: Int, pairCtes: String, pairRel: String): String =
+    beamWalkCteOverEntries(probeN, hops, beam, pairCtes, pairRel,
+      s"""SELECT vec_id AS node FROM embeddings
+          ORDER BY ${TextHash.duckHash60("'entry#' || CAST(vec_id AS VARCHAR)")},
+                   vec_id
+          LIMIT $entryN""")
+
+  /** [[beamWalkCteOver]] generalized over the ENTRY SET (round 12):
+    * `entriesBody` is a SELECT producing the walk's seed relation
+    * `entries(node)` — hash-ordered probes for the q497/q500/q503/q505
+    * lineage, degree-ranked / frontier seeds for the round-12 recall
+    * points. The rest of the chain (und/ben/bprobes/f0/hops) is shared.
+    */
+  private[queries] def beamWalkCteOverEntries(probeN: Int, hops: Int,
+      beam: Int, pairCtes: String, pairRel: String,
+      entriesBody: String): String = {
     val hopChain = (1 to hops)
       .map(i => hopCte(s"f${i - 1}", s"f$i", beam)).mkString(", ")
     s"""
@@ -215,10 +230,7 @@ object Round8Queries {
                    vec_id
           LIMIT $probeN
         ), entries AS (
-          SELECT vec_id AS node FROM embeddings
-          ORDER BY ${TextHash.duckHash60("'entry#' || CAST(vec_id AS VARCHAR)")},
-                   vec_id
-          LIMIT $entryN
+          $entriesBody
         ), f0 AS (
           SELECT p.query_id, e.node FROM bprobes p CROSS JOIN entries e
         ), $hopChain""".stripMargin.trim
