@@ -192,6 +192,13 @@ object Bench {
     val refCalibrationMedian =
       sys.env.get("GRAFT_BENCH_REF_CALIB_MEDIAN").map(_.toDouble)
         .getOrElse(0.238540795)
+    // the old re-baselining knob now drives only the minstat series — a
+    // caller setting it alone would silently see an unmoved headline
+    if (sys.env.contains("GRAFT_BENCH_REF_CALIB")
+        && !sys.env.contains("GRAFT_BENCH_REF_CALIB_MEDIAN"))
+      System.err.println(
+        "BENCH-NOTE: GRAFT_BENCH_REF_CALIB re-bases only value_normalized_minstat; " +
+          "set GRAFT_BENCH_REF_CALIB_MEDIAN to re-base the headline value_normalized")
     val calib =
       if (calibration == Double.MaxValue) ""
       else s""","calibration_sec":$calibration,"calibration_stat":"median","calibration_min_sec":$calibrationMin,"calibration_samples":${
@@ -229,7 +236,7 @@ object Bench {
           val merged = results.map { case (n, v) =>
             math.min(v, prev.getOrElse(n, Double.MaxValue))
           }.sum
-          s""","value_min_of_runs":$merged,"min_of_runs_prev":"$prevPath""""
+          s""","value_min_of_runs":$merged,"min_of_runs_prev":${jstr(prevPath)}"""
         }
       } catch { case e: Throwable =>
         System.err.println(s"MIN-OF-RUNS-SKIPPED: $e"); ""
@@ -255,6 +262,18 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"$calib$scaleup}""")
     spark.stop()
   }
+
+  /** JSON string literal with control/quote/backslash escaping — paths from
+    * env vars go through this so a quoted or backslashed path can never
+    * emit an unparseable detail artifact (which would break every
+    * downstream reader on the NEXT run's prev-artifact parse).
+    */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
   /** VERDICT r8 #4 — the automated watch rule: the rehearsal's regression
     * signal is ratio GROWTH round-over-round at fixed code, not ratio level
@@ -321,7 +340,7 @@ object Bench {
         s""""prev_calibration_sec":${prevCalib.getOrElse("null")},""" +
           s""""cur_calibration_sec":${
             if (curCalibration == Double.MaxValue) "null" else curCalibration}"""
-      s""","ratio_growth":{"prev_artifact":"$prevPath",$calibs,"prev_flagged":${
+      s""","ratio_growth":{"prev_artifact":${jstr(prevPath)},$calibs,"prev_flagged":${
         prevFlaggedJson.mkString("[", ",", "]")},"entries":${
         entries.mkString("{", ",", "}")},"flagged":${flagged.mkString("[", ",", "]")},"repeat_flagged":${
         repeat.mkString("[", ",", "]")}}"""

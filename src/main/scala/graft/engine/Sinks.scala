@@ -269,6 +269,13 @@ object Sinks {
     * reading. At warehouse scale this becomes MERGE INTO on a table format
     * with transactional commits; the join shape (existing LEFT ANTI batch,
     * union batch) is identical.
+    *
+    * Concurrency contract: the per-call staging only isolates the STAGING
+    * step. Two concurrent whole-table upserts of the same path still race
+    * read-merge-swap (both merge from v0; the second swap silently drops
+    * the first's batch) — the whole-table form is single-writer by design;
+    * concurrent writers need the partitioned variant on disjoint
+    * partitions, or external coordination / a transactional table format.
     */
   def upsertParquet(batch: DataFrame, path: String, key: String): Unit = {
     val spark = batch.sparkSession
@@ -280,9 +287,14 @@ object Sinks {
       .join(batch.select(key), Seq(key), "left_anti")
       .unionByName(batch)
     val tmp = new Path(stagingDir(path, "upsert", spark))
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(dest, true)
-    require(fs.rename(tmp, dest), s"upsert swap failed for $path")
+    // a failed staging write must not orphan the per-call directory (a
+    // retrying streaming sink would accumulate one per attempt); success
+    // consumes it via the rename
+    try {
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(dest, true)
+      require(fs.rename(tmp, dest), s"upsert swap failed for $path")
+    } catch { case e: Throwable => fs.delete(tmp, true); throw e }
     spark.catalog.clearCache()
   }
 
@@ -346,10 +358,13 @@ object Sinks {
         .join(b.select(key), Seq(key), "left_anti")
         .unionByName(b)
       val tmp = new Path(stagingDir(path, "upsert", spark))
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      try overwritePartitionsDynamic(
-        spark.read.parquet(tmp.toString), path, partitionCols)
-      finally fs.delete(tmp, true)
+      // the staging write sits INSIDE the cleanup scope: a failed merge
+      // write must not orphan the per-call directory
+      try {
+        merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        overwritePartitionsDynamic(
+          spark.read.parquet(tmp.toString), path, partitionCols)
+      } finally fs.delete(tmp, true)
       spark.catalog.clearCache()
     } finally batch.unpersist()
   }
@@ -415,9 +430,9 @@ object Sinks {
       val goneKeys = del.select(key).unionByName(up.select(key)).distinct()
       val merged = existing.join(goneKeys, Seq(key), "left_anti").unionByName(up)
       val tmp = new Path(stagingDir(path, "changes", spark))
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val staged = spark.read.parquet(tmp.toString)
       try {
+        merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val staged = spark.read.parquet(tmp.toString)
         // directories the change set EMPTIES: touched but absent from the
         // merged result — must be deleted explicitly, the dynamic overwrite
         // never visits them. Directory names go through the same Hive path

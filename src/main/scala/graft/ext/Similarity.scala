@@ -350,36 +350,6 @@ object Similarity {
       .select(col("query_id"), col("__cell").as("cell"), col("neighbor_id"))
   }
 
-  /** Per-cell medoid entry points (round 12 — the recall frontier's
-    * non-beam knob): for every cell, the vector closest to the cell's
-    * exact centroid (squared L2, ties to the lowest id) — one navigation
-    * seed per cell, the IVF-graph-hybrid move (DiskANN-style cluster
-    * entry points): hash-random entries leave whole cells many hops from
-    * any seed, while a medoid seed per cell starts the walk inside every
-    * cell's local edge structure. Output (cell, idCol), cell-ordered and
-    * LIMIT-bounded so the frame carries the plan-time row bound the walk's
-    * broadcast contract requires (cells are bounded metadata; the limit
-    * only asserts the broadcast budget, it never truncates a real index's
-    * cell space at the operating points gated here).
-    */
-  def cellMedoids(corpus: DataFrame, idCol: String, vecCol: String,
-      cellCol: String): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val cents = exactCentroids(corpus, vecCol, cellCol)
-      .select(col("cell").as("__mcell"), col("centroid").as("__mcent"))
-    val dist2 = aggregate(
-      zip_with(col(vecCol), col("__mcent"),
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, v) => acc + v)
-    graft.plans.TopKPerKey.of(
-        spread(corpus, idCol)
-          .join(broadcast(cents), col(cellCol) === col("__mcell"))
-          .select(col("__mcell").as("cell"), col(idCol), dist2.as("__d2")),
-        keyCols = Seq("cell"), order = Seq("__d2" -> true, idCol -> true), k = 1)
-      .select(col("cell"), col(idCol))
-      .orderBy("cell").limit(MaxBoundedProbeRows.toInt)
-  }
-
   /** Degree-ranked entry seeds for [[graphBeamSearch]] (round 12 — the
     * recall frontier's ENTRY-QUALITY knob): the `n` highest-degree nodes of
     * an undirected edge list (ties to the lower id). Measured on the

@@ -150,6 +150,69 @@ object Round12Queries {
   /** Train/val/test weights — the registry's standard 80/10/10. */
   private val SplitWeights = Seq("train" -> 80, "val" -> 10, "test" -> 10)
 
+  /** Shared recall-audit scaffold for the round's walk gates (the R12
+    * factoring convention — one copy of the recall arithmetic, not one per
+    * gate): beam walk over the materialized navigable graph with the given
+    * entry set and beam, scored against the brute-force top-3 truth on the
+    * standard 20 hash probes; per-query (n_true, n_hits, recall_micro).
+    */
+  private def recallAudit(s: SparkSession, dir: String, beam: Int,
+      entriesOf: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val probes = Similarity.hashOrderedProbes(e, "vec_id", "beam", 20)
+    val edges = SharedFrames.navEdges(s, dir)
+    val walk = Similarity.graphBeamSearch(
+        corpus = e, edges = edges, queries = probes,
+        idCol = "vec_id", vecCol = "embedding",
+        entries = entriesOf(e, edges), hops = 4, beam = beam, k = 3)
+      .select("query_id", "neighbor_id")
+    val brute = Similarity.topKCosine(probes, e, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id")
+    val hits = brute
+      .join(walk, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    brute.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_true"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_micro",
+        expr("n_hits * 1000000 DIV n_true"))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB twin of [[recallAudit]] over the entry-parameterized walk. */
+  private def recallOracle(beam: Int, entriesBody: String): String = s"""
+        ${Round8Queries.beamWalkCteOverEntries(20, 4, beam,
+          "WITH " + navGraphCteOver("embeddings"), "nav", entriesBody)}, walk AS (
+          SELECT query_id, node AS neighbor_id FROM (
+            SELECT query_id, node,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, node) AS rn
+            FROM f4)
+          WHERE rn <= 3
+        ), brute AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                     ORDER BY ${duckDot("p.qv", "c.embedding")} / (p.qn * c.nrm)
+                       DESC, c.vec_id) AS rn
+            FROM bprobes p JOIN ben c ON c.vec_id <> p.query_id)
+          WHERE rn <= 3
+        ), hits AS (
+          SELECT b.query_id, COUNT(*) AS n_hits
+          FROM brute b
+          JOIN walk w ON w.query_id = b.query_id
+                     AND w.neighbor_id = b.neighbor_id
+          GROUP BY b.query_id
+        )
+        SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(COALESCE(MAX(h.n_hits), 0) AS BIGINT) AS n_hits,
+               CAST(COALESCE(MAX(h.n_hits), 0) * 1000000 // COUNT(*) AS BIGINT)
+                 AS recall_micro
+        FROM brute b LEFT JOIN hits h ON h.query_id = b.query_id
+        GROUP BY b.query_id ORDER BY b.query_id
+      """.trim
+
   /** Version-B staged documents WITH the lang column (q517 needs the
     * mixture schedule over version B): same change classes as
     * Round11Queries.stagedB — bucket 0 removed, 1 revised, 2 cloned to a
@@ -190,10 +253,10 @@ object Round12Queries {
     * set (q512's path), and the pinned assignment with quarantine
     * ([[graft.ext.Splits.pinnedComponentSplits]]).
     */
-  private final case class SplitState(
+  private[queries] final case class SplitState(
       aSplit: DataFrame, bPairs: DataFrame, assigned: DataFrame)
 
-  private def splitStateB(s: SparkSession, dir: String): SplitState = {
+  private[queries] def splitStateB(s: SparkSession, dir: String): SplitState = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val docs = Tables.documents(s, dir).select("doc_id")
     val aPairs = SharedFrames.verifiedDocPairs(s, dir).select("id_a", "id_b")
@@ -342,11 +405,14 @@ object Round12Queries {
         // the change slice and its bounded affected-cell list
         val affected = e.filter(vInScope && vsnapBucket < 3L)
           .select(col("label")).distinct().collect().map(_.getInt(0)).toSeq
-        // mutual-kNN maintenance
+        // mutual-kNN maintenance. Cell predicates take isInCollection (one
+        // set-membership node — the Sinks touched-partition convention): a
+        // production index has thousands of affected cells per day, and an
+        // OR-of-equalities tree that size bloats planning
         val keptMu = s.read.parquet(s"$scr/mu")
-          .filter(!col("cell").isin(affected: _*)).select("id_a", "id_b")
+          .filter(!col("cell").isInCollection(affected)).select("id_a", "id_b")
         val redoMu = Similarity.mutualKnnGraph(
-          b.filter(col("label").isin(affected: _*)),
+          b.filter(col("label").isInCollection(affected)),
           "vec_id", "embedding", "label", k = 3)
         // long-range maintenance: keep where (vector, pick, cell contents)
         // all unchanged; redo the rest against only the redo cells
@@ -354,7 +420,7 @@ object Round12Queries {
         val revised = e.filter(vInScope && vsnapBucket === 1L)
           .select(col("vec_id").as("query_id"))
         val keep = s.read.parquet(s"$scr/picks")
-          .filter(!col("cell").isin(affected: _*))
+          .filter(!col("cell").isInCollection(affected))
           .join(picksB.select(col("query_id"), col("__cell").as("cell")),
             Seq("query_id", "cell"), "left_semi")
           .join(revised, Seq("query_id"), "left_anti")
@@ -364,7 +430,7 @@ object Round12Queries {
         val redoCells = redo.select(col("__cell")).distinct()
           .collect().map(_.getInt(0)).toSeq
         val redone = Similarity.bestInPickedCells(
-          redo, b.filter(col("label").isin(redoCells: _*)),
+          redo, b.filter(col("label").isInCollection(redoCells)),
           "vec_id", "embedding", "label")
         val lre = keep.select("query_id", "neighbor_id")
           .unionByName(redone.select("query_id", "neighbor_id"))
@@ -538,10 +604,14 @@ object Round12Queries {
         val m = Round11Queries.incrementalMembers(s, dir, "e2e_members")
         val canon = m.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
           .select("doc_id")
-        val st = splitStateB(s, dir)
+        // the PERSISTED split table (SharedFrames.pinnedSplitsB) — pinning
+        // only works if version B's assignments are durable state, so the
+        // artifact read IS the production shape; q515 keeps the policy's
+        // construction live as its value gate
+        val assigned = SharedFrames.pinnedSplitsB(s, dir)
         val train = stagedBFull(Tables.documents(s, dir))
           .join(canon, Seq("doc_id"), "left_semi")
-          .join(st.assigned
+          .join(assigned
             .filter(col("split") === "train" && col("quarantined") === 0)
             .select("doc_id"), Seq("doc_id"), "left_semi")
         val sched = Round11Queries.mixtureScheduleOver(
@@ -635,64 +705,13 @@ object Round12Queries {
     // (q514 keeps the edge set fresh).
     Q(
       "q518_degree_seeded_recall",
-      (s, dir) => {
-        val e = Tables.embeddings(s, dir)
-        val probes = Similarity.hashOrderedProbes(e, "vec_id", "beam", 20)
-        val edges = SharedFrames.navEdges(s, dir)
-        val walk = Similarity.graphBeamSearch(
-            corpus = e, edges = edges, queries = probes,
-            idCol = "vec_id", vecCol = "embedding",
-            entries = Similarity.topDegreeNodes(edges, 64),
-            hops = 4, beam = 8, k = 3)
-          .select("query_id", "neighbor_id")
-        val brute = Similarity.topKCosine(probes, e, "vec_id", "embedding", k = 3)
-          .select("query_id", "neighbor_id")
-        val hits = brute
-          .join(walk, Seq("query_id", "neighbor_id"), "left_semi")
-          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-        brute.groupBy("query_id").agg(count(lit(1)).as("n_true"))
-          .join(hits, Seq("query_id"), "left")
-          .select(col("query_id"), col("n_true"),
-            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-          .withColumn("recall_micro",
-            expr("n_hits * 1000000 DIV n_true"))
-          .orderBy("query_id")
-      },
-      Some(s"""
-        ${Round8Queries.beamWalkCteOverEntries(20, 4, 8,
-          "WITH " + navGraphCteOver("embeddings"), "nav",
-          """SELECT node FROM (
+      (s, dir) => recallAudit(s, dir, beam = 8,
+        (_, edges) => Similarity.topDegreeNodes(edges, 64)),
+      Some(recallOracle(8,
+        """SELECT node FROM (
             SELECT u AS node, COUNT(*) AS deg FROM (
               SELECT id_a AS u FROM nav UNION ALL SELECT id_b AS u FROM nav)
-            GROUP BY u ORDER BY deg DESC, node LIMIT 64)""")}, walk AS (
-          SELECT query_id, node AS neighbor_id FROM (
-            SELECT query_id, node,
-                   row_number() OVER (PARTITION BY query_id
-                     ORDER BY cosine DESC, node) AS rn
-            FROM f4)
-          WHERE rn <= 3
-        ), brute AS (
-          SELECT query_id, neighbor_id FROM (
-            SELECT p.query_id, c.vec_id AS neighbor_id,
-                   row_number() OVER (PARTITION BY p.query_id
-                     ORDER BY ${duckDot("p.qv", "c.embedding")} / (p.qn * c.nrm)
-                       DESC, c.vec_id) AS rn
-            FROM bprobes p JOIN ben c ON c.vec_id <> p.query_id)
-          WHERE rn <= 3
-        ), hits AS (
-          SELECT b.query_id, COUNT(*) AS n_hits
-          FROM brute b
-          JOIN walk w ON w.query_id = b.query_id
-                     AND w.neighbor_id = b.neighbor_id
-          GROUP BY b.query_id
-        )
-        SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
-               CAST(COALESCE(MAX(h.n_hits), 0) AS BIGINT) AS n_hits,
-               CAST(COALESCE(MAX(h.n_hits), 0) * 1000000 // COUNT(*) AS BIGINT)
-                 AS recall_micro
-        FROM brute b LEFT JOIN hits h ON h.query_id = b.query_id
-        GROUP BY b.query_id ORDER BY b.query_id
-      """.trim)),
+            GROUP BY u ORDER BY deg DESC, node LIMIT 64)"""))),
 
     // The recall frontier's new TOP point — entry count composed with
     // beam: 128 hash-ordered entries at beam 16 reads 95% (57/60), the
@@ -705,64 +724,13 @@ object Round12Queries {
     // value-bounded at any corpus size.
     Q(
       "q519_recall_frontier_point",
-      (s, dir) => {
-        val e = Tables.embeddings(s, dir)
-        val probes = Similarity.hashOrderedProbes(e, "vec_id", "beam", 20)
-        val edges = SharedFrames.navEdges(s, dir)
-        val walk = Similarity.graphBeamSearch(
-            corpus = e, edges = edges, queries = probes,
-            idCol = "vec_id", vecCol = "embedding",
-            entries = Similarity.hashOrderedProbes(
-              e.select("vec_id"), "vec_id", "entry", 128),
-            hops = 4, beam = 16, k = 3)
-          .select("query_id", "neighbor_id")
-        val brute = Similarity.topKCosine(probes, e, "vec_id", "embedding", k = 3)
-          .select("query_id", "neighbor_id")
-        val hits = brute
-          .join(walk, Seq("query_id", "neighbor_id"), "left_semi")
-          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-        brute.groupBy("query_id").agg(count(lit(1)).as("n_true"))
-          .join(hits, Seq("query_id"), "left")
-          .select(col("query_id"), col("n_true"),
-            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-          .withColumn("recall_micro",
-            expr("n_hits * 1000000 DIV n_true"))
-          .orderBy("query_id")
-      },
-      Some(s"""
-        ${Round8Queries.beamWalkCteOverEntries(20, 4, 16,
-          "WITH " + navGraphCteOver("embeddings"), "nav",
-          s"""SELECT vec_id AS node FROM embeddings
+      (s, dir) => recallAudit(s, dir, beam = 16,
+        (e, _) => Similarity.hashOrderedProbes(
+          e.select("vec_id"), "vec_id", "entry", 128)),
+      Some(recallOracle(16,
+        s"""SELECT vec_id AS node FROM embeddings
           ORDER BY ${TextHash.duckHash60("'entry#' || CAST(vec_id AS VARCHAR)")},
                    vec_id
-          LIMIT 128""")}, walk AS (
-          SELECT query_id, node AS neighbor_id FROM (
-            SELECT query_id, node,
-                   row_number() OVER (PARTITION BY query_id
-                     ORDER BY cosine DESC, node) AS rn
-            FROM f4)
-          WHERE rn <= 3
-        ), brute AS (
-          SELECT query_id, neighbor_id FROM (
-            SELECT p.query_id, c.vec_id AS neighbor_id,
-                   row_number() OVER (PARTITION BY p.query_id
-                     ORDER BY ${duckDot("p.qv", "c.embedding")} / (p.qn * c.nrm)
-                       DESC, c.vec_id) AS rn
-            FROM bprobes p JOIN ben c ON c.vec_id <> p.query_id)
-          WHERE rn <= 3
-        ), hits AS (
-          SELECT b.query_id, COUNT(*) AS n_hits
-          FROM brute b
-          JOIN walk w ON w.query_id = b.query_id
-                     AND w.neighbor_id = b.neighbor_id
-          GROUP BY b.query_id
-        )
-        SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
-               CAST(COALESCE(MAX(h.n_hits), 0) AS BIGINT) AS n_hits,
-               CAST(COALESCE(MAX(h.n_hits), 0) * 1000000 // COUNT(*) AS BIGINT)
-                 AS recall_micro
-        FROM brute b LEFT JOIN hits h ON h.query_id = b.query_id
-        GROUP BY b.query_id ORDER BY b.query_id
-      """.trim))
+          LIMIT 128""")))
   )
 }

@@ -31,22 +31,26 @@ import graft.ext.{IvfPq, NearDup}
   */
 object SharedFrames {
 
+  /** Scratch path tagged with a hash of the FULL canonical sf-dir path
+    * (ADVICE_r06): two corpora whose directories share a leaf name
+    * ("/a/sf0.1" vs "/b/sf0.1") in one session must not cross-read each
+    * other's cached artifacts. ONE definition for every artifact path —
+    * a tagging-scheme change that touched only some sites would silently
+    * split cached artifacts across two naming schemes.
+    */
+  private def taggedDir(s: SparkSession, dir: String, prefix: String): String = {
+    val canonical = new java.io.File(dir).getCanonicalPath
+    val pathTag = f"${scala.util.hashing.MurmurHash3.stringHash(canonical) & 0xffffffffL}%08x"
+    Scratch.dir(s, dir, s"${prefix}_$pathTag")
+  }
+
   /** The standard verified near-dup edge set (id_a, id_b, jaccard) over
     * `documents`, materialize-once per session+dir. Thread-safe: Verify and
     * Bench drive queries sequentially, but the lock makes concurrent
     * builders (e.g. a test suite) serialize on the write.
     */
-  /** Scratch location of the materialized pair frame. The key carries a
-    * hash of the FULL canonical sf-dir path, not just its leaf
-    * (ADVICE_r06): two corpora whose directories share a leaf name
-    * ("/a/sf0.1" vs "/b/sf0.1") in one session must not cross-read each
-    * other's cached frame.
-    */
-  private[queries] def pairFramePath(s: SparkSession, dir: String): String = {
-    val canonical = new java.io.File(dir).getCanonicalPath
-    val pathTag = f"${scala.util.hashing.MurmurHash3.stringHash(canonical) & 0xffffffffL}%08x"
-    Scratch.dir(s, dir, s"mh_pairs_n3_k64_b16_t080_$pathTag")
-  }
+  private[queries] def pairFramePath(s: SparkSession, dir: String): String =
+    taggedDir(s, dir, s"mh_pairs_n3_k64_b16_t080")
 
   def verifiedDocPairs(s: SparkSession, dir: String): DataFrame = synchronized {
     val path = pairFramePath(s, dir)
@@ -77,11 +81,8 @@ object SharedFrames {
     * round-trip parquet exactly, and every consumer's oracle still derives
     * the edges from first principles, so nothing weakens.
     */
-  private[queries] def mutualKnnPath(s: SparkSession, dir: String): String = {
-    val canonical = new java.io.File(dir).getCanonicalPath
-    val pathTag = f"${scala.util.hashing.MurmurHash3.stringHash(canonical) & 0xffffffffL}%08x"
-    Scratch.dir(s, dir, s"mknn_cell_k3_$pathTag")
-  }
+  private[queries] def mutualKnnPath(s: SparkSession, dir: String): String =
+    taggedDir(s, dir, s"mknn_cell_k3")
 
   def mutualKnnEdges(s: SparkSession, dir: String): DataFrame = synchronized {
     val path = mutualKnnPath(s, dir)
@@ -104,11 +105,8 @@ object SharedFrames {
     * round-trip parquet exactly and both consumers' oracles re-derive the
     * edges from first principles.
     */
-  private[queries] def navEdgesPath(s: SparkSession, dir: String): String = {
-    val canonical = new java.io.File(dir).getCanonicalPath
-    val pathTag = f"${scala.util.hashing.MurmurHash3.stringHash(canonical) & 0xffffffffL}%08x"
-    Scratch.dir(s, dir, s"nav_mknn3_lre2_$pathTag")
-  }
+  private[queries] def navEdgesPath(s: SparkSession, dir: String): String =
+    taggedDir(s, dir, s"nav_mknn3_lre2")
 
   def navEdges(s: SparkSession, dir: String): DataFrame = synchronized {
     val path = navEdgesPath(s, dir)
@@ -138,11 +136,8 @@ object SharedFrames {
     * parquet exactly, and every consumer is order-insensitive in the
     * array, so the artifact cannot change output.
     */
-  private[queries] def docShinglesPath(s: SparkSession, dir: String, n: Int): String = {
-    val canonical = new java.io.File(dir).getCanonicalPath
-    val pathTag = f"${scala.util.hashing.MurmurHash3.stringHash(canonical) & 0xffffffffL}%08x"
-    Scratch.dir(s, dir, s"doc_shingles_n${n}_$pathTag")
-  }
+  private[queries] def docShinglesPath(s: SparkSession, dir: String, n: Int): String =
+    taggedDir(s, dir, s"doc_shingles_n${n}")
 
   def docShingles(s: SparkSession, dir: String, n: Int): DataFrame = synchronized {
     val path = docShinglesPath(s, dir, n)
@@ -168,11 +163,8 @@ object SharedFrames {
     * and the signature array order is positional (slot index), not
     * row-order-dependent, so the artifact cannot change output.
     */
-  private[queries] def minhashSigsPath(s: SparkSession, dir: String): String = {
-    val canonical = new java.io.File(dir).getCanonicalPath
-    val pathTag = f"${scala.util.hashing.MurmurHash3.stringHash(canonical) & 0xffffffffL}%08x"
-    Scratch.dir(s, dir, s"minhash_sigs_n3_k64_$pathTag")
-  }
+  private[queries] def minhashSigsPath(s: SparkSession, dir: String): String =
+    taggedDir(s, dir, s"minhash_sigs_n3_k64")
 
   def minhashSigs(s: SparkSession, dir: String): DataFrame = synchronized {
     val path = minhashSigsPath(s, dir)
@@ -180,6 +172,32 @@ object SharedFrames {
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
       NearDup.minHashSignatureFrame(docShingles(s, dir, 3), "doc_id", k = 64)
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** The materialized version-B PINNED SPLIT TABLE (doc_id, component,
+    * split, quarantined) — round 12: in production the split assignment IS
+    * persisted state (that is the whole point of pinning — version B's
+    * assignments must be read back when version C arrives), so the e2e
+    * chain (q517) consuming it as an artifact is the production shape, not
+    * a shortcut. q515 DELIBERATELY constructs the full state LIVE (it is
+    * the policy's value gate and measures both invariants from the
+    * construction — the q24/q437 one-live-consumer precedent); q517 reads
+    * this artifact and its oracle still derives the table from first
+    * principles, so a policy defect fails both gates regardless. Longs,
+    * strings and ints round-trip parquet exactly.
+    */
+  private[queries] def pinnedSplitsBPath(s: SparkSession, dir: String): String =
+    taggedDir(s, dir, s"pinned_splits_b")
+
+  def pinnedSplitsB(s: SparkSession, dir: String): DataFrame = synchronized {
+    val path = pinnedSplitsBPath(s, dir)
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      Round12Queries.splitStateB(s, dir).assigned
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
@@ -195,11 +213,8 @@ object SharedFrames {
     * consumer's DuckDB oracle still derives the identical index from first
     * principles, so the artifact content itself stays hash-gated.
     */
-  private[queries] def ivfPqIndexPath(s: SparkSession, dir: String): String = {
-    val canonical = new java.io.File(dir).getCanonicalPath
-    val pathTag = f"${scala.util.hashing.MurmurHash3.stringHash(canonical) & 0xffffffffL}%08x"
-    Scratch.dir(s, dir, s"ivfpq_m4x16_cw32_$pathTag")
-  }
+  private[queries] def ivfPqIndexPath(s: SparkSession, dir: String): String =
+    taggedDir(s, dir, s"ivfpq_m4x16_cw32")
 
   def ivfPqIndex(s: SparkSession, dir: String): IvfPq.Index = synchronized {
     val base = ivfPqIndexPath(s, dir)

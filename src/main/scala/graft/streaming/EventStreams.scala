@@ -271,19 +271,25 @@ object EventStreams {
       org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val arrived = batch.count()
-        require(arrived <= batchCap,
-          s"startAnnServe: micro-batch $batchId carries $arrived queries, " +
-            s"over batchCap=$batchCap — shrink the trigger " +
-            "(maxFilesPerTrigger/maxOffsetsPerTrigger) or raise the cap; " +
-            "serving must answer every arrival, never silently truncate")
-        val probes = batch
-          .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-          .limit(batchCap)
-        graft.engine.Sinks.overwritePartitionsDynamic(
-          graft.ext.IvfPq.adcShortlist(ix, probes, nprobe, shortlist)
-            .withColumn("batch_id", lit(batchId)),
-          outDir, Seq("batch_id"))
+        // persisted across the two actions (count + serve): without it the
+        // cap check would re-read and re-decode every arrival file a second
+        // time each trigger
+        val b = batch.persist()
+        try {
+          val arrived = b.count()
+          require(arrived <= batchCap,
+            s"startAnnServe: micro-batch $batchId carries $arrived queries, " +
+              s"over batchCap=$batchCap — shrink the trigger " +
+              "(maxFilesPerTrigger/maxOffsetsPerTrigger) or raise the cap; " +
+              "serving must answer every arrival, never silently truncate")
+          val probes = b
+            .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+            .limit(batchCap)
+          graft.engine.Sinks.overwritePartitionsDynamic(
+            graft.ext.IvfPq.adcShortlist(ix, probes, nprobe, shortlist)
+              .withColumn("batch_id", lit(batchId)),
+            outDir, Seq("batch_id"))
+        } finally batch.unpersist(): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Update)
