@@ -686,6 +686,156 @@ object Round12Queries {
         FROM tpacked GROUP BY 1 ORDER BY shard
       """.trim)),
 
+    // Split-pinning TRANSITIVITY across THREE versions — the q515 policy
+    // COMPOSED: version C arrives on top of B (snap2 hash buckets over the
+    // B corpus: 0 of 10 removed, 1 revised — additions were q515's arm;
+    // removals + revisions are what move components between established
+    // versions), and C's assignment inherits from the PERSISTED B split
+    // table (SharedFrames.pinnedSplitsB — the artifact IS the policy's
+    // durable state, so chaining through it is the production shape, not
+    // a shortcut). Three invariants ride the value: n_flipped_vs_b = 0
+    // (C survivors keep their B splits), n_flipped_vs_a = 0 (docs
+    // surviving ALL THREE versions still carry their ORIGINAL A split —
+    // the transitivity the two pairwise gates only imply), and
+    // n_leaky_pairs = 0 over C's verified pairs with non-quarantined
+    // endpoints. Scale: one CC fixpoint over C's pair set, the B prior is
+    // an artifact read, the A-split audit is one more CC + hash — all
+    // component-bounded aggregates and delta-bounded joins.
+    Q(
+      "q520_split_pinning_transitive",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val docs = Tables.documents(s, dir)
+        def snap2 = pmod(TextHash.hash60(
+          concat(lit("snap2#"), col("doc_id").cast("string"))), lit(10L))
+        val cDocs = Round11Queries.stagedB(docs).withColumn("__b", snap2)
+          .filter(col("__b") =!= 0)
+          .select(col("doc_id"),
+            when(col("__b") === 1, concat(col("text"), lit(" rev3")))
+              .otherwise(col("text")).as("text"))
+        // version-C components (the pinning policy is this gate's subject;
+        // the LSH increment itself is q512's gate, so C's pairs come from
+        // the plain operator)
+        val cPairs = NearDup.minHashNearDupPairs(
+            cDocs, "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.8)
+          .select("id_a", "id_b")
+        val cCc = NearDup.connectedComponents(cPairs, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        val members = cDocs.select("doc_id").join(cCc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("component"))
+        // prior = the PERSISTED version-B split table
+        val priorB = SharedFrames.pinnedSplitsB(s, dir)
+          .select(col("doc_id"), col("split").as("prior_split"))
+        val assigned = Splits.pinnedComponentSplits(members, "doc_id",
+          "component", priorB, "prior_split", SplitWeights)
+        // invariant 1: no C survivor flips vs its B assignment
+        val flipsB = assigned.join(priorB, Seq("doc_id"))
+          .agg(coalesce(sum(when(col("split") =!= col("prior_split"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_flipped_vs_b"))
+        // invariant 2 (TRANSITIVITY): docs surviving A -> B -> C still
+        // carry their version-A split
+        val aPairs = SharedFrames.verifiedDocPairs(s, dir).select("id_a", "id_b")
+        val aCc = NearDup.connectedComponents(aPairs, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        val aSplit = docs.select("doc_id").join(aCc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            graft.ext.TextAnalysis.splitAssign(
+              coalesce(col("cluster_id"), col("doc_id")), SplitWeights)
+              .as("a_split"))
+        val flipsA = assigned.join(aSplit, Seq("doc_id"))
+          .agg(coalesce(sum(when(col("split") =!= col("a_split"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_flipped_vs_a"))
+        // invariant 3: zero leakage over C's pairs outside quarantine
+        val leak = cPairs
+          .join(assigned.select(col("doc_id").as("id_a"),
+            col("split").as("__sa"), col("quarantined").as("__qa"))
+            .hint("shuffle_hash"), Seq("id_a"))
+          .join(assigned.select(col("doc_id").as("id_b"),
+            col("split").as("__sb"), col("quarantined").as("__qb"))
+            .hint("shuffle_hash"), Seq("id_b"))
+          .agg(coalesce(sum(when(col("__sa") =!= col("__sb")
+              && col("__qa") === 0 && col("__qb") === 0, 1L)
+            .otherwise(0L)), lit(0L)).as("n_leaky_pairs"))
+        assigned.crossJoin(broadcast(flipsB)).crossJoin(broadcast(flipsA))
+          .crossJoin(broadcast(leak))
+          .select(col("doc_id"), col("component"), col("split"),
+            col("quarantined"), col("n_flipped_vs_b"), col("n_flipped_vs_a"),
+            col("n_leaky_pairs"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $pinnedSplitCtes, csrc AS (
+          SELECT doc_id,
+                 CASE WHEN h2 = 1 THEN text || ' rev3' ELSE text END AS text
+          FROM (
+            SELECT doc_id, text,
+                   ${TextHash.duckHash60("'snap2#' || CAST(doc_id AS VARCHAR)")}
+                     % 10 AS h2
+            FROM bsrc)
+          WHERE h2 <> 0
+        ), ${ExtQueries.minhashPairsCteOver("csrc", prefix = "c_")
+          .stripPrefix("WITH ").trim}, c_e2 AS (
+          SELECT id_a AS src, id_b AS dst FROM c_verified
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM c_verified
+        ), c_reach(v, label) AS (
+          SELECT src, src FROM c_e2
+          UNION
+          SELECT e.dst, r.label FROM c_reach r JOIN c_e2 e ON e.src = r.v
+        ), c_cc AS (
+          SELECT v AS doc_id, CAST(MIN(label) AS BIGINT) AS component
+          FROM c_reach GROUP BY v
+        ), c_members AS (
+          SELECT c.doc_id, COALESCE(c_cc.component, c.doc_id) AS component
+          FROM csrc c LEFT JOIN c_cc ON c_cc.doc_id = c.doc_id
+        ), c_surv AS (
+          SELECT m.doc_id, m.component, a.split AS prior_split
+          FROM c_members m LEFT JOIN assigned a ON a.doc_id = m.doc_id
+        ), c_pins AS (
+          SELECT component,
+                 COUNT(DISTINCT prior_split) AS n_pins,
+                 arg_min(prior_split, doc_id)
+                   FILTER (WHERE prior_split IS NOT NULL) AS pin_split
+          FROM c_surv GROUP BY component
+        ), c_assigned AS (
+          SELECT s.doc_id, s.component,
+                 CASE WHEN s.prior_split IS NOT NULL THEN s.prior_split
+                      WHEN p.n_pins = 0 THEN
+                        CASE WHEN ${TextHash.duckHash60(
+                            "CAST(s.component AS VARCHAR)")} % 100 < 80
+                               THEN 'train'
+                             WHEN ${TextHash.duckHash60(
+                            "CAST(s.component AS VARCHAR)")} % 100 < 90
+                               THEN 'val'
+                             ELSE 'test' END
+                      ELSE p.pin_split END AS split,
+                 CAST(CASE WHEN p.n_pins > 1 THEN 1 ELSE 0 END AS INTEGER)
+                   AS quarantined
+          FROM c_surv s JOIN c_pins p ON p.component = s.component
+        ), c_flips_b AS (
+          SELECT CAST(COALESCE(SUM(CASE WHEN x.split <> a.split
+                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_flipped_vs_b
+          FROM c_assigned x JOIN assigned a ON a.doc_id = x.doc_id
+        ), c_flips_a AS (
+          SELECT CAST(COALESCE(SUM(CASE WHEN x.split <> s.prior_split
+                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_flipped_vs_a
+          FROM c_assigned x JOIN asplit s ON s.doc_id = x.doc_id
+        ), c_leak AS (
+          SELECT CAST(COALESCE(SUM(CASE WHEN sa.split <> sb.split
+                   AND sa.quarantined = 0 AND sb.quarantined = 0
+                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_leaky_pairs
+          FROM c_verified v
+          JOIN c_assigned sa ON sa.doc_id = v.id_a
+          JOIN c_assigned sb ON sb.doc_id = v.id_b
+        )
+        SELECT doc_id, component, split, quarantined,
+               n_flipped_vs_b, n_flipped_vs_a, n_leaky_pairs
+        FROM c_assigned CROSS JOIN c_flips_b CROSS JOIN c_flips_a
+          CROSS JOIN c_leak
+        ORDER BY doc_id
+      """.trim)),
+
     // Recall frontier past beam-16 with a NON-beam knob — VERDICT_r11 next
     // #5: the sweep showed beam saturating (77-78% at 12-16) and hops flat
     // at 4+ (re-measured this round: hops 5 and 6 at beam 8 both read
