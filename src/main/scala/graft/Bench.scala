@@ -66,10 +66,12 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best = scala.collection.mutable.Map.empty[String, Double]
     val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
-    // Cadence derived from the registry size (ADVICE_r11: a hardwired %170
-    // drifts off its documented sample count as the registry grows): ~4
-    // intra-pass samples per pass, plus the 3 boundary samples.
-    val calibStep = math.max(1, names.size / 4)
+    // Sample positions computed explicitly (ADVICE_r12: the floor-division
+    // step yielded 4-7 intra-pass samples depending on registry size,
+    // drifting off its documented count): exactly the 4 quartile boundaries
+    // of the pass, whatever the registry size, plus the 3 pass-boundary
+    // samples.
+    val calibPositions = (1 to 4).map(j => names.size * j / 4).filter(_ >= 1).toSet
     (1 to 2).foreach { _ =>
       calibSamples += calibrate()
       names.zipWithIndex.foreach { case (name, i) =>
@@ -79,7 +81,7 @@ object Bench {
         }
         val sec = (System.nanoTime() - t0) / 1e9
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
-        if ((i + 1) % calibStep == 0) calibSamples += calibrate()
+        if (calibPositions.contains(i + 1)) calibSamples += calibrate()
       }
     }
     calibSamples += calibrate()
@@ -218,32 +220,51 @@ object Bench {
     // stays the single-run headline (a changed plan reads stale-low in a
     // cross-code merge, so the merged number is the COMPANION, not the
     // gate). Queries without a prev entry contribute their current time.
+    // Same-code guard (ADVICE_r12): the merge is only valid when the prev
+    // detail artifact came from THIS code — a stale file from a prior
+    // round would silently mix cross-code per-query times and read
+    // stale-low. The detail artifact carries a code fingerprint (registry
+    // names + size — any query added, removed or renamed changes it), and
+    // the merge is skipped with a note when the prev's doesn't match or
+    // predates the field. (A plan change inside an unrenamed query still
+    // rides the documented commit convention; the fingerprint closes the
+    // stale-FILE class, which is what has actually occurred.)
+    val codeFingerprint =
+      f"${scala.util.hashing.MurmurHash3.orderedHash(names) & 0xffffffffL}%08x-${names.size}"
     val minOfRuns: String = {
       val prevPath = sys.env.getOrElse("GRAFT_BENCH_PREV",
         sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_detail_latest.json"))
       try {
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(new java.io.File(prevPath))
-        val it = root.path("queries").fields()
-        val b = Map.newBuilder[String, Double]
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble
-        }
-        val prev = b.result()
-        if (prev.isEmpty) ""
-        else {
-          val merged = results.map { case (n, v) =>
-            math.min(v, prev.getOrElse(n, Double.MaxValue))
-          }.sum
-          s""","value_min_of_runs":$merged,"min_of_runs_prev":${jstr(prevPath)}"""
+        val prevFp = root.path("code_fingerprint")
+        if (!prevFp.isTextual || prevFp.asText() != codeFingerprint) {
+          System.err.println(s"MIN-OF-RUNS-SKIPPED: prev artifact $prevPath " +
+            s"fingerprint ${if (prevFp.isTextual) prevFp.asText() else "absent"} " +
+            s"!= current $codeFingerprint (different code — merge would mix runs)")
+          ""
+        } else {
+          val it = root.path("queries").fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble
+          }
+          val prev = b.result()
+          if (prev.isEmpty) ""
+          else {
+            val merged = results.map { case (n, v) =>
+              math.min(v, prev.getOrElse(n, Double.MaxValue))
+            }.sum
+            s""","value_min_of_runs":$merged,"min_of_runs_prev":${jstr(prevPath)}"""
+          }
         }
       } catch { case e: Throwable =>
         System.err.println(s"MIN-OF-RUNS-SKIPPED: $e"); ""
       }
     }
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"$calib$minOfRuns$scaleup}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"code_fingerprint":"$codeFingerprint","queries":$qs,"sf":"$sfDir"$calib$minOfRuns$scaleup}"""
     val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_detail_latest.json")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
@@ -295,6 +316,16 @@ object Bench {
     * `cur_calibration_sec` verbatim from/for the compared artifacts, and
     * `repeat_flagged` = flagged now AND flagged last round — the entries
     * that demand a code diagnosis rather than a re-run.
+    *
+    * LEVEL CHECK (VERDICT_r12 next #2 — the two-stage rule's second stage,
+    * mechanical): the growth flag fires whenever the PREV run's x10
+    * windows were unusually fast (deflated denominators), so a repeat flag
+    * alone is not a verdict — the adjudication is the ABSOLUTE ratio
+    * against the documented 2-4x corpus-linear band (SURVEY section 2.18).
+    * Each entry carries `level_ok` = ratio <= 4.0, and
+    * `repeat_needs_diagnosis` = repeat_flagged AND NOT level_ok — the only
+    * set that demands a stage profile; repeat_flagged ∧ level_ok
+    * self-adjudicates as steal noise on the record.
     */
   private def ratioGrowth(cur: Map[String, Double], curCalibration: Double): String = {
     val prevPath = sys.env.getOrElse("GRAFT_BENCH_PREV",
@@ -328,12 +359,16 @@ object Bench {
     if (shared.isEmpty) ""
     else {
       def growth(n: String): Double = cur(n) / prev(n)
+      def levelOk(n: String): Boolean = cur(n) <= 4.0
       val entries = shared.map(n =>
         s"\"" + n + s"\":{\"prev\":${prev(n)},\"cur\":${cur(n)}," +
-          s"\"growth\":${growth(n)},\"flag\":${growth(n) > 1.2}}")
+          s"\"growth\":${growth(n)},\"flag\":${growth(n) > 1.2}," +
+          s"\"level_ok\":${levelOk(n)}}")
       val flaggedNames = shared.filter(growth(_) > 1.2)
       val flagged = flaggedNames.map("\"" + _ + "\"")
-      val repeat = flaggedNames.filter(prevFlagged.contains)
+      val repeatNames = flaggedNames.filter(prevFlagged.contains)
+      val repeat = repeatNames.map("\"" + _ + "\"")
+      val needsDiagnosis = repeatNames.filterNot(levelOk)
         .map("\"" + _ + "\"")
       val prevFlaggedJson = prevFlagged.map("\"" + _ + "\"")
       val calibs =
@@ -343,7 +378,8 @@ object Bench {
       s""","ratio_growth":{"prev_artifact":${jstr(prevPath)},$calibs,"prev_flagged":${
         prevFlaggedJson.mkString("[", ",", "]")},"entries":${
         entries.mkString("{", ",", "}")},"flagged":${flagged.mkString("[", ",", "]")},"repeat_flagged":${
-        repeat.mkString("[", ",", "]")}}"""
+        repeat.mkString("[", ",", "]")},"repeat_needs_diagnosis":${
+        needsDiagnosis.mkString("[", ",", "]")}}"""
     }
   }
 

@@ -287,14 +287,17 @@ object Sinks {
       .join(batch.select(key), Seq(key), "left_anti")
       .unionByName(batch)
     val tmp = new Path(stagingDir(path, "upsert", spark))
-    // a failed staging write must not orphan the per-call directory (a
-    // retrying streaming sink would accumulate one per attempt); success
-    // consumes it via the rename
-    try {
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      fs.delete(dest, true)
-      require(fs.rename(tmp, dest), s"upsert swap failed for $path")
-    } catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    // cleanup is scoped to the STAGING WRITE only (ADVICE_r12): a failed
+    // merge write must not orphan the per-call directory (a retrying
+    // streaming sink would accumulate one per attempt), but once
+    // fs.delete(dest) has removed the table, tmp holds the ONLY copy of
+    // the merged data — a failed swap must leave it on disk for manual
+    // recovery, never delete it on the way out
+    try merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    fs.delete(dest, true)
+    require(fs.rename(tmp, dest),
+      s"upsert swap failed for $path — merged data preserved at $tmp")
     spark.catalog.clearCache()
   }
 
@@ -385,6 +388,21 @@ object Sinks {
     * column (the bucketed-membership layout); the touched-value collect is
     * bounded by the partition count, the merge reads only touched
     * directories, and untouched siblings keep their files byte-for-byte.
+    *
+    * The delete contract is audited ON the staged write's own job
+    * (VERDICT_r12 next #7 — no separate per-batch count): the merge is a
+    * full-outer join against the marked change keys, an `observe()` metric
+    * counts delete keys with no existing row in the touched read, and the
+    * check runs after staging but BEFORE anything publishes. Two miss
+    * cases are distinguished (ADVICE_r12): a missed key found elsewhere in
+    * the table means the delete named a WRONG partition — proceeding would
+    * silently leave the old row in place, so the call fails with the table
+    * untouched; a missed key absent from the table ENTIRELY is a REPLAYED
+    * change batch (foreachBatch delivers at-least-once — a crash between
+    * the overwrite and checkpoint commit re-delivers the batch), and the
+    * call converges as an idempotent no-op for it. The disambiguation is
+    * one column-pruned key scan of the table and runs ONLY when the cheap
+    * in-job metric trips — never on the happy path.
     */
   def applyChangesPartitioned(spark: SparkSession, path: String,
       deletes: DataFrame, upserts: DataFrame, key: String,
@@ -411,27 +429,47 @@ object Sinks {
         if (nonNull.size == touched.size) in else in || col(partitionCol).isNull
       }
       val existing = spark.read.parquet(path).filter(touchedPred)
-      // Delete-contract assert (ADVICE_r11): each delete row must name the
-      // partition its key currently lives in. A delete naming a stale/wrong
-      // partition would silently no-op — the key's real directory is never
-      // read — and if the same key is then upserted into a new partition the
-      // old row survives as a silent duplicate. The cheap structural check:
-      // every delete key must be FOUND in the touched-partition read (a key
-      // living in an untouched partition, or absent entirely, fails here
-      // instead of corrupting the table). Cost is one anti-join of the
-      // delta-sized delete keys against the already-pruned `existing`.
-      val missed = del.select(key).distinct()
-        .join(existing.select(key), Seq(key), "left_anti").count()
-      require(missed == 0L,
-        s"applyChangesPartitioned: $missed delete key(s) not found in their " +
-          s"named partitions of $path — each delete must carry the partition " +
-          "value its key currently lives in (stale or wrong partition values " +
-          "would silently leave the old rows in place)")
-      val goneKeys = del.select(key).unionByName(up.select(key)).distinct()
-      val merged = existing.join(goneKeys, Seq(key), "left_anti").unionByName(up)
+      // Merge via a MARKED full-outer join (content-identical to the
+      // left_anti + unionByName shape): change keys not matching any
+      // existing row surface as null-marker rows, so the delete-contract
+      // audit rides the staged write's own job as an observe() metric
+      // instead of a separate per-batch count. Keys hit by any change
+      // (delete or upsert) drop out of the existing side; upsert rows come
+      // back through the union arm.
+      import org.apache.spark.sql.functions.{coalesce, lit, max, sum, when}
+      val changeKeys = del.select(col(key)).withColumn("__is_del", lit(1))
+        .unionByName(up.select(col(key)).withColumn("__is_del", lit(0)))
+        .groupBy(key).agg(max(col("__is_del")).as("__del"))
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_changes_${java.util.UUID.randomUUID()}")
+      val joined = existing.withColumn("__ex", lit(1))
+        .join(changeKeys, Seq(key), "full_outer")
+        .observe(obs, coalesce(sum(when(col("__del") === 1
+            && col("__ex").isNull, 1L)), lit(0L)).as("missed_deletes"))
+      val merged = joined.filter(col("__del").isNull)
+        .drop("__ex", "__del").unionByName(up)
       val tmp = new Path(stagingDir(path, "changes", spark))
       try {
         merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val missed = obs.get("missed_deletes").asInstanceOf[Long]
+        if (missed > 0L) {
+          // miss path only: split wrong-partition (dangerous) from replay
+          // (idempotent). One column-pruned key scan of the whole table.
+          val wrongPartition = del.select(col(key)).distinct()
+            .join(existing.select(col(key)), Seq(key), "left_anti")
+            .join(spark.read.parquet(path).select(col(key)), Seq(key),
+              "left_semi")
+            .count()
+          require(wrongPartition == 0L,
+            s"applyChangesPartitioned: $wrongPartition delete key(s) live in " +
+              s"partitions of $path their delete rows do not name — each " +
+              "delete must carry the partition value its key currently " +
+              "lives in (a wrong partition value would silently leave the " +
+              "old row in place). The remaining " +
+              s"${missed - wrongPartition} missed key(s) are absent from " +
+              "the table entirely (an already-applied or never-existing " +
+              "delete) and would have converged as a no-op.")
+        }
         val staged = spark.read.parquet(tmp.toString)
         // directories the change set EMPTIES: touched but absent from the
         // merged result — must be deleted explicitly, the dynamic overwrite
@@ -467,7 +505,7 @@ object Sinks {
     * (never inside the table root), invisible to partition discovery and
     * readers.
     */
-  private def stagingDir(path: String, op: String, spark: SparkSession): String =
+  private[graft] def stagingDir(path: String, op: String, spark: SparkSession): String =
     s"${path}__${op}_tmp_${spark.sparkContext.applicationId}_${java.util.UUID.randomUUID()}"
 
   /** S5 warehouse sink abstraction. */

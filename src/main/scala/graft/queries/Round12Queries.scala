@@ -359,13 +359,17 @@ object Round12Queries {
     // q512 equivalence argument lifted from LSH state to the serving
     // graph: after an ingest batch, q501's index is current but the
     // navEdges artifact (mutual-kNN ∪ long-range edges) was a FULL
-    // REBUILD away. Here the A-state graph artifacts are staged at
-    // maintenance granularity (mutual edges CELL-TAGGED — they are
-    // within-cell by construction, so the cell is the partition;
-    // long-range edges at PICK granularity (query, foreign cell,
-    // neighbor) — the level where keep/redo is provable), version B
-    // arrives with changes confined to cells label%3==0, and the
-    // maintained graph is
+    // REBUILD away. The A-state graph artifacts live at maintenance
+    // granularity as SharedFrames reads (round 13, clearing the r12
+    // `weak`: the gate used to rebuild both INLINE per run — the full
+    // O(n²/ncells) in-cell join it exists to avoid, an 11.5x x10 ratio;
+    // they are now built once per (session, corpus) and shared with
+    // navEdges' own construction): mutual edges CELL-TAGGED
+    // (SharedFrames.cellTaggedMutualKnn — within-cell by construction, so
+    // the cell is the partition), long-range edges at PICK granularity
+    // (SharedFrames.longRangePickBest — (query, foreign cell, neighbor),
+    // the level where keep/redo is provable). Version B arrives with
+    // changes confined to cells label%3==0, and the maintained graph is
     //   - mutual-kNN: unaffected cells' edges are a pure partition-pruned
     //     artifact read (membership unchanged -> the cell-restricted kNN
     //     is a function of cell contents alone); affected cells recompute
@@ -387,29 +391,18 @@ object Round12Queries {
       "q514_incremental_nav_edges",
       (s, dir) => {
         graft.functions.GraftFunctions.ensureRegistered(s)
-        val scr = graft.engine.Scratch.dir(s, dir, "inc_nav_edges")
-        graft.engine.Scratch.rm(scr)
         val e = Tables.embeddings(s, dir)
         val b = stagedBEmb(e)
-        // A-state artifacts at maintenance granularity
-        val muA = SharedFrames.mutualKnnEdges(s, dir)
-          .join(e.select(col("vec_id").as("id_a"), col("label").as("cell"))
-            .hint("shuffle_hash"), Seq("id_a"))
-          .select("cell", "id_a", "id_b")
-        graft.engine.Sinks.writePartitioned(muA, s"$scr/mu", Seq("cell"))
-        graft.engine.Sinks.writeParquet(
-          Similarity.bestInPickedCells(
-            Similarity.foreignCellPicks(e, "vec_id", "embedding", "label", 2),
-            e, "vec_id", "embedding", "label"),
-          s"$scr/picks")
         // the change slice and its bounded affected-cell list
         val affected = e.filter(vInScope && vsnapBucket < 3L)
           .select(col("label")).distinct().collect().map(_.getInt(0)).toSeq
-        // mutual-kNN maintenance. Cell predicates take isInCollection (one
-        // set-membership node — the Sinks touched-partition convention): a
-        // production index has thousands of affected cells per day, and an
-        // OR-of-equalities tree that size bloats planning
-        val keptMu = s.read.parquet(s"$scr/mu")
+        // mutual-kNN maintenance over the A-state ARTIFACT (built once per
+        // session+corpus, never inline). Cell predicates take
+        // isInCollection (one set-membership node — the Sinks
+        // touched-partition convention): a production index has thousands
+        // of affected cells per day, and an OR-of-equalities tree that
+        // size bloats planning
+        val keptMu = SharedFrames.cellTaggedMutualKnn(s, dir)
           .filter(!col("cell").isInCollection(affected)).select("id_a", "id_b")
         val redoMu = Similarity.mutualKnnGraph(
           b.filter(col("label").isInCollection(affected)),
@@ -419,7 +412,7 @@ object Round12Queries {
         val picksB = Similarity.foreignCellPicks(b, "vec_id", "embedding", "label", 2)
         val revised = e.filter(vInScope && vsnapBucket === 1L)
           .select(col("vec_id").as("query_id"))
-        val keep = s.read.parquet(s"$scr/picks")
+        val keep = SharedFrames.longRangePickBest(s, dir)
           .filter(!col("cell").isInCollection(affected))
           .join(picksB.select(col("query_id"), col("__cell").as("cell")),
             Seq("query_id", "cell"), "left_semi")

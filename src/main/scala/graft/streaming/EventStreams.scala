@@ -244,25 +244,28 @@ object EventStreams {
     * cell-partitioned artifact), so a batch touching k cells scans k
     * inverted lists, never the corpus. The micro-batch frame carries no
     * row bound, and the coordinator's bounded-probe contract is enforced
-    * at plan time — `batchCap` makes the bound visible to the plan via
-    * LIMIT, and the batch is COUNTED first: a batch larger than the cap
-    * FAILS the streaming query instead of silently truncating (ADVICE_r11
-    * — a LIMIT alone would drop queries from the serving log with no
-    * error, contradicting the answers-everything contract; mirroring
-    * Similarity's bounded-probe require, the caller's fix is a smaller
-    * trigger — maxFilesPerTrigger / maxOffsetsPerTrigger — or a larger
-    * cap, sized under Similarity.MaxBoundedProbeRows). The count is one
-    * delta-sized job per micro-batch, the price of the loud contract.
+    * at plan time — `LIMIT batchCap+1` makes the bound visible to the plan
+    * — while the cap CHECK rides the serve job itself as an `observe()`
+    * metric counting arrivals below the limit (VERDICT_r12 next #7: the
+    * previous persist+count was a second decode of every arrival file per
+    * trigger; one job per batch now does serve + both audits). The +1 head
+    * lets the metric SEE the first over-cap row, so a batch larger than
+    * the cap still FAILS the streaming query instead of silently
+    * truncating (ADVICE_r11; the caller's fix is a smaller trigger —
+    * maxFilesPerTrigger / maxOffsetsPerTrigger — or a larger cap, sized
+    * under Similarity.MaxBoundedProbeRows).
     *
-    * Exactly-once without a keyed merge: results are written PARTITIONED
-    * BY batch_id through the dynamic partition overwrite, so a checkpoint-
-    * replayed batch rewrites its own `batch_id=N` directory in place —
-    * idempotent, and untouched batches' files are never rewritten (the
-    * same partition-scoped discipline as the ingest sink, but append-
-    * shaped: a serving log never updates old answers, so a keyed upsert
-    * would price a read-merge the semantics don't need). AvailableNow
-    * trigger, as the other lifecycle sinks: drain staged arrivals and
-    * terminate; a continuous deployment swaps the trigger only.
+    * Exactly-once without a keyed merge: answers are staged to a per-call
+    * sibling directory and PUBLISHED into the log as `batch_id=N` by one
+    * filesystem rename AFTER the cap check passes — a failing batch never
+    * reaches the log (delete staging, die loudly), and a checkpoint-
+    * replayed batch replaces its own directory in place, leaving other
+    * batches' files untouched (the same partition-layout the dynamic
+    * overwrite produced, at zero publish-job cost; partition discovery
+    * reconstructs batch_id from the directory name exactly as before).
+    * AvailableNow trigger, as the other lifecycle sinks: drain staged
+    * arrivals and terminate; a continuous deployment swaps the trigger
+    * only.
     */
   def startAnnServe(queries: DataFrame, ix: graft.ext.IvfPq.Index,
       idCol: String, vecCol: String,
@@ -271,25 +274,40 @@ object EventStreams {
       org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // persisted across the two actions (count + serve): without it the
-        // cap check would re-read and re-decode every arrival file a second
-        // time each trigger
-        val b = batch.persist()
+        val spark = batch.sparkSession
+        val obs = org.apache.spark.sql.Observation(
+          s"graft_serve_${batchId}_${java.util.UUID.randomUUID()}")
+        // the observe node sits UNDER the limit: rows the limit pulls flow
+        // through it, so arrivals ≤ cap count exactly and an over-cap batch
+        // counts at least cap+1 — enough to fire the contract
+        val probes = batch
+          .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+          .observe(obs, count(lit(1)).as("arrived"))
+          .limit(batchCap + 1)
+        import org.apache.hadoop.fs.Path
+        val staging = new Path(
+          graft.engine.Sinks.stagingDir(outDir, "serve", spark))
+        val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
         try {
-          val arrived = b.count()
+          graft.ext.IvfPq.adcShortlist(ix, probes, nprobe, shortlist)
+            .write.mode("overwrite").parquet(staging.toString)
+          val arrived = obs.get("arrived").asInstanceOf[Long]
           require(arrived <= batchCap,
-            s"startAnnServe: micro-batch $batchId carries $arrived queries, " +
+            s"startAnnServe: micro-batch $batchId carries $arrived" +
+              s"${if (arrived > batchCap) "+" else ""} queries, " +
               s"over batchCap=$batchCap — shrink the trigger " +
               "(maxFilesPerTrigger/maxOffsetsPerTrigger) or raise the cap; " +
               "serving must answer every arrival, never silently truncate")
-          val probes = b
-            .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-            .limit(batchCap)
-          graft.engine.Sinks.overwritePartitionsDynamic(
-            graft.ext.IvfPq.adcShortlist(ix, probes, nprobe, shortlist)
-              .withColumn("batch_id", lit(batchId)),
-            outDir, Seq("batch_id"))
-        } finally batch.unpersist(): Unit
+          if (arrived > 0L) {
+            val dest = new Path(outDir, s"batch_id=$batchId")
+            fs.mkdirs(dest.getParent)
+            fs.delete(dest, true)
+            require(fs.rename(staging, dest),
+              s"startAnnServe: publish rename failed for batch $batchId " +
+                s"($staging -> $dest)")
+            spark.catalog.clearCache()
+          } else fs.delete(staging, true): Unit
+        } catch { case e: Throwable => fs.delete(staging, true); throw e }
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Update)

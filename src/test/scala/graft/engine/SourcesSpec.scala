@@ -233,6 +233,28 @@ class SourcesSpec extends SparkSpec {
     assert(got === Map(1L -> "a", 2L -> "b"))
   }
 
+  test("applyChangesPartitioned converges on a replayed change batch") {
+    // ADVICE_r12: foreachBatch delivers at-least-once — a crash between the
+    // dynamic overwrite and checkpoint commit re-delivers the whole batch.
+    // A replayed DELETE's key is then absent from the table entirely; that
+    // must converge as an idempotent no-op (replayed upserts already do),
+    // while the wrong-partition case (previous spec) still fails loudly.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_changes_rp").toString + "/t"
+    Sinks.writePartitioned(
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "p"), dir, Seq("p"))
+    def apply(): Unit = Sinks.applyChangesPartitioned(spark, dir,
+      deletes = Seq((1L, 10)).toDF("k", "p"),
+      upserts = Seq((9L, "z", 20)).toDF("k", "v", "p"),
+      key = "k", partitionCol = "p")
+    apply() // first delivery
+    apply() // replay: delete key k=1 is already gone — must converge
+    val got = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(got === Map(2L -> "b", 9L -> "z"),
+      "a replayed change batch must land the same table, not fail")
+  }
+
   test("applyChangesPartitioned handles NULL and escape-needing partition values") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_changes_n").toString + "/t"
