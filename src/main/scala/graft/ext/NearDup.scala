@@ -516,6 +516,71 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** INCREMENTAL near-dup pair maintenance — the state-vs-delta step a
+    * versioned corpus runs every snapshot (round 13, factored from the
+    * q512 gate's path so version N -> N+1 applies the SAME operator at any
+    * N): given the prior version's PERSISTED artifacts — verified pairs
+    * (id_a, id_b, jaccard), MinHash signatures (idCol, __sig) and shingle
+    * sets (idCol, __shingles) — plus the change slices (`gone` = ids
+    * leaving the state: removed docs and revised originals; `fresh` = the
+    * only rows whose TEXT is processed: revisions and additions), the
+    * maintained pair set is
+    *   - kept: prior pairs whose both endpoints survive (pair relations
+    *     between unchanged docs cannot move);
+    *   - regenerated: the fresh slice's band buckets joined against the
+    *     surviving bucket table (unchanged ∪ fresh), exact-verified on
+    *     shingles (unchanged side from the artifact, fresh side computed).
+    * Candidacy is equivalent to from-scratch by construction: a pair
+    * collides in a band iff it collides here (unchanged-unchanged pairs
+    * keep their prior collision; any pair with a fresh endpoint is found
+    * by the fresh-side bucket join). Hash-gated against from-scratch LSH
+    * at A->B (q512) and B->C (q521). Scale: everything corpus-sized is an
+    * artifact read or anti-join; everything recomputed is change-slice
+    * sized; the candidate join is bucket-keyed, never all-pairs.
+    */
+  def incrementalPairs(oldPairs: DataFrame, oldSigs: DataFrame,
+      oldShingles: DataFrame, gone: DataFrame, fresh: DataFrame,
+      idCol: String, textCol: String, n: Int, k: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rowsPerBand = k / bands
+    val kept = oldPairs
+      .join(gone.select(col(idCol).as("id_a")), Seq("id_a"), "left_anti")
+      .join(gone.select(col(idCol).as("id_b")), Seq("id_b"), "left_anti")
+      .select("id_a", "id_b", "jaccard")
+    val unchangedSigs = oldSigs.join(gone, Seq(idCol), "left_anti")
+    // the fresh slice feeds three consumers (bucket probe side, the union
+    // arm, the verify shingle side) — localCheckpoint so the
+    // tokenize+shingle+k-min pipeline runs once per call, not thrice
+    val freshSh = shingleFrame(fresh, idCol, textCol, n).localCheckpoint()
+    val freshSigs = minHashSignatureFrame(freshSh, idCol, k).localCheckpoint()
+    def buckets(sigs: DataFrame): DataFrame = sigs
+      .select(col(idCol),
+        explode(bandBuckets(col("__sig"), bands, rowsPerBand)).as("__bb"))
+      .select(col(idCol), col("__bb.band").as("__band"),
+        col("__bb.bucket").as("__bucket"))
+    val allBuckets = buckets(unchangedSigs).unionByName(buckets(freshSigs))
+    val cand = buckets(freshSigs).as("a")
+      .join(allBuckets.as("b").hint("shuffle_hash"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__bucket") === col("b.__bucket") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
+      .distinct()
+    val allSh = oldShingles.join(gone, Seq(idCol), "left_anti")
+      .unionByName(freshSh)
+    val regenerated = cand
+      .join(allSh.select(col(idCol).as("id_a"), col("__shingles").as("__sa"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(allSh.select(col(idCol).as("id_b"), col("__shingles").as("__sb"))
+        .hint("shuffle_hash"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("__sa"), col("__sb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    kept.unionByName(regenerated)
+  }
+
   /** Near-dup DEDUP resolution: greedy keep-lowest-id — a document survives
     * unless some lower-id document is near-duplicate-similar to it. This is
     * the standard one-pass MinHash-dedup policy (no transitive closure: a

@@ -16,7 +16,8 @@ object Registry {
   def all: Seq[Q] = CoreQueries.qs ++ PipelineQueries.qs ++ ExtQueries.qs ++
     EvalQueries.qs ++ CorpusQueries.qs ++ WarehouseQueries.qs ++ OpsQueries.qs ++
     CurationQueries.qs ++ Round6Queries.qs ++ Round7Queries.qs ++ Round8Queries.qs ++
-    Round9Queries.qs ++ Round11Queries.qs ++ Round12Queries.qs
+    Round9Queries.qs ++ Round11Queries.qs ++ Round12Queries.qs ++
+    Round13Queries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

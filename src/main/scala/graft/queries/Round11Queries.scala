@@ -119,14 +119,14 @@ object Round11Queries {
           concat(col("text"), lit(" new")).as("text")))
 
   /** Ids leaving the version-A state (removed + changed originals). */
-  private def goneIds(docs: DataFrame): DataFrame =
+  private[queries] def goneIds(docs: DataFrame): DataFrame =
     docs.withColumn("__b", snapBucket)
       .filter(col("__b").isin(0L, 1L)).select("doc_id")
 
   /** The change slice of version B (revised originals + clones) — built
     * from the staging's own construction, never inferred from id ranges.
     */
-  private def freshSlice(docs: DataFrame): DataFrame =
+  private[queries] def freshSlice(docs: DataFrame): DataFrame =
     docs.withColumn("__b", snapBucket)
       .filter(col("__b") === 1)
       .select(col("doc_id"), concat(col("text"), lit(" rev2")).as("text"))
@@ -186,50 +186,42 @@ object Round11Queries {
     // — both come from the staging helpers' own construction, never
     // inferred from id ranges (an id-range sentinel breaks on any
     // corpus whose real ids overlap it, e.g. the 10x rehearsal's
-    // offset replicas)
-    val gone = goneIds(docs)
-    val fresh = freshSlice(docs)
-    // A-state artifacts: verified pairs, signatures, shingles
-    val oldPairs = SharedFrames.verifiedDocPairs(s, dir)
-    val kept = oldPairs
-      .join(gone.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
-      .join(gone.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
-      .select("id_a", "id_b", "jaccard")
-    val unchangedSigs = SharedFrames.minhashSigs(s, dir)
-      .join(gone, Seq("doc_id"), "left_anti")
-    // the fresh slice feeds three consumers (bucket probe side, the
-    // union arm, the verify shingle side) — localCheckpoint so the
-    // tokenize+shingle+64-min pipeline runs once per gate, not thrice
-    val freshSh = NearDup.shingleFrame(fresh, "doc_id", "text", 3)
-      .localCheckpoint()
-    val freshSigs = NearDup.minHashSignatureFrame(freshSh, "doc_id", 64)
-      .localCheckpoint()
-    def buckets(sigs: DataFrame): DataFrame = sigs
-      .select(col("doc_id"),
-        explode(NearDup.bandBuckets(col("__sig"), 16, 4)).as("__bb"))
-      .select(col("doc_id"), col("__bb.band").as("__band"),
-        col("__bb.bucket").as("__bucket"))
-    val allBuckets = buckets(unchangedSigs).unionByName(buckets(freshSigs))
-    val cand = buckets(freshSigs).as("a")
-      .join(allBuckets.as("b").hint("shuffle_hash"),
-        col("a.__band") === col("b.__band") &&
-          col("a.__bucket") === col("b.__bucket") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
-      .distinct()
-    val allSh = SharedFrames.docShingles(s, dir, 3)
-      .join(gone, Seq("doc_id"), "left_anti")
-      .unionByName(freshSh)
-    val regenerated = cand
-      .join(allSh.select(col("doc_id").as("id_a"), col("__shingles").as("__sa"))
-        .hint("shuffle_hash"), Seq("id_a"))
-      .join(allSh.select(col("doc_id").as("id_b"), col("__shingles").as("__sb"))
-        .hint("shuffle_hash"), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        NearDup.jaccard(col("__sa"), col("__sb")).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
-    kept.unionByName(regenerated)
+    // offset replicas). The maintenance itself is the ENGINE operator
+    // (NearDup.incrementalPairs, round 13 — factored so the B -> C step
+    // of q521 applies the identical machinery): A-state artifacts in,
+    // maintained pair set out.
+    NearDup.incrementalPairs(
+      SharedFrames.verifiedDocPairs(s, dir),
+      SharedFrames.minhashSigs(s, dir),
+      SharedFrames.docShingles(s, dir, 3),
+      goneIds(docs), freshSlice(docs),
+      "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.8)
+  }
+
+  /** Version-B MinHash signature state, derived DELTA-WISE from the A
+    * artifacts (round 13 — the persisted-state input q521's B -> C step
+    * reads): unchanged docs keep their artifact signatures; only the
+    * fresh slice is re-signed. Persisted by SharedFrames.bSigs.
+    */
+  private[queries] def bSigsLive(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val docs = Tables.documents(s, dir)
+    SharedFrames.minhashSigs(s, dir)
+      .join(goneIds(docs), Seq("doc_id"), "left_anti")
+      .unionByName(NearDup.minHashSignatureFrame(
+        NearDup.shingleFrame(freshSlice(docs), "doc_id", "text", 3),
+        "doc_id", 64))
+  }
+
+  /** Version-B shingle state, same delta-wise derivation as [[bSigsLive]].
+    * Persisted by SharedFrames.bShingles.
+    */
+  private[queries] def bShinglesLive(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val docs = Tables.documents(s, dir)
+    SharedFrames.docShingles(s, dir, 3)
+      .join(goneIds(docs), Seq("doc_id"), "left_anti")
+      .unionByName(NearDup.shingleFrame(freshSlice(docs), "doc_id", "text", 3))
   }
 
   /** The q508 mixture-interleave schedule: (doc_id, lang, dom_pos, vt,

@@ -48,16 +48,16 @@ object Round12Queries {
   // with dim 1 negated, same cell.
   // ---------------------------------------------------------------------
 
-  private def vsnapBucket = pmod(TextHash.hash60(
+  private[queries] def vsnapBucket = pmod(TextHash.hash60(
     concat(lit("vsnap#"), col("vec_id").cast("string"))), lit(8L))
 
-  private def vInScope = pmod(col("label").cast("long"), lit(3L)) === 0L
+  private[queries] def vInScope = pmod(col("label").cast("long"), lit(3L)) === 0L
 
   private def negDim(vec: org.apache.spark.sql.Column, dim: Int) =
     transform(vec, (v, i) => when(i === dim, -v).otherwise(v)).cast("array<float>")
 
   /** Version B of the embeddings corpus: (vec_id, embedding, label). */
-  private def stagedBEmb(e: DataFrame): DataFrame =
+  private[queries] def stagedBEmb(e: DataFrame): DataFrame =
     e.filter(!(vInScope && vsnapBucket === 0L))
       .select(col("vec_id"),
         when(vInScope && vsnapBucket === 1L, negDim(col("embedding"), 0))
@@ -70,8 +70,57 @@ object Round12Queries {
   private val VsnapDuck: String =
     s"${TextHash.duckHash60("'vsnap#' || CAST(vec_id AS VARCHAR)")} % 8"
 
+  /** The q514 maintenance path, factored for reuse (round 13 — q522 audits
+    * recall on the MAINTAINED graph, so it consumes the same machinery
+    * through the SharedFrames.navEdgesB artifact): version B's navigable
+    * edge set produced by keep/redo over the A-state artifacts — never a
+    * from-scratch rebuild. Unordered; q514 orders and hash-gates it
+    * against the from-scratch DuckDB graph of version B.
+    */
+  private[queries] def maintainedNavEdgesB(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = Tables.embeddings(s, dir)
+    val b = stagedBEmb(e)
+    // the change slice and its bounded affected-cell list
+    val affected = e.filter(vInScope && vsnapBucket < 3L)
+      .select(col("label")).distinct().collect().map(_.getInt(0)).toSeq
+    // mutual-kNN maintenance over the A-state ARTIFACT (built once per
+    // session+corpus, never inline). Cell predicates take isInCollection
+    // (one set-membership node — the Sinks touched-partition convention):
+    // a production index has thousands of affected cells per day, and an
+    // OR-of-equalities tree that size bloats planning
+    val keptMu = SharedFrames.cellTaggedMutualKnn(s, dir)
+      .filter(!col("cell").isInCollection(affected)).select("id_a", "id_b")
+    val redoMu = Similarity.mutualKnnGraph(
+      b.filter(col("label").isInCollection(affected)),
+      "vec_id", "embedding", "label", k = 3)
+    // long-range maintenance: keep where (vector, pick, cell contents)
+    // all unchanged; redo the rest against only the redo cells
+    val picksB = Similarity.foreignCellPicks(b, "vec_id", "embedding", "label", 2)
+    val revised = e.filter(vInScope && vsnapBucket === 1L)
+      .select(col("vec_id").as("query_id"))
+    val keep = SharedFrames.longRangePickBest(s, dir)
+      .filter(!col("cell").isInCollection(affected))
+      .join(picksB.select(col("query_id"), col("__cell").as("cell")),
+        Seq("query_id", "cell"), "left_semi")
+      .join(revised, Seq("query_id"), "left_anti")
+    val redo = picksB.join(
+      keep.select(col("query_id"), col("cell").as("__cell")),
+      Seq("query_id", "__cell"), "left_anti")
+    val redoCells = redo.select(col("__cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val redone = Similarity.bestInPickedCells(
+      redo, b.filter(col("label").isInCollection(redoCells)),
+      "vec_id", "embedding", "label")
+    val lre = keep.select("query_id", "neighbor_id")
+      .unionByName(redone.select("query_id", "neighbor_id"))
+      .select(least(col("query_id"), col("neighbor_id")).as("id_a"),
+        greatest(col("query_id"), col("neighbor_id")).as("id_b"))
+    keptMu.unionByName(redoMu).unionByName(lre).distinct()
+  }
+
   /** DuckDB twin of [[stagedBEmb]]: CTE `bemb(vec_id, embedding, label)`. */
-  private val BembCte: String = s"""
+  private[queries] val BembCte: String = s"""
         bemb AS (
           SELECT vec_id,
                  CASE WHEN label % 3 = 0 AND $VsnapDuck = 1
@@ -148,7 +197,7 @@ object Round12Queries {
         )""".stripMargin.trim
 
   /** Train/val/test weights — the registry's standard 80/10/10. */
-  private val SplitWeights = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+  private[queries] val SplitWeights = Seq("train" -> 80, "val" -> 10, "test" -> 10)
 
   /** Shared recall-audit scaffold for the round's walk gates (the R12
     * factoring convention — one copy of the recall arithmetic, not one per
@@ -157,10 +206,17 @@ object Round12Queries {
     * standard 20 hash probes; per-query (n_true, n_hits, recall_micro).
     */
   private def recallAudit(s: SparkSession, dir: String, beam: Int,
-      entriesOf: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+      entriesOf: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    recallAuditOver(Tables.embeddings(s, dir), SharedFrames.navEdges(s, dir),
+      beam, entriesOf)
+
+  /** [[recallAudit]] generalized over (corpus, edge set) — round 13: q522
+    * audits the q518 operating point on the MAINTAINED version-B graph
+    * (SharedFrames.navEdgesB) against version B's brute-force truth.
+    */
+  private[queries] def recallAuditOver(e: DataFrame, edges: DataFrame,
+      beam: Int, entriesOf: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val probes = Similarity.hashOrderedProbes(e, "vec_id", "beam", 20)
-    val edges = SharedFrames.navEdges(s, dir)
     val walk = Similarity.graphBeamSearch(
         corpus = e, edges = edges, queries = probes,
         idCol = "vec_id", vecCol = "embedding",
@@ -181,9 +237,15 @@ object Round12Queries {
   }
 
   /** DuckDB twin of [[recallAudit]] over the entry-parameterized walk. */
-  private def recallOracle(beam: Int, entriesBody: String): String = s"""
+  private def recallOracle(beam: Int, entriesBody: String): String =
+    recallOracleOver(beam, entriesBody,
+      "WITH " + navGraphCteOver("embeddings"), "embeddings")
+
+  /** [[recallOracle]] generalized over (staging CTEs, corpus relation). */
+  private[queries] def recallOracleOver(beam: Int, entriesBody: String,
+      pairCtes: String, src: String): String = s"""
         ${Round8Queries.beamWalkCteOverEntries(20, 4, beam,
-          "WITH " + navGraphCteOver("embeddings"), "nav", entriesBody)}, walk AS (
+          pairCtes, "nav", entriesBody, src)}, walk AS (
           SELECT query_id, node AS neighbor_id FROM (
             SELECT query_id, node,
                    row_number() OVER (PARTITION BY query_id
@@ -353,6 +415,49 @@ object Round12Queries {
         )""".stripMargin.trim
   }
 
+  /** snap2 bucket over version-B doc ids — the B -> C change classes
+    * (round 13, factored from q520's closure so q521's incremental step
+    * stages the identical version C).
+    */
+  private[queries] def snap2Bucket = pmod(TextHash.hash60(
+    concat(lit("snap2#"), col("doc_id").cast("string"))), lit(10L))
+
+  /** Version C of the corpus over version B: bucket 0 removed, bucket 1
+    * revised (C adds no clones — additions were q515's arm; removals and
+    * revisions are what move components between established versions).
+    */
+  private[queries] def stagedC(bDocs: DataFrame): DataFrame =
+    bDocs.withColumn("__b", snap2Bucket).filter(col("__b") =!= 0)
+      .select(col("doc_id"),
+        when(col("__b") === 1, concat(col("text"), lit(" rev3")))
+          .otherwise(col("text")).as("text"))
+
+  /** B ids leaving the state at C (removed + revised originals). */
+  private[queries] def goneAtC(bDocs: DataFrame): DataFrame =
+    bDocs.withColumn("__b", snap2Bucket).filter(col("__b").isin(0L, 1L))
+      .select("doc_id")
+
+  /** C's fresh slice (the revised docs — the only text re-processed). */
+  private[queries] def freshAtC(bDocs: DataFrame): DataFrame =
+    bDocs.withColumn("__b", snap2Bucket).filter(col("__b") === 1L)
+      .select(col("doc_id"), concat(col("text"), lit(" rev3")).as("text"))
+
+  /** Version C's near-dup pairs via the INCREMENTAL maintenance step over
+    * the PERSISTED B-state artifacts (round 13 — VERDICT_r12 next #3: the
+    * steady-state split update must never re-shingle the corpus): kept
+    * B pairs whose endpoints survive, plus the revised slice's
+    * regenerated pairs. q521 hash-proves this equals from-scratch LSH
+    * over version C; q520 consumes it for the transitivity invariants.
+    */
+  private[queries] def incrementalCPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val b = Round11Queries.stagedB(Tables.documents(s, dir))
+    NearDup.incrementalPairs(
+      SharedFrames.bPairs(s, dir), SharedFrames.bSigs(s, dir),
+      SharedFrames.bShingles(s, dir), goneAtC(b), freshAtC(b),
+      "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.8)
+  }
+
   val qs: Seq[Q] = Seq(
 
     // INCREMENTAL navigable-graph maintenance — VERDICT_r11 next #1, the
@@ -389,49 +494,7 @@ object Round12Queries {
     // affected-cell sized, never a corpus-pairs recompute.
     Q(
       "q514_incremental_nav_edges",
-      (s, dir) => {
-        graft.functions.GraftFunctions.ensureRegistered(s)
-        val e = Tables.embeddings(s, dir)
-        val b = stagedBEmb(e)
-        // the change slice and its bounded affected-cell list
-        val affected = e.filter(vInScope && vsnapBucket < 3L)
-          .select(col("label")).distinct().collect().map(_.getInt(0)).toSeq
-        // mutual-kNN maintenance over the A-state ARTIFACT (built once per
-        // session+corpus, never inline). Cell predicates take
-        // isInCollection (one set-membership node — the Sinks
-        // touched-partition convention): a production index has thousands
-        // of affected cells per day, and an OR-of-equalities tree that
-        // size bloats planning
-        val keptMu = SharedFrames.cellTaggedMutualKnn(s, dir)
-          .filter(!col("cell").isInCollection(affected)).select("id_a", "id_b")
-        val redoMu = Similarity.mutualKnnGraph(
-          b.filter(col("label").isInCollection(affected)),
-          "vec_id", "embedding", "label", k = 3)
-        // long-range maintenance: keep where (vector, pick, cell contents)
-        // all unchanged; redo the rest against only the redo cells
-        val picksB = Similarity.foreignCellPicks(b, "vec_id", "embedding", "label", 2)
-        val revised = e.filter(vInScope && vsnapBucket === 1L)
-          .select(col("vec_id").as("query_id"))
-        val keep = SharedFrames.longRangePickBest(s, dir)
-          .filter(!col("cell").isInCollection(affected))
-          .join(picksB.select(col("query_id"), col("__cell").as("cell")),
-            Seq("query_id", "cell"), "left_semi")
-          .join(revised, Seq("query_id"), "left_anti")
-        val redo = picksB.join(
-          keep.select(col("query_id"), col("cell").as("__cell")),
-          Seq("query_id", "__cell"), "left_anti")
-        val redoCells = redo.select(col("__cell")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        val redone = Similarity.bestInPickedCells(
-          redo, b.filter(col("label").isInCollection(redoCells)),
-          "vec_id", "embedding", "label")
-        val lre = keep.select("query_id", "neighbor_id")
-          .unionByName(redone.select("query_id", "neighbor_id"))
-          .select(least(col("query_id"), col("neighbor_id")).as("id_a"),
-            greatest(col("query_id"), col("neighbor_id")).as("id_b"))
-        keptMu.unionByName(redoMu).unionByName(lre).distinct()
-          .orderBy("id_a", "id_b")
-      },
+      (s, dir) => maintainedNavEdgesB(s, dir).orderBy("id_a", "id_b"),
       Some(s"""
         WITH $BembCte, ${navGraphCteOver("bemb")}
         SELECT id_a, id_b FROM nav ORDER BY id_a, id_b
@@ -699,19 +762,14 @@ object Round12Queries {
       (s, dir) => {
         graft.functions.GraftFunctions.ensureRegistered(s)
         val docs = Tables.documents(s, dir)
-        def snap2 = pmod(TextHash.hash60(
-          concat(lit("snap2#"), col("doc_id").cast("string"))), lit(10L))
-        val cDocs = Round11Queries.stagedB(docs).withColumn("__b", snap2)
-          .filter(col("__b") =!= 0)
-          .select(col("doc_id"),
-            when(col("__b") === 1, concat(col("text"), lit(" rev3")))
-              .otherwise(col("text")).as("text"))
-        // version-C components (the pinning policy is this gate's subject;
-        // the LSH increment itself is q512's gate, so C's pairs come from
-        // the plain operator)
-        val cPairs = NearDup.minHashNearDupPairs(
-            cDocs, "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.8)
-          .select("id_a", "id_b")
+        val cDocs = stagedC(Round11Queries.stagedB(docs))
+        // version-C components over the INCREMENTALLY maintained pair set
+        // (round 13 — the persisted B artifacts feed the C step, so the
+        // steady-state split update is delta-priced; q521 hash-proves the
+        // increment equals from-scratch, and this gate's own oracle still
+        // derives C's pairs from scratch, so the equivalence is re-checked
+        // through the whole policy chain here)
+        val cPairs = incrementalCPairs(s, dir).select("id_a", "id_b")
         val cCc = NearDup.connectedComponents(cPairs, "id_a", "id_b")
           .select(col("id").as("doc_id"), col("cluster_id"))
         val members = cDocs.select("doc_id").join(cCc, Seq("doc_id"), "left")

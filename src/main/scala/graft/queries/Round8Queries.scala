@@ -208,10 +208,13 @@ object Round8Queries {
     * `entries(node)` — hash-ordered probes for the q497/q500/q503/q505
     * lineage, degree-ranked / frontier seeds for the round-12 recall
     * points. The rest of the chain (und/ben/bprobes/f0/hops) is shared.
+    * `src` (round 13) parameterizes the corpus relation the walk norms and
+    * probes over — default keeps the text byte-identical for every
+    * existing caller; q522 instantiates it at the staged version-B corpus.
     */
   private[queries] def beamWalkCteOverEntries(probeN: Int, hops: Int,
       beam: Int, pairCtes: String, pairRel: String,
-      entriesBody: String): String = {
+      entriesBody: String, src: String = "embeddings"): String = {
     val hopChain = (1 to hops)
       .map(i => hopCte(s"f${i - 1}", s"f$i", beam)).mkString(", ")
     s"""
@@ -221,11 +224,11 @@ object Round8Queries {
         ), ben AS (
           SELECT vec_id, embedding,
                  sqrt(${duckDot("embedding", "embedding")}) AS nrm
-          FROM embeddings
+          FROM $src
         ), bprobes AS (
           SELECT vec_id AS query_id, embedding AS qv,
                  sqrt(${duckDot("embedding", "embedding")}) AS qn
-          FROM embeddings
+          FROM $src
           ORDER BY ${TextHash.duckHash60("'beam#' || CAST(vec_id AS VARCHAR)")},
                    vec_id
           LIMIT $probeN

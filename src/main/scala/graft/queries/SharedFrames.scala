@@ -266,6 +266,81 @@ object SharedFrames {
     s.read.parquet(path)
   }
 
+  /** Version-B maintained near-dup STATE — verified pairs, MinHash
+    * signatures, shingle sets — persisted once per (session, corpus dir)
+    * through the INCREMENTAL maintenance path (round 13): each frame
+    * derives from the version-A artifacts plus the change slices, never
+    * from a re-shingle of the corpus, so even the artifact build is
+    * delta-priced. These are the durable inputs of the version-C step
+    * (q520/q521) — in production the maintained state IS persisted state,
+    * exactly as [[pinnedSplitsB]]. q512 keeps the pair maintenance LIVE as
+    * its value gate (incremental == from-scratch by hash), and every
+    * consumer's oracle still derives version B from first principles, so
+    * a maintenance defect fails gates regardless of these artifacts.
+    * Longs, doubles and string arrays round-trip parquet exactly.
+    */
+  private[queries] def bPairsPath(s: SparkSession, dir: String): String =
+    taggedDir(s, dir, s"b_pairs_n3_k64_b16_t080")
+
+  def bPairs(s: SparkSession, dir: String): DataFrame = synchronized {
+    val path = bPairsPath(s, dir)
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      Round11Queries.incrementalBPairs(s, dir)
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  private[queries] def bSigsPath(s: SparkSession, dir: String): String =
+    taggedDir(s, dir, s"b_sigs_n3_k64")
+
+  def bSigs(s: SparkSession, dir: String): DataFrame = synchronized {
+    val path = bSigsPath(s, dir)
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      Round11Queries.bSigsLive(s, dir).write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  private[queries] def bShinglesPath(s: SparkSession, dir: String): String =
+    taggedDir(s, dir, s"b_shingles_n3")
+
+  def bShingles(s: SparkSession, dir: String): DataFrame = synchronized {
+    val path = bShinglesPath(s, dir)
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      Round11Queries.bShinglesLive(s, dir).write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** The MAINTAINED version-B navigable edge set (round 13 — VERDICT_r12
+    * next #4's substrate): q514's keep/redo maintenance output, persisted
+    * so the recall re-audit (q522) reads the graph a production serving
+    * tier would actually hold after an ingest cycle. q514 keeps the
+    * maintenance LIVE as its value gate (incremental == from-scratch by
+    * hash over version B), and q522's oracle re-derives version B's graph
+    * from first principles, so the artifact content stays double-gated.
+    */
+  private[queries] def navEdgesBPath(s: SparkSession, dir: String): String =
+    taggedDir(s, dir, s"nav_b_mknn3_lre2")
+
+  def navEdgesB(s: SparkSession, dir: String): DataFrame = synchronized {
+    val path = navEdgesBPath(s, dir)
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      Round12Queries.maintainedNavEdgesB(s, dir)
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** The materialized IVF-PQ index over `embeddings` (VERDICT_r08 #1 —
     * the index LIFECYCLE): centroids, codebooks and per-vector codes are
     * built ONCE per (session, corpus dir), persisted as three parquet

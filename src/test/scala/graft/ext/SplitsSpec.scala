@@ -41,6 +41,63 @@ class SplitsSpec extends graft.SparkSpec {
     assert(out(20L) === (hashRule, 0) && out(21L) === (hashRule, 0))
   }
 
+  test("versioned splits: conflict flags and resets, dissolution cools, the calm window retires") {
+    import spark.implicits._
+    def step(members: org.apache.spark.sql.DataFrame,
+        prior: org.apache.spark.sql.DataFrame) =
+      Splits.pinnedComponentSplitsVersioned(members, "doc_id", "component",
+          prior, "split", "quarantined", "stable_for", W, retireAfter = 2)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("split"), r.getAs[Int]("quarantined"),
+            r.getAs[Int]("stable_for")))).toMap
+    // v1: docs 1 ('train') and 2 ('test') are separate pinned singletons
+    val st1 = Seq((1L, "train", 0, 0), (2L, "test", 0, 0))
+      .toDF("doc_id", "split", "quarantined", "stable_for")
+    // v2: a bridge merges them — LIVE CONFLICT: flagged, clock at 0,
+    // splits kept (never flipped)
+    val m2 = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "component")
+    val out2 = step(m2, st1)
+    assert(out2 === Map(1L -> ("train", 1, 0), 2L -> ("test", 1, 0)))
+    // v3: doc 2 leaves — the conflict DISSOLVES, but re-entry waits out
+    // the calm window (retireAfter=2): still flagged, clock at 1
+    val m3 = Seq((1L, 1L)).toDF("doc_id", "component")
+    val st2 = Seq((1L, "train", 1, 0), (2L, "test", 1, 0))
+      .toDF("doc_id", "split", "quarantined", "stable_for")
+    val out3 = step(m3, st2)
+    assert(out3 === Map(1L -> ("train", 1, 1)))
+    // v4: a second calm version RETIRES the component — flag cleared, the
+    // survivor re-enters eval with the split it always had
+    val st3 = Seq((1L, "train", 1, 1)).toDF("doc_id", "split", "quarantined", "stable_for")
+    assert(step(m3, st3) === Map(1L -> ("train", 0, 2)))
+    // v5: post-retirement state is plain — no flag, clock back at 0
+    val st4 = Seq((1L, "train", 0, 2)).toDF("doc_id", "split", "quarantined", "stable_for")
+    assert(step(m3, st4) === Map(1L -> ("train", 0, 0)))
+    // re-conflict after retirement resets the lifecycle from the top
+    val m5 = Seq((1L, 1L), (9L, 1L)).toDF("doc_id", "component")
+    val st4b = Seq((1L, "train", 0, 0), (9L, "test", 0, 0))
+      .toDF("doc_id", "split", "quarantined", "stable_for")
+    assert(step(m5, st4b) === Map(1L -> ("train", 1, 0), 9L -> ("test", 1, 0)))
+  }
+
+  test("versioned splits: clean components and all-new components never enter the lifecycle") {
+    import spark.implicits._
+    val prior = Seq((1L, "val", 0, 0)).toDF("doc_id", "split", "quarantined", "stable_for")
+    // doc 2 inherits 1's pin; {20,21} is all-new and takes the hash rule
+    val members = Seq((1L, 1L), (2L, 1L), (20L, 20L), (21L, 20L))
+      .toDF("doc_id", "component")
+    val out = Splits.pinnedComponentSplitsVersioned(members, "doc_id",
+        "component", prior, "split", "quarantined", "stable_for", W,
+        retireAfter = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("split"), r.getAs[Int]("quarantined"),
+          r.getAs[Int]("stable_for")))).toMap
+    val hashRule = Seq(20L).toDF("component")
+      .select(TextAnalysis.splitAssign(col("component"), W).as("s"))
+      .head().getString(0)
+    assert(out(1L) === ("val", 0, 0) && out(2L) === ("val", 0, 0))
+    assert(out(20L) === ((hashRule, 0, 0)) && out(21L) === ((hashRule, 0, 0)))
+  }
+
   test("pinned splits: a version with no changes reproduces the prior assignment verbatim") {
     import spark.implicits._
     val prior = Seq((1L, "train"), (2L, "val"), (3L, "test"))
