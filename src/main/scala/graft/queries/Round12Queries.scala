@@ -67,6 +67,20 @@ object Round12Queries {
         .select((-col("vec_id") - lit(1L)).as("vec_id"),
           negDim(col("embedding"), 1).as("embedding"), col("label")))
 
+  /** The FRESH slice of the version-B vector corpus (round 13 — q525
+    * re-encodes exactly these rows against the frozen index): revised
+    * originals (dim 0 negated, same id and cell) plus clones (negative
+    * ids, dim 1 negated, same cell). Built from the staging's own
+    * construction, the q510-and-friends discipline.
+    */
+  private[queries] def freshBEmb(e: DataFrame): DataFrame =
+    e.filter(vInScope && vsnapBucket === 1L)
+      .select(col("vec_id"), negDim(col("embedding"), 0).as("embedding"),
+        col("label"))
+      .unionByName(e.filter(vInScope && vsnapBucket === 2L)
+        .select((-col("vec_id") - lit(1L)).as("vec_id"),
+          negDim(col("embedding"), 1).as("embedding"), col("label")))
+
   private val VsnapDuck: String =
     s"${TextHash.duckHash60("'vsnap#' || CAST(vec_id AS VARCHAR)")} % 8"
 

@@ -409,6 +409,70 @@ object Round13Queries {
       """.trim
       }),
 
+    // INCREMENTAL PQ-code maintenance from a vector snapshot diff — the
+    // r12 SURVEY frontier's #1, the last maintenance surface: q501
+    // ingests a STREAM and q504 rebuilds, but a BATCH version-B vector
+    // snapshot should flow deletes + upserts through the delete-capable
+    // partition-scoped change sink on the CELL-PARTITIONED codes table —
+    // the q511 membership story lifted to the vector index. The A-state
+    // codes artifact (SharedFrames.ivfPqIndex) is staged as a private
+    // working copy (gates are rerunnable; the shared artifact is never
+    // mutated), the q514 vector staging supplies the change classes
+    // (removed ids -> deletes carrying their cell, the partition
+    // contract; revised + cloned vectors -> the ONLY rows re-encoded,
+    // against the FROZEN index — no retrain on the maintenance path),
+    // and the maintained table is hash-compared against the frozen-index
+    // assignment of the WHOLE version-B corpus from first principles.
+    // This also drives the observe-folded delete audit (R13.4) through a
+    // second real consumer. 100 TB: per-snapshot cost is the fresh
+    // slice's encode plus touched-cell directory rewrites, never a
+    // corpus re-encode; the staging write is the gate's rerunnability
+    // floor, not the operator's.
+    Q(
+      "q525_incremental_pq_codes",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val scr = graft.engine.Scratch.dir(s, dir, "inc_pq_codes")
+        graft.engine.Scratch.rm(scr)
+        val t = s"$scr/codes"
+        val ix = SharedFrames.ivfPqIndex(s, dir)
+        graft.engine.Sinks.writePartitioned(
+          ix.codes.select("id", "cell", "m", "g"), t, Seq("cell"))
+        val e = Tables.embeddings(s, dir)
+        val deletes = e
+          .filter(Round12Queries.vInScope && Round12Queries.vsnapBucket === 0L)
+          .select(col("vec_id").as("id"), col("label").as("cell"))
+        val upserts = graft.ext.IvfPq.assignCodes(
+          graft.ext.IvfPq.residualParts(Round12Queries.freshBEmb(e),
+            ix.cents, "vec_id", "embedding", "label"),
+          ix.cw)
+        graft.engine.Sinks.applyChangesPartitioned(
+          s, t, deletes, upserts, "id", "cell")
+        s.read.parquet(t)
+          .groupBy(col("id"), col("cell"))
+          .agg(
+            max(when(col("m") === 0, col("g"))).as("__c0"),
+            max(when(col("m") === 1, col("g"))).as("__c1"),
+            max(when(col("m") === 2, col("g"))).as("__c2"),
+            max(when(col("m") === 3, col("g"))).as("__c3"))
+          .select(col("id").as("vec_id"), col("cell").cast("long").as("cell"),
+            col("__c0").cast("long").as("c0"), col("__c1").cast("long").as("c1"),
+            col("__c2").cast("long").as("c2"), col("__c3").cast("long").as("c3"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH ${Round12Queries.BembCte}, ${Round9Queries.pqCte("x", "TRUE")},
+        ${Round9Queries.frozenAssignCteOver("bemb", "b2", "xcents", "xcw")}
+        SELECT vec_id, CAST(label AS BIGINT) AS cell,
+               CAST(MAX(CASE WHEN m = 0 THEN g END) AS BIGINT) AS c0,
+               CAST(MAX(CASE WHEN m = 1 THEN g END) AS BIGINT) AS c1,
+               CAST(MAX(CASE WHEN m = 2 THEN g END) AS BIGINT) AS c2,
+               CAST(MAX(CASE WHEN m = 3 THEN g END) AS BIGINT) AS c3
+        FROM b2assign
+        GROUP BY vec_id, label
+        ORDER BY vec_id
+      """.trim)),
+
     // DERIVED cell count — VERDICT_r12 next #6, the scale contract the
     // q514 finding demanded measured: every in-cell ANN gate uses the
     // fixture's fixed label space, so cell SIZE grows linearly with the

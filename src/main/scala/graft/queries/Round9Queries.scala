@@ -112,33 +112,47 @@ object Round9Queries {
     pmod(TextHash.hash60(concat(lit("ixdelta#"), col("vec_id").cast("string"))),
       lit(8L)) === 0L
 
+  /** FROZEN-index assignment over an arbitrary source relation
+    * `src(vec_id, label, embedding)` against index relations
+    * `cents(cell, centroid)` / `cw(m, g, cwvec)`: residuals vs the frozen
+    * centroids -> nearest frozen codeword, emitting `{p}rv -> {p}parts ->
+    * {p}assign(vec_id, label, m, g)` (round 13 — the source-parameterized
+    * form the r12 frontier named: q525 assigns the staged version-B corpus
+    * against the full frozen A index, [[DeltaAssignCte]] the held-out
+    * delta against the base index).
+    */
+  private[queries] def frozenAssignCteOver(src: String, p: String,
+      cents: String, cw: String): String = s"""
+        ${p}rv AS (
+          SELECT e.vec_id, e.label,
+                 [CAST(round((CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) * 1000000.0) AS BIGINT)
+                  FOR i IN generate_series(1, 64)] AS rmicro
+          FROM $src e JOIN $cents c ON c.cell = e.label
+        ), ${p}parts AS (
+          SELECT vec_id, label, t.m AS m,
+                 rmicro[CAST(t.m*16+1 AS BIGINT):CAST(t.m*16+16 AS BIGINT)] AS r
+          FROM ${p}rv CROSS JOIN range(0, 4) t(m)
+        ), ${p}assign AS (
+          SELECT vec_id, label, m, g FROM (
+            SELECT p.vec_id, p.label, p.m, c.g,
+                   row_number() OVER (PARTITION BY p.vec_id, p.m
+                     ORDER BY ${duckD2("p.r", "c.cwvec")}, c.g) AS rn
+            FROM ${p}parts p JOIN $cw c ON c.m = p.m)
+          WHERE rn = 1
+        )""".stripMargin.trim
+
   /** DuckDB mirror of the FROZEN-index delta assignment (the incremental
     * path of [[IvfPq.assignCodes]]): delta vectors -> residuals vs the
     * BASE centroids -> nearest BASE codeword. Emits `dsrc -> drv ->
     * dparts -> dassign(vec_id, label, m, g)`; requires `bcents`/`bcw`
     * (the `pqCte("b", ...)` chain) in scope. Shared by q499 (refit
-    * agreement audit) and q501 (streaming ingest gate).
+    * agreement audit) and q501 (streaming ingest gate); delegates to
+    * [[frozenAssignCteOver]] at (dsrc, "d", bcents, bcw).
     */
   private[queries] val DeltaAssignCte: String = s"""
         dsrc AS (
           SELECT vec_id, label, embedding FROM embeddings WHERE $DeltaPredDuck
-        ), drv AS (
-          SELECT e.vec_id, e.label,
-                 [CAST(round((CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) * 1000000.0) AS BIGINT)
-                  FOR i IN generate_series(1, 64)] AS rmicro
-          FROM dsrc e JOIN bcents c ON c.cell = e.label
-        ), dparts AS (
-          SELECT vec_id, label, t.m AS m,
-                 rmicro[CAST(t.m*16+1 AS BIGINT):CAST(t.m*16+16 AS BIGINT)] AS r
-          FROM drv CROSS JOIN range(0, 4) t(m)
-        ), dassign AS (
-          SELECT vec_id, label, m, g FROM (
-            SELECT p.vec_id, p.label, p.m, c.g,
-                   row_number() OVER (PARTITION BY p.vec_id, p.m
-                     ORDER BY ${duckD2("p.r", "c.cwvec")}, c.g) AS rn
-            FROM dparts p JOIN bcw c ON c.m = p.m)
-          WHERE rn = 1
-        )""".stripMargin.trim
+        ), ${frozenAssignCteOver("dsrc", "d", "bcents", "bcw")}""".stripMargin.trim
 
   val qs: Seq[Q] = Seq(
 
