@@ -1,0 +1,273 @@
+package graft.engine
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Minimal optimistic-concurrency COMMIT LOG over parquet — the
+  * multi-writer table format the round-12 frontier named (#5): the merge
+  * sinks' single-writer contracts are honest but a real lake coordinates
+  * concurrent writers through a transactional log, not external locks.
+  * This is the standard public protocol shape (a Delta-style ordered log
+  * of immutable snapshots; an Iceberg-style files-list manifest):
+  *
+  *   table/_txlog/v<20-digit>.json   one manifest per committed version —
+  *                                   the FULL list of live data files
+  *                                   (path + optional partition value)
+  *   table/data/<uuid>/...           each commit's staged files, immutable
+  *                                   once referenced by any manifest
+  *
+  * The commit protocol:
+  *   1. stage the new data files under a fresh uuid dir (no reader or
+  *      other writer can observe them — nothing references them yet);
+  *   2. read the LATEST committed snapshot, compute the next manifest
+  *      (append: old files + staged; replaceWhere: old files minus the
+  *      replaced partition values' files + staged);
+  *   3. CLAIM version N+1 by `fs.create(path, overwrite = false)` — the
+  *      atomic create-if-absent every HDFS-like filesystem provides (the
+  *      public Delta LogStore contract; object stores without it need a
+  *      coordination service). Exactly ONE writer can create a given
+  *      version file, so commits serialize without locks;
+  *   4. on collision, re-read the new latest snapshot and RETRY from
+  *      step 2 — staged files are immutable, so a retry re-points the
+  *      manifest, never re-writes data. Disjoint concurrent writers both
+  *      land (spec-pinned); same-partition replaceWhere writers serialize
+  *      into last-committed-wins, each applied against the snapshot it
+  *      actually observed at claim time — never a lost update, which is
+  *      exactly what the read-merge-swap race loses.
+  *
+  * Readers resolve the latest version file and read ONLY its manifest's
+  * files — a reader opened mid-commit sees the previous snapshot
+  * (snapshot isolation at file granularity). A partially-written claim
+  * file (the writer crashed inside step 3's write) parses as garbage; the
+  * reader treats it as an aborted commit and falls back to the previous
+  * version, and the next writer's claim of that same version number fails
+  * — it claims the NEXT free slot, so an aborted claim wastes one version
+  * number, never a committed row.
+  *
+  * Partitioned commits stage with `partitionBy`, record each leaf file
+  * with its partition VALUE (from the directory name), and the reader
+  * reconstructs the partition column per commit dir via Spark's
+  * `basePath` + explicit leaf files — one scan per live commit dir,
+  * unioned by name (bounded by log length, not file count). Log/compact
+  * maintenance (manifest checkpointing, dead-file GC) is deliberately out
+  * of scope here; the protocol is the contract under test.
+  *
+  * 100 TB: manifests are file-count-sized metadata (object-store listing
+  * is the thing this avoids), claims are one small atomic create, and
+  * data IO is exactly the staged delta.
+  */
+object TxLog {
+
+  final case class FileEntry(path: String, partition: Option[String])
+  final case class Snapshot(version: Long, entries: Seq[FileEntry])
+
+  private def logDir(table: String) = new Path(table, "_txlog")
+  private def fsOf(spark: SparkSession, table: String): FileSystem =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def versionFile(table: String, v: Long) =
+    new Path(logDir(table), f"v$v%020d.json")
+
+  /** JSON codec for manifests — hand-rolled (two fields, no nesting) so
+    * the on-disk format is explicit and dependency-free. Paths are
+    * escaped; partition values may be any Hive-escaped directory token.
+    */
+  private def render(entries: Seq[FileEntry]): String = {
+    def js(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    entries.map(e =>
+        s"""{"path":${js(e.path)},"partition":${e.partition.map(js).getOrElse("null")}}""")
+      .mkString("[", ",", "]")
+  }
+
+  private def parse(json: String): Seq[FileEntry] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    require(root.isArray, "txlog manifest must be a JSON array")
+    val it = root.elements()
+    val b = Seq.newBuilder[FileEntry]
+    while (it.hasNext) {
+      val e = it.next()
+      b += FileEntry(e.path("path").asText(),
+        Option(e.path("partition")).filter(_.isTextual).map(_.asText()))
+    }
+    b.result()
+  }
+
+  /** Every version number present in the log — readable or not (a claim
+    * whose writer crashed mid-write still BURNS its number: claims are
+    * create-if-absent, so that slot can never be committed).
+    */
+  private def listVersions(fs: FileSystem, table: String): Seq[Long] = {
+    val dir = logDir(table)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption)
+  }
+
+  /** Latest COMMITTED snapshot: highest readable version file. Unreadable
+    * (crashed mid-write) claims are skipped — they were never committed.
+    * Version -1 with no entries when the log is empty or absent.
+    */
+  def snapshot(spark: SparkSession, table: String): Snapshot = {
+    val fs = fsOf(spark, table)
+    val versions = listVersions(fs, table).sorted(Ordering[Long].reverse)
+    versions.iterator.flatMap { v =>
+      scala.util.Try {
+        val in = fs.open(versionFile(table, v))
+        try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+          Snapshot(v, parse(bytes.toString("UTF-8")))
+        } finally in.close()
+      }.toOption
+    }.nextOption().getOrElse(Snapshot(-1L, Nil))
+  }
+
+  /** Read the latest committed snapshot as a DataFrame. Partitioned
+    * entries group by commit dir (two levels up: data/<uuid>/<p>=<v>/file)
+    * and read with `basePath` so Spark reconstructs the partition column;
+    * unpartitioned entries read as one plain file set.
+    */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val snap = snapshot(spark, table)
+    require(snap.version >= 0, s"txlog table $table has no committed version")
+    val (parted, plain) = snap.entries.partition(_.partition.isDefined)
+    val plainDf =
+      if (plain.isEmpty) Nil
+      else Seq(spark.read.parquet(plain.map(_.path): _*))
+    val partedDfs = parted.groupBy(e =>
+        new Path(e.path).getParent.getParent.toString)
+      .toSeq.sortBy(_._1)
+      .map { case (base, es) =>
+        spark.read.option("basePath", base).parquet(es.map(_.path): _*)
+      }
+    val dfs = plainDf ++ partedDfs
+    require(dfs.nonEmpty, s"txlog table $table version ${snap.version} is empty")
+    dfs.reduce(_ unionByName _)
+  }
+
+  /** Stage `df` under a fresh commit dir; returns the staged entries.
+    * With a partition column the write is Hive-layout and each leaf file
+    * is recorded with its directory's partition token; without, a plain
+    * parquet write recorded as unpartitioned entries.
+    */
+  private def stage(df: DataFrame, table: String,
+      partitionCol: Option[String]): Seq[FileEntry] = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, table)
+    val dir = new Path(new Path(table, "data"),
+      java.util.UUID.randomUUID().toString)
+    partitionCol match {
+      case Some(p) =>
+        df.repartition(col(p)).write.partitionBy(p).parquet(dir.toString)
+        fs.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { d =>
+          val token = d.getPath.getName
+          fs.listStatus(d.getPath).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(s => FileEntry(s.getPath.toString, Some(token)))
+        }
+      case None =>
+        df.write.parquet(dir.toString)
+        fs.listStatus(dir).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(s => FileEntry(s.getPath.toString, None))
+    }
+  }
+
+  /** Atomic create-if-absent claim carrying its FULL content: a claim
+    * must never be observable half-written, or a concurrent writer reads
+    * the winner's version file mid-write, treats it as aborted, and
+    * commits a manifest that drops the winner's rows — the exact lost
+    * update the log exists to prevent. Local paths write a temp file and
+    * HARD-LINK it to the claim name (link(2): atomic, fails EEXIST, and
+    * the content is complete at link time; Hadoop's local
+    * create(overwrite=false) is an exists-check THEN a create — a TOCTOU
+    * window two barrier-released writers can actually hit). HDFS-like
+    * schemes write a temp and rely on atomic no-overwrite rename — the
+    * public Delta LogStore contract; object stores without it need a
+    * coordination service. Returns false on a lost race.
+    */
+  private def atomicClaim(fs: FileSystem, claim: Path,
+      content: Array[Byte]): Boolean = {
+    val scheme = claim.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      val dir = java.nio.file.Paths.get(claim.getParent.toUri.getPath)
+      val tmp = java.nio.file.Files.createTempFile(dir, ".claim_", ".tmp")
+      try {
+        java.nio.file.Files.write(tmp, content)
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(claim.toUri.getPath), tmp)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } finally java.nio.file.Files.deleteIfExists(tmp): Unit
+    } else {
+      val tmp = new Path(claim.getParent,
+        s".claim_${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(content) finally out.close()
+      val ok = try fs.rename(tmp, claim)
+        catch { case _: java.io.IOException => false }
+      if (!ok) fs.delete(tmp, true)
+      ok
+    }
+  }
+
+  /** The optimistic-retry commit core: compute the next manifest from the
+    * latest COMMITTED snapshot, claim the next FREE version number (above
+    * every number present, committed or burned — a crashed claim must not
+    * livelock its successors), retry on a lost race. `next` must be a
+    * pure function of the observed snapshot — it re-runs per attempt.
+    */
+  private def commit(spark: SparkSession, table: String, maxRetries: Int)(
+      next: Snapshot => Seq[FileEntry]): Long = {
+    val fs = fsOf(spark, table)
+    fs.mkdirs(logDir(table))
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val snap = snapshot(spark, table)
+      val target = (listVersions(fs, table) :+ snap.version).max + 1
+      val manifest = render(next(snap)).getBytes("UTF-8")
+      if (atomicClaim(fs, versionFile(table, target), manifest)) return target
+      attempt += 1 // another writer claimed it first — rebase and retry
+    }
+    throw new IllegalStateException(
+      s"txlog commit contention exceeded $maxRetries retries for $table")
+  }
+
+  /** Append-commit: the new snapshot is everything live plus the staged
+    * files. Concurrent appends never conflict semantically — collisions
+    * only re-point the manifest.
+    */
+  def append(df: DataFrame, table: String,
+      partitionCol: Option[String] = None, maxRetries: Int = 20): Long = {
+    val staged = stage(df, table, partitionCol)
+    commit(df.sparkSession, table, maxRetries)(snap => snap.entries ++ staged)
+  }
+
+  /** Replace-where commit: drop every live file whose partition token is
+    * in `values`, add the staged files (which must carry exactly those
+    * values — enforced). Two writers replacing DISJOINT values both land
+    * whatever the interleaving; same-value writers serialize into
+    * last-committed-wins, each applied to the snapshot it observed.
+    */
+  def replaceWhere(df: DataFrame, table: String, partitionCol: String,
+      values: Seq[String], maxRetries: Int = 20): Long = {
+    val staged = stage(df, table, Some(partitionCol))
+    val tokens = values.map(v =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(partitionCol, v)).toSet
+    val stray = staged.filterNot(e => e.partition.exists(tokens))
+    require(stray.isEmpty,
+      s"replaceWhere staged rows outside the declared values $values: " +
+        stray.flatMap(_.partition).distinct.mkString(", "))
+    commit(df.sparkSession, table, maxRetries)(snap =>
+      snap.entries.filterNot(_.partition.exists(tokens)) ++ staged)
+  }
+}

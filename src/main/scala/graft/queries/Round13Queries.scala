@@ -473,6 +473,52 @@ object Round13Queries {
         ORDER BY vec_id
       """.trim)),
 
+    // COMMIT-LOG table format — the r12 frontier's #5: the merge sinks
+    // carry honest single-writer contracts, but a real lake coordinates
+    // concurrent writers through a transactional log, not external locks.
+    // graft.engine.TxLog is the minimal public-protocol shape (ordered
+    // manifest log, immutable staged files, optimistic create-if-absent
+    // version claims with rebase-and-retry): concurrency itself is
+    // spec-pinned (TxLogSpec — disjoint appends and disjoint replaceWhere
+    // both land whatever the interleaving; an aborted claim burns its slot
+    // without blocking successors), while THIS gate oracle-checks the
+    // protocol's CONTENT semantics end to end: three commits (append the
+    // non-en slice, append the en slice, replaceWhere the en partition
+    // with doubled n_chars) must read back as exactly the
+    // last-snapshot table, with the version chain pinned in the value.
+    // 100 TB: manifests are file-count metadata (this is what replaces
+    // object-store listing), claims are one small atomic create, data IO
+    // is the staged delta — and untouched partitions' files are never
+    // rewritten, byte-for-byte (spec-pinned).
+    Q(
+      "q526_txlog_snapshot_reads",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val scr = graft.engine.Scratch.dir(s, dir, "txlog_gate")
+        graft.engine.Scratch.rm(scr)
+        val t = s"$scr/t"
+        val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+        graft.engine.TxLog.append(
+          docs.filter(col("lang") =!= "en"), t, Some("lang"))
+        graft.engine.TxLog.append(
+          docs.filter(col("lang") === "en"), t, Some("lang"))
+        graft.engine.TxLog.replaceWhere(
+          docs.filter(col("lang") === "en")
+            .withColumn("n_chars", col("n_chars") * 2L),
+          t, "lang", Seq("en"))
+        graft.engine.TxLog.read(s, t)
+          .withColumn("txlog_version",
+            lit(graft.engine.TxLog.snapshot(s, t).version))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(CASE WHEN lang = 'en' THEN n_chars * 2
+                    ELSE n_chars END AS BIGINT) AS n_chars,
+               lang, CAST(2 AS BIGINT) AS txlog_version
+        FROM documents ORDER BY doc_id
+      """.trim)),
+
     // DERIVED cell count — VERDICT_r12 next #6, the scale contract the
     // q514 finding demanded measured: every in-cell ANN gate uses the
     // fixture's fixed label space, so cell SIZE grows linearly with the

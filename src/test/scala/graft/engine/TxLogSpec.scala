@@ -1,0 +1,113 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+/** Pins the commit-log protocol (TxLog): ordered versions, snapshot
+  * read-back, the optimistic-retry guarantee that concurrent DISJOINT
+  * writers both land (the lost-update class the read-merge-swap sinks
+  * cannot rule out), and crash-tolerance of the claim step.
+  */
+class TxLogSpec extends graft.SparkSpec {
+
+  private def table(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_txlog_$tag").toString + "/t"
+
+  test("append/replaceWhere commit ordered versions and read back exactly") {
+    import spark.implicits._
+    val t = table("seq")
+    assert(TxLog.append(
+      Seq((1L, "a", "x"), (2L, "b", "y")).toDF("k", "v", "p"),
+      t, Some("p")) === 0L)
+    assert(TxLog.append(
+      Seq((3L, "c", "x")).toDF("k", "v", "p"), t, Some("p")) === 1L)
+    // replace partition y wholesale; x's files stay byte-untouched
+    assert(TxLog.replaceWhere(
+      Seq((9L, "Z", "y")).toDF("k", "v", "p"), t, "p", Seq("y")) === 2L)
+    val got = TxLog.read(spark, t).collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[String]("v"), r.getAs[String]("p")))).toMap
+    assert(got === Map(1L -> ("a", "x"), 3L -> ("c", "x"), 9L -> ("Z", "y")))
+    assert(TxLog.snapshot(spark, t).version === 2L)
+  }
+
+  test("unpartitioned appends read back as one table") {
+    import spark.implicits._
+    val t = table("plain")
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t)
+    assert(TxLog.read(spark, t).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+      === Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("concurrent disjoint appends both land with contiguous versions") {
+    val t = table("cc")
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    def writer(k: Long, p: String): Thread = new Thread(() => {
+      val s = spark.newSession()
+      import s.implicits._
+      val df = Seq((k, s"w$k", p)).toDF("k", "v", "p")
+      gate.await()
+      TxLog.append(df, t, Some("p")): Unit
+    })
+    val (t1, t2) = (writer(1L, "x"), writer(2L, "y"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(TxLog.read(spark, t).collect()
+      .map(_.getAs[Long]("k")).toSet === Set(1L, 2L),
+      "both concurrent appends must land — the claim race must retry, not lose")
+    assert(TxLog.snapshot(spark, t).version === 1L,
+      "two commits must occupy exactly versions 0 and 1")
+  }
+
+  test("concurrent replaceWhere on disjoint partitions both land") {
+    import spark.implicits._
+    val t = table("rw")
+    TxLog.append(
+      Seq((1L, "old", "x"), (2L, "old", "y"), (3L, "old", "z"))
+        .toDF("k", "v", "p"),
+      t, Some("p"))
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    def writer(k: Long, p: String): Thread = new Thread(() => {
+      val s = spark.newSession()
+      import s.implicits._
+      val df = Seq((k, "new", p)).toDF("k", "v", "p")
+      gate.await()
+      TxLog.replaceWhere(df, t, "p", Seq(p)): Unit
+    })
+    val (t1, t2) = (writer(10L, "x"), writer(20L, "y"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val got = TxLog.read(spark, t).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(got === Map(10L -> "new", 20L -> "new", 3L -> "old"),
+      "disjoint replaceWhere writers must compose whatever the interleaving")
+  }
+
+  test("an aborted claim burns its slot but blocks neither commits nor readers") {
+    import spark.implicits._
+    val t = table("crash")
+    TxLog.append(Seq((1L, "a", "x")).toDF("k", "v", "p"), t, Some("p"))
+    // simulate a writer that died between claiming and writing: an
+    // unreadable claim file at the next slot
+    val burned = new java.io.File(s"$t/_txlog/v${"0" * 19}1.json")
+    val w = new java.io.FileWriter(burned); w.write("{not json"); w.close()
+    assert(TxLog.snapshot(spark, t).version === 0L,
+      "readers must resolve the last COMMITTED version past the aborted claim")
+    // the next commit must skip the burned slot instead of colliding forever
+    assert(TxLog.append(Seq((2L, "b", "x")).toDF("k", "v", "p"), t, Some("p")) === 2L)
+    assert(TxLog.read(spark, t).collect().map(_.getAs[Long]("k")).toSet
+      === Set(1L, 2L))
+  }
+
+  test("replaceWhere rejects staged rows outside the declared values") {
+    import spark.implicits._
+    val t = table("stray")
+    TxLog.append(Seq((1L, "a", "x")).toDF("k", "v", "p"), t, Some("p"))
+    val e = intercept[IllegalArgumentException] {
+      TxLog.replaceWhere(
+        Seq((2L, "b", "x"), (3L, "c", "q")).toDF("k", "v", "p"),
+        t, "p", Seq("x"))
+    }
+    assert(e.getMessage.contains("outside the declared values"),
+      s"expected the stray-partition contract failure, got: ${e.getMessage}")
+  }
+}
