@@ -244,8 +244,18 @@ object Round13Queries {
           .select(col("doc_id"),
             when(col("doc_id") === bId, col("__atext"))
               .otherwise(col("text")).as("text"))
-        val v2Pairs = NearDup.minHashNearDupPairs(
-            v2, "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.8)
+        // v2's pair set via the INCREMENTAL step (the q520/q521 delta
+        // pricing): the single revised doc is the whole change slice, so
+        // only its text is re-shingled against the A artifacts — and this
+        // gate's own oracle still derives v2's pairs from scratch, so the
+        // equivalence is re-checked through the policy chain here too
+        val v2Pairs = NearDup.incrementalPairs(
+            SharedFrames.verifiedDocPairs(s, dir),
+            SharedFrames.minhashSigs(s, dir),
+            SharedFrames.docShingles(s, dir, 3),
+            gone = docs.filter(col("doc_id") === bId).select("doc_id"),
+            fresh = v2.filter(col("doc_id") === bId),
+            "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.8)
           .select("id_a", "id_b").localCheckpoint()
         def members(docIds: DataFrame, pairs: DataFrame): DataFrame = {
           val cc = NearDup.connectedComponents(pairs, "id_a", "id_b")
