@@ -153,15 +153,19 @@ object Round12Queries {
           WHERE label % 3 = 0 AND $VsnapDuck = 2
         )""".stripMargin.trim
 
-  /** The navigable proximity graph (mutual top-3 cosine within cells UNION
-    * nForeign=2 cross-cell long-range edges) as a CTE chain over an
+  /** The navigable proximity graph (mutual top-k cosine within cells UNION
+    * nForeign cross-cell long-range edges) as a CTE chain over an
     * arbitrary source relation `src(vec_id, embedding, label)` — the
     * source-parameterized form of Round11Queries.NavGraphCte, needed so
     * q514 can derive the from-scratch graph of the STAGED version-B corpus.
     * Ends with relation `nav(id_a, id_b)`. No WITH prefix: compose after
-    * the staging CTEs.
+    * the staging CTEs. The density knobs (k, nForeign) default to the
+    * registry's standard (3, 2) operating point — byte-identical text for
+    * every existing caller; round 13's density sweep (q527) instantiates
+    * denser points.
     */
-  private[queries] def navGraphCteOver(src: String): String = s"""
+  private[queries] def navGraphCteOver(src: String, k: Int = 3,
+      nForeign: Int = 2): String = s"""
         e AS (
           SELECT vec_id, label, embedding,
                  sqrt(${duckDot("embedding", "embedding")}) AS nrm
@@ -172,7 +176,7 @@ object Round12Queries {
                    ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
                      DESC, c.vec_id) AS rank
           FROM e q JOIN e c ON q.label = c.label AND c.vec_id <> q.vec_id
-          QUALIFY rank <= 3
+          QUALIFY rank <= $k
         ), mu AS (
           SELECT a.qid AS id_a, a.nid AS id_b
           FROM knn a JOIN knn b ON b.qid = a.nid AND b.nid = a.qid
@@ -196,7 +200,7 @@ object Round12Queries {
                                FOR i IN generate_series(1, len(q.embedding))]),
                      c.cell) AS rn
             FROM e q JOIN ccents c ON c.cell <> q.label)
-          WHERE rn <= 2
+          WHERE rn <= $nForeign
         ), lre AS (
           SELECT DISTINCT LEAST(vec_id, nid) AS id_a, GREATEST(vec_id, nid) AS id_b
           FROM (
