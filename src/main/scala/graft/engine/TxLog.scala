@@ -251,6 +251,42 @@ object TxLog {
     commit(df.sparkSession, table, maxRetries)(snap => snap.entries ++ staged)
   }
 
+  /** Retention-windowed GC — the maintenance leg of the log (round 13):
+    * drops manifests older than the newest `keepVersions` committed ones
+    * and deletes every data file those DROPPED manifests reference that no
+    * RETAINED manifest still does. The deletion rule is subtractive on
+    * purpose: a file referenced by NO manifest at all is left alone — a
+    * concurrent writer's staged-but-uncommitted files are exactly that,
+    * so vacuum can never race an in-flight commit into data loss (the
+    * worst case is an orphan from an aborted stage surviving; reclaiming
+    * those needs an age heuristic and is out of scope, as is manifest
+    * checkpointing). Unreadable (burned) claim files inside the dropped
+    * range are removed too — they were never committed. Returns
+    * (manifests dropped, data files deleted).
+    */
+  def vacuum(spark: SparkSession, table: String,
+      keepVersions: Int): (Int, Int) = {
+    require(keepVersions >= 1, "vacuum must retain at least the latest version")
+    val fs = fsOf(spark, table)
+    val latest = snapshot(spark, table).version
+    if (latest < 0) return (0, 0)
+    val cutoff = latest - keepVersions + 1
+    val (dropped, retained) = listVersions(fs, table).partition(_ < cutoff)
+    def refsOf(vs: Seq[Long]): Set[String] = vs.flatMap(v =>
+      scala.util.Try {
+        val in = fs.open(versionFile(table, v))
+        try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+          parse(bytes.toString("UTF-8")).map(_.path)
+        } finally in.close()
+      }.getOrElse(Nil)).toSet
+    val dead = refsOf(dropped) -- refsOf(retained)
+    dead.foreach(p => fs.delete(new Path(p), false): Unit)
+    dropped.foreach(v => fs.delete(versionFile(table, v), false): Unit)
+    (dropped.size, dead.size)
+  }
+
   /** Replace-where commit: drop every live file whose partition token is
     * in `values`, add the staged files (which must carry exactly those
     * values — enforced). Two writers replacing DISJOINT values both land

@@ -529,6 +529,52 @@ object Round13Queries {
         FROM documents ORDER BY doc_id
       """.trim)),
 
+    // COMMIT-LOG GC — the maintenance leg q526 scopes out: a log that only
+    // grows eventually pays manifest-listing and dead-file storage
+    // forever. TxLog.vacuum drops manifests outside the retention window
+    // and deletes exactly the files ONLY they reference (subtractive rule:
+    // unreferenced files are never touched, so an in-flight writer's
+    // staging can't be raced into data loss — spec-pinned with a planted
+    // orphan). This gate runs q526's commit sequence, vacuums to the
+    // latest version, and hash-checks BOTH contracts in one value: the
+    // table content is byte-identical to the pre-vacuum snapshot (the
+    // oracle re-derives it from first principles), and the measured GC
+    // counters equal the protocol's predicted constants (2 manifests
+    // dropped, exactly 1 dead file — the replaced en file; the clustered
+    // stage lands one file per partition value per commit, so the counts
+    // are deterministic at any SF). 100 TB: vacuum IO is manifest-sized
+    // metadata plus the dead files themselves.
+    Q(
+      "q528_txlog_vacuum",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val scr = graft.engine.Scratch.dir(s, dir, "txlog_vacuum")
+        graft.engine.Scratch.rm(scr)
+        val t = s"$scr/t"
+        val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+        graft.engine.TxLog.append(
+          docs.filter(col("lang") =!= "en"), t, Some("lang"))
+        graft.engine.TxLog.append(
+          docs.filter(col("lang") === "en"), t, Some("lang"))
+        graft.engine.TxLog.replaceWhere(
+          docs.filter(col("lang") === "en")
+            .withColumn("n_chars", col("n_chars") * 2L),
+          t, "lang", Seq("en"))
+        val (manifests, files) = graft.engine.TxLog.vacuum(s, t, keepVersions = 1)
+        graft.engine.TxLog.read(s, t)
+          .withColumn("n_manifests_dropped", lit(manifests.toLong))
+          .withColumn("n_files_deleted", lit(files.toLong))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(CASE WHEN lang = 'en' THEN n_chars * 2
+                    ELSE n_chars END AS BIGINT) AS n_chars,
+               lang, CAST(2 AS BIGINT) AS n_manifests_dropped,
+               CAST(1 AS BIGINT) AS n_files_deleted
+        FROM documents ORDER BY doc_id
+      """.trim)),
+
     // GRAPH-DENSITY recall point — the r12 frontier's #4: the sweep showed
     // the WALK saturating on the standard graph (95% at 128 entries x
     // beam 16, and walking from EVERY node reads the same 95% — the last

@@ -98,6 +98,35 @@ class TxLogSpec extends graft.SparkSpec {
       === Set(1L, 2L))
   }
 
+  test("vacuum drops old manifests and dead files, never live or unreferenced ones") {
+    import spark.implicits._
+    val t = table("vac")
+    TxLog.append(Seq((1L, "a", "x"), (2L, "b", "y")).toDF("k", "v", "p"),
+      t, Some("p"))
+    TxLog.replaceWhere(Seq((9L, "Z", "y")).toDF("k", "v", "p"), t, "p", Seq("y"))
+    // an ORPHAN from an aborted stage: referenced by no manifest — vacuum
+    // must leave it (it could be a concurrent writer's in-flight staging)
+    val orphanDir = new java.io.File(s"$t/data/orphan-stage")
+    orphanDir.mkdirs()
+    val orphan = new java.io.File(orphanDir, "part-orphan.parquet")
+    val w = new java.io.FileWriter(orphan); w.write("x"); w.close()
+    val before = TxLog.read(spark, t).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    val (manifests, files) = TxLog.vacuum(spark, t, keepVersions = 1)
+    assert(manifests === 1 && files === 1,
+      "one old manifest (v0) dropped; only y's replaced file is dead (x's file is still live in v1)")
+    val after = TxLog.read(spark, t).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(after === before, "content must be identical after vacuum")
+    assert(after === Map(1L -> "a", 9L -> "Z"),
+      "the latest snapshot (x kept, y replaced) must survive vacuum exactly")
+    assert(orphan.exists(), "unreferenced files are never vacuum's to delete")
+    assert(TxLog.snapshot(spark, t).version === 1L)
+    // a second vacuum is a no-op; a later commit still lands
+    assert(TxLog.vacuum(spark, t, keepVersions = 1) === ((0, 0)))
+    assert(TxLog.append(Seq((5L, "e", "x")).toDF("k", "v", "p"), t, Some("p")) === 2L)
+  }
+
   test("replaceWhere rejects staged rows outside the declared values") {
     import spark.implicits._
     val t = table("stray")
