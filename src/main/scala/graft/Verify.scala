@@ -23,12 +23,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.ensureRegistered(spark)
     new java.io.File(outDir).mkdirs()
+    var dumped = 0
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          dumped += 1
+        } catch { case e: Throwable =>
+          failed ::= name
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -38,7 +43,28 @@ object Verify {
     // only the named queries.
     OracleJson.write(outDir,
       SparkEntry.oracleSql.filter { case (name, _) => only.isEmpty || only(name) })
+    // Loud-fail summary (VERDICT_r13 #5 — CORRECTNESS_r13.json arrived
+    // EMPTY and masked the round's hard signal until the judge re-ran the
+    // gate): a machine-readable per-run summary lands next to the dumps,
+    // the human-readable line goes to stderr, and a dump that produced
+    // ZERO query directories exits non-zero — an empty correctness
+    // artifact must never read as "nothing to compare".
+    Files.writeString(Paths.get(s"$outDir/_dump_summary.json"),
+      s"""{"registry":${SparkEntry.queries.size},"selected":${
+        if (only.isEmpty) SparkEntry.queries.size else only.size
+      },"dumped":$dumped,"failed":${failed.size},"failed_names":[${
+        failed.sorted.map(n => "\"" + n + "\"").mkString(",")}]}"""): Unit
+    System.err.println(
+      s"[verify] dumped $dumped queries, ${failed.size} failed" +
+        (if (failed.nonEmpty) s": ${failed.sorted.mkString(", ")}" else ""))
     spark.stop()
+    if (dumped == 0) {
+      System.err.println(
+        "[verify] FATAL: zero queries dumped — the correctness gate has " +
+          "nothing to compare; failing loudly instead of emitting an " +
+          "empty artifact")
+      sys.exit(1)
+    }
   }
 }
 

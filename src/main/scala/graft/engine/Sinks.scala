@@ -402,7 +402,11 @@ object Sinks {
     * the overwrite and checkpoint commit re-delivers the batch), and the
     * call converges as an idempotent no-op for it. The disambiguation is
     * one column-pruned key scan of the table and runs ONLY when the cheap
-    * in-job metric trips — never on the happy path.
+    * in-job metric trips — never on the happy path. Delete rows with a NULL
+    * key are REJECTED outright (ADVICE_r13): every equality in the merge and
+    * in the disambiguation probe is null-dropping, so a NULL key would
+    * otherwise read as "absent from the table" and converge silently as a
+    * presumed replay — a malformed change batch must fail loudly instead.
     */
   def applyChangesPartitioned(spark: SparkSession, path: String,
       deletes: DataFrame, upserts: DataFrame, key: String,
@@ -442,15 +446,32 @@ object Sinks {
         .groupBy(key).agg(max(col("__is_del")).as("__del"))
       val obs = org.apache.spark.sql.Observation(
         s"graft_changes_${java.util.UUID.randomUUID()}")
+      // NULL delete keys are counted separately and REJECTED (ADVICE_r13):
+      // the full_outer join and the wrong-partition probe below both use
+      // null-dropping equality, so a malformed delete row with a NULL key
+      // would otherwise read as "absent from the table entirely" and slip
+      // through as a presumed replay no-op. (groupBy collapses all NULL
+      // keys into one row, so any count >= 1 means the batch is malformed.)
       val joined = existing.withColumn("__ex", lit(1))
         .join(changeKeys, Seq(key), "full_outer")
-        .observe(obs, coalesce(sum(when(col("__del") === 1
-            && col("__ex").isNull, 1L)), lit(0L)).as("missed_deletes"))
+        .observe(obs,
+          coalesce(sum(when(col("__del") === 1
+            && col("__ex").isNull && col(key).isNotNull, 1L)), lit(0L))
+            .as("missed_deletes"),
+          coalesce(sum(when(col("__del") === 1
+            && col(key).isNull, 1L)), lit(0L)).as("null_delete_keys"))
       val merged = joined.filter(col("__del").isNull)
         .drop("__ex", "__del").unionByName(up)
       val tmp = new Path(stagingDir(path, "changes", spark))
       try {
         merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val nullDels = obs.get("null_delete_keys").asInstanceOf[Long]
+        require(nullDels == 0L,
+          s"applyChangesPartitioned: the change batch for $path carries " +
+            "delete row(s) with a NULL key — a NULL key can never match an " +
+            "existing row (null-dropping join equality), so it would slip " +
+            "through as a presumed replay no-op; fix the upstream diff. " +
+            "Table untouched.")
         val missed = obs.get("missed_deletes").asInstanceOf[Long]
         if (missed > 0L) {
           // miss path only: split wrong-partition (dangerous) from replay

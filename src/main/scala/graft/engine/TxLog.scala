@@ -225,12 +225,21 @@ object TxLog {
     * livelock its successors), retry on a lost race. `next` must be a
     * pure function of the observed snapshot — it re-runs per attempt.
     */
+  /** Test-only interleave seam: invoked once per commit ATTEMPT, before the
+    * attempt's snapshot read — lets a spec deterministically land a
+    * concurrent commit inside the [baseline read -> claim] window that a
+    * thread barrier can only hit probabilistically. Never set in
+    * production code; a no-op by default.
+    */
+  private[engine] var testInterleave: () => Unit = () => ()
+
   private def commit(spark: SparkSession, table: String, maxRetries: Int)(
       next: Snapshot => Seq[FileEntry]): Long = {
     val fs = fsOf(spark, table)
     fs.mkdirs(logDir(table))
     var attempt = 0
     while (attempt <= maxRetries) {
+      testInterleave()
       val snap = snapshot(spark, table)
       val target = (listVersions(fs, table) :+ snap.version).max + 1
       val manifest = render(next(snap)).getBytes("UTF-8")
@@ -259,19 +268,39 @@ object TxLog {
     * concurrent writer's staged-but-uncommitted files are exactly that,
     * so vacuum can never race an in-flight commit into data loss (the
     * worst case is an orphan from an aborted stage surviving; reclaiming
-    * those needs an age heuristic and is out of scope, as is manifest
-    * checkpointing). Unreadable (burned) claim files inside the dropped
-    * range are removed too — they were never committed. Returns
-    * (manifests dropped, data files deleted).
+    * those is [[reclaimOrphans]]' age-gated job, not vacuum's). Unreadable
+    * (burned) claim files inside the dropped range are removed too — they
+    * were never committed. Returns (manifests dropped, data files deleted).
+    *
+    * READER-vs-VACUUM HAZARD (ADVICE_r13): a reader that resolved an OLDER
+    * snapshot (`snapshot()` then `read()`, or a long-running scan of a
+    * superseded version) holds file paths vacuum may delete mid-scan —
+    * exactly the race public lake formats gate behind a TIME retention
+    * window. `minAgeMs` is that guard: a manifest whose version file is
+    * younger than `minAgeMs` is retained (with its files) even when it
+    * falls below the `keepVersions` cutoff, so any reader that resolved its
+    * snapshot within the window keeps its files. The default 0 keeps
+    * vacuum purely count-windowed — callers with concurrent readers should
+    * pass a window comfortably above their longest read (the reference
+    * formats default to hours–days).
     */
   def vacuum(spark: SparkSession, table: String,
-      keepVersions: Int): (Int, Int) = {
+      keepVersions: Int, minAgeMs: Long = 0L): (Int, Int) = {
     require(keepVersions >= 1, "vacuum must retain at least the latest version")
     val fs = fsOf(spark, table)
     val latest = snapshot(spark, table).version
     if (latest < 0) return (0, 0)
     val cutoff = latest - keepVersions + 1
-    val (dropped, retained) = listVersions(fs, table).partition(_ < cutoff)
+    val youngEnough: Long => Boolean =
+      if (minAgeMs <= 0L) _ => false
+      else {
+        val floor = System.currentTimeMillis() - minAgeMs
+        v => scala.util.Try(
+          fs.getFileStatus(versionFile(table, v)).getModificationTime > floor
+        ).getOrElse(true) // unstat-able claim: assume young, never drop
+      }
+    val (dropped, retained) = listVersions(fs, table)
+      .partition(v => v < cutoff && !youngEnough(v))
     def refsOf(vs: Seq[Long]): Set[String] = vs.flatMap(v =>
       scala.util.Try {
         val in = fs.open(versionFile(table, v))
@@ -292,9 +321,22 @@ object TxLog {
     * values — enforced). Two writers replacing DISJOINT values both land
     * whatever the interleaving; same-value writers serialize into
     * last-committed-wins, each applied to the snapshot it observed.
+    *
+    * CONCURRENT-APPEND CONFLICT (ADVICE_r13): an append into one of the
+    * replaced partitions that commits BETWEEN this writer's baseline read
+    * and its claim would be silently overwritten by a naive rebase (the
+    * loser's re-filter drops the freshly appended files — serializable as
+    * append-then-replace, but a lost write from the appender's view). The
+    * rebase therefore DETECTS it — any file in the replaced partitions
+    * present in the rebase snapshot but not the baseline fails the commit
+    * loudly (the public ConcurrentAppendException contract), leaving the
+    * appended rows live; the caller re-reads and re-issues its replacement
+    * against the world that now includes the append.
     */
   def replaceWhere(df: DataFrame, table: String, partitionCol: String,
       values: Seq[String], maxRetries: Int = 20): Long = {
+    val spark = df.sparkSession
+    val baseline = snapshot(spark, table)
     val staged = stage(df, table, Some(partitionCol))
     val tokens = values.map(v =>
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -303,7 +345,71 @@ object TxLog {
     require(stray.isEmpty,
       s"replaceWhere staged rows outside the declared values $values: " +
         stray.flatMap(_.partition).distinct.mkString(", "))
-    commit(df.sparkSession, table, maxRetries)(snap =>
-      snap.entries.filterNot(_.partition.exists(tokens)) ++ staged)
+    val basePaths = baseline.entries
+      .filter(_.partition.exists(tokens)).map(_.path).toSet
+    commit(spark, table, maxRetries) { snap =>
+      val appended = snap.entries
+        .filter(e => e.partition.exists(tokens) && !basePaths.contains(e.path))
+      if (appended.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"replaceWhere($values) on $table conflicts with a concurrent " +
+            s"append: ${appended.size} file(s) landed in the replaced " +
+            "partition(s) after this writer's baseline snapshot " +
+            s"(v${baseline.version} -> v${snap.version}); re-read and " +
+            "re-issue the replacement so the appended rows are not " +
+            "silently dropped")
+      snap.entries.filterNot(_.partition.exists(tokens)) ++ staged
+    }
+  }
+
+  /** Age-gated ORPHAN reclaim — the data-directory sweep [[vacuum]]
+    * deliberately does not do: a commit-dir under `data/` referenced by NO
+    * manifest (committed or dropped) is either an aborted stage or a
+    * concurrent writer's not-yet-committed staging — indistinguishable by
+    * reference alone, so reclaim is gated on AGE: only unreferenced dirs
+    * whose every file is older than `minAgeMs` are deleted (an in-flight
+    * commit stages, then claims, within seconds — a day-old unreferenced
+    * stage is an abort). Returns the number of commit dirs reclaimed.
+    */
+  def reclaimOrphans(spark: SparkSession, table: String,
+      minAgeMs: Long): Int = {
+    require(minAgeMs > 0L,
+      "reclaimOrphans needs a positive age window — an ageless sweep would " +
+        "race a concurrent writer's staged-but-unclaimed commit into data loss")
+    val fs = fsOf(spark, table)
+    val dataDir = new Path(table, "data")
+    if (!fs.exists(dataDir)) return 0
+    val referenced = listVersions(fs, table).flatMap(v =>
+      scala.util.Try {
+        val in = fs.open(versionFile(table, v))
+        try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+          parse(bytes.toString("UTF-8")).map(e =>
+            commitDirOf(new Path(e.path)).toString)
+        } finally in.close()
+      }.getOrElse(Nil)).toSet
+    val floor = System.currentTimeMillis() - minAgeMs
+    def newestMTime(p: Path): Long = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(p).toSeq.map(s => newestMTime(s.getPath))).max
+    }
+    val orphans = fs.listStatus(dataDir).toSeq.filter(_.isDirectory)
+      .map(_.getPath)
+      .filterNot(d => referenced.contains(d.toString))
+      .filter(d => scala.util.Try(newestMTime(d) < floor).getOrElse(false))
+    orphans.foreach(d => fs.delete(d, true): Unit)
+    orphans.size
+  }
+
+  /** The commit dir (data/<uuid>) an entry's file lives under — entries are
+    * either data/<uuid>/file or data/<uuid>/<p>=<v>/file.
+    */
+  private def commitDirOf(file: Path): Path = {
+    var p = file.getParent
+    while (p.getParent != null && p.getParent.getName != "data") p = p.getParent
+    p
   }
 }

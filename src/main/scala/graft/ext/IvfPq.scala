@@ -173,6 +173,14 @@ object IvfPq {
     // the DPP selectivity heuristics don't see through.) The collect is a
     // bounded single-small-frame gate, the repo's allowed pattern; values
     // are unchanged — the join's cell equality already implied the filter.
+    // LOAD-BEARING for callers' observe() audits (ADVICE_r13): this eager
+    // collect is the FIRST action on any plan built over `probes`, so an
+    // Observation a caller attached to the probes frame (the streaming
+    // serve cap audit, EventStreams.startAnnServe) resolves when this
+    // collect fully evaluates the probes subtree — including a caller's
+    // LIMIT. If this collect ever stops consuming the full probes plan
+    // (e.g. a future sampled or lazy cell pick), the serve contract's cap
+    // metric must move to an action the caller controls.
     val probedCells = qc.select("cell").distinct().collect().map(_.get(0)).toSeq
     val codes = ix.codes.filter(col("cell").isInCollection(probedCells))
     val contrib = codes

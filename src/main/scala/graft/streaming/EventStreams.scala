@@ -279,7 +279,12 @@ object EventStreams {
           s"graft_serve_${batchId}_${java.util.UUID.randomUUID()}")
         // the observe node sits UNDER the limit: rows the limit pulls flow
         // through it, so arrivals ≤ cap count exactly and an over-cap batch
-        // counts at least cap+1 — enough to fire the contract
+        // counts at least cap+1 — enough to fire the contract. The metric
+        // resolves at the FIRST action over this plan — which is
+        // adcShortlist's eager probed-cells collect (documented as
+        // load-bearing at its site, ADVICE_r13), not the staged write
+        // below; both actions evaluate the limit subtree fully, so the
+        // count is exact either way
         val probes = batch
           .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
           .observe(obs, count(lit(1)).as("arrived"))

@@ -460,4 +460,27 @@ class SourcesSpec extends SparkSpec {
     assert(back.except(df).count() === 0)
     assert(df.except(back).count() === 0)
   }
+
+  test("applyChangesPartitioned rejects a NULL delete key loudly") {
+    // ADVICE_r13: every equality in the merge (full_outer) and in the
+    // wrong-partition probe (left_anti/left_semi) is null-dropping, so a
+    // delete row with a NULL key used to read as "absent from the table
+    // entirely" and converge silently as a presumed replay no-op — a
+    // malformed change batch must fail instead, with the table untouched.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_changes_nk").toString + "/t"
+    Sinks.writePartitioned(
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "p"), dir, Seq("p"))
+    val e = intercept[IllegalArgumentException] {
+      Sinks.applyChangesPartitioned(spark, dir,
+        deletes = Seq((Option.empty[Long], 10)).toDF("k", "p"),
+        upserts = Seq((9L, "z", 10)).toDF("k", "v", "p"),
+        key = "k", partitionCol = "p")
+    }
+    assert(e.getMessage.contains("NULL key"),
+      s"expected the NULL-delete-key rejection, got: ${e.getMessage}")
+    val got = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(got === Map(1L -> "a", 2L -> "b"), "table must be untouched")
+  }
 }

@@ -139,4 +139,93 @@ class TxLogSpec extends graft.SparkSpec {
     assert(e.getMessage.contains("outside the declared values"),
       s"expected the stray-partition contract failure, got: ${e.getMessage}")
   }
+
+  test("an append landing inside the replaceWhere window fails the replace loudly") {
+    // ADVICE_r13: the losing replaceWhere's rebase used to re-filter the
+    // partition's files against the NEW snapshot, silently absorbing a
+    // concurrent append's freshly landed files — serializable as
+    // append-then-replace, but a lost write from the appender's view. The
+    // rebase now detects files that appeared in the replaced partitions
+    // after its baseline and fails with the public
+    // ConcurrentAppendException contract, leaving the appended world
+    // intact. The interleave seam lands the append deterministically
+    // inside the [baseline read -> claim] window a barrier can only hit
+    // probabilistically.
+    import spark.implicits._
+    val t = table("race")
+    TxLog.append(Seq((1L, "old", "x")).toDF("k", "v", "p"), t, Some("p"))
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    TxLog.testInterleave = () =>
+      if (fired.compareAndSet(false, true)) {
+        // one-shot: the inner append's own commit must not re-enter
+        TxLog.testInterleave = () => ()
+        TxLog.append(Seq((2L, "appended", "x")).toDF("k", "v", "p"),
+          t, Some("p")): Unit
+      }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        TxLog.replaceWhere(
+          Seq((9L, "replaced", "x")).toDF("k", "v", "p"), t, "p", Seq("x"))
+      }
+      assert(e.getMessage.contains("concurrent append"))
+    } finally TxLog.testInterleave = () => ()
+    assert(TxLog.read(spark, t).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+      === Map(1L -> "old", 2L -> "appended"),
+      "a failed replace must leave the appended world intact")
+    // the caller's documented recovery: re-read and re-issue — the fresh
+    // baseline now includes the append, so the replacement covers it
+    assert(TxLog.replaceWhere(
+      Seq((9L, "replaced", "x")).toDF("k", "v", "p"), t, "p", Seq("x")) >= 2L)
+    assert(TxLog.read(spark, t).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+      === Map(9L -> "replaced"))
+  }
+
+  test("vacuum minAge retains below-cutoff manifests younger than the window") {
+    // ADVICE_r13: keepVersions=1 with no age floor deletes every older
+    // manifest and its dead files immediately, racing a reader that
+    // resolved an older snapshot mid-scan. The minAge guard keeps young
+    // manifests (and so their files) even below the count cutoff.
+    import spark.implicits._
+    val t = table("vage")
+    TxLog.append(Seq((1L, "a", "x")).toDF("k", "v", "p"), t, Some("p"))
+    TxLog.replaceWhere(Seq((2L, "b", "x")).toDF("k", "v", "p"), t, "p", Seq("x"))
+    // everything is seconds old: an hour-wide window must drop nothing
+    assert(TxLog.vacuum(spark, t, keepVersions = 1,
+      minAgeMs = 3600L * 1000L) === ((0, 0)))
+    // the ageless form still drops v0 and its replaced file
+    assert(TxLog.vacuum(spark, t, keepVersions = 1) === ((1, 1)))
+    assert(TxLog.read(spark, t).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+      === Map(2L -> "b"))
+  }
+
+  test("reclaimOrphans deletes only old unreferenced commit dirs") {
+    import spark.implicits._
+    val t = table("orph")
+    TxLog.append(Seq((1L, "a", "x")).toDF("k", "v", "p"), t, Some("p"))
+    // a fresh orphan (aborted stage OR an in-flight concurrent commit —
+    // indistinguishable): too young to reclaim
+    val orphanDir = new java.io.File(s"$t/data/orphan-stage/p=x")
+    orphanDir.mkdirs()
+    val orphan = new java.io.File(orphanDir, "part-orphan.parquet")
+    val w = new java.io.FileWriter(orphan); w.write("x"); w.close()
+    assert(TxLog.reclaimOrphans(spark, t, minAgeMs = 3600L * 1000L) === 0)
+    assert(orphan.exists())
+    // age it past the window: now it is an abort, reclaimable
+    val old = System.currentTimeMillis() - 7200L * 1000L
+    new java.io.File(s"$t/data/orphan-stage").setLastModified(old)
+    orphanDir.setLastModified(old)
+    orphan.setLastModified(old)
+    assert(TxLog.reclaimOrphans(spark, t, minAgeMs = 3600L * 1000L) === 1)
+    assert(!orphan.exists(), "the aged orphan must be reclaimed")
+    // referenced commit dirs are never touched, whatever their age
+    assert(TxLog.read(spark, t).collect()
+      .map(r => r.getAs[Long]("k")).toSeq === Seq(1L))
+    val e = intercept[IllegalArgumentException] {
+      TxLog.reclaimOrphans(spark, t, minAgeMs = 0L)
+    }
+    assert(e.getMessage.contains("positive age window"))
+  }
 }
