@@ -40,6 +40,39 @@ object IvfPq {
   val M = 4
   val SubDim = 16
 
+  /** Vector width the index quantizes (M x SubDim) — also the width the
+    * derived coarse quantizer hashes over.
+    */
+  val Dim: Int = M * SubDim
+
+  /** The DERIVED cell-count rule (round 14 — the q524 contract applied to
+    * the whole index lifecycle): the coarse quantizer's cell space is a
+    * function of CORPUS SIZE, never a fixture attribute — planes = the
+    * smallest p with 2^p * 64 >= n, so cells ~= n/64 and the expected
+    * cell size stays ~64 at ANY corpus scale. A fixed cell space makes
+    * cell size corpus-linear and every in-cell stage quadratic at 100x —
+    * the exact anti-pattern a production index avoids by growing cell
+    * COUNT. Capped at 56: (1L << 56) * 64 = 2^62 is the largest
+    * shift-times-64 that cannot overflow a signed long in either engine
+    * (the oracle evaluates the predicate for every series element).
+    */
+  def derivedPlanes(n: Long): Int =
+    math.max(1, (0 to 56).find(p => (1L << p) * 64L >= n).getOrElse(56))
+
+  /** Attach the derived SRP coarse-quantizer cell for a FROZEN plane count
+    * (from [[derivedPlanes]] over the TRAINING corpus): `planes` codegen'd
+    * dot products per row against driver-folded sign literals
+    * (Similarity.hyperplaneBucketFast) — corpus-linear, no centroid fit,
+    * no broadcast that grows with n, and stateless, so a streamed arrival
+    * or a batch delta gets its cell from the same frozen expression the
+    * build used (the cell is part of the frozen index, like the
+    * codebooks). Works on streaming frames (pure projection).
+    */
+  def withDerivedCells(corpus: DataFrame, vecCol: String, planes: Int,
+      cellCol: String = "cell"): DataFrame =
+    corpus.withColumn(cellCol,
+      Similarity.hyperplaneBucketFast(col(vecCol), planes, Dim))
+
   /** The persistable index artifact:
     *  - cents: (cell, centroid: array<double>) — the coarse quantizer;
     *  - cw:    (m, g, cwvec: array<double>)   — PQ codebooks;
@@ -67,7 +100,11 @@ object IvfPq {
     */
   def residualParts(corpus: DataFrame, cents: DataFrame, idCol: String,
       vecCol: String, cellCol: String): DataFrame = {
-    val rv = corpus.join(broadcast(cents), col(cellCol) === col("cell"))
+    // the index side's cell is renamed before the join so a corpus whose
+    // cell column is itself named "cell" (the derived-cell convention)
+    // joins unambiguously
+    val ixCents = cents.select(col("cell").as("__ixcell"), col("centroid"))
+    val rv = corpus.join(broadcast(ixCents), col(cellCol) === col("__ixcell"))
       .select(col(idCol).as("id"), col(cellCol).as("__pcell"),
         zip_with(col(vecCol), col("centroid"),
           (x, c) => round((x.cast("double") - c) * lit(1000000.0)).cast("long"))

@@ -17,7 +17,7 @@ object Registry {
     EvalQueries.qs ++ CorpusQueries.qs ++ WarehouseQueries.qs ++ OpsQueries.qs ++
     CurationQueries.qs ++ Round6Queries.qs ++ Round7Queries.qs ++ Round8Queries.qs ++
     Round9Queries.qs ++ Round11Queries.qs ++ Round12Queries.qs ++
-    Round13Queries.qs
+    Round13Queries.qs ++ Round14Queries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

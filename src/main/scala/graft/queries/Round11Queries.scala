@@ -451,24 +451,35 @@ object Round11Queries {
         val codesPath = s"$scr/codes"
         val ledgerPath = s"$scr/ledger"
         val e = Tables.embeddings(s, dir)
-        val base = e.filter(!deltaPredSpark)
-        val delta = e.filter(deltaPredSpark)
+        // derived cells (round 14): the STALE artifact rides planes frozen
+        // from its own training corpus (the base snapshot); the refit —
+        // like any full retrain — re-derives planes from the corpus it
+        // trains on, so a rebuild heals cell-size drift too (the q524 rule
+        // is part of what "retrain" means)
+        val base0 = e.filter(!deltaPredSpark)
+        val bPlanes = IvfPq.derivedPlanes(base0.count())
+        val base = IvfPq.withDerivedCells(base0, "embedding", bPlanes)
+        val delta = IvfPq.withDerivedCells(
+          e.filter(deltaPredSpark), "embedding", bPlanes)
         // stale artifact: base-trained index, delta coded against it (the
         // q499/q501 incremental path), ledger = the delta arrivals
-        val bCents = Similarity.exactCentroids(base, "embedding", "label")
-        val bParts = IvfPq.residualParts(base, bCents, "vec_id", "embedding", "label")
+        val bCents = Similarity.exactCentroids(base, "embedding", "cell")
+        val bParts = IvfPq.residualParts(base, bCents, "vec_id", "embedding", "cell")
         val bCw = IvfPq.trainCodebooks(bParts)
         graft.engine.Sinks.writePartitioned(
           IvfPq.assignCodes(bParts, bCw).unionByName(
             IvfPq.assignCodes(
-              IvfPq.residualParts(delta, bCents, "vec_id", "embedding", "label"), bCw)),
+              IvfPq.residualParts(delta, bCents, "vec_id", "embedding", "cell"), bCw)),
           codesPath, Seq("cell"))
         graft.engine.Sinks.writeParquet(
           delta.select(col("vec_id").as("id")), ledgerPath)
         // the refit the audit prices against — and, on a fired flag, the
         // artifact the act installs; deterministic, so the in-memory frame
         // and the swapped read-back must agree code-for-code
-        val refit = IvfPq.buildIndex(e, "vec_id", "embedding", "label")
+        val refit = IvfPq.buildIndex(
+          IvfPq.withDerivedCells(e, "embedding",
+            IvfPq.derivedPlanes(e.count())),
+          "vec_id", "embedding", "cell")
         val refitCodes = refit.codes.select(col("id"), col("m"), col("g").as("__fg"))
         def healthRow(phase: String): DataFrame = {
           val artifact = s.read.parquet(codesPath)
@@ -516,19 +527,28 @@ object Round11Queries {
       Some(s"""
         WITH ${Round9Queries.pqCte("f", "TRUE")}, ${Round9Queries.pqCte("b", s"NOT ($DeltaPredDuck)")},
         ${Round9Queries.DeltaAssignCte}, stale AS (
-          SELECT vec_id, m, g FROM bcassign
+          SELECT vec_id, cell, m, g FROM bcassign
           UNION ALL
-          SELECT vec_id, m, g FROM dassign
+          SELECT vec_id, cell, m, g FROM dassign
         ), sdiff AS (
           SELECT COUNT(*) AS n FROM stale s
           JOIN fcassign f ON f.vec_id = s.vec_id AND f.m = s.m
           WHERE s.g <> f.g
-        ), occ AS (
-          SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label
-        ), tot AS (
+        ), occp AS (
+          -- pre-phase occupancy from the STALE artifact's own cells (base
+          -- planes); post-phase from the refit's (full-corpus planes) —
+          -- with derived cells the two quantizers are distinct objects
+          SELECT cell, COUNT(*) AS n_vecs FROM stale WHERE m = 0 GROUP BY cell
+        ), totp AS (
           SELECT SUM(n_vecs) AS n_total, MAX(n_vecs) AS max_vecs,
                  COUNT(*) AS n_cells
-          FROM occ
+          FROM occp
+        ), occf AS (
+          SELECT cell, COUNT(*) AS n_vecs FROM fcassign WHERE m = 0 GROUP BY cell
+        ), totf AS (
+          SELECT SUM(n_vecs) AS n_total, MAX(n_vecs) AS max_vecs,
+                 COUNT(*) AS n_cells
+          FROM occf
         ), del AS (
           SELECT COUNT(*) AS n_delta FROM embeddings WHERE $DeltaPredDuck
         )
@@ -539,7 +559,7 @@ object Round11Queries {
                CAST(CASE WHEN d.n_delta * 10 >= t.n_total
                            OR t.max_vecs * t.n_cells >= 2 * t.n_total
                          THEN 1 ELSE 0 END AS BIGINT) AS rebuild
-        FROM tot t CROSS JOIN del d CROSS JOIN sdiff s
+        FROM totp t CROSS JOIN del d CROSS JOIN sdiff s
         UNION ALL
         -- post-act invariants (q430/q435 precedent): a completed rebuild
         -- has, BY DEFINITION, an empty ledger and a refit-identical
@@ -549,7 +569,7 @@ object Round11Queries {
                0, 0,
                CAST(CASE WHEN t.max_vecs * t.n_cells >= 2 * t.n_total
                          THEN 1 ELSE 0 END AS BIGINT)
-        FROM tot t
+        FROM totf t
         ORDER BY phase
       """.trim)),
 
@@ -576,10 +596,15 @@ object Round11Queries {
         graft.engine.Scratch.rm(scr)
         val codes = s"$scr/codes"
         val e = Tables.embeddings(s, dir)
-        val base = e.filter(!deltaPredSpark)
-        val delta = e.filter(deltaPredSpark)
-        val bCents = Similarity.exactCentroids(base, "embedding", "label")
-        val bParts = IvfPq.residualParts(base, bCents, "vec_id", "embedding", "label")
+        // derived cells at base-frozen planes (round 14) — same staging
+        // as q501's ingest, whose content this gate heals
+        val base0 = e.filter(!deltaPredSpark)
+        val bPlanes = IvfPq.derivedPlanes(base0.count())
+        val base = IvfPq.withDerivedCells(base0, "embedding", bPlanes)
+        val delta = IvfPq.withDerivedCells(
+          e.filter(deltaPredSpark), "embedding", bPlanes)
+        val bCents = Similarity.exactCentroids(base, "embedding", "cell")
+        val bParts = IvfPq.residualParts(base, bCents, "vec_id", "embedding", "cell")
         val bCw = IvfPq.trainCodebooks(bParts)
         // the ingest-churned state: full code content at a SCALE-STABLE
         // fragmentation degree — target ~64 files across the table (a few
@@ -591,7 +616,7 @@ object Round11Queries {
         graft.engine.Sinks.writePartitioned(
           IvfPq.assignCodes(bParts, bCw).unionByName(
             IvfPq.assignCodes(
-              IvfPq.residualParts(delta, bCents, "vec_id", "embedding", "label"), bCw)),
+              IvfPq.residualParts(delta, bCents, "vec_id", "embedding", "cell"), bCw)),
           codes, Seq("cell"), maxRecordsPerFile = capRows)
         // heal: only over-threshold cell directories rewrite
         graft.engine.Sinks.compactPartitions(s, codes, targetFiles = 1, minFiles = 2)
@@ -610,17 +635,17 @@ object Round11Queries {
       Some(s"""
         WITH ${Round9Queries.pqCte("b", s"NOT ($DeltaPredDuck)")},
         ${Round9Queries.DeltaAssignCte}, u AS (
-          SELECT vec_id, label, m, g FROM bcassign
+          SELECT vec_id, cell, m, g FROM bcassign
           UNION ALL
-          SELECT vec_id, label, m, g FROM dassign
+          SELECT vec_id, cell, m, g FROM dassign
         )
-        SELECT vec_id, CAST(label AS BIGINT) AS cell,
+        SELECT vec_id, CAST(cell AS BIGINT) AS cell,
                CAST(MAX(CASE WHEN m = 0 THEN g END) AS BIGINT) AS c0,
                CAST(MAX(CASE WHEN m = 1 THEN g END) AS BIGINT) AS c1,
                CAST(MAX(CASE WHEN m = 2 THEN g END) AS BIGINT) AS c2,
                CAST(MAX(CASE WHEN m = 3 THEN g END) AS BIGINT) AS c3
         FROM u
-        GROUP BY vec_id, label
+        GROUP BY vec_id, cell
         ORDER BY vec_id
       """.trim)),
 

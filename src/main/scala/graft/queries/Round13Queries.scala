@@ -449,12 +449,28 @@ object Round13Queries {
         graft.engine.Sinks.writePartitioned(
           ix.codes.select("id", "cell", "m", "g"), t, Seq("cell"))
         val e = Tables.embeddings(s, dir)
+        // Derived cells (round 14) change the maintenance contract in one
+        // honest way: the cell is a function of the VECTOR, so a revised
+        // embedding can MOVE cells — the change set must delete the old
+        // row at its old derived cell (the caller knows the old vector; a
+        // diff has both sides) and insert the new row wherever the frozen
+        // quantizer now puts it. Removed ids delete at their old cell as
+        // before; clones are pure inserts. Planes are the frozen A-index's
+        // (derived from the full A corpus, like SharedFrames.ivfPqIndex).
+        val planes = graft.ext.IvfPq.derivedPlanes(e.count())
+        val oldCell =
+          graft.ext.Similarity.hyperplaneBucketFast(
+            col("embedding"), planes, graft.ext.IvfPq.Dim)
         val deletes = e
-          .filter(Round12Queries.vInScope && Round12Queries.vsnapBucket === 0L)
-          .select(col("vec_id").as("id"), col("label").as("cell"))
+          .filter(Round12Queries.vInScope
+            && (Round12Queries.vsnapBucket === 0L
+              || Round12Queries.vsnapBucket === 1L))
+          .select(col("vec_id").as("id"), oldCell.as("cell"))
         val upserts = graft.ext.IvfPq.assignCodes(
-          graft.ext.IvfPq.residualParts(Round12Queries.freshBEmb(e),
-            ix.cents, "vec_id", "embedding", "label"),
+          graft.ext.IvfPq.residualParts(
+            graft.ext.IvfPq.withDerivedCells(
+              Round12Queries.freshBEmb(e), "embedding", planes),
+            ix.cents, "vec_id", "embedding", "cell"),
           ix.cw)
         graft.engine.Sinks.applyChangesPartitioned(
           s, t, deletes, upserts, "id", "cell")
@@ -472,14 +488,14 @@ object Round13Queries {
       },
       Some(s"""
         WITH ${Round12Queries.BembCte}, ${Round9Queries.pqCte("x", "TRUE")},
-        ${Round9Queries.frozenAssignCteOver("bemb", "b2", "xcents", "xcw")}
-        SELECT vec_id, CAST(label AS BIGINT) AS cell,
+        ${Round9Queries.frozenAssignCteOver("bemb", "b2", "xcents", "xcw", "xpl")}
+        SELECT vec_id, CAST(cell AS BIGINT) AS cell,
                CAST(MAX(CASE WHEN m = 0 THEN g END) AS BIGINT) AS c0,
                CAST(MAX(CASE WHEN m = 1 THEN g END) AS BIGINT) AS c1,
                CAST(MAX(CASE WHEN m = 2 THEN g END) AS BIGINT) AS c2,
                CAST(MAX(CASE WHEN m = 3 THEN g END) AS BIGINT) AS c3
         FROM b2assign
-        GROUP BY vec_id, label
+        GROUP BY vec_id, cell
         ORDER BY vec_id
       """.trim)),
 

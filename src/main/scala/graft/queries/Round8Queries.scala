@@ -64,51 +64,13 @@ object Round8Queries {
   /** DuckDB mirror of [[ivfpq]]: the WITH chain ending in relations
     * `probes(query_id, qv)`, `short(query_id, neighbor_id, adc)` and
     * `en(vec_id, embedding, nrm)`. Shared by the q495/q496 oracles.
+    * Round 14: the index derivation delegates to Round9Queries.pqCte
+    * (one generator for the whole lifecycle) — DERIVED cells at
+    * planes = f(corpus size), the q524 rule, instead of the fixture's
+    * label space.
     */
   private[queries] val IvfPqCte: String = s"""
-        WITH cm AS (
-          SELECT label AS cell, CAST(u.i - 1 AS INTEGER) AS dim,
-                 CAST(SUM(CAST(CAST(u.v AS DOUBLE) * 281474976710656 AS DECIMAL(38,0))) AS DOUBLE)
-                   / 281474976710656 / COUNT(*) AS mean
-          FROM embeddings,
-               LATERAL (SELECT unnest(embedding) AS v,
-                               generate_subscripts(embedding, 1) AS i) u
-          GROUP BY label, dim
-        ), cents AS (
-          SELECT cell, list(mean ORDER BY dim) AS centroid FROM cm GROUP BY cell
-        ), rv AS (
-          SELECT e.vec_id, e.label,
-                 [CAST(round((CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) * 1000000.0) AS BIGINT)
-                  FOR i IN generate_series(1, 64)] AS rmicro
-          FROM embeddings e JOIN cents c ON c.cell = e.label
-        ), parts AS (
-          SELECT vec_id, label, t.m AS m,
-                 rmicro[CAST(t.m*16+1 AS BIGINT):CAST(t.m*16+16 AS BIGINT)] AS r
-          FROM rv CROSS JOIN range(0, 4) t(m)
-        ), octs AS (
-          SELECT vec_id, label, m, r,
-                 (CASE WHEN r[1] >= 0 THEN 16 ELSE 0 END
-                  + CASE WHEN r[2] >= 0 THEN 8 ELSE 0 END
-                  + CASE WHEN r[3] >= 0 THEN 4 ELSE 0 END
-                  + CASE WHEN r[4] >= 0 THEN 2 ELSE 0 END
-                  + CASE WHEN r[5] >= 0 THEN 1 ELSE 0 END) AS g
-          FROM parts
-        ), cwd AS (
-          SELECT m, g, u.i AS dim,
-                 CAST(SUM(u.v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS cwv
-          FROM octs, LATERAL (SELECT unnest(r) AS v,
-                                     generate_subscripts(r, 1) AS i) u
-          GROUP BY m, g, u.i
-        ), cw AS (
-          SELECT m, g, list(cwv ORDER BY dim) AS cwvec FROM cwd GROUP BY m, g
-        ), cassign AS (
-          SELECT vec_id, label, m, g FROM (
-            SELECT o.vec_id, o.label, o.m, c.g,
-                   row_number() OVER (PARTITION BY o.vec_id, o.m
-                     ORDER BY ${duckD2("o.r", "c.cwvec")}, c.g) AS rn
-            FROM octs o JOIN cw c ON c.m = o.m)
-          WHERE rn = 1
-        ), probes AS (
+        WITH ${Round9Queries.pqCte("", "TRUE")}, probes AS (
           SELECT vec_id AS query_id, embedding AS qv FROM embeddings
           ORDER BY ${TextHash.duckHash60("'ivfpq#' || CAST(vec_id AS VARCHAR)")},
                    vec_id
@@ -139,7 +101,7 @@ object Round8Queries {
                   + MAX(CASE WHEN d.m = 2 THEN d.dd END))
                  + MAX(CASE WHEN d.m = 3 THEN d.dd END) AS adc
           FROM cassign s
-          JOIN dt d ON d.cell = s.label AND d.m = s.m AND d.g = s.g
+          JOIN dt d ON d.cell = s.cell AND d.m = s.m AND d.g = s.g
           WHERE d.query_id <> s.vec_id
           GROUP BY d.query_id, s.vec_id
         ), short AS (

@@ -46,37 +46,78 @@ object Round9Queries {
     s"""list_sum([(CAST($r[i] AS DOUBLE) - $c[i]) * (CAST($r[i] AS DOUBLE) - $c[i])
                  FOR i IN generate_series(1, 16)])"""
 
+  /** DuckDB mirror of the DERIVED coarse quantizer (round 14 — the q524
+    * rule across the index lifecycle, mirroring [[IvfPq.derivedPlanes]] +
+    * [[IvfPq.withDerivedCells]]): `{p}pl(planes)` = the smallest p with
+    * 2^p * 64 >= COUNT({p}src), `{p}dc(vec_id, cell)` = the SRP bucket of
+    * each src vector under those planes (hash60-seeded ±1 hyperplanes,
+    * identical to Similarity.hyperplaneBucketFast). MATERIALIZED: dc is
+    * the chain's most expensive stage and is referenced by cm and rv.
+    */
+  private[queries] def derivedCellsCte(p: String): String = s"""
+        ${p}pl AS (
+          SELECT CAST(GREATEST((
+            SELECT MIN(q) FROM generate_series(0, 56) t(q)
+            WHERE (CAST(1 AS BIGINT) << q) * 64
+                    >= (SELECT COUNT(*) FROM ${p}src)), 1) AS INTEGER)
+            AS planes
+        ), ${cellsOfCte(s"${p}dc", s"${p}src", s"${p}pl")}""".stripMargin.trim
+
+  /** One MATERIALIZED CTE `$rel(vec_id, cell)`: the SRP bucket of every
+    * `$src(vec_id, embedding)` row under the FROZEN plane count of
+    * `$pl(planes)` — the frozen-index form [[frozenAssignCteOver]] uses
+    * to bucket a delta/version-B corpus with the BASE chain's planes.
+    */
+  private[queries] def cellsOfCte(rel: String, src: String,
+      pl: String): String = s"""
+        $rel AS MATERIALIZED (
+          SELECT vec_id,
+                 CAST(list_sum([
+                   CASE WHEN list_sum([
+                     CAST(embedding[i] AS DOUBLE) *
+                     (CASE WHEN (${TextHash.duckHash60(
+                        "CAST(pp AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} & 1) = 1
+                      THEN 1.0 ELSE -1.0 END)
+                     FOR i IN generate_series(1, len(embedding))]) >= 0
+                   THEN CAST(1 AS BIGINT) << pp ELSE CAST(0 AS BIGINT) END
+                   FOR pp IN generate_series(0, planes - 1)]) AS BIGINT) AS cell
+          FROM $src CROSS JOIN $pl
+        )""".stripMargin.trim
+
   /** Parameterized DuckDB mirror of [[IvfPq.buildIndex]] over
-    * `embeddings WHERE pred`: emits the CTE chain `{p}src -> {p}cm ->
-    * {p}cents -> {p}rv -> {p}parts -> {p}octs -> {p}cwd -> {p}cw ->
-    * {p}cassign(vec_id, label, m, g)` — the same stages as round 8's
-    * IvfPqCte, source-parameterized so q499 can build the BASE index
-    * (delta held out) and the FULL refit from one generator.
+    * `embeddings WHERE pred`: emits the CTE chain `{p}src -> {p}pl/{p}dc
+    * (derived cells) -> {p}cm -> {p}cents -> {p}rv -> {p}parts -> {p}octs
+    * -> {p}cwd -> {p}cw -> {p}cassign(vec_id, cell, m, g)` — the same
+    * stages as the Spark operator, source-parameterized so q499 can build
+    * the BASE index (delta held out) and the FULL refit from one
+    * generator. Round 14: cells are DERIVED from corpus size (the q524
+    * rule), never the fixture's label space.
     */
   private[queries] def pqCte(p: String, pred: String): String = s"""
         ${p}src AS (
-          SELECT vec_id, label, embedding FROM embeddings WHERE $pred
-        ), ${p}cm AS (
-          SELECT label AS cell, CAST(u.i - 1 AS INTEGER) AS dim,
+          SELECT vec_id, embedding FROM embeddings WHERE $pred
+        ), ${derivedCellsCte(p)}, ${p}cm AS (
+          SELECT d.cell, CAST(u.i - 1 AS INTEGER) AS dim,
                  CAST(SUM(CAST(CAST(u.v AS DOUBLE) * 281474976710656 AS DECIMAL(38,0))) AS DOUBLE)
                    / 281474976710656 / COUNT(*) AS mean
-          FROM ${p}src,
-               LATERAL (SELECT unnest(embedding) AS v,
-                               generate_subscripts(embedding, 1) AS i) u
-          GROUP BY label, dim
+          FROM ${p}src e JOIN ${p}dc d ON d.vec_id = e.vec_id,
+               LATERAL (SELECT unnest(e.embedding) AS v,
+                               generate_subscripts(e.embedding, 1) AS i) u
+          GROUP BY d.cell, dim
         ), ${p}cents AS (
           SELECT cell, list(mean ORDER BY dim) AS centroid FROM ${p}cm GROUP BY cell
         ), ${p}rv AS (
-          SELECT e.vec_id, e.label,
+          SELECT e.vec_id, d.cell,
                  [CAST(round((CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) * 1000000.0) AS BIGINT)
                   FOR i IN generate_series(1, 64)] AS rmicro
-          FROM ${p}src e JOIN ${p}cents c ON c.cell = e.label
+          FROM ${p}src e JOIN ${p}dc d ON d.vec_id = e.vec_id
+                         JOIN ${p}cents c ON c.cell = d.cell
         ), ${p}parts AS (
-          SELECT vec_id, label, t.m AS m,
+          SELECT vec_id, cell, t.m AS m,
                  rmicro[CAST(t.m*16+1 AS BIGINT):CAST(t.m*16+16 AS BIGINT)] AS r
           FROM ${p}rv CROSS JOIN range(0, 4) t(m)
         ), ${p}octs AS (
-          SELECT vec_id, label, m, r,
+          SELECT vec_id, cell, m, r,
                  (CASE WHEN r[1] >= 0 THEN 16 ELSE 0 END
                   + CASE WHEN r[2] >= 0 THEN 8 ELSE 0 END
                   + CASE WHEN r[3] >= 0 THEN 4 ELSE 0 END
@@ -92,8 +133,8 @@ object Round9Queries {
         ), ${p}cw AS (
           SELECT m, g, list(cwv ORDER BY dim) AS cwvec FROM ${p}cwd GROUP BY m, g
         ), ${p}cassign AS (
-          SELECT vec_id, label, m, g FROM (
-            SELECT o.vec_id, o.label, o.m, c.g,
+          SELECT vec_id, cell, m, g FROM (
+            SELECT o.vec_id, o.cell, o.m, c.g,
                    row_number() OVER (PARTITION BY o.vec_id, o.m
                      ORDER BY ${duckD2("o.r", "c.cwvec")}, c.g) AS rn
             FROM ${p}octs o JOIN ${p}cw c ON c.m = o.m)
@@ -113,28 +154,34 @@ object Round9Queries {
       lit(8L)) === 0L
 
   /** FROZEN-index assignment over an arbitrary source relation
-    * `src(vec_id, label, embedding)` against index relations
-    * `cents(cell, centroid)` / `cw(m, g, cwvec)`: residuals vs the frozen
-    * centroids -> nearest frozen codeword, emitting `{p}rv -> {p}parts ->
-    * {p}assign(vec_id, label, m, g)` (round 13 — the source-parameterized
-    * form the r12 frontier named: q525 assigns the staged version-B corpus
-    * against the full frozen A index, [[DeltaAssignCte]] the held-out
-    * delta against the base index).
+    * `src(vec_id, embedding)` against index relations
+    * `cents(cell, centroid)` / `cw(m, g, cwvec)` with the frozen plane
+    * count `pl(planes)`: src vectors get their DERIVED cell under the
+    * frozen planes (the cell is part of the frozen index, exactly like
+    * the codebooks), then residuals vs the frozen centroids -> nearest
+    * frozen codeword, emitting `{p}dc -> {p}rv -> {p}parts ->
+    * {p}assign(vec_id, cell, m, g)` (round 13, re-celled round 14 —
+    * q525 assigns the staged version-B corpus against the full frozen A
+    * index, [[DeltaAssignCte]] the held-out delta against the base
+    * index). A vector whose derived cell has no centroid in the frozen
+    * quantizer drops out of the inner join — held for the next rebuild,
+    * on both engines identically.
     */
   private[queries] def frozenAssignCteOver(src: String, p: String,
-      cents: String, cw: String): String = s"""
-        ${p}rv AS (
-          SELECT e.vec_id, e.label,
+      cents: String, cw: String, pl: String): String = s"""
+        ${cellsOfCte(s"${p}dc", src, pl)}, ${p}rv AS (
+          SELECT e.vec_id, d.cell,
                  [CAST(round((CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) * 1000000.0) AS BIGINT)
                   FOR i IN generate_series(1, 64)] AS rmicro
-          FROM $src e JOIN $cents c ON c.cell = e.label
+          FROM $src e JOIN ${p}dc d ON d.vec_id = e.vec_id
+                      JOIN $cents c ON c.cell = d.cell
         ), ${p}parts AS (
-          SELECT vec_id, label, t.m AS m,
+          SELECT vec_id, cell, t.m AS m,
                  rmicro[CAST(t.m*16+1 AS BIGINT):CAST(t.m*16+16 AS BIGINT)] AS r
           FROM ${p}rv CROSS JOIN range(0, 4) t(m)
         ), ${p}assign AS (
-          SELECT vec_id, label, m, g FROM (
-            SELECT p.vec_id, p.label, p.m, c.g,
+          SELECT vec_id, cell, m, g FROM (
+            SELECT p.vec_id, p.cell, p.m, c.g,
                    row_number() OVER (PARTITION BY p.vec_id, p.m
                      ORDER BY ${duckD2("p.r", "c.cwvec")}, c.g) AS rn
             FROM ${p}parts p JOIN $cw c ON c.m = p.m)
@@ -142,17 +189,18 @@ object Round9Queries {
         )""".stripMargin.trim
 
   /** DuckDB mirror of the FROZEN-index delta assignment (the incremental
-    * path of [[IvfPq.assignCodes]]): delta vectors -> residuals vs the
-    * BASE centroids -> nearest BASE codeword. Emits `dsrc -> drv ->
-    * dparts -> dassign(vec_id, label, m, g)`; requires `bcents`/`bcw`
+    * path of [[IvfPq.assignCodes]]): delta vectors -> derived cell under
+    * the BASE planes -> residuals vs the BASE centroids -> nearest BASE
+    * codeword. Emits `dsrc -> ddc -> drv -> dparts ->
+    * dassign(vec_id, cell, m, g)`; requires `bcents`/`bcw`/`bpl`
     * (the `pqCte("b", ...)` chain) in scope. Shared by q499 (refit
     * agreement audit) and q501 (streaming ingest gate); delegates to
-    * [[frozenAssignCteOver]] at (dsrc, "d", bcents, bcw).
+    * [[frozenAssignCteOver]] at (dsrc, "d", bcents, bcw, bpl).
     */
   private[queries] val DeltaAssignCte: String = s"""
         dsrc AS (
-          SELECT vec_id, label, embedding FROM embeddings WHERE $DeltaPredDuck
-        ), ${frozenAssignCteOver("dsrc", "d", "bcents", "bcw")}""".stripMargin.trim
+          SELECT vec_id, embedding FROM embeddings WHERE $DeltaPredDuck
+        ), ${frozenAssignCteOver("dsrc", "d", "bcents", "bcw", "bpl")}""".stripMargin.trim
 
   val qs: Seq[Q] = Seq(
 
@@ -182,13 +230,13 @@ object Round9Queries {
       },
       Some(s"""
         WITH ${pqCte("f", "TRUE")}
-        SELECT vec_id, CAST(label AS BIGINT) AS cell,
+        SELECT vec_id, CAST(cell AS BIGINT) AS cell,
                CAST(MAX(CASE WHEN m = 0 THEN g END) AS BIGINT) AS c0,
                CAST(MAX(CASE WHEN m = 1 THEN g END) AS BIGINT) AS c1,
                CAST(MAX(CASE WHEN m = 2 THEN g END) AS BIGINT) AS c2,
                CAST(MAX(CASE WHEN m = 3 THEN g END) AS BIGINT) AS c3
         FROM fcassign
-        GROUP BY vec_id, label
+        GROUP BY vec_id, cell
         ORDER BY vec_id
       """.trim)),
 
@@ -213,14 +261,20 @@ object Round9Queries {
       (s, dir) => {
         graft.functions.GraftFunctions.ensureRegistered(s)
         val e = Tables.embeddings(s, dir)
-        val base = e.filter(!deltaPredSpark)
-        val delta = e.filter(deltaPredSpark)
-        val bCents = Similarity.exactCentroids(base, "embedding", "label")
-        val bParts = IvfPq.residualParts(base, bCents, "vec_id", "embedding", "label")
+        // derived cells (round 14): planes frozen from the TRAINING corpus
+        // — the base snapshot — and the delta batch bucketed under the
+        // same frozen planes, exactly as the codebooks are frozen
+        val base0 = e.filter(!deltaPredSpark)
+        val planes = IvfPq.derivedPlanes(base0.count())
+        val base = IvfPq.withDerivedCells(base0, "embedding", planes)
+        val delta = IvfPq.withDerivedCells(
+          e.filter(deltaPredSpark), "embedding", planes)
+        val bCents = Similarity.exactCentroids(base, "embedding", "cell")
+        val bParts = IvfPq.residualParts(base, bCents, "vec_id", "embedding", "cell")
         val bCw = IvfPq.trainCodebooks(bParts)
         val bCodes = IvfPq.assignCodes(bParts, bCw)
         val dCodes = IvfPq.assignCodes(
-          IvfPq.residualParts(delta, bCents, "vec_id", "embedding", "label"), bCw)
+          IvfPq.residualParts(delta, bCents, "vec_id", "embedding", "cell"), bCw)
         val refit = SharedFrames.ivfPqIndex(s, dir).codes
           .select(col("id"), col("m"), col("g").as("__fg"))
         // both sides are corpus-linear code frames -> pinned shuffle join
@@ -352,10 +406,15 @@ object Round9Queries {
         Seq(base, base + "_ckpt", base + "__upsert_tmp", src)
           .foreach(graft.engine.Scratch.rm)
         val e = Tables.embeddings(s, dir)
-        val baseCorpus = e.filter(!deltaPredSpark)
+        // derived cells (round 14): planes frozen from the base snapshot;
+        // streamed arrivals below get their cell from the SAME frozen
+        // expression (stateless — the SRP bucket needs no centroid probe)
+        val base0 = e.filter(!deltaPredSpark)
+        val planes = IvfPq.derivedPlanes(base0.count())
+        val baseCorpus = IvfPq.withDerivedCells(base0, "embedding", planes)
         val delta = e.filter(deltaPredSpark)
-        val bCents = Similarity.exactCentroids(baseCorpus, "embedding", "label")
-        val bParts = IvfPq.residualParts(baseCorpus, bCents, "vec_id", "embedding", "label")
+        val bCents = Similarity.exactCentroids(baseCorpus, "embedding", "cell")
+        val bParts = IvfPq.residualParts(baseCorpus, bCents, "vec_id", "embedding", "cell")
         val bCw = IvfPq.trainCodebooks(bParts)
         // seed the code table with the base snapshot's codes, CELL-
         // PARTITIONED (round 11): the streaming upsert is partition-scoped
@@ -368,10 +427,12 @@ object Round9Queries {
           IvfPq.assignCodes(bParts, bCw), base, Seq("cell"))
         // stage arrivals as three files -> three rate-limited micro-batches
         delta.repartition(3).write.parquet(src)
-        val arrivals = s.readStream.schema(e.schema)
-          .option("maxFilesPerTrigger", 1).parquet(src)
+        val arrivals = IvfPq.withDerivedCells(
+          s.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+          "embedding", planes)
         val q = graft.streaming.EventStreams.startVectorIngest(
-          arrivals, bCents, bCw, "vec_id", "embedding", "label",
+          arrivals, bCents, bCw, "vec_id", "embedding", "cell",
           base, base + "_ckpt")
         q.awaitTermination()
         s.read.parquet(base)
@@ -388,17 +449,17 @@ object Round9Queries {
       },
       Some(s"""
         WITH ${pqCte("b", s"NOT ($DeltaPredDuck)")}, $DeltaAssignCte, u AS (
-          SELECT vec_id, label, m, g FROM bcassign
+          SELECT vec_id, cell, m, g FROM bcassign
           UNION ALL
-          SELECT vec_id, label, m, g FROM dassign
+          SELECT vec_id, cell, m, g FROM dassign
         )
-        SELECT vec_id, CAST(label AS BIGINT) AS cell,
+        SELECT vec_id, CAST(cell AS BIGINT) AS cell,
                CAST(MAX(CASE WHEN m = 0 THEN g END) AS BIGINT) AS c0,
                CAST(MAX(CASE WHEN m = 1 THEN g END) AS BIGINT) AS c1,
                CAST(MAX(CASE WHEN m = 2 THEN g END) AS BIGINT) AS c2,
                CAST(MAX(CASE WHEN m = 3 THEN g END) AS BIGINT) AS c3
         FROM u
-        GROUP BY vec_id, label
+        GROUP BY vec_id, cell
         ORDER BY vec_id
       """.trim)),
 
@@ -448,16 +509,17 @@ object Round9Queries {
           .orderBy("cell")
       },
       Some(s"""
-        WITH src AS (SELECT vec_id, label FROM embeddings),
+        WITH fsrc AS (SELECT vec_id, embedding FROM embeddings),
+        ${derivedCellsCte("f")},
         occ AS (
-          SELECT CAST(label AS BIGINT) AS cell, COUNT(*) AS n_vecs
-          FROM src GROUP BY label
+          SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n_vecs
+          FROM fdc GROUP BY cell
         ), tot AS (
           SELECT SUM(n_vecs) AS n_total, MAX(n_vecs) AS max_vecs,
                  COUNT(*) AS n_cells
           FROM occ
         ), del AS (
-          SELECT COUNT(*) AS n_delta FROM src WHERE $DeltaPredDuck
+          SELECT COUNT(*) AS n_delta FROM fsrc WHERE $DeltaPredDuck
         )
         SELECT o.cell, CAST(o.n_vecs AS BIGINT) AS n_vecs,
                CAST(o.n_vecs * 1000000 // t.n_total AS BIGINT) AS share_micro,

@@ -352,7 +352,7 @@ object SharedFrames {
     * principles, so the artifact content itself stays hash-gated.
     */
   private[queries] def ivfPqIndexPath(s: SparkSession, dir: String): String =
-    taggedDir(s, dir, s"ivfpq_m4x16_cw32")
+    taggedDir(s, dir, s"ivfpq_m4x16_cw32_dcell")
 
   def ivfPqIndex(s: SparkSession, dir: String): IvfPq.Index = synchronized {
     val base = ivfPqIndexPath(s, dir)
@@ -362,7 +362,18 @@ object SharedFrames {
       marker.getFileSystem(conf).exists(marker)
     }
     if (!(ready("cents") && ready("cw") && ready("codes"))) {
-      val ix = IvfPq.buildIndex(Tables.embeddings(s, dir), "vec_id", "embedding", "label")
+      // DERIVED cells (round 14 — the q524 rule across the index
+      // lifecycle): the coarse quantizer is the SRP bucket at
+      // planes = f(corpus size), so cell size stays ~64 at any scale;
+      // the fixture's fixed label space made cell size corpus-linear and
+      // every in-cell stage quadratic at 100x (the r13 weak). The count
+      // is a bounded 1-row decision read; the plane count freezes into
+      // the artifact (implied by the corpus the tag names).
+      val e = Tables.embeddings(s, dir)
+      val planes = IvfPq.derivedPlanes(e.count())
+      val ix = IvfPq.buildIndex(
+        IvfPq.withDerivedCells(e, "embedding", planes),
+        "vec_id", "embedding", "cell")
       ix.cents.write.mode("overwrite").parquet(s"$base/cents")
       ix.cw.write.mode("overwrite").parquet(s"$base/cw")
       // The codes table is PARTITIONED BY CELL — the on-disk layout that

@@ -44,7 +44,11 @@ class IvfPqSpec extends SparkSpec {
   }
 
   test("the persisted artifact round-trips bit-exactly and builds once per session+dir") {
-    val live = IvfPq.buildIndex(e, "vec_id", "embedding", "label")
+    // the artifact rides DERIVED cells (round 14 — the q524 rule): the
+    // live rebuild must derive the same planes from the same corpus
+    val live = IvfPq.buildIndex(
+      IvfPq.withDerivedCells(e, "embedding", IvfPq.derivedPlanes(e.count())),
+      "vec_id", "embedding", "cell")
     val persisted = SharedFrames.ivfPqIndex(spark, sf0001)
     // parquet round-trip loses nothing: codes, codebooks and centroids all
     // read back equal to a live build
