@@ -618,6 +618,16 @@ object NearDup {
     *     50-hop chain, and the property that makes the fixpoint viable on
     *     high-diameter graphs, not just tight near-dup clusters.
     *
+    * SMALL-INPUT CUTOVER (round 14 — VERDICT_r13 next #4): an undirected
+    * edge set at or under `singleJobMaxEdges` rows skips the fixpoint
+    * entirely — one bounded collect, driver union-find with path
+    * compression (min id as root = the same min-label semantics), one
+    * parallelize back. The decision is one count over the already-persisted
+    * edge set, the same bounded-decision-read shape as the skew-salt
+    * cutover, and the labels are identical by construction, so the path
+    * taken is invisible to every hash gate. At 100 TB the pair set blows
+    * the threshold and the distributed fixpoint below runs unchanged.
+    *
     * The driver only compares label sums. Output: one row per node
     * appearing in `pairs`, labeled with the minimum id of its component
     * (`cluster_id`). Each iteration's frames are `localCheckpoint`ed, not
@@ -629,9 +639,25 @@ object NearDup {
     */
   @volatile private[ext] var lastCCIterations: Int = -1
 
+  /** Default single-job cutover for [[connectedComponents]]: an undirected
+    * edge set at or under this row count is collected and union-found on
+    * the driver in ONE job instead of the distributed fixpoint. At 1M
+    * rows x 16 bytes the collect is ~16 MB of driver heap — far under any
+    * realistic driver budget — while the fixpoint it replaces is ~6
+    * driver-synchronous rounds x 2-3 jobs whose cost at this size is pure
+    * job-launch overhead, not compute (the r13 verdict's biggest remaining
+    * per-gate cost class: q515/q520/q523 spend seconds scheduling
+    * no-op-sized joins). Labels are identical by construction (min id per
+    * component is canonical), so the decision is invisible to hashes —
+    * the same bounded-decision-read shape as the skew-salt cutover.
+    */
+  val CcSingleJobMaxEdges: Long = 1000000L
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 50): DataFrame = {
-    val n = pairs.sparkSession.sessionState.conf.numShufflePartitions
+      maxIters: Int = 50,
+      singleJobMaxEdges: Long = CcSingleJobMaxEdges): DataFrame = {
+    val sess = pairs.sparkSession
+    val n = sess.sessionState.conf.numShufflePartitions
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     // Pinned hash partitioning on src: every iteration's propagation join
     // probes the edge set on src, so persisting it already partitioned means
@@ -640,6 +666,41 @@ object NearDup {
     val undirected = edges
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().repartition(n, col("src")).persist()
+    // Bounded decision read (materializes the persist either way): small
+    // edge sets take the single-job union-find, large ones the distributed
+    // fixpoint — same labels, so the cutover is hash-invisible.
+    val nUndirected = undirected.count()
+    if (nUndirected <= singleJobMaxEdges) {
+      val arr = undirected.collect()
+      undirected.unpersist()
+      // Union-find with path compression, min id as root: find(v) is the
+      // smallest id reachable from v once all edges are united — exactly
+      // the fixpoint's min-label semantics.
+      val parent = new scala.collection.mutable.HashMap[Long, Long]()
+      def find(v: Long): Long = {
+        var r = v
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = v
+        while (parent.getOrElse(c, c) != c) {
+          val p = parent.getOrElse(c, c); parent.update(c, r); c = p
+        }
+        r
+      }
+      arr.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+        }
+        parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b)): Unit
+      }
+      val nodes = scala.collection.mutable.LinkedHashSet[Long]()
+      arr.foreach { row => nodes += row.getLong(0); nodes += row.getLong(1) }
+      lastCCIterations = 0
+      import sess.implicits._
+      return nodes.toSeq.map(v => (v, find(v))).toDF("id", "cluster_id")
+        .repartition(n)
+    }
     var labels = undirected.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id")).persist()
     // Convergence via the label-sum invariant: next(id) = min over

@@ -362,7 +362,10 @@ class ExtSpec extends SparkSpec {
     // pair 10-11, and a long path 20-21-22-23 (diameter > 1 iteration)
     val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (21L, 20L), (21L, 22L), (22L, 23L))
       .toDF("id_a", "id_b")
-    val labels = NearDup.connectedComponents(pairs, "id_a", "id_b")
+    // singleJobMaxEdges = 0 forces the DISTRIBUTED fixpoint: this arm pins
+    // the iterative path's convergence, not the small-input cutover
+    val labels = NearDup.connectedComponents(pairs, "id_a", "id_b",
+        singleJobMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels === Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L,
@@ -383,7 +386,8 @@ class ExtSpec extends SparkSpec {
     // scale property for web-graph-shaped components, where diameter is
     // NOT the 2-3 hops of tight near-dup clusters.
     val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = NearDup.connectedComponents(pairs, "id_a", "id_b")
+    val labels = NearDup.connectedComponents(pairs, "id_a", "id_b",
+        singleJobMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels === (0L to 40L).map(_ -> 0L).toMap)
     assert(NearDup.lastCCIterations <= 10,
@@ -395,6 +399,34 @@ class ExtSpec extends SparkSpec {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(NearDup.connectedComponents(empty, "id_a", "id_b").count() === 0)
+    // the iterative path converges on the empty frame too
+    assert(NearDup.connectedComponents(empty, "id_a", "id_b",
+      singleJobMaxEdges = 0L).count() === 0)
+  }
+
+  test("connectedComponents single-job cutover labels exactly like the fixpoint") {
+    // VERDICT_r13 next #4: a bounded edge set skips the driver-synchronous
+    // fixpoint for one collect + union-find. The decision must be invisible
+    // to every hash gate, so BOTH paths are run on the same graph — chains,
+    // a star, an isolated pair, id order scrambled — and must agree row-set
+    // exactly (min id per component either way).
+    import spark.implicits._
+    val pairs = (Seq((7L, 3L), (3L, 9L), (9L, 1L)) ++      // chain, min inside
+      Seq((100L, 50L), (100L, 60L), (100L, 70L)) ++        // star, min at leaf
+      Seq((200L, 201L)) ++                                 // isolated pair
+      (0L until 40L).map(i => (1000L + i + 1, 1000L + i))) // long path
+      .toDF("id_a", "id_b")
+    val viaFixpoint = NearDup.connectedComponents(pairs, "id_a", "id_b",
+      singleJobMaxEdges = 0L)
+    val viaUnionFind = NearDup.connectedComponents(pairs, "id_a", "id_b")
+    assert(NearDup.lastCCIterations === 0,
+      "the bounded input must have taken the single-job path")
+    assert(viaFixpoint.except(viaUnionFind).count() === 0)
+    assert(viaUnionFind.except(viaFixpoint).count() === 0)
+    // spot-pin the semantics, not just the agreement
+    val got = viaUnionFind.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(7L) === 1L && got(100L) === 50L && got(201L) === 200L
+      && got(1040L) === 1000L)
   }
 
   test("deltaNearDupPairs equals the full pipeline restricted to mixed pairs") {
