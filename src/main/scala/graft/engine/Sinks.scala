@@ -275,7 +275,9 @@ object Sinks {
     * read-merge-swap (both merge from v0; the second swap silently drops
     * the first's batch) — the whole-table form is single-writer by design;
     * concurrent writers need the partitioned variant on disjoint
-    * partitions, or external coordination / a transactional table format.
+    * partitions, or a transactional table format —
+    * [[TxLog.applyChanges]] is the log-coordinated MERGE here (round 14):
+    * optimistic concurrency for writers, snapshot isolation for readers.
     */
   def upsertParquet(batch: DataFrame, path: String, key: String): Unit = {
     val spark = batch.sparkSession
@@ -407,6 +409,10 @@ object Sinks {
     * in the disambiguation probe is null-dropping, so a NULL key would
     * otherwise read as "absent from the table" and converge silently as a
     * presumed replay — a malformed change batch must fail loudly instead.
+    * For MULTI-WRITER deployments the same semantics run through the
+    * commit log as [[TxLog.applyChanges]] (round 14): lost claims
+    * re-merge against the new snapshot, so concurrent writers compose
+    * instead of racing this sink's read-merge-swap.
     */
   def applyChangesPartitioned(spark: SparkSession, path: String,
       deletes: DataFrame, upserts: DataFrame, key: String,

@@ -106,6 +106,75 @@ object Round14Queries {
                CAST(CASE WHEN n_probed_cells <= 200 THEN 1 ELSE 0 END AS BIGINT)
                  AS probe_bound_ok
         FROM nums
+      """.trim)),
+
+    // LOG-COORDINATED MERGE — VERDICT_r13 next #2: the partition-scoped
+    // merge semantics (Sinks.applyChangesPartitioned: delete by key at a
+    // named partition, upsert by key, cell-move = delete-at-old +
+    // insert-at-new) routed THROUGH the commit log (TxLog.applyChanges):
+    // each attempt merges against the snapshot it observed and claims the
+    // next version; a lost claim re-merges on the new snapshot, so
+    // concurrent writers COMPOSE (spec-pinned: disjoint and same-partition
+    // writers both land, a mid-commit reader sees the prior snapshot, a
+    // wrong-partition delete aborts with nothing committed). Landing this
+    // round also surfaced and closed a real protocol hole: the claim
+    // target used to come from a SECOND directory listing taken after the
+    // snapshot read, so a commit landing between the two reads could be
+    // leapfrogged — a silent lost update; snapshot and target now derive
+    // from one listing, making any interleaved commit fail the claim into
+    // a rebase. THIS gate oracle-checks the merge content end to end:
+    // seed all documents (v0, log-coordinated upsert), then one change
+    // batch (v1) that deletes an en hash-slice, doubles another en
+    // slice's n_chars in place, and clones a zh slice into de under
+    // negative ids (the cross-partition insert). The read-back must be
+    // exactly the merged table with the version chain pinned in the value.
+    // 100 TB: per-commit IO = touched partitions + staged delta; the
+    // claim is one atomic create; an emptied partition drops out of the
+    // manifest with no directory surgery.
+    Q(
+      "q530_txlog_coordinated_merge",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val scr = graft.engine.Scratch.dir(s, dir, "txlog_merge_gate")
+        graft.engine.Scratch.rm(scr)
+        val t = s"$scr/t"
+        val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+        graft.engine.TxLog.upsertPartitioned(s, t, docs, "doc_id", "lang")
+        val b = pmod(graft.ext.TextHash.hash60(
+          concat(lit("txm#"), col("doc_id").cast("string"))), lit(8L))
+        val deletes = docs
+          .filter(col("lang") === "en" && b === 0L)
+          .select(col("doc_id"), col("lang"))
+        val upserts = docs
+          .filter(col("lang") === "en" && b === 1L)
+          .withColumn("n_chars", col("n_chars") * 2L)
+          .unionByName(docs.filter(col("lang") === "zh" && b === 2L)
+            .select((-col("doc_id") - lit(1L)).as("doc_id"),
+              col("n_chars"), lit("de").as("lang")))
+        graft.engine.TxLog.applyChanges(
+          s, t, deletes, upserts, "doc_id", "lang")
+        graft.engine.TxLog.read(s, t)
+          .withColumn("txlog_version",
+            lit(graft.engine.TxLog.snapshot(s, t).version))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id, n_chars, lang,
+                 ${graft.ext.TextHash.duckHash60(
+                   "'txm#' || CAST(doc_id AS VARCHAR)")} % 8 AS bkt
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN lang = 'en' AND bkt = 1 THEN n_chars * 2
+                    ELSE n_chars END AS BIGINT) AS n_chars,
+               lang, CAST(1 AS BIGINT) AS txlog_version
+        FROM b WHERE NOT (lang = 'en' AND bkt = 0)
+        UNION ALL
+        SELECT -doc_id - 1, CAST(n_chars AS BIGINT), 'de',
+               CAST(1 AS BIGINT)
+        FROM b WHERE lang = 'zh' AND bkt = 2
+        ORDER BY doc_id
       """.trim))
   )
 }

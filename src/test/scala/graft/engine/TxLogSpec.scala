@@ -67,15 +67,19 @@ class TxLogSpec extends graft.SparkSpec {
         .toDF("k", "v", "p"),
       t, Some("p"))
     val gate = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     def writer(k: Long, p: String): Thread = new Thread(() => {
-      val s = spark.newSession()
-      import s.implicits._
-      val df = Seq((k, "new", p)).toDF("k", "v", "p")
-      gate.await()
-      TxLog.replaceWhere(df, t, "p", Seq(p)): Unit
+      try {
+        val s = spark.newSession()
+        import s.implicits._
+        val df = Seq((k, "new", p)).toDF("k", "v", "p")
+        gate.await()
+        TxLog.replaceWhere(df, t, "p", Seq(p)): Unit
+      } catch { case e: Throwable => errs.add(e): Unit }
     })
     val (t1, t2) = (writer(10L, "x"), writer(20L, "y"))
     t1.start(); t2.start(); t1.join(); t2.join()
+    assert(errs.isEmpty, s"writer thread failed: ${errs.peek()}")
     val got = TxLog.read(spark, t).collect()
       .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
     assert(got === Map(10L -> "new", 20L -> "new", 3L -> "old"),
@@ -227,5 +231,107 @@ class TxLogSpec extends graft.SparkSpec {
       TxLog.reclaimOrphans(spark, t, minAgeMs = 0L)
     }
     assert(e.getMessage.contains("positive age window"))
+  }
+
+  test("log-coordinated merges: disjoint writers both land, same-partition writers compose") {
+    import spark.implicits._
+    val t = table("merge")
+    TxLog.applyChanges(spark, t,
+      deletes = Seq.empty[(Long, String)].toDF("k", "p"),
+      upserts = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("k", "v", "p"),
+      key = "k", partitionCol = "p")
+    // concurrent DISJOINT-partition merges: whoever loses the claim
+    // re-merges against the winner's snapshot, so both must land
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def merge(k: Long, v: String, part: String): Thread = new Thread(() => {
+      try {
+        gate.await()
+        TxLog.applyChanges(spark, t,
+          deletes = Seq.empty[(Long, String)].toDF("k", "p"),
+          upserts = Seq((k, v, part)).toDF("k", "v", "p"),
+          key = "k", partitionCol = "p"): Unit
+      } catch { case e: Throwable => errs.add(e): Unit }
+    })
+    val (wx, wy) = (merge(3L, "cx", "x"), merge(4L, "dy", "y"))
+    wx.start(); wy.start(); wx.join(120000); wy.join(120000)
+    assert(errs.isEmpty, s"merge thread failed: ${errs.peek()}")
+    assert(TxLog.read(spark, t).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+      === Map(1L -> "a", 2L -> "b", 3L -> "cx", 4L -> "dy"),
+      "disjoint-partition merges must both land whatever the interleaving")
+    // concurrent SAME-partition merges on different keys: the loser's
+    // re-merge includes the winner's row — composition, not last-wins
+    val (m1, m2) = (merge(5L, "e", "x"), merge(6L, "f", "x"))
+    m1.start(); m2.start(); m1.join(120000); m2.join(120000)
+    val got = TxLog.read(spark, t).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(got.get(5L) === Some("e") && got.get(6L) === Some("f"),
+      s"same-partition merges must compose, got $got")
+    // delete + upsert same key across partitions = the cell-move contract
+    TxLog.applyChanges(spark, t,
+      deletes = Seq((1L, "x")).toDF("k", "p"),
+      upserts = Seq((1L, "a2", "y")).toDF("k", "v", "p"),
+      key = "k", partitionCol = "p")
+    val moved = TxLog.read(spark, t).collect()
+      .map(r => r.getAs[Long]("k") -> ((r.getAs[String]("v"), r.getAs[String]("p")))).toMap
+    assert(moved(1L) === (("a2", "y")), "a key move lands in its new partition only")
+  }
+
+  test("a reader mid-commit sees the prior snapshot; wrong-partition deletes abort uncommitted") {
+    import spark.implicits._
+    val t = table("iso")
+    TxLog.applyChanges(spark, t,
+      deletes = Seq.empty[(Long, String)].toDF("k", "p"),
+      upserts = Seq((1L, "a", "x")).toDF("k", "v", "p"),
+      key = "k", partitionCol = "p")
+    // snapshot isolation: the interleave seam fires inside the writer's
+    // commit attempt — its merge is staged but unclaimed; a read() at that
+    // moment must return the PRIOR committed content
+    @volatile var midCommit: Option[Map[Long, String]] = None
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    TxLog.testInterleave = () =>
+      if (fired.compareAndSet(false, true)) {
+        TxLog.testInterleave = () => ()
+        midCommit = Some(TxLog.read(spark, t).collect()
+          .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap)
+      }
+    try {
+      TxLog.applyChanges(spark, t,
+        deletes = Seq.empty[(Long, String)].toDF("k", "p"),
+        upserts = Seq((2L, "b", "x")).toDF("k", "v", "p"),
+        key = "k", partitionCol = "p"): Unit
+    } finally TxLog.testInterleave = () => ()
+    assert(midCommit === Some(Map(1L -> "a")),
+      "a reader during an in-flight merge commit must see the prior snapshot")
+    assert(TxLog.read(spark, t).count() === 2)
+    // wrong-partition delete: k=1 lives in x, the delete names y — the
+    // merge must abort with NOTHING committed (version unchanged) and the
+    // staging dropped from the data dir
+    val vBefore = TxLog.snapshot(spark, t).version
+    val e = intercept[IllegalArgumentException] {
+      TxLog.applyChanges(spark, t,
+        deletes = Seq((1L, "y")).toDF("k", "p"),
+        upserts = Seq((9L, "z", "y")).toDF("k", "v", "p"),
+        key = "k", partitionCol = "p")
+    }
+    assert(e.getMessage.contains("do not name"))
+    assert(TxLog.snapshot(spark, t).version === vBefore,
+      "a failed merge must commit nothing")
+    // a replayed delete (key absent everywhere) converges as a no-op
+    TxLog.applyChanges(spark, t,
+      deletes = Seq((777L, "x")).toDF("k", "p"),
+      upserts = Seq((3L, "c", "x")).toDF("k", "v", "p"),
+      key = "k", partitionCol = "p")
+    assert(TxLog.read(spark, t).collect().map(_.getAs[Long]("k")).toSet
+      === Set(1L, 2L, 3L))
+    // NULL delete keys rejected before any IO
+    val ne = intercept[IllegalArgumentException] {
+      TxLog.applyChanges(spark, t,
+        deletes = Seq((Option.empty[Long], "x")).toDF("k", "p"),
+        upserts = Seq((4L, "d", "x")).toDF("k", "v", "p"),
+        key = "k", partitionCol = "p")
+    }
+    assert(ne.getMessage.contains("NULL key"))
   }
 }
