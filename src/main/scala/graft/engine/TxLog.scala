@@ -9,20 +9,36 @@ import org.apache.spark.sql.functions.col
   * sinks' single-writer contracts are honest but a real lake coordinates
   * concurrent writers through a transactional log, not external locks.
   * This is the standard public protocol shape (a Delta-style ordered log
-  * of immutable snapshots; an Iceberg-style files-list manifest):
+  * of commits; an Iceberg-style files-list manifest):
   *
-  *   table/_txlog/v<20-digit>.json   one manifest per committed version —
-  *                                   the FULL list of live data files
-  *                                   (path + optional partition value)
+  *   table/_txlog/v<20-digit>.json   one DELTA manifest per committed
+  *                                   version — the files this commit adds
+  *                                   (path + optional partition value +
+  *                                   optional column min/max stats) and
+  *                                   the live-file paths it removes
+  *   table/_txlog/c<20-digit>.json   a CHECKPOINT: the FULL live-file list
+  *                                   at that version, written every
+  *                                   [[CheckpointInterval]] commits (and
+  *                                   by vacuum at its retention cutoff)
   *   table/data/<uuid>/...           each commit's staged files, immutable
   *                                   once referenced by any manifest
+  *
+  * Deltas, not full lists, are the 100 TB shape (round 14): a table with
+  * millions of live files must not rewrite an O(files) manifest per
+  * commit — per-commit log IO is O(delta), and a reader resolves the
+  * snapshot from the newest checkpoint plus at most
+  * [[CheckpointInterval]] delta manifests, never a year-long replay.
+  * Checkpoints are derived metadata (create-if-absent, deterministic from
+  * replay), so a missing or torn checkpoint degrades to a longer replay,
+  * never a wrong answer.
   *
   * The commit protocol:
   *   1. stage the new data files under a fresh uuid dir (no reader or
   *      other writer can observe them — nothing references them yet);
-  *   2. read the LATEST committed snapshot, compute the next manifest
+  *   2. read the LATEST committed snapshot, compute the next live set
   *      (append: old files + staged; replaceWhere: old files minus the
-  *      replaced partition values' files + staged);
+  *      replaced partition values' files + staged) — the written manifest
+  *      is the DELTA between the two;
   *   3. CLAIM version N+1 by `fs.create(path, overwrite = false)` — the
   *      atomic create-if-absent every HDFS-like filesystem provides (the
   *      public Delta LogStore contract; object stores without it need a
@@ -36,108 +52,219 @@ import org.apache.spark.sql.functions.col
   *      actually observed at claim time — never a lost update, which is
   *      exactly what the read-merge-swap race loses.
   *
-  * Readers resolve the latest version file and read ONLY its manifest's
-  * files — a reader opened mid-commit sees the previous snapshot
-  * (snapshot isolation at file granularity). A partially-written claim
-  * file (the writer crashed inside step 3's write) parses as garbage; the
-  * reader treats it as an aborted commit and falls back to the previous
-  * version, and the next writer's claim of that same version number fails
-  * — it claims the NEXT free slot, so an aborted claim wastes one version
-  * number, never a committed row.
+  * Readers resolve the latest version file and read ONLY the resolved
+  * manifest's files — a reader opened mid-commit sees the previous
+  * snapshot (snapshot isolation at file granularity). A partially-written
+  * claim file (the writer crashed inside step 3's write) parses as
+  * garbage; the reader treats it as an aborted commit and falls back to
+  * the previous version, and the next writer's claim of that same version
+  * number fails — it claims the NEXT free slot, so an aborted claim
+  * wastes one version number, never a committed row.
   *
   * Partitioned commits stage with `partitionBy`, record each leaf file
   * with its partition VALUE (from the directory name), and the reader
   * reconstructs the partition column per commit dir via Spark's
   * `basePath` + explicit leaf files — one scan per live commit dir,
-  * unioned by name (bounded by log length, not file count). Log/compact
-  * maintenance (manifest checkpointing, dead-file GC) is deliberately out
-  * of scope here; the protocol is the contract under test.
+  * unioned by name (bounded by log length, not file count).
   *
-  * 100 TB: manifests are file-count-sized metadata (object-store listing
-  * is the thing this avoids), claims are one small atomic create, and
-  * data IO is exactly the staged delta.
+  * FILE STATISTICS (round 14): a commit may declare a numeric clustering
+  * column; the stage then records each staged file's min/max of that
+  * column in its manifest entry (one column-pruned scan of the staged
+  * delta — O(delta), the IO the commit already pays), and [[readWhere]]
+  * prunes the file list from the MANIFEST before any footer is opened —
+  * data skipping from metadata, the log-resident form of
+  * [[Sinks.writeRangeClustered]]'s layout contract.
+  *
+  * 100 TB: manifests are delta-sized metadata (object-store listing is
+  * the thing this avoids), claims are one small atomic create, and data
+  * IO is exactly the staged delta.
   */
 object TxLog {
 
-  final case class FileEntry(path: String, partition: Option[String])
+  final case class ColStats(column: String, min: Double, max: Double)
+  final case class FileEntry(path: String, partition: Option[String],
+    stats: Option[ColStats] = None)
   final case class Snapshot(version: Long, entries: Seq[FileEntry])
+
+  /** A checkpoint every this-many commits: snapshot resolution reads at
+    * most this many delta manifests past the newest checkpoint. 10 is the
+    * public Delta default.
+    */
+  private val CheckpointInterval = 10L
 
   private def logDir(table: String) = new Path(table, "_txlog")
   private def fsOf(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def versionFile(table: String, v: Long) =
     new Path(logDir(table), f"v$v%020d.json")
+  private def checkpointFile(table: String, v: Long) =
+    new Path(logDir(table), f"c$v%020d.json")
 
-  /** JSON codec for manifests — hand-rolled (two fields, no nesting) so
-    * the on-disk format is explicit and dependency-free. Paths are
-    * escaped; partition values may be any Hive-escaped directory token.
+  /** JSON codec — hand-rolled (flat fields, one nesting level) so the
+    * on-disk format is explicit and dependency-free. Paths are escaped;
+    * partition values may be any Hive-escaped directory token. A
+    * checkpoint file is a bare entry array; a version file is
+    * `{"add":[entries],"remove":[paths]}`.
     */
-  private def render(entries: Seq[FileEntry]): String = {
-    def js(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    entries.map(e =>
-        s"""{"path":${js(e.path)},"partition":${e.partition.map(js).getOrElse("null")}}""")
-      .mkString("[", ",", "]")
+  private def js(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def renderEntry(e: FileEntry): String = {
+    val stats = e.stats.fold("")(st =>
+      s""","stats":{"column":${js(st.column)},"min":${st.min},"max":${st.max}}""")
+    s"""{"path":${js(e.path)},"partition":${e.partition.map(js).getOrElse("null")}$stats}"""
   }
 
-  private def parse(json: String): Seq[FileEntry] = {
+  private def renderEntries(entries: Seq[FileEntry]): String =
+    entries.map(renderEntry).mkString("[", ",", "]")
+
+  private def renderDelta(add: Seq[FileEntry], remove: Seq[String]): String =
+    s"""{"add":${renderEntries(add)},"remove":${remove.map(js).mkString("[", ",", "]")}}"""
+
+  private def parseEntryNode(
+      e: com.fasterxml.jackson.databind.JsonNode): FileEntry = {
+    val st = Option(e.get("stats")).filter(_.isObject).map(s =>
+      ColStats(s.path("column").asText(),
+        s.path("min").asDouble(), s.path("max").asDouble()))
+    FileEntry(e.path("path").asText(),
+      Option(e.path("partition")).filter(_.isTextual).map(_.asText()), st)
+  }
+
+  private def parseEntries(json: String): Seq[FileEntry] = {
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-    require(root.isArray, "txlog manifest must be a JSON array")
+    require(root.isArray, "txlog checkpoint must be a JSON array")
     val it = root.elements()
     val b = Seq.newBuilder[FileEntry]
-    while (it.hasNext) {
-      val e = it.next()
-      b += FileEntry(e.path("path").asText(),
-        Option(e.path("partition")).filter(_.isTextual).map(_.asText()))
-    }
+    while (it.hasNext) b += parseEntryNode(it.next())
     b.result()
   }
 
-  /** Every version number present in the log — readable or not (a claim
-    * whose writer crashed mid-write still BURNS its number: claims are
-    * create-if-absent, so that slot can never be committed).
-    */
-  private def listVersions(fs: FileSystem, table: String): Seq[Long] = {
-    val dir = logDir(table)
-    if (!fs.exists(dir)) return Nil
-    fs.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .flatMap(n => scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption)
+  private def parseDelta(json: String): (Seq[FileEntry], Seq[String]) = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    require(root.isObject && root.has("add") && root.has("remove"),
+      "txlog version manifest must be an {add, remove} object")
+    val add = Seq.newBuilder[FileEntry]
+    val ai = root.get("add").elements()
+    while (ai.hasNext) add += parseEntryNode(ai.next())
+    val rm = Seq.newBuilder[String]
+    val ri = root.get("remove").elements()
+    while (ri.hasNext) rm += ri.next().asText()
+    (add.result(), rm.result())
   }
 
-  /** Latest COMMITTED snapshot: highest readable version file. Unreadable
-    * (crashed mid-write) claims are skipped — they were never committed.
-    * Version -1 with no entries when the log is empty or absent.
-    */
-  def snapshot(spark: SparkSession, table: String): Snapshot =
-    snapshotFrom(fsOf(spark, table), table, listVersions(fsOf(spark, table), table))
+  private def readBytes(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+      bytes.toString("UTF-8")
+    } finally in.close()
+  }
 
-  /** [[snapshot]] resolved against an ALREADY-TAKEN listing — the commit
-    * cores below must derive the observed snapshot AND the claim target
-    * from ONE listing: listing again after the snapshot read opens a
-    * lost-update window (a commit landing between the two reads gets
-    * leapfrogged — the claim takes the slot ABOVE it without ever rebasing
-    * onto it, and its files silently drop out of the manifest). With one
-    * listing, any interleaved commit necessarily took this writer's target
-    * slot, so the claim fails and the rebase sees it.
+  /** ONE directory listing yielding every version and checkpoint number
+    * present — readable or not (a claim whose writer crashed mid-write
+    * still BURNS its number: claims are create-if-absent, so that slot can
+    * never be committed). The commit cores derive the observed snapshot
+    * AND the claim target from this one listing: listing again after the
+    * snapshot read opens a lost-update window (a commit landing between
+    * the two reads gets leapfrogged — the claim takes the slot ABOVE it
+    * without ever rebasing onto it, and its files silently drop out of
+    * the manifest). With one listing, any interleaved commit necessarily
+    * took this writer's target slot, so the claim fails and the rebase
+    * sees it.
+    */
+  private def listLog(fs: FileSystem, table: String): (Seq[Long], Seq[Long]) = {
+    val dir = logDir(table)
+    if (!fs.exists(dir)) return (Nil, Nil)
+    val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    def nums(prefix: String): Seq[Long] = names
+      .filter(n => n.startsWith(prefix) && n.endsWith(".json"))
+      .flatMap(n =>
+        scala.util.Try(n.stripPrefix(prefix).stripSuffix(".json").toLong).toOption)
+    (nums("v"), nums("c"))
+  }
+
+  /** Latest COMMITTED snapshot: highest readable version file, resolved
+    * as the newest readable checkpoint at-or-below it plus the delta
+    * suffix above the checkpoint. Unreadable (crashed mid-write) claims
+    * are skipped — they were never committed; an unreadable checkpoint
+    * degrades to a longer replay. Version -1 with no entries when the log
+    * is empty or absent.
+    */
+  def snapshot(spark: SparkSession, table: String): Snapshot = {
+    val fs = fsOf(spark, table)
+    val (vs, cs) = listLog(fs, table)
+    snapshotFrom(fs, table, vs, cs)
+  }
+
+  private def readDelta(fs: FileSystem, table: String,
+      v: Long): Option[(Seq[FileEntry], Seq[String])] =
+    scala.util.Try(parseDelta(readBytes(fs, versionFile(table, v)))).toOption
+
+  /** [[snapshot]] resolved against an ALREADY-TAKEN listing (see
+    * [[listLog]]).
     */
   private def snapshotFrom(fs: FileSystem, table: String,
-      versions: Seq[Long]): Snapshot = {
-    versions.sorted(Ordering[Long].reverse).iterator.flatMap { v =>
-      scala.util.Try {
-        val in = fs.open(versionFile(table, v))
-        try {
-          val bytes = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
-          Snapshot(v, parse(bytes.toString("UTF-8")))
-        } finally in.close()
-      }.toOption
-    }.nextOption().getOrElse(Snapshot(-1L, Nil))
+      versions: Seq[Long], checkpoints: Seq[Long]): Snapshot =
+    snapshotAt(fs, table, versions.sorted.lastOption.getOrElse(-1L),
+      versions, checkpoints)
+
+  /** The committed state at the highest committed version <= `upTo`:
+    * newest readable checkpoint at-or-below it, plus readable deltas
+    * above the checkpoint applied in version order.
+    */
+  private def snapshotAt(fs: FileSystem, table: String, upTo: Long,
+      versions: Seq[Long], checkpoints: Seq[Long]): Snapshot = {
+    val candidates = versions.filter(_ <= upTo).sorted(Ordering[Long].reverse)
+    val latest = candidates.iterator
+      .map(v => v -> readDelta(fs, table, v))
+      .collectFirst { case (v, Some(d)) => v -> d }
+    latest match {
+      case None => Snapshot(-1L, Nil)
+      case Some((v, lastDelta)) =>
+        val base = checkpoints.filter(_ <= v).sorted(Ordering[Long].reverse)
+          .iterator
+          .map(k => k -> scala.util.Try(
+            parseEntries(readBytes(fs, checkpointFile(table, k)))).toOption)
+          .collectFirst { case (k, Some(es)) => k -> es }
+          .getOrElse(-1L -> Seq.empty[FileEntry])
+        val (baseV, baseEntries) = base
+        val replay = versions.filter(x => x > baseV && x < v).sorted
+          .flatMap(x => readDelta(fs, table, x)) :+ lastDelta
+        val entries = replay.foldLeft(baseEntries) { case (cur, (add, rm)) =>
+          val dead = rm.toSet
+          cur.filterNot(e => dead.contains(e.path)) ++ add
+        }
+        Snapshot(v, entries)
+    }
+  }
+
+  /** The latest snapshot reconstructed by FULL delta replay from version
+    * 0, ignoring every checkpoint — the q531 gate's equivalence arm: a
+    * checkpoint is derived metadata, so checkpoint-resolved and
+    * replay-resolved reads must be identical or the checkpoint writer is
+    * corrupting state.
+    */
+  private[graft] def fullReplaySnapshot(spark: SparkSession,
+      table: String): Snapshot = {
+    val fs = fsOf(spark, table)
+    val (vs, _) = listLog(fs, table)
+    snapshotAt(fs, table, vs.sorted.lastOption.getOrElse(-1L), vs, Nil)
+  }
+
+  /** The newest checkpoint version at or below the latest commit, -1 when
+    * none exists — gate-visible evidence that snapshot resolution is
+    * running on checkpoint + suffix, not full replay.
+    */
+  def latestCheckpointVersion(spark: SparkSession, table: String): Long = {
+    val fs = fsOf(spark, table)
+    val (vs, cs) = listLog(fs, table)
+    val latest = vs.sorted.lastOption.getOrElse(-1L)
+    cs.filter(_ <= latest).sorted.lastOption.getOrElse(-1L)
   }
 
   /** Read the latest committed snapshot as a DataFrame. Partitioned
@@ -151,6 +278,29 @@ object TxLog {
     readEntries(spark, snap.entries).getOrElse(
       throw new IllegalArgumentException(
         s"txlog table $table version ${snap.version} is empty"))
+  }
+
+  /** Manifest-pruned range read — data skipping from the LOG (round 14):
+    * keep only the live files whose recorded `column` min/max overlaps
+    * [lo, hi] (a file with no stats for the column is kept — unknown can
+    * never be pruned), scan just those, and apply the residual row
+    * filter. Returns (rows, files scanned, files live). At 100 TB the
+    * pruned file set — not the table — bounds the scan, and the decision
+    * is made from manifest metadata without opening a single footer.
+    */
+  def readWhere(spark: SparkSession, table: String, column: String,
+      lo: Double, hi: Double): (DataFrame, Int, Int) = {
+    val snap = snapshot(spark, table)
+    require(snap.version >= 0, s"txlog table $table has no committed version")
+    val kept = snap.entries.filter(_.stats.forall(st =>
+      st.column != column || (st.max >= lo && st.min <= hi)))
+    val base = readEntries(spark, if (kept.nonEmpty) kept else snap.entries)
+      .getOrElse(throw new IllegalArgumentException(
+        s"txlog table $table version ${snap.version} is empty"))
+    val pruned = if (kept.nonEmpty) base else base.limit(0)
+    val rows = pruned.filter(
+      col(column).cast("double").between(lo, hi))
+    (rows, kept.size, snap.entries.size)
   }
 
   /** A manifest entry subset as one DataFrame (None when empty) — the
@@ -175,15 +325,19 @@ object TxLog {
   /** Stage `df` under a fresh commit dir; returns the staged entries.
     * With a partition column the write is Hive-layout and each leaf file
     * is recorded with its directory's partition token; without, a plain
-    * parquet write recorded as unpartitioned entries.
+    * parquet write recorded as unpartitioned entries. With `statsCol`,
+    * one column-pruned pass over the staged files records each file's
+    * min/max of that column in its entry — O(staged delta) IO, paid at
+    * write time so every future read can prune from metadata.
     */
   private def stage(df: DataFrame, table: String,
-      partitionCol: Option[String]): Seq[FileEntry] = {
+      partitionCol: Option[String],
+      statsCol: Option[String] = None): Seq[FileEntry] = {
     val spark = df.sparkSession
     val fs = fsOf(spark, table)
     val dir = new Path(new Path(table, "data"),
       java.util.UUID.randomUUID().toString)
-    partitionCol match {
+    val entries = partitionCol match {
       case Some(p) =>
         df.repartition(col(p)).write.partitionBy(p).parquet(dir.toString)
         fs.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { d =>
@@ -197,6 +351,21 @@ object TxLog {
         fs.listStatus(dir).toSeq
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .map(s => FileEntry(s.getPath.toString, None))
+    }
+    statsCol.filter(_ => entries.nonEmpty).fold(entries) { c =>
+      import org.apache.spark.sql.functions.{input_file_name, max, min}
+      def norm(p: String): String = new Path(p).toUri.getPath
+      val byFile = spark.read.parquet(entries.map(_.path): _*)
+        .select(input_file_name().as("__f"), col(c).cast("double").as("__v"))
+        .groupBy("__f")
+        .agg(min("__v").as("mn"), max("__v").as("mx"))
+        .collect() // bounded by staged file count, not rows
+        .flatMap { r =>
+          if (r.isNullAt(1) || r.isNullAt(2)) None
+          else Some(norm(r.getString(0)) -> ((r.getDouble(1), r.getDouble(2))))
+        }.toMap
+      entries.map(e => e.copy(stats = byFile.get(norm(e.path))
+        .map { case (mn, mx) => ColStats(c, mn, mx) }))
     }
   }
 
@@ -239,11 +408,26 @@ object TxLog {
     }
   }
 
-  /** The optimistic-retry commit core: compute the next manifest from the
+  /** Write the periodic checkpoint after a successful commit at `v`:
+    * the committer just computed the full live set, so the checkpoint is
+    * free metadata. Create-if-absent and best-effort — only the claim
+    * winner of `v` reaches here, and a torn or missing checkpoint only
+    * lengthens replay (snapshotAt falls back to the previous readable
+    * checkpoint, ultimately to empty-base full replay).
+    */
+  private def maybeCheckpoint(fs: FileSystem, table: String, v: Long,
+      full: Seq[FileEntry]): Unit =
+    if (v > 0 && v % CheckpointInterval == 0) {
+      scala.util.Try(atomicClaim(fs, checkpointFile(table, v),
+        renderEntries(full).getBytes("UTF-8"))): Unit
+    }
+
+  /** The optimistic-retry commit core: compute the next live set from the
     * latest COMMITTED snapshot, claim the next FREE version number (above
     * every number present, committed or burned — a crashed claim must not
-    * livelock its successors), retry on a lost race. `next` must be a
-    * pure function of the observed snapshot — it re-runs per attempt.
+    * livelock its successors) with the DELTA manifest, retry on a lost
+    * race. `next` must be a pure function of the observed snapshot — it
+    * re-runs per attempt.
     */
   /** Test-only interleave seam: invoked once per commit ATTEMPT, before the
     * attempt's snapshot read — lets a spec deterministically land a
@@ -261,13 +445,22 @@ object TxLog {
     while (attempt <= maxRetries) {
       testInterleave()
       // ONE listing yields both the observed snapshot and the claim
-      // target (see snapshotFrom): anything that commits after this
-      // listing takes `target` first, failing this claim into a rebase
-      val versions = listVersions(fs, table)
-      val snap = snapshotFrom(fs, table, versions)
+      // target (see listLog): anything that commits after this listing
+      // takes `target` first, failing this claim into a rebase
+      val (versions, checkpoints) = listLog(fs, table)
+      val snap = snapshotFrom(fs, table, versions, checkpoints)
       val target = (versions :+ snap.version :+ -1L).max + 1
-      val manifest = render(next(snap)).getBytes("UTF-8")
-      if (atomicClaim(fs, versionFile(table, target), manifest)) return target
+      val full = next(snap)
+      val oldPaths = snap.entries.map(_.path).toSet
+      val newPaths = full.map(_.path).toSet
+      val delta = renderDelta(
+        full.filterNot(e => oldPaths.contains(e.path)),
+        snap.entries.map(_.path).filterNot(newPaths.contains))
+      if (atomicClaim(fs, versionFile(table, target),
+          delta.getBytes("UTF-8"))) {
+        maybeCheckpoint(fs, table, target, full)
+        return target
+      }
       attempt += 1 // another writer claimed it first — rebase and retry
     }
     throw new IllegalStateException(
@@ -276,43 +469,54 @@ object TxLog {
 
   /** Append-commit: the new snapshot is everything live plus the staged
     * files. Concurrent appends never conflict semantically — collisions
-    * only re-point the manifest.
+    * only re-point the manifest. `statsCol` opts the staged files into
+    * per-file min/max recording for [[readWhere]] pruning.
     */
   def append(df: DataFrame, table: String,
-      partitionCol: Option[String] = None, maxRetries: Int = 20): Long = {
-    val staged = stage(df, table, partitionCol)
+      partitionCol: Option[String] = None,
+      statsCol: Option[String] = None, maxRetries: Int = 20): Long = {
+    val staged = stage(df, table, partitionCol, statsCol)
     commit(df.sparkSession, table, maxRetries)(snap => snap.entries ++ staged)
   }
 
   /** Retention-windowed GC — the maintenance leg of the log (round 13):
-    * drops manifests older than the newest `keepVersions` committed ones
-    * and deletes every data file those DROPPED manifests reference that no
-    * RETAINED manifest still does. The deletion rule is subtractive on
+    * drops version manifests older than the newest `keepVersions`
+    * committed ones and deletes every data file those DROPPED manifests
+    * added that no RETAINED state still references. Before dropping
+    * anything it writes a checkpoint at the retention cutoff (the full
+    * state there, create-if-absent), so the retained delta suffix always
+    * has a base to replay from. The deletion rule is subtractive on
     * purpose: a file referenced by NO manifest at all is left alone — a
     * concurrent writer's staged-but-uncommitted files are exactly that,
     * so vacuum can never race an in-flight commit into data loss (the
     * worst case is an orphan from an aborted stage surviving; reclaiming
     * those is [[reclaimOrphans]]' age-gated job, not vacuum's). Unreadable
     * (burned) claim files inside the dropped range are removed too — they
-    * were never committed. Returns (manifests dropped, data files deleted).
+    * were never committed. Stale checkpoints below the cutoff are removed
+    * but NOT counted: the returned (manifests dropped, data files
+    * deleted) counts commits, and checkpoints are derived cache, not
+    * commits.
     *
     * READER-vs-VACUUM HAZARD (ADVICE_r13): a reader that resolved an OLDER
     * snapshot (`snapshot()` then `read()`, or a long-running scan of a
     * superseded version) holds file paths vacuum may delete mid-scan —
     * exactly the race public lake formats gate behind a TIME retention
     * window. `minAgeMs` is that guard: a manifest whose version file is
-    * younger than `minAgeMs` is retained (with its files) even when it
-    * falls below the `keepVersions` cutoff, so any reader that resolved its
-    * snapshot within the window keeps its files. The default 0 keeps
-    * vacuum purely count-windowed — callers with concurrent readers should
-    * pass a window comfortably above their longest read (the reference
-    * formats default to hours–days).
+    * younger than `minAgeMs` is retained — and every file it ADDS kept —
+    * even when it falls below the `keepVersions` cutoff, so any reader
+    * that resolved its snapshot within the window keeps its files (the
+    * files survive; re-RESOLVING an old version whose delta predecessors
+    * were dropped is not the contract). The default 0 keeps vacuum purely
+    * count-windowed — callers with concurrent readers should pass a
+    * window comfortably above their longest read (the reference formats
+    * default to hours–days).
     */
   def vacuum(spark: SparkSession, table: String,
       keepVersions: Int, minAgeMs: Long = 0L): (Int, Int) = {
     require(keepVersions >= 1, "vacuum must retain at least the latest version")
     val fs = fsOf(spark, table)
-    val latest = snapshot(spark, table).version
+    val (versions, checkpoints) = listLog(fs, table)
+    val latest = snapshotFrom(fs, table, versions, checkpoints).version
     if (latest < 0) return (0, 0)
     val cutoff = latest - keepVersions + 1
     val youngEnough: Long => Boolean =
@@ -323,20 +527,27 @@ object TxLog {
           fs.getFileStatus(versionFile(table, v)).getModificationTime > floor
         ).getOrElse(true) // unstat-able claim: assume young, never drop
       }
-    val (dropped, retained) = listVersions(fs, table)
+    val (dropped, retained) = versions
       .partition(v => v < cutoff && !youngEnough(v))
-    def refsOf(vs: Seq[Long]): Set[String] = vs.flatMap(v =>
-      scala.util.Try {
-        val in = fs.open(versionFile(table, v))
-        try {
-          val bytes = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
-          parse(bytes.toString("UTF-8")).map(_.path)
-        } finally in.close()
-      }.getOrElse(Nil)).toSet
-    val dead = refsOf(dropped) -- refsOf(retained)
+    val droppedCks = checkpoints.filter(_ < cutoff)
+    if (dropped.isEmpty && droppedCks.isEmpty) return (0, 0)
+    // the retained suffix needs a replay base at the cutoff: materialize
+    // the state there BEFORE any delta below it disappears
+    val cutState = snapshotAt(fs, table, cutoff, versions, checkpoints).entries
+    scala.util.Try(atomicClaim(fs, checkpointFile(table, cutoff),
+      renderEntries(cutState).getBytes("UTF-8"))): Unit
+    def addsOf(vs: Seq[Long]): Set[String] = vs.flatMap(v =>
+      readDelta(fs, table, v).fold(Seq.empty[String])(_._1.map(_.path))).toSet
+    def ckRefs(ks: Seq[Long]): Set[String] = ks.flatMap(k =>
+      scala.util.Try(parseEntries(readBytes(fs, checkpointFile(table, k)))
+        .map(_.path)).getOrElse(Nil)).toSet
+    val droppedRefs = addsOf(dropped) ++ ckRefs(droppedCks)
+    val retainedRefs = cutState.map(_.path).toSet ++ addsOf(retained) ++
+      ckRefs(checkpoints.filterNot(droppedCks.contains))
+    val dead = droppedRefs -- retainedRefs
     dead.foreach(p => fs.delete(new Path(p), false): Unit)
     dropped.foreach(v => fs.delete(versionFile(table, v), false): Unit)
+    droppedCks.foreach(k => fs.delete(checkpointFile(table, k), false): Unit)
     (dropped.size, dead.size)
   }
 
@@ -358,10 +569,11 @@ object TxLog {
     * against the world that now includes the append.
     */
   def replaceWhere(df: DataFrame, table: String, partitionCol: String,
-      values: Seq[String], maxRetries: Int = 20): Long = {
+      values: Seq[String], statsCol: Option[String] = None,
+      maxRetries: Int = 20): Long = {
     val spark = df.sparkSession
     val baseline = snapshot(spark, table)
-    val staged = stage(df, table, Some(partitionCol))
+    val staged = stage(df, table, Some(partitionCol), statsCol)
     val tokens = values.map(v =>
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .getPartitionPathString(partitionCol, v)).toSet
@@ -436,11 +648,11 @@ object TxLog {
       var attempt = 0
       while (attempt <= maxRetries) {
         testInterleave()
-        // one listing for snapshot AND claim target (see snapshotFrom):
-        // the merge+stage below take seconds, and a commit landing in
-        // that window must fail this claim, never be leapfrogged
-        val versions = listVersions(fs, table)
-        val snap = snapshotFrom(fs, table, versions)
+        // one listing for snapshot AND claim target (see listLog): the
+        // merge+stage below take seconds, and a commit landing in that
+        // window must fail this claim, never be leapfrogged
+        val (versions, checkpoints) = listLog(fs, table)
+        val snap = snapshotFrom(fs, table, versions, checkpoints)
         val target = (versions :+ snap.version :+ -1L).max + 1
         val touchedEntries = snap.entries.filter(_.partition.exists(tokens))
         // The delete-contract audit rides the staged write's own job (the
@@ -493,8 +705,13 @@ object TxLog {
         }
         val manifest =
           snap.entries.filterNot(_.partition.exists(tokens)) ++ staged
+        val removedPaths = snap.entries.filter(_.partition.exists(tokens))
+          .map(_.path)
         if (atomicClaim(fs, versionFile(table, target),
-            render(manifest).getBytes("UTF-8"))) return target
+            renderDelta(staged, removedPaths).getBytes("UTF-8"))) {
+          maybeCheckpoint(fs, table, target, manifest)
+          return target
+        }
         // lost the race: this attempt's merge was computed against a
         // superseded snapshot — discard its staging (referenced by
         // nothing) and re-merge on the new latest
@@ -522,7 +739,10 @@ object TxLog {
     * reference alone, so reclaim is gated on AGE: only unreferenced dirs
     * whose every file is older than `minAgeMs` are deleted (an in-flight
     * commit stages, then claims, within seconds — a day-old unreferenced
-    * stage is an abort). Returns the number of commit dirs reclaimed.
+    * stage is an abort). Reference = every delta's adds plus every
+    * checkpoint's entries, so a dir whose adding delta was vacuumed but
+    * whose files live on in a checkpoint stays referenced. Returns the
+    * number of commit dirs reclaimed.
     */
   def reclaimOrphans(spark: SparkSession, table: String,
       minAgeMs: Long): Int = {
@@ -532,16 +752,13 @@ object TxLog {
     val fs = fsOf(spark, table)
     val dataDir = new Path(table, "data")
     if (!fs.exists(dataDir)) return 0
-    val referenced = listVersions(fs, table).flatMap(v =>
-      scala.util.Try {
-        val in = fs.open(versionFile(table, v))
-        try {
-          val bytes = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
-          parse(bytes.toString("UTF-8")).map(e =>
-            commitDirOf(new Path(e.path)).toString)
-        } finally in.close()
-      }.getOrElse(Nil)).toSet
+    val (versions, checkpoints) = listLog(fs, table)
+    val referenced = (versions.flatMap(v =>
+        readDelta(fs, table, v).fold(Seq.empty[String])(_._1.map(_.path))) ++
+      checkpoints.flatMap(k =>
+        scala.util.Try(parseEntries(readBytes(fs, checkpointFile(table, k)))
+          .map(_.path)).getOrElse(Nil)))
+      .map(p => commitDirOf(new Path(p)).toString).toSet
     val floor = System.currentTimeMillis() - minAgeMs
     def newestMTime(p: Path): Long = {
       val st = fs.getFileStatus(p)

@@ -394,9 +394,35 @@ object Similarity {
   def graphBeamSearch(corpus: DataFrame, edges: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, entries: DataFrame,
       hops: Int, beam: Int, k: Int): DataFrame = {
+    requireBounded(entries, "graphBeamSearch", "entries")
+    walkCore(corpus, edges, queries, idCol, vecCol,
+      f0 = queries.select(col(idCol).as("query_id"))
+        .crossJoin(broadcast(entries.select(col(entries.columns.head).as("node")))),
+      hops, beam, k)
+  }
+
+  /** [[graphBeamSearch]] CONTINUED from a materialized frontier
+    * (query_id, node) — round 14: the walk-budget gate reads two depths
+    * of ONE beam chain (hops 4 and 8), so the shared 4-hop prefix runs
+    * once, its frontier is captured (bounded by probes x beam — the walk
+    * contract), and the deeper arm restarts from it instead of unrolling
+    * a double-depth plan whose per-hop broadcast/shuffle overhead is the
+    * dominant cost. `frontier` must be probe-bounded; resuming from the
+    * FULL top-beam frontier of hop h reproduces hops h+1.. of the single
+    * chain exactly (each hop re-includes its frontier in the candidate
+    * set, so no state beyond the frontier crosses hops).
+    */
+  def graphBeamSearchFrom(corpus: DataFrame, edges: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, frontier: DataFrame,
+      hops: Int, beam: Int, k: Int): DataFrame =
+    walkCore(corpus, edges, queries, idCol, vecCol,
+      f0 = frontier.select("query_id", "node"), hops, beam, k)
+
+  private def walkCore(corpus: DataFrame, edges: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, f0: DataFrame,
+      hops: Int, beam: Int, k: Int): DataFrame = {
     require(hops >= 1, "graphBeamSearch needs at least one hop")
     requireBounded(queries, "graphBeamSearch", "queries")
-    requireBounded(entries, "graphBeamSearch", "entries")
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val und = edges.select(col("id_a").as("u"), col("id_b").as("w"))
       .unionAll(edges.select(col("id_b").as("u"), col("id_a").as("w")))
@@ -423,9 +449,7 @@ object Similarity {
           order = Seq("cosine" -> false, "node" -> true), k = beam)
         .select("query_id", "node", "cosine")
     }
-    val f0 = probes.select("query_id")
-      .crossJoin(broadcast(entries.select(col(entries.columns.head).as("node"))))
-    val last = (1 to hops).foldLeft(f0: DataFrame)((f, _) => hop(f))
+    val last = (1 to hops).foldLeft(f0)((f, _) => hop(f))
     graft.plans.TopKPerKey.of(last,
         keyCols = Seq("query_id"),
         order = Seq("cosine" -> false, "node" -> true), k = k)

@@ -117,7 +117,7 @@ object Round8Queries {
           FROM embeddings
         )""".stripMargin.trim
 
-  private def hopCte(prev: String, cur: String, beam: Int): String = s"""
+  private[queries] def hopCte(prev: String, cur: String, beam: Int): String = s"""
         ${cur}c AS (
           SELECT DISTINCT query_id, node FROM (
             SELECT query_id, node FROM $prev

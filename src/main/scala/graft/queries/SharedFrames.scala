@@ -96,6 +96,32 @@ object SharedFrames {
     s.read.parquet(path)
   }
 
+  /** The DENSE navigable-graph edge artifact (id_a, id_b): mutual-kNN
+    * (k=3) union cross-cell long-range picks at nForeign=3 — the q527
+    * density operating point, built once per (session, corpus) and shared
+    * by every recall gate that audits it (q527, q534 — round 14: q534's
+    * three-walk frontier would otherwise rebuild the identical graph). A
+    * deployment persists its serving graph; both consumers' oracles
+    * re-derive the edge set from first principles, so nothing weakens.
+    */
+  private[queries] def denseNavEdgesPath(s: SparkSession, dir: String): String =
+    taggedDir(s, dir, "nav_dense_k3_f3")
+
+  def denseNavEdges(s: SparkSession, dir: String): DataFrame = synchronized {
+    val path = denseNavEdgesPath(s, dir)
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      mutualKnnEdges(s, dir).select("id_a", "id_b")
+        .union(graft.ext.Similarity.crossCellLongRangeEdges(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+          nForeign = 3))
+        .distinct()
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** The CELL-TAGGED mutual-kNN edge artifact (cell, id_a, id_b),
     * PARTITIONED BY CELL — the A-state the navigable graph's incremental
     * maintenance (q514) keeps or redoes at cell granularity (VERDICT_r12

@@ -233,6 +233,60 @@ class TxLogSpec extends graft.SparkSpec {
     assert(e.getMessage.contains("positive age window"))
   }
 
+  test("checkpoints bound resolution, match full replay, and survive vacuum") {
+    // round 14: version files are DELTA manifests; a full-list checkpoint
+    // lands every 10 commits, so snapshot resolution is checkpoint + a
+    // bounded delta suffix — and must equal full replay exactly (a
+    // checkpoint is derived metadata, never independent truth).
+    import spark.implicits._
+    val t = table("ckpt")
+    (0 until 25).foreach { i =>
+      assert(TxLog.append(Seq((i.toLong, s"v$i", (i % 3).toString))
+        .toDF("k", "v", "p"), t, Some("p")) === i.toLong)
+    }
+    assert(TxLog.latestCheckpointVersion(spark, t) === 20L)
+    val resolved = TxLog.snapshot(spark, t)
+    val replayed = TxLog.fullReplaySnapshot(spark, t)
+    assert(resolved.version === 24L && replayed.version === 24L)
+    assert(resolved.entries.map(_.path).sorted
+      === replayed.entries.map(_.path).sorted,
+      "checkpoint-resolved and full-replay snapshots must be identical")
+    assert(TxLog.read(spark, t).count() === 25L)
+    // vacuum writes its own checkpoint at the cutoff so the retained
+    // delta suffix keeps a replay base; appends removed nothing, so no
+    // file is dead — only manifests drop
+    assert(TxLog.vacuum(spark, t, keepVersions = 3) === ((22, 0)))
+    assert(TxLog.read(spark, t).count() === 25L,
+      "content must survive vacuum across a checkpoint boundary")
+    assert(TxLog.append(Seq((99L, "z", "0")).toDF("k", "v", "p"),
+      t, Some("p")) === 25L)
+    assert(TxLog.read(spark, t).count() === 26L)
+  }
+
+  test("readWhere prunes files from manifest stats and keeps stat-less files") {
+    import spark.implicits._
+    val t = table("stats")
+    // four appends with disjoint key ranges, stats on k
+    (0 until 4).foreach { i =>
+      TxLog.append(
+        Seq.tabulate(5)(j => (i * 100L + j, s"r$i$j")).toDF("k", "v")
+          .repartition(1),
+        t, None, statsCol = Some("k")): Unit
+    }
+    val (rows, read, total) = TxLog.readWhere(spark, t, "k", 100.0, 205.0)
+    assert(total === 4 && read === 2,
+      s"ranges [100..104] and [200..204] overlap the query; got $read/$total")
+    assert(rows.collect().map(_.getAs[Long]("k")).sorted.toSeq
+      === Seq(100L, 101L, 102L, 103L, 104L, 200L, 201L, 202L, 203L, 204L))
+    // a commit without stats can never be pruned
+    TxLog.append(Seq((999L, "nostats")).toDF("k", "v"), t, None)
+    val (rows2, read2, total2) = TxLog.readWhere(spark, t, "k", 100.0, 105.0)
+    assert(total2 === 5 && read2 === 2,
+      "the stat-less file is kept (1) plus the one overlapping range (1)")
+    assert(rows2.collect().map(_.getAs[Long]("k")).sorted.toSeq
+      === Seq(100L, 101L, 102L, 103L, 104L))
+  }
+
   test("log-coordinated merges: disjoint writers both land, same-partition writers compose") {
     import spark.implicits._
     val t = table("merge")
