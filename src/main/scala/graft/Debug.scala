@@ -58,8 +58,12 @@ object Debug {
       case None => sfDir
     }
     args.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, runDir)
+      // Timed EXACTLY like Bench.materialize: construction + noop
+      // materialization together — registry queries do eager work
+      // (localCheckpoints, collects, stream starts) during construction,
+      // so timing only the final write under-measures them.
       val tc = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, runDir)
       // GRAFT_DUMP_DIR: write the Verify-shaped parquet for JUST these
       // queries (drop-in refresh of a full Verify out-dir for a targeted
       // tools/compare.py re-check); otherwise noop-materialize for timing.
@@ -68,10 +72,16 @@ object Debug {
         case None => df.write.format("noop").mode("overwrite").save()
       }
       println(s"TIMING-COLD $name ${(System.nanoTime() - tc) / 1e9}")
-      if (sys.env.contains("GRAFT_WARM")) {
-        val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
-        println(s"TIMING $name ${(System.nanoTime() - t0) / 1e9}")
+      // GRAFT_WARM=<n>: n warm repeats of the FULL construction+materialize
+      // (what Bench's second pass times); prints each, take the min.
+      sys.env.get("GRAFT_WARM").foreach { w =>
+        val n = scala.util.Try(w.toInt).getOrElse(1)
+        (1 to n).foreach { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, runDir)
+            .write.format("noop").mode("overwrite").save()
+          println(s"TIMING $name ${(System.nanoTime() - t0) / 1e9}")
+        }
       }
       if (sys.env.contains("GRAFT_EXPLAIN")) df.explain("formatted")
     }

@@ -2562,15 +2562,15 @@ object ExtQueries {
         val deduped = graft.streaming.EventStreams
           .dedupContentStream(stream, "text", "ts", watermarkDelay = "3650 days")
           .withColumn("__key", TextAnalysis.fingerprint(col("text")))
-        val q = deduped.writeStream
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            Sinks.upsertParquet(b, base, "__key")
-          }
-          .option("checkpointLocation", base + "_ckpt")
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        graft.streaming.EventStreams.runDrained(s)(
+          deduped.writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              Sinks.upsertParquet(b, base, "__key")
+            }
+            .option("checkpointLocation", base + "_ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
         s.read.parquet(base)
           .select(col("__key").as("fp"), col("lang"), col("n_chars"))
           .orderBy("fp")

@@ -1980,15 +1980,15 @@ object PipelineQueries {
             col("n_events"), col("sum_value"))
           .withColumn("__key",
             concat(col("bucket").cast("string"), lit("|"), col("event_type")))
-        val q = agg.writeStream
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            Sinks.upsertParquet(b, base, "__key")
-          }
-          .option("checkpointLocation", base + "_ckpt")
-          .outputMode("update")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        graft.streaming.EventStreams.runDrained(s)(
+          agg.writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              Sinks.upsertParquet(b, base, "__key")
+            }
+            .option("checkpointLocation", base + "_ckpt")
+            .outputMode("update")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
         s.read.parquet(base).drop("__key").orderBy("bucket", "event_type")
       },
       Some("""
@@ -2223,15 +2223,15 @@ object PipelineQueries {
           .select(col("user_id"), col("event_type"))
           .withColumn("__key",
             concat(col("user_id").cast("string"), lit("|"), col("event_type")))
-        val q = deduped.writeStream
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            Sinks.upsertParquet(b, base, "__key")
-          }
-          .option("checkpointLocation", base + "_ckpt")
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        graft.streaming.EventStreams.runDrained(s)(
+          deduped.writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              Sinks.upsertParquet(b, base, "__key")
+            }
+            .option("checkpointLocation", base + "_ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
         s.read.parquet(base).drop("__key").orderBy("user_id", "event_type")
       },
       Some("""
@@ -2667,15 +2667,15 @@ object PipelineQueries {
           graft.streaming.EventStreams.streamingEvents(s, dir)
             .withColumn("n_nationkey", col("user_id") % 25),
           dim, "n_nationkey")
-        val q = enriched.select(col("n_name"), col("value"))
-          .writeStream
-          .format("parquet")
-          .option("path", base)
-          .option("checkpointLocation", base + "_ckpt")
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        graft.streaming.EventStreams.runDrained(s)(
+          enriched.select(col("n_name"), col("value"))
+            .writeStream
+            .format("parquet")
+            .option("path", base)
+            .option("checkpointLocation", base + "_ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
         s.read.parquet(base)
           .groupBy("n_name")
           .agg(count(lit(1)).as("n_events"), Exact.sumD(col("value"), 6).as("sum_value"))
@@ -3311,15 +3311,15 @@ object PipelineQueries {
           .filter(col("session_start") < timestamp_micros(lit(sentinelUs)))
           .withColumn("__key", concat(col("user_id").cast("string"), lit("|"),
             unix_micros(col("session_start")).cast("string")))
-        val q = sessions.writeStream
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            Sinks.upsertParquet(b, base, "__key")
-          }
-          .option("checkpointLocation", base + "_ckpt")
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        graft.streaming.EventStreams.runDrained(s)(
+          sessions.writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              Sinks.upsertParquet(b, base, "__key")
+            }
+            .option("checkpointLocation", base + "_ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
         s.read.parquet(base)
           .select("user_id", "session_start", "session_end", "n_events")
           .orderBy("user_id", "session_start")
@@ -3368,15 +3368,15 @@ object PipelineQueries {
             col("r_ts").as("view_ts"))
           .withColumn("__key", concat(col("purchase_id").cast("string"),
             lit("|"), col("view_id").cast("string")))
-        val q = joined.writeStream
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            Sinks.upsertParquet(b, base, "__key")
-          }
-          .option("checkpointLocation", base + "_ckpt")
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        graft.streaming.EventStreams.runDrained(s)(
+          joined.writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              Sinks.upsertParquet(b, base, "__key")
+            }
+            .option("checkpointLocation", base + "_ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
         s.read.parquet(base).drop("__key").orderBy("purchase_id", "view_id")
       },
       Some("""

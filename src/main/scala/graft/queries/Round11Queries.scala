@@ -682,10 +682,10 @@ object Round11Queries {
         probes.repartition(3).write.parquet(src)
         val arrivals = s.readStream.schema(probes.schema)
           .option("maxFilesPerTrigger", 1).parquet(src)
-        val q = graft.streaming.EventStreams.startAnnServe(
-          arrivals, ix, "query_id", "qv", base, base + "_ckpt",
-          nprobe = 4, shortlist = 40)
-        q.awaitTermination()
+        graft.streaming.EventStreams.runDrained(s)(
+          graft.streaming.EventStreams.startAnnServe(
+            arrivals, ix, "query_id", "qv", base, base + "_ckpt",
+            nprobe = 4, shortlist = 40))
         s.read.parquet(base)
           .select(col("query_id"), col("neighbor_id"), col("adc"))
           .orderBy("query_id", "neighbor_id")

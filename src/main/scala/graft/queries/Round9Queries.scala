@@ -431,10 +431,10 @@ object Round9Queries {
           s.readStream.schema(e.schema)
             .option("maxFilesPerTrigger", 1).parquet(src),
           "embedding", planes)
-        val q = graft.streaming.EventStreams.startVectorIngest(
-          arrivals, bCents, bCw, "vec_id", "embedding", "cell",
-          base, base + "_ckpt")
-        q.awaitTermination()
+        graft.streaming.EventStreams.runDrained(s)(
+          graft.streaming.EventStreams.startVectorIngest(
+            arrivals, bCents, bCw, "vec_id", "embedding", "cell",
+            base, base + "_ckpt"))
         s.read.parquet(base)
           .groupBy(col("id"), col("cell"))
           .agg(

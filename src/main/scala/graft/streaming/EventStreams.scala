@@ -20,6 +20,42 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** State-store partition count for the drained (Trigger.AvailableNow)
+    * streaming gates — SCALE-ADAPTIVE, not the batch shuffle-partition
+    * count. A stateful micro-batch pays a FIXED per-partition cost per
+    * operator per trigger (state store open + delta write + commit — a
+    * stream-stream join holds FOUR stores per partition), so partitions
+    * must be sized to STATE VOLUME, not to the host's core count
+    * (optimization guide §2.2: fewer, larger partitions; measured here:
+    * the interval-join gate at 32 state partitions spends ~6s/task
+    * blocked on state-store commits with <2% CPU — 8 partitions run the
+    * same rows 3x faster on a quarter of the cores). The gates' state is
+    * KB-scale; a 100 TB deployment sizes this up via
+    * SPARK_GRAFT_STREAM_PARTITIONS (or keeps its own checkpoint, which
+    * pins the count at first run). Results are partition-invariant: every
+    * gated stream emits keyed rows / exact-decimal aggregates whose
+    * content does not depend on hash placement (the same invariance the
+    * batch registry relies on), so this only reshapes the physical plan.
+    */
+  def statePartitions(s: SparkSession): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse(
+      math.min(s.sessionState.conf.numShufflePartitions, 8))
+
+  /** Run a drain-and-terminate streaming gate under [[statePartitions]]:
+    * sets the session's shuffle-partition conf for the stream's lifetime
+    * (a NEW checkpoint freezes its state partitioning from this value at
+    * start) and restores it afterwards. Gates run sequentially under
+    * Bench/Verify, so the temporary session-conf scope cannot race
+    * another query.
+    */
+  def runDrained(s: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, statePartitions(s).toString)
+    try start.awaitTermination() finally s.conf.set(key, prev)
+  }
+
   /** One event row, as produced by `streamingEvents` / MemoryStream tests. */
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
